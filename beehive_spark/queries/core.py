@@ -1,0 +1,583 @@
+"""Core query surface: merge-parity operators (SURVEY.md §2) expressed
+over the driver's TPC-H-ish tables, plus headline analytic queries.
+
+Each query cites the reference behavior it generalizes
+(file:line into /root/reference) and carries a DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+from pyspark.sql import Window
+
+from beehive_spark.operators import (
+    assign_ids,
+    consolidate,
+    disjunctive_match,
+    next_id_base,
+    orphan_check,
+    remap_fks,
+    uuid_collisions,
+)
+from beehive_spark.queries import load, query
+
+
+# ---------------------------------------------------------------------------
+# S2/P1 — projected, filtered scan (pushdown + pruning)
+# ---------------------------------------------------------------------------
+@query(
+    "scan_project",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+    """,
+)
+def scan_project(spark, sf_dir):
+    """Narrow scan with filter (S2+P1, reference utils.js:85-87,
+    person-users.js:804-805). Filter and 4-column projection must reach
+    the parquet scan (PushedFilters/ReadSchema)."""
+    li = load(spark, sf_dir, "lineitem")
+    return li.filter(F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp")).select(
+        "l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice"
+    )
+
+
+# ---------------------------------------------------------------------------
+# P2/P3 — IN / NOT IN / compound predicates
+# ---------------------------------------------------------------------------
+@query(
+    "filter_in_notin",
+    oracle="""
+    SELECT c_custkey, c_name, c_mktsegment, c_nationkey
+    FROM customer
+    WHERE c_mktsegment IN ('BUILDING','AUTOMOBILE')
+      AND c_nationkey NOT IN (1, 2, 3)
+    """,
+)
+def filter_in_notin(spark, sf_dir):
+    """IN/NOT-IN exclusion filters (P2, reference utils.js:248-253,
+    person-users.js:643-651 `user_id NOT IN (1,2)`)."""
+    c = load(spark, sf_dir, "customer")
+    return c.filter(
+        F.col("c_mktsegment").isin("BUILDING", "AUTOMOBILE")
+        & ~F.col("c_nationkey").isin(1, 2, 3)
+    ).select("c_custkey", "c_name", "c_mktsegment", "c_nationkey")
+
+
+@query(
+    "filter_compound",
+    oracle="""
+    SELECT event_id, user_id, event_type, ROUND(value, 2) AS value
+    FROM events
+    WHERE value IS NOT NULL AND value > 100.0
+      AND event_type IN ('click','purchase')
+    """,
+)
+def filter_compound(spark, sf_dir):
+    """Compound + NULL-sensitive predicates (P3/P4, reference
+    person-users.js:645,801-805)."""
+    e = load(spark, sf_dir, "events")
+    return (
+        e.filter(
+            F.col("value").isNotNull()
+            & (F.col("value") > 100.0)
+            & F.col("event_type").isin("click", "purchase")
+        )
+        .select("event_id", "user_id", "event_type", F.round("value", 2).alias("value"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# J1 — semi join (EXISTS)
+# ---------------------------------------------------------------------------
+@query(
+    "semi_join_exists",
+    oracle="""
+    SELECT c_custkey, c_name
+    FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    """,
+)
+def semi_join_exists(spark, sf_dir):
+    """left_semi join — rows whose key exists on the other side (J1,
+    reference uuid-checks.js:59-70 collision probe)."""
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders").select(F.col("o_custkey"))
+    return c.join(o, c["c_custkey"] == o["o_custkey"], "left_semi").select(
+        "c_custkey", "c_name"
+    )
+
+
+# ---------------------------------------------------------------------------
+# J2 — anti join (NOT EXISTS): orphan/integrity check
+# ---------------------------------------------------------------------------
+@query(
+    "anti_join_orphans",
+    oracle="""
+    SELECT c_custkey, c_name, c_nationkey
+    FROM customer c
+    WHERE c_custkey IS NOT NULL AND c_custkey > 0
+      AND NOT EXISTS (
+        SELECT 1 FROM orders o
+        WHERE o.o_orderdate < TIMESTAMP '1995-07-01 00:00:00'
+          AND o.o_custkey = c.c_custkey
+      )
+    """,
+)
+def anti_join_orphans(spark, sf_dir):
+    """Orphan detection via left_anti (J2, reference
+    integrity-checks.js:5-24): customers with no early-1995 order —
+    the 'parent' side is a filtered key set so the check is
+    non-vacuous on this data.  Uses the engine's orphan_check
+    operator (filter is pushed into the parquet scan)."""
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1995-07-01").cast("timestamp")
+    )
+    return orphan_check(c, o, fk="c_custkey", ref="o_custkey").select(
+        "c_custkey", "c_name", "c_nationkey"
+    )
+
+
+# ---------------------------------------------------------------------------
+# J3 — consolidation (dedup-split with id mapping)
+# ---------------------------------------------------------------------------
+@query(
+    "consolidate_mapping",
+    oracle="""
+    WITH src AS (SELECT * FROM nation WHERE n_nationkey < 15),
+         dst AS (SELECT * FROM nation WHERE n_nationkey >= 10),
+         base AS (SELECT MAX(n_nationkey) + 1 AS b FROM dst),
+         matched AS (
+           SELECT s.n_nationkey AS src_id, CAST(d.n_nationkey AS BIGINT) AS dest_id
+           FROM src s JOIN dst d ON s.n_name = d.n_name
+         ),
+         fresh AS (
+           SELECT s.n_nationkey AS src_id,
+                  CAST((SELECT b FROM base) + ROW_NUMBER() OVER (ORDER BY s.n_nationkey) - 1 AS BIGINT) AS dest_id
+           FROM src s
+           WHERE NOT EXISTS (SELECT 1 FROM dst d WHERE d.n_name = s.n_name)
+         )
+    SELECT src_id, dest_id FROM matched
+    UNION ALL
+    SELECT src_id, dest_id FROM fresh
+    """,
+)
+def consolidate_mapping(spark, sf_dir):
+    """Generic consolidate (J3, reference utils.js:83-150): two
+    'instances' simulated by splitting nation; overlap (keys 10-14 by
+    n_name) maps to existing dest ids, the rest get fresh contiguous
+    ids from the dest id ceiling."""
+    nation = load(spark, sf_dir, "nation")
+    src = nation.filter(F.col("n_nationkey") < 15)
+    dst = nation.filter(F.col("n_nationkey") >= 10)
+    res = consolidate(
+        src,
+        dst,
+        "n_nationkey",
+        "n_nationkey",
+        ["n_name"],
+        next_id_base=next_id_base(dst, "n_nationkey"),
+    )
+    return res.mapping
+
+
+# ---------------------------------------------------------------------------
+# J5 — disjunctive match (OR of key groups)
+# ---------------------------------------------------------------------------
+@query(
+    "disjunctive_match_users",
+    oracle="""
+    WITH dst AS (
+      SELECT CAST(c_custkey + 10000 AS BIGINT) AS pk, c_name, CAST(NULL AS DOUBLE) AS c_acctbal
+      FROM customer WHERE c_custkey % 2 = 0
+      UNION ALL
+      SELECT CAST(c_custkey + 20000 AS BIGINT) AS pk, 'zz-' || c_custkey AS c_name, c_acctbal
+      FROM customer WHERE c_custkey % 3 = 0
+    ),
+    cand AS (
+      SELECT s.c_custkey AS src_id, d.pk AS dest_id, 0 AS prio
+      FROM customer s JOIN dst d ON s.c_name = d.c_name
+      UNION ALL
+      SELECT s.c_custkey AS src_id, d.pk AS dest_id, 1 AS prio
+      FROM customer s JOIN dst d ON s.c_acctbal = d.c_acctbal
+    )
+    SELECT src_id, dest_id
+    FROM (SELECT src_id, dest_id,
+                 ROW_NUMBER() OVER (PARTITION BY src_id ORDER BY prio, dest_id) AS rn
+          FROM cand)
+    WHERE rn = 1
+    """,
+)
+def disjunctive_match_users(spark, sf_dir):
+    """Disjunctive user matching (J5, reference preparation.js:140-157
+    — (system_id AND username) OR uuid) as a union of equi-joins with
+    first-group-wins precedence, never an un-optimizable OR theta-join."""
+    c = load(spark, sf_dir, "customer")
+    dst = (
+        c.filter(F.col("c_custkey") % 2 == 0)
+        .select(
+            (F.col("c_custkey") + 10000).cast("long").alias("pk"),
+            F.col("c_name"),
+            F.lit(None).cast("double").alias("c_acctbal"),
+        )
+        .unionByName(
+            c.filter(F.col("c_custkey") % 3 == 0).select(
+                (F.col("c_custkey") + 20000).cast("long").alias("pk"),
+                F.concat(F.lit("zz-"), F.col("c_custkey")).alias("c_name"),
+                F.col("c_acctbal"),
+            )
+        )
+    )
+    return disjunctive_match(c, dst, "c_custkey", "pk", [["c_name"], ["c_acctbal"]])
+
+
+# ---------------------------------------------------------------------------
+# J7 + A2 — FK remap through mapping DFs built by window id assignment
+# ---------------------------------------------------------------------------
+@query(
+    "fk_remap_chain",
+    oracle="""
+    WITH omap AS (
+      SELECT o_orderkey AS src_id,
+             CAST(1000000 + ROW_NUMBER() OVER (ORDER BY o_orderkey) - 1 AS BIGINT) AS dest_id
+      FROM orders
+    ),
+    pmap AS (
+      SELECT p_partkey AS src_id,
+             CAST(2000000 + ROW_NUMBER() OVER (ORDER BY p_partkey) - 1 AS BIGINT) AS dest_id
+      FROM part
+    )
+    SELECT om.dest_id AS l_orderkey, pm.dest_id AS l_partkey,
+           l.l_linenumber, l.l_quantity
+    FROM lineitem l
+    LEFT JOIN omap om ON l.l_orderkey = om.src_id
+    LEFT JOIN pmap pm ON l.l_partkey = pm.src_id
+    """,
+)
+def fk_remap_chain(spark, sf_dir):
+    """The merge workhorse (J7+A2, reference obs.js:24-29 FK ternaries
+    + utils.js:11-26 id probe): assign new contiguous ids to two parent
+    tables, then rewrite the fact table's FKs through broadcast joins."""
+    orders = load(spark, sf_dir, "orders")
+    part = load(spark, sf_dir, "part")
+    li = load(spark, sf_dir, "lineitem")
+    omap = assign_ids(orders.select("o_orderkey"), "o_orderkey", base=1_000_000).select(
+        F.col("o_orderkey").alias("src_id"), F.col("dest_id")
+    )
+    pmap = assign_ids(part.select("p_partkey"), "p_partkey", base=2_000_000).select(
+        F.col("p_partkey").alias("src_id"), F.col("dest_id")
+    )
+    out = remap_fks(
+        li.select("l_orderkey", "l_partkey", "l_linenumber", "l_quantity"),
+        {"l_orderkey": omap, "l_partkey": pmap},
+    )
+    return out.select(
+        F.col("l_orderkey").cast("long").alias("l_orderkey"),
+        F.col("l_partkey").cast("long").alias("l_partkey"),
+        "l_linenumber",
+        "l_quantity",
+    )
+
+
+# ---------------------------------------------------------------------------
+# A2 — deterministic contiguous id assignment
+# ---------------------------------------------------------------------------
+@query(
+    "assign_ids_window",
+    oracle="""
+    SELECT c_custkey AS src_id,
+           CAST(5000 + ROW_NUMBER() OVER (ORDER BY c_custkey) - 1 AS BIGINT) AS dest_id
+    FROM customer
+    """,
+)
+def assign_ids_window(spark, sf_dir):
+    """Contiguous dest-id assignment (A2, reference utils.js:11-26 +
+    nextId++ in every preparer) as base + row_number."""
+    c = load(spark, sf_dir, "customer")
+    return assign_ids(c.select("c_custkey"), "c_custkey", base=5000).select(
+        F.col("c_custkey").alias("src_id"), F.col("dest_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# J1 variant — uuid collision detection across two instances
+# ---------------------------------------------------------------------------
+@query(
+    "uuid_collision_semi",
+    oracle="""
+    SELECT s.o_orderkey, s.o_custkey
+    FROM orders s
+    WHERE s.o_orderkey % 3 = 0
+      AND EXISTS (
+        SELECT 1 FROM orders d WHERE d.o_orderkey % 2 = 0
+          AND d.o_orderkey = s.o_orderkey
+      )
+    """,
+)
+def uuid_collision_semi(spark, sf_dir):
+    """UUID-collision probe (J1, reference uuid-checks.js:59-70):
+    'src' and 'dst' instances simulated as modulo slices of orders;
+    collision key = o_orderkey standing in for uuid."""
+    o = load(spark, sf_dir, "orders")
+    src = o.filter(F.col("o_orderkey") % 3 == 0)
+    dst = o.filter(F.col("o_orderkey") % 2 == 0)
+    return uuid_collisions(src, dst, "o_orderkey").select("o_orderkey", "o_custkey")
+
+
+# ---------------------------------------------------------------------------
+# A1/A3 — counts driving reconciliation
+# ---------------------------------------------------------------------------
+@query(
+    "count_by_group",
+    oracle="""
+    SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS cnt,
+           ROUND(SUM(o_totalprice), 2) AS total
+    FROM orders
+    GROUP BY o_orderstatus
+    """,
+)
+def count_by_group(spark, sf_dir):
+    """Counting (A1, reference utils.js:28-36) generalized to grouped
+    counts — the building block of the reconciliation gate (A3)."""
+    o = load(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("cnt"), F.round(F.sum("o_totalprice"), 2).alias("total")
+    )
+
+
+# ---------------------------------------------------------------------------
+# O1/O3 — ordered limit / first-match pick
+# ---------------------------------------------------------------------------
+@query(
+    "order_limit_first",
+    oracle="""
+    SELECT o_orderkey, o_custkey, ROUND(o_totalprice, 2) AS o_totalprice
+    FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey
+    LIMIT 5
+    """,
+)
+def order_limit_first(spark, sf_dir):
+    """Ordered first-match pick (O3, reference person-users.js:940-953
+    admin-user probe) — deterministic via pk tiebreak."""
+    o = load(spark, sf_dir, "orders")
+    return (
+        o.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .limit(5)
+        .select("o_orderkey", "o_custkey", F.round("o_totalprice", 2).alias("o_totalprice"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Headline analytics (net-new capability, TPC-H shapes)
+# ---------------------------------------------------------------------------
+@query(
+    "q1_pricing_summary",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           ROUND(SUM(l_quantity), 2)      AS sum_qty,
+           ROUND(SUM(l_extendedprice), 2) AS sum_base_price,
+           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+           ROUND(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+           ROUND(AVG(l_quantity), 4)      AS avg_qty,
+           ROUND(AVG(l_extendedprice), 4) AS avg_price,
+           ROUND(AVG(l_discount), 4)      AS avg_disc,
+           CAST(COUNT(*) AS BIGINT)       AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q1_pricing_summary(spark, sf_dir):
+    """TPC-H Q1 pricing summary — the flagship scan+agg. Single
+    shuffle on tiny (flag,status) key; partial aggregation map-side."""
+    li = load(spark, sf_dir, "lineitem")
+    disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(disc), 2).alias("sum_disc_price"),
+            F.round(F.sum(disc * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+@query(
+    "q3_shipping_priority",
+    oracle="""
+    SELECT l.l_orderkey,
+           ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+           STRFTIME(o.o_orderdate, '%Y-%m-%d') AS o_orderdate,
+           o.o_orderpriority
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND o.o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+      AND l.l_shipdate > TIMESTAMP '1997-01-01 00:00:00'
+    GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority
+    ORDER BY revenue DESC, l_orderkey
+    LIMIT 10
+    """,
+)
+def q3_shipping_priority(spark, sf_dir):
+    """TPC-H Q3 — selective 3-way join + top-k. customer side is
+    filtered then broadcast; lineitem side stays shuffle-free."""
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem")
+    cb = F.broadcast(c.filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey"))
+    return (
+        li.filter(F.col("l_shipdate") > F.lit("1997-01-01").cast("timestamp"))
+        .join(
+            o.filter(F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp")).select(
+                "o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority"
+            ),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .join(cb, F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "revenue"
+            )
+        )
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey"))
+        .limit(10)
+        .select(
+            "l_orderkey",
+            "revenue",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate"),
+            "o_orderpriority",
+        )
+    )
+
+
+@query(
+    "q5_local_supplier",
+    oracle="""
+    SELECT n.n_name,
+           ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+    FROM customer c
+    JOIN orders o   ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey AND c.c_nationkey = s.s_nationkey
+    JOIN nation n   ON s.s_nationkey = n.n_nationkey
+    JOIN region r   ON n.n_regionkey = r.r_regionkey
+    WHERE r.r_name = 'ASIA'
+      AND o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o.o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY n.n_name
+    """,
+)
+def q5_local_supplier(spark, sf_dir):
+    """TPC-H Q5 — six-way join; all dimension sides broadcastable, the
+    only shuffle is the final tiny groupBy."""
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem")
+    s = load(spark, sf_dir, "supplier")
+    n = load(spark, sf_dir, "nation")
+    r = load(spark, sf_dir, "region")
+    return (
+        li.join(
+            o.filter(
+                (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+                & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+            ).select("o_orderkey", "o_custkey"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .join(F.broadcast(c.select("c_custkey", "c_nationkey")), F.col("o_custkey") == F.col("c_custkey"))
+        .join(
+            F.broadcast(s.select("s_suppkey", "s_nationkey")),
+            (F.col("l_suppkey") == F.col("s_suppkey"))
+            & (F.col("c_nationkey") == F.col("s_nationkey")),
+        )
+        .join(F.broadcast(n.select("n_nationkey", "n_name", "n_regionkey")), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(
+            F.broadcast(r.filter(F.col("r_name") == "ASIA").select("r_regionkey")),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .groupBy("n_name")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "revenue"
+            )
+        )
+    )
+
+
+@query(
+    "group_topn_window",
+    oracle="""
+    SELECT o_custkey, o_orderkey, ROUND(o_totalprice, 2) AS o_totalprice,
+           CAST(rn AS BIGINT) AS rn
+    FROM (
+      SELECT o_custkey, o_orderkey, o_totalprice,
+             ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                ORDER BY o_totalprice DESC, o_orderkey) AS rn
+      FROM orders
+    )
+    WHERE rn <= 2
+    """,
+)
+def group_topn_window(spark, sf_dir):
+    """Per-group top-N via ranking window — generalizes the
+    reference's ordered first-match picks (O1/O3) to grouped data."""
+    o = load(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return (
+        o.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 2)
+        .select(
+            "o_custkey",
+            "o_orderkey",
+            F.round("o_totalprice", 2).alias("o_totalprice"),
+            F.col("rn").cast("long").alias("rn"),
+        )
+    )
+
+
+@query(
+    "events_windowed_agg",
+    oracle="""
+    SELECT STRFTIME(DATE_TRUNC('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+           event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           ROUND(SUM(value), 2) AS sum_value,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def events_windowed_agg(spark, sf_dir):
+    """Tumbling-window aggregation over the events table — the batch
+    twin of the Structured Streaming pipeline in
+    beehive_spark.streaming (same plan shape: window + groupBy)."""
+    e = load(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.date_trunc("hour", "ts").alias("ws"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+        .select(
+            F.date_format("ws", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+            "n_users",
+        )
+    )

@@ -1,0 +1,437 @@
+"""LLM-training-data pipeline operators over documents/embeddings.
+
+Net-new capabilities beyond the reference's surface (BASELINE.json
+north-star): deduplication, similarity search, text analysis,
+document fingerprinting. Every operator is designed scale-first:
+
+- dedup joins go through inverted indexes (token/shingle explode +
+  equi-join), never O(n^2) cross joins;
+- similarity brute-force is a broadcasted small-query-side cross
+  join; the LSH variant buckets first so the join is equi on bucket;
+- all text math stays in JVM expressions (no Python UDFs).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+from pyspark.sql import Window
+
+from beehive_spark.queries import load, query
+
+TOKEN_RE = "[a-z0-9]+"
+STOPWORDS = ["the", "a", "and", "of", "to"]
+
+
+def _tokens(col):
+    return F.regexp_extract_all(F.lower(col), F.lit(TOKEN_RE), 0)
+
+
+def _shingles(wcol, n=3):
+    """Distinct word n-grams as strings; empty array when < n tokens."""
+    return F.when(
+        F.size(wcol) >= n,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(0), F.size(wcol) - n),
+                lambda i: F.concat_ws(
+                    " ", *[F.element_at(wcol, i + k + 1) for k in range(n)]
+                ),
+            )
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+# ---------------------------------------------------------------------------
+# Exact deduplication
+# ---------------------------------------------------------------------------
+@query(
+    "dedup_exact",
+    oracle="""
+    SELECT CAST(MIN(doc_id) AS BIGINT) AS doc_id,
+           CAST(COUNT(*) AS BIGINT) AS dup_count
+    FROM (
+      SELECT doc_id, regexp_replace(trim(lower(text)), '\\s+', ' ', 'g') AS norm
+      FROM documents
+    )
+    GROUP BY norm
+    """,
+)
+def dedup_exact(spark, sf_dir):
+    """Exact dedup by normalized-text hash-groupBy: keep the lowest
+    doc_id per group. One shuffle on the (pruned) normalized key."""
+    d = load(spark, sf_dir, "documents")
+    norm = F.regexp_replace(F.trim(F.lower(F.col("text"))), r"\s+", " ")
+    return (
+        d.select("doc_id", norm.alias("norm"))
+        .groupBy("norm")
+        .agg(F.min("doc_id").alias("doc_id"), F.count(F.lit(1)).alias("dup_count"))
+        .select("doc_id", "dup_count")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Near-duplicate detection: exact n-gram Jaccard via inverted index
+# ---------------------------------------------------------------------------
+@query(
+    "dedup_ngram_jaccard",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS w
+      FROM documents
+    ),
+    sh AS (
+      SELECT doc_id,
+             unnest(list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                                   for i in range(1, len(w) - 1)])) AS s
+      FROM toks WHERE len(w) >= 3
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+    common AS (
+      SELECT a.doc_id AS i, b.doc_id AS j, COUNT(*) AS c
+      FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT i AS doc_i, j AS doc_j,
+           ROUND(CAST(c AS DOUBLE) / (si.sz + sj.sz - c), 4) AS jaccard
+    FROM common
+    JOIN sizes si ON si.doc_id = i
+    JOIN sizes sj ON sj.doc_id = j
+    WHERE CAST(c AS DOUBLE) / (si.sz + sj.sz - c) >= 0.5
+    """,
+)
+def dedup_ngram_jaccard(spark, sf_dir):
+    """Near-dup pairs with exact word-3-gram Jaccard >= 0.5, computed
+    through an inverted shingle index (explode + equi-join + count)
+    rather than any pairwise cross join — the join key is the shingle,
+    so at 100 TB the shuffle is bounded by shingle frequency, and a
+    hot-shingle cap (not needed at this corpus size) would bound skew."""
+    d = load(spark, sf_dir, "documents")
+    toks = d.select("doc_id", _tokens(F.col("text")).alias("w"))
+    sh = (
+        toks.filter(F.size("w") >= 3)
+        .select("doc_id", F.explode(_shingles(F.col("w"))).alias("s"))
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    common = (
+        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("i"), F.col("b.doc_id").alias("j"))
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    si = sizes.select(F.col("doc_id").alias("i"), F.col("sz").alias("szi"))
+    sj = sizes.select(F.col("doc_id").alias("j"), F.col("sz").alias("szj"))
+    jac = F.col("c").cast("double") / (F.col("szi") + F.col("szj") - F.col("c"))
+    return (
+        common.join(F.broadcast(si), "i")
+        .join(F.broadcast(sj), "j")
+        .filter(jac >= 0.5)
+        .select(
+            F.col("i").alias("doc_i"),
+            F.col("j").alias("doc_j"),
+            F.round(jac, 4).alias("jaccard"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH near-dup (approximate; verified by exact Jaccard)
+# ---------------------------------------------------------------------------
+# 31-bit Mersenne prime keeps a*h + b inside a 64-bit long under ANSI
+# arithmetic (a,h < 2^31 -> a*h < 2^62), so no overflow at any scale.
+_MH_PRIME = (1 << 31) - 1
+_N_PERM = 32
+_BANDS = 8  # 8 bands x 4 rows: s-curve threshold ~0.59
+
+
+def _mh_params():
+    """Deterministic (a, b) permutation params (fixed LCG, no RNG)."""
+    params, x = [], 0x9E3779B97F4A7C15
+    for _ in range(_N_PERM):
+        x = (x * 6364136223846793005 + 1442695040888963407) % (1 << 63)
+        a = (x % (_MH_PRIME - 1)) + 1
+        x = (x * 6364136223846793005 + 1442695040888963407) % (1 << 63)
+        b = x % _MH_PRIME
+        params.append((a, b))
+    return params
+
+
+@query("dedup_minhash_lsh")  # approximate -> rows-only driver check
+def dedup_minhash_lsh(spark, sf_dir):
+    """MinHash(32 perms) + LSH(8 bands x 4) candidate generation, then
+    exact-Jaccard verification of candidates only.
+
+    Scale path: signatures are per-doc expressions (no shuffle); the
+    only shuffles are the band-bucket equi-join (pairs within a bucket)
+    and the verification join — candidate count is ~linear in true
+    near-dups, not quadratic in corpus size.  Banding means a pair is
+    a candidate iff it agrees on all 4 rows of some band.
+    """
+    d = load(spark, sf_dir, "documents")
+    toks = d.select("doc_id", _tokens(F.col("text")).alias("w"))
+    hashes = toks.filter(F.size("w") >= 3).select(
+        "doc_id",
+        F.transform(
+            _shingles(F.col("w")), lambda s: F.pmod(F.xxhash64(s), F.lit(_MH_PRIME))
+        ).alias("hs"),
+    )
+    sig_cols = [
+        F.array_min(
+            F.transform(
+                F.col("hs"), lambda h: (h * F.lit(a) + F.lit(b)) % F.lit(_MH_PRIME)
+            )
+        ).alias(f"m{i}")
+        for i, (a, b) in enumerate(_mh_params())
+    ]
+    sigs = hashes.select("doc_id", "hs", *sig_cols)
+    rows_per_band = _N_PERM // _BANDS
+    band_exprs = [
+        F.struct(
+            F.lit(bi).alias("band"),
+            F.concat_ws(
+                ":", *[F.col(f"m{bi * rows_per_band + r}") for r in range(rows_per_band)]
+            ).alias("key"),
+        )
+        for bi in range(_BANDS)
+    ]
+    buckets = sigs.select(
+        "doc_id", F.explode(F.array(*band_exprs)).alias("bk")
+    ).select("doc_id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    a = buckets.alias("a")
+    b = buckets.alias("b")
+    cands = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_i"), F.col("b.doc_id").alias("doc_j"))
+        .distinct()
+    )
+    # verify candidates with exact shingle-set jaccard
+    sets_ = hashes.select("doc_id", F.array_distinct("hs").alias("hset"))
+    ci = sets_.select(F.col("doc_id").alias("doc_i"), F.col("hset").alias("si"))
+    cj = sets_.select(F.col("doc_id").alias("doc_j"), F.col("hset").alias("sj"))
+    inter = F.size(F.array_intersect("si", "sj")).cast("double")
+    jac = inter / (F.size("si") + F.size("sj") - inter)
+    return (
+        cands.join(ci, "doc_i")
+        .join(cj, "doc_j")
+        .withColumn("jaccard", F.round(jac, 4))
+        .filter(F.col("jaccard") >= 0.5)
+        .select("doc_i", "doc_j", "jaccard")
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash fingerprints
+# ---------------------------------------------------------------------------
+@query("dedup_simhash")  # bit-level hashing -> rows-only driver check
+def dedup_simhash(spark, sf_dir):
+    """64-bit SimHash over word-3-gram shingle xxhash64s: for each
+    bit, sum +-1 across shingle hashes, sign -> bit.  Pure JVM
+    expressions; pairs within hamming distance <= 3 reported via
+    4-block LSH (a pair within distance 3 must agree exactly on >= 1
+    of 4 16-bit blocks — pigeonhole, no recall loss).
+    """
+    d = load(spark, sf_dir, "documents")
+    toks = d.select("doc_id", _tokens(F.col("text")).alias("w"))
+    th = toks.filter(F.size("w") >= 3).select(
+        "doc_id",
+        F.transform(_shingles(F.col("w")), lambda x: F.xxhash64(x)).alias("hs"),
+    )
+    bit_sums = [
+        F.aggregate(
+            F.col("hs"),
+            F.lit(0),
+            lambda acc, h: acc
+            + F.when(
+                h.bitwiseAND(F.lit(1 << bit) if bit < 63 else F.lit(-(1 << 63))) != 0, 1
+            ).otherwise(-1),
+        ).alias(f"b{bit}")
+        for bit in range(64)
+    ]
+    with_bits = th.select("doc_id", *bit_sums)
+    sim = None
+    for bit in range(64):
+        term = F.when(
+            F.col(f"b{bit}") > 0, F.shiftleft(F.lit(1).cast("long"), bit)
+        ).otherwise(F.lit(0).cast("long"))
+        sim = term if sim is None else sim.bitwiseOR(term)
+    sigs = with_bits.select("doc_id", sim.alias("simhash"))
+    blocks = sigs.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("blk"),
+                        F.shiftrightunsigned("simhash", i * 16)
+                        .bitwiseAND(F.lit(0xFFFF))
+                        .alias("key"),
+                    )
+                    for i in range(4)
+                ]
+            )
+        ).alias("bk"),
+    ).select("doc_id", "simhash", F.col("bk.blk").alias("blk"), F.col("bk.key").alias("key"))
+    a = blocks.alias("a")
+    b = blocks.alias("b")
+    hamming = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
+    return (
+        a.join(
+            b,
+            (F.col("a.blk") == F.col("b.blk"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_i"),
+            F.col("b.doc_id").alias("doc_j"),
+            hamming.cast("long").alias("hamming"),
+        )
+        .distinct()
+        .filter(F.col("hamming") <= 3)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Similarity search — brute-force cosine top-k (oracle-checked baseline)
+# ---------------------------------------------------------------------------
+@query(
+    "similarity_cosine_topk",
+    oracle="""
+    WITH q AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings WHERE vec_id < 10
+    ),
+    c AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings WHERE vec_id >= 10
+    ),
+    pairs AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             list_dot_product(q.e, c.e)
+               / (SQRT(list_dot_product(q.e, q.e)) * SQRT(list_dot_product(c.e, c.e))) AS sim
+      FROM q CROSS JOIN c
+    )
+    SELECT query_id, neighbor_id, ROUND(sim, 4) AS cosine
+    FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY sim DESC, neighbor_id) AS rn
+      FROM pairs
+    )
+    WHERE rn <= 5
+    """,
+)
+def similarity_cosine_topk(spark, sf_dir):
+    """Brute-force cosine top-5 for 10 query vectors: the query side is
+    broadcast, dot products run as JVM zip_with/aggregate expressions
+    (no Python UDF), and top-k is a per-query window.  This is the
+    exact baseline the ANN variant (similarity_ann_lsh) approximates."""
+    e = load(spark, sf_dir, "embeddings")
+    emb = e.select("vec_id", F.col("embedding").cast("array<double>").alias("e"))
+    norm = lambda c: F.sqrt(F.aggregate(c, F.lit(0.0), lambda acc, x: acc + x * x))  # noqa: E731
+    q = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), F.col("e").alias("qe")
+    ).withColumn("qn", norm(F.col("qe")))
+    c = emb.filter(F.col("vec_id") >= 10).select(
+        F.col("vec_id").alias("neighbor_id"), F.col("e").alias("ce")
+    ).withColumn("cn", norm(F.col("ce")))
+    dot = F.aggregate(
+        F.zip_with("qe", "ce", lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+    pairs = c.crossJoin(F.broadcast(q)).withColumn("sim", dot / (F.col("qn") * F.col("cn")))
+    w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("neighbor_id"))
+    return (
+        pairs.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+        .select("query_id", "neighbor_id", F.round("sim", 4).alias("cosine"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Text analysis
+# ---------------------------------------------------------------------------
+@query(
+    "text_token_stats",
+    oracle="""
+    SELECT doc_id,
+           CAST(LEN(regexp_extract_all(lower(text), '[a-z0-9]+')) AS BIGINT) AS n_tokens,
+           CAST(LEN(list_distinct(regexp_extract_all(lower(text), '[a-z0-9]+'))) AS BIGINT) AS n_unique,
+           CAST(LENGTH(text) AS BIGINT) AS n_chars
+    FROM documents
+    """,
+)
+def text_token_stats(spark, sf_dir):
+    """Token counting (whitespace/alnum regex tokenizer) — all JVM
+    regexp/array expressions, no UDF."""
+    d = load(spark, sf_dir, "documents")
+    w = _tokens(F.col("text"))
+    return d.select(
+        "doc_id",
+        F.size(w).cast("long").alias("n_tokens"),
+        F.size(F.array_distinct(w)).cast("long").alias("n_unique"),
+        F.length("text").cast("long").alias("n_chars"),
+    )
+
+
+@query(
+    "text_quality_score",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, text,
+             regexp_extract_all(lower(text), '[a-z0-9]+') AS w
+      FROM documents
+    )
+    SELECT doc_id,
+           ROUND(CAST(LEN(list_filter(w, x -> list_contains(['the','a','and','of','to'], x))) AS DOUBLE)
+                 / GREATEST(LEN(w), 1), 4) AS stopword_ratio,
+           ROUND(CAST(LENGTH(regexp_replace(text, '[a-z0-9 ]', '', 'g')) AS DOUBLE)
+                 / GREATEST(LENGTH(text), 1), 4) AS punct_ratio,
+           ROUND(CAST(LENGTH(REPLACE(text, ' ', '')) AS DOUBLE)
+                 / GREATEST(LEN(w), 1), 4) AS mean_word_len
+    FROM t
+    """,
+)
+def text_quality_score(spark, sf_dir):
+    """Quality signals for corpus filtering: stopword ratio, punct
+    ratio, mean word length (heuristics in the spirit of C4/Gopher
+    rules), computed as vectorized JVM expressions."""
+    d = load(spark, sf_dir, "documents")
+    w = _tokens(F.col("text"))
+    stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
+    stop_cnt = F.size(F.filter(w, lambda x: F.array_contains(stop_arr, x)))
+    return d.select(
+        "doc_id",
+        F.round(
+            stop_cnt.cast("double") / F.greatest(F.size(w), F.lit(1)), 4
+        ).alias("stopword_ratio"),
+        F.round(
+            F.length(F.regexp_replace(F.col("text"), "[a-z0-9 ]", "")).cast("double")
+            / F.greatest(F.length("text"), F.lit(1)),
+            4,
+        ).alias("punct_ratio"),
+        F.round(
+            F.length(F.regexp_replace(F.col("text"), " ", "")).cast("double")
+            / F.greatest(F.size(w), F.lit(1)),
+            4,
+        ).alias("mean_word_len"),
+    )
+
+
+@query(
+    "doc_fingerprint",
+    oracle="""
+    SELECT doc_id,
+           MD5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS fingerprint
+    FROM documents
+    """,
+)
+def doc_fingerprint(spark, sf_dir):
+    """Deterministic content fingerprint: md5 of whitespace-normalized
+    lowercased text (the hash the exact-dedup groupBy would key on at
+    scale, so the wide text column never shuffles)."""
+    d = load(spark, sf_dir, "documents")
+    norm = F.regexp_replace(F.trim(F.lower(F.col("text"))), r"\s+", " ")
+    return d.select("doc_id", F.md5(norm).alias("fingerprint"))
