@@ -1,0 +1,131 @@
+"""Multimodal (image/audio/video) column plumbing.
+
+Design: media are opaque ``binary`` columns with a typed metadata
+struct alongside (modality, mime, width/height/duration, source).
+All Spark-side machinery — schema, partition sizing, Arrow-batched
+mapInPandas signatures, feature schemas — is real and tested here;
+only the codec step is stubbed, because media libraries (PIL,
+ffmpeg, torchaudio) are not in this container.
+
+At 100 TB: media bytes dominate row size, so operators below
+repartition by byte budget (`target_partition_bytes`) before any
+Python stage, and every pandas batch streams through Arrow — no
+driver collection, no per-row Python UDFs.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+MEDIA_META = T.StructType(
+    [
+        T.StructField("modality", T.StringType()),  # image | audio | video
+        T.StructField("mime", T.StringType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("duration_ms", T.LongType()),
+        T.StructField("source", T.StringType()),
+    ]
+)
+
+MEDIA_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("content", T.BinaryType()),
+        T.StructField("meta", MEDIA_META),
+    ]
+)
+
+FEATURE_DIM = 16
+
+_FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("n_bytes", T.LongType()),
+        T.StructField("digest", T.StringType()),
+        T.StructField("feature", T.ArrayType(T.FloatType())),
+    ]
+)
+
+
+def _decode_real(content: bytes, meta) -> bytes:  # pragma: no cover
+    """Real codec hook — requires PIL/ffmpeg, absent in this container."""
+    raise NotImplementedError(
+        "media decoding requires an image/audio library not available here; "
+        "install PIL/ffmpeg and replace _decode_real"
+    )
+
+
+def _feature_fake(content: bytes) -> list[float]:
+    """Deterministic stand-in featurizer: FEATURE_DIM floats derived
+    from the sha256 digest — stable across runs/partitions, so the
+    whole pipeline (schema, batching, joins) is testable without
+    codecs."""
+    dg = hashlib.sha256(content).digest()
+    return [dg[i] / 255.0 for i in range(FEATURE_DIM)]
+
+
+def extract_features(
+    media: DataFrame,
+    use_real_decoder: bool = False,
+    target_partition_bytes: int = 128 * 1024 * 1024,
+) -> DataFrame:
+    """mapInPandas feature extraction over binary media.
+
+    Arrow-batched: each pandas batch holds whole rows of (media_id,
+    content); the UDF never sees the driver.  Partition count is
+    derived from the byte volume so one partition's media fits
+    executor memory.
+    """
+    import pandas as pd
+
+    stats = media.agg(F.sum(F.length("content")).alias("b")).first()
+    total = int(stats["b"] or 0)
+    n_parts = max(1, min(4096, total // target_partition_bytes + 1))
+    repart = media.select("media_id", "content").repartition(n_parts, "media_id")
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            feats, digests, sizes = [], [], []
+            for content in pdf["content"]:
+                b = bytes(content) if content is not None else b""
+                if use_real_decoder:
+                    b = _decode_real(b, None)
+                digests.append(hashlib.sha256(b).hexdigest())
+                sizes.append(len(b))
+                feats.append(_feature_fake(b))
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "n_bytes": sizes,
+                    "digest": digests,
+                    "feature": feats,
+                }
+            )
+
+    return repart.mapInPandas(run, schema=_FEATURE_SCHEMA)
+
+
+def wrap_as_media(df: DataFrame, id_col: str, payload_col: str, modality: str = "image") -> DataFrame:
+    """Adapt any (id, string/binary payload) table to the media schema —
+    used by tests to fabricate media rows from the documents table."""
+    content = F.col(payload_col)
+    if dict(df.dtypes)[payload_col] == "string":
+        content = F.encode(content, "UTF-8")
+    return df.select(
+        F.col(id_col).cast("long").alias("media_id"),
+        content.alias("content"),
+        F.struct(
+            F.lit(modality).alias("modality"),
+            F.lit("application/octet-stream").alias("mime"),
+            F.lit(None).cast("int").alias("width"),
+            F.lit(None).cast("int").alias("height"),
+            F.lit(None).cast("long").alias("duration_ms"),
+            F.lit("synthetic").alias("source"),
+        ).alias("meta"),
+    )

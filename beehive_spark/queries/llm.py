@@ -435,3 +435,207 @@ def doc_fingerprint(spark, sf_dir):
     d = load(spark, sf_dir, "documents")
     norm = F.regexp_replace(F.trim(F.lower(F.col("text"))), r"\s+", " ")
     return d.select("doc_id", F.md5(norm).alias("fingerprint"))
+
+
+# ---------------------------------------------------------------------------
+# Language identification (marker-token heuristic)
+# ---------------------------------------------------------------------------
+_LANG_MARKERS = {
+    "en": ["the", "a", "of", "and", "to"],
+    "fr": ["le", "la", "et", "les", "de"],
+    "de": ["der", "die", "und", "das", "ein"],
+    "es": ["el", "los", "y", "una", "que"],
+}
+
+
+@query(
+    "text_lang_id",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS w
+      FROM documents
+    ),
+    scored AS (
+      SELECT doc_id,
+        CAST(LEN(list_filter(w, x -> list_contains(['the','a','of','and','to'], x))) AS BIGINT) AS c_en,
+        CAST(LEN(list_filter(w, x -> list_contains(['le','la','et','les','de'], x))) AS BIGINT) AS c_fr,
+        CAST(LEN(list_filter(w, x -> list_contains(['der','die','und','das','ein'], x))) AS BIGINT) AS c_de,
+        CAST(LEN(list_filter(w, x -> list_contains(['el','los','y','una','que'], x))) AS BIGINT) AS c_es
+      FROM t
+    )
+    SELECT doc_id,
+           CASE
+             WHEN GREATEST(c_en, c_fr, c_de, c_es) = 0 THEN 'und'
+             WHEN c_en >= GREATEST(c_fr, c_de, c_es) THEN 'en'
+             WHEN c_fr >= GREATEST(c_de, c_es) THEN 'fr'
+             WHEN c_de >= c_es THEN 'de'
+             ELSE 'es'
+           END AS pred_lang
+    FROM scored
+    """,
+)
+def text_lang_id(spark, sf_dir):
+    """n-gram/marker-token language ID heuristic: count per-language
+    marker tokens, argmax with deterministic tie precedence
+    (en > fr > de > es), 'und' when no marker hits.  All JVM
+    expressions; the marker lists are a stand-in for real stopword
+    profiles on this synthetic corpus."""
+    d = load(spark, sf_dir, "documents")
+    w = _tokens(F.col("text"))
+    t = d.select("doc_id", w.alias("w"))
+    def marker_count(markers):
+        arr = F.array(*[F.lit(m) for m in markers])
+        return F.size(F.filter(F.col("w"), lambda x: F.array_contains(arr, x))).cast(
+            "long"
+        )
+
+    counts = {lang: marker_count(m) for lang, m in _LANG_MARKERS.items()}
+    scored = t.select(
+        "doc_id",
+        counts["en"].alias("c_en"),
+        counts["fr"].alias("c_fr"),
+        counts["de"].alias("c_de"),
+        counts["es"].alias("c_es"),
+    )
+    pred = (
+        F.when(F.greatest("c_en", "c_fr", "c_de", "c_es") == 0, "und")
+        .when(F.col("c_en") >= F.greatest("c_fr", "c_de", "c_es"), "en")
+        .when(F.col("c_fr") >= F.greatest("c_de", "c_es"), "fr")
+        .when(F.col("c_de") >= F.col("c_es"), "de")
+        .otherwise("es")
+    )
+    return scored.select("doc_id", pred.alias("pred_lang"))
+
+
+# ---------------------------------------------------------------------------
+# Approximate nearest neighbors: random-hyperplane LSH buckets
+# ---------------------------------------------------------------------------
+_N_PLANES = 12  # 4096 buckets
+
+
+def _planes(dim: int = 64):
+    """Deterministic pseudo-random hyperplanes (fixed LCG, no RNG)."""
+    planes, x = [], 0xDEADBEEFCAFE1234
+    for _ in range(_N_PLANES):
+        v = []
+        for _ in range(dim):
+            x = (x * 6364136223846793005 + 1442695040888963407) % (1 << 63)
+            v.append((x / float(1 << 63)) * 2.0 - 1.0)
+        planes.append(v)
+    return planes
+
+
+@query("similarity_ann_lsh")  # approximate -> rows-only driver check
+def similarity_ann_lsh(spark, sf_dir):
+    """ANN via sign-random-projection LSH: 12 hyperplanes -> 4096
+    buckets; candidates = corpus vectors sharing the query's bucket in
+    ANY of 4 rotated band views (3 planes per band) — an equi-join on
+    (band, key), never a cross join.  Exact cosine re-ranks candidates.
+
+    At 100 TB the bucket join shuffles only (band_key, vec_id) pairs;
+    the embedding payload joins back by id afterwards.  Recall tunes
+    with planes/bands exactly like MinHash banding."""
+    e = load(spark, sf_dir, "embeddings")
+    emb = e.select("vec_id", F.col("embedding").cast("array<double>").alias("e"))
+    planes = _planes()
+
+    def sig(col):
+        bits = []
+        for p in planes:
+            arr = F.array(*[F.lit(x) for x in p])
+            dot = F.aggregate(
+                F.zip_with(col, arr, lambda a, b: a * b),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            bits.append(F.when(dot >= 0, F.lit(1)).otherwise(F.lit(0)))
+        return bits
+
+    bits = sig(F.col("e"))
+    banded = emb.select(
+        "vec_id",
+        "e",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.concat_ws(
+                            "", *[bits[(b * 3 + i) % _N_PLANES].cast("string") for i in range(3)]
+                        ).alias("key"),
+                    )
+                    for b in range(4)
+                ]
+            )
+        ).alias("bk"),
+    ).select("vec_id", "e", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    q = banded.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), F.col("e").alias("qe"), "band", "key"
+    )
+    c = banded.filter(F.col("vec_id") >= 10).select(
+        F.col("vec_id").alias("neighbor_id"), F.col("e").alias("ce"), "band", "key"
+    )
+    cands = (
+        c.join(F.broadcast(q), ["band", "key"])
+        .select("query_id", "neighbor_id", "qe", "ce")
+        .distinct()
+    )
+    norm = lambda col: F.sqrt(F.aggregate(col, F.lit(0.0), lambda a, x: a + x * x))  # noqa: E731
+    dot = F.aggregate(
+        F.zip_with("qe", "ce", lambda x, y: x * y), F.lit(0.0), lambda a, x: a + x
+    )
+    sim = dot / (norm(F.col("qe")) * norm(F.col("ce")))
+    w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("neighbor_id"))
+    return (
+        cands.withColumn("sim", sim)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+        .select("query_id", "neighbor_id", F.round("sim", 4).alias("cosine"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Sessionization (gap-based) over the events stream table
+# ---------------------------------------------------------------------------
+@query(
+    "events_sessionize",
+    oracle="""
+    WITH ordered AS (
+      SELECT user_id, ts,
+             CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                       > INTERVAL 30 MINUTE OR
+                  LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+    ),
+    tagged AS (
+      SELECT user_id, ts,
+             SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                    ROWS UNBOUNDED PRECEDING) AS session_no
+      FROM ordered
+    )
+    SELECT user_id, CAST(session_no AS BIGINT) AS session_no,
+           STRFTIME(MIN(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+           CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM tagged
+    GROUP BY user_id, session_no
+    """,
+)
+def events_sessionize(spark, sf_dir):
+    """Gap-based sessionization (30-min inactivity): lag + cumulative
+    sum of session starts — the classic gaps-and-islands plan, one
+    shuffle on user_id shared by both windows and the final groupBy.
+    (Spark's session_window produces the same sessions; this
+    formulation is used so the oracle can express it too.)"""
+    e = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts")
+    gap = F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w)
+    new_s = F.when(gap.isNull() | (gap > 30 * 60), 1).otherwise(0)
+    tagged = e.select("user_id", "ts", new_s.alias("new_session")).withColumn(
+        "session_no", F.sum("new_session").over(w.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    return tagged.groupBy("user_id", "session_no").agg(
+        F.date_format(F.min("ts"), "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+        F.count(F.lit(1)).alias("n_events"),
+    ).select("user_id", F.col("session_no").cast("long").alias("session_no"),
+             "session_start", "n_events")

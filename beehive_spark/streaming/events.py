@@ -1,0 +1,122 @@
+"""Structured Streaming over the events table.
+
+The reference is purely batch (SURVEY.md §2.8) — streaming is a
+net-new capability of this engine.  The same logical aggregations the
+batch layer exposes (events_windowed_agg / events_sessionize in
+beehive_spark.queries.core) are offered here as incremental,
+watermarked streaming plans:
+
+- tumbling-window counts with late-data tolerance (watermark);
+- gap-based session windows (F.session_window), Spark's native
+  stateful sessionization — the streaming twin of the batch
+  gaps-and-islands formulation.
+
+Design for scale: state is keyed by (window x event_type) /
+(user_id), so state size is bounded by key cardinality, not event
+volume; watermarks bound retained state in time.  File-source
+streaming here doubles as the test harness (Trigger.AvailableNow);
+on a cluster the source would be Kafka/Kinesis with identical plans.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+EVENT_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.LongType()),  # nanos (nanosAsLong read)
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+def read_event_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """readStream over the events parquet, normalized to TimestampType."""
+    try:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    except Exception:  # pragma: no cover
+        pass
+    stream = (
+        spark.readStream.schema(EVENT_SCHEMA)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    return stream.withColumn(
+        "ts", F.timestamp_micros((F.col("ts") / 1000).cast("long"))
+    )
+
+
+def windowed_event_counts(
+    events: DataFrame,
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Tumbling-window per-type aggregation with a watermark.
+
+    Streaming twin of queries.core.events_windowed_agg: same grouping
+    keys, same aggregates; late events beyond the watermark are
+    dropped instead of reshuffling history.
+    """
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .select(
+            F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def sessionized_events(
+    events: DataFrame,
+    gap: str = "30 minutes",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Native stateful sessionization via session_window (gap-merge
+    semantics identical to the batch gaps-and-islands query)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("sw"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.date_format(F.col("sw.start"), "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+            "n_events",
+        )
+    )
+
+
+def run_stream_to_memory(
+    df: DataFrame,
+    name: str,
+    checkpoint_dir: str,
+    output_mode: str = "complete",
+    timeout_sec: int = 120,
+) -> None:
+    """Execute a streaming plan to a memory sink with AvailableNow
+    (process-everything-then-stop), the batch-verifiable harness."""
+    q = (
+        df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .option("checkpointLocation", os.path.join(checkpoint_dir, name))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(timeout_sec)
+    if q.isActive:  # pragma: no cover
+        q.stop()
