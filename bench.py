@@ -4,8 +4,11 @@ Prints exactly one JSON line:
   {"metric": "...", "value": <total sec>, "unit": "sec",
    "queries": {"q1": sec, ...}, "sf": <sf>}
 
-Each query is fully materialized via a count-ish action (collect) so
-the measured time includes the whole plan, not just planning.
+Each query is fully materialized through the JVM-side noop sink
+(df.write.format("noop")): every operator in the plan executes and
+every output row is produced, but nothing is serialized to the Python
+driver — the honest measure of engine throughput (collect() would
+mostly time Python row deserialization for the wide results).
 """
 
 from __future__ import annotations
@@ -53,7 +56,7 @@ def main() -> None:
         fn = qs[name]
         t0 = time.time()
         df = fn(spark, sf_dir)
-        df.collect()
+        df.write.format("noop").mode("overwrite").save()
         timings[name] = round(time.time() - t0, 3)
 
     out = {
