@@ -72,5 +72,7 @@ def _ensure_loaded() -> None:
         # import for registration side effects
         from beehive_spark.queries import core  # noqa: F401
         from beehive_spark.queries import llm  # noqa: F401
+        from beehive_spark.queries import relational  # noqa: F401
+        from beehive_spark.queries import tpch  # noqa: F401
 
         _loaded = True

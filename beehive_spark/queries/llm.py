@@ -351,6 +351,55 @@ def similarity_cosine_topk(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# Embedding-cosine near-duplicate pairs (exact baseline)
+# ---------------------------------------------------------------------------
+@query(
+    "dedup_embedding_cosine",
+    oracle="""
+    WITH e AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ),
+    pairs AS (
+      SELECT a.vec_id AS id_i, b.vec_id AS id_j,
+             list_dot_product(a.v, b.v)
+               / (SQRT(list_dot_product(a.v, a.v)) * SQRT(list_dot_product(b.v, b.v))) AS sim
+      FROM e a JOIN e b ON a.vec_id < b.vec_id
+    )
+    SELECT id_i, id_j, ROUND(sim, 4) AS cosine
+    FROM pairs WHERE sim >= 0.45
+    """,
+)
+def dedup_embedding_cosine(spark, sf_dir):
+    """Embedding near-dup pairs: all (i<j) pairs with cosine >= 0.45.
+
+    This is the exact brute-force baseline (triangular self cross join
+    with one side broadcast; dot products as JVM zip_with/aggregate
+    expressions — no Python UDF).  The 100 TB path is the banded-LSH
+    variant (similarity_ann_lsh), which buckets first so the join is
+    equi on bucket; this exact form is what verifies it.  Vectors are
+    cast float->double on both engines so threshold comparisons are
+    bit-identical."""
+    e = load(spark, sf_dir, "embeddings")
+    emb = e.select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+    norm = lambda c: F.sqrt(F.aggregate(c, F.lit(0.0), lambda acc, x: acc + x * x))  # noqa: E731
+    a = emb.select(F.col("vec_id").alias("id_i"), F.col("v").alias("va")).withColumn(
+        "na", norm(F.col("va"))
+    )
+    b = emb.select(F.col("vec_id").alias("id_j"), F.col("v").alias("vb")).withColumn(
+        "nb", norm(F.col("vb"))
+    )
+    dot = F.aggregate(
+        F.zip_with("va", "vb", lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+    return (
+        a.join(F.broadcast(b), F.col("id_i") < F.col("id_j"))
+        .withColumn("sim", dot / (F.col("na") * F.col("nb")))
+        .filter(F.col("sim") >= 0.45)
+        .select("id_i", "id_j", F.round("sim", 4).alias("cosine"))
+    )
+
+
+# ---------------------------------------------------------------------------
 # Text analysis
 # ---------------------------------------------------------------------------
 @query(

@@ -1,0 +1,153 @@
+"""Operator-parity queries that round out SURVEY.md §2 coverage:
+
+- hierarchy_bfs      — J9 recursive hierarchy (person-users.js:568-601)
+                       as iterative frontier joins vs a recursive CTE
+                       oracle;
+- self_fk_remap      — J8 self-referencing-FK remap (obs.js:31-43 /
+                       location.js:27-33) resolved in one pass, no
+                       deferred patch-up upsert;
+- set_ops_chain      — §2.6 set algebra (INTERSECT / EXCEPT distinct
+                       semantics);
+- dates_normalize    — F1 datetime normalization with NULL passthrough
+                       (utils.js:38-45 formatDate).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from beehive_spark.operators import assign_ids
+from beehive_spark.operators.graph import bfs_levels
+from beehive_spark.queries import load, query
+
+
+# ---------------------------------------------------------------------------
+# J9 — recursive hierarchy via iterative frontier joins
+# ---------------------------------------------------------------------------
+@query(
+    "hierarchy_bfs",
+    oracle="""
+    WITH RECURSIVE h AS (
+      SELECT CAST(c_custkey AS BIGINT) AS id, 0 AS depth
+      FROM customer WHERE c_custkey < 10
+      UNION ALL
+      SELECT CAST(c.c_custkey AS BIGINT), h.depth + 1
+      FROM customer c JOIN h ON c.c_custkey // 10 = h.id
+      WHERE c.c_custkey >= 10
+    )
+    SELECT id, CAST(depth AS INTEGER) AS depth FROM h
+    """,
+)
+def hierarchy_bfs(spark, sf_dir):
+    """Recursive hierarchy walk (J9, reference person-users.js:568-601)
+    generalized: parent(custkey) = custkey div 10 gives a synthetic
+    creator tree; depth is assigned by whole-frontier joins (one
+    distributed join per level, localCheckpoint per iteration) instead
+    of the reference's row-at-a-time recursion."""
+    c = load(spark, sf_dir, "customer")
+    roots = c.filter(F.col("c_custkey") < 10).select(F.col("c_custkey").alias("id"))
+    edges = c.filter(F.col("c_custkey") >= 10).select(
+        F.expr("c_custkey DIV 10").alias("parent_id"),
+        F.col("c_custkey").alias("child_id"),
+    )
+    return bfs_levels(roots, edges)
+
+
+# ---------------------------------------------------------------------------
+# J8 — self-FK remap resolved in a single pass
+# ---------------------------------------------------------------------------
+@query(
+    "self_fk_remap",
+    oracle="""
+    WITH base AS (
+      SELECT o_orderkey, o_custkey,
+             LAG(o_orderkey) OVER (PARTITION BY o_custkey ORDER BY o_orderkey) AS prev
+      FROM orders
+    ),
+    m AS (
+      SELECT o_orderkey AS src_id,
+             CAST(900000 + ROW_NUMBER() OVER (ORDER BY o_orderkey) - 1 AS BIGINT) AS dest_id
+      FROM orders
+    )
+    SELECT m1.dest_id AS new_key, m2.dest_id AS new_prev, b.o_custkey
+    FROM base b
+    JOIN m m1 ON b.o_orderkey = m1.src_id
+    LEFT JOIN m m2 ON b.prev = m2.src_id
+    """,
+)
+def self_fk_remap(spark, sf_dir):
+    """Self-referencing FK rewrite (J8, reference obs.js:31-43
+    obs_group_id / location.js:27-33 parent_location): a synthetic
+    'previous order of the same customer' pointer plus the table's own
+    pk are both remapped through ONE mapping DataFrame in one pass —
+    the reference's insert-NULL-then-patch upsert loop disappears
+    because the mapping exists before any row is written."""
+    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderkey")
+    base = o.withColumn("prev", F.lag("o_orderkey").over(w))
+    m = assign_ids(o.select("o_orderkey"), "o_orderkey", base=900_000).select(
+        F.col("o_orderkey").alias("src_id"), "dest_id"
+    )
+    m1 = m.select(F.col("src_id").alias("k1"), F.col("dest_id").alias("new_key"))
+    m2 = m.select(F.col("src_id").alias("k2"), F.col("dest_id").alias("new_prev"))
+    return (
+        base.join(m1, base["o_orderkey"] == m1["k1"])
+        .join(m2, base["prev"] == m2["k2"], "left")
+        .select("new_key", "new_prev", "o_custkey")
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.6 — set algebra with distinct semantics
+# ---------------------------------------------------------------------------
+@query(
+    "set_ops_chain",
+    oracle="""
+    SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+    INTERSECT
+    SELECT o_custkey FROM orders
+    EXCEPT
+    SELECT c_custkey FROM customer WHERE c_nationkey IN (0, 1, 2)
+    """,
+)
+def set_ops_chain(spark, sf_dir):
+    """Set operations (§2.6): BUILDING customers that placed orders,
+    minus those in nations 0-2 — INTERSECT then EXCEPT with SQL
+    distinct-set semantics (Catalyst plans both as hash semi/anti
+    joins over the distinct key)."""
+    c = load(spark, sf_dir, "customer")
+    building = c.filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+    with_orders = load(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("c_custkey")
+    )
+    northern = c.filter(F.col("c_nationkey").isin(0, 1, 2)).select("c_custkey")
+    return building.intersect(with_orders).subtract(northern)
+
+
+# ---------------------------------------------------------------------------
+# F1 — datetime normalization with NULL passthrough
+# ---------------------------------------------------------------------------
+@query(
+    "dates_normalize",
+    oracle="""
+    SELECT o_orderkey,
+           STRFTIME(o_orderdate, '%Y-%m-%d %H:%M:%S') AS dt_norm,
+           CASE WHEN o_orderstatus = 'O' THEN NULL
+                ELSE STRFTIME(o_orderdate, '%Y-%m-%d') END AS dt_opt
+    FROM orders
+    """,
+)
+def dates_normalize(spark, sf_dir):
+    """Datetime rendering (F1, reference utils.js:38-45 formatDate):
+    timestamps stay TimestampType through the plan and are formatted
+    'yyyy-MM-dd HH:mm:ss' only at the sink boundary; absent/invalid
+    values pass through as NULL (here simulated for open orders)."""
+    o = load(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.date_format("o_orderdate", "yyyy-MM-dd HH:mm:ss").alias("dt_norm"),
+        F.when(F.col("o_orderstatus") == "O", F.lit(None).cast("string"))
+        .otherwise(F.date_format("o_orderdate", "yyyy-MM-dd"))
+        .alias("dt_opt"),
+    )
