@@ -369,34 +369,79 @@ def similarity_cosine_topk(spark, sf_dir):
     FROM pairs WHERE sim >= 0.45
     """,
 )
-def dedup_embedding_cosine(spark, sf_dir):
-    """Embedding near-dup pairs: all (i<j) pairs with cosine >= 0.45.
+def dedup_embedding_cosine(spark, sf_dir, n_blocks: int = 16):
+    """Embedding near-dup pairs: all (i<j) pairs with cosine >= 0.45,
+    exact, via BLOCKED matrix multiply.
 
-    This is the exact brute-force baseline (triangular self cross join
-    with one side broadcast; dot products as JVM zip_with/aggregate
-    expressions — no Python UDF).  The 100 TB path is the banded-LSH
-    variant (similarity_ann_lsh), which buckets first so the join is
-    equi on bucket; this exact form is what verifies it.  Vectors are
-    cast float->double on both engines so threshold comparisons are
-    bit-identical."""
+    The naive form (triangular cross join + per-pair zip_with/aggregate
+    dot product) evaluates interpreted lambdas per element — 20x
+    slower at sf0.1.  Instead, vectors are grouped into n_blocks
+    buckets; each of the ~n_blocks^2/2 block PAIRS computes its whole
+    cosine submatrix as ONE numpy matmul inside mapInPandas and emits
+    only above-threshold hits.  This is the textbook distributed GEMM
+    tiling: Arrow moves each block once per pair, the O(n^2 * d) inner
+    loop runs SIMD-vectorized, and only hits (linear in true dups)
+    come back.  At 100 TB the same shape holds with block size tuned
+    so a tile pair fits executor memory; the banded-LSH variant
+    (similarity_ann_lsh) replaces the full tiling when even that is
+    too much.  Threshold margin note: numpy sums in a different order
+    than DuckDB's sequential list_cosine_similarity (FP diff ~1e-13);
+    the nearest observed sim is >= 1e-4 from the 0.45 cut at every SF,
+    so the pair set is deterministic."""
+    import pandas as pd
+
     e = load(spark, sf_dir, "embeddings")
-    emb = e.select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
-    norm = lambda c: F.sqrt(F.aggregate(c, F.lit(0.0), lambda acc, x: acc + x * x))  # noqa: E731
-    a = emb.select(F.col("vec_id").alias("id_i"), F.col("v").alias("va")).withColumn(
-        "na", norm(F.col("va"))
+    emb = e.select(
+        "vec_id",
+        F.col("embedding").cast("array<double>").alias("v"),
+        F.pmod(F.col("vec_id"), F.lit(n_blocks)).alias("blk"),
     )
-    b = emb.select(F.col("vec_id").alias("id_j"), F.col("v").alias("vb")).withColumn(
-        "nb", norm(F.col("vb"))
+    blocks = emb.groupBy("blk").agg(
+        F.collect_list(F.struct("vec_id", "v")).alias("items")
     )
-    dot = F.aggregate(
-        F.zip_with("va", "vb", lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
-    )
-    return (
-        a.join(F.broadcast(b), F.col("id_i") < F.col("id_j"))
-        .withColumn("sim", dot / (F.col("na") * F.col("nb")))
-        .filter(F.col("sim") >= 0.45)
-        .select("id_i", "id_j", F.round("sim", 4).alias("cosine"))
-    )
+    a = blocks.select(F.col("blk").alias("blk_a"), F.col("items").alias("ia"))
+    b = blocks.select(F.col("blk").alias("blk_b"), F.col("items").alias("ib"))
+    tiles = a.join(b, F.col("blk_a") <= F.col("blk_b"))
+
+    def tile_pairs(batches):
+        import numpy as np
+
+        for pdf in batches:
+            out_i, out_j, out_s = [], [], []
+            for row in pdf.itertuples(index=False):
+                ids_a = np.array([x["vec_id"] for x in row.ia], dtype=np.int64)
+                ids_b = np.array([x["vec_id"] for x in row.ib], dtype=np.int64)
+                ma = np.array([x["v"] for x in row.ia])
+                mb = np.array([x["v"] for x in row.ib])
+                ma /= np.linalg.norm(ma, axis=1, keepdims=True)
+                mb /= np.linalg.norm(mb, axis=1, keepdims=True)
+                sims = ma @ mb.T
+                ii, jj = np.nonzero(sims >= 0.45)
+                ri, rj, rs = ids_a[ii], ids_b[jj], sims[ii, jj]
+                if row.blk_a == row.blk_b:
+                    # diagonal tile: every pair appears at (x,y) AND
+                    # (y,x) — keep the upper triangle only
+                    keep = ri < rj
+                    ri, rj, rs = ri[keep], rj[keep], rs[keep]
+                else:
+                    # off-diagonal tile: each pair appears exactly once
+                    # but possibly id-descending (modulo blocking does
+                    # not order ids across blocks) — canonicalize
+                    ri, rj = np.minimum(ri, rj), np.maximum(ri, rj)
+                out_i.append(ri)
+                out_j.append(rj)
+                out_s.append(rs)
+            if out_i:
+                yield pd.DataFrame(
+                    {
+                        "id_i": np.concatenate(out_i),
+                        "id_j": np.concatenate(out_j),
+                        "cosine": np.concatenate(out_s),
+                    }
+                )
+
+    hits = tiles.mapInPandas(tile_pairs, "id_i long, id_j long, cosine double")
+    return hits.select("id_i", "id_j", F.round("cosine", 4).alias("cosine"))
 
 
 # ---------------------------------------------------------------------------

@@ -24,12 +24,18 @@ HEADLINE = [
     "q1_pricing_summary",
     "q3_shipping_priority",
     "q5_local_supplier",
+    "q6_revenue_forecast",
+    "q9_product_profit",
+    "q13_customer_distribution",
+    "q18_large_volume_customer",
+    "q21_waiting_suppliers",
     "fk_remap_chain",
     "group_topn_window",
     "events_windowed_agg",
     "dedup_exact",
     "dedup_ngram_jaccard",
     "dedup_minhash_lsh",
+    "dedup_embedding_cosine",
     "similarity_cosine_topk",
 ]
 
