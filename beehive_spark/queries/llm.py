@@ -104,12 +104,20 @@ def dedup_ngram_jaccard(spark, sf_dir):
     through an inverted shingle index (explode + equi-join + count)
     rather than any pairwise cross join — the join key is the shingle,
     so at 100 TB the shuffle is bounded by shingle frequency, and a
-    hot-shingle cap (not needed at this corpus size) would bound skew."""
+    hot-shingle cap (not needed at this corpus size) would bound skew.
+
+    Shingles are xxhash64-hashed before the join: the shuffled key is
+    8 bytes instead of a ~30-byte string (collision odds at ~2^-64 per
+    pair of distinct shingles are far below any other error source),
+    and the index is persisted because the plan consumes it three
+    times (both self-join sides + per-doc sizes)."""
     d = load(spark, sf_dir, "documents")
     toks = d.select("doc_id", _tokens(F.col("text")).alias("w"))
     sh = (
         toks.filter(F.size("w") >= 3)
-        .select("doc_id", F.explode(_shingles(F.col("w"))).alias("s"))
+        .select("doc_id", F.explode(_shingles(F.col("w"))).alias("raw"))
+        .select("doc_id", F.xxhash64("raw").alias("s"))
+        .persist()
     )
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
     a = sh.alias("a")
@@ -174,7 +182,7 @@ def dedup_minhash_lsh(spark, sf_dir):
         F.transform(
             _shingles(F.col("w")), lambda s: F.pmod(F.xxhash64(s), F.lit(_MH_PRIME))
         ).alias("hs"),
-    )
+    ).persist()  # consumed by both LSH bucketing and exact verification
     sig_cols = [
         F.array_min(
             F.transform(
