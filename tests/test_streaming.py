@@ -1,5 +1,7 @@
 """Streaming plans must agree with their batch twins (availableNow)."""
 
+import os
+
 from pyspark.sql import functions as F
 
 from beehive_spark.queries import load
@@ -9,6 +11,7 @@ from beehive_spark.streaming import (
     sessionized_events,
     windowed_event_counts,
 )
+from beehive_spark.streaming.events import EVENT_SCHEMA, running_user_stats
 
 
 def test_windowed_counts_match_batch(spark, sf_dir, tmp_path):
@@ -44,3 +47,44 @@ def test_sessionize_stream_matches_batch_session_count(spark, sf_dir, tmp_path):
     g = sorted((r["user_id"], r["session_start"], r["n_events"]) for r in got.collect())
     b = sorted((r["user_id"], r["session_start"], r["n_events"]) for r in batch.collect())
     assert g == b and len(g) > 100
+
+
+def test_running_user_stats_accumulates_across_microbatches(spark, sf_dir, tmp_path):
+    """applyInPandasWithState must carry state across micro-batches:
+    3 input files + maxFilesPerTrigger=1 -> 3 batches; the final
+    cum_events per user must equal the batch-mode count even though
+    each batch only saw a slice."""
+    src_dir = str(tmp_path / "events_src")
+    raw = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    raw.repartition(3).write.parquet(src_dir)
+
+    stream = (
+        spark.readStream.schema(EVENT_SCHEMA)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src_dir)
+        .withColumn("ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
+    )
+    run_stream_to_memory(
+        running_user_stats(stream), "user_stats", str(tmp_path), "append"
+    )
+    rows = spark.sql("SELECT * FROM user_stats").collect()
+
+    # per user: emitted batch deltas must sum to the final running total
+    per_user: dict[int, dict[str, float]] = {}
+    for r in rows:
+        u = per_user.setdefault(r["user_id"], {"delta_sum": 0, "cum_max": 0, "rows": 0})
+        u["delta_sum"] += r["batch_events"]
+        u["cum_max"] = max(u["cum_max"], r["cum_events"])
+        u["rows"] += 1
+
+    want = {
+        r["user_id"]: r["n"]
+        for r in raw.groupBy("user_id").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert set(per_user) == set(want)
+    for uid, stats in per_user.items():
+        assert stats["delta_sum"] == want[uid]
+        assert stats["cum_max"] == want[uid]
+    # state must actually have crossed batches for most users
+    multi_batch_users = sum(1 for s in per_user.values() if s["rows"] > 1)
+    assert multi_batch_users > len(per_user) * 0.5
