@@ -19,6 +19,7 @@ from pyspark.sql import functions as F
 
 from beehive_spark.operators import assign_ids
 from beehive_spark.operators.graph import bfs_levels
+from beehive_spark.operators.temporal import asof_join
 from beehive_spark.queries import load, query
 
 
@@ -150,4 +151,118 @@ def dates_normalize(spark, sf_dir):
         F.when(F.col("o_orderstatus") == "O", F.lit(None).cast("string"))
         .otherwise(F.date_format("o_orderdate", "yyyy-MM-dd"))
         .alias("dt_opt"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# As-of join (net-new temporal operator; DuckDB ASOF JOIN oracle)
+# ---------------------------------------------------------------------------
+@query(
+    "asof_join_purchases",
+    oracle="""
+    WITH c AS (
+      SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'
+    ),
+    p AS (
+      SELECT user_id, ts, event_id AS purchase_event_id,
+             ROUND(value, 2) AS purchase_value
+      FROM events WHERE event_type = 'purchase'
+    )
+    SELECT c.event_id, c.user_id,
+           p.purchase_event_id, p.purchase_value
+    FROM c ASOF LEFT JOIN p
+      ON c.user_id = p.user_id AND p.ts <= c.ts
+    """,
+)
+def asof_join_purchases(spark, sf_dir):
+    """Backward as-of join: each click paired with the same user's most
+    recent prior (or simultaneous) purchase.  Implemented with the
+    union-and-window trick (operators.temporal.asof_join): one shuffle
+    on user_id, no correlated subquery, no row blow-up — checked
+    against DuckDB's native ASOF JOIN."""
+    e = load(spark, sf_dir, "events")
+    clicks = e.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        "ts",
+        F.col("event_id").alias("purchase_event_id"),
+        F.round("value", 2).alias("purchase_value"),
+    )
+    out = asof_join(clicks, purchases, on="user_id", suffix="")
+    return out.select("event_id", "user_id", "purchase_event_id", "purchase_value")
+
+
+# ---------------------------------------------------------------------------
+# Interval (range) join against a small window set
+# ---------------------------------------------------------------------------
+@query(
+    "range_join_windows",
+    oracle="""
+    WITH w AS (
+      SELECT o_orderkey, o_orderdate AS ws,
+             o_orderdate + INTERVAL 12 HOUR AS we
+      FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 20
+    )
+    SELECT w.o_orderkey, CAST(COUNT(e.event_id) AS BIGINT) AS n_events
+    FROM w LEFT JOIN events e ON e.ts >= w.ws AND e.ts < w.we
+    GROUP BY w.o_orderkey
+    """,
+)
+def range_join_windows(spark, sf_dir):
+    """Interval containment join: count events inside each of 20
+    half-day windows (the top orders' order dates).  The window set is
+    tiny by construction, so the right plan IS a broadcast
+    nested-loop: each event row tests 20 intervals, no shuffle.  When
+    BOTH sides are large, the scale path is bucketing the time axis
+    (equi-join on overlapping bucket ids + residual range filter) —
+    that variant only pays off past the broadcast threshold."""
+    o = load(spark, sf_dir, "orders")
+    e = load(spark, sf_dir, "events").select("event_id", "ts")
+    w = (
+        o.orderBy(F.col("o_totalprice").desc(), "o_orderkey")
+        .limit(20)
+        .select(
+            "o_orderkey",
+            F.col("o_orderdate").alias("ws"),
+            (F.col("o_orderdate") + F.expr("INTERVAL 12 HOURS")).alias("we"),
+        )
+    )
+    return (
+        F.broadcast(w)
+        .join(e, (F.col("ts") >= F.col("ws")) & (F.col("ts") < F.col("we")), "left")
+        .groupBy("o_orderkey")
+        .agg(F.count("event_id").alias("n_events"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# ROLLUP aggregation (net-new multi-level analytics)
+# ---------------------------------------------------------------------------
+@query(
+    "rollup_revenue",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority,
+           CAST(GROUPING(o_orderstatus, o_orderpriority) AS BIGINT) AS gid,
+           CAST(COUNT(*) AS BIGINT) AS cnt,
+           ROUND(SUM(o_totalprice), 2) AS total
+    FROM orders
+    GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+    """,
+)
+def rollup_revenue(spark, sf_dir):
+    """ROLLUP over (status, priority): detail rows, per-status
+    subtotals, and the grand total in one pass — Spark expands the
+    grouping sets into a single shuffle, no repeated scans.  gid
+    disambiguates NULL-as-rolled-up from genuine NULL keys."""
+    o = load(spark, sf_dir, "orders")
+    return (
+        o.rollup("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.grouping_id().cast("long").alias("gid"),
+            F.count(F.lit(1)).alias("cnt"),
+            F.round(F.sum("o_totalprice"), 2).alias("total"),
+        )
+        .select("o_orderstatus", "o_orderpriority", "gid", "cnt", "total")
     )
