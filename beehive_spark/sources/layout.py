@@ -1,0 +1,66 @@
+"""Physical table layout for scale: partitioned and bucketed writes.
+
+The reference has no layout concept — every scan is a full MySQL
+table read (SURVEY.md §2.1 S2).  At 100 TB, layout IS the query plan:
+
+- **Hive-style partitioning** (`write_partitioned`) turns equality /
+  range predicates on the partition column into directory pruning —
+  the scan never opens non-matching files (shows as PartitionFilters
+  in the plan, bytes read drop proportionally).  Choose low-moderate
+  cardinality columns (date, region); never a high-cardinality key
+  (millions of tiny dirs kill the metastore and the filesystem).
+- **Bucketing** (`write_bucketed`) pre-shuffles rows into a fixed
+  number of hash buckets on the join/agg key AT WRITE TIME.  Two
+  tables bucketed the same way join with ZERO runtime exchange —
+  the single biggest lever for repeated large-fact joins (e.g. the
+  merge pipeline's fact-to-mapping joins, run once per source
+  instance).  Bucket count should approximate target parallelism;
+  it is fixed at write time, so pick for the cluster, not the laptop.
+
+Both are plain Spark writers — no custom file format — so Catalyst,
+AQE, and any reader interoperate.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def write_partitioned(
+    df: DataFrame,
+    path: str,
+    partition_by: list[str] | str,
+    mode: str = "overwrite",
+) -> None:
+    """Hive-partitioned parquet: one directory per partition value;
+    predicates on ``partition_by`` columns prune at planning time."""
+    cols = [partition_by] if isinstance(partition_by, str) else list(partition_by)
+    df.write.mode(mode).partitionBy(*cols).parquet(path)
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    bucket_by: list[str] | str,
+    n_buckets: int = 32,
+    sort_by: list[str] | str | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Bucketed (and optionally sorted) managed table.
+
+    Equi-joins and aggregations on ``bucket_by`` between tables with
+    the same bucket spec run without any Exchange; adding ``sort_by``
+    lets sort-merge joins skip the sort as well.
+    """
+    keys = [bucket_by] if isinstance(bucket_by, str) else list(bucket_by)
+    writer = df.write.mode(mode).bucketBy(n_buckets, *keys)
+    if sort_by:
+        sorts = [sort_by] if isinstance(sort_by, str) else list(sort_by)
+        writer = writer.sortBy(*sorts)
+    writer.saveAsTable(table)
+
+
+def read_bucketed(spark: SparkSession, table: str) -> DataFrame:
+    """Read a bucketed table (bucket metadata comes from the catalog;
+    a plain path read would lose it)."""
+    return spark.table(table)

@@ -1,0 +1,83 @@
+"""Layout tests: partition pruning and bucketed shuffle-free joins
+must be visible in the physical plan, not just assumed."""
+
+import os
+
+from pyspark.sql import functions as F
+
+from beehive_spark.queries import load
+from beehive_spark.sources.layout import (
+    read_bucketed,
+    write_bucketed,
+    write_partitioned,
+)
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_partitioned_write_prunes(spark, sf_dir, tmp_path):
+    path = str(tmp_path / "orders_by_status")
+    orders = load(spark, sf_dir, "orders")
+    write_partitioned(orders, path, "o_orderstatus")
+
+    # one directory per status value
+    dirs = {d for d in os.listdir(path) if d.startswith("o_orderstatus=")}
+    assert dirs == {"o_orderstatus=F", "o_orderstatus=O", "o_orderstatus=P"}
+
+    filtered = spark.read.parquet(path).filter(F.col("o_orderstatus") == "F")
+    # count matches the unpartitioned source...
+    want = orders.filter(F.col("o_orderstatus") == "F").count()
+    assert filtered.count() == want
+    # ...and the scan's partition filter actually prunes directories
+    scan_line = next(
+        ln for ln in _plan(filtered).splitlines() if "FileScan" in ln
+    )
+    assert "PartitionFilters" in scan_line and "o_orderstatus" in scan_line
+
+
+def test_bucketed_join_has_no_exchange(spark, sf_dir, tmp_path):
+    spark.sql("DROP TABLE IF EXISTS li_b")
+    spark.sql("DROP TABLE IF EXISTS ord_b")
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    write_bucketed(li, "li_b", "l_orderkey", n_buckets=8, sort_by="l_orderkey")
+    write_bucketed(o, "ord_b", "o_orderkey", n_buckets=8, sort_by="o_orderkey")
+
+    lb = read_bucketed(spark, "li_b")
+    ob = read_bucketed(spark, "ord_b")
+    # disable broadcast so the join would otherwise require a shuffle
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = lb.join(ob, lb["l_orderkey"] == ob["o_orderkey"])
+        plan = _plan(joined)
+        assert "SortMergeJoin" in plan
+        # bucketed co-location: no shuffle anywhere in the join plan
+        assert "Exchange" not in plan
+        # sorted buckets: the join needs no extra Sort nodes either
+        want = (
+            load(spark, sf_dir, "lineitem")
+            .join(
+                load(spark, sf_dir, "orders"),
+                F.col("l_orderkey") == F.col("o_orderkey"),
+            )
+            .count()
+        )
+        assert joined.count() == want
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+def test_bucketed_aggregation_has_no_exchange(spark, sf_dir, tmp_path):
+    spark.sql("DROP TABLE IF EXISTS li_agg_b")
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    write_bucketed(li, "li_agg_b", "l_orderkey", n_buckets=8)
+    agg = (
+        read_bucketed(spark, "li_agg_b")
+        .groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("q"))
+    )
+    assert "Exchange" not in _plan(agg)
+    assert agg.count() == load(spark, sf_dir, "lineitem").select("l_orderkey").distinct().count()
