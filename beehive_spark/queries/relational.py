@@ -266,3 +266,34 @@ def rollup_revenue(spark, sf_dir):
         )
         .select("o_orderstatus", "o_orderpriority", "gid", "cnt", "total")
     )
+
+
+# ---------------------------------------------------------------------------
+# Semi-structured JSON extraction (net-new; events.props payload)
+# ---------------------------------------------------------------------------
+@query(
+    "events_json_extract",
+    oracle="""
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(json_extract(props, '$.k') AS INTEGER)) AS BIGINT) AS sum_k,
+           CAST(MAX(CAST(json_extract(props, '$.k') AS INTEGER)) AS INTEGER) AS max_k
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def events_json_extract(spark, sf_dir):
+    """Semi-structured payload handling: parse the events.props JSON
+    with a typed schema (from_json -> struct, JVM-side, no Python) and
+    aggregate the extracted field.  With an explicit schema Catalyst
+    prunes unused JSON fields at parse time; schemaless
+    get_json_object would re-parse per extraction."""
+    e = load(spark, sf_dir, "events")
+    parsed = e.select(
+        "event_type", F.from_json("props", "k INT").getField("k").alias("k")
+    )
+    return parsed.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("k").alias("sum_k"),
+        F.max("k").alias("max_k"),
+    )

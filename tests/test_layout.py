@@ -2,6 +2,7 @@
 must be visible in the physical plan, not just assumed."""
 
 import os
+import shutil
 
 from pyspark.sql import functions as F
 
@@ -15,6 +16,15 @@ from beehive_spark.sources.layout import (
 
 def _plan(df) -> str:
     return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _drop_table(spark, name: str) -> None:
+    """Drop both the catalog entry and the physical location — a fresh
+    session's in-memory metastore does not know tables written by a
+    previous test session, but their warehouse directories persist."""
+    spark.sql(f"DROP TABLE IF EXISTS {name}")
+    warehouse = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+    shutil.rmtree(os.path.join(warehouse, name), ignore_errors=True)
 
 
 def test_partitioned_write_prunes(spark, sf_dir, tmp_path):
@@ -38,8 +48,8 @@ def test_partitioned_write_prunes(spark, sf_dir, tmp_path):
 
 
 def test_bucketed_join_has_no_exchange(spark, sf_dir, tmp_path):
-    spark.sql("DROP TABLE IF EXISTS li_b")
-    spark.sql("DROP TABLE IF EXISTS ord_b")
+    _drop_table(spark, "li_b")
+    _drop_table(spark, "ord_b")
     li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
     o = load(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
     write_bucketed(li, "li_b", "l_orderkey", n_buckets=8, sort_by="l_orderkey")
@@ -71,7 +81,7 @@ def test_bucketed_join_has_no_exchange(spark, sf_dir, tmp_path):
 
 
 def test_bucketed_aggregation_has_no_exchange(spark, sf_dir, tmp_path):
-    spark.sql("DROP TABLE IF EXISTS li_agg_b")
+    _drop_table(spark, "li_agg_b")
     li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
     write_bucketed(li, "li_agg_b", "l_orderkey", n_buckets=8)
     agg = (
