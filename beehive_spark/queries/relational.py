@@ -297,3 +297,133 @@ def events_json_extract(spark, sf_dir):
         F.sum("k").alias("sum_k"),
         F.max("k").alias("max_k"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Window analytics: running totals + moving averages
+# ---------------------------------------------------------------------------
+@query(
+    "window_running_total",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           ROUND(SUM(o_totalprice) OVER (PARTITION BY o_custkey
+                 ORDER BY o_orderdate, o_orderkey
+                 ROWS UNBOUNDED PRECEDING), 2) AS running_total,
+           ROUND(AVG(o_totalprice) OVER (PARTITION BY o_custkey
+                 ORDER BY o_orderdate, o_orderkey
+                 ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 4) AS moving_avg3
+    FROM orders
+    """,
+)
+def window_running_total(spark, sf_dir):
+    """Running totals and 3-row moving averages per customer — one
+    shuffle on o_custkey shared by both frames.  (Totals have 2
+    decimal digits, so the running sum sits on the cent grid and the
+    3-row average on the k/300 grid — neither can land on a
+    cross-engine rounding tie.)"""
+    o = load(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.round(
+            F.sum("o_totalprice").over(w.rowsBetween(Window.unboundedPreceding, 0)), 2
+        ).alias("running_total"),
+        F.round(
+            F.avg("o_totalprice").over(w.rowsBetween(-2, 0)), 4
+        ).alias("moving_avg3"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Exact interpolated percentiles per group
+# ---------------------------------------------------------------------------
+@query(
+    "group_percentiles",
+    oracle="""
+    SELECT c_mktsegment,
+           ROUND(quantile_cont(c_acctbal, 0.5), 4) AS median_bal,
+           ROUND(quantile_cont(c_acctbal, 0.9), 4) AS p90_bal,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM customer
+    GROUP BY c_mktsegment
+    """,
+)
+def group_percentiles(spark, sf_dir):
+    """Exact linear-interpolated percentiles per segment (Spark
+    percentile == DuckDB quantile_cont semantics).  Exact percentiles
+    need the group's values together — fine for bounded group counts;
+    for 100 TB telemetry use approx_percentile, which merges
+    t-digest-style sketches map-side instead."""
+    c = load(spark, sf_dir, "customer")
+    return c.groupBy("c_mktsegment").agg(
+        F.round(F.percentile("c_acctbal", F.lit(0.5)), 4).alias("median_bal"),
+        F.round(F.percentile("c_acctbal", F.lit(0.9)), 4).alias("p90_bal"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Pivot (long -> wide conditional aggregation)
+# ---------------------------------------------------------------------------
+@query(
+    "events_pivot",
+    oracle="""
+    SELECT user_id,
+           CAST(SUM(CASE WHEN event_type = 'click'    THEN 1 ELSE 0 END) AS BIGINT) AS click,
+           CAST(SUM(CASE WHEN event_type = 'view'     THEN 1 ELSE 0 END) AS BIGINT) AS view,
+           CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchase,
+           CAST(SUM(CASE WHEN event_type = 'signup'   THEN 1 ELSE 0 END) AS BIGINT) AS signup,
+           CAST(SUM(CASE WHEN event_type = 'error'    THEN 1 ELSE 0 END) AS BIGINT) AS error
+    FROM events
+    GROUP BY user_id
+    """,
+)
+def events_pivot(spark, sf_dir):
+    """Long->wide pivot of per-user event-type counts.  The pivot
+    value list is explicit: with it Spark plans ONE pass of
+    conditional aggregates; without it a separate distinct-values job
+    must run first — never omit the list at scale."""
+    e = load(spark, sf_dir, "events")
+    kinds = ["click", "view", "purchase", "signup", "error"]
+    return (
+        e.groupBy("user_id")
+        .pivot("event_type", kinds)
+        .count()
+        .na.fill(0, kinds)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Column profiling (pipeline data-quality primitive)
+# ---------------------------------------------------------------------------
+@query(
+    "profile_events",
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_values,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+           CAST(COUNT(DISTINCT event_type) AS BIGINT) AS n_types,
+           STRFTIME(MIN(ts), '%Y-%m-%d %H:%M:%S') AS min_ts,
+           STRFTIME(MAX(ts), '%Y-%m-%d %H:%M:%S') AS max_ts,
+           ROUND(SUM(value), 2) AS sum_value
+    FROM events
+    """,
+)
+def profile_events(spark, sf_dir):
+    """Single-pass table profile: row/null/distinct counts and value
+    ranges — the data-quality primitive a pipeline runs before and
+    after every stage (generalizes the reference's count
+    reconciliation, person-users.js:972-1019, into content checks)."""
+    e = load(spark, sf_dir, "events")
+    return e.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.when(F.col("value").isNull(), 1).otherwise(0)).cast("long").alias(
+            "null_values"
+        ),
+        F.countDistinct("user_id").alias("n_users"),
+        F.countDistinct("event_type").alias("n_types"),
+        F.date_format(F.min("ts"), "yyyy-MM-dd HH:mm:ss").alias("min_ts"),
+        F.date_format(F.max("ts"), "yyyy-MM-dd HH:mm:ss").alias("max_ts"),
+        F.round(F.sum("value"), 2).alias("sum_value"),
+    )
