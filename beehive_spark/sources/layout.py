@@ -64,3 +64,28 @@ def read_bucketed(spark: SparkSession, table: str) -> DataFrame:
     """Read a bucketed table (bucket metadata comes from the catalog;
     a plain path read would lose it)."""
     return spark.table(table)
+
+
+def write_clustered(
+    df: DataFrame,
+    path: str,
+    cluster_by: list[str] | str,
+    n_files: int = 16,
+    mode: str = "overwrite",
+) -> None:
+    """Range-clustered parquet: rows range-partitioned AND sorted on
+    ``cluster_by``, so every output file covers a disjoint value range.
+
+    Parquet footers then carry tight min/max per file and row group;
+    any reader (Spark, DuckDB, Trino) skips files whose range misses
+    the predicate — the poor man's Z-order, and the right layout for
+    the one column most queries filter on (e.g. event time).  Unlike
+    Hive partitioning it handles high-cardinality/continuous columns
+    without directory explosion."""
+    cols = [cluster_by] if isinstance(cluster_by, str) else list(cluster_by)
+    (
+        df.repartitionByRange(n_files, *cols)
+        .sortWithinPartitions(*cols)
+        .write.mode(mode)
+        .parquet(path)
+    )

@@ -10,6 +10,7 @@ from beehive_spark.queries import load
 from beehive_spark.sources.layout import (
     read_bucketed,
     write_bucketed,
+    write_clustered,
     write_partitioned,
 )
 
@@ -91,3 +92,35 @@ def test_bucketed_aggregation_has_no_exchange(spark, sf_dir, tmp_path):
     )
     assert "Exchange" not in _plan(agg)
     assert agg.count() == load(spark, sf_dir, "lineitem").select("l_orderkey").distinct().count()
+
+
+def test_clustered_write_produces_disjoint_file_ranges(spark, sf_dir, tmp_path):
+    import pyarrow.parquet as pq
+
+    path = str(tmp_path / "orders_clustered")
+    orders = load(spark, sf_dir, "orders")
+    write_clustered(orders, path, "o_orderkey", n_files=8)
+
+    files = sorted(
+        os.path.join(path, f) for f in os.listdir(path) if f.endswith(".parquet")
+    )
+    assert len(files) >= 4  # range partitioner may merge tiny ranges
+    ranges = []
+    for f in files:
+        md = pq.ParquetFile(f).metadata
+        idx = next(
+            i for i in range(md.num_columns)
+            if md.row_group(0).column(i).path_in_schema == "o_orderkey"
+        )
+        mins, maxs = [], []
+        for rg in range(md.num_row_groups):
+            stats = md.row_group(rg).column(idx).statistics
+            mins.append(stats.min)
+            maxs.append(stats.max)
+        ranges.append((min(mins), max(maxs)))
+    ranges.sort()
+    # footer min/max ranges must be disjoint -> readers can skip files
+    for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
+        assert hi1 < lo2
+    # and the clustered copy is lossless
+    assert spark.read.parquet(path).count() == orders.count()
