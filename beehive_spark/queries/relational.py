@@ -427,3 +427,28 @@ def profile_events(spark, sf_dir):
         F.date_format(F.max("ts"), "yyyy-MM-dd HH:mm:ss").alias("max_ts"),
         F.round(F.sum("value"), 2).alias("sum_value"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Sketch aggregates (approximate -> rows-only driver check; error bounds
+# are pinned against exact values in tests/test_sketches.py)
+# ---------------------------------------------------------------------------
+@query("approx_sketches")
+def approx_sketches(spark, sf_dir):
+    """Sketch-based aggregation: HyperLogLog++ distinct counts (2%
+    target rsd) and t-digest-style approximate medians per event type.
+
+    At telemetry scale these replace their exact counterparts:
+    COUNT(DISTINCT) needs a full shuffle of the distinct keys and an
+    exact percentile needs the group's values materialized together,
+    while both sketches merge map-side in constant memory — the only
+    aggregation strategy that still works when one group holds
+    billions of members."""
+    e = load(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", 0.02).alias("approx_users"),
+        F.round(F.percentile_approx("value", F.lit(0.5), F.lit(1000)), 2).alias(
+            "approx_median_value"
+        ),
+        F.count(F.lit(1)).alias("n"),
+    )

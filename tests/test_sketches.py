@@ -1,0 +1,29 @@
+"""Approximate sketches must stay within their advertised error of
+the exact answers (the self-check that replaces a SQL oracle for
+non-deterministic-by-algorithm aggregates)."""
+
+from pyspark.sql import functions as F
+
+from beehive_spark.queries import load
+from beehive_spark.queries.relational import approx_sketches
+
+
+def test_sketches_within_error_bounds(spark, sf_dir):
+    got = {r["event_type"]: r for r in approx_sketches(spark, sf_dir).collect()}
+    exact = {
+        r["event_type"]: r
+        for r in load(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(
+            F.countDistinct("user_id").alias("users"),
+            F.expr("percentile(value, 0.5)").alias("median"),
+        )
+        .collect()
+    }
+    assert set(got) == set(exact)
+    for et, e in exact.items():
+        g = got[et]
+        # HLL++ at rsd=0.02: allow 3 sigma
+        assert abs(g["approx_users"] - e["users"]) <= max(3, 0.06 * e["users"])
+        # percentile_approx with 1000 buckets on this data: within 10%
+        assert abs(g["approx_median_value"] - e["median"]) <= 0.1 * abs(e["median"])
