@@ -100,6 +100,25 @@ def sessionized_events(
     )
 
 
+def dedup_event_stream(
+    events: DataFrame,
+    keys: list[str] | None = None,
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Streaming exact deduplication: keep the first occurrence of each
+    key, with the watermark bounding how long seen-keys state is
+    retained (dropDuplicatesWithinWatermark).
+
+    This is the streaming twin of the batch dedup_exact query — the
+    ingest-time guard of a training-data pipeline (at-least-once
+    sources re-deliver; this makes the downstream exactly-once per
+    key).  State size is bounded by keys-per-watermark-window, not
+    stream length — without the watermark the seen-set would grow
+    forever."""
+    keys = keys or ["event_id"]
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(keys)
+
+
 def running_user_stats(events: DataFrame) -> DataFrame:
     """Custom stateful streaming operator via applyInPandasWithState:
     per-user running totals that survive across micro-batches.

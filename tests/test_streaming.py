@@ -11,7 +11,11 @@ from beehive_spark.streaming import (
     sessionized_events,
     windowed_event_counts,
 )
-from beehive_spark.streaming.events import EVENT_SCHEMA, running_user_stats
+from beehive_spark.streaming.events import (
+    EVENT_SCHEMA,
+    dedup_event_stream,
+    running_user_stats,
+)
 
 
 def test_windowed_counts_match_batch(spark, sf_dir, tmp_path):
@@ -88,3 +92,25 @@ def test_running_user_stats_accumulates_across_microbatches(spark, sf_dir, tmp_p
     # state must actually have crossed batches for most users
     multi_batch_users = sum(1 for s in per_user.values() if s["rows"] > 1)
     assert multi_batch_users > len(per_user) * 0.5
+
+
+def test_stream_dedup_drops_redelivered_events(spark, sf_dir, tmp_path):
+    """An at-least-once source re-delivering the same file content must
+    come out exactly-once per event_id."""
+    src_dir = str(tmp_path / "dup_src")
+    raw = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    # two copies of the same events = simulated redelivery
+    raw.coalesce(1).write.mode("overwrite").parquet(src_dir)
+    raw.coalesce(1).write.mode("append").parquet(src_dir)
+
+    stream = (
+        spark.readStream.schema(EVENT_SCHEMA)
+        .parquet(src_dir)
+        .withColumn("ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
+    )
+    run_stream_to_memory(
+        dedup_event_stream(stream), "dedup_stream", str(tmp_path), "append"
+    )
+    got = spark.sql("SELECT COUNT(*) AS n, COUNT(DISTINCT event_id) AS d FROM dedup_stream").collect()[0]
+    assert got["n"] == raw.count()          # doubled input, deduped output
+    assert got["d"] == got["n"]             # one row per event_id
