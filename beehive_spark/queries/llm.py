@@ -478,6 +478,48 @@ def text_token_stats(spark, sf_dir):
     )
 
 
+_BPE_RE = r"'s|'t|'re|'ve|'m|'ll|'d| ?[a-z]+| ?[0-9]+| ?[^a-z0-9\s]+|\s+"
+
+
+@query(
+    "text_bpe_token_stats",
+    oracle=r"""
+    WITH t AS (
+      SELECT doc_id,
+             list_filter(
+               regexp_extract_all(lower(text),
+                 '''s|''t|''re|''ve|''m|''ll|''d| ?[a-z]+| ?[0-9]+| ?[^a-z0-9\s]+|\s+'),
+               x -> trim(x) <> ''
+             ) AS toks
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(LEN(toks) AS BIGINT) AS n_bpe_tokens,
+           CAST(LEN(list_distinct(toks)) AS BIGINT) AS n_unique_bpe
+    FROM t
+    """,
+)
+def text_bpe_token_stats(spark, sf_dir):
+    """BPE-style token counting: a GPT-2-like pre-tokenizer regex
+    (contraction suffixes, space-prefixed letter runs, digit runs,
+    punctuation runs), restricted to constructs both Java regex and
+    RE2 support (no lookaheads) so the oracle tokenizes identically.
+    Pure-whitespace tokens are dropped.  The real BPE merge step is
+    vocabulary-dependent; the pre-tokenizer is the part that shapes
+    distributed token accounting, and it stays a JVM expression."""
+    d = load(spark, sf_dir, "documents")
+    toks = F.filter(
+        F.regexp_extract_all(F.lower(F.col("text")), F.lit(_BPE_RE), 0),
+        lambda x: F.trim(x) != "",
+    )
+    t = d.select("doc_id", toks.alias("toks"))
+    return t.select(
+        "doc_id",
+        F.size("toks").cast("long").alias("n_bpe_tokens"),
+        F.size(F.array_distinct("toks")).cast("long").alias("n_unique_bpe"),
+    )
+
+
 @query(
     "text_quality_score",
     oracle="""
