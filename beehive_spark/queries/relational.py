@@ -452,3 +452,78 @@ def approx_sketches(spark, sf_dir):
         ),
         F.count(F.lit(1)).alias("n"),
     )
+
+
+# ---------------------------------------------------------------------------
+# NOT IN three-valued-logic semantics (null-aware anti join)
+# ---------------------------------------------------------------------------
+@query(
+    "not_in_null_semantics",
+    oracle="""
+    SELECT 'no_nulls' AS variant, CAST(COUNT(*) AS BIGINT) AS n
+    FROM customer
+    WHERE c_custkey NOT IN (
+      SELECT o_custkey FROM orders WHERE o_orderstatus = 'P')
+    UNION ALL
+    SELECT 'with_nulls', CAST(COUNT(*) AS BIGINT)
+    FROM customer
+    WHERE c_custkey NOT IN (
+      SELECT CASE WHEN o_orderkey % 7 = 0 THEN NULL ELSE o_custkey END
+      FROM orders WHERE o_orderstatus = 'P')
+    """,
+)
+def not_in_null_semantics(spark, sf_dir):
+    """NOT IN under SQL three-valued logic, via the engine's SQL
+    surface: with no NULLs in the subquery it behaves like an anti
+    join; ONE NULL makes every NOT IN comparison UNKNOWN and the
+    result empty.  Spark plans this as a null-aware anti join — a
+    left_anti would silently return the wrong (non-empty) answer, so
+    this pins the semantic difference against the oracle.  P2's
+    exclusion filters (reference utils.js:248-253) rely on exactly
+    this distinction once the exclusion list can contain NULLs."""
+    for t in ("customer", "orders"):
+        load(spark, sf_dir, t).createOrReplaceTempView(t)
+    return spark.sql(
+        """
+        SELECT 'no_nulls' AS variant, COUNT(*) AS n
+        FROM customer
+        WHERE c_custkey NOT IN (
+          SELECT o_custkey FROM orders WHERE o_orderstatus = 'P')
+        UNION ALL
+        SELECT 'with_nulls', COUNT(*)
+        FROM customer
+        WHERE c_custkey NOT IN (
+          SELECT CASE WHEN o_orderkey % 7 = 0 THEN NULL ELSE o_custkey END
+          FROM orders WHERE o_orderstatus = 'P')
+        """
+    )
+
+
+# ---------------------------------------------------------------------------
+# CUBE aggregation (all grouping-set combinations)
+# ---------------------------------------------------------------------------
+@query(
+    "cube_revenue",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority,
+           CAST(GROUPING(o_orderstatus, o_orderpriority) AS BIGINT) AS gid,
+           CAST(COUNT(*) AS BIGINT) AS cnt,
+           ROUND(SUM(o_totalprice), 2) AS total
+    FROM orders
+    GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+)
+def cube_revenue(spark, sf_dir):
+    """CUBE over (status, priority): all four grouping sets — detail,
+    each single-dimension margin, and the grand total — in one
+    expanded pass (complements rollup_revenue's hierarchy)."""
+    o = load(spark, sf_dir, "orders")
+    return (
+        o.cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.grouping_id().cast("long").alias("gid"),
+            F.count(F.lit(1)).alias("cnt"),
+            F.round(F.sum("o_totalprice"), 2).alias("total"),
+        )
+        .select("o_orderstatus", "o_orderpriority", "gid", "cnt", "total")
+    )
