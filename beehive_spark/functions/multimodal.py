@@ -129,3 +129,113 @@ def wrap_as_media(df: DataFrame, id_col: str, payload_col: str, modality: str = 
             F.lit("synthetic").alias("source"),
         ).alias("meta"),
     )
+
+
+_RESIZE_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("content", T.BinaryType()),
+        T.StructField("meta", MEDIA_META),
+    ]
+)
+
+
+def resize_images(
+    media: DataFrame,
+    width: int,
+    height: int,
+    use_real_decoder: bool = False,
+    target_partition_bytes: int = 128 * 1024 * 1024,
+) -> DataFrame:
+    """Image resize over binary media (mapInPandas, Arrow-batched).
+
+    Plumbing is real — byte-budget repartitioning, per-batch
+    processing, meta struct rewritten with the new dimensions; the
+    pixel work is a deterministic fake (sha256-seeded bytes of the
+    target size) unless ``use_real_decoder`` wires in PIL
+    (NotImplementedError in this container).  Output schema equals the
+    input media schema, so resize stages compose/chain."""
+    import pandas as pd
+
+    stats = media.agg(F.sum(F.length("content")).alias("b")).first()
+    total = int(stats["b"] or 0)
+    n_parts = max(1, min(4096, total // target_partition_bytes + 1))
+    repart = media.repartition(n_parts, "media_id")
+    out_len = width * height
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            out_content, out_meta = [], []
+            for content, meta in zip(pdf["content"], pdf["meta"]):
+                b = bytes(content) if content is not None else b""
+                if use_real_decoder:
+                    b = _decode_real(b, meta)
+                # deterministic fake "resample": stretch the digest to
+                # exactly width*height bytes
+                seed = hashlib.sha256(b).digest()
+                reps = out_len // len(seed) + 1
+                out_content.append((seed * reps)[:out_len])
+                m = dict(meta) if meta is not None else {}
+                m["width"], m["height"] = width, height
+                out_meta.append(m)
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "content": out_content,
+                    "meta": out_meta,
+                }
+            )
+
+    return repart.mapInPandas(run, schema=_RESIZE_SCHEMA)
+
+
+_FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("frame_idx", T.IntegerType(), False),
+        T.StructField("ts_ms", T.LongType()),
+        T.StructField("frame", T.BinaryType()),
+    ]
+)
+
+
+def sample_frames(
+    media: DataFrame,
+    every_ms: int = 1000,
+    max_frames: int = 16,
+    use_real_decoder: bool = False,
+) -> DataFrame:
+    """Video frame sampling: one input row fans out to N frame rows
+    (the flatMap shape codecs need) at a fixed time stride.
+
+    Frame count derives from meta.duration_ms (default 1 frame when
+    absent); the frame payload is a deterministic fake (digest of
+    content + frame index) unless ``use_real_decoder`` wires in
+    ffmpeg.  Fan-out is bounded by ``max_frames`` so one long video
+    cannot blow up a task — at scale, split long media upstream
+    instead of raising the cap."""
+    import pandas as pd
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            ids, idxs, tss, frames = [], [], [], []
+            for media_id, content, meta in zip(
+                pdf["media_id"], pdf["content"], pdf["meta"]
+            ):
+                b = bytes(content) if content is not None else b""
+                if use_real_decoder:
+                    b = _decode_real(b, meta)
+                dur = (meta or {}).get("duration_ms") or 0
+                n = max(1, min(max_frames, int(dur // every_ms) + 1))
+                for i in range(n):
+                    ids.append(media_id)
+                    idxs.append(i)
+                    tss.append(i * every_ms)
+                    frames.append(
+                        hashlib.sha256(b + i.to_bytes(4, "big")).digest()
+                    )
+            yield pd.DataFrame(
+                {"media_id": ids, "frame_idx": idxs, "ts_ms": tss, "frame": frames}
+            )
+
+    return media.mapInPandas(run, schema=_FRAME_SCHEMA)

@@ -100,3 +100,47 @@ def test_multimodal_real_decoder_stubbed(spark, sf_dir):
     with pytest.raises(Exception) as ei:
         extract_features(media, use_real_decoder=True).collect()
     assert "NotImplementedError" in str(ei.value) or "media decoding" in str(ei.value)
+
+
+def test_resize_images_rewrites_dims_and_composes(spark, sf_dir):
+    from beehive_spark.functions.multimodal import resize_images, wrap_as_media
+    from beehive_spark.queries import load
+
+    docs = load(spark, sf_dir, "documents").limit(20)
+    media = wrap_as_media(docs, "doc_id", "text")
+    out = resize_images(media, width=8, height=4)
+    rows = out.collect()
+    assert len(rows) == 20
+    for r in rows:
+        assert len(r["content"]) == 8 * 4
+        assert r["meta"]["width"] == 8 and r["meta"]["height"] == 4
+    # same schema in as out -> stages chain
+    again = resize_images(out, width=2, height=2).collect()
+    assert all(len(r["content"]) == 4 for r in again)
+    # deterministic across runs
+    assert rows[0]["content"] == resize_images(media, 8, 4).collect()[0]["content"]
+
+
+def test_sample_frames_fans_out_bounded(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from beehive_spark.functions.multimodal import sample_frames, wrap_as_media
+    from beehive_spark.queries import load
+
+    docs = load(spark, sf_dir, "documents").limit(5)
+    media = wrap_as_media(docs, "doc_id", "text", modality="video")
+    # give each video a duration so the stride produces multiple frames
+    media = media.withColumn(
+        "meta",
+        F.col("meta").withField("duration_ms", F.lit(3500).cast("long")),
+    )
+    frames = sample_frames(media, every_ms=1000, max_frames=3)
+    rows = frames.collect()
+    # duration 3500ms / 1000ms stride -> 4 frames, capped at 3
+    assert len(rows) == 5 * 3
+    per = {}
+    for r in rows:
+        per.setdefault(r["media_id"], []).append((r["frame_idx"], r["ts_ms"]))
+        assert len(r["frame"]) == 32  # sha256 fake frame
+    for v in per.values():
+        assert sorted(v) == [(0, 0), (1, 1000), (2, 2000)]
