@@ -527,3 +527,69 @@ def cube_revenue(spark, sf_dir):
         )
         .select("o_orderstatus", "o_orderpriority", "gid", "cnt", "total")
     )
+
+
+# ---------------------------------------------------------------------------
+# Ranking-window suite (dense_rank / ntile / lead)
+# ---------------------------------------------------------------------------
+@query(
+    "window_rank_suite",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           CAST(DENSE_RANK() OVER w AS BIGINT) AS drnk,
+           CAST(NTILE(4) OVER w AS BIGINT) AS quartile,
+           LEAD(o_orderkey) OVER w AS next_order
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    """,
+)
+def window_rank_suite(spark, sf_dir):
+    """Ranking-window suite: dense_rank, ntile quartiles, and lead in
+    one window frame — all three share the single o_custkey shuffle
+    and sort (Catalyst collapses same-spec windows into one node)."""
+    o = load(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.dense_rank().over(w).cast("long").alias("drnk"),
+        F.ntile(4).over(w).cast("long").alias("quartile"),
+        F.lead("o_orderkey").over(w).alias("next_order"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# String-function suite (F-class scalar coverage)
+# ---------------------------------------------------------------------------
+@query(
+    "string_funcs_suite",
+    oracle="""
+    SELECT c_custkey,
+           UPPER(c_name) AS upper_name,
+           SUBSTR(c_name, 10, 9) AS cust_num,
+           CAST(LENGTH(c_name) AS INTEGER) AS name_len,
+           REPLACE(c_name, 'Customer#', 'C-') AS short_name,
+           CASE WHEN c_name LIKE '%000000%' THEN 1 ELSE 0 END AS has_zeros,
+           CONCAT(c_mktsegment, ':', CAST(c_nationkey AS VARCHAR)) AS seg_key,
+           regexp_extract(c_name, '[0-9]+$', 0) AS digits
+    FROM customer
+    """,
+)
+def string_funcs_suite(spark, sf_dir):
+    """Scalar string coverage in one projection: case mapping,
+    substring, length, replace, LIKE, concat, regexp extraction — all
+    JVM codegen expressions, no UDFs (generalizes the reference's
+    string rendering, SURVEY.md §2.7)."""
+    c = load(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.upper("c_name").alias("upper_name"),
+        F.substring("c_name", 10, 9).alias("cust_num"),
+        F.length("c_name").cast("int").alias("name_len"),
+        F.regexp_replace("c_name", "Customer#", "C-").alias("short_name"),
+        F.when(F.col("c_name").like("%000000%"), 1).otherwise(0).alias("has_zeros"),
+        F.concat_ws(":", "c_mktsegment", F.col("c_nationkey").cast("string")).alias(
+            "seg_key"
+        ),
+        F.regexp_extract("c_name", "[0-9]+$", 0).alias("digits"),
+    )
