@@ -2,7 +2,8 @@
 
 Each operator re-expresses one behavior class from the reference
 (SURVEY.md §2) as declarative Spark, designed so Catalyst/AQE pick
-the physical strategy (broadcast vs shuffle) at any scale.
+the physical strategy (broadcast vs shuffle) at any scale; graph/
+temporal/skew are net-new capabilities beyond the reference surface.
 """
 
 from beehive_spark.operators.ids import assign_ids, next_id_base
@@ -15,6 +16,9 @@ from beehive_spark.operators.checks import (
     reconcile,
     ReconciliationError,
 )
+from beehive_spark.operators.graph import bfs_levels
+from beehive_spark.operators.skew import salted_join
+from beehive_spark.operators.temporal import asof_join
 
 __all__ = [
     "assign_ids",
@@ -27,4 +31,7 @@ __all__ = [
     "regenerate_uuids",
     "reconcile",
     "ReconciliationError",
+    "bfs_levels",
+    "salted_join",
+    "asof_join",
 ]

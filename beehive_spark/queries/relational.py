@@ -593,3 +593,51 @@ def string_funcs_suite(spark, sf_dir):
         ),
         F.regexp_extract("c_name", "[0-9]+$", 0).alias("digits"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Sliding-window aggregation (overlapping windows; streaming twin shape)
+# ---------------------------------------------------------------------------
+@query(
+    "events_sliding_agg",
+    oracle="""
+    WITH grid AS (
+      SELECT date_trunc('hour', ts)
+               + CAST(floor(extract(minute FROM ts) / 15) * 15 AS INTEGER)
+                 * INTERVAL 1 MINUTE AS bucket,
+             value
+      FROM events
+    ),
+    wins AS (
+      SELECT bucket - i.i * INTERVAL 15 MINUTE AS ws, value
+      FROM grid, (SELECT UNNEST([0, 1, 2, 3]) AS i) i
+    )
+    SELECT STRFTIME(ws, '%Y-%m-%d %H:%M:%S') AS window_start,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           ROUND(SUM(value), 2) AS sum_value
+    FROM wins
+    GROUP BY ws
+    """,
+)
+def events_sliding_agg(spark, sf_dir):
+    """1-hour windows sliding every 15 minutes: each event lands in 4
+    overlapping windows (Spark expands the window expression into the
+    4 epoch-aligned assignments before the single groupBy shuffle —
+    the same plan Structured Streaming runs incrementally).  The
+    oracle derives the identical window set from the 15-minute epoch
+    grid."""
+    e = load(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "1 hour", "15 minutes").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .select(
+            F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias(
+                "window_start"
+            ),
+            "n_events",
+            "sum_value",
+        )
+    )
