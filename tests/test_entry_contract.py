@@ -1,0 +1,46 @@
+"""Guards on the driver contract (__spark_entry__): the flagship
+entry must produce rows, every oracle must belong to a registered
+query, and registration must be collision-free."""
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import __spark_entry__ as entrymod
+
+
+def test_entry_returns_rows(spark):
+    df = entrymod.entry(spark)
+    assert df.count() > 0
+    assert len(df.columns) == 10  # stable flagship schema
+
+
+def test_registry_consistency():
+    qs = entrymod.queries()
+    oracles = entrymod.oracle_sql()
+    assert len(qs) >= 60
+    # every oracle belongs to a registered query
+    assert set(oracles) <= set(qs)
+    # the approximate ops are the only rows-only entries
+    rows_only = set(qs) - set(oracles)
+    assert rows_only == {
+        "dedup_minhash_lsh",
+        "dedup_simhash",
+        "similarity_ann_lsh",
+        "similarity_ann_ivf",
+        "approx_sketches",
+    }
+
+
+def test_all_queries_run_at_smallest_sf(spark):
+    """Every registered query must at least plan and execute at
+    sf0.001 (the driver's smoke tier) — count() forces execution."""
+    sf = "/root/testdata/sf0.001"
+    failures = {}
+    for name, fn in entrymod.queries().items():
+        try:
+            fn(spark, sf).count()
+        except Exception as e:  # pragma: no cover - report which broke
+            failures[name] = repr(e)[:200]
+    assert not failures, failures
