@@ -49,7 +49,9 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         from pyspark.sql import functions as F
 
-        df = df.withColumn("ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
+        # integer `div`, not `/`: epoch-nanos (~8.5e17) exceed double's
+        # 53-bit exact range, so float division can land on the wrong µs
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     return df
 
 
@@ -65,6 +67,42 @@ def all_oracles() -> dict[str, str]:
 
 _loaded = False
 
+# Registry order is the driver's ORACLE-VERIFICATION order, and the driver
+# differentially checks the FIRST 50 registered queries per round.  With 70
+# registered queries the window must rotate: round 1 verified the first 50
+# by import order (everything except TPC-H q4, q6-q22 — see
+# CORRECTNESS_r01.json); this explicit priority list puts the full TPC-H
+# suite plus every query CHANGED OR ADDED this round inside the window, and
+# rotates queries that already passed rows+schema+hash in round 1 unchanged
+# to the back.  Union over rounds = every oracle-bearing query verified.
+_PRIORITY = [
+    # full TPC-H suite (oracle-unchecked in round 1 — VERDICT.md top ask)
+    "q1_pricing_summary", "q2_min_cost_supplier", "q3_shipping_priority",
+    "q4_order_priority", "q5_local_supplier", "q6_revenue_forecast",
+    "q7_volume_shipping", "q8_market_share", "q9_product_profit",
+    "q10_returned_items", "q11_important_stock", "q12_late_lines",
+    "q13_customer_distribution", "q14_promo_effect", "q15_top_supplier",
+    "q16_supplier_count", "q17_small_qty_revenue", "q18_large_volume_customer",
+    "q19_disjunctive_revenue", "q20_part_promotion", "q21_waiting_suppliers",
+    "q22_dormant_customers",
+    # changed or added in round 2 (must be re-verified)
+    "dedup_ngram_jaccard",        # hot-shingle df cap added
+    "assign_ids_scalable",        # new: distributed contiguous ids
+    "dedup_embedding_bucketed",   # new: within-bucket exact cosine
+    # events queries: the ns->us load conversion switched to integer div
+    "filter_compound", "events_windowed_agg", "events_sessionize",
+    "asof_join_purchases", "range_join_windows", "events_json_extract",
+    "events_pivot", "profile_events", "events_sliding_agg",
+    # reference-parity operators (merge-pipeline building blocks)
+    "assign_ids_window", "fk_remap_chain", "consolidate_mapping",
+    "disjunctive_match_users", "uuid_collision_semi", "anti_join_orphans",
+    "hierarchy_bfs", "self_fk_remap", "set_ops_chain", "dates_normalize",
+    # LLM-pipeline exact ops
+    "dedup_exact", "similarity_cosine_topk", "dedup_embedding_cosine",
+    # remaining analytics
+    "group_topn_window", "window_running_total", "not_in_null_semantics",
+]
+
 
 def _ensure_loaded() -> None:
     global _loaded
@@ -75,4 +113,13 @@ def _ensure_loaded() -> None:
         from beehive_spark.queries import relational  # noqa: F401
         from beehive_spark.queries import tpch  # noqa: F401
 
+        ordered = {n: _REGISTRY[n] for n in _PRIORITY if n in _REGISTRY}
+        rest = [n for n in _REGISTRY if n not in ordered]
+        # overflow: round-1-verified unchanged queries first, then the
+        # approximate (rows-only, no-oracle) ops last
+        rest.sort(key=lambda n: _REGISTRY[n][1] is None)
+        for n in rest:
+            ordered[n] = _REGISTRY[n]
+        _REGISTRY.clear()
+        _REGISTRY.update(ordered)
         _loaded = True
