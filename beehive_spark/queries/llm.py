@@ -72,6 +72,32 @@ def dedup_exact(spark, sf_dir):
 # ---------------------------------------------------------------------------
 # Near-duplicate detection: exact n-gram Jaccard via inverted index
 # ---------------------------------------------------------------------------
+def _jaccard_candidates(sh, df_cap: int | None):
+    """Candidate (doc_i < doc_j) pairs from an exploded (doc_id, s)
+    shingle index, with the hot-shingle document-frequency cap.
+
+    Shingles occurring in more than ``df_cap`` documents are dropped
+    from the INDEX before the self-join: one boilerplate shingle shared
+    by k documents otherwise contributes k^2 join rows — the classic
+    skew blowup at corpus scale.  With the cap, each surviving posting
+    list yields at most df_cap^2 rows, so total join size is bounded by
+    (#shingles * df_cap^2) regardless of how hot any shingle gets.  The
+    hot list itself is tiny (at most total-postings/df_cap entries), so
+    it broadcasts."""
+    if df_cap is not None:
+        dfc = sh.groupBy("s").agg(F.count(F.lit(1)).alias("df"))
+        hot = dfc.filter(F.col("df") > df_cap).select("s")
+        sh = sh.join(F.broadcast(hot), "s", "left_anti")
+    a = sh.alias("a")
+    b = sh.alias("b")
+    return (
+        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(F.col("a.doc_id").alias("doc_i"), F.col("b.doc_id").alias("doc_j"))
+        .distinct()
+    )
+
+
+
 @query(
     "dedup_ngram_jaccard",
     oracle="""
@@ -99,46 +125,49 @@ def dedup_exact(spark, sf_dir):
     WHERE CAST(c AS DOUBLE) / (si.sz + sj.sz - c) >= 0.5
     """,
 )
-def dedup_ngram_jaccard(spark, sf_dir):
+def dedup_ngram_jaccard(spark, sf_dir, df_cap: int = 100):
     """Near-dup pairs with exact word-3-gram Jaccard >= 0.5, computed
-    through an inverted shingle index (explode + equi-join + count)
-    rather than any pairwise cross join — the join key is the shingle,
-    so at 100 TB the shuffle is bounded by shingle frequency, and a
-    hot-shingle cap (not needed at this corpus size) would bound skew.
+    through an inverted shingle index (explode + equi-join) rather than
+    any pairwise cross join.
 
-    Shingles are xxhash64-hashed before the join: the shuffled key is
-    8 bytes instead of a ~30-byte string (collision odds at ~2^-64 per
-    pair of distinct shingles are far below any other error source),
-    and the index is persisted because the plan consumes it three
-    times (both self-join sides + per-doc sizes)."""
+    Two stages, both skew-bounded:
+
+    1. candidate generation through the df-capped index (see
+       :func:`_jaccard_candidates`) — shingles hotter than ``df_cap``
+       docs never join, so the shuffle is bounded even when the corpus
+       shares boilerplate;
+    2. exact verification: candidates join back to their FULL distinct
+       shingle-hash sets and Jaccard is computed with array_intersect —
+       linear in the candidate count, and the reported value is exact
+       (the cap affects only which pairs are *considered*; a true
+       near-dup pair evades it only if every shared shingle exceeds
+       df_cap, i.e. the overlap is pure boilerplate).
+
+    Shingles are xxhash64-hashed: the shuffled key is 8 bytes instead
+    of a ~30-byte string (collision odds ~2^-64 per distinct-shingle
+    pair are far below any other error source).  The hashed-set frame
+    is persisted because candidates and verification both consume it."""
     d = load(spark, sf_dir, "documents")
     toks = d.select("doc_id", _tokens(F.col("text")).alias("w"))
-    sh = (
+    hsets = (
         toks.filter(F.size("w") >= 3)
-        .select("doc_id", F.explode(_shingles(F.col("w"))).alias("raw"))
-        .select("doc_id", F.xxhash64("raw").alias("s"))
+        .select(
+            "doc_id",
+            F.transform(_shingles(F.col("w")), lambda s: F.xxhash64(s)).alias("hs"),
+        )
         .persist()
     )
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
-    a = sh.alias("a")
-    b = sh.alias("b")
-    common = (
-        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .groupBy(F.col("a.doc_id").alias("i"), F.col("b.doc_id").alias("j"))
-        .agg(F.count(F.lit(1)).alias("c"))
-    )
-    si = sizes.select(F.col("doc_id").alias("i"), F.col("sz").alias("szi"))
-    sj = sizes.select(F.col("doc_id").alias("j"), F.col("sz").alias("szj"))
-    jac = F.col("c").cast("double") / (F.col("szi") + F.col("szj") - F.col("c"))
+    sh = hsets.select("doc_id", F.explode("hs").alias("s"))
+    cands = _jaccard_candidates(sh, df_cap)
+    ci = hsets.select(F.col("doc_id").alias("doc_i"), F.col("hs").alias("si"))
+    cj = hsets.select(F.col("doc_id").alias("doc_j"), F.col("hs").alias("sj"))
+    inter = F.size(F.array_intersect("si", "sj")).cast("double")
+    jac = inter / (F.size("si") + F.size("sj") - inter)
     return (
-        common.join(F.broadcast(si), "i")
-        .join(F.broadcast(sj), "j")
-        .filter(jac >= 0.5)
-        .select(
-            F.col("i").alias("doc_i"),
-            F.col("j").alias("doc_j"),
-            F.round(jac, 4).alias("jaccard"),
-        )
+        cands.join(ci, "doc_i")
+        .join(cj, "doc_j")
+        .filter(jac >= 0.5)  # filter unrounded, exactly like the oracle
+        .select("doc_i", "doc_j", F.round(jac, 4).alias("jaccard"))
     )
 
 

