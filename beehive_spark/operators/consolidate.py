@@ -54,6 +54,7 @@ def consolidate(
     next_id_base: int = 1,
     order_cols: list[str] | None = None,
     broadcast_dst: bool = True,
+    id_mode: str = "scalable",
 ) -> ConsolidateResult:
     """Generic consolidation (replaces utils.js:83-150 and all J4 clones).
 
@@ -87,7 +88,8 @@ def consolidate(
     )
     to_insert = s.join(dkeys, cond, "left_anti")
     to_insert = assign_ids(
-        to_insert, src_pk, order_cols=order_cols or [src_pk], base=next_id_base
+        to_insert, src_pk, order_cols=order_cols or [src_pk], base=next_id_base,
+        mode=id_mode,
     )
     new_mapping = to_insert.select(
         F.col(src_pk).alias("src_id"), F.col("dest_id").cast("long").alias("dest_id")

@@ -11,14 +11,17 @@ order — a single-partition sort of just the key columns.  That is
 acceptable per-table (keys are a few GB even at 100 TB of fact
 data), but for the largest tables we also provide a scalable mode:
 
-- mode="contiguous": exact parity; global window. The sort runs on
-  a pruned (order_cols only) projection, so the shuffled payload is
-  narrow even when the table is wide.
-- mode="scalable": two-stage zipWithIndex-style assignment — count
+- mode="scalable" (default): range-repartition on order_cols, count
   rows per partition, prefix-sum the counts on the driver (tiny),
-  then offset a per-partition row_number.  No global shuffle; ids
-  are contiguous but ordered only by (partition, order_cols) — use
-  when global FIFO ordering is not semantically required.
+  then offset a per-partition row_number.  Because range partitions
+  are globally ordered, the result ids EQUAL the global
+  ``row_number() OVER (ORDER BY order_cols)`` whenever order_cols
+  is a unique key — identical output to contiguous mode with no
+  single-partition window.  Sort work is distributed: one range
+  exchange plus per-partition sorts, the plan that survives 100 TB.
+- mode="contiguous": the literal global window (single-partition
+  sort of the pruned order_cols projection).  Kept as the
+  strict-parity opt-in; prefer scalable.
 - mode="hash": ``dest_id = xxhash64(source_tag, src_id)`` —
   deterministic, shuffle-free, non-contiguous; the 100 TB design
   choice when nothing downstream needs density (SURVEY.md §7.4).
@@ -47,8 +50,9 @@ def assign_ids(
     order_cols: list[str] | None = None,
     base: int = 1,
     out_col: str = "dest_id",
-    mode: str = "contiguous",
+    mode: str = "scalable",
     source_tag: str | None = None,
+    num_partitions: int | None = None,
 ) -> DataFrame:
     """Attach a deterministic destination id column to every row.
 
@@ -57,6 +61,10 @@ def assign_ids(
     DataFrame* used by :func:`beehive_spark.operators.remap.remap_fks`
     (replaces the reference's driver-side ``Map<srcId,destId>``,
     preparation.js:10-29).
+
+    scalable and contiguous produce IDENTICAL ids when order_cols is a
+    unique key (callers append src_pk as tiebreak); they differ only in
+    physical plan — scalable distributes the sort.
     """
     if order_cols is None:
         order_cols = [src_pk]
@@ -64,10 +72,23 @@ def assign_ids(
         w = Window.orderBy(*[F.col(c) for c in order_cols])
         return df.withColumn(out_col, (F.lit(base) + F.row_number().over(w) - 1).cast("long"))
     if mode == "scalable":
-        # Per-partition row_number offset by a driver-side prefix sum of
-        # partition counts: contiguous ids without a global sort.
-        part = F.spark_partition_id()
-        dfp = df.withColumn("__pid", part)
+        # Range-repartition on the order key so partition p holds keys
+        # strictly below partition p+1's, then offset a per-partition
+        # row_number by a driver-side prefix sum of partition counts:
+        # ids equal the global rank without a global single-partition
+        # sort.  The counts collect is one tiny job (num_partitions
+        # rows), the price of density without a serial window.
+        ocols = [F.col(c) for c in order_cols]
+        n = num_partitions or df.sparkSession.conf.get("spark.sql.shuffle.partitions")
+        # persist: the counts job and the id job must see the SAME range
+        # boundaries (repartitionByRange samples per execution, so an
+        # unpersisted lineage could re-sample between the two jobs and
+        # misalign the offsets)
+        dfp = (
+            df.repartitionByRange(int(n), *ocols)
+            .withColumn("__pid", F.spark_partition_id())
+            .persist()
+        )
         counts = {
             r["__pid"]: r["cnt"]
             for r in dfp.groupBy("__pid").agg(F.count(F.lit(1)).alias("cnt")).collect()
@@ -79,7 +100,7 @@ def assign_ids(
         off_map = F.create_map(
             *[x for pid, off in sorted(offsets.items()) for x in (F.lit(pid), F.lit(off))]
         )
-        w = Window.partitionBy("__pid").orderBy(*[F.col(c) for c in order_cols])
+        w = Window.partitionBy("__pid").orderBy(*ocols)
         return (
             dfp.withColumn(out_col, (off_map[F.col("__pid")] + F.row_number().over(w) - 1).cast("long"))
             .drop("__pid")

@@ -186,7 +186,10 @@ class MergePipeline:
                     movers = sdf.join(F.broadcast(pre_keys), spec.pk, "left_anti")
                 base = next_id_base(ddf, spec.pk) if ddf is not None else 1
                 order = [spec.order_col, spec.pk] if spec.order_col else [spec.pk]
-                with_ids = assign_ids(movers, spec.pk, order_cols=order, base=base)
+                with_ids = assign_ids(
+                    movers, spec.pk, order_cols=order, base=base,
+                    mode=spec.id_mode, source_tag=self.source_tag,
+                )
                 m = with_ids.select(
                     F.col(spec.pk).alias("src_id"),
                     F.col("dest_id").cast("long").alias("dest_id"),
@@ -196,6 +199,19 @@ class MergePipeline:
                 mappings[t] = m.cache()
                 to_insert[t] = with_ids
             elif spec.mode == "consolidate":
+                if ddf is None:
+                    # consolidate against an absent dst table degrades to
+                    # a plain move (nothing to match business keys on)
+                    with_ids = assign_ids(
+                        sdf, spec.pk, order_cols=[spec.order_col or spec.pk],
+                        base=1, mode=spec.id_mode,
+                    )
+                    mappings[t] = with_ids.select(
+                        F.col(spec.pk).alias("src_id"),
+                        F.col("dest_id").cast("long").alias("dest_id"),
+                    ).cache()
+                    to_insert[t] = with_ids
+                    continue
                 fk_premaps = {
                     col: mappings[ref]
                     for col, ref in spec.business_premaps.items()
@@ -210,6 +226,7 @@ class MergePipeline:
                     fk_premaps=fk_premaps or None,
                     next_id_base=next_id_base(ddf, spec.pk),
                     order_cols=[spec.order_col or spec.pk],
+                    id_mode=spec.id_mode,
                 )
                 mappings[t] = res.mapping.cache()
                 to_insert[t] = res.to_insert

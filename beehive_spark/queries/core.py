@@ -294,11 +294,39 @@ def fk_remap_chain(spark, sf_dir):
 )
 def assign_ids_window(spark, sf_dir):
     """Contiguous dest-id assignment (A2, reference utils.js:11-26 +
-    nextId++ in every preparer) as base + row_number."""
+    nextId++ in every preparer) as base + row_number — the strict-parity
+    global-window mode."""
     c = load(spark, sf_dir, "customer")
-    return assign_ids(c.select("c_custkey"), "c_custkey", base=5000).select(
-        F.col("c_custkey").alias("src_id"), F.col("dest_id")
-    )
+    return assign_ids(
+        c.select("c_custkey"), "c_custkey", base=5000, mode="contiguous"
+    ).select(F.col("c_custkey").alias("src_id"), F.col("dest_id"))
+
+
+@query(
+    "assign_ids_scalable",
+    oracle="""
+    SELECT o_orderkey AS src_id,
+           CAST(100000 + ROW_NUMBER() OVER (ORDER BY o_orderdate, o_orderkey) - 1
+                AS BIGINT) AS dest_id
+    FROM orders
+    """,
+)
+def assign_ids_scalable(spark, sf_dir):
+    """Distributed contiguous dest-id assignment (A2 at scale): range
+    repartition on the order key + per-partition row_number offset by a
+    prefix sum of partition counts.  Ids equal the global
+    ROW_NUMBER() OVER (ORDER BY o_orderdate, o_orderkey) — same output
+    as contiguous mode, but the sort is a range exchange across
+    partitions instead of a single-partition window (the WindowExec
+    'No Partition Defined' path this replaces as the pipeline default)."""
+    o = load(spark, sf_dir, "orders")
+    return assign_ids(
+        o.select("o_orderkey", "o_orderdate"),
+        "o_orderkey",
+        order_cols=["o_orderdate", "o_orderkey"],
+        base=100000,
+        mode="scalable",
+    ).select(F.col("o_orderkey").alias("src_id"), "dest_id")
 
 
 # ---------------------------------------------------------------------------
