@@ -26,16 +26,25 @@ def salted_join(
     on: str,
     salt: int = 8,
     how: str = "inner",
+    seed: int = 42,
 ) -> DataFrame:
     """Equi-join ``large`` with ``small`` on ``on`` with salt-scattered
     keys.  Semantics match ``large.join(small, on, how)`` for inner and
     left joins (each large row matches exactly the same small rows —
     salting only changes physical placement).
+
+    The salt is ``xxhash64(<all columns>, seed) % salt`` — a pure
+    function of row content, so plans are deterministic across retries
+    and replays (``monotonically_increasing_id``/``rand`` are not).
+    Hashing the whole row (not just the join key) is what scatters a
+    hot key: its rows differ in the other columns.  Only pathological
+    full-row duplicates share a salt, and those collapse in size anyway.
     """
     if how not in ("inner", "left"):
         raise ValueError("salted_join supports inner/left joins")
     lg = large.withColumn(
-        "__salt", (F.pmod(F.xxhash64(F.monotonically_increasing_id()), F.lit(salt)))
+        "__salt",
+        F.pmod(F.xxhash64(*[F.col(c) for c in large.columns], F.lit(seed)), F.lit(salt)),
     )
     sm = small.withColumn(
         "__salt", F.explode(F.array(*[F.lit(i) for i in range(salt)]))

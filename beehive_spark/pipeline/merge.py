@@ -161,7 +161,39 @@ class MergePipeline:
         person_premap = excl_pmap.unionByName(matched_pmap).distinct()
         return user_premap, person_premap
 
-    def build_mappings(self, src, dst):
+    # -- mapping persistence (preparation.js:107-132 'persist' mode) -------
+
+    def _map_path(self, map_dir: str, table: str) -> str:
+        # hive-style partition dir: reading {map_dir}/{table} yields a
+        # `source` partition column across every merged source instance
+        return os.path.join(map_dir, table, f"source={self.source_tag}")
+
+    def _load_persisted(self, map_dir: str | None, table: str) -> DataFrame | None:
+        """Persisted (src_id, dest_id, is_new) for this source, or None."""
+        if map_dir is None:
+            return None
+        path = self._map_path(map_dir, table)
+        if not os.path.exists(os.path.join(path, "_SUCCESS")):
+            return None
+        return self.spark.read.parquet(path)
+
+    def _persist(self, map_dir: str | None, table: str, wide: DataFrame) -> DataFrame:
+        """Durably write a mapping and return the re-read frame.
+
+        What makes a 100 TB merge restartable mid-job: phase 1 (id
+        assignment) is the expensive, order-sensitive state; once each
+        table's map hits parquet, a crashed run resumes with every
+        completed map loaded instead of recomputed, and downstream
+        joins read lineage-free durable data (no recompute-on-retry of
+        the range-sort behind `assign_ids`).
+        """
+        if map_dir is None:
+            return wide
+        path = self._map_path(map_dir, table)
+        wide.write.mode("overwrite").parquet(path)
+        return self.spark.read.parquet(path)
+
+    def build_mappings(self, src, dst, map_dir: str | None = None):
         """Phase 1: complete (src_id -> dest_id) mapping per table."""
         mappings: dict[str, DataFrame] = {}
         to_insert: dict[str, DataFrame] = {}
@@ -178,8 +210,18 @@ class MergePipeline:
                 continue
             sdf = src[t]
             ddf = dst.get(t)
+            persisted = self._load_persisted(map_dir, t)
             if spec.mode == "move":
                 pre = premaps.get(t)
+                if persisted is not None:
+                    # resume: ids come from the durable map, never re-sorted
+                    new_map = persisted.filter("is_new")
+                    to_insert[t] = sdf.join(
+                        new_map.select(F.col("src_id").alias(spec.pk), "dest_id"),
+                        spec.pk,
+                    )
+                    mappings[t] = persisted.select("src_id", "dest_id").cache()
+                    continue
                 movers = sdf
                 if pre is not None:
                     pre_keys = pre.select(F.col("src_id").alias(spec.pk))
@@ -194,11 +236,37 @@ class MergePipeline:
                     F.col(spec.pk).alias("src_id"),
                     F.col("dest_id").cast("long").alias("dest_id"),
                 )
+                wide = m.withColumn("is_new", F.lit(True))
                 if pre is not None:
                     m = m.unionByName(pre)
-                mappings[t] = m.cache()
-                to_insert[t] = with_ids
+                    wide = wide.unionByName(pre.withColumn("is_new", F.lit(False)))
+                if map_dir is not None:
+                    wide = self._persist(map_dir, t, wide)
+                    mappings[t] = wide.select("src_id", "dest_id").cache()
+                    to_insert[t] = sdf.join(
+                        wide.filter("is_new").select(
+                            F.col("src_id").alias(spec.pk), "dest_id"
+                        ),
+                        spec.pk,
+                    )
+                else:
+                    mappings[t] = m.cache()
+                    to_insert[t] = with_ids
             elif spec.mode == "consolidate":
+                fk_premaps = {
+                    col: mappings[ref]
+                    for col, ref in spec.business_premaps.items()
+                    if ref in mappings
+                }
+                if persisted is not None:
+                    s = remap_fks(sdf, fk_premaps, on_missing="null") if fk_premaps else sdf
+                    new_map = persisted.filter("is_new")
+                    to_insert[t] = s.join(
+                        new_map.select(F.col("src_id").alias(spec.pk), "dest_id"),
+                        spec.pk,
+                    )
+                    mappings[t] = persisted.select("src_id", "dest_id").cache()
+                    continue
                 if ddf is None:
                     # consolidate against an absent dst table degrades to
                     # a plain move (nothing to match business keys on)
@@ -206,17 +274,14 @@ class MergePipeline:
                         sdf, spec.pk, order_cols=[spec.order_col or spec.pk],
                         base=1, mode=spec.id_mode,
                     )
-                    mappings[t] = with_ids.select(
+                    m = with_ids.select(
                         F.col(spec.pk).alias("src_id"),
                         F.col("dest_id").cast("long").alias("dest_id"),
-                    ).cache()
+                    )
+                    self._persist(map_dir, t, m.withColumn("is_new", F.lit(True)))
+                    mappings[t] = m.cache()
                     to_insert[t] = with_ids
                     continue
-                fk_premaps = {
-                    col: mappings[ref]
-                    for col, ref in spec.business_premaps.items()
-                    if ref in mappings
-                }
                 res = consolidate(
                     sdf,
                     ddf,
@@ -228,6 +293,15 @@ class MergePipeline:
                     order_cols=[spec.order_col or spec.pk],
                     id_mode=spec.id_mode,
                 )
+                if map_dir is not None:
+                    new_flag = res.to_insert.select(
+                        F.col(spec.pk).alias("src_id"), F.lit(True).alias("is_new")
+                    )
+                    wide = (
+                        res.mapping.join(new_flag, "src_id", "left")
+                        .withColumn("is_new", F.coalesce("is_new", F.lit(False)))
+                    )
+                    self._persist(map_dir, t, wide)
                 mappings[t] = res.mapping.cache()
                 to_insert[t] = res.to_insert
             elif spec.mode == "pk_mapped":
@@ -301,6 +375,7 @@ class MergePipeline:
         provenance: DataFrame | None = None,
         dry_run: bool = False,
         out_dir: str | None = None,
+        map_dir: str | None = None,
     ) -> MergeResult:
         self.check_provenance(provenance)
         self.check_integrity(src)
@@ -314,7 +389,7 @@ class MergePipeline:
                     src = dict(src)
                     src[t] = uuid_fixpoint(src[t], dst[t], spec.pk)
 
-        mappings, to_insert, _ = self.build_mappings(src, dst)
+        mappings, to_insert, _ = self.build_mappings(src, dst, map_dir=map_dir)
 
         merged: dict[str, DataFrame] = {}
         moved: dict[str, int] = {}
@@ -352,11 +427,19 @@ class MergePipeline:
         then move into place; a failed run leaves no partial output."""
         staging = os.path.join(out_dir, f"_staging_{self.source_tag}")
         final = os.path.join(out_dir, "merged")
+        backup = final + ".old"
         if os.path.exists(staging):
             shutil.rmtree(staging)
         for t, df in merged.items():
             df.write.mode("overwrite").parquet(os.path.join(staging, t))
+        # Two renames instead of rmtree-then-rename: a crash between them
+        # leaves either the old output at `final` or at `backup`, never a
+        # window with no good version on disk.
+        if os.path.exists(backup):
+            shutil.rmtree(backup)
         if os.path.exists(final):
-            shutil.rmtree(final)
+            os.replace(final, backup)
         os.replace(staging, final)
+        if os.path.exists(backup):
+            shutil.rmtree(backup)
         return final
