@@ -53,12 +53,44 @@ _FEATURE_SCHEMA = T.StructType(
 )
 
 
-def _decode_real(content: bytes, meta) -> bytes:  # pragma: no cover
-    """Real codec hook — requires PIL/ffmpeg, absent in this container."""
-    raise NotImplementedError(
-        "media decoding requires an image/audio library not available here; "
-        "install PIL/ffmpeg and replace _decode_real"
-    )
+try:  # optional extra: real image codec when Pillow is installed
+    from PIL import Image as _PILImage
+
+    HAS_PIL = True
+except ImportError:  # container default: deterministic fakes only
+    _PILImage = None
+    HAS_PIL = False
+
+
+def _decode_real(content: bytes, meta) -> bytes:
+    """Decode image bytes to raw RGB via Pillow when installed.
+
+    ``use_real_decoder=True`` is an explicit request for real pixels,
+    so without the library this raises instead of silently faking;
+    callers that can run either way should branch on ``HAS_PIL``.
+    """
+    if not HAS_PIL:  # pragma: no cover - exercised only without Pillow
+        raise NotImplementedError(
+            "media decoding requires Pillow, which is not installed; "
+            "pip install Pillow enables the use_real_decoder=True path"
+        )
+    import io
+
+    with _PILImage.open(io.BytesIO(content)) as img:
+        return img.convert("RGB").tobytes()
+
+
+def _resize_real(content: bytes, width: int, height: int) -> bytes:
+    """Real image resample to (width, height) raw RGB via Pillow."""
+    if not HAS_PIL:  # pragma: no cover - exercised only without Pillow
+        raise NotImplementedError(
+            "image resizing requires Pillow, which is not installed; "
+            "pip install Pillow enables the use_real_decoder=True path"
+        )
+    import io
+
+    with _PILImage.open(io.BytesIO(content)) as img:
+        return img.convert("RGB").resize((width, height)).tobytes()
 
 
 def _feature_fake(content: bytes) -> list[float]:
@@ -169,12 +201,13 @@ def resize_images(
             for content, meta in zip(pdf["content"], pdf["meta"]):
                 b = bytes(content) if content is not None else b""
                 if use_real_decoder:
-                    b = _decode_real(b, meta)
-                # deterministic fake "resample": stretch the digest to
-                # exactly width*height bytes
-                seed = hashlib.sha256(b).digest()
-                reps = out_len // len(seed) + 1
-                out_content.append((seed * reps)[:out_len])
+                    out_content.append(_resize_real(b, width, height))
+                else:
+                    # deterministic fake "resample": stretch the digest
+                    # to exactly width*height bytes
+                    seed = hashlib.sha256(b).digest()
+                    reps = out_len // len(seed) + 1
+                    out_content.append((seed * reps)[:out_len])
                 m = dict(meta) if meta is not None else {}
                 m["width"], m["height"] = width, height
                 out_meta.append(m)

@@ -874,69 +874,151 @@ def similarity_ann_lsh(spark, sf_dir):
 # ---------------------------------------------------------------------------
 # Approximate nearest neighbors: IVF (inverted-file) coarse quantizer
 # ---------------------------------------------------------------------------
+def _codebook_sims(cents: list):
+    """``array<struct<sim,cid>>`` of dot products between the
+    unit-vector column ``en`` and a driver-held codebook.
+
+    Built as ONE nested array literal consumed by a single ``transform``
+    lambda: the expression tree carries the k*dim codebook literals
+    once.  The obvious alternative — k separate
+    ``aggregate(zip_with(en, <dim literals>))`` expressions — embeds the
+    codebook k times over and sent Catalyst analysis/codegen time from
+    ~1s to ~27s per query at k=16, dim=64."""
+    cl = F.array(*[F.array(*[F.lit(float(x)) for x in c]) for c in cents])
+    return F.transform(
+        cl,
+        lambda c, i: F.named_struct(
+            F.lit("sim"),
+            F.aggregate(
+                F.zip_with(F.col("en"), c, lambda a, b: a * b),
+                F.lit(0.0),
+                lambda a, x: a + x,
+            ),
+            F.lit("cid"),
+            i,
+        ),
+    )
+
+
+def _train_ivf_codebook(
+    emb_n, k: int = 16, iters: int = 10, sample_cap: int = 8192
+) -> list:
+    """Spherical k-means codebook over a unit-normalized array column
+    ``en``, trained on a bounded deterministic sample driver-side —
+    the way FAISS/ScaNN train coarse quantizers.
+
+    Codebook quality needs only ~hundreds of vectors per centroid, so
+    training cost is O(sample_cap * k * dim) numpy work regardless of
+    corpus size; the full corpus is only ever touched by the JVM-side
+    assignment projection in the caller.  (A distributed Lloyd loop was
+    tried first: each iteration's tiny groupBy job paid ~2.5s of
+    Catalyst analysis+codegen on the k*dim-literal assignment
+    expression — 10s+ per query for no quality gain at any scale where
+    a sample fits the driver.)
+
+    Determinism: the sample is a content-hash filter
+    (``xxhash64(vec_id) % m == 0`` — partition-count independent),
+    sorted by vec_id driver-side; init is k evenly-spaced sample
+    vectors; Lloyd is plain argmax/mean with ties broken by index.
+    Empty clusters keep their previous centroid.
+    """
+    import numpy as np
+
+    n = emb_n.count()
+    if n > sample_cap:
+        m = max(1, n // sample_cap)
+        samp = emb_n.filter(F.pmod(F.xxhash64(F.col("vec_id")), F.lit(m)) == 0)
+    else:
+        samp = emb_n
+    rows = sorted(samp.collect(), key=lambda r: r["vec_id"])[:sample_cap]
+    X = np.array([list(r["en"]) for r in rows])
+    k = max(1, min(k, len(X)))
+    step = max(1, len(X) // k)
+    C = X[::step][:k].copy()
+    for _ in range(iters):
+        a = (X @ C.T).argmax(axis=1)
+        for j in range(k):
+            members = X[a == j]
+            if len(members):
+                v = members.sum(axis=0)
+                C[j] = v / (np.linalg.norm(v) or 1.0)
+    return [[float(x) for x in c] for c in C]
+
+
 @query("similarity_ann_ivf")  # approximate -> rows-only driver check
-def similarity_ann_ivf(spark, sf_dir, nprobe: int = 6):
-    """ANN via IVF: a deterministic coarse quantizer (every 97th vector
-    serves as a centroid — a stand-in for a trained k-means codebook,
-    which would be data-dependent and non-deterministic), corpus
-    vectors assigned to their nearest centroid's inverted list, and
-    each query probing only its nprobe closest lists.
+def similarity_ann_ivf(spark, sf_dir, nprobe: int = 6, k: int = 16, replicas: int = 3):
+    """ANN via IVF with a TRAINED coarse quantizer: a spherical k-means
+    codebook (`_train_ivf_codebook`, deterministic sample + 10 Lloyd
+    iterations), corpus vectors multi-assigned to their top-`replicas`
+    centroid lists, each query probing its nprobe closest lists, and
+    exact cosine re-ranking the union of probed lists.
 
-    The scale shape is the point: assignment is a corpus x centroids
-    broadcast join (centroids are tiny by construction), and candidate
-    generation is an EQUI join on centroid_id — the corpus is never
-    cross-joined with the query set.  Probed fraction ~ nprobe/k, so
-    compute drops linearly with the codebook size while recall stays
-    high for clustered data.  Exact cosine re-ranks the candidates,
-    identical to the brute-force baseline's scoring.
+    The scale shape is the point: the codebook is driver-held and tiny
+    (k*dim floats), so BOTH assignment and probe selection are pure JVM
+    projections (array_max / array_sort over k literal dot products) —
+    no shuffle, no join, exactly the broadcast-centroid pattern MLlib
+    uses.  Candidate generation is then a single EQUI join on
+    centroid_id; the corpus is never cross-joined with the query set.
+    Index size is replicas*n rows; expected scored fraction ~
+    min(1, replicas*nprobe/k) in the worst (isotropic) case, and ~
+    nprobe/k on genuinely clustered corpora where a vector's top lists
+    coincide with its cluster.
 
-    Measured top-5 recall vs similarity_cosine_topk on the synthetic
-    (weakly clustered) testdata: 1.0 at sf0.01 and 0.72 at sf0.1 with
-    nprobe=6 (~29%% of lists probed); real trained codebooks on
-    clustered corpora do far better at the same probe budget."""
+    Measured vs similarity_cosine_topk (brute force) at nprobe=6, k=16,
+    replicas=3 (scripts/measure_ivf_recall.py): recall@5 = 0.96 at
+    sf0.01 and 0.96 at sf0.1, scoring ~78% of the corpus per query.
+    The untrained every-97th-vector quantizer this replaced measured
+    0.72 at sf0.1.  The synthetic corpus is near-isotropic (top-1
+    neighbor cosine ~0.4, neighbor labels scattered across clusters —
+    ANN's worst case), which is why high recall needs multi-assignment
+    here; on real embedding corpora with cluster structure the same
+    settings probe a far smaller fraction."""
     e = load(spark, sf_dir, "embeddings")
-    emb = e.select("vec_id", F.col("embedding").cast("array<double>").alias("e"))
-    cent = emb.filter(F.pmod("vec_id", F.lit(97)) == 0).select(
-        F.col("vec_id").alias("centroid_id"), F.col("e").alias("cv")
-    )
     norm = lambda col: F.sqrt(F.aggregate(col, F.lit(0.0), lambda a, x: a + x * x))  # noqa: E731
-
-    def cos(u, v):
-        dot = F.aggregate(F.zip_with(u, v, lambda x, y: x * y), F.lit(0.0), lambda a, x: a + x)
-        return dot / (norm(u) * norm(v))
-
-    corpus = emb.filter(F.col("vec_id") >= 10).select(
-        F.col("vec_id").alias("neighbor_id"), F.col("e").alias("ce")
+    # norm in its own projection so it is computed once per row, not
+    # once per array element inside the transform lambda
+    emb = (
+        e.select("vec_id", F.col("embedding").cast("array<double>").alias("ed"))
+        .withColumn("nrm", norm(F.col("ed")))
+        .select(
+            "vec_id",
+            F.transform("ed", lambda x: x / F.col("nrm")).alias("en"),
+        )
     )
-    w_assign = Window.partitionBy("neighbor_id").orderBy(
-        F.col("csim").desc(), F.col("centroid_id")
-    )
+    cents = _train_ivf_codebook(emb.filter(F.col("vec_id") >= 10), k=k)
+    sims = _codebook_sims(cents)
+    # corpus side: each vector joins its top-`replicas` lists (IVF
+    # multi-assignment) — one projection + explode, no shuffle
     lists = (
-        corpus.crossJoin(F.broadcast(cent))
-        .withColumn("csim", cos(F.col("ce"), F.col("cv")))
-        .withColumn("rn", F.row_number().over(w_assign))
-        .filter(F.col("rn") == 1)
-        .select("centroid_id", "neighbor_id", "ce")
+        emb.filter(F.col("vec_id") >= 10)
+        .select(
+            F.col("vec_id").alias("neighbor_id"),
+            F.col("en").alias("ce"),
+            F.explode(F.slice(F.reverse(F.array_sort(sims)), 1, replicas)).alias("a"),
+        )
+        .select(F.col("a")["cid"].alias("centroid_id"), "neighbor_id", "ce")
     )
-    qs = emb.filter(F.col("vec_id") < 10).select(
-        F.col("vec_id").alias("query_id"), F.col("e").alias("qe")
-    )
-    w_probe = Window.partitionBy("query_id").orderBy(
-        F.col("csim").desc(), F.col("centroid_id")
-    )
+    # query side: top-nprobe centroids — sort the k-struct array, slice, explode
     probes = (
-        qs.crossJoin(F.broadcast(cent))
-        .withColumn("csim", cos(F.col("qe"), F.col("cv")))
-        .withColumn("rn", F.row_number().over(w_probe))
-        .filter(F.col("rn") <= nprobe)
-        .select("query_id", "centroid_id", "qe")
+        emb.filter(F.col("vec_id") < 10)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("en").alias("qe"),
+            F.explode(F.slice(F.reverse(F.array_sort(sims)), 1, nprobe)).alias("p"),
+        )
+        .select("query_id", "qe", F.col("p")["cid"].alias("centroid_id"))
     )
-    cands = probes.join(lists, "centroid_id")
+    cands = lists.join(F.broadcast(probes), "centroid_id").dropDuplicates(
+        ["query_id", "neighbor_id"]
+    )
+    dot = F.aggregate(
+        F.zip_with("qe", "ce", lambda x, y: x * y), F.lit(0.0), lambda a, x: a + x
+    )
     w_top = Window.partitionBy("query_id").orderBy(
         F.col("sim").desc(), F.col("neighbor_id")
     )
     return (
-        cands.withColumn("sim", cos(F.col("qe"), F.col("ce")))
+        cands.withColumn("sim", dot)  # inputs are unit vectors: dot == cosine
         .withColumn("rn", F.row_number().over(w_top))
         .filter(F.col("rn") <= 5)
         .select("query_id", "neighbor_id", F.round("sim", 4).alias("cosine"))

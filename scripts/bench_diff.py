@@ -1,0 +1,59 @@
+"""Per-query regression diff between two bench result files.
+
+Usage:
+    python scripts/bench_diff.py BENCH_r01.json current.json [--ratio 1.3]
+
+Accepts either the driver's wrapped format ({"parsed": {...}}) or the
+raw one-line JSON bench.py prints.  Exits 1 if any query regresses by
+more than --ratio (default 1.3x, the round-over-round budget from the
+round-1 review), so CI / the per-round loop can gate on it.
+"""
+
+import argparse
+import json
+import sys
+
+
+def load_bench(path: str) -> dict:
+    with open(path) as f:
+        d = json.load(f)
+    if "parsed" in d:
+        d = d["parsed"]
+    if "queries" not in d:
+        raise SystemExit(f"{path}: no 'queries' key — not a bench result")
+    return d
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("baseline")
+    ap.add_argument("current")
+    ap.add_argument("--ratio", type=float, default=1.3)
+    args = ap.parse_args()
+
+    base, cur = load_bench(args.baseline), load_bench(args.current)
+    bq, cq = base["queries"], cur["queries"]
+    regressions = []
+    print(f"{'query':<28} {'base':>8} {'cur':>8} {'ratio':>7}")
+    for name in sorted(set(bq) | set(cq)):
+        b, c = bq.get(name), cq.get(name)
+        if b is None or c is None:
+            print(f"{name:<28} {b or '-':>8} {c or '-':>8}    (only one side)")
+            continue
+        ratio = c / b if b else float("inf")
+        flag = "  << REGRESSION" if ratio > args.ratio else ""
+        print(f"{name:<28} {b:>8.3f} {c:>8.3f} {ratio:>6.2f}x{flag}")
+        if ratio > args.ratio:
+            regressions.append((name, b, c, ratio))
+    tb, tc = base.get("value"), cur.get("value")
+    if tb and tc:
+        print(f"{'TOTAL':<28} {tb:>8.3f} {tc:>8.3f} {tc / tb:>6.2f}x")
+    if regressions:
+        print(f"\n{len(regressions)} querie(s) over the {args.ratio}x budget", file=sys.stderr)
+        return 1
+    print("\nno regressions over budget")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -8,6 +8,7 @@ from pyspark.sql import functions as F
 from beehive_spark.functions.multimodal import (
     FEATURE_DIM,
     extract_features,
+    resize_images,
     wrap_as_media,
 )
 from beehive_spark.sources import (
@@ -144,3 +145,38 @@ def test_sample_frames_fans_out_bounded(spark, sf_dir):
         assert len(r["frame"]) == 32  # sha256 fake frame
     for v in per.values():
         assert sorted(v) == [(0, 0), (1, 1000), (2, 2000)]
+
+
+# -- optional real codec (Pillow) --------------------------------------
+# Exercised for real when Pillow is installed; skipped cleanly in the
+# codec-less container, where the explicit-request error is pinned
+# instead.
+
+def test_decode_real_raises_cleanly_without_pillow():
+    from beehive_spark.functions import multimodal as mm
+
+    if mm.HAS_PIL:
+        pytest.skip("Pillow installed - covered by the roundtrip test")
+    with pytest.raises(NotImplementedError, match="Pillow"):
+        mm._decode_real(b"\x00", None)
+    with pytest.raises(NotImplementedError, match="Pillow"):
+        mm._resize_real(b"\x00", 2, 2)
+
+
+def test_real_decoder_roundtrip_when_pillow_present(spark):
+    from beehive_spark.functions import multimodal as mm
+
+    if not mm.HAS_PIL:
+        pytest.skip("Pillow not installed - real codec path unavailable")
+    import io
+
+    from PIL import Image
+
+    buf = io.BytesIO()
+    Image.new("RGB", (6, 3), (10, 20, 30)).save(buf, "PNG")
+    df = spark.createDataFrame([(1, buf.getvalue())], "media_id long, payload binary")
+    media = wrap_as_media(df, "media_id", "payload")
+    resized = resize_images(media, 4, 2, use_real_decoder=True).collect()
+    assert len(resized[0]["content"]) == 4 * 2 * 3  # raw RGB bytes
+    feats = extract_features(media, use_real_decoder=True).collect()
+    assert feats[0]["n_bytes"] == 6 * 3 * 3  # decoded raw RGB length
