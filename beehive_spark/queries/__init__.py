@@ -89,6 +89,10 @@ _PRIORITY = [
     "dedup_ngram_jaccard",        # hot-shingle df cap added
     "assign_ids_scalable",        # new: distributed contiguous ids
     "dedup_embedding_bucketed",   # new: within-bucket exact cosine
+    "contamination_ngram",        # new: benchmark-leak check
+    "pack_sequences",             # new: concat-then-chunk packing
+    "mixture_stats",              # new: dataset mixture accounting
+    "stratified_sample",          # new: content-hash sampling
     # events queries: the ns->us load conversion switched to integer div
     "filter_compound", "events_windowed_agg", "events_sessionize",
     "asof_join_purchases", "range_join_windows", "events_json_extract",
@@ -96,12 +100,13 @@ _PRIORITY = [
     # reference-parity operators (merge-pipeline building blocks)
     "assign_ids_window", "fk_remap_chain", "consolidate_mapping",
     "disjunctive_match_users", "uuid_collision_semi", "anti_join_orphans",
-    "hierarchy_bfs", "self_fk_remap", "set_ops_chain", "dates_normalize",
+    "hierarchy_bfs", "self_fk_remap", "set_ops_chain",
     # LLM-pipeline exact ops
     "dedup_exact", "similarity_cosine_topk", "dedup_embedding_cosine",
-    # remaining analytics
-    "group_topn_window", "window_running_total", "not_in_null_semantics",
 ]
+# rotated out to the overflow this round (round-1 verified, unchanged):
+# dates_normalize, group_topn_window, window_running_total,
+# not_in_null_semantics
 
 
 def _ensure_loaded() -> None:
@@ -109,6 +114,7 @@ def _ensure_loaded() -> None:
     if not _loaded:
         # import for registration side effects
         from beehive_spark.queries import core  # noqa: F401
+        from beehive_spark.queries import curation  # noqa: F401
         from beehive_spark.queries import llm  # noqa: F401
         from beehive_spark.queries import relational  # noqa: F401
         from beehive_spark.queries import tpch  # noqa: F401

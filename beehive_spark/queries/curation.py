@@ -1,0 +1,237 @@
+"""Training-data curation operators over the documents corpus.
+
+Net-new surface beyond the reference (BASELINE.json north-star): the
+dataset-assembly steps an LLM training pipeline runs after dedup/
+quality filtering — benchmark-contamination detection, sequence
+packing, mixture accounting, and deterministic stratified sampling.
+
+Scale-first commitments (same rules as llm.py):
+- contamination goes through an inverted n-gram index (explode +
+  equi-join on an 8-byte hash), never a doc x doc comparison;
+- packing windows partition by shard (source), never globally;
+- sampling is content-hash thresholding — no RNG state, no
+  sort-then-limit, reproducible on any partitioning;
+- everything is JVM expressions; no Python UDFs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from beehive_spark.queries import load, query
+from beehive_spark.queries.llm import _shingles, _tokens
+
+
+# ---------------------------------------------------------------------------
+# Benchmark contamination: train docs sharing n-grams with a held-out set
+# ---------------------------------------------------------------------------
+@query(
+    "contamination_ngram",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, source, regexp_extract_all(lower(text), '[a-z0-9]+') AS w
+      FROM documents
+    ),
+    sh AS (
+      SELECT doc_id, source,
+             unnest(list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                                     || ' ' || w[i+3] || ' ' || w[i+4]
+                                   for i in range(1, len(w) - 3)])) AS s
+      FROM toks WHERE len(w) >= 5
+    ),
+    bench AS (SELECT doc_id, s FROM sh WHERE source = 'src0'),
+    train AS (SELECT doc_id, s FROM sh WHERE source <> 'src0')
+    SELECT t.doc_id,
+           CAST(COUNT(DISTINCT t.s) AS BIGINT) AS n_shared_ngrams,
+           CAST(COUNT(DISTINCT b.doc_id) AS BIGINT) AS n_bench_docs
+    FROM train t JOIN bench b ON t.s = b.s
+    GROUP BY t.doc_id
+    """,
+)
+def contamination_ngram(spark, sf_dir, bench_source: str = "src0", n: int = 5):
+    """Benchmark-contamination check (GPT-3 appendix C style): which
+    training documents share any word 5-gram with a held-out benchmark
+    set (here: docs from one `source`), how many distinct 5-grams leak,
+    and how many benchmark docs each one collides with.
+
+    Shape: both sides explode to an inverted (doc, ngram-hash) index
+    and meet in an EQUI join on the 8-byte xxhash64 of the n-gram —
+    never doc x doc.  At corpus scale the benchmark side is small
+    (benchmarks are), so the join broadcasts; counts are map-side
+    partial-aggregated.  For web-scale training sets the same
+    hot-shingle df-cap as dedup_ngram_jaccard can bound boilerplate
+    n-grams; left off here because the check must be exact to be
+    useful (a capped run under-reports leakage).
+
+    Reference scope: net-new (no counterpart in mhawila/beehive);
+    oracle is the DuckDB equivalent on raw n-gram strings.
+    """
+    d = load(spark, sf_dir, "documents")
+    toks = d.select("doc_id", "source", _tokens(F.col("text")).alias("w"))
+    sh = (
+        toks.filter(F.size("w") >= n)
+        .select(
+            "doc_id",
+            "source",
+            F.explode(
+                F.transform(_shingles(F.col("w"), n=n), lambda s: F.xxhash64(s))
+            ).alias("h"),
+        )
+    )
+    bench = sh.filter(F.col("source") == bench_source).select(
+        F.col("doc_id").alias("bench_doc"), "h"
+    )
+    train = sh.filter(F.col("source") != bench_source).select("doc_id", "h")
+    return (
+        train.join(F.broadcast(bench), "h")
+        .groupBy("doc_id")
+        .agg(
+            F.count_distinct("h").alias("n_shared_ngrams"),
+            F.count_distinct("bench_doc").alias("n_bench_docs"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Sequence packing: concat-then-chunk documents into training sequences
+# ---------------------------------------------------------------------------
+@query(
+    "pack_sequences",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, source,
+             CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS BIGINT) AS nt
+      FROM documents
+    ),
+    packed AS (
+      SELECT source, nt,
+             (SUM(nt) OVER (PARTITION BY source ORDER BY doc_id
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              - nt) // 128 AS seq_id
+      FROM toks
+    )
+    SELECT source, CAST(seq_id AS BIGINT) AS seq_id,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(nt) AS BIGINT) AS seq_tokens
+    FROM packed
+    GROUP BY source, seq_id
+    """,
+)
+def pack_sequences(spark, sf_dir, budget: int = 128):
+    """Pack documents into fixed-budget training sequences by
+    concat-then-chunk: within each shard, documents in doc_id order
+    are laid end-to-end and a document belongs to the sequence where
+    its first token lands (start-offset div budget) — the standard
+    greedy packing LLM data loaders use, made deterministic.
+
+    Scale shape: the running token total is a window partitioned BY
+    SOURCE SHARD, so packing parallelizes across shards and no global
+    single-partition sort ever happens (real pipelines pack per input
+    shard for exactly this reason).  Output is one row per sequence
+    with its document count and token total; sequences may overflow
+    the budget by at most one document's tokens, exactly like
+    concat-and-chunk packing with document boundaries respected.
+
+    Reference scope: net-new; oracle is the identical windowed cumsum
+    in DuckDB SQL.
+    """
+    d = load(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", "source", F.size(_tokens(F.col("text"))).cast("long").alias("nt")
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    packed = toks.withColumn(
+        "seq_id", ((F.sum("nt").over(w) - F.col("nt")) / budget).cast("long")
+    )
+    return packed.groupBy("source", "seq_id").agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum("nt").alias("seq_tokens")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Mixture accounting: per-(source, lang) share of docs and tokens
+# ---------------------------------------------------------------------------
+@query(
+    "mixture_stats",
+    oracle="""
+    WITH toks AS (
+      SELECT source, lang,
+             CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS BIGINT) AS nt,
+             n_chars
+      FROM documents
+    ),
+    g AS (
+      SELECT source, lang,
+             CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(nt) AS BIGINT) AS total_tokens,
+             ROUND(AVG(n_chars), 4) AS avg_chars
+      FROM toks GROUP BY source, lang
+    )
+    SELECT source, lang, n_docs, total_tokens, avg_chars,
+           ROUND(CAST(total_tokens AS DOUBLE)
+                 / SUM(total_tokens) OVER (), 6) AS token_share
+    FROM g
+    """,
+)
+def mixture_stats(spark, sf_dir):
+    """Dataset-mixture table: per (source, lang) document counts,
+    token totals, mean length, and each cell's share of the corpus
+    token budget — the table a training run's data card is built from.
+
+    One hash aggregation (map-side combined) to the tiny (source x
+    lang) grid; the share is a window over that grid, which at any
+    corpus size is a few hundred rows — the global window is over the
+    AGGREGATE, never the raw corpus."""
+    d = load(spark, sf_dir, "documents")
+    toks = d.select(
+        "source", "lang", F.size(_tokens(F.col("text"))).cast("long").alias("nt"), "n_chars"
+    )
+    g = toks.groupBy("source", "lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("nt").alias("total_tokens"),
+        F.round(F.avg("n_chars"), 4).alias("avg_chars"),
+    )
+    return g.withColumn(
+        "token_share",
+        F.round(
+            F.col("total_tokens").cast("double")
+            / F.sum("total_tokens").over(Window.partitionBy()),
+            6,
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic stratified sampling by content hash
+# ---------------------------------------------------------------------------
+@query(
+    "stratified_sample",
+    oracle="""
+    SELECT doc_id, source
+    FROM documents
+    WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT
+          / 4294967296.0 < 0.2
+    """,
+)
+def stratified_sample(spark, sf_dir, rate: float = 0.2):
+    """Deterministic 20% sample: keep a doc iff the uniform value
+    derived from md5(doc_id) falls under the rate.
+
+    Unlike ``df.sample`` (partition-layout dependent) or rand()
+    (nondeterministic across retries), a content-hash threshold gives
+    the SAME sample on any cluster, any partitioning, any engine —
+    which is what makes held-out splits and ablation subsets
+    reproducible.  md5 (not xxhash64) because both Spark and DuckDB
+    implement it identically, so the oracle checks the exact sample.
+    Per-stratum rates are a WHEN ladder away; the hash input switching
+    to (doc_id, stratum) reshuffles independently per stratum."""
+    d = load(spark, sf_dir, "documents")
+    u = F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10).cast(
+        "double"
+    ) / F.lit(4294967296.0)
+    return d.filter(u < rate).select("doc_id", "source")

@@ -1,0 +1,71 @@
+"""Property tests for the curation operators (exactness at sf0.01 is
+covered by the oracle differential; these pin semantic invariants)."""
+
+from pyspark.sql import functions as F
+
+from beehive_spark.queries import load
+from beehive_spark.queries.curation import (
+    contamination_ngram,
+    mixture_stats,
+    pack_sequences,
+    stratified_sample,
+)
+from beehive_spark.queries.llm import _tokens
+
+
+def test_pack_sequences_partitions_all_tokens(spark, sf_dir):
+    d = load(spark, sf_dir, "documents")
+    totals = {
+        r["source"]: r["t"]
+        for r in d.select("source", F.size(_tokens(F.col("text"))).alias("nt"))
+        .groupBy("source")
+        .agg(F.sum("nt").alias("t"))
+        .collect()
+    }
+    packed = pack_sequences(spark, sf_dir, budget=128).collect()
+    by_src = {}
+    for r in packed:
+        by_src.setdefault(r["source"], []).append(r)
+    assert set(by_src) == set(totals)
+    for src, rows in by_src.items():
+        # no tokens lost, and seq ids are dense from 0
+        assert sum(r["seq_tokens"] for r in rows) == totals[src]
+        ids = sorted(r["seq_id"] for r in rows)
+        assert ids == list(range(len(ids)))
+        # every non-final sequence must have reached the budget:
+        # a doc starts a new sequence only when the running total
+        # crossed a 128 boundary
+        for r in rows:
+            if r["seq_id"] != ids[-1]:
+                continue_tokens = sum(
+                    x["seq_tokens"] for x in rows if x["seq_id"] <= r["seq_id"]
+                )
+                assert continue_tokens >= 128 * r["seq_id"]
+
+
+def test_stratified_sample_deterministic_and_near_rate(spark, sf_dir):
+    total = load(spark, sf_dir, "documents").count()
+    s1 = sorted(r["doc_id"] for r in stratified_sample(spark, sf_dir).collect())
+    s2 = sorted(r["doc_id"] for r in stratified_sample(spark, sf_dir).collect())
+    assert s1 == s2  # content-hash: identical on every run
+    assert 0.05 * total < len(s1) < 0.4 * total  # loose Chernoff-ish band
+    # changing the rate nests the sample (threshold semantics)
+    s_small = {r["doc_id"] for r in stratified_sample(spark, sf_dir, rate=0.1).collect()}
+    assert s_small <= set(s1)
+
+
+def test_contamination_reports_only_train_docs(spark, sf_dir):
+    d = load(spark, sf_dir, "documents")
+    bench_ids = {r["doc_id"] for r in d.filter("source = 'src0'").collect()}
+    rows = contamination_ngram(spark, sf_dir).collect()
+    for r in rows:
+        assert r["doc_id"] not in bench_ids
+        assert r["n_shared_ngrams"] >= 1
+        assert r["n_bench_docs"] >= 1
+
+
+def test_mixture_shares_sum_to_one(spark, sf_dir):
+    rows = mixture_stats(spark, sf_dir).collect()
+    assert rows
+    assert abs(sum(r["token_share"] for r in rows) - 1.0) < 1e-3
+    assert all(r["n_docs"] > 0 and r["total_tokens"] > 0 for r in rows)
