@@ -54,3 +54,82 @@ def bfs_levels(
         seen = seen.unionByName(nxt).localCheckpoint(eager=True)
         frontier = nxt
     return result
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_iter: int = 50,
+) -> DataFrame:
+    """Connected components over an undirected edge list: every node is
+    labeled with the MINIMUM node id reachable from it (the canonical
+    representative), via distributed min-label propagation.
+
+    Returns (id, component) for every node appearing in ``edges``.
+
+    Shape per iteration: one equi-join of the static symmetrized edge
+    list against the current (id, label) frame plus one min-aggregation
+    — two bounded shuffles on the edge partitioning, no driver-side
+    graph state.  Lineage is cut every iteration with an eager
+    ``localCheckpoint`` (the iterative-algorithm trap: without it the
+    plan doubles per round), and convergence is detected with a
+    count of changed labels (a cheap aggregate on the node frame).
+
+    Iteration count is bounded by the component DIAMETER, not its
+    size.  For the dedup-clustering workload this is built for —
+    near-duplicate document groups, which are dense, clique-ish
+    clusters of diameter ~2-3 — label propagation converges in a
+    handful of rounds at any corpus size.  For adversarial
+    high-diameter graphs (long chains), the alternating
+    large-star/small-star algorithm (Kiveris et al., "Connected
+    Components in MapReduce and Beyond", SoCC'14) converges in
+    O(log^2 n) rounds and is the drop-in upgrade; its per-round cost
+    is higher (it rewrites the edge set each round), which is why the
+    diameter-bounded variant is the default here.
+
+    Reference scope: net-new (the reference walks its creator tree
+    row-at-a-time, person-users.js:568-601; this generalizes the same
+    reachability semantics to arbitrary undirected graphs).
+    """
+    e = (
+        edges.select(
+            F.col(src).cast("long").alias("a"), F.col(dst).cast("long").alias("b")
+        )
+        .union(
+            edges.select(
+                F.col(dst).cast("long").alias("a"), F.col(src).cast("long").alias("b")
+            )
+        )
+        .distinct()
+        .persist()
+    )
+    labels = (
+        e.select(F.col("a").alias("id"))
+        .distinct()
+        .withColumn("component", F.col("id"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iter):
+        nbr_min = (
+            e.join(labels.withColumnRenamed("id", "b"), "b")
+            .groupBy(F.col("a").alias("id"))
+            .agg(F.min("component").alias("nbr_component"))
+        )
+        updated = (
+            labels.join(nbr_min, "id", "left")
+            .select(
+                "id",
+                F.least(
+                    "component", F.coalesce("nbr_component", "component")
+                ).alias("component"),
+                (F.col("nbr_component") < F.col("component")).alias("changed"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        n_changed = updated.filter("changed").count()
+        labels = updated.drop("changed")
+        if n_changed == 0:
+            break
+    e.unpersist()
+    return labels

@@ -93,6 +93,9 @@ _PRIORITY = [
     "pack_sequences",             # new: concat-then-chunk packing
     "mixture_stats",              # new: dataset mixture accounting
     "stratified_sample",          # new: content-hash sampling
+    "dedup_clusters",             # new: CC collapse of near-dup pairs
+    "pii_scrub",                  # new: pattern redaction
+    "text_repetition",            # new: Gopher repetition signals
     # events queries: the ns->us load conversion switched to integer div
     "filter_compound", "events_windowed_agg", "events_sessionize",
     "asof_join_purchases", "range_join_windows", "events_json_extract",
@@ -100,13 +103,13 @@ _PRIORITY = [
     # reference-parity operators (merge-pipeline building blocks)
     "assign_ids_window", "fk_remap_chain", "consolidate_mapping",
     "disjunctive_match_users", "uuid_collision_semi", "anti_join_orphans",
-    "hierarchy_bfs", "self_fk_remap", "set_ops_chain",
     # LLM-pipeline exact ops
     "dedup_exact", "similarity_cosine_topk", "dedup_embedding_cosine",
 ]
-# rotated out to the overflow this round (round-1 verified, unchanged):
-# dates_normalize, group_topn_window, window_running_total,
-# not_in_null_semantics
+# rotated out to the overflow this round (round-1 verified, unchanged
+# source since 769e19c): dates_normalize, group_topn_window,
+# window_running_total, not_in_null_semantics, hierarchy_bfs,
+# self_fk_remap, set_ops_chain
 
 
 def _ensure_loaded() -> None:

@@ -235,3 +235,172 @@ def stratified_sample(spark, sf_dir, rate: float = 0.2):
         "double"
     ) / F.lit(4294967296.0)
     return d.filter(u < rate).select("doc_id", "source")
+
+
+# ---------------------------------------------------------------------------
+# PII / pattern redaction over free-text fields
+# ---------------------------------------------------------------------------
+_EMAIL_RE = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+_PHONE_RE = "[0-9]{3}[-.][0-9]{3}[-.][0-9]{4}"
+_NUM_RE = "[0-9]+"
+
+
+@query(
+    "pii_scrub",
+    oracle="""
+    WITH s1 AS (
+      SELECT event_id, event_type,
+             CAST(len(regexp_extract_all(props, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
+             regexp_replace(props, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '[EMAIL]', 'g') AS t
+      FROM events
+    ),
+    s2 AS (
+      SELECT event_id, event_type, n_emails,
+             CAST(len(regexp_extract_all(t, '[0-9]{3}[-.][0-9]{3}[-.][0-9]{4}')) AS BIGINT) AS n_phones,
+             regexp_replace(t, '[0-9]{3}[-.][0-9]{3}[-.][0-9]{4}', '[PHONE]', 'g') AS t
+      FROM s1
+    )
+    SELECT event_id, event_type, n_emails, n_phones,
+           CAST(len(regexp_extract_all(t, '[0-9]+')) AS BIGINT) AS n_numbers,
+           regexp_replace(t, '[0-9]+', '[NUM]', 'g') AS redacted
+    FROM s2
+    """,
+)
+def pii_scrub(spark, sf_dir):
+    """Pattern-redaction pass (PII scrubbing): emails, phone numbers,
+    then remaining digit runs are counted and replaced with typed
+    placeholder tokens, in that order — each later pattern runs on the
+    PREVIOUSLY redacted text so a digit inside an already-redacted
+    email is never double-counted.  Demonstrated on the events.props
+    payload (the corpus field that actually contains digits).
+
+    All JVM: `regexp_count` + nested `regexp_replace`, so the scrub
+    runs inside whole-stage codegen at full scan speed — the shape a
+    100 TB pre-training scrub needs (embarrassingly parallel, zero
+    shuffles, pushdown-friendly).  Patterns are restricted to the
+    Java-regex ∩ RE2 common dialect so the DuckDB oracle checks the
+    exact redacted strings, not just counts.
+
+    Reference scope: net-new (the reference has no text hygiene).
+    """
+    e = load(spark, sf_dir, "events")
+    s1 = e.select(
+        "event_id",
+        "event_type",
+        F.regexp_count("props", F.lit(_EMAIL_RE)).cast("long").alias("n_emails"),
+        F.regexp_replace("props", _EMAIL_RE, "[EMAIL]").alias("t"),
+    )
+    s2 = s1.select(
+        "event_id",
+        "event_type",
+        "n_emails",
+        F.regexp_count("t", F.lit(_PHONE_RE)).cast("long").alias("n_phones"),
+        F.regexp_replace("t", _PHONE_RE, "[PHONE]").alias("t"),
+    )
+    return s2.select(
+        "event_id",
+        "event_type",
+        "n_emails",
+        "n_phones",
+        F.regexp_count("t", F.lit(_NUM_RE)).cast("long").alias("n_numbers"),
+        F.regexp_replace("t", _NUM_RE, "[NUM]").alias("redacted"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Repetition signals (Gopher-style): most-frequent-n-gram mass per doc
+# ---------------------------------------------------------------------------
+@query(
+    "text_repetition",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, text, regexp_extract_all(lower(text), '[a-z0-9]+') AS w
+      FROM documents
+    ),
+    gr AS (
+      SELECT doc_id, unnest([w[i] || ' ' || w[i+1] for i in range(1, len(w))]) AS g
+      FROM toks WHERE len(w) >= 2
+    ),
+    cnt AS (SELECT doc_id, g, COUNT(*) AS c FROM gr GROUP BY doc_id, g),
+    top AS (
+      SELECT doc_id, g, c FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+                                     ORDER BY c DESC, g) AS rn
+        FROM cnt
+      ) WHERE rn = 1
+    )
+    SELECT t.doc_id,
+           CAST(len(t.w) AS BIGINT) AS n_tokens,
+           ROUND(CAST(len(list_distinct(t.w)) AS DOUBLE) / len(t.w), 4) AS distinct_ratio,
+           top.g AS top_bigram,
+           CAST(top.c AS BIGINT) AS top_bigram_count,
+           ROUND(top.c * CAST(length(top.g) AS DOUBLE) / length(t.text), 4)
+             AS top_bigram_char_frac
+    FROM toks t JOIN top ON top.doc_id = t.doc_id
+    WHERE len(t.w) >= 2
+    """,
+)
+def text_repetition(spark, sf_dir):
+    """Gopher-style repetition signals per document: token count,
+    distinct-token ratio, the most frequent word bigram (deterministic
+    tie-break: smallest lexicographically among the most frequent) and
+    the fraction of the document's characters covered by that bigram's
+    occurrences — the 'duplicate n-gram character fraction' filter
+    from the Gopher/MassiveText quality rules.
+
+    Shape: bigrams explode to (doc_id, gram) rows, one hash-agg to
+    per-doc gram counts, one doc-partitioned window for the argmax —
+    everything keyed by doc_id, so the shuffles partition evenly by
+    document regardless of corpus size (no global hot key: the window
+    is per doc, never over the whole gram table).
+
+    Reference scope: net-new; oracle is the identical computation in
+    DuckDB list comprehensions.
+    """
+    d = load(spark, sf_dir, "documents")
+    toks = d.select("doc_id", "text", _tokens(F.col("text")).alias("w")).filter(
+        F.size("w") >= 2
+    )
+    grams = toks.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("w") - 1),
+                lambda i: F.concat_ws(
+                    " ", F.element_at("w", i), F.element_at("w", i + 1)
+                ),
+            )
+        ).alias("g"),
+    )
+    cnt = grams.groupBy("doc_id", "g").agg(F.count(F.lit(1)).alias("c"))
+    w = Window.partitionBy("doc_id").orderBy(F.col("c").desc(), F.col("g"))
+    top = (
+        cnt.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", F.col("g").alias("top_bigram"),
+                F.col("c").cast("long").alias("top_bigram_count"))
+    )
+    base = toks.select(
+        "doc_id",
+        F.size("w").cast("long").alias("n_tokens"),
+        F.round(
+            F.size(F.array_distinct("w")).cast("double") / F.size("w"), 4
+        ).alias("distinct_ratio"),
+        F.length("text").alias("text_len"),
+    )
+    return (
+        base.join(top, "doc_id")
+        .select(
+            "doc_id",
+            "n_tokens",
+            "distinct_ratio",
+            "top_bigram",
+            "top_bigram_count",
+            F.round(
+                F.col("top_bigram_count")
+                * F.length("top_bigram").cast("double")
+                / F.col("text_len"),
+                4,
+            ).alias("top_bigram_char_frac"),
+        )
+    )

@@ -172,6 +172,83 @@ def dedup_ngram_jaccard(spark, sf_dir, df_cap: int = 100):
 
 
 # ---------------------------------------------------------------------------
+# Near-dup clustering: pairs -> connected components -> canonical groups
+# ---------------------------------------------------------------------------
+@query(
+    "dedup_clusters",
+    oracle="""
+    WITH RECURSIVE toks AS (
+      SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS w
+      FROM documents
+    ),
+    sh AS (
+      SELECT doc_id,
+             unnest(list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                                   for i in range(1, len(w) - 1)])) AS s
+      FROM toks WHERE len(w) >= 3
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+    common AS (
+      SELECT a.doc_id AS i, b.doc_id AS j, COUNT(*) AS c
+      FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    pairs AS (
+      SELECT i, j
+      FROM common
+      JOIN sizes si ON si.doc_id = i
+      JOIN sizes sj ON sj.doc_id = j
+      WHERE CAST(c AS DOUBLE) / (si.sz + sj.sz - c) >= 0.5
+    ),
+    edges AS (SELECT i AS a, j AS b FROM pairs
+              UNION SELECT j, i FROM pairs),
+    reach(n, m) AS (
+      SELECT a, a FROM edges
+      UNION
+      SELECT r.n, e.b FROM reach r JOIN edges e ON r.m = e.a
+    ),
+    lab AS (SELECT n AS doc_id, MIN(m) AS cluster_id FROM reach GROUP BY n)
+    SELECT CAST(doc_id AS BIGINT) AS doc_id,
+           CAST(cluster_id AS BIGINT) AS cluster_id,
+           CAST(COUNT(*) OVER (PARTITION BY cluster_id) AS BIGINT) AS cluster_size
+    FROM lab
+    """,
+)
+def dedup_clusters(spark, sf_dir):
+    """Canonical near-duplicate groups: the exact-Jaccard near-dup
+    pairs (``dedup_ngram_jaccard``) become an undirected graph whose
+    connected components are the duplicate clusters; every clustered
+    document is labeled with the minimum doc_id in its component (the
+    canonical survivor) and the cluster size.
+
+    This is the step real dedup pipelines need after ANY pair-producing
+    method (MinHash, SimHash, embedding buckets): pair lists are not
+    actionable — A~B and B~C must collapse to one keep-decision even
+    when A~C was never emitted as a pair.
+
+    Scale shape: component discovery is distributed min-label
+    propagation (:func:`beehive_spark.operators.graph.connected_components`)
+    — per round one equi-join of the static edge list plus a min-agg,
+    rounds bounded by cluster diameter (near-dup clusters are dense;
+    diameter ~2-3 regardless of corpus size).  No driver-side graph.
+
+    Oracle: recursive-CTE transitive closure + min label in DuckDB —
+    exact, feasible at oracle SF because the edge set is tiny.
+    """
+    from beehive_spark.operators.graph import connected_components
+
+    pairs = dedup_ngram_jaccard(spark, sf_dir)
+    cc = connected_components(pairs, src="doc_i", dst="doc_j")
+    w = Window.partitionBy("cluster_id")
+    return (
+        cc.select(
+            F.col("id").alias("doc_id"), F.col("component").alias("cluster_id")
+        )
+        .withColumn("cluster_size", F.count(F.lit(1)).over(w).cast("long"))
+    )
+
+
+# ---------------------------------------------------------------------------
 # MinHash + LSH near-dup (approximate; verified by exact Jaccard)
 # ---------------------------------------------------------------------------
 # 31-bit Mersenne prime keeps a*h + b inside a 64-bit long under ANSI

@@ -1,10 +1,13 @@
-"""Unit tests for beehive_spark.operators.graph.bfs_levels — the
-iterative replacement for the reference's recursive user tree
-(person-users.js:568-601)."""
+"""Unit tests for beehive_spark.operators.graph — bfs_levels (the
+iterative replacement for the reference's recursive user tree,
+person-users.js:568-601) and connected_components (near-dup cluster
+collapse)."""
+
+import random
 
 from pyspark.sql import functions as F
 
-from beehive_spark.operators.graph import bfs_levels
+from beehive_spark.operators.graph import bfs_levels, connected_components
 
 
 def test_bfs_levels_tree(spark):
@@ -50,3 +53,63 @@ def test_bfs_levels_multiple_roots(spark):
     df = bfs_levels(roots, edges)
     assert df.filter(F.col("depth") == 0).count() == 2
     assert df.count() == 4
+
+
+# -- connected_components ---------------------------------------------------
+
+
+def _union_find_components(edges):
+    """Pure-python oracle: component = min node id reachable."""
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    def union(a, b):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+
+    for a, b in edges:
+        union(a, b)
+    return {n: find(n) for n in parent}
+
+
+def test_cc_two_components(spark):
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], ["src", "dst"]
+    )
+    got = {
+        (r["id"], r["component"]) for r in connected_components(edges).collect()
+    }
+    assert got == {(1, 1), (2, 1), (3, 1), (10, 10), (11, 10)}
+
+
+def test_cc_transitive_chain(spark):
+    # A~B, B~C but never A~C: all three must collapse to one cluster
+    edges = spark.createDataFrame([(5, 9), (9, 2)], ["src", "dst"])
+    comps = {r["id"]: r["component"] for r in connected_components(edges).collect()}
+    assert comps == {2: 2, 5: 2, 9: 2}
+
+
+def test_cc_long_chain_converges(spark):
+    # path graph 0-1-2-...-12: worst diameter case for label propagation
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(12)], ["src", "dst"]
+    )
+    comps = {r["component"] for r in connected_components(edges).collect()}
+    assert comps == {0}
+
+
+def test_cc_matches_union_find_random(spark):
+    rng = random.Random(42)
+    edges = [(rng.randrange(40), rng.randrange(40)) for _ in range(35)]
+    edges = [(a, b) for a, b in edges if a != b]
+    expect = _union_find_components(edges)
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    got = {r["id"]: r["component"] for r in connected_components(df).collect()}
+    assert got == expect
