@@ -96,6 +96,7 @@ _PRIORITY = [
     "dedup_clusters",             # new: CC collapse of near-dup pairs
     "pii_scrub",                  # new: pattern redaction
     "text_repetition",            # new: Gopher repetition signals
+    "quality_filter",             # new: composite keep/drop gate
     # events queries: the ns->us load conversion switched to integer div
     "filter_compound", "events_windowed_agg", "events_sessionize",
     "asof_join_purchases", "range_join_windows", "events_json_extract",
@@ -104,12 +105,12 @@ _PRIORITY = [
     "assign_ids_window", "fk_remap_chain", "consolidate_mapping",
     "disjunctive_match_users", "uuid_collision_semi", "anti_join_orphans",
     # LLM-pipeline exact ops
-    "dedup_exact", "similarity_cosine_topk", "dedup_embedding_cosine",
+    "similarity_cosine_topk", "dedup_embedding_cosine",
 ]
 # rotated out to the overflow this round (round-1 verified, unchanged
 # source since 769e19c): dates_normalize, group_topn_window,
 # window_running_total, not_in_null_semantics, hierarchy_bfs,
-# self_fk_remap, set_ops_chain
+# self_fk_remap, set_ops_chain, dedup_exact
 
 
 def _ensure_loaded() -> None:

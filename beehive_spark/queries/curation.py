@@ -404,3 +404,89 @@ def text_repetition(spark, sf_dir):
             ).alias("top_bigram_char_frac"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Composite quality gate: C4/Gopher-style keep/drop with reasons
+# ---------------------------------------------------------------------------
+@query(
+    "quality_filter",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, text,
+             regexp_extract_all(lower(text), '[a-z0-9]+') AS w
+      FROM documents
+    ),
+    sig AS (
+      SELECT doc_id,
+             CAST(len(w) AS BIGINT) AS n_tokens,
+             CAST(len(list_filter(w, x -> list_contains(['the','a','and','of','to'], x))) AS DOUBLE)
+               / GREATEST(len(w), 1) AS stopword_ratio,
+             CAST(len(list_distinct(w)) AS DOUBLE) / GREATEST(len(w), 1) AS distinct_ratio
+      FROM t
+    )
+    SELECT doc_id, n_tokens,
+           ROUND(stopword_ratio, 4) AS stopword_ratio,
+           ROUND(distinct_ratio, 4) AS distinct_ratio,
+           (n_tokens >= 25 AND stopword_ratio >= 0.02 AND distinct_ratio >= 0.35)
+             AS keep,
+           COALESCE(array_to_string(list_filter([
+             CASE WHEN n_tokens < 25 THEN 'too_short' END,
+             CASE WHEN stopword_ratio < 0.02 THEN 'low_stopword' END,
+             CASE WHEN distinct_ratio < 0.35 THEN 'repetitive' END
+           ], x -> x IS NOT NULL), ','), '') AS fail_reasons
+    FROM sig
+    """,
+)
+def quality_filter(spark, sf_dir, min_tokens: int = 25,
+                   min_stopword: float = 0.02, min_distinct: float = 0.35):
+    """End-to-end document quality gate, C4/Gopher style: combines the
+    individually-verified signals (token count, stopword ratio,
+    distinct-token ratio) into one keep/drop decision with an explicit
+    machine-readable reason list — the single call a curation pipeline
+    runs to materialize its filtered corpus plus an audit trail of what
+    was dropped and why.
+
+    Everything is JVM expressions over one scan (no joins, no
+    shuffles): at 100 TB this runs at parquet-scan speed and the
+    decision column prunes to a predicate-pushdown-friendly boolean
+    for downstream readers.
+
+    Reference scope: net-new; thresholds are constructor args so real
+    corpora tune them per source.
+    """
+    d = load(spark, sf_dir, "documents")
+    w = _tokens(F.col("text"))
+    sig = d.select(
+        "doc_id",
+        F.size(w).cast("long").alias("n_tokens"),
+        (
+            F.size(F.filter(w, lambda x: x.isin(*"the a and of to".split())))
+            .cast("double")
+            / F.greatest(F.size(w), F.lit(1))
+        ).alias("stopword_ratio"),
+        (
+            F.size(F.array_distinct(w)).cast("double")
+            / F.greatest(F.size(w), F.lit(1))
+        ).alias("distinct_ratio"),
+    )
+    keep = (
+        (F.col("n_tokens") >= min_tokens)
+        & (F.col("stopword_ratio") >= min_stopword)
+        & (F.col("distinct_ratio") >= min_distinct)
+    )
+    reasons = F.array_compact(
+        F.array(
+            F.when(F.col("n_tokens") < min_tokens, F.lit("too_short")),
+            F.when(F.col("stopword_ratio") < min_stopword, F.lit("low_stopword")),
+            F.when(F.col("distinct_ratio") < min_distinct, F.lit("repetitive")),
+        )
+    )
+    return sig.select(
+        "doc_id",
+        "n_tokens",
+        F.round("stopword_ratio", 4).alias("stopword_ratio"),
+        F.round("distinct_ratio", 4).alias("distinct_ratio"),
+        keep.alias("keep"),
+        F.concat_ws(",", reasons).alias("fail_reasons"),
+    )

@@ -69,3 +69,35 @@ def test_mixture_shares_sum_to_one(spark, sf_dir):
     assert rows
     assert abs(sum(r["token_share"] for r in rows) - 1.0) < 1e-3
     assert all(r["n_docs"] > 0 and r["total_tokens"] > 0 for r in rows)
+
+
+def test_quality_filter_reasons_consistent(spark, sf_dir):
+    from beehive_spark.queries.curation import quality_filter
+
+    rows = quality_filter(spark, sf_dir).collect()
+    assert rows
+    seen_keep = seen_drop = False
+    for r in rows:
+        # keep iff no fail reasons, and every reason maps to a
+        # violated threshold
+        reasons = set(r["fail_reasons"].split(",")) - {""}
+        assert r["keep"] == (not reasons)
+        if r["n_tokens"] < 25:
+            assert "too_short" in reasons
+        if r["stopword_ratio"] < 0.02:
+            assert "low_stopword" in reasons
+        if r["distinct_ratio"] < 0.35:
+            assert "repetitive" in reasons
+        seen_keep |= r["keep"]
+        seen_drop |= not r["keep"]
+    # thresholds must actually split the corpus or the gate is vacuous
+    assert seen_keep and seen_drop
+
+
+def test_pii_scrub_redacts_all_digits(spark, sf_dir):
+    from beehive_spark.queries.curation import pii_scrub
+
+    out = pii_scrub(spark, sf_dir)
+    assert out.filter(F.col("redacted").rlike("[0-9]")).count() == 0
+    # events.props always carries one numeric payload value
+    assert out.filter(F.col("n_numbers") >= 1).count() == out.count()
