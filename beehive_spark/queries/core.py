@@ -318,7 +318,11 @@ def assign_ids_scalable(spark, sf_dir):
     ROW_NUMBER() OVER (ORDER BY o_orderdate, o_orderkey) — same output
     as contiguous mode, but the sort is a range exchange across
     partitions instead of a single-partition window (the WindowExec
-    'No Partition Defined' path this replaces as the pipeline default)."""
+    'No Partition Defined' path this replaces as the pipeline default).
+    ``small_threshold=0`` pins the distributed plan here so the query
+    demonstrates (and the oracle verifies) the at-scale path; real
+    callers keep the default size-aware dispatch, which sorts
+    dimension-sized inputs in one task like any broadcast decision."""
     o = load(spark, sf_dir, "orders")
     return assign_ids(
         o.select("o_orderkey", "o_orderdate"),
@@ -326,6 +330,7 @@ def assign_ids_scalable(spark, sf_dir):
         order_cols=["o_orderdate", "o_orderkey"],
         base=100000,
         mode="scalable",
+        small_threshold=0,
     ).select(F.col("o_orderkey").alias("src_id"), "dest_id")
 
 

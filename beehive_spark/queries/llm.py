@@ -72,29 +72,55 @@ def dedup_exact(spark, sf_dir):
 # ---------------------------------------------------------------------------
 # Near-duplicate detection: exact n-gram Jaccard via inverted index
 # ---------------------------------------------------------------------------
-def _jaccard_candidates(sh, df_cap: int | None):
-    """Candidate (doc_i < doc_j) pairs from an exploded (doc_id, s)
-    shingle index, with the hot-shingle document-frequency cap.
+def _posting_lists(sh):
+    """Inverted index grouped by shingle: (s, sorted distinct doc ids).
+    The ONE shuffle of the candidate-generation stage."""
+    return sh.groupBy("s").agg(F.sort_array(F.collect_set("doc_id")).alias("docs"))
 
-    Shingles occurring in more than ``df_cap`` documents are dropped
-    from the INDEX before the self-join: one boilerplate shingle shared
-    by k documents otherwise contributes k^2 join rows — the classic
-    skew blowup at corpus scale.  With the cap, each surviving posting
-    list yields at most df_cap^2 rows, so total join size is bounded by
-    (#shingles * df_cap^2) regardless of how hot any shingle gets.  The
-    hot list itself is tiny (at most total-postings/df_cap entries), so
-    it broadcasts."""
+
+def _pairs_from_plists(plists, df_cap: int | None):
+    """(doc_i < doc_j, c) candidate pairs with shared-shingle counts,
+    by posting-list pair enumeration with a hot-shingle cap.
+
+    Lists with df < 2 (no pairs — the vast majority of shingles) and
+    df > ``df_cap`` (boilerplate: one shingle shared by k docs would
+    otherwise contribute k^2 pairs — the classic skew blowup at corpus
+    scale) are dropped in the same aggregation; surviving lists
+    enumerate their (i < j) pairs as JVM array expressions, so each
+    list yields at most df_cap*(df_cap-1)/2 rows and total candidate
+    volume is bounded by (#shingles * df_cap^2) regardless of how hot
+    any shingle gets.  ``c`` counts the capped-index shingles each
+    pair shares — the exact intersection size when the cap doesn't
+    bind, a lower bound otherwise.
+
+    This replaces the index self-join shape (shuffle both sides + join
+    + separate df-cap pass): same candidate set, fewer shuffles, and
+    the per-shingle blowup is bounded by construction."""
+    sized = plists.filter(F.size("docs") >= 2)
     if df_cap is not None:
-        dfc = sh.groupBy("s").agg(F.count(F.lit(1)).alias("df"))
-        hot = dfc.filter(F.col("df") > df_cap).select("s")
-        sh = sh.join(F.broadcast(hot), "s", "left_anti")
-    a = sh.alias("a")
-    b = sh.alias("b")
-    return (
-        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .select(F.col("a.doc_id").alias("doc_i"), F.col("b.doc_id").alias("doc_j"))
-        .distinct()
+        sized = sized.filter(F.size("docs") <= df_cap)
+    pairs = F.flatten(
+        F.transform(
+            "docs",
+            lambda x, i: F.transform(
+                F.slice(
+                    "docs", i + 2, F.greatest(F.size("docs") - i - 1, F.lit(0))
+                ),
+                lambda y: F.struct(x.alias("doc_i"), y.alias("doc_j")),
+            ),
+        )
     )
+    return (
+        sized.select(F.explode(pairs).alias("p"))
+        .groupBy("p.doc_i", "p.doc_j")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+
+
+def _jaccard_candidates(sh, df_cap: int | None):
+    """Candidate pairs from an exploded (doc_id, s) shingle index; see
+    :func:`_pairs_from_plists` for the shape and the df-cap bound."""
+    return _pairs_from_plists(_posting_lists(sh), df_cap)
 
 
 
@@ -127,26 +153,34 @@ def _jaccard_candidates(sh, df_cap: int | None):
 )
 def dedup_ngram_jaccard(spark, sf_dir, df_cap: int = 100):
     """Near-dup pairs with exact word-3-gram Jaccard >= 0.5, computed
-    through an inverted shingle index (explode + equi-join) rather than
-    any pairwise cross join.
+    through an inverted shingle index (posting-list pair enumeration)
+    rather than any pairwise cross join.
 
-    Two stages, both skew-bounded:
+    Three stages, all skew-bounded (PPJoin-style count filtering):
 
-    1. candidate generation through the df-capped index (see
-       :func:`_jaccard_candidates`) — shingles hotter than ``df_cap``
-       docs never join, so the shuffle is bounded even when the corpus
-       shares boilerplate;
-    2. exact verification: candidates join back to their FULL distinct
-       shingle-hash sets and Jaccard is computed with array_intersect —
-       linear in the candidate count, and the reported value is exact
-       (the cap affects only which pairs are *considered*; a true
-       near-dup pair evades it only if every shared shingle exceeds
-       df_cap, i.e. the overlap is pure boilerplate).
+    1. candidate generation through the df-capped posting lists
+       (:func:`_pairs_from_plists`) — shingles hotter than ``df_cap``
+       docs never enumerate pairs, so candidate volume is bounded even
+       when the corpus shares boilerplate; each pair carries ``c``,
+       its shared-shingle count over the capped index;
+    2. count-bound pruning: the true intersection is at most
+       ``c + min(hot_i, hot_j)`` where ``hot_x`` is how many of doc
+       x's shingles exceeded the cap (a per-doc SCALAR — two ints per
+       document, so the stats join is AQE-broadcastable far beyond
+       the point where the shingle arrays are) — pairs whose
+       upper-bound Jaccard misses the threshold are dropped with pure
+       integer math, never touching the shingle arrays.  This prunes
+       the (large) candidate set to near the true result size;
+    3. exact verification: the few survivors join back to their FULL
+       shingle-hash sets and Jaccard is computed with array_intersect
+       — the reported value is exact.  The cap affects only which
+       pairs are *considered*: a true near-dup pair evades it only if
+       every shared shingle exceeds df_cap (pure boilerplate overlap).
 
     Shingles are xxhash64-hashed: the shuffled key is 8 bytes instead
     of a ~30-byte string (collision odds ~2^-64 per distinct-shingle
-    pair are far below any other error source).  The hashed-set frame
-    is persisted because candidates and verification both consume it."""
+    pair are far below any other error source).  The hashed-set and
+    posting-list frames are persisted; both feed two consumers."""
     d = load(spark, sf_dir, "documents")
     toks = d.select("doc_id", _tokens(F.col("text")).alias("w"))
     hsets = (
@@ -158,13 +192,40 @@ def dedup_ngram_jaccard(spark, sf_dir, df_cap: int = 100):
         .persist()
     )
     sh = hsets.select("doc_id", F.explode("hs").alias("s"))
-    cands = _jaccard_candidates(sh, df_cap)
+    plists = _posting_lists(sh).persist()
+    cands = _pairs_from_plists(plists, df_cap)
+    # per-doc scalars: set size and count of over-cap ("hot") shingles
+    sizes = hsets.select("doc_id", F.size("hs").alias("sz"))
+    if df_cap is not None:
+        hot_per_doc = (
+            plists.filter(F.size("docs") > df_cap)
+            .select(F.explode("docs").alias("doc_id"))
+            .groupBy("doc_id")
+            .agg(F.count(F.lit(1)).alias("hot"))
+        )
+        stats = sizes.join(hot_per_doc, "doc_id", "left").na.fill(0, ["hot"])
+    else:
+        stats = sizes.withColumn("hot", F.lit(0))
+    si = stats.select(
+        F.col("doc_id").alias("doc_i"), F.col("sz").alias("szi"), F.col("hot").alias("hoti")
+    )
+    sj = stats.select(
+        F.col("doc_id").alias("doc_j"), F.col("sz").alias("szj"), F.col("hot").alias("hotj")
+    )
+    c_ub = (F.col("c") + F.least("hoti", "hotj")).cast("double")
+    jac_ub = c_ub / (F.col("szi") + F.col("szj") - c_ub)
+    surv = (
+        cands.join(si, "doc_i")
+        .join(sj, "doc_j")
+        .filter(jac_ub >= 0.5)
+        .select("doc_i", "doc_j")
+    )
     ci = hsets.select(F.col("doc_id").alias("doc_i"), F.col("hs").alias("si"))
     cj = hsets.select(F.col("doc_id").alias("doc_j"), F.col("hs").alias("sj"))
     inter = F.size(F.array_intersect("si", "sj")).cast("double")
     jac = inter / (F.size("si") + F.size("sj") - inter)
     return (
-        cands.join(ci, "doc_i")
+        surv.join(ci, "doc_i")
         .join(cj, "doc_j")
         .filter(jac >= 0.5)  # filter unrounded, exactly like the oracle
         .select("doc_i", "doc_j", F.round(jac, 4).alias("jaccard"))
@@ -510,11 +571,23 @@ def dedup_embedding_cosine(spark, sf_dir, n_blocks: int = 16):
         F.col("embedding").cast("array<double>").alias("v"),
         F.pmod(F.col("vec_id"), F.lit(n_blocks)).alias("blk"),
     )
+    # one collect_list keeps ids and vectors in a single consistent
+    # order; flattening JVM-side ships each tile as FLAT primitive
+    # Arrow buffers (array<long> + array<double>) instead of nested
+    # structs — numpy reshapes them without any per-element Python
     blocks = emb.groupBy("blk").agg(
         F.collect_list(F.struct("vec_id", "v")).alias("items")
+    ).select(
+        "blk",
+        F.transform("items", lambda x: x["vec_id"]).alias("ids"),
+        F.flatten(F.transform("items", lambda x: x["v"])).alias("flat"),
     )
-    a = blocks.select(F.col("blk").alias("blk_a"), F.col("items").alias("ia"))
-    b = blocks.select(F.col("blk").alias("blk_b"), F.col("items").alias("ib"))
+    a = blocks.select(
+        F.col("blk").alias("blk_a"), F.col("ids").alias("ids_a"), F.col("flat").alias("fa")
+    )
+    b = blocks.select(
+        F.col("blk").alias("blk_b"), F.col("ids").alias("ids_b"), F.col("flat").alias("fb")
+    )
     tiles = a.join(b, F.col("blk_a") <= F.col("blk_b"))
 
     def tile_pairs(batches):
@@ -523,12 +596,12 @@ def dedup_embedding_cosine(spark, sf_dir, n_blocks: int = 16):
         for pdf in batches:
             out_i, out_j, out_s = [], [], []
             for row in pdf.itertuples(index=False):
-                ids_a = np.array([x["vec_id"] for x in row.ia], dtype=np.int64)
-                ids_b = np.array([x["vec_id"] for x in row.ib], dtype=np.int64)
-                ma = np.array([x["v"] for x in row.ia])
-                mb = np.array([x["v"] for x in row.ib])
-                ma /= np.linalg.norm(ma, axis=1, keepdims=True)
-                mb /= np.linalg.norm(mb, axis=1, keepdims=True)
+                ids_a = np.asarray(row.ids_a, dtype=np.int64)
+                ids_b = np.asarray(row.ids_b, dtype=np.int64)
+                ma = np.asarray(row.fa, dtype=np.float64).reshape(len(ids_a), -1)
+                mb = np.asarray(row.fb, dtype=np.float64).reshape(len(ids_b), -1)
+                ma = ma / np.linalg.norm(ma, axis=1, keepdims=True)
+                mb = mb / np.linalg.norm(mb, axis=1, keepdims=True)
                 sims = ma @ mb.T
                 ii, jj = np.nonzero(sims >= 0.45)
                 ri, rj, rs = ids_a[ii], ids_b[jj], sims[ii, jj]

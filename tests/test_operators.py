@@ -163,3 +163,47 @@ def test_consolidate_self_join_same_source(spark, sf_dir):
     m = {r["src_id"]: r["dest_id"] for r in res.mapping.collect()}
     assert all(m[k] == k for k in range(10, 15))
     assert sorted(m[k] for k in range(10)) == list(range(25, 35))
+
+
+def test_assign_ids_all_scalable_paths_equal_contiguous(spark):
+    """The three physical strategies (global window, literal-bounds
+    buckets, range-repartition) must produce IDENTICAL ids."""
+    import random
+
+    rng = random.Random(7)
+    keys = rng.sample(range(100000), 500)
+    df = spark.createDataFrame([(k,) for k in keys], "pk long")
+    want = {
+        r["pk"]: r["dest_id"]
+        for r in assign_ids(df, "pk", base=10, mode="contiguous").collect()
+    }
+    # size-aware dispatch on a small input: global window, same ids
+    got_auto = {
+        r["pk"]: r["dest_id"]
+        for r in assign_ids(df, "pk", base=10, mode="scalable").collect()
+    }
+    # forced distributed single-numeric path (literal bounds)
+    got_bounds = {
+        r["pk"]: r["dest_id"]
+        for r in assign_ids(
+            df, "pk", base=10, mode="scalable", small_threshold=0
+        ).collect()
+    }
+    # forced distributed composite-key path (range repartition)
+    df2 = df.withColumn("tag", (df.pk % 3).cast("string"))
+    got_range = {
+        r["pk"]: r["dest_id"]
+        for r in assign_ids(
+            df2, "pk", order_cols=["tag", "pk"], base=10,
+            mode="scalable", small_threshold=0,
+        ).collect()
+    }
+    want_range = {
+        r["pk"]: r["dest_id"]
+        for r in assign_ids(
+            df2, "pk", order_cols=["tag", "pk"], base=10, mode="contiguous"
+        ).collect()
+    }
+    assert got_auto == want
+    assert got_bounds == want
+    assert got_range == want_range
