@@ -33,25 +33,24 @@ def query(name: str, oracle: str | None = None):
 
 
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Load one testdata table; normalizes nanosecond timestamps.
+    """Load one testdata table; normalizes the events time column.
 
-    The events table is written with TIMESTAMP(NANOS), which Spark's
-    parquet reader only accepts as raw INT64 (nanosAsLong).  We set
-    the conf at runtime (it is a dynamic SQL conf) so this also works
-    under the driver harness's own SparkSession, then convert ns ->
-    TimestampType so downstream queries see a real timestamp.
+    The events ``ts`` column has shipped as INT64 TIMESTAMP(NANOS) in
+    some testdata vintages (readable only via nanosAsLong) and plain
+    TIMESTAMP(MICROS)/NTZ in others; ``normalize_ts`` folds both into
+    TimestampType so downstream queries are encoding-agnostic.  The
+    conf is set at runtime (it is a dynamic SQL conf) so this also
+    works under the driver harness's own SparkSession.
     """
     try:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     except Exception:  # pragma: no cover - conf may be locked; reads may still work
         pass
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
-    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
-        from pyspark.sql import functions as F
+    if name == "events":
+        from beehive_spark.sources.readers import normalize_ts
 
-        # integer `div`, not `/`: epoch-nanos (~8.5e17) exceed double's
-        # 53-bit exact range, so float division can land on the wrong µs
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        df = normalize_ts(df)
     return df
 
 

@@ -16,6 +16,30 @@ from dataclasses import dataclass, field
 from pyspark.sql import DataFrame, SparkSession
 
 
+def normalize_ts(df: DataFrame, col: str = "ts") -> DataFrame:
+    """Normalize an event-time column to TimestampType (session tz UTC).
+
+    The driver's testdata has shipped the events ``ts`` column in two
+    physical encodings across rounds — INT64 TIMESTAMP(NANOS) (which
+    Spark reads only as raw bigint under nanosAsLong) and plain
+    TIMESTAMP(MICROS) with isAdjustedToUTC=false (which Spark 4 reads
+    as TIMESTAMP_NTZ, a type it refuses to cast to numeric).  Every
+    consumer funnels through here so downstream plans always see one
+    type regardless of the file's vintage.
+    """
+    from pyspark.sql import functions as F
+
+    dtype = dict(df.dtypes).get(col)
+    if dtype == "bigint":
+        # integer `div`, not `/`: epoch-nanos (~8.5e17) exceed double's
+        # 53-bit exact range, so float division can land on the wrong µs
+        return df.withColumn(col, F.timestamp_micros(F.expr(f"{col} div 1000")))
+    if dtype == "timestamp_ntz":
+        # value-preserving under the engine's fixed UTC session tz
+        return df.withColumn(col, F.col(col).cast("timestamp"))
+    return df
+
+
 @dataclass
 class Endpoint:
     """One database instance (reference config.json source/destination,

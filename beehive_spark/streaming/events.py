@@ -26,16 +26,15 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-EVENT_SCHEMA = T.StructType(
-    [
-        T.StructField("event_id", T.LongType()),
-        T.StructField("ts", T.LongType()),  # nanos (nanosAsLong read)
-        T.StructField("user_id", T.LongType()),
-        T.StructField("event_type", T.StringType()),
-        T.StructField("value", T.DoubleType()),
-        T.StructField("props", T.StringType()),
-    ]
-)
+def event_schema(spark: SparkSession, path: str) -> T.StructType:
+    """Probe the on-disk schema of an events parquet (footer-only read).
+
+    readStream requires an explicit schema; hard-coding one breaks
+    whenever the testdata's ts encoding changes (nanos-as-bigint vs
+    TIMESTAMP_NTZ — see sources.readers.normalize_ts), so derive it
+    from the actual file and normalize after.
+    """
+    return spark.read.parquet(path).schema
 
 
 def read_event_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -44,14 +43,15 @@ def read_event_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     except Exception:  # pragma: no cover
         pass
+    from beehive_spark.sources.readers import normalize_ts
+
+    schema = event_schema(spark, os.path.join(sf_dir, "events.parquet"))
     stream = (
-        spark.readStream.schema(EVENT_SCHEMA)
+        spark.readStream.schema(schema)
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
-    return stream.withColumn(
-        "ts", F.timestamp_micros(F.expr("ts div 1000"))  # integer div: exact above 2^53
-    )
+    return normalize_ts(stream)
 
 
 def windowed_event_counts(

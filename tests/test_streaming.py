@@ -11,8 +11,8 @@ from beehive_spark.streaming import (
     sessionized_events,
     windowed_event_counts,
 )
+from beehive_spark.sources.readers import normalize_ts
 from beehive_spark.streaming.events import (
-    EVENT_SCHEMA,
     dedup_event_stream,
     running_user_stats,
 )
@@ -62,11 +62,10 @@ def test_running_user_stats_accumulates_across_microbatches(spark, sf_dir, tmp_p
     raw = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
     raw.repartition(3).write.parquet(src_dir)
 
-    stream = (
-        spark.readStream.schema(EVENT_SCHEMA)
+    stream = normalize_ts(
+        spark.readStream.schema(raw.schema)
         .option("maxFilesPerTrigger", "1")
         .parquet(src_dir)
-        .withColumn("ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
     )
     run_stream_to_memory(
         running_user_stats(stream), "user_stats", str(tmp_path), "append"
@@ -103,11 +102,7 @@ def test_stream_dedup_drops_redelivered_events(spark, sf_dir, tmp_path):
     raw.coalesce(1).write.mode("overwrite").parquet(src_dir)
     raw.coalesce(1).write.mode("append").parquet(src_dir)
 
-    stream = (
-        spark.readStream.schema(EVENT_SCHEMA)
-        .parquet(src_dir)
-        .withColumn("ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
-    )
+    stream = normalize_ts(spark.readStream.schema(raw.schema).parquet(src_dir))
     run_stream_to_memory(
         dedup_event_stream(stream), "dedup_stream", str(tmp_path), "append"
     )
