@@ -96,20 +96,24 @@ _PRIORITY = [
     "pii_scrub",                  # new: pattern redaction
     "text_repetition",            # new: Gopher repetition signals
     "quality_filter",             # new: composite keep/drop gate
+    "dedup_incremental",          # new: batch-vs-corpus fingerprint dedup
+    "dedup_containment",          # new: near-superset (asymmetric) dedup
+    "boilerplate_ngrams",         # new: hot-n-gram df report (df-cap feeder)
     # events queries: the ns->us load conversion switched to integer div
     "filter_compound", "events_windowed_agg", "events_sessionize",
     "asof_join_purchases", "range_join_windows", "events_json_extract",
     "events_pivot", "profile_events", "events_sliding_agg",
     # reference-parity operators (merge-pipeline building blocks)
-    "assign_ids_window", "fk_remap_chain", "consolidate_mapping",
-    "disjunctive_match_users", "uuid_collision_semi", "anti_join_orphans",
-    # LLM-pipeline exact ops
+    "assign_ids_window", "consolidate_mapping", "disjunctive_match_users",
+    # LLM-pipeline exact ops (llm.py heavily reworked this round)
     "similarity_cosine_topk", "dedup_embedding_cosine",
 ]
 # rotated out to the overflow this round (round-1 verified, unchanged
 # source since 769e19c): dates_normalize, group_topn_window,
 # window_running_total, not_in_null_semantics, hierarchy_bfs,
-# self_fk_remap, set_ops_chain, dedup_exact
+# self_fk_remap, set_ops_chain, dedup_exact, anti_join_orphans,
+# uuid_collision_semi (checks.py untouched), fk_remap_chain (remap.py
+# untouched)
 
 
 def _ensure_loaded() -> None:

@@ -490,3 +490,234 @@ def quality_filter(spark, sf_dir, min_tokens: int = 25,
         keep.alias("keep"),
         F.concat_ws(",", reasons).alias("fail_reasons"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Incremental dedup: a new crawl batch against the existing corpus
+# ---------------------------------------------------------------------------
+@query(
+    "dedup_incremental",
+    oracle="""
+    WITH fp AS (
+      SELECT doc_id,
+             md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS fp
+      FROM documents
+    ),
+    corpus AS (
+      SELECT fp, CAST(MIN(doc_id) AS BIGINT) AS dup_of
+      FROM fp WHERE doc_id % 10 < 8 GROUP BY fp
+    ),
+    batch AS (SELECT doc_id, fp FROM fp WHERE doc_id % 10 >= 8)
+    SELECT b.doc_id, c.dup_of IS NULL AS is_new, c.dup_of
+    FROM batch b LEFT JOIN corpus c USING (fp)
+    """,
+)
+def dedup_incremental(spark, sf_dir):
+    """Incremental (batch-vs-corpus) exact dedup: classify each
+    document of a newly-arrived batch as genuinely new or an exact
+    duplicate of an existing corpus document, by normalized-text
+    fingerprint.  This is the steady-state shape of corpus dedup — a
+    full self-dedup runs once, every crawl after that only compares
+    the delta against the fingerprint store (here the batch is
+    simulated as ``doc_id % 10 >= 8``, the corpus as the rest).
+
+    Scale shape: the corpus side collapses to one row per DISTINCT
+    fingerprint (16-byte md5 + one long) before the join — at 100 TB
+    that fingerprint store is ~1/1000th the corpus bytes, lives as its
+    own bucketed table (bucketed BY fp — see sources/layout.py), and
+    the incremental batch is the only side that shuffles; when the
+    batch is small AQE broadcasts it.  Same normalization as
+    ``dedup_exact`` (llm.py) so the two agree on what "exact" means.
+
+    Reference scope: this IS the reference's insert-if-absent merge
+    semantics (S7, sync-dictionary.js INSERT IGNORE shape) applied to
+    the corpus domain; net-new as a curation operator.
+    """
+    d = load(spark, sf_dir, "documents")
+    fp = F.md5(F.regexp_replace(F.trim(F.lower(F.col("text"))), r"\s+", " "))
+    docs = d.select("doc_id", fp.alias("fp"))
+    corpus = (
+        docs.filter(F.col("doc_id") % 10 < 8)
+        .groupBy("fp")
+        .agg(F.min("doc_id").alias("dup_of"))
+    )
+    batch = docs.filter(F.col("doc_id") % 10 >= 8)
+    return batch.join(corpus, "fp", "left").select(
+        "doc_id", F.col("dup_of").isNull().alias("is_new"), "dup_of"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Containment dedup: near-superset documents (quote/aggregator pages)
+# ---------------------------------------------------------------------------
+@query(
+    "dedup_containment",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS w
+      FROM documents
+    ),
+    sh AS (
+      SELECT doc_id,
+             unnest(list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                                   for i in range(1, len(w) - 1)])) AS s
+      FROM toks WHERE len(w) >= 3
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+    common AS (
+      SELECT a.doc_id AS i, b.doc_id AS j, COUNT(*) AS c
+      FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    directed AS (
+      SELECT i AS doc_inner, j AS doc_outer, c, si.sz AS szc
+      FROM common JOIN sizes si ON si.doc_id = i
+      UNION ALL
+      SELECT j, i, c, sj.sz
+      FROM common JOIN sizes sj ON sj.doc_id = j
+    )
+    SELECT doc_inner, doc_outer,
+           ROUND(CAST(c AS DOUBLE) / szc, 4) AS containment
+    FROM directed
+    WHERE CAST(c AS DOUBLE) / szc >= 0.8
+    """,
+)
+def dedup_containment(spark, sf_dir, threshold: float = 0.8, df_cap: int = 100):
+    """Near-superset detection: ordered pairs where >= 80% of
+    ``doc_inner``'s word-3-gram set also appears in ``doc_outer``.
+    Jaccard misses these — a short document fully quoted inside a long
+    aggregator page has high containment but low Jaccard (the union is
+    dominated by the long side), and containment is the signal
+    curation pipelines use to drop quote/boilerplate-wrapper pages
+    (asymmetric, unlike Jaccard: A-in-B says drop A, not B).
+
+    Same three-stage skew-bounded shape as ``dedup_ngram_jaccard``
+    (llm.py): df-capped posting-list pair enumeration -> count-bound
+    prune with per-doc hot-shingle scalars (containment upper bound
+    ``(c + min(hot_i, hot_j)) / sz_inner`` in pure integer math) ->
+    exact verification via array_intersect on the survivors' full
+    hashed shingle sets.  Each unordered candidate yields up to two
+    directed rows; the arrays are touched once per pair.
+    """
+    from beehive_spark.queries.llm import _pairs_from_plists, _posting_lists
+
+    d = load(spark, sf_dir, "documents")
+    toks = d.select("doc_id", _tokens(F.col("text")).alias("w"))
+    hsets = (
+        toks.filter(F.size("w") >= 3)
+        .select(
+            "doc_id",
+            F.transform(_shingles(F.col("w")), lambda s: F.xxhash64(s)).alias("hs"),
+        )
+        .persist()
+    )
+    plists = _posting_lists(hsets.select("doc_id", F.explode("hs").alias("s"))).persist()
+    cands = _pairs_from_plists(plists, df_cap)
+    sizes = hsets.select("doc_id", F.size("hs").alias("sz"))
+    hot_per_doc = (
+        plists.filter(F.size("docs") > df_cap)
+        .select(F.explode("docs").alias("doc_id"))
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("hot"))
+    )
+    stats = sizes.join(hot_per_doc, "doc_id", "left").na.fill(0, ["hot"])
+    si = stats.select(
+        F.col("doc_id").alias("doc_i"),
+        F.col("sz").alias("szi"),
+        F.col("hot").alias("hoti"),
+    )
+    sj = stats.select(
+        F.col("doc_id").alias("doc_j"),
+        F.col("sz").alias("szj"),
+        F.col("hot").alias("hotj"),
+    )
+    c_ub = (F.col("c") + F.least("hoti", "hotj")).cast("double")
+    surv = (
+        cands.join(si, "doc_i")
+        .join(sj, "doc_j")
+        .filter(
+            (c_ub / F.col("szi") >= threshold) | (c_ub / F.col("szj") >= threshold)
+        )
+        .select("doc_i", "doc_j")
+    )
+    ci = hsets.select(F.col("doc_id").alias("doc_i"), F.col("hs").alias("si"))
+    cj = hsets.select(F.col("doc_id").alias("doc_j"), F.col("hs").alias("sj"))
+    c_exact = F.size(F.array_intersect("si", "sj")).cast("double")
+    verified = (
+        surv.join(ci, "doc_i")
+        .join(cj, "doc_j")
+        .select("doc_i", "doc_j", c_exact.alias("c"), "si", "sj")
+        .select(
+            "doc_i",
+            "doc_j",
+            "c",
+            F.size("si").cast("double").alias("szi"),
+            F.size("sj").cast("double").alias("szj"),
+        )
+    )
+    inner_dir = verified.select(
+        F.col("doc_i").alias("doc_inner"),
+        F.col("doc_j").alias("doc_outer"),
+        (F.col("c") / F.col("szi")).alias("cont"),
+    )
+    outer_dir = verified.select(
+        F.col("doc_j").alias("doc_inner"),
+        F.col("doc_i").alias("doc_outer"),
+        (F.col("c") / F.col("szj")).alias("cont"),
+    )
+    return (
+        inner_dir.unionByName(outer_dir)
+        .filter(F.col("cont") >= threshold)
+        .select(
+            "doc_inner", "doc_outer", F.round("cont", 4).alias("containment")
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Corpus boilerplate report: hot n-grams by document frequency
+# ---------------------------------------------------------------------------
+@query(
+    "boilerplate_ngrams",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS w
+      FROM documents
+    ),
+    sh AS (
+      SELECT doc_id,
+             unnest(list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                                   for i in range(1, len(w) - 1)])) AS s
+      FROM toks WHERE len(w) >= 3
+    )
+    SELECT s AS ngram, CAST(COUNT(*) AS BIGINT) AS df
+    FROM sh GROUP BY s HAVING COUNT(*) >= 5
+    """,
+)
+def boilerplate_ngrams(spark, sf_dir, min_df: int = 5):
+    """Corpus-level boilerplate detector: word-3-grams whose document
+    frequency is >= ``min_df`` — headers, footers, license blurbs,
+    navigation text.  This is the report that FEEDS the df-cap used by
+    ``dedup_ngram_jaccard``/``dedup_containment`` (what exactly is
+    being excluded and how hot is it) and the removal list for
+    line-level boilerplate stripping.
+
+    One explode + one groupBy with map-side partial aggregation; the
+    HAVING filter runs in the same aggregate, so only the (tiny) hot
+    tail survives the shuffle read side.  Deliberately returns the
+    shingle STRINGS (human-readable report); at 100 TB run the groupBy
+    on xxhash64 keys first and join the surviving hashes back to one
+    exemplar string each — same result, 8-byte shuffle keys (that
+    variant is what _posting_lists does for the dedup path).
+    """
+    d = load(spark, sf_dir, "documents")
+    toks = d.select("doc_id", _tokens(F.col("text")).alias("w"))
+    sh = toks.filter(F.size("w") >= 3).select(
+        "doc_id", F.explode(_shingles(F.col("w"))).alias("s")
+    )
+    return (
+        sh.groupBy("s")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") >= min_df)
+        .select(F.col("s").alias("ngram"), "df")
+    )

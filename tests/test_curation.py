@@ -101,3 +101,57 @@ def test_pii_scrub_redacts_all_digits(spark, sf_dir):
     assert out.filter(F.col("redacted").rlike("[0-9]")).count() == 0
     # events.props always carries one numeric payload value
     assert out.filter(F.col("n_numbers") >= 1).count() == out.count()
+
+def test_dedup_incremental_partitions_batch(spark, sf_dir):
+    from beehive_spark.queries.curation import dedup_incremental
+
+    d = load(spark, sf_dir, "documents")
+    n_batch = d.filter(F.col("doc_id") % 10 >= 8).count()
+    rows = dedup_incremental(spark, sf_dir).collect()
+    # every batch doc classified exactly once
+    assert len(rows) == n_batch
+    assert len({r["doc_id"] for r in rows}) == n_batch
+    for r in rows:
+        # is_new <=> no corpus duplicate; dup_of always a corpus doc
+        assert r["is_new"] == (r["dup_of"] is None)
+        if r["dup_of"] is not None:
+            assert r["dup_of"] % 10 < 8
+
+
+def test_dedup_containment_invariants_and_jaccard_crosscheck(spark, sf_dir):
+    from beehive_spark.queries.curation import dedup_containment
+    from beehive_spark.queries.llm import dedup_ngram_jaccard
+
+    rows = dedup_containment(spark, sf_dir).collect()
+    for r in rows:
+        assert r["doc_inner"] != r["doc_outer"]
+        assert 0.8 <= r["containment"] <= 1.0
+    # mutual containment >= 0.8 forces jaccard >= 2/3 (union <= 1.5*c),
+    # so such pairs MUST appear in the jaccard>=0.5 near-dup set
+    directed = {(r["doc_inner"], r["doc_outer"]) for r in rows}
+    mutual = {
+        (a, b) for (a, b) in directed if a < b and (b, a) in directed
+    }
+    jac_pairs = {
+        (r["doc_i"], r["doc_j"])
+        for r in dedup_ngram_jaccard(spark, sf_dir).collect()
+    }
+    assert mutual <= jac_pairs
+
+
+def test_boilerplate_ngrams_df_recount(spark, sf_dir):
+    from beehive_spark.queries.curation import boilerplate_ngrams
+    from beehive_spark.queries.llm import _shingles
+
+    rows = boilerplate_ngrams(spark, sf_dir, min_df=2).collect()
+    assert len(rows) == len({r["ngram"] for r in rows})
+    assert all(r["df"] >= 2 for r in rows)
+    # recount one ngram's document frequency from scratch
+    target = max(rows, key=lambda r: r["df"])
+    d = load(spark, sf_dir, "documents")
+    recount = (
+        d.select(_shingles(_tokens(F.col("text"))).alias("sh"))
+        .filter(F.array_contains("sh", target["ngram"]))
+        .count()
+    )
+    assert recount == target["df"]
