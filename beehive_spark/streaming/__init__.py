@@ -1,17 +1,23 @@
 from beehive_spark.streaming.events import (
     dedup_event_stream,
+    enrich_stream,
     read_event_stream,
     run_stream_to_memory,
+    run_topk_foreachbatch,
     running_user_stats,
     sessionized_events,
+    top_event_types,
     windowed_event_counts,
 )
 
 __all__ = [
     "dedup_event_stream",
+    "enrich_stream",
     "read_event_stream",
     "run_stream_to_memory",
+    "run_topk_foreachbatch",
     "running_user_stats",
     "sessionized_events",
+    "top_event_types",
     "windowed_event_counts",
 ]

@@ -177,6 +177,77 @@ def running_user_stats(events: DataFrame) -> DataFrame:
     )
 
 
+def enrich_stream(events: DataFrame, dim: DataFrame) -> DataFrame:
+    """Stream-static enrichment join: attach dimension attributes to a
+    stream by key, the standard fact-stream x dim-table lookup of every
+    ingest pipeline.
+
+    Stream-static joins are STATELESS on the stream side — each
+    micro-batch joins against the (re-read) static relation, so no
+    state store grows and no watermark is needed.  The static side is
+    explicitly broadcast: at 100 TB/day of events the dim table is the
+    small side by construction, and broadcasting keeps the stream from
+    repartitioning on the join key every micro-batch."""
+    return events.join(
+        F.broadcast(dim.withColumnRenamed("c_custkey", "user_id")),
+        "user_id",
+        "left",
+    )
+
+
+def top_event_types(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    """Global per-type counts (complete mode) — the aggregation half of
+    a streaming top-k; pair with :func:`run_topk_foreachbatch`, which
+    sorts/limits each emitted snapshot.  State is one row per
+    event_type, bounded by key cardinality."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+    )
+
+
+def run_topk_foreachbatch(
+    counts: DataFrame,
+    out_dir: str,
+    checkpoint_dir: str,
+    k: int = 5,
+    timeout_sec: int = 120,
+) -> None:
+    """Materialize a streaming top-k via foreachBatch: each complete
+    snapshot of the per-key counts is sorted, limited to k rows, and
+    atomically overwritten as the result table.
+
+    Sort-limit is not supported inside a streaming plan (it would need
+    total order over unbounded input); foreachBatch is the idiomatic
+    Spark answer — the snapshot is a bounded batch DataFrame, so any
+    batch operator (orderBy, limit, MERGE into a lakehouse table...)
+    applies.  The k-row write is trivially small however large the
+    stream."""
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        (
+            batch_df.orderBy(F.col("n_events").desc(), "event_type")
+            .limit(k)
+            .write.mode("overwrite")
+            .parquet(out_dir)
+        )
+
+    q = (
+        counts.writeStream.outputMode("complete")
+        .foreachBatch(sink)
+        .option("checkpointLocation", os.path.join(checkpoint_dir, "topk"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(timeout_sec)
+    if q.isActive:  # pragma: no cover
+        q.stop()
+
+
 def run_stream_to_memory(
     df: DataFrame,
     name: str,

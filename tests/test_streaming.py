@@ -109,3 +109,56 @@ def test_stream_dedup_drops_redelivered_events(spark, sf_dir, tmp_path):
     got = spark.sql("SELECT COUNT(*) AS n, COUNT(DISTINCT event_id) AS d FROM dedup_stream").collect()[0]
     assert got["n"] == raw.count()          # doubled input, deduped output
     assert got["d"] == got["n"]             # one row per event_id
+
+
+def test_enrich_stream_matches_batch_join(spark, sf_dir, tmp_path):
+    """Stream-static broadcast enrichment must agree with the batch
+    join: same row count, same per-segment distribution."""
+    from beehive_spark.streaming import enrich_stream
+
+    dim = load(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    stream = read_event_stream(spark, sf_dir)
+    enriched = enrich_stream(stream, dim).groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    run_stream_to_memory(enriched, "enriched_counts", str(tmp_path), "complete")
+    got = {
+        r["c_mktsegment"]: r["n"]
+        for r in spark.sql("SELECT * FROM enriched_counts").collect()
+    }
+    batch = (
+        load(spark, sf_dir, "events")
+        .join(
+            dim.withColumnRenamed("c_custkey", "user_id"), "user_id", "left"
+        )
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    want = {r["c_mktsegment"]: r["n"] for r in batch.collect()}
+    assert got == want and sum(got.values()) == load(spark, sf_dir, "events").count()
+
+
+def test_topk_foreachbatch_matches_batch_topk(spark, sf_dir, tmp_path):
+    """The foreachBatch-materialized top-k must equal the batch top-k
+    after the stream drains (availableNow processes everything)."""
+    from beehive_spark.streaming import run_topk_foreachbatch, top_event_types
+
+    out = str(tmp_path / "topk_out")
+    stream = read_event_stream(spark, sf_dir)
+    run_topk_foreachbatch(top_event_types(stream), out, str(tmp_path), k=3)
+    got = sorted(
+        (r["event_type"], r["n_events"], r["sum_value"])
+        for r in spark.read.parquet(out).collect()
+    )
+    batch = (
+        load(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 2).alias("s"),
+        )
+        .orderBy(F.col("n").desc(), "event_type")
+        .limit(3)
+    )
+    want = sorted((r["event_type"], r["n"], r["s"]) for r in batch.collect())
+    assert got == want and len(got) == 3
