@@ -207,6 +207,76 @@ def mixture_stats(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# Mixture reweighting: per-source sampling weights toward a target mix
+# ---------------------------------------------------------------------------
+@query(
+    "mixture_reweight",
+    oracle="""
+    WITH toks AS (
+      SELECT source,
+             CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS BIGINT) AS nt
+      FROM documents
+    ),
+    g AS (
+      SELECT source,
+             CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(nt) AS BIGINT) AS total_tokens
+      FROM toks GROUP BY source
+    ),
+    s AS (
+      SELECT *,
+             CAST(total_tokens AS DOUBLE) / SUM(total_tokens) OVER () AS share,
+             1.0 / COUNT(*) OVER () AS target
+      FROM g
+    )
+    SELECT source, n_docs, total_tokens,
+           ROUND(share, 6) AS token_share,
+           ROUND(target, 6) AS target_share,
+           ROUND(target / share, 6) AS weight,
+           ROUND(LEAST(target / share, 1.0), 6) AS sample_rate,
+           CAST(GREATEST(CEIL(target / share), 1) AS BIGINT) AS repeat_factor
+    FROM s
+    """,
+)
+def mixture_reweight(spark, sf_dir):
+    """Per-source sampling weights that move the corpus toward a
+    uniform token budget per source (the equal-mix special case of
+    DoReMi-style domain reweighting; any target vector is a literal-map
+    join away).  ``weight`` > 1 means the source is under-represented —
+    ``repeat_factor`` says how many epochs of it to take; weight < 1
+    means downsample at ``sample_rate`` (feed it to
+    ``stratified_sample``'s content-hash threshold for a deterministic
+    cut).
+
+    Scale shape mirrors mixture_stats: one map-side-combined hash
+    aggregation to the per-source grid, then windows over that
+    few-row aggregate only — the corpus is never reshuffled."""
+    d = load(spark, sf_dir, "documents")
+    g = (
+        d.select("source", F.size(_tokens(F.col("text"))).cast("long").alias("nt"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("nt").alias("total_tokens"),
+        )
+    )
+    w = Window.partitionBy()
+    share = F.col("total_tokens").cast("double") / F.sum("total_tokens").over(w)
+    target = F.lit(1.0) / F.count(F.lit(1)).over(w)
+    weight = target / share
+    return g.select(
+        "source",
+        "n_docs",
+        "total_tokens",
+        F.round(share, 6).alias("token_share"),
+        F.round(target, 6).alias("target_share"),
+        F.round(weight, 6).alias("weight"),
+        F.round(F.least(weight, F.lit(1.0)), 6).alias("sample_rate"),
+        F.greatest(F.ceil(weight), F.lit(1)).cast("long").alias("repeat_factor"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Deterministic stratified sampling by content hash
 # ---------------------------------------------------------------------------
 @query(
