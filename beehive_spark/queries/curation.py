@@ -20,7 +20,7 @@ from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from beehive_spark.queries import load, query
-from beehive_spark.queries.llm import _shingles, _tokens
+from beehive_spark.queries.llm import _ngram_hashes, _shingles, _tokens
 
 
 # ---------------------------------------------------------------------------
@@ -74,9 +74,7 @@ def contamination_ngram(spark, sf_dir, bench_source: str = "src0", n: int = 5):
         .select(
             "doc_id",
             "source",
-            F.explode(
-                F.transform(_shingles(F.col("w"), n=n), lambda s: F.xxhash64(s))
-            ).alias("h"),
+            F.explode(_ngram_hashes(F.col("w"), n=n)).alias("h"),
         )
     )
     bench = sh.filter(F.col("source") == bench_source).select(
@@ -675,10 +673,7 @@ def dedup_containment(spark, sf_dir, threshold: float = 0.8, df_cap: int = 100):
     toks = d.select("doc_id", _tokens(F.col("text")).alias("w"))
     hsets = (
         toks.filter(F.size("w") >= 3)
-        .select(
-            "doc_id",
-            F.transform(_shingles(F.col("w")), lambda s: F.xxhash64(s)).alias("hs"),
-        )
+        .select("doc_id", _ngram_hashes(F.col("w")).alias("hs"))
         .persist()
     )
     plists = _posting_lists(hsets.select("doc_id", F.explode("hs").alias("s"))).persist()

@@ -41,6 +41,22 @@ def _shingles(wcol, n=3):
     ).otherwise(F.array().cast("array<string>"))
 
 
+def _ngram_hashes(wcol, n=3, distinct=True):
+    """xxhash64 of each word n-gram, hashed DIRECTLY from the n token
+    slots (xxhash64 is variadic and position-chained) — building the
+    "a b c" concat string per n-gram just to hash it measured ~25% of
+    dedup_ngram_jaccard's time at sf0.1.  Same distinctness semantics
+    as hashing `_shingles` output (collision odds ~2^-64 per distinct
+    pair).  Empty array when < n tokens."""
+    h = F.transform(
+        F.sequence(F.lit(0), F.size(wcol) - n),
+        lambda i: F.xxhash64(*[F.element_at(wcol, i + k + 1) for k in range(n)]),
+    )
+    if distinct:
+        h = F.array_distinct(h)
+    return F.when(F.size(wcol) >= n, h).otherwise(F.array().cast("array<bigint>"))
+
+
 # ---------------------------------------------------------------------------
 # Exact deduplication
 # ---------------------------------------------------------------------------
@@ -187,23 +203,9 @@ def dedup_ngram_jaccard(spark, sf_dir, df_cap: int = 100):
     consumers."""
     d = load(spark, sf_dir, "documents")
     toks = d.select("doc_id", _tokens(F.col("text")).alias("w"))
-    w = F.col("w")
-    triple_hashes = F.when(
-        F.size(w) >= 3,
-        F.array_distinct(
-            F.transform(
-                F.sequence(F.lit(0), F.size(w) - 3),
-                lambda i: F.xxhash64(
-                    F.element_at(w, i + 1),
-                    F.element_at(w, i + 2),
-                    F.element_at(w, i + 3),
-                ),
-            )
-        ),
-    ).otherwise(F.array().cast("array<bigint>"))
     hsets = (
         toks.filter(F.size("w") >= 3)
-        .select("doc_id", triple_hashes.alias("hs"))
+        .select("doc_id", _ngram_hashes(F.col("w")).alias("hs"))
         .persist()
     )
     sh = hsets.select("doc_id", F.explode("hs").alias("s"))
@@ -359,10 +361,13 @@ def dedup_minhash_lsh(spark, sf_dir):
     """
     d = load(spark, sf_dir, "documents")
     toks = d.select("doc_id", _tokens(F.col("text")).alias("w"))
+    # non-distinct is fine here: min() ignores duplicates, and the
+    # exact-verification stage re-applies array_distinct itself
     hashes = toks.filter(F.size("w") >= 3).select(
         "doc_id",
         F.transform(
-            _shingles(F.col("w")), lambda s: F.pmod(F.xxhash64(s), F.lit(_MH_PRIME))
+            _ngram_hashes(F.col("w"), distinct=False),
+            lambda h: F.pmod(h, F.lit(_MH_PRIME)),
         ).alias("hs"),
     ).persist()  # consumed by both LSH bucketing and exact verification
     sig_cols = [
@@ -427,9 +432,10 @@ def dedup_simhash(spark, sf_dir):
     """
     d = load(spark, sf_dir, "documents")
     toks = d.select("doc_id", _tokens(F.col("text")).alias("w"))
+    # distinctness matters here — duplicate shingles would bias the
+    # per-bit +-1 sums, unlike MinHash where min() ignores them
     th = toks.filter(F.size("w") >= 3).select(
-        "doc_id",
-        F.transform(_shingles(F.col("w")), lambda x: F.xxhash64(x)).alias("hs"),
+        "doc_id", _ngram_hashes(F.col("w")).alias("hs")
     )
     bit_sums = [
         F.aggregate(

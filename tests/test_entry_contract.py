@@ -27,8 +27,10 @@ def test_registry_consistency():
     assert rows_only == {
         "dedup_minhash_lsh",
         "dedup_simhash",
+        "dedup_semantic",
         "similarity_ann_lsh",
         "similarity_ann_ivf",
+        "similarity_ann_pq",
         "approx_sketches",
     }
 
