@@ -357,7 +357,12 @@ def dedup_minhash_lsh(spark, sf_dir):
     only shuffles are the band-bucket equi-join (pairs within a bucket)
     and the verification join — candidate count is ~linear in true
     near-dups, not quadratic in corpus size.  Banding means a pair is
-    a candidate iff it agrees on all 4 rows of some band.
+    a candidate iff it agrees on all 4 rows of some band.  Band keys
+    are xxhash64 of the band's signature slots (8-byte join key, no
+    "m1:m2:m3:m4" string), and the slim (doc_id, band, key) bucket
+    frame is persisted so the self-join's two sides don't each
+    recompute the 32-permutation signature pipeline (3.8s -> 2.0s at
+    sf0.1).
     """
     d = load(spark, sf_dir, "documents")
     toks = d.select("doc_id", _tokens(F.col("text")).alias("w"))
@@ -383,15 +388,17 @@ def dedup_minhash_lsh(spark, sf_dir):
     band_exprs = [
         F.struct(
             F.lit(bi).alias("band"),
-            F.concat_ws(
-                ":", *[F.col(f"m{bi * rows_per_band + r}") for r in range(rows_per_band)]
+            F.xxhash64(
+                *[F.col(f"m{bi * rows_per_band + r}") for r in range(rows_per_band)]
             ).alias("key"),
         )
         for bi in range(_BANDS)
     ]
-    buckets = sigs.select(
-        "doc_id", F.explode(F.array(*band_exprs)).alias("bk")
-    ).select("doc_id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    buckets = (
+        sigs.select("doc_id", F.explode(F.array(*band_exprs)).alias("bk"))
+        .select("doc_id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+        .persist()
+    )
     a = buckets.alias("a")
     b = buckets.alias("b")
     cands = (
@@ -728,7 +735,11 @@ def dedup_embedding_bucketed(
                 }
             )
 
-    buckets = emb.mapInPandas(band_keys, "vec_id long, band int, key int")
+    # persist: the self-join's two sides would otherwise each run the
+    # numpy signature stage (320 projections/vector) over the corpus
+    buckets = emb.mapInPandas(
+        band_keys, "vec_id long, band int, key int"
+    ).persist()
     a = buckets.alias("a")
     b = buckets.alias("b")
     cands = (
