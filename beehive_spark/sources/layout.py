@@ -89,3 +89,43 @@ def write_clustered(
         .write.mode(mode)
         .parquet(path)
     )
+
+
+def export_training_shards(
+    df: DataFrame,
+    path: str,
+    key_col: str,
+    n_shards: int = 16,
+    sort_within: list[str] | str | None = None,
+    mode: str = "overwrite",
+) -> DataFrame:
+    """Final-stage training-data export: deterministic content-hash
+    sharding with a row/byte manifest.  Returns the manifest DataFrame
+    (shard, n_rows) after writing ``path/shard=K/`` parquet dirs and
+    ``path/_manifest`` alongside.
+
+    Shard assignment is ``xxhash64(key) mod n_shards`` — a pure
+    function of the data, so the SAME rows land in the SAME shard on
+    any cluster, any partitioning, any retry (dataloader resume and
+    ablation reproducibility depend on this; Spark's default
+    round-robin file split does not provide it).  Rows are
+    repartitioned BY the shard column so each shard is written by one
+    task (sequential reads per shard downstream), optionally sorted
+    within the shard for curriculum or locality.  At 100 TB pick
+    n_shards ~ total_bytes / desired_shard_bytes; the write itself is
+    the only full-data pass, and the manifest aggregation reuses the
+    same shuffle since it groups by the partition key.
+    """
+    from pyspark.sql import functions as F
+
+    shard = F.pmod(F.xxhash64(F.col(key_col)), F.lit(n_shards)).cast("int")
+    sharded = df.withColumn("shard", shard).repartition(n_shards, "shard")
+    if sort_within:
+        sorts = [sort_within] if isinstance(sort_within, str) else list(sort_within)
+        sharded = sharded.sortWithinPartitions("shard", *sorts)
+    sharded.write.mode(mode).partitionBy("shard").parquet(path)
+    spark = df.sparkSession
+    out = spark.read.parquet(path)
+    manifest = out.groupBy("shard").agg(F.count(F.lit(1)).alias("n_rows"))
+    manifest.coalesce(1).write.mode(mode).parquet(path + "/_manifest")
+    return spark.read.parquet(path + "/_manifest")

@@ -124,3 +124,34 @@ def test_clustered_write_produces_disjoint_file_ranges(spark, sf_dir, tmp_path):
         assert hi1 < lo2
     # and the clustered copy is lossless
     assert spark.read.parquet(path).count() == orders.count()
+
+
+def test_export_training_shards_deterministic_and_complete(spark, sf_dir, tmp_path):
+    """Shard export must be a partition of the input (no loss, no dup),
+    assign rows by content hash (identical across runs/partitionings),
+    and produce a manifest matching the shard dirs."""
+    from beehive_spark.sources.layout import export_training_shards
+
+    d = load(spark, sf_dir, "documents").select("doc_id", "text", "source")
+    p1, p2 = str(tmp_path / "sh1"), str(tmp_path / "sh2")
+    m1 = export_training_shards(d, p1, key_col="doc_id", n_shards=8)
+    m2 = export_training_shards(
+        d.repartition(13), p2, key_col="doc_id", n_shards=8, sort_within="doc_id"
+    )
+    back1 = spark.read.parquet(p1)
+    assert back1.count() == d.count()
+    assert back1.select("doc_id").distinct().count() == d.count()
+    # content-hash assignment: same (doc_id -> shard) map regardless of
+    # input partitioning or sorting
+    a1 = {r["doc_id"]: r["shard"] for r in back1.select("doc_id", "shard").collect()}
+    a2 = {
+        r["doc_id"]: r["shard"]
+        for r in spark.read.parquet(p2).select("doc_id", "shard").collect()
+    }
+    assert a1 == a2
+    man = {r["shard"]: r["n_rows"] for r in m1.collect()}
+    assert sum(man.values()) == d.count() and len(man) <= 8
+    import collections
+
+    want = collections.Counter(a1.values())
+    assert man == dict(want)
