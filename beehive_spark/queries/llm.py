@@ -1340,7 +1340,7 @@ def _pq_subspace_sims(codebook_j: list, j: int, sd: int):
 
 @query("similarity_ann_pq")  # quantized -> rows-only driver check
 def similarity_ann_pq(
-    spark, sf_dir, m: int = 8, ksub: int = 32, refine: int = 96, k: int = 5
+    spark, sf_dir, m: int = 8, ksub: int = 32, refine: int = 256, k: int = 5
 ):
     """ANN via product quantization with asymmetric distance (ADC) and
     exact refinement — the FAISS ``IVFPQ + refine`` shape minus the
@@ -1355,10 +1355,13 @@ def similarity_ann_pq(
     top-``k``.
 
     Determinism: codebooks from `_train_pq_codebooks` (hash-sampled,
-    fixed init/iters).  Measured recall@5 vs brute force: 0.90 at
-    sf0.001, 0.94 at sf0.01 (m=8, ksub=32, refine=96) — pinned >= 0.9
-    at the test SF in tests/test_semantic_pq.py; ADC error on this
-    near-isotropic synthetic corpus is absorbed by the exact refine."""
+    fixed init/iters).  Measured recall@5 vs brute force (m=8,
+    ksub=32, refine=256; scripts/measure_ivf_recall.py): 0.98 at
+    sf0.1; refine=96 measured 0.90/0.94/0.80 at sf0.001/0.01/0.1 —
+    the refine count, a per-query CONSTANT, is the recall knob as the
+    corpus grows.  Pinned >= 0.9 at the test SF in
+    tests/test_semantic_pq.py; ADC error on this near-isotropic
+    synthetic corpus is absorbed by the exact refine."""
     e = load(spark, sf_dir, "embeddings")
     norm = lambda c: F.sqrt(F.aggregate(c, F.lit(0.0), lambda a, x: a + x * x))  # noqa: E731
     emb = (

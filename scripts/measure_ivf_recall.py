@@ -1,12 +1,13 @@
-"""Measure similarity_ann_ivf top-5 recall vs the brute-force baseline.
+"""Measure ANN top-5 recall (IVF and PQ) vs the brute-force baseline.
 
 Recall@5 = |ANN top-5 ∩ exact top-5| / 5, averaged over the 10 query
 vectors.  Run at both oracle scales:
 
     PYTHONPATH=/root/repo python scripts/measure_ivf_recall.py
 
-The measured numbers are quoted in similarity_ann_ivf's docstring;
-re-run this after touching the codebook training or probe logic.
+The measured numbers are quoted in the similarity_ann_ivf and
+similarity_ann_pq docstrings; re-run this after touching codebook
+training, probe logic, or PQ encoding.
 """
 
 import os
@@ -15,15 +16,19 @@ import sys
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from beehive_spark.session import get_spark
-from beehive_spark.queries.llm import similarity_ann_ivf, similarity_cosine_topk
+from beehive_spark.queries.llm import (
+    similarity_ann_ivf,
+    similarity_ann_pq,
+    similarity_cosine_topk,
+)
 
 
-def recall_at(spark, sf_dir, **kw):
+def recall_at(spark, sf_dir, ann_fn=similarity_ann_ivf, **kw):
     exact = {}
     for r in similarity_cosine_topk(spark, sf_dir).collect():
         exact.setdefault(r["query_id"], set()).add(r["neighbor_id"])
     ann = {}
-    for r in similarity_ann_ivf(spark, sf_dir, **kw).collect():
+    for r in ann_fn(spark, sf_dir, **kw).collect():
         ann.setdefault(r["query_id"], set()).add(r["neighbor_id"])
     per_q = [
         len(exact[q] & ann.get(q, set())) / len(exact[q]) for q in sorted(exact)
@@ -37,8 +42,12 @@ def main():
         sf_dir = f"/root/testdata/{sf}"
         if not os.path.isdir(sf_dir):
             continue
-        rec, per_q = recall_at(spark, sf_dir)
-        print(f"{sf}: recall@5 = {rec:.3f}  per-query = {[round(r, 2) for r in per_q]}")
+        for name, fn in (("ivf", similarity_ann_ivf), ("pq", similarity_ann_pq)):
+            rec, per_q = recall_at(spark, sf_dir, ann_fn=fn)
+            print(
+                f"{sf} {name}: recall@5 = {rec:.3f}"
+                f"  per-query = {[round(r, 2) for r in per_q]}"
+            )
     spark.stop()
 
 
