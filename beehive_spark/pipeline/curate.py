@@ -1,0 +1,143 @@
+"""End-to-end corpus curation: the single pipeline a training run
+invokes, composing the individually-verified operators in the order a
+real pre-training data build uses them:
+
+    quality gate  ->  exact dedup  ->  near-dup collapse  ->
+    PII scrub     ->  deterministic shard export (+ audit report)
+
+Each stage is the operator already registered and oracle/test-verified
+on its own (`quality_filter`, `dedup_exact`'s fingerprint rule,
+`dedup_clusters`, `pii_scrub`'s pattern ladder,
+`export_training_shards`); this module only wires them, so the
+pipeline's correctness budget is the join logic between stages —
+which the e2e test pins via stage-count conservation (every input doc
+is kept or attributed to exactly one drop reason).
+
+Scale notes: the gate and scrub are scan-speed JVM projections; the
+two dedup stages are the only shuffling steps and reuse the
+skew-bounded shapes audited in PLANS.md; stage sets are slim
+(doc_id [, reason]) frames, so the final anti-joins broadcast until
+the drop lists outgrow the threshold, then degrade to shuffle joins
+with no code change.
+
+Reference scope: the reference's whole program IS a fixed pipeline
+(orchestrator.js:67-92 runs gates -> movers -> checks in order); this
+is the same orchestration idea over the curation domain.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from beehive_spark.queries import load
+from beehive_spark.queries.curation import _EMAIL_RE, _PHONE_RE
+from beehive_spark.queries.curation import quality_filter
+from beehive_spark.queries.llm import dedup_clusters
+from beehive_spark.sources.layout import export_training_shards
+
+
+def _fingerprint(col):
+    """Exact-dup fingerprint: md5 of whitespace-normalized lowercase
+    text (same rule as the dedup_exact / dedup_incremental oracles)."""
+    return F.md5(F.regexp_replace(F.trim(F.lower(col)), r"\s+", " "))
+
+
+def _scrub(col):
+    """pii_scrub's pattern ladder applied to a text column: emails
+    first, then phone-shaped runs, then bare digit runs — each later
+    pattern sees the previously redacted text."""
+    t = F.regexp_replace(col, _EMAIL_RE, "[EMAIL]")
+    t = F.regexp_replace(t, _PHONE_RE, "[PHONE]")
+    return F.regexp_replace(t, r"\d{4,}", "[NUM]")
+
+
+def curate_corpus(
+    spark: SparkSession,
+    sf_dir: str,
+    out_dir: str,
+    n_shards: int = 8,
+) -> dict:
+    """Run the full curation pipeline over ``{sf_dir}/documents`` and
+    write curated, scrubbed, sharded parquet under ``out_dir`` plus a
+    per-document audit report.  Returns the stage-count summary.
+
+    Drop attribution is FIRST-FAILING-STAGE (quality, then exact dup,
+    then near-dup), so counts partition the input exactly:
+    ``kept + dropped_quality + dropped_exact_dup + dropped_near_dup
+    == n_input``.  Every decision is deterministic (content hashes,
+    min-id canonicals), so re-running over the same input reproduces
+    the same corpus bit-for-bit — the property that makes ablations
+    and incremental rebuilds trustworthy."""
+    docs = load(spark, sf_dir, "documents")
+
+    # stage 1: quality gate (scan-speed signals; audited reasons)
+    q = quality_filter(spark, sf_dir).select("doc_id", "keep", "fail_reasons")
+
+    # stage 2: exact dedup among quality survivors — keep min doc_id
+    # per fingerprint
+    survivors1 = q.filter(F.col("keep")).select("doc_id")
+    fp = docs.join(survivors1, "doc_id").select(
+        "doc_id", _fingerprint(F.col("text")).alias("fp")
+    )
+    canonical_exact = fp.groupBy("fp").agg(F.min("doc_id").alias("keep_id"))
+    exact_dropped = (
+        fp.join(canonical_exact, "fp")
+        .filter(F.col("doc_id") != F.col("keep_id"))
+        .select("doc_id", F.col("keep_id").alias("dup_of"))
+    )
+
+    # stage 3: near-dup collapse — within each connected component of
+    # near-dup pairs, keep the smallest doc_id still alive
+    survivors2 = survivors1.join(exact_dropped.select("doc_id"), "doc_id", "left_anti")
+    clusters = dedup_clusters(spark, sf_dir).select("doc_id", "cluster_id")
+    alive_clusters = clusters.join(survivors2, "doc_id")
+    canon_near = alive_clusters.groupBy("cluster_id").agg(
+        F.min("doc_id").alias("keep_id")
+    )
+    near_dropped = (
+        alive_clusters.join(canon_near, "cluster_id")
+        .filter(F.col("doc_id") != F.col("keep_id"))
+        .select("doc_id", F.col("keep_id").alias("dup_of"))
+    )
+
+    # stage 4+5: scrub surviving text, export deterministic shards
+    survivors = survivors2.join(near_dropped.select("doc_id"), "doc_id", "left_anti")
+    curated = docs.join(survivors, "doc_id").select(
+        "doc_id", _scrub(F.col("text")).alias("text"), "lang", "source"
+    )
+    manifest = export_training_shards(
+        curated, os.path.join(out_dir, "shards"), key_col="doc_id", n_shards=n_shards
+    )
+
+    # audit report: one row per input doc with its fate
+    fate = (
+        q.join(exact_dropped.withColumn("f2", F.lit("exact_dup")), "doc_id", "left")
+        .join(near_dropped.withColumn("f3", F.lit("near_dup")), "doc_id", "left")
+        .select(
+            "doc_id",
+            F.when(~F.col("keep"), F.concat(F.lit("quality:"), F.col("fail_reasons")))
+            .when(F.col("f2").isNotNull(), F.col("f2"))
+            .when(F.col("f3").isNotNull(), F.col("f3"))
+            .otherwise(F.lit("kept"))
+            .alias("fate"),
+        )
+    )
+    fate.write.mode("overwrite").parquet(os.path.join(out_dir, "report"))
+
+    report = spark.read.parquet(os.path.join(out_dir, "report"))
+    counts = {r["fate"]: r["n"] for r in report.groupBy("fate").agg(
+        F.count(F.lit(1)).alias("n")).collect()}
+    n_input = docs.count()
+    kept = counts.get("kept", 0)
+    return {
+        "n_input": n_input,
+        "kept": kept,
+        "dropped_quality": sum(v for k, v in counts.items() if k.startswith("quality:")),
+        "dropped_exact_dup": counts.get("exact_dup", 0),
+        "dropped_near_dup": counts.get("near_dup", 0),
+        "n_shards": manifest.count(),
+        "shard_rows": sum(r["n_rows"] for r in manifest.collect()),
+    }
