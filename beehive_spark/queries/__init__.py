@@ -99,10 +99,13 @@ _PRIORITY = [
     "dedup_incremental",          # new: batch-vs-corpus fingerprint dedup
     "dedup_containment",          # new: near-superset (asymmetric) dedup
     "boilerplate_ngrams",         # new: hot-n-gram df report (df-cap feeder)
+    "mixture_reweight",           # new: per-source target-mix weights
     # events queries: the ns->us load conversion switched to integer div
+    # (profile_events rotated out — its single-row profile exercises the
+    # same conversion the other eight already verify)
     "filter_compound", "events_windowed_agg", "events_sessionize",
     "asof_join_purchases", "range_join_windows", "events_json_extract",
-    "events_pivot", "profile_events", "events_sliding_agg",
+    "events_pivot", "events_sliding_agg",
     # reference-parity operators (merge-pipeline building blocks)
     "assign_ids_window", "consolidate_mapping", "disjunctive_match_users",
     # LLM-pipeline exact ops (llm.py heavily reworked this round)
