@@ -1,4 +1,5 @@
 from beehive_spark.streaming.events import (
+    correlate_streams,
     dedup_event_stream,
     enrich_stream,
     read_event_stream,
@@ -11,6 +12,7 @@ from beehive_spark.streaming.events import (
 )
 
 __all__ = [
+    "correlate_streams",
     "dedup_event_stream",
     "enrich_stream",
     "read_event_stream",

@@ -119,6 +119,45 @@ def dedup_event_stream(
     return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(keys)
 
 
+def correlate_streams(
+    clicks: DataFrame,
+    purchases: DataFrame,
+    max_gap: str = "30 minutes",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Stream-STREAM inner join: match each purchase event to click
+    events by the same user within the preceding ``max_gap`` — the
+    attribution/funnel join every event pipeline runs.
+
+    Both sides carry watermarks AND the join predicate bounds event
+    time (purchase between click and click + gap); together these let
+    Spark evict buffered rows deterministically — an unbounded
+    stream-stream join would buffer both streams forever.  State is
+    bounded by rows-per-(watermark + gap) window, independent of
+    stream length; at cluster scale both sides hash-shuffle on user_id
+    once and the range predicate prunes within each key group."""
+    c = clicks.withWatermark("ts", watermark).select(
+        F.col("user_id"),
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("click_ts"),
+    )
+    p = purchases.withWatermark("ts", watermark).select(
+        F.col("user_id").alias("p_user_id"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("purchase_ts"),
+        F.col("value").alias("purchase_value"),
+    )
+    return c.join(
+        p,
+        (F.col("user_id") == F.col("p_user_id"))
+        & (F.col("purchase_ts") >= F.col("click_ts"))
+        & (F.col("purchase_ts") <= F.col("click_ts") + F.expr(f"INTERVAL {max_gap}")),
+    ).select(
+        "user_id", "click_id", "purchase_id", "click_ts", "purchase_ts",
+        "purchase_value",
+    )
+
+
 def running_user_stats(events: DataFrame) -> DataFrame:
     """Custom stateful streaming operator via applyInPandasWithState:
     per-user running totals that survive across micro-batches.

@@ -162,3 +162,38 @@ def test_topk_foreachbatch_matches_batch_topk(spark, sf_dir, tmp_path):
     )
     want = sorted((r["event_type"], r["n"], r["s"]) for r in batch.collect())
     assert got == want and len(got) == 3
+
+
+def test_correlate_streams_matches_batch_interval_join(spark, sf_dir, tmp_path):
+    """The watermarked stream-stream join must produce exactly the
+    batch interval-join pairs once both streams drain."""
+    from beehive_spark.streaming import correlate_streams
+
+    stream = read_event_stream(spark, sf_dir)
+    clicks = stream.filter(F.col("event_type") == "click")
+    purchases = stream.filter(F.col("event_type") == "purchase")
+    joined = correlate_streams(clicks, purchases)
+    run_stream_to_memory(joined, "correlated", str(tmp_path), "append")
+    got = sorted(
+        (r["click_id"], r["purchase_id"])
+        for r in spark.sql("SELECT * FROM correlated").collect()
+    )
+    ev = load(spark, sf_dir, "events")
+    c = ev.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("event_id").alias("click_id"), F.col("ts").alias("cts")
+    )
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("pu"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("pts"),
+    )
+    want = sorted(
+        (r["click_id"], r["purchase_id"])
+        for r in c.join(
+            p,
+            (F.col("user_id") == F.col("pu"))
+            & (F.col("pts") >= F.col("cts"))
+            & (F.col("pts") <= F.col("cts") + F.expr("INTERVAL 30 minutes")),
+        ).collect()
+    )
+    assert got == want and len(got) > 0
