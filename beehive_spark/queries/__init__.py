@@ -67,13 +67,14 @@ def all_oracles() -> dict[str, str]:
 _loaded = False
 
 # Registry order is the driver's ORACLE-VERIFICATION order, and the driver
-# differentially checks the FIRST 50 registered queries per round.  With 70
+# differentially checks the FIRST 50 registered queries per round.  With 84
 # registered queries the window must rotate: round 1 verified the first 50
 # by import order (everything except TPC-H q4, q6-q22 — see
 # CORRECTNESS_r01.json); this explicit priority list puts the full TPC-H
 # suite plus every query CHANGED OR ADDED this round inside the window, and
 # rotates queries that already passed rows+schema+hash in round 1 unchanged
-# to the back.  Union over rounds = every oracle-bearing query verified.
+# to the back.  Union over rounds = every oracle-bearing query verified
+# (scripts/check_oracle.py verifies ALL of them locally each round).
 _PRIORITY = [
     # full TPC-H suite (oracle-unchecked in round 1 — VERDICT.md top ask)
     "q1_pricing_summary", "q2_min_cost_supplier", "q3_shipping_priority",
