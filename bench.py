@@ -50,6 +50,23 @@ HEADLINE = [
     "similarity_cosine_topk",
 ]
 
+# round-2+ operators, reported under "extra_queries" (single pass, NOT
+# part of the headline total) so round-over-round totals stay
+# comparable to BENCH_r01 while new ops' runtimes remain visible.
+# Disable with BEEHIVE_BENCH_EXTRA=0.
+EXTRA = [
+    "dedup_embedding_bucketed",
+    "dedup_semantic",
+    "similarity_ann_ivf",
+    "similarity_ann_pq",
+    "dedup_incremental",
+    "dedup_containment",
+    "quality_filter",
+    "mixture_reweight",
+    "pack_sequences",
+    "assign_ids_scalable",
+]
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -88,6 +105,15 @@ def main() -> None:
                 timings[name] = elapsed
     timings = {k: round(v, 3) for k, v in timings.items()}
 
+    extra: dict[str, float] = {}
+    if os.environ.get("BEEHIVE_BENCH_EXTRA", "1") != "0":
+        spark.catalog.clearCache()
+        for name in EXTRA:
+            fn = qs[name]
+            t0 = time.time()
+            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            extra[name] = round(time.time() - t0, 3)
+
     out = {
         "metric": "headline_queries_total",
         "value": round(sum(timings.values()), 3),
@@ -96,6 +122,7 @@ def main() -> None:
         "sf": sf_num,
         "runs_per_query": runs,
         "agg": "min",
+        "extra_queries": extra,
     }
     print(json.dumps(out))
     spark.stop()
