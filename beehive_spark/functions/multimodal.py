@@ -272,3 +272,109 @@ def sample_frames(
             )
 
     return media.mapInPandas(run, schema=_FRAME_SCHEMA)
+
+
+_PHASH_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("phash", T.LongType()),
+    ]
+)
+
+
+def _ahash_real(content: bytes) -> int:  # pragma: no cover - needs Pillow
+    """Classic 64-bit average hash: decode, resize to 8x8 grayscale,
+    bit = pixel >= mean.  Near-identical images (recompression, small
+    edits) land within a few bits of each other."""
+    import io
+
+    img = _PILImage.open(io.BytesIO(content)).convert("L").resize((8, 8))
+    px = list(img.getdata())
+    mean = sum(px) / 64.0
+    h = 0
+    for i, p in enumerate(px):
+        if p >= mean:
+            h |= 1 << i
+    return h - (1 << 64) if h >= 1 << 63 else h
+
+
+def perceptual_hash(
+    media: DataFrame,
+    use_real_decoder: bool = False,
+    target_partition_bytes: int = 128 * 1024 * 1024,
+) -> DataFrame:
+    """64-bit perceptual hash per media row -> (media_id, phash).
+
+    With Pillow installed and ``use_real_decoder=True`` this is a real
+    average-hash (`_ahash_real`); the container default derives the 64
+    bits from sha256 — identical payloads still collide exactly
+    (hamming 0), so the downstream dedup join is fully testable, while
+    distinct payloads scatter uniformly.  Same byte-budget
+    repartitioning + Arrow batching as extract_features: the hash
+    compresses each media row to 8 bytes, which is what downstream
+    joins shuffle — never the payload."""
+    import pandas as pd
+
+    stats = media.agg(F.sum(F.length("content")).alias("b")).first()
+    total = int(stats["b"] or 0)
+    n_parts = max(1, min(4096, total // target_partition_bytes + 1))
+    repart = media.select("media_id", "content").repartition(n_parts, "media_id")
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            hashes = []
+            for content in pdf["content"]:
+                b = bytes(content) if content is not None else b""
+                if use_real_decoder:
+                    hashes.append(_ahash_real(b))
+                else:
+                    v = int.from_bytes(hashlib.sha256(b).digest()[:8], "big")
+                    hashes.append(v - (1 << 64) if v >= 1 << 63 else v)
+            yield pd.DataFrame({"media_id": pdf["media_id"], "phash": hashes})
+
+    return repart.mapInPandas(run, schema=_PHASH_SCHEMA)
+
+
+def phash_dedup(hashes: DataFrame, max_hamming: int = 3) -> DataFrame:
+    """Near-duplicate media pairs: (id_i < id_j, hamming) for all pairs
+    within ``max_hamming`` bits, via the same 4-block pigeonhole LSH as
+    dedup_simhash — a pair within distance 3 must agree EXACTLY on at
+    least one of four 16-bit blocks, so candidates come from an
+    equi-join on (block_index, block_value), never an all-pairs cross
+    join, and `bit_count(xor)` verifies exactly, all JVM-side.  The
+    joined relation is (media_id, 2 ints, 1 long) — payload bytes never
+    shuffle."""
+    blocks = hashes.select(
+        "media_id",
+        "phash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("blk"),
+                        F.shiftrightunsigned("phash", 16 * i)
+                        .bitwiseAND(F.lit(0xFFFF))
+                        .alias("val"),
+                    )
+                    for i in range(4)
+                ]
+            )
+        ).alias("b"),
+    ).select("media_id", "phash", F.col("b.blk").alias("blk"), F.col("b.val").alias("val"))
+    a, b = blocks.alias("a"), blocks.alias("b")
+    ham = F.bit_count(F.col("a.phash").bitwiseXOR(F.col("b.phash")))
+    return (
+        a.join(
+            b,
+            (F.col("a.blk") == F.col("b.blk"))
+            & (F.col("a.val") == F.col("b.val"))
+            & (F.col("a.media_id") < F.col("b.media_id")),
+        )
+        .filter(ham <= max_hamming)
+        .select(
+            F.col("a.media_id").alias("id_i"),
+            F.col("b.media_id").alias("id_j"),
+            ham.cast("int").alias("hamming"),
+        )
+        .distinct()
+    )

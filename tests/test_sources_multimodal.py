@@ -180,3 +180,28 @@ def test_real_decoder_roundtrip_when_pillow_present(spark):
     assert len(resized[0]["content"]) == 4 * 2 * 3  # raw RGB bytes
     feats = extract_features(media, use_real_decoder=True).collect()
     assert feats[0]["n_bytes"] == 6 * 3 * 3  # decoded raw RGB length
+
+
+def test_phash_dedup_finds_identical_payloads(spark, sf_dir):
+    """Identical payloads must pair at hamming 0 through the block-LSH
+    join; distinct payloads (avalanche-hashed) must not pair."""
+    from beehive_spark.functions.multimodal import (
+        perceptual_hash,
+        phash_dedup,
+        wrap_as_media,
+    )
+    from beehive_spark.queries import load
+
+    docs = load(spark, sf_dir, "documents").limit(40)
+    # duplicate payloads under shifted ids: 1000+i carries doc i's bytes
+    dup = docs.selectExpr("doc_id + 1000 AS doc_id", "text")
+    media = wrap_as_media(docs.select("doc_id", "text").unionByName(dup),
+                          "doc_id", "text")
+    pairs = phash_dedup(perceptual_hash(media)).collect()
+    exact = {(r["id_i"], r["id_j"]) for r in pairs if r["hamming"] == 0}
+    # every planted (i, i+1000) pair found...
+    ids = [r["doc_id"] for r in docs.select("doc_id").collect()]
+    planted = {(i, i + 1000) for i in ids}
+    assert planted <= exact
+    # ...and nothing at 1 <= hamming <= 3 (sha256 stand-in scatters)
+    assert all(r["hamming"] == 0 for r in pairs)
