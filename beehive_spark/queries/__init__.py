@@ -101,12 +101,14 @@ _PRIORITY = [
     "dedup_containment",          # new: near-superset (asymmetric) dedup
     "boilerplate_ngrams",         # new: hot-n-gram df report (df-cap feeder)
     "mixture_reweight",           # new: per-source target-mix weights
+    "bpe_top_merges",             # new: BPE merge-pair statistics
     # events queries: the ns->us load conversion switched to integer div
-    # (profile_events rotated out — its single-row profile exercises the
-    # same conversion the other eight already verify)
+    # (profile_events and events_pivot rotated out — their logic is
+    # round-1-verified and the same conversion is exercised by the
+    # seven below)
     "filter_compound", "events_windowed_agg", "events_sessionize",
     "asof_join_purchases", "range_join_windows", "events_json_extract",
-    "events_pivot", "events_sliding_agg",
+    "events_sliding_agg",
     # reference-parity operators (merge-pipeline building blocks)
     "assign_ids_window", "consolidate_mapping", "disjunctive_match_users",
     # LLM-pipeline exact ops (llm.py heavily reworked this round)

@@ -786,3 +786,61 @@ def boilerplate_ngrams(spark, sf_dir, min_df: int = 5):
         .filter(F.col("df") >= min_df)
         .select(F.col("s").alias("ngram"), "df")
     )
+
+
+# ---------------------------------------------------------------------------
+# BPE-style merge statistics: adjacent character-pair frequencies
+# ---------------------------------------------------------------------------
+@query(
+    "bpe_top_merges",
+    oracle="""
+    WITH words AS (
+      SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS w
+      FROM documents
+    ),
+    wf AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS c FROM words GROUP BY w),
+    pairs AS (
+      SELECT unnest(list_transform(range(1, len(w)),
+                                   i -> substr(w, CAST(i AS INT), 2))) AS pair,
+             c
+      FROM wf WHERE len(w) >= 2
+    )
+    SELECT pair, CAST(SUM(c) AS BIGINT) AS freq
+    FROM pairs GROUP BY pair ORDER BY freq DESC, pair LIMIT 20
+    """,
+)
+def bpe_top_merges(spark, sf_dir, k: int = 20):
+    """Top adjacent character-pair frequencies over the corpus — the
+    statistic a BPE tokenizer trainer maximizes at every merge step
+    (Sennrich et al. 2016).  One iteration of the distributed trainer:
+    rank candidate merges; a full trainer loops this with the chosen
+    merge applied (each round is this same plan over the re-segmented
+    vocab).
+
+    Scale shape: pair counting runs over the DISTINCT-WORD table
+    weighted by word frequency, not over raw tokens — the vocab is
+    orders of magnitude smaller than the corpus, which is exactly how
+    production BPE trainers stay tractable.  Two map-side-combined
+    hash aggregations (word freq, then pair freq over <= 36^2 keys);
+    the final top-k sorts a few hundred rows."""
+    d = load(spark, sf_dir, "documents")
+    wf = (
+        d.select(F.explode(_tokens(F.col("text"))).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    pairs = wf.filter(F.length("w") >= 2).select(
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.length("w") - 1),
+                lambda i: F.substring(F.col("w"), i, F.lit(2)),
+            )
+        ).alias("pair"),
+        "c",
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.sum("c").alias("freq"))
+        .orderBy(F.col("freq").desc(), "pair")
+        .limit(k)
+    )
