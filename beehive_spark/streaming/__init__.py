@@ -8,6 +8,7 @@ from beehive_spark.streaming.events import (
     running_user_stats,
     sessionized_events,
     top_event_types,
+    user_value_extremes,
     windowed_event_counts,
 )
 
@@ -21,5 +22,6 @@ __all__ = [
     "running_user_stats",
     "sessionized_events",
     "top_event_types",
+    "user_value_extremes",
     "windowed_event_counts",
 ]

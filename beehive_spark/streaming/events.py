@@ -287,6 +287,76 @@ def run_topk_foreachbatch(
         q.stop()
 
 
+def user_value_extremes(events: DataFrame) -> DataFrame:
+    """Per-user running min/max/count via transformWithStateInPandas —
+    Spark 4's StatefulProcessor API, the successor to
+    applyInPandasWithState (see running_user_stats for the legacy
+    twin).  The processor owns typed, individually-updatable state
+    handles (here one ValueState row) instead of a single opaque
+    tuple; the same handle model scales to ListState/MapState and
+    per-key timers for TTL eviction.  State remains one slim row per
+    user_id in the state store, sharded by the groupBy key exactly
+    like the legacy operator.
+
+    Runtime note: the StatefulProcessor Python worker requires the
+    protobuf runtime (`google.protobuf`); environments without it can
+    use running_user_stats (applyInPandasWithState) for identical
+    cross-batch semantics — the e2e test gates on the import."""
+    import pandas as pd
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    out_schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType()),
+            T.StructField("min_value", T.DoubleType()),
+            T.StructField("max_value", T.DoubleType()),
+            T.StructField("n_events", T.LongType()),
+        ]
+    )
+
+    class Extremes(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._state = handle.getValueState(
+                "extremes", "mn double, mx double, cnt bigint"
+            )
+
+        def handleInputRows(self, key, rows, timerValues):
+            mn, mx, cnt = (
+                self._state.get() if self._state.exists() else (None, None, 0)
+            )
+            for pdf in rows:
+                vals = pdf["value"].dropna()
+                if len(vals):
+                    bmn, bmx = float(vals.min()), float(vals.max())
+                    mn = bmn if mn is None else min(mn, bmn)
+                    mx = bmx if mx is None else max(mx, bmx)
+                cnt += len(pdf)
+            self._state.update((mn, mx, cnt))
+            yield pd.DataFrame(
+                [
+                    {
+                        "user_id": key[0],
+                        "min_value": mn,
+                        "max_value": mx,
+                        "n_events": cnt,
+                    }
+                ]
+            )
+
+        def close(self) -> None:
+            pass
+
+    return events.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=Extremes(),
+        outputStructType=out_schema,
+        outputMode="Update",
+        timeMode="None",
+    )
+
+
 def run_stream_to_memory(
     df: DataFrame,
     name: str,

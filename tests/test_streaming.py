@@ -2,6 +2,7 @@
 
 import os
 
+import pytest
 from pyspark.sql import functions as F
 
 from beehive_spark.queries import load
@@ -197,3 +198,64 @@ def test_correlate_streams_matches_batch_interval_join(spark, sf_dir, tmp_path):
         ).collect()
     )
     assert got == want and len(got) > 0
+
+
+def test_transform_with_state_extremes_accumulate(spark, sf_dir, tmp_path):
+    """transformWithStateInPandas must carry typed state across
+    micro-batches: split input into 3 files, 1 per trigger; the final
+    per-user extremes must equal the batch-mode min/max/count.
+
+    Spark's StatefulProcessor Python worker speaks protobuf to the JVM;
+    the container lacks the protobuf runtime, so this skips there and
+    runs wherever `google.protobuf` is installed (the operator itself
+    is plain public API).  The applyInPandasWithState twin
+    (test_running_user_stats_accumulates_across_microbatches) covers
+    the cross-batch-state behavior in this environment."""
+    import os
+
+    pytest.importorskip("google.protobuf")
+
+    from beehive_spark.streaming import run_stream_to_memory
+    from beehive_spark.streaming.events import (
+        event_schema,
+        user_value_extremes,
+    )
+
+    src = str(tmp_path / "ev_parts")
+    batch = load(spark, sf_dir, "events")
+    batch.repartition(3).write.mode("overwrite").parquet(src)
+    schema = event_schema(spark, os.path.join(src))
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    from beehive_spark.sources.readers import normalize_ts
+
+    run_stream_to_memory(
+        user_value_extremes(normalize_ts(stream)),
+        "extremes",
+        str(tmp_path),
+        "update",
+    )
+    # update mode re-emits per batch; keep the final (max n_events) row
+    rows = spark.sql(
+        """SELECT user_id, min_value, max_value, n_events FROM (
+             SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+                                          ORDER BY n_events DESC) rn
+             FROM extremes) WHERE rn = 1"""
+    ).collect()
+    got = {
+        r["user_id"]: (r["min_value"], r["max_value"], r["n_events"]) for r in rows
+    }
+    want = {
+        r["user_id"]: (r["mn"], r["mx"], r["n"])
+        for r in batch.groupBy("user_id")
+        .agg(
+            F.min("value").alias("mn"),
+            F.max("value").alias("mx"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .collect()
+    }
+    assert got == want and len(got) > 50
