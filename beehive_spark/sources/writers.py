@@ -141,3 +141,65 @@ def upsert_jdbc(
         upsert_partition(partition, sql, columns, connect, batch_size)
 
     df.foreachPartition(run)
+
+
+def upsert_parquet(
+    spark,
+    df: DataFrame,
+    path: str,
+    keys: list[str] | str,
+) -> dict:
+    """Keyed upsert into a parquet table: rows in ``df`` replace
+    existing rows with the same key; all other existing rows survive —
+    the file-based counterpart of `upsert_jdbc` (S6 ON DUPLICATE KEY
+    semantics) for lakehouse-style targets without a table format.
+
+    Plan: anti-join the EXISTING table against the incoming keys (one
+    shuffle bounded by the smaller key set — the incoming side, which
+    broadcasts while small), union the incoming rows, write to a
+    staging dir, then swap atomically with the same backup-then-replace
+    dance as MergePipeline.publish, so a crash at any point leaves a
+    complete table on disk.  Plain parquet: no log, so concurrent
+    writers need external locking — a real table format (Delta/Iceberg)
+    is the answer when that matters; this covers the
+    single-writer/many-reader pipeline case.
+
+    Returns {"existing", "updated", "inserted", "total"} row counts.
+    """
+    import os
+    import shutil
+
+    from pyspark.sql import functions as F  # noqa: F401
+
+    key_cols = [keys] if isinstance(keys, str) else list(keys)
+    incoming = df
+    if os.path.isdir(path):
+        existing = spark.read.parquet(path)
+        n_existing = existing.count()
+        survivors = existing.join(
+            incoming.select(*key_cols).distinct(), key_cols, "left_anti"
+        )
+        n_survivors = survivors.count()
+        merged = survivors.select(*incoming.columns).unionByName(incoming)
+        updated = n_existing - n_survivors
+    else:
+        existing = None
+        n_existing, updated = 0, 0
+        merged = incoming
+    staging = path.rstrip("/") + ".staging"
+    shutil.rmtree(staging, ignore_errors=True)
+    merged.write.mode("overwrite").parquet(staging)
+    total = spark.read.parquet(staging).count()
+    backup = path.rstrip("/") + ".old"
+    shutil.rmtree(backup, ignore_errors=True)
+    if os.path.isdir(path):
+        os.replace(path, backup)
+    os.replace(staging, path)
+    shutil.rmtree(backup, ignore_errors=True)
+    n_incoming = incoming.count()
+    return {
+        "existing": n_existing,
+        "updated": updated,
+        "inserted": n_incoming - updated,
+        "total": total,
+    }

@@ -155,3 +155,39 @@ def test_export_training_shards_deterministic_and_complete(spark, sf_dir, tmp_pa
 
     want = collections.Counter(a1.values())
     assert man == dict(want)
+
+
+
+def test_upsert_parquet_replaces_by_key_and_survives(spark, sf_dir, tmp_path):
+    """Upsert must replace matching keys, keep the rest, insert new
+    rows, and leave a complete table after the staged swap."""
+    from beehive_spark.sources.writers import upsert_parquet
+
+    target = str(tmp_path / "tbl")
+    base = load(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_acctbal"
+    )
+    stats0 = upsert_parquet(spark, base, target, keys="c_custkey")
+    assert stats0["existing"] == 0 and stats0["total"] == base.count()
+
+    # update 10 known keys + insert 5 new ones
+    upd = (
+        base.limit(10)
+        .withColumn("c_acctbal", F.lit(-1.0))
+    )
+    new = spark.createDataFrame(
+        [(10_000_000 + i, f"new{i}", 0.0) for i in range(5)],
+        "c_custkey long, c_name string, c_acctbal double",
+    )
+    stats1 = upsert_parquet(spark, upd.unionByName(new), target, keys="c_custkey")
+    assert stats1["updated"] == 10 and stats1["inserted"] == 5
+    assert stats1["total"] == base.count() + 5
+
+    back = spark.read.parquet(target)
+    assert back.count() == base.count() + 5
+    assert back.filter(F.col("c_acctbal") == -1.0).count() == 10
+    assert back.filter(F.col("c_custkey") >= 10_000_000).count() == 5
+    # staging/backup dirs cleaned up
+    import os
+    assert not os.path.isdir(target + ".staging")
+    assert not os.path.isdir(target + ".old")
