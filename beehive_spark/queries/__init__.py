@@ -112,8 +112,12 @@ _PRIORITY = [
     # reference-parity operators (merge-pipeline building blocks)
     "assign_ids_window", "consolidate_mapping", "disjunctive_match_users",
     # LLM-pipeline exact ops (llm.py heavily reworked this round)
-    "similarity_cosine_topk", "dedup_embedding_cosine",
+    "text_tfidf_topterms",        # new: top-k terms per doc by tf-idf
+    "similarity_cosine_topk",
 ]
+# dedup_embedding_cosine yields its window slot to text_tfidf_topterms:
+# r01-verified, and its exact-cosine formula is re-exercised by
+# similarity_cosine_topk (same dot/norm expressions) inside the window
 # rotated out to the overflow this round (round-1 verified, unchanged
 # source since 769e19c): dates_normalize, group_topn_window,
 # window_running_total, not_in_null_semantics, hierarchy_bfs,

@@ -966,6 +966,84 @@ def text_lang_id(spark, sf_dir):
     return scored.select("doc_id", pred.alias("pred_lang"))
 
 
+@query(
+    "text_tfidf_topterms",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id,
+             unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term
+      FROM documents
+    ),
+    tf AS (
+      SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY doc_id, term
+    ),
+    df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+    n AS (SELECT COUNT(*) AS n FROM documents),
+    scored AS (
+      SELECT tf.doc_id, tf.term, tf.tf, df.df,
+             round(tf.tf * ln(CAST(n.n AS DOUBLE) / df.df), 6) AS tfidf6
+      FROM tf JOIN df USING (term) CROSS JOIN n
+    ),
+    ranked AS (
+      SELECT *, row_number() OVER (
+               PARTITION BY doc_id ORDER BY tfidf6 DESC, term) AS rn
+      FROM scored
+    )
+    SELECT doc_id, term, CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df,
+           round(tfidf6, 4) AS tfidf
+    FROM ranked WHERE rn <= 3
+    """,
+)
+def text_tfidf_topterms(spark, sf_dir, k: int = 3):
+    """Top-``k`` terms per document by TF-IDF (raw term count x
+    ln(N/df)) — the classic keyword/topic signal used for corpus
+    exploration, per-source vocabulary drift checks, and cheap
+    keyword-based stratification of training data.
+
+    Scale shape: two map-side-combined hash aggregations (term counts
+    per doc, then document frequency over the vocab — the SAME rows,
+    so the second agg reuses the first's shuffle partitioning on
+    ``term``), an equi-join of the doc-term table with the vocab-sized
+    df table (left AQE-skew-handled on stopword-grade hot terms; no
+    broadcast forced because a web-scale vocab need not fit one
+    executor), a 1-row broadcast for the corpus count, and a per-doc
+    window for top-k.  Everything is JVM expressions.
+
+    Cross-engine determinism: the ranking key is TF-IDF rounded to 6
+    decimals (with term as tiebreak), so a <=1-ulp ln() divergence
+    between the JVM and DuckDB cannot reorder the window; the emitted
+    value rounds further to 4.
+
+    Reference scope: net-new (no counterpart in mhawila/beehive) —
+    part of the text-analysis surface alongside text_token_stats
+    (same tokenizer, llm.py TOKEN_RE)."""
+    d = load(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.explode(_tokens(F.col("text"))).alias("term"))
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n = d.agg(F.count(F.lit(1)).alias("n"))
+    scored = (
+        tf.join(dfreq, "term")
+        .crossJoin(F.broadcast(n))
+        .withColumn(
+            "tfidf6",
+            F.round(F.col("tf") * F.log(F.col("n").cast("double") / F.col("df")), 6),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("tfidf6").desc(), "term")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select(
+            "doc_id",
+            "term",
+            F.col("tf").cast("long").alias("tf"),
+            F.col("df").cast("long").alias("df"),
+            F.round("tfidf6", 4).alias("tfidf"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Approximate nearest neighbors: random-hyperplane LSH buckets
 # ---------------------------------------------------------------------------

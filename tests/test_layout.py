@@ -191,3 +191,99 @@ def test_upsert_parquet_replaces_by_key_and_survives(spark, sf_dir, tmp_path):
     import os
     assert not os.path.isdir(target + ".staging")
     assert not os.path.isdir(target + ".old")
+
+
+def _file_ranges(path, col):
+    """Per-file (min, max) footer stats for ``col``."""
+    import pyarrow.parquet as pq
+
+    out = []
+    for f in sorted(os.listdir(path)):
+        if not f.endswith(".parquet"):
+            continue
+        md = pq.ParquetFile(os.path.join(path, f)).metadata
+        idx = next(
+            i for i in range(md.num_columns)
+            if md.row_group(0).column(i).path_in_schema == col
+        )
+        mins, maxs = [], []
+        for rg in range(md.num_row_groups):
+            stats = md.row_group(rg).column(idx).statistics
+            mins.append(stats.min)
+            maxs.append(stats.max)
+        out.append((min(mins), max(maxs)))
+    return out
+
+
+def _files_hit(path, box):
+    """How many files a conjunctive box predicate must open, going by
+    footer min/max alone (what any parquet reader's skipping does)."""
+    cols = list(box)
+    ranges = {c: _file_ranges(path, c) for c in cols}
+    n_files = len(ranges[cols[0]])
+    hit = 0
+    for i in range(n_files):
+        ok = True
+        for c, (lo, hi) in box.items():
+            mn, mx = ranges[c][i]
+            if mx < lo or mn > hi:
+                ok = False
+                break
+        if ok:
+            hit += 1
+    return hit, n_files
+
+
+def test_zorder_write_skips_files_on_secondary_dim(spark, sf_dir, tmp_path):
+    """A box predicate on the NON-primary dimension must skip z-ordered
+    files while a single-column clustered layout opens every file."""
+    from beehive_spark.sources.layout import write_zordered
+
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_suppkey", "l_quantity"
+    )
+    lin_path = str(tmp_path / "li_linear")
+    z_path = str(tmp_path / "li_zorder")
+    write_clustered(li, lin_path, "l_partkey", n_files=16)
+    write_zordered(li, z_path, ["l_partkey", "l_suppkey"], n_files=16)
+
+    # lossless copy
+    assert spark.read.parquet(z_path).count() == li.count()
+    box = {"l_suppkey": (2, 3)}
+    lin_hit, lin_n = _files_hit(lin_path, box)
+    z_hit, z_n = _files_hit(z_path, box)
+    assert lin_hit == lin_n  # linear layout cannot skip on l_suppkey
+    assert z_hit < lin_hit  # z-order can
+    assert z_hit <= z_n // 2
+
+    # and a 2-D box prunes at least as well as either single dim
+    box2 = {"l_partkey": (90, 110), "l_suppkey": (2, 3)}
+    z2_hit, _ = _files_hit(z_path, box2)
+    assert z2_hit <= z_hit
+
+    # filtered counts agree with the source (skipping is never lossy)
+    want = li.filter(
+        (F.col("l_suppkey") >= 2) & (F.col("l_suppkey") <= 3)
+        & (F.col("l_partkey") >= 90) & (F.col("l_partkey") <= 110)
+    ).count()
+    got = (
+        spark.read.parquet(z_path)
+        .filter(
+            (F.col("l_suppkey") >= 2) & (F.col("l_suppkey") <= 3)
+            & (F.col("l_partkey") >= 90) & (F.col("l_partkey") <= 110)
+        )
+        .count()
+    )
+    assert got == want
+
+
+def test_zorder_value_nulls_sort_last(spark):
+    from beehive_spark.sources.layout import zorder_value
+
+    df = spark.createDataFrame(
+        [(1, 1.0), (2, None), (3, 9.0)], "a int, b double"
+    )
+    z = df.select("a", zorder_value(df, ["a", "b"], bits=8).alias("z"))
+    rows = {r["a"]: r["z"] for r in z.collect()}
+    assert rows[2] == 1 << 16  # null key past every real key
+    assert rows[1] < rows[2] and rows[3] < rows[2]
