@@ -19,6 +19,7 @@ from beehive_spark.operators.checks import (
 from beehive_spark.operators.graph import bfs_levels
 from beehive_spark.operators.skew import salted_join
 from beehive_spark.operators.temporal import asof_join
+from beehive_spark.operators.scd import scd2_merge, scd2_snapshot
 
 __all__ = [
     "assign_ids",
@@ -34,4 +35,6 @@ __all__ = [
     "bfs_levels",
     "salted_join",
     "asof_join",
+    "scd2_merge",
+    "scd2_snapshot",
 ]

@@ -641,3 +641,98 @@ def events_sliding_agg(spark, sf_dir):
             "sum_value",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# S6/S8 generalization — SCD2 history-preserving merge
+# ---------------------------------------------------------------------------
+@query(
+    "scd2_customer_history",
+    oracle="""
+    WITH cur AS (
+      SELECT c_custkey, c_mktsegment, round(c_acctbal, 2) AS c_acctbal,
+             TIMESTAMP '1992-01-01' AS valid_from,
+             CAST(NULL AS TIMESTAMP) AS valid_to,
+             TRUE AS is_current
+      FROM customer
+    ),
+    upd AS (
+      SELECT c_custkey, c_mktsegment,
+             CASE WHEN c_custkey % 2 = 0 THEN round(c_acctbal + 100.0, 2)
+                  ELSE round(c_acctbal, 2) END AS c_acctbal,
+             TIMESTAMP '1995-06-01' AS effective_ts
+      FROM customer WHERE c_custkey % 3 = 0
+      UNION ALL
+      SELECT c_custkey + 100000, c_mktsegment, round(c_acctbal, 2),
+             TIMESTAMP '1995-06-01'
+      FROM customer WHERE c_custkey % 50 = 0
+    ),
+    chg AS (
+      SELECT u.c_custkey, u.c_mktsegment AS u_seg, u.c_acctbal AS u_bal,
+             u.effective_ts,
+             c.c_mktsegment AS o_seg, c.c_acctbal AS o_bal,
+             c.c_custkey IS NOT NULL AS has_open,
+             (u.c_mktsegment IS DISTINCT FROM c.c_mktsegment
+              OR u.c_acctbal IS DISTINCT FROM c.c_acctbal) AS changed
+      FROM upd u LEFT JOIN cur c USING (c_custkey)
+    )
+    SELECT c.c_custkey, c.c_mktsegment, c.c_acctbal,
+           c.valid_from, c.valid_to, c.is_current
+    FROM cur c LEFT JOIN chg g USING (c_custkey)
+    WHERE g.c_custkey IS NULL OR NOT g.changed
+    UNION ALL
+    SELECT c_custkey, o_seg, o_bal, TIMESTAMP '1992-01-01',
+           effective_ts, FALSE
+    FROM chg WHERE has_open AND changed
+    UNION ALL
+    SELECT c_custkey, u_seg, u_bal, effective_ts,
+           CAST(NULL AS TIMESTAMP), TRUE
+    FROM chg WHERE changed OR NOT has_open
+    """,
+)
+def scd2_customer_history(spark, sf_dir):
+    """SCD2 merge demo over the customer dimension: seed every
+    customer as an open version at 1992-01-01, then apply one
+    deterministic update snapshot (every 3rd key, balances bumped on
+    even keys only — so the snapshot mixes changed, unchanged and
+    absent keys — plus a shifted-key block of brand-new customers).
+    Changed keys close out and re-insert, no-op updates pass through
+    untouched (idempotence), new keys open their first version.
+
+    Operator: `operators.scd.scd2_merge` — the history-preserving
+    generalization of the reference's ON DUPLICATE KEY correcting
+    upsert (utils.js:161-213; SURVEY.md §2.1 S6/S8).  The oracle
+    replays the same classification as set SQL."""
+    from beehive_spark.operators.scd import scd2_merge
+
+    c = load(spark, sf_dir, "customer")
+    cur = c.select(
+        "c_custkey",
+        "c_mktsegment",
+        F.round("c_acctbal", 2).alias("c_acctbal"),
+        F.lit("1992-01-01").cast("timestamp").alias("valid_from"),
+        F.lit(None).cast("timestamp").alias("valid_to"),
+        F.lit(True).alias("is_current"),
+    )
+    upd_changed = c.filter(F.col("c_custkey") % 3 == 0).select(
+        "c_custkey",
+        "c_mktsegment",
+        F.when(
+            F.col("c_custkey") % 2 == 0, F.round(F.col("c_acctbal") + 100.0, 2)
+        )
+        .otherwise(F.round("c_acctbal", 2))
+        .alias("c_acctbal"),
+        F.lit("1995-06-01").cast("timestamp").alias("effective_ts"),
+    )
+    upd_new = c.filter(F.col("c_custkey") % 50 == 0).select(
+        (F.col("c_custkey") + 100000).alias("c_custkey"),
+        "c_mktsegment",
+        F.round("c_acctbal", 2).alias("c_acctbal"),
+        F.lit("1995-06-01").cast("timestamp").alias("effective_ts"),
+    )
+    return scd2_merge(
+        cur,
+        upd_changed.unionByName(upd_new),
+        key="c_custkey",
+        tracked=["c_mktsegment", "c_acctbal"],
+    )
