@@ -102,13 +102,14 @@ _PRIORITY = [
     "boilerplate_ngrams",         # new: hot-n-gram df report (df-cap feeder)
     "mixture_reweight",           # new: per-source target-mix weights
     "bpe_top_merges",             # new: BPE merge-pair statistics
+    "dedup_substring_spans",      # new: exact substring-span dedup
     "scd2_customer_history",      # new: history-preserving SCD2 merge
     # events queries: the ns->us load conversion switched to integer div
-    # (profile_events, events_pivot and filter_compound rotated out —
-    # their logic is round-1-verified and the same conversion is
-    # exercised by the six below)
+    # (profile_events, events_pivot, filter_compound and
+    # events_json_extract rotated out — their logic is round-1-verified
+    # and the same conversion is exercised by the five below)
     "events_windowed_agg", "events_sessionize",
-    "asof_join_purchases", "range_join_windows", "events_json_extract",
+    "asof_join_purchases", "range_join_windows",
     "events_sliding_agg",
     # reference-parity operators (merge-pipeline building blocks)
     "assign_ids_window", "consolidate_mapping", "disjunctive_match_users",

@@ -501,6 +501,101 @@ def dedup_simhash(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# Exact substring dedup — duplicated token-window spans (Lee et al. 2022)
+# ---------------------------------------------------------------------------
+@query(
+    "dedup_substring_spans",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS w
+      FROM documents
+    ),
+    win AS (
+      SELECT doc_id, CAST(s.i AS BIGINT) AS pos,
+             array_to_string(w[s.i:s.i+7], ' ') AS g
+      FROM toks, unnest(generate_series(1, len(w) - 7)) AS s(i)
+      WHERE len(w) >= 8
+    ),
+    dup AS (SELECT g FROM win GROUP BY g HAVING COUNT(*) >= 2),
+    marked AS (SELECT doc_id, pos FROM win JOIN dup USING (g)),
+    isl AS (
+      SELECT doc_id, pos,
+             CASE WHEN lag(pos) OVER (PARTITION BY doc_id ORDER BY pos)
+                       IS NULL
+                    OR pos > lag(pos) OVER (PARTITION BY doc_id ORDER BY pos)
+                       + 8
+                  THEN 1 ELSE 0 END AS brk
+      FROM marked
+    ),
+    grp AS (
+      SELECT doc_id, pos,
+             SUM(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS island
+      FROM isl
+    )
+    SELECT doc_id, MIN(pos) AS span_start,
+           MAX(pos) + 7 AS span_end,
+           CAST(COUNT(*) AS BIGINT) AS n_windows
+    FROM grp GROUP BY doc_id, island
+    """,
+)
+def dedup_substring_spans(spark, sf_dir, n: int = 8):
+    """Exact substring deduplication (Lee et al. 2022, "Deduplicating
+    Training Data Makes Language Models Better"): every ``n``-token
+    sliding window that occurs at least twice ANYWHERE in the corpus
+    marks its span, and overlapping/adjacent marked windows merge into
+    maximal per-document spans ``[span_start, span_end]`` (1-based
+    token indices) — the byte ranges a curation pipeline cuts out,
+    reported with the window count as the dedup-pressure signal.
+
+    Scale shape: windows hash DIRECTLY from their n token slots
+    (variadic xxhash64 — same trick as `_ngram_hashes`, no concat
+    string ever materializes), duplicate detection is ONE map-side-
+    combined count over window hashes, and marking is an equi-join of
+    the window table against the 1-row-per-duplicated-hash side —
+    never doc x doc, never window x window, so a boilerplate window
+    shared by k documents costs k join rows, not k².  Span merging is
+    a per-document gaps-and-islands (lag + running sum window) —
+    partitioned by doc_id, no global sort.  This is the suffix-array
+    dedup's output re-expressed in five relational ops; the oracle
+    replays it on raw n-gram strings (hash-vs-string equivalence also
+    property-tested for `_ngram_hashes`)."""
+    d = load(spark, sf_dir, "documents")
+    toks = d.select("doc_id", _tokens(F.col("text")).alias("w")).filter(
+        F.size("w") >= n
+    )
+    win = toks.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("w") - n + 1),
+                lambda i: F.struct(
+                    i.cast("long").alias("pos"),
+                    F.xxhash64(
+                        *[F.element_at(F.col("w"), i + k) for k in range(n)]
+                    ).alias("h"),
+                ),
+            )
+        ).alias("x"),
+    ).select("doc_id", F.col("x.pos").alias("pos"), F.col("x.h").alias("h"))
+    dup = win.groupBy("h").agg(F.count(F.lit(1)).alias("c")).filter(F.col("c") >= 2)
+    marked = win.join(dup.select("h"), "h").select("doc_id", "pos")
+    w_ord = Window.partitionBy("doc_id").orderBy("pos")
+    brk = F.when(
+        F.lag("pos").over(w_ord).isNull()
+        | (F.col("pos") > F.lag("pos").over(w_ord) + n),
+        1,
+    ).otherwise(0)
+    grp = marked.withColumn("brk", brk).withColumn(
+        "island", F.sum("brk").over(w_ord)
+    )
+    return grp.groupBy("doc_id", "island").agg(
+        F.min("pos").alias("span_start"),
+        (F.max("pos") + n - 1).alias("span_end"),
+        F.count(F.lit(1)).alias("n_windows"),
+    ).select("doc_id", "span_start", "span_end", "n_windows")
+
+
+# ---------------------------------------------------------------------------
 # Similarity search — brute-force cosine top-k (oracle-checked baseline)
 # ---------------------------------------------------------------------------
 @query(

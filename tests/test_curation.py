@@ -155,3 +155,30 @@ def test_boilerplate_ngrams_df_recount(spark, sf_dir):
         .count()
     )
     assert recount == target["df"]
+
+
+def test_substring_spans_merge_and_split(spark, tmp_path):
+    """Span semantics pinned on a hand-built corpus: a cross-doc shared
+    run merges its overlapping duplicated windows into ONE maximal span
+    per doc; a within-doc repetition far enough apart yields TWO."""
+    from beehive_spark.queries.llm import dedup_substring_spans
+
+    run = " ".join(f"s{i}" for i in range(1, 11))  # 10 shared tokens
+    rep = " ".join(f"r{i}" for i in range(1, 9))  # 8 repeated tokens
+    docs = [
+        (0, f"x1 x2 {run} y1 y2", "en", "srcA", 0),
+        (1, f"z1 {run} z2 z3", "en", "srcA", 0),
+        (2, f"{rep} m {rep}", "en", "srcB", 0),
+    ]
+    df = spark.createDataFrame(
+        docs, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    df.write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    out = dedup_substring_spans(spark, str(tmp_path), n=8).collect()
+    spans = sorted((r.doc_id, r.span_start, r.span_end, r.n_windows) for r in out)
+    assert spans == [
+        (0, 3, 12, 3),  # run at tokens 3..12: windows 3,4,5 merge
+        (1, 2, 11, 3),
+        (2, 1, 8, 1),  # first r1..r8
+        (2, 10, 17, 1),  # second copy: separate island across the gap
+    ]
