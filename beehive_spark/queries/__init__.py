@@ -103,14 +103,16 @@ _PRIORITY = [
     "mixture_reweight",           # new: per-source target-mix weights
     "bpe_top_merges",             # new: BPE merge-pair statistics
     "dedup_substring_spans",      # new: exact substring-span dedup
+    "funnel_steps",               # new: strict-sequence funnel
+    "cohort_retention",           # new: cohort retention triangle
     "scd2_customer_history",      # new: history-preserving SCD2 merge
     # events queries: the ns->us load conversion switched to integer div
     # (profile_events, events_pivot, filter_compound and
     # events_json_extract rotated out — their logic is round-1-verified
     # and the same conversion is exercised by the five below)
-    "events_windowed_agg", "events_sessionize",
-    "asof_join_purchases", "range_join_windows",
-    "events_sliding_agg",
+    "events_windowed_agg", "events_sessionize", "events_sliding_agg",
+    # (asof_join_purchases / range_join_windows rotated out too:
+    # operators/temporal.py is untouched since their r01 green rows)
     # reference-parity operators (merge-pipeline building blocks)
     "assign_ids_window", "consolidate_mapping", "disjunctive_match_users",
     # LLM-pipeline exact ops (llm.py heavily reworked this round)

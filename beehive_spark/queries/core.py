@@ -614,3 +614,131 @@ def events_windowed_agg(spark, sf_dir):
             "n_users",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Behavioral analytics — ordered funnel and cohort retention
+# ---------------------------------------------------------------------------
+@query(
+    "funnel_steps",
+    oracle="""
+    WITH v AS (
+      SELECT user_id, MIN(ts) AS t1 FROM events
+      WHERE event_type = 'view' GROUP BY user_id
+    ),
+    c AS (
+      SELECT e.user_id, MIN(e.ts) AS t2
+      FROM events e JOIN v ON e.user_id = v.user_id
+      WHERE e.event_type = 'click' AND e.ts > v.t1
+      GROUP BY e.user_id
+    ),
+    p AS (
+      SELECT e.user_id, MIN(e.ts) AS t3
+      FROM events e JOIN c ON e.user_id = c.user_id
+      WHERE e.event_type = 'purchase' AND e.ts > c.t2
+      GROUP BY e.user_id
+    )
+    SELECT 'view' AS step, CAST((SELECT COUNT(*) FROM v) AS BIGINT) AS n_users
+    UNION ALL
+    SELECT 'view>click', CAST((SELECT COUNT(*) FROM c) AS BIGINT)
+    UNION ALL
+    SELECT 'view>click>purchase', CAST((SELECT COUNT(*) FROM p) AS BIGINT)
+    """,
+)
+def funnel_steps(spark, sf_dir):
+    """Ordered three-step funnel (view -> click -> purchase) with
+    strict sequencing: a user converts a step only with an event
+    strictly AFTER their earliest completion of the previous step —
+    the standard product-analytics funnel, not mere set intersection.
+
+    Scale shape: each step is one filtered scan aggregated to a single
+    row per user (map-side-combined MIN), then an equi-join on user_id
+    with the previous step's (user, ts) frontier — the frontier is one
+    row per surviving user, so it broadcasts once smaller than the
+    fact side, and per-step cost shrinks monotonically down the
+    funnel.  No window over all events, no per-user event-list
+    materialization (collect_list funnels blow memory on power users
+    at 100 TB; this shape never holds more than one timestamp per
+    user per step)."""
+    e = load(spark, sf_dir, "events")
+    v = (
+        e.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    c = (
+        e.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(F.col("ts") > F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    p = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("ts") > F.col("t2"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+    row = lambda name, df: df.agg(  # noqa: E731
+        F.lit(name).alias("step"), F.count(F.lit(1)).cast("long").alias("n_users")
+    )
+    return (
+        row("view", v)
+        .unionByName(row("view>click", c))
+        .unionByName(row("view>click>purchase", p))
+    )
+
+
+@query(
+    "cohort_retention",
+    oracle="""
+    WITH first_seen AS (
+      SELECT user_id, date_trunc('week', MIN(ts)) AS cohort_w
+      FROM events GROUP BY user_id
+    ),
+    activity AS (
+      SELECT DISTINCT user_id, date_trunc('week', ts) AS active_w FROM events
+    )
+    SELECT strftime(f.cohort_w, '%Y-%m-%d') AS cohort_week,
+           CAST(datediff('day', f.cohort_w, a.active_w) / 7 AS BIGINT)
+             AS week_offset,
+           CAST(COUNT(DISTINCT a.user_id) AS BIGINT) AS n_users
+    FROM activity a JOIN first_seen f ON a.user_id = f.user_id
+    GROUP BY 1, 2
+    """,
+)
+def cohort_retention(spark, sf_dir):
+    """Cohort retention triangle: users grouped by the ISO week of
+    their first event, counted once per later week they were active —
+    the (cohort_week, week_offset) -> active-user matrix every growth
+    dashboard draws.
+
+    Scale shape: first-seen is one MIN aggregation (map-side
+    combined); activity distinct-projects to (user, week) BEFORE the
+    join, collapsing each user's events per week to one row, so the
+    join and the final count-distinct shuffle rows proportional to
+    user-weeks, not raw events.  At 100 TB the first_seen side is one
+    row per user — bucket both sides by user_id and the join is
+    exchange-free."""
+    e = load(spark, sf_dir, "events")
+    first_seen = e.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).alias("cohort_w")
+    )
+    activity = e.select(
+        "user_id", F.date_trunc("week", F.col("ts")).alias("active_w")
+    ).distinct()
+    # (cohort_w, active_w) maps 1:1 onto (cohort_week, week_offset),
+    # so one grouped count-distinct suffices
+    return (
+        activity.join(first_seen, "user_id")
+        .groupBy("cohort_w", "active_w")
+        .agg(F.count_distinct("user_id").cast("long").alias("n_users"))
+        .select(
+            F.date_format("cohort_w", "yyyy-MM-dd").alias("cohort_week"),
+            (F.datediff("active_w", "cohort_w") / 7).cast("long").alias(
+                "week_offset"
+            ),
+            "n_users",
+        )
+    )
