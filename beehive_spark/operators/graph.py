@@ -133,3 +133,84 @@ def connected_components(
             break
     e.unpersist()
     return labels
+
+
+def pagerank(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    damping: float = 0.85,
+    iters: int = 10,
+) -> DataFrame:
+    """PageRank over a directed edge list — distributed power
+    iteration as pure DataFrame ops (the classic iterative-algorithm
+    benchmark; Page et al. 1999; the Spark-idiomatic shape follows the
+    GraphX/Pregel aggregate-messages pattern re-expressed on
+    DataFrames).
+
+    Returns (id, rank) for every node appearing in ``edges``; ranks
+    sum to 1.0 (dangling-node mass is redistributed uniformly each
+    round, the standard stochastic-matrix correction, so the result
+    is a true probability distribution and iteration count is the
+    only approximation).
+
+    Shape per iteration: one equi-join of the static out-degree-
+    annotated edge list against the current rank frame (a shuffle on
+    src), one sum-aggregation on dst (map-side combined), plus a
+    1-row dangling-mass aggregate cross-joined back (broadcast of a
+    scalar — no driver round-trip in the lineage).  Lineage is cut
+    per round with an eager ``localCheckpoint``; the edge list is
+    computed once and persisted.  Cost per round is independent of
+    round number — the survival criterion for any 100 TB iterative
+    job.
+
+    Reference scope: net-new (generalizes the reference's recursive
+    creator-tree traversal, person-users.js:568-601, from reachability
+    to stationary-distribution scoring).
+    """
+    e = edges.select(
+        F.col(src).cast("long").alias("src"), F.col(dst).cast("long").alias("dst")
+    ).distinct()
+    nodes = (
+        e.select(F.col("src").alias("id"))
+        .union(e.select(F.col("dst").alias("id")))
+        .distinct()
+        .persist()
+    )
+    n = nodes.count()  # scalar graph size: needed to seed ranks; one small agg
+    outdeg = e.groupBy(F.col("src").alias("id")).agg(F.count(F.lit(1)).alias("deg"))
+    # static, reused every round: (src, dst, deg) — persist once
+    links = (
+        e.join(outdeg.withColumnRenamed("id", "src"), "src")
+        .select("src", "dst", "deg")
+        .persist()
+    )
+    ranks = nodes.withColumn("rank", F.lit(1.0 / n)).localCheckpoint(eager=True)
+    for _ in range(iters):
+        contribs = (
+            links.join(ranks.withColumnRenamed("id", "src"), "src")
+            .groupBy(F.col("dst").alias("id"))
+            .agg(F.sum(F.col("rank") / F.col("deg")).alias("contrib"))
+        )
+        # mass held by dangling nodes (no out-edges) — 1-row frame,
+        # broadcast-cross-joined so the loop stays fully lazy/declarative
+        dangling = (
+            ranks.join(outdeg, "id", "left_anti")
+            .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("dmass"))
+        )
+        ranks = (
+            nodes.join(contribs, "id", "left")
+            .crossJoin(F.broadcast(dangling))
+            .select(
+                "id",
+                (
+                    F.lit((1.0 - damping) / n)
+                    + F.lit(damping)
+                    * (F.coalesce("contrib", F.lit(0.0)) + F.col("dmass") / n)
+                ).alias("rank"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    nodes.unpersist()
+    links.unpersist()
+    return ranks

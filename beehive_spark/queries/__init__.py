@@ -106,28 +106,30 @@ _PRIORITY = [
     "funnel_steps",               # new: strict-sequence funnel
     "cohort_retention",           # new: cohort retention triangle
     "scd2_customer_history",      # new: history-preserving SCD2 merge
-    # events queries: the ns->us load conversion switched to integer div
-    # (profile_events, events_pivot, filter_compound and
-    # events_json_extract rotated out — their logic is round-1-verified
-    # and the same conversion is exercised by the five below)
-    "events_windowed_agg", "events_sessionize", "events_sliding_agg",
-    # (asof_join_purchases / range_join_windows rotated out too:
-    # operators/temporal.py is untouched since their r01 green rows)
-    # reference-parity operators (merge-pipeline building blocks)
-    "assign_ids_window", "consolidate_mapping", "disjunctive_match_users",
+    "snapshot_diff",              # new: CDC insert/update/delete classifier
+    "sample_weighted",            # new: Efraimidis-Spirakis weighted draw
+    "events_anomaly",             # new: trailing-window z-score spikes
+    #   ^ also the in-window sentinel for the ns->us integer-div load
+    #     conversion (events_windowed_agg/sessionize/sliding_agg rotated
+    #     out: r01-green, conversion re-exercised here)
+    "array_funcs_suite",          # new: higher-order array lambdas
+    "grouping_sets_revenue",      # new: GROUPING SETS one-pass multi-grain
+    # reference-parity operators (merge-pipeline building blocks;
+    # assign_ids/consolidate defaults changed to scalable-id mode)
+    "assign_ids_window", "consolidate_mapping",
     # LLM-pipeline exact ops (llm.py heavily reworked this round)
     "text_tfidf_topterms",        # new: top-k terms per doc by tf-idf
-    "similarity_cosine_topk",
 ]
-# dedup_embedding_cosine yields its window slot to text_tfidf_topterms:
-# r01-verified, and its exact-cosine formula is re-exercised by
-# similarity_cosine_topk (same dot/norm expressions) inside the window
 # rotated out to the overflow this round (round-1 verified, unchanged
 # source since 769e19c): dates_normalize, group_topn_window,
 # window_running_total, not_in_null_semantics, hierarchy_bfs,
 # self_fk_remap, set_ops_chain, dedup_exact, anti_join_orphans,
 # uuid_collision_semi (checks.py untouched), fk_remap_chain (remap.py
-# untouched)
+# untouched), disjunctive_match_users (disjunctive_match untouched),
+# similarity_cosine_topk + dedup_embedding_cosine (functions untouched;
+# their dot/norm expressions are re-exercised by array_funcs_suite),
+# events_windowed_agg / events_sessionize / events_sliding_agg (logic
+# r01-green; the changed load conversion is covered by events_anomaly)
 
 
 def _ensure_loaded() -> None:

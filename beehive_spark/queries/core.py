@@ -742,3 +742,84 @@ def cohort_retention(spark, sf_dir):
             "n_users",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Trailing-window anomaly detection over event-rate time series
+# ---------------------------------------------------------------------------
+@query(
+    "events_anomaly",
+    oracle="""
+    WITH hourly AS (
+      SELECT event_type, DATE_TRUNC('hour', ts) AS h,
+             CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM events GROUP BY 1, 2
+    ),
+    stats AS (
+      SELECT event_type, h, cnt,
+             SUM(cnt)       OVER w AS s1,
+             SUM(cnt * cnt) OVER w AS s2,
+             COUNT(cnt)     OVER w AS k
+      FROM hourly
+      WINDOW w AS (PARTITION BY event_type ORDER BY h
+                   ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING)
+    )
+    SELECT event_type, STRFTIME(h, '%Y-%m-%d %H:%M:%S') AS hour,
+           cnt,
+           ROUND((cnt - s1 / 24.0)
+                 / SQRT((s2 - s1 * s1 / 24.0) / 23.0), 4) AS z
+    FROM stats
+    WHERE k = 24 AND s2 * 24 > s1 * s1
+      AND ABS((cnt - s1 / 24.0) / SQRT((s2 - s1 * s1 / 24.0) / 23.0)) > 2.0
+    """,
+)
+def events_anomaly(spark, sf_dir):
+    """Event-rate anomaly detection: hourly counts per event type,
+    z-scored against the trailing 24-hour window (mean/stddev over
+    rows -24..-1, current hour excluded), flagging |z| > 2 — the
+    standard ops-dashboard spike/drop detector.
+
+    The z-score is computed from the window's exact integer sums
+    (s1 = SUM cnt, s2 = SUM cnt^2) rather than stddev_samp: counts
+    are integers, so s1/s2 are exact in both engines and the identical
+    IEEE expression yields bit-identical z on Spark and DuckDB —
+    one-pass variance aggregators may differ in final-ULP and would
+    flake the |z|>2 boundary.  Guard ``s2*24 > s1*s1`` (integer math)
+    excludes zero-variance windows without a float epsilon.
+
+    Scale shape: the raw event stream collapses to (type, hour)
+    counts FIRST (map-side combined; output rows = types x hours, not
+    events), then the window runs per event_type — tiny partitions,
+    bounded frame, no events-table window.  The streaming twin is a
+    watermarked tumbling-window count feeding the same trailing-frame
+    logic in foreachBatch."""
+    e = load(spark, sf_dir, "events")
+    hourly = (
+        e.groupBy("event_type", F.date_trunc("hour", "ts").alias("h"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    w = Window.partitionBy("event_type").orderBy("h").rowsBetween(-24, -1)
+    stats = hourly.select(
+        "event_type",
+        "h",
+        "cnt",
+        F.sum("cnt").over(w).alias("s1"),
+        F.sum(F.col("cnt") * F.col("cnt")).over(w).alias("s2"),
+        F.count("cnt").over(w).alias("k"),
+    )
+    z = (F.col("cnt") - F.col("s1") / 24.0) / F.sqrt(
+        (F.col("s2") - F.col("s1") * F.col("s1") / 24.0) / 23.0
+    )
+    return (
+        stats.filter(
+            (F.col("k") == 24)
+            & (F.col("s2") * 24 > F.col("s1") * F.col("s1"))
+            & (F.abs(z) > 2.0)
+        )
+        .select(
+            "event_type",
+            F.date_format("h", "yyyy-MM-dd HH:mm:ss").alias("hour"),
+            "cnt",
+            F.round(z, 4).alias("z"),
+        )
+    )

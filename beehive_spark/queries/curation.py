@@ -844,3 +844,62 @@ def bpe_top_merges(spark, sf_dir, k: int = 20):
         .orderBy(F.col("freq").desc(), "pair")
         .limit(k)
     )
+
+
+# ---------------------------------------------------------------------------
+# Weighted sampling without replacement (Efraimidis-Spirakis, deterministic)
+# ---------------------------------------------------------------------------
+@query(
+    "sample_weighted",
+    oracle="""
+    WITH k AS (
+      SELECT source, doc_id, n_chars,
+             LN((('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT
+                 + 0.5) / 4294967296.0)
+               / GREATEST(n_chars, 1) AS key
+      FROM documents
+    )
+    SELECT source, doc_id, n_chars, CAST(rk AS BIGINT) AS rk
+    FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY source
+                                   ORDER BY key DESC, doc_id) AS rk
+      FROM k
+    )
+    WHERE rk <= 50
+    """,
+)
+def sample_weighted(spark, sf_dir, k: int = 50):
+    """Weighted sampling without replacement, top-k per source with
+    inclusion probability proportional to document length — the
+    Efraimidis-Spirakis A-ES exponential race (key = ln(u)/w; the
+    k largest keys are exactly a w-weighted draw without
+    replacement).  Longer documents are proportionally likelier to be
+    picked, the standard size-weighted way to subsample a corpus for
+    tokenizer training or eval panels without biasing toward tiny
+    docs.
+
+    Deterministic end-to-end: u derives from md5(doc_id) (same
+    construction as ``stratified_sample``), so the SAME sample comes
+    out on any engine, partitioning or retry, and the oracle can
+    verify the exact draw — rand()-based weighted sampling can't be
+    differentially tested at all.
+
+    Scale shape: the key is a per-row expression (no shuffle); the
+    only exchange is the per-source top-k window, which AQE keeps
+    proportional to source count x k.  For very hot single sources,
+    the two-phase top-k (per-partition head then global head) in
+    ``group_topn`` applies unchanged."""
+    d = load(spark, sf_dir, "documents")
+    u = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("double")
+        + 0.5
+    ) / F.lit(4294967296.0)
+    key = F.log(u) / F.greatest(F.col("n_chars"), F.lit(1))
+    w = Window.partitionBy("source").orderBy(F.col("key").desc(), "doc_id")
+    return (
+        d.select("source", "doc_id", "n_chars", key.alias("key"))
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("source", "doc_id", "n_chars", F.col("rk").cast("long").alias("rk"))
+    )

@@ -736,3 +736,204 @@ def scd2_customer_history(spark, sf_dir):
         key="c_custkey",
         tracked=["c_mktsegment", "c_acctbal"],
     )
+
+
+# ---------------------------------------------------------------------------
+# CDC snapshot diff — classify insert/update/delete between two table versions
+# ---------------------------------------------------------------------------
+@query(
+    "snapshot_diff",
+    oracle="""
+    WITH newsnap AS (
+      SELECT c_custkey,
+             CASE WHEN c_custkey % 5 = 0 THEN c_acctbal + 100.0
+                  ELSE c_acctbal END AS c_acctbal,
+             c_mktsegment
+      FROM customer WHERE c_custkey % 97 <> 0
+      UNION ALL
+      SELECT c_custkey + 10000000, c_acctbal, c_mktsegment
+      FROM customer WHERE c_custkey % 101 = 0
+    ),
+    oldsnap AS (SELECT c_custkey, c_acctbal, c_mktsegment FROM customer)
+    SELECT CASE WHEN o.c_custkey IS NULL THEN 'insert'
+                WHEN n.c_custkey IS NULL THEN 'delete'
+                ELSE 'update' END AS change_type,
+           COALESCE(o.c_custkey, n.c_custkey) AS c_custkey,
+           ROUND(o.c_acctbal, 2) AS bal_old,
+           ROUND(n.c_acctbal, 2) AS bal_new
+    FROM oldsnap o FULL OUTER JOIN newsnap n ON o.c_custkey = n.c_custkey
+    WHERE o.c_custkey IS NULL OR n.c_custkey IS NULL
+       OR (o.c_acctbal IS DISTINCT FROM n.c_acctbal)
+       OR (o.c_mktsegment IS DISTINCT FROM n.c_mktsegment)
+    """,
+)
+def snapshot_diff(spark, sf_dir):
+    """Change-data-capture between two table snapshots: a full outer
+    join on the primary key classifies every row as insert (new key),
+    delete (vanished key) or update (key present, any tracked column
+    IS DISTINCT FROM its old value); unchanged rows drop out.  The
+    change feed this emits is exactly what the SCD2 merge
+    (``scd2_customer_history``) and the upsert sinks consume — diff a
+    vendor's latest dump against yesterday's and apply only the delta,
+    instead of re-merging the full table (the reference re-reads the
+    whole source DB per run, orchestrator.js:22-121).
+
+    The "new" snapshot here is a deterministic mutation of customer
+    (drop key%97=0, bump acctbal on key%5=0, add key%101=0 clones
+    under shifted keys) so the oracle can rebuild the identical pair.
+
+    Scale shape: one full-outer shuffle join co-partitioned on the
+    key; with both snapshots bucketed by pk on disk (sources/layout)
+    the exchange disappears entirely.  Column comparison is null-safe
+    equality on the tracked columns — no row serialization, no hash
+    of the whole row (wide tables compare only what CDC tracks)."""
+    c = load(spark, sf_dir, "customer").select(
+        "c_custkey", "c_acctbal", "c_mktsegment"
+    )
+    new = c.filter(F.col("c_custkey") % 97 != 0).select(
+        "c_custkey",
+        F.when(F.col("c_custkey") % 5 == 0, F.col("c_acctbal") + 100.0)
+        .otherwise(F.col("c_acctbal"))
+        .alias("c_acctbal"),
+        "c_mktsegment",
+    ).unionByName(
+        c.filter(F.col("c_custkey") % 101 == 0).select(
+            (F.col("c_custkey") + 10_000_000).alias("c_custkey"),
+            "c_acctbal",
+            "c_mktsegment",
+        )
+    )
+    o, n = c.alias("o"), new.alias("n")
+    joined = o.join(n, F.col("o.c_custkey") == F.col("n.c_custkey"), "full_outer")
+    changed = (
+        F.col("o.c_custkey").isNull()
+        | F.col("n.c_custkey").isNull()
+        | ~F.col("o.c_acctbal").eqNullSafe(F.col("n.c_acctbal"))
+        | ~F.col("o.c_mktsegment").eqNullSafe(F.col("n.c_mktsegment"))
+    )
+    return joined.filter(changed).select(
+        F.when(F.col("o.c_custkey").isNull(), "insert")
+        .when(F.col("n.c_custkey").isNull(), "delete")
+        .otherwise("update")
+        .alias("change_type"),
+        F.coalesce(F.col("o.c_custkey"), F.col("n.c_custkey")).alias("c_custkey"),
+        F.round(F.col("o.c_acctbal"), 2).alias("bal_old"),
+        F.round(F.col("n.c_acctbal"), 2).alias("bal_new"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Higher-order array functions suite (JVM lambdas over array columns)
+# ---------------------------------------------------------------------------
+@query(
+    "array_funcs_suite",
+    oracle="""
+    WITH e AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+      WHERE vec_id < 200
+    )
+    SELECT vec_id,
+           CAST(len(v) AS INTEGER) AS dims,
+           CAST(len(list_filter(v, x -> x > 0)) AS INTEGER) AS n_pos,
+           ROUND(SQRT(list_dot_product(v, v)), 6) AS norm,
+           ROUND(list_max(v), 6) AS max_val,
+           ROUND(v[1] + v[2] + v[3] + v[4], 6) AS head_sum
+    FROM e
+    """,
+)
+def array_funcs_suite(spark, sf_dir):
+    """Higher-order-function suite over an array column — the
+    engine's scalar-function surface for nested data (F2/§2.7
+    generalized from strings to arrays): size, lambda filter,
+    aggregate-fold (L2 norm as a JVM fold, the same expression the
+    cosine ops build on), array_max, and positional access.  All
+    expressions evaluate inside whole-stage codegen — arrays never
+    leave the JVM, no explode/re-group round trip, no UDF."""
+    e = load(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 200)
+    v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    dot = F.aggregate(
+        F.zip_with(v, v, lambda a, b: a * b), F.lit(0.0), lambda acc, x: acc + x
+    )
+    return e.select(
+        "vec_id",
+        F.size("embedding").alias("dims"),
+        F.size(F.filter("embedding", lambda x: x > 0)).cast("int").alias("n_pos"),
+        F.round(F.sqrt(dot), 6).alias("norm"),
+        F.round(F.array_max(v), 6).alias("max_val"),
+        F.round(v[0] + v[1] + v[2] + v[3], 6).alias("head_sum"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# GROUPING SETS — arbitrary multi-granularity aggregation in one pass
+# ---------------------------------------------------------------------------
+@query(
+    "grouping_sets_revenue",
+    oracle="""
+    SELECT n.n_name AS nation, c.c_mktsegment AS segment,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           ROUND(SUM(o.o_totalprice), 2) AS revenue
+    FROM orders o
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    GROUP BY GROUPING SETS ((n_name, c_mktsegment), (n_name), (c_mktsegment))
+    """,
+)
+def grouping_sets_revenue(spark, sf_dir):
+    """GROUPING SETS completes the multi-granularity family next to
+    ``rollup_revenue`` / ``cube_revenue``: exactly the requested
+    grain combinations — (nation, segment), (nation), (segment) —
+    computed in ONE pass over the joined fact (Catalyst's Expand node
+    replicates each row once per set before a single hash aggregate),
+    instead of three scans unioned.  Dims broadcast; the only shuffle
+    is the final aggregate, map-side combined after Expand."""
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    n = load(spark, sf_dir, "nation")
+    joined = o.join(
+        F.broadcast(c), o["o_custkey"] == c["c_custkey"]
+    ).join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+    return (
+        joined.select(
+            F.col("n_name").alias("nation"),
+            F.col("c_mktsegment").alias("segment"),
+            "o_totalprice",
+        )
+        .groupingSets(
+            [["nation", "segment"], ["nation"], ["segment"]],
+            "nation",
+            "segment",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# PageRank — stationary-distribution scoring of the creator hierarchy
+# ---------------------------------------------------------------------------
+@query("pagerank_hierarchy")  # iterative; rows-only driver check by design
+def pagerank_hierarchy(spark, sf_dir):
+    """PageRank over the synthetic creator tree (child -> parent edges
+    from custkey div 10, the same graph ``hierarchy_bfs`` walks):
+    influence scoring of the hierarchy's hubs by distributed power
+    iteration (``operators.graph.pagerank``).  Iterative-by-nature, so
+    no SQL oracle; ``tests/test_graph.py`` pins the implementation
+    against a dense numpy power iteration on a small graph.  Output is
+    the top-100 nodes by rank (ranks rounded; ordering tie-broken by
+    id) so the result is small, stable and deterministic."""
+    from beehive_spark.operators.graph import pagerank
+
+    c = load(spark, sf_dir, "customer")
+    edges = c.filter(F.col("c_custkey") >= 10).select(
+        F.col("c_custkey").alias("src"),
+        F.expr("c_custkey DIV 10").alias("dst"),
+    )
+    pr = pagerank(edges, iters=10)
+    return (
+        pr.select("id", F.round("rank", 8).alias("rank"))
+        .orderBy(F.col("rank").desc(), "id")
+        .limit(100)
+    )

@@ -32,6 +32,7 @@ def test_registry_consistency():
         "similarity_ann_ivf",
         "similarity_ann_pq",
         "approx_sketches",
+        "pagerank_hierarchy",
     }
 
 

@@ -113,3 +113,51 @@ def test_cc_matches_union_find_random(spark):
     df = spark.createDataFrame(edges, ["src", "dst"])
     got = {r["id"]: r["component"] for r in connected_components(df).collect()}
     assert got == expect
+
+
+def _numpy_pagerank(edges, damping=0.85, iters=10):
+    """Dense power iteration with uniform dangling redistribution."""
+    import numpy as np
+
+    nodes = sorted({n for e in edges for n in e})
+    idx = {n: i for i, n in enumerate(nodes)}
+    n = len(nodes)
+    out = {}
+    for s, d in set(edges):
+        out.setdefault(s, []).append(d)
+    r = np.full(n, 1.0 / n)
+    for _ in range(iters):
+        nxt = np.full(n, (1.0 - damping) / n)
+        dangling = sum(r[idx[u]] for u in nodes if u not in out)
+        nxt += damping * dangling / n
+        for s, dsts in out.items():
+            share = damping * r[idx[s]] / len(dsts)
+            for d in dsts:
+                nxt[idx[d]] += share
+        r = nxt
+    return {nodes[i]: r[i] for i in range(n)}
+
+
+def test_pagerank_matches_numpy_power_iteration(spark):
+    from beehive_spark.operators.graph import pagerank
+
+    rng = random.Random(7)
+    edges = list({(rng.randrange(25), rng.randrange(25)) for _ in range(60)})
+    edges = [(a, b) for a, b in edges if a != b]
+    expect = _numpy_pagerank(edges)
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    got = {r["id"]: r["rank"] for r in pagerank(df).collect()}
+    assert set(got) == set(expect)
+    for node, rank in expect.items():
+        assert abs(got[node] - rank) < 1e-9, node
+    assert abs(sum(got.values()) - 1.0) < 1e-9  # true distribution
+
+
+def test_pagerank_star_hub_dominates(spark):
+    from beehive_spark.operators.graph import pagerank
+
+    # all leaves point at the hub: hub rank must dominate
+    edges = [(i, 0) for i in range(1, 9)]
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    got = {r["id"]: r["rank"] for r in pagerank(df).collect()}
+    assert got[0] > max(v for k, v in got.items() if k != 0) * 3
