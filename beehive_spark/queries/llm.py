@@ -847,18 +847,31 @@ def dedup_embedding_bucketed(
         .select(F.col("a.vec_id").alias("id_i"), F.col("b.vec_id").alias("id_j"))
         .distinct()
     )
-    ci = emb.select(F.col("vec_id").alias("id_i"), F.col("v").alias("vi"))
-    cj = emb.select(F.col("vec_id").alias("id_j"), F.col("v").alias("vj"))
+    # norms computed ONCE per vector (n folds), not once per candidate
+    # side (2 folds x |candidates|) — at background-heavy thresholds
+    # candidates ~ all pairs, so this cuts 2/3 of the verification
+    # fold work
     norm = lambda c: F.sqrt(F.aggregate(c, F.lit(0.0), lambda acc, x: acc + x * x))  # noqa: E731
+    embn = emb.withColumn("nrm", norm(F.col("v")))
+    ci = embn.select(
+        F.col("vec_id").alias("id_i"), F.col("v").alias("vi"), F.col("nrm").alias("ni")
+    )
+    cj = embn.select(
+        F.col("vec_id").alias("id_j"), F.col("v").alias("vj"), F.col("nrm").alias("nj")
+    )
     dot = F.aggregate(
         F.zip_with("vi", "vj", lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
     )
-    sim = dot / (norm(F.col("vi")) * norm(F.col("vj")))
+    sim = dot / (F.col("ni") * F.col("nj"))
     return (
         cands.join(ci, "id_i")
         .join(cj, "id_j")
-        .filter(sim >= threshold)  # unrounded, exactly like the oracle
-        .select("id_i", "id_j", F.round(sim, 4).alias("cosine"))
+        # one withColumn so the 3x64-element fold evaluates ONCE per
+        # candidate (filter+project each re-deriving the expression
+        # tree measured ~2x the verification cost)
+        .withColumn("sim", sim)
+        .filter(F.col("sim") >= threshold)  # unrounded, exactly like the oracle
+        .select("id_i", "id_j", F.round("sim", 4).alias("cosine"))
     )
 
 
@@ -1229,19 +1242,20 @@ def similarity_ann_lsh(spark, sf_dir):
 # ---------------------------------------------------------------------------
 # Approximate nearest neighbors: IVF (inverted-file) coarse quantizer
 # ---------------------------------------------------------------------------
-def _codebook_sims(cents: list):
+def _codebook_sims(cb="cb"):
     """``array<struct<sim,cid>>`` of dot products between the
-    unit-vector column ``en`` and a driver-held codebook.
+    unit-vector column ``en`` and a codebook carried in column ``cb``
+    (crossJoin the `_codebook_df` broadcast row to provide it).
 
-    Built as ONE nested array literal consumed by a single ``transform``
-    lambda: the expression tree carries the k*dim codebook literals
-    once.  The obvious alternative — k separate
-    ``aggregate(zip_with(en, <dim literals>))`` expressions — embeds the
-    codebook k times over and sent Catalyst analysis/codegen time from
-    ~1s to ~27s per query at k=16, dim=64."""
-    cl = F.array(*[F.array(*[F.lit(float(x)) for x in c]) for c in cents])
+    The codebook rides in as DATA, not as literals: a k*dim literal
+    tree costs one py4j call per float to build and re-enters Catalyst
+    analysis on every plan; a broadcast one-row frame ships once and
+    keeps planning time independent of k.  (k separate
+    ``aggregate(zip_with(en, <dim literals>))`` expressions were worse
+    still — codebook embedded k times over, ~27s analysis+codegen at
+    k=16, dim=64.)"""
     return F.transform(
-        cl,
+        F.col(cb),
         lambda c, i: F.named_struct(
             F.lit("sim"),
             F.aggregate(
@@ -1255,12 +1269,61 @@ def _codebook_sims(cents: list):
     )
 
 
+def _normalized_sample(emb_raw, sample_cap: int = 8192):
+    """Bounded deterministic driver-side training sample as a numpy
+    matrix of unit-normalized vectors.
+
+    Samples the RAW float embedding column (``emb_raw`` has
+    (vec_id, embedding)) with a content-hash filter
+    (``xxhash64(vec_id) % m == 0`` — partition-count independent),
+    sorts by vec_id driver-side, and normalizes in numpy.  Collecting
+    raw floats instead of a JVM-normalized array column keeps the two
+    sampling jobs (count + collect) on the plain parquet scan — the
+    higher-order-function normalization projection costs more per
+    element than the whole numpy normalization does per sample.
+    """
+    import numpy as np
+
+    n = emb_raw.count()
+    if n > sample_cap:
+        m = max(1, n // sample_cap)
+        samp = emb_raw.filter(F.pmod(F.xxhash64(F.col("vec_id")), F.lit(m)) == 0)
+    else:
+        samp = emb_raw
+    rows = sorted(samp.collect(), key=lambda r: r[0])[:sample_cap]
+    X = np.array([list(r[1]) for r in rows], dtype=np.float64)
+    X = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-30)
+    return X
+
+
+def _codebook_df(spark, cents: list, extra: dict | None = None):
+    """A ONE-ROW DataFrame carrying a driver-trained codebook (plus
+    optional extra nested-list columns), for ``crossJoin(broadcast(...))``
+    into the frame that needs it.
+
+    Why not a literal expression: building k*dim ``F.lit`` calls costs
+    one py4j round-trip each (~1.5s at k=32, dim=64, measured), every
+    time the query is PLANNED.  A one-row Arrow-created frame ships the
+    same floats in one call, broadcasts once, and keeps the expression
+    tree tiny — analysis time becomes independent of codebook size.
+    """
+    cols = {"cb": cents}
+    cols.update(extra or {})
+
+    def _typ(v):
+        return "array<" + (_typ(v[0]) if isinstance(v[0], list) else "double") + ">"
+
+    schema = ", ".join(f"{name}: {_typ(val)}" for name, val in cols.items())
+    return spark.createDataFrame([tuple(cols.values())], schema)
+
+
 def _train_ivf_codebook(
-    emb_n, k: int = 16, iters: int = 10, sample_cap: int = 8192
+    emb_raw, k: int = 16, iters: int = 10, sample_cap: int = 8192
 ) -> list:
-    """Spherical k-means codebook over a unit-normalized array column
-    ``en``, trained on a bounded deterministic sample driver-side —
-    the way FAISS/ScaNN train coarse quantizers.
+    """Spherical k-means codebook over the raw embedding column,
+    trained on a bounded deterministic sample driver-side
+    (`_normalized_sample`) — the way FAISS/ScaNN train coarse
+    quantizers.
 
     Codebook quality needs only ~hundreds of vectors per centroid, so
     training cost is O(sample_cap * k * dim) numpy work regardless of
@@ -1271,22 +1334,13 @@ def _train_ivf_codebook(
     expression — 10s+ per query for no quality gain at any scale where
     a sample fits the driver.)
 
-    Determinism: the sample is a content-hash filter
-    (``xxhash64(vec_id) % m == 0`` — partition-count independent),
-    sorted by vec_id driver-side; init is k evenly-spaced sample
-    vectors; Lloyd is plain argmax/mean with ties broken by index.
-    Empty clusters keep their previous centroid.
+    Determinism: content-hash sample, sorted by vec_id; init is k
+    evenly-spaced sample vectors; Lloyd is plain argmax/mean with ties
+    broken by index.  Empty clusters keep their previous centroid.
     """
     import numpy as np
 
-    n = emb_n.count()
-    if n > sample_cap:
-        m = max(1, n // sample_cap)
-        samp = emb_n.filter(F.pmod(F.xxhash64(F.col("vec_id")), F.lit(m)) == 0)
-    else:
-        samp = emb_n
-    rows = sorted(samp.collect(), key=lambda r: r["vec_id"])[:sample_cap]
-    X = np.array([list(r["en"]) for r in rows])
+    X = _normalized_sample(emb_raw, sample_cap)
     k = max(1, min(k, len(X)))
     step = max(1, len(X) // k)
     C = X[::step][:k].copy()
@@ -1340,12 +1394,15 @@ def similarity_ann_ivf(spark, sf_dir, nprobe: int = 6, k: int = 16, replicas: in
             F.transform("ed", lambda x: x / F.col("nrm")).alias("en"),
         )
     )
-    cents = _train_ivf_codebook(emb.filter(F.col("vec_id") >= 10), k=k)
-    sims = _codebook_sims(cents)
+    cents = _train_ivf_codebook(
+        e.select("vec_id", "embedding").filter(F.col("vec_id") >= 10), k=k
+    )
+    embc = emb.crossJoin(F.broadcast(_codebook_df(spark, cents)))
+    sims = _codebook_sims()
     # corpus side: each vector joins its top-`replicas` lists (IVF
     # multi-assignment) — one projection + explode, no shuffle
     lists = (
-        emb.filter(F.col("vec_id") >= 10)
+        embc.filter(F.col("vec_id") >= 10)
         .select(
             F.col("vec_id").alias("neighbor_id"),
             F.col("en").alias("ce"),
@@ -1355,7 +1412,7 @@ def similarity_ann_ivf(spark, sf_dir, nprobe: int = 6, k: int = 16, replicas: in
     )
     # query side: top-nprobe centroids — sort the k-struct array, slice, explode
     probes = (
-        emb.filter(F.col("vec_id") < 10)
+        embc.filter(F.col("vec_id") < 10)
         .select(
             F.col("vec_id").alias("query_id"),
             F.col("en").alias("qe"),
@@ -1422,15 +1479,17 @@ def dedup_semantic(
         .withColumn("nrm", norm(F.col("ed")))
         .select("vec_id", F.transform("ed", lambda x: x / F.col("nrm")).alias("en"))
     )
+    raw = e.select("vec_id", "embedding")
     if k is None:
-        k = max(16, min(4096, emb.count() // 40))
-    cents = _train_ivf_codebook(emb, k=k)
-    sims = _codebook_sims(cents)
+        k = max(16, min(4096, raw.count() // 40))
+    cents = _train_ivf_codebook(raw, k=k)
+    sims = _codebook_sims()
     topr = F.slice(F.reverse(F.array_sort(sims)), 1, replicas)
     # persist: the self-join below would otherwise evaluate the
     # k-centroid assignment projection once per join side
     assigned = (
-        emb.select("vec_id", "en", F.explode(topr).alias("a"))
+        emb.crossJoin(F.broadcast(_codebook_df(spark, cents)))
+        .select("vec_id", "en", F.explode(topr).alias("a"))
         .select("vec_id", "en", F.col("a")["cid"].alias("cluster_id"))
         .persist()
     )
@@ -1464,25 +1523,18 @@ def dedup_semantic(
 # Approximate nearest neighbors: product quantization (ADC) + exact refine
 # ---------------------------------------------------------------------------
 def _train_pq_codebooks(
-    emb_n, m: int = 8, ksub: int = 16, iters: int = 10, sample_cap: int = 8192
+    emb_raw, m: int = 8, ksub: int = 16, iters: int = 10, sample_cap: int = 8192
 ) -> list:
     """Per-subspace L2 k-means codebooks for product quantization,
     trained on the same bounded deterministic driver-side sample as
     :func:`_train_ivf_codebook` (content-hash filter, sorted, evenly
-    spaced init, index-tiebroken Lloyd).  Returns ``m`` codebooks of
-    ``ksub`` centroids, each of dim/m floats — the classic Jegou et al.
-    2011 PQ trainer, O(sample_cap * ksub * dim) numpy work regardless
-    of corpus size."""
+    spaced init, index-tiebroken Lloyd — `_normalized_sample`).
+    Returns ``m`` codebooks of ``ksub`` centroids, each of dim/m
+    floats — the classic Jegou et al. 2011 PQ trainer,
+    O(sample_cap * ksub * dim) numpy work regardless of corpus size."""
     import numpy as np
 
-    n = emb_n.count()
-    if n > sample_cap:
-        mm = max(1, n // sample_cap)
-        samp = emb_n.filter(F.pmod(F.xxhash64(F.col("vec_id")), F.lit(mm)) == 0)
-    else:
-        samp = emb_n
-    rows = sorted(samp.collect(), key=lambda r: r["vec_id"])[:sample_cap]
-    X = np.array([list(r["en"]) for r in rows])
+    X = _normalized_sample(emb_raw, sample_cap)
     dim = X.shape[1]
     sd = dim // m
     books = []
@@ -1502,15 +1554,15 @@ def _train_pq_codebooks(
     return books
 
 
-def _pq_subspace_sims(codebook_j: list, j: int, sd: int):
+def _pq_subspace_sims(j: int, sd: int, books="books"):
     """``array<struct<sim,cid>>`` of dot products between subvector
-    ``j`` of the unit-vector column ``en`` and that subspace's codebook
-    (one nested literal array, single transform — see _codebook_sims
-    for why)."""
-    cl = F.array(*[F.array(*[F.lit(float(x)) for x in c]) for c in codebook_j])
+    ``j`` of the unit-vector column ``en`` and subspace ``j``'s
+    codebook, read from the nested-array column ``books`` (crossJoin
+    the `_codebook_df` broadcast row — data, not literals; see
+    _codebook_sims for why)."""
     sub = F.slice(F.col("en"), j * sd + 1, sd)
     return F.transform(
-        cl,
+        F.element_at(F.col(books), j + 1),
         lambda c, i: F.named_struct(
             F.lit("sim"),
             F.aggregate(
@@ -1553,26 +1605,31 @@ def similarity_ann_pq(
         .withColumn("nrm", norm(F.col("ed")))
         .select("vec_id", F.transform("ed", lambda x: x / F.col("nrm")).alias("en"))
     )
-    corpus = emb.filter(F.col("vec_id") >= 10)
-    books = _train_pq_codebooks(corpus, m=m, ksub=ksub)
+    books = _train_pq_codebooks(
+        e.select("vec_id", "embedding").filter(F.col("vec_id") >= 10), m=m, ksub=ksub
+    )
     sd = len(books[0][0])
     # corpus side: argmin-L2 code per subspace == argmax (dot - |c|^2/2)
-    # on unit-normed data; encode once, carry only (vec_id, m codes)
+    # on unit-normed data; encode once, carry only (vec_id, m codes).
+    # The codebooks and their half-squared-norm tables ride in as one
+    # broadcast row (_codebook_df), not literal trees.
     half_sq = [
         [sum(x * x for x in c) / 2.0 for c in books[j]] for j in range(m)
     ]
+    cbdf = _codebook_df(spark, books, extra={"halfsq": half_sq})
+    embc = emb.crossJoin(F.broadcast(cbdf))
     codes = F.array(
         *[
             F.element_at(
                 F.reverse(
                     F.array_sort(
                         F.transform(
-                            _pq_subspace_sims(books[j], j, sd),
+                            _pq_subspace_sims(j, sd, books="cb"),
                             lambda s: F.named_struct(
                                 F.lit("sim"),
                                 s["sim"]
                                 - F.element_at(
-                                    F.array(*[F.lit(h) for h in half_sq[j]]),
+                                    F.element_at(F.col("halfsq"), j + 1),
                                     s["cid"] + 1,
                                 ),
                                 F.lit("cid"),
@@ -1586,15 +1643,17 @@ def similarity_ann_pq(
             for j in range(m)
         ]
     )
-    enc = corpus.select(F.col("vec_id").alias("neighbor_id"), codes.alias("codes"))
+    enc = embc.filter(F.col("vec_id") >= 10).select(
+        F.col("vec_id").alias("neighbor_id"), codes.alias("codes")
+    )
     # query side: ADC tables — tabs[j][c] = dot(q_sub_j, centroid_c)
     tabs = F.array(
         *[
-            F.transform(_pq_subspace_sims(books[j], j, sd), lambda s: s["sim"])
+            F.transform(_pq_subspace_sims(j, sd, books="cb"), lambda s: s["sim"])
             for j in range(m)
         ]
     )
-    q = emb.filter(F.col("vec_id") < 10).select(
+    q = embc.filter(F.col("vec_id") < 10).select(
         F.col("vec_id").alias("query_id"), tabs.alias("tabs")
     )
     adc = F.aggregate(
