@@ -114,9 +114,11 @@ _PRIORITY = [
     #     out: r01-green, conversion re-exercised here)
     "array_funcs_suite",          # new: higher-order array lambdas
     "grouping_sets_revenue",      # new: GROUPING SETS one-pass multi-grain
-    # reference-parity operators (merge-pipeline building blocks;
-    # assign_ids/consolidate defaults changed to scalable-id mode)
-    "assign_ids_window", "consolidate_mapping",
+    "fuzzy_join_names",           # new: edit-distance join (SymSpell keys)
+    # reference-parity operator (consolidate default changed to
+    # scalable-id mode; assign_ids_window rotated out — r01-green and
+    # its contiguous path is also covered by the merge e2e suite)
+    "consolidate_mapping",
     # LLM-pipeline exact ops (llm.py heavily reworked this round)
     "text_tfidf_topterms",        # new: top-k terms per doc by tf-idf
 ]
