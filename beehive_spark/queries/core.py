@@ -798,7 +798,17 @@ def events_anomaly(spark, sf_dir):
         e.groupBy("event_type", F.date_trunc("hour", "ts").alias("h"))
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
-    w = Window.partitionBy("event_type").orderBy("h").rowsBetween(-24, -1)
+    return score_hourly_anomalies(hourly)
+
+
+def score_hourly_anomalies(hourly, frame: int = 24, threshold: float = 2.0):
+    """Trailing-window z-scoring over an (event_type, h, cnt) frame —
+    shared by the batch ``events_anomaly`` query and the streaming
+    foreachBatch sink (``streaming.events.run_anomaly_foreachbatch``),
+    so both layers flag the identical anomalies by construction."""
+    w = (
+        Window.partitionBy("event_type").orderBy("h").rowsBetween(-frame, -1)
+    )
     stats = hourly.select(
         "event_type",
         "h",
@@ -807,14 +817,15 @@ def events_anomaly(spark, sf_dir):
         F.sum(F.col("cnt") * F.col("cnt")).over(w).alias("s2"),
         F.count("cnt").over(w).alias("k"),
     )
-    z = (F.col("cnt") - F.col("s1") / 24.0) / F.sqrt(
-        (F.col("s2") - F.col("s1") * F.col("s1") / 24.0) / 23.0
+    fr = float(frame)
+    z = (F.col("cnt") - F.col("s1") / fr) / F.sqrt(
+        (F.col("s2") - F.col("s1") * F.col("s1") / fr) / (fr - 1.0)
     )
     return (
         stats.filter(
-            (F.col("k") == 24)
-            & (F.col("s2") * 24 > F.col("s1") * F.col("s1"))
-            & (F.abs(z) > 2.0)
+            (F.col("k") == frame)
+            & (F.col("s2") * frame > F.col("s1") * F.col("s1"))
+            & (F.abs(z) > threshold)
         )
         .select(
             "event_type",

@@ -377,3 +377,59 @@ def run_stream_to_memory(
     q.awaitTermination(timeout_sec)
     if q.isActive:  # pragma: no cover
         q.stop()
+
+
+def hourly_type_counts(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    """Watermarked per-(hour, event_type) streaming counts — the
+    aggregate state the anomaly detector scores over.  State is one
+    row per (window, type): bounded by key cardinality x retained
+    windows, and the watermark lets Spark evict windows older than the
+    late-data horizon."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour").alias("win"), "event_type")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select("event_type", F.col("win.start").alias("h"), "cnt")
+    )
+
+
+def run_anomaly_foreachbatch(
+    counts: DataFrame,
+    out_dir: str,
+    checkpoint_dir: str,
+    frame: int = 24,
+    threshold: float = 2.0,
+    timeout_sec: int = 120,
+) -> None:
+    """Streaming anomaly detection via foreachBatch: each snapshot of
+    the hourly (type, hour, cnt) aggregate is z-scored with the SAME
+    trailing-window expression as the batch ``events_anomaly`` query
+    (``queries.core.score_hourly_anomalies``) and atomically
+    overwritten as the anomaly table.
+
+    A trailing ROWS window cannot run inside a streaming plan (it
+    needs ordered history, not incremental state); foreachBatch is the
+    idiomatic seam — the scored input is the AGGREGATE table (rows =
+    types x hours), orders of magnitude smaller than the event stream,
+    so per-batch rescoring is cheap at any event volume.  The batch
+    and streaming layers share one scoring function, so an alert fires
+    identically whichever layer computes it."""
+    from beehive_spark.queries.core import score_hourly_anomalies
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        (
+            score_hourly_anomalies(batch_df, frame=frame, threshold=threshold)
+            .write.mode("overwrite")
+            .parquet(out_dir)
+        )
+
+    q = (
+        counts.writeStream.outputMode("complete")
+        .foreachBatch(sink)
+        .option("checkpointLocation", os.path.join(checkpoint_dir, "anomaly"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(timeout_sec)
+    if q.isActive:  # pragma: no cover
+        q.stop()

@@ -65,6 +65,12 @@ EXTRA = [
     "mixture_reweight",
     "pack_sequences",
     "assign_ids_scalable",
+    "snapshot_diff",
+    "sample_weighted",
+    "events_anomaly",
+    "grouping_sets_revenue",
+    "fuzzy_join_names",
+    "pagerank_hierarchy",
 ]
 
 

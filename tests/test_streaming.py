@@ -259,3 +259,42 @@ def test_transform_with_state_extremes_accumulate(spark, sf_dir, tmp_path):
         .collect()
     }
     assert got == want and len(got) > 50
+
+
+def test_anomaly_stream_matches_batch(spark, sf_dir, tmp_path):
+    from beehive_spark.streaming.events import (
+        hourly_type_counts,
+        run_anomaly_foreachbatch,
+    )
+    from beehive_spark.queries.core import events_anomaly
+
+    stream = read_event_stream(spark, sf_dir)
+    out = str(tmp_path / "anomalies")
+    run_anomaly_foreachbatch(
+        hourly_type_counts(stream), out, str(tmp_path / "ckpt"), threshold=1.0
+    )
+    got = sorted(
+        (r["event_type"], r["hour"], r["cnt"], r["z"])
+        for r in spark.read.parquet(out).collect()
+    )
+    want = sorted(
+        (r["event_type"], r["hour"], r["cnt"], r["z"])
+        for r in events_anomaly(spark, sf_dir).collect()
+    )
+    # batch query uses threshold 2.0; rerun the shared scorer at the
+    # test threshold for an exact-set comparison
+    from beehive_spark.queries.core import score_hourly_anomalies
+    from beehive_spark.queries import load
+
+    hourly = (
+        load(spark, sf_dir, "events")
+        .groupBy("event_type", F.date_trunc("hour", "ts").alias("h"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    want_t1 = sorted(
+        (r["event_type"], r["hour"], r["cnt"], r["z"])
+        for r in score_hourly_anomalies(hourly, threshold=1.0).collect()
+    )
+    assert got == want_t1 and len(got) > 0
+    # and the batch query's stricter flags are a subset of the stream's
+    assert set(want) <= set(got)
