@@ -203,3 +203,61 @@ def upsert_parquet(
         "inserted": n_incoming - updated,
         "total": total,
     }
+
+
+def apply_cdc_parquet(
+    spark,
+    path: str,
+    changes: DataFrame,
+    keys: list[str] | str,
+    type_col: str = "change_type",
+) -> dict:
+    """Apply a CDC change feed (insert/update/delete rows, as produced
+    by the ``snapshot_diff`` query) to a keyed parquet table — the
+    apply half of the diff->apply pipeline that replaces re-merging a
+    full source dump (reference orchestrator.js:22-121 re-reads
+    everything per run; a consumer of the diff touches only the delta).
+
+    Semantics: rows tagged delete remove the matching key; insert and
+    update rows replace/add their key with the payload columns (all
+    ``changes`` columns except ``type_col``).  Same plan shape as
+    :func:`upsert_parquet`, with deletes folded into the one rewrite:
+    the survivors anti-join excludes BOTH upserted and deleted keys,
+    so one staging write and one backup-then-replace swap apply the
+    whole feed — crash-safe at every step, and the full table never
+    reshuffles (the touched-key side broadcasts).
+
+    Returns {"deleted", "upserted", "total"}.
+    """
+    import os
+
+    from pyspark.sql import functions as F
+
+    import shutil
+
+    key_cols = [keys] if isinstance(keys, str) else list(keys)
+    payload = [c for c in changes.columns if c != type_col]
+    upserts = changes.filter(F.col(type_col) != "delete").select(*payload)
+    deletes = changes.filter(F.col(type_col) == "delete").select(*key_cols).distinct()
+    n_del = deletes.count()
+    if os.path.isdir(path):
+        existing = spark.read.parquet(path)
+        # one anti-join against ALL touched keys (upserted + deleted):
+        # the touched-key side is the delta, which broadcasts while
+        # small — the full table never reshuffles
+        touched = upserts.select(*key_cols).unionByName(deletes).distinct()
+        survivors = existing.join(F.broadcast(touched), key_cols, "left_anti")
+        merged = survivors.select(*upserts.columns).unionByName(upserts)
+    else:
+        merged = upserts
+    staging = path.rstrip("/") + ".staging"
+    shutil.rmtree(staging, ignore_errors=True)
+    merged.write.mode("overwrite").parquet(staging)
+    total = spark.read.parquet(staging).count()
+    backup = path.rstrip("/") + ".old"
+    shutil.rmtree(backup, ignore_errors=True)
+    if os.path.isdir(path):
+        os.replace(path, backup)
+    os.replace(staging, path)
+    shutil.rmtree(backup, ignore_errors=True)
+    return {"deleted": n_del, "upserted": upserts.count(), "total": total}

@@ -1,0 +1,82 @@
+"""CDC round-trip: snapshot_diff's change feed applied to the old
+snapshot must reproduce the new snapshot exactly — diff and apply are
+inverse operations (the property that makes delta pipelines safe to
+substitute for full re-merges)."""
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+from beehive_spark.queries import load
+from beehive_spark.sources.writers import apply_cdc_parquet
+
+
+def _mutated_snapshot(c):
+    """The same deterministic 'new snapshot' construction snapshot_diff
+    diffs against (drop %97, bump acctbal %5, clone %101 shifted)."""
+    base = c.filter(F.col("c_custkey") % 97 != 0).select(
+        "c_custkey",
+        F.when(F.col("c_custkey") % 5 == 0, F.col("c_acctbal") + 100.0)
+        .otherwise(F.col("c_acctbal"))
+        .alias("c_acctbal"),
+        "c_mktsegment",
+    )
+    clones = c.filter(F.col("c_custkey") % 101 == 0).select(
+        (F.col("c_custkey") + 10_000_000).alias("c_custkey"),
+        "c_acctbal",
+        "c_mktsegment",
+    )
+    return base.unionByName(clones)
+
+
+def test_diff_then_apply_reproduces_new_snapshot(spark, sf_dir, tmp_path):
+    from beehive_spark.queries.relational import snapshot_diff
+
+    c = load(spark, sf_dir, "customer").select(
+        "c_custkey", "c_acctbal", "c_mktsegment"
+    )
+    path = str(tmp_path / "cust_table")
+    c.write.parquet(path)
+
+    # snapshot_diff emits (change_type, key, bal_old, bal_new) — a
+    # report shape; rebuild the applyable feed with payload columns
+    diff = snapshot_diff(spark, sf_dir)
+    new = _mutated_snapshot(c)
+    feed = diff.select("change_type", "c_custkey").join(
+        new.unionByName(  # deletes need a payload row too (ignored)
+            c.join(new, "c_custkey", "left_anti")
+        ),
+        "c_custkey",
+    )
+    res = apply_cdc_parquet(spark, path, feed, keys="c_custkey")
+    assert res["deleted"] > 0 and res["upserted"] > 0
+
+    got = sorted(map(tuple, spark.read.parquet(path).collect()))
+    want = sorted(map(tuple, new.collect()))
+    assert got == want
+
+
+def test_apply_cdc_creates_table_from_inserts(spark, tmp_path):
+    path = str(tmp_path / "fresh")
+    feed = spark.createDataFrame(
+        [("insert", 1, 10.0), ("insert", 2, 20.0)], ["change_type", "k", "v"]
+    )
+    res = apply_cdc_parquet(spark, path, feed, keys="k")
+    assert res == {"deleted": 0, "upserted": 2, "total": 2}
+    assert spark.read.parquet(path).count() == 2
+
+
+def test_apply_cdc_delete_only(spark, tmp_path):
+    path = str(tmp_path / "t")
+    spark.createDataFrame([(1, 1.0), (2, 2.0), (3, 3.0)], ["k", "v"]).write.parquet(
+        path
+    )
+    feed = spark.createDataFrame(
+        [("delete", 2, None)], "change_type string, k bigint, v double"
+    )
+    res = apply_cdc_parquet(spark, path, feed, keys="k")
+    assert res["deleted"] == 1 and res["total"] == 2
+    assert sorted(r["k"] for r in spark.read.parquet(path).collect()) == [1, 3]
