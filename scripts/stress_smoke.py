@@ -1,9 +1,17 @@
 """Scaling smoke: run representative plans at 1x and 10x the sf0.1
 row count and record how runtime scales.
 
-10x is synthesized by unioning the fact table with shifted key copies
-(no new files needed; the plan sees ~6M lineitem rows).  Near-linear
-scaling indicates no driver-side or quadratic chokepoint; the
+10x corpora are synthesized on disk (a temp sf dir the registry
+queries read like any other): lineitem via shifted-key union in-plan;
+documents replicated with per-replica ``translate`` letter rotations
+(so replicas are NOT near-duplicates of each other — near-dup pair
+counts stay linear and the measurement isolates engine scaling from
+corpus pathology); events with shifted user/event ids over the same
+time range (10x key cardinality, same window count); customers with a
+two-char replica prefix (cross-replica name distance 2 > the match
+radius, so fuzzy-join candidates scale linearly).
+
+Near-linear scaling indicates no driver-side or quadratic chokepoint;
 broadcast dims stay constant-size, as they would at cluster scale.
 
 Run:  PYTHONPATH=/root/repo python scripts/stress_smoke.py
@@ -13,7 +21,9 @@ Writes STRESS.md.
 from __future__ import annotations
 
 import os
+import shutil
 import sys
+import tempfile
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
@@ -22,6 +32,7 @@ from pyspark.sql import functions as F  # noqa: E402
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 COPIES = 10
+ALPHA = "etaoinshrd"
 
 
 def scaled_lineitem(spark, copies: int):
@@ -65,43 +76,142 @@ def join_orders(spark, li):
     )
 
 
-CASES = {"q1_scan_agg": q1, "group_by_orderkey": group_agg, "join_plus_agg": join_orders}
+LINEITEM_CASES = {
+    "q1_scan_agg": q1,
+    "group_by_orderkey": group_agg,
+    "join_plus_agg": join_orders,
+}
+
+# registry queries stressed on the synthesized 10x corpus dir
+REGISTRY_CASES = [
+    ("dedup_exact", "documents"),
+    ("dedup_minhash_lsh", "documents"),
+    ("dedup_ngram_jaccard", "documents"),
+    ("text_bpe_token_stats", "documents"),
+    ("quality_filter", "documents"),
+    ("sample_weighted", "documents"),
+    ("funnel_steps", "events"),
+    ("events_anomaly", "events"),
+    ("events_sessionize", "events"),
+    ("fuzzy_join_names", "customer"),
+]
+
+
+def _rot(s: str, r: int) -> str:
+    return s[r:] + s[:r]
+
+
+def build_scaled_dir(spark, copies: int) -> str:
+    """Write a temp sf dir with documents/events/customer at ``copies``x."""
+    out = os.path.join(tempfile.gettempdir(), f"stress_sf_{copies}x")
+    shutil.rmtree(out, ignore_errors=True)
+    os.makedirs(out)
+    reps = spark.range(copies).select(F.col("id").alias("__rep"))
+
+    d = spark.read.parquet(os.path.join(SF_DIR, "documents.parquet"))
+    # per-replica letter rotation: replicas are distinct, non-near-dup
+    # texts with the same token statistics
+    expr = None
+    for r in range(copies):
+        t = F.translate(F.col("text"), ALPHA, _rot(ALPHA, r))
+        expr = F.when(F.col("__rep") == r, t) if expr is None else expr.when(
+            F.col("__rep") == r, t
+        )
+    (
+        d.crossJoin(F.broadcast(reps))
+        .select(
+            (F.col("doc_id") + F.col("__rep") * 10_000_000).alias("doc_id"),
+            expr.alias("text"),
+            "lang",
+            F.concat(F.col("source"), F.lit("_"), F.col("__rep")).alias("source"),
+            "n_chars",
+        )
+        .write.parquet(os.path.join(out, "documents.parquet"))
+    )
+
+    e = spark.read.parquet(os.path.join(SF_DIR, "events.parquet"))
+    (
+        e.crossJoin(F.broadcast(reps))
+        .select(
+            (F.col("event_id") + F.col("__rep") * 100_000_000).alias("event_id"),
+            "ts",
+            (F.col("user_id") + F.col("__rep") * 10_000_000).alias("user_id"),
+            "event_type",
+            "value",
+            "props",
+        )
+        .write.parquet(os.path.join(out, "events.parquet"))
+    )
+
+    c = spark.read.parquet(os.path.join(SF_DIR, "customer.parquet"))
+    repchar = F.element_at(
+        F.split(F.lit("A,B,C,D,E,F,G,H,I,J"), ","), (F.col("__rep") + 1).cast("int")
+    )
+    (
+        c.crossJoin(F.broadcast(reps))
+        .select(
+            (F.col("c_custkey") + F.col("__rep") * 10_000_000).alias("c_custkey"),
+            # two-char prefix: cross-replica distance 2 > match radius 1
+            F.concat(repchar, repchar, F.lit("-"), F.col("c_name")).alias("c_name"),
+            "c_nationkey",
+            "c_acctbal",
+            "c_mktsegment",
+        )
+        .write.parquet(os.path.join(out, "customer.parquet"))
+    )
+    return out
 
 
 def main() -> None:
+    from beehive_spark.queries import all_queries
     from beehive_spark.session import get_spark
 
     spark = get_spark(app_name="stress_smoke")
     spark.read.parquet(os.path.join(SF_DIR, "lineitem.parquet")).count()  # warm
+    qs = all_queries()
 
-    results = {}
-    rows = {}
+    results, rows = {}, {}
     for copies in (1, COPIES):
         li = scaled_lineitem(spark, copies)
         rows[copies] = li.count()
-        for name, fn in CASES.items():
+        for name, fn in LINEITEM_CASES.items():
             t0 = time.time()
             fn(spark, li).write.format("noop").mode("overwrite").save()
             results[(name, copies)] = round(time.time() - t0, 2)
+
+    scaled_dir = build_scaled_dir(spark, COPIES)
+    base_rows, scaled_rows = {}, {}
+    for copies, sf in ((1, SF_DIR), (COPIES, scaled_dir)):
+        for name, table in REGISTRY_CASES:
+            t0 = time.time()
+            qs[name](spark, sf).write.format("noop").mode("overwrite").save()
+            results[(name, copies)] = round(time.time() - t0, 2)
+            spark.catalog.clearCache()
 
     lines = [
         "# STRESS — scaling smoke (1x vs 10x rows, local[32])",
         "",
         f"Generated by `scripts/stress_smoke.py` on `{SF_DIR}`:",
-        f"{rows[1]:,} rows vs {rows[COPIES]:,} rows (shifted-key union).",
+        f"lineitem {rows[1]:,} -> {rows[COPIES]:,} rows (shifted-key union);",
+        "documents/events/customer synthesized at 10x on disk (distinct",
+        "replicas: letter-rotated texts, shifted ids, prefixed names — see",
+        "module docstring; near-dup and fuzzy pair counts stay linear by",
+        "construction so the ratio measures the ENGINE, not corpus",
+        "pathology).",
         "",
         "| plan | 1x sec | 10x sec | scale factor (ideal <= 10) |",
         "|---|---|---|---|",
     ]
-    for name in CASES:
+    for name in list(LINEITEM_CASES) + [n for n, _ in REGISTRY_CASES]:
         t1, t10 = results[(name, 1)], results[(name, COPIES)]
         ratio = round(t10 / t1, 1) if t1 > 0 else float("inf")
         lines.append(f"| {name} | {t1} | {t10} | {ratio}x |")
     lines += [
         "",
         "Sub-linear ratios come from fixed per-query overhead (planning,",
-        "task launch) amortizing over more data; a ratio well above 10x",
-        "would flag a quadratic or driver-bound operator.",
+        "task launch, Python worker startup for Arrow stages) amortizing",
+        "over more data; a ratio well above 10x would flag a quadratic or",
+        "driver-bound operator.",
     ]
     out = os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "STRESS.md"
@@ -109,6 +219,7 @@ def main() -> None:
     with open(out, "w") as f:
         f.write("\n".join(lines) + "\n")
     print(f"wrote {out}")
+    shutil.rmtree(scaled_dir, ignore_errors=True)
     spark.stop()
 
 
