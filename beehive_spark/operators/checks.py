@@ -151,3 +151,125 @@ def exclusions(users: DataFrame, persons_fk: str = "person_id") -> DataFrame:
     return users.filter(F.col("system_id").isin("admin", "daemon")).select(
         "user_id", persons_fk
     )
+
+
+@dataclass(frozen=True)
+class Rule:
+    """One declarative data-quality expectation.
+
+    kind: 'not_null' | 'unique' | 'in_set' | 'range' | 'ref' | 'expr'
+      - not_null: col must not be NULL
+      - unique:   col (or comma-joined cols) must be unique
+      - in_set:   col value must be one of `values`
+      - range:    col must satisfy lo <= col <= hi (bounds optional)
+      - ref:      col must exist in ref_df's ref_col (NULLs pass)
+      - expr:     SQL boolean `expr` must hold (violation when false)
+    """
+
+    name: str
+    kind: str
+    col: str = ""
+    values: tuple = ()
+    lo: float | None = None
+    hi: float | None = None
+    expr: str = ""
+
+
+def validate_table(
+    df: DataFrame,
+    rules: list[Rule],
+    refs: dict[str, tuple[DataFrame, str]] | None = None,
+) -> DataFrame:
+    """Declarative expectation checking — the generalization of the
+    reference's hard-coded integrity suite (integrity-checks.js:5-137
+    checks orphan FKs; uuid-checks.js:59-70 checks uniqueness) into a
+    dbt-test/Great-Expectations-style rule list evaluated in as few
+    passes as the rule kinds allow.
+
+    Returns one row per rule: (rule, kind, n_violations) — zero rows
+    are included, so the report schema is stable and a gate can assert
+    sum(n_violations) == 0.
+
+    Plan shape: all row-local rules (not_null / in_set / range / expr)
+    fold into ONE aggregation pass over the table (sum of CASE flags,
+    map-side combined — adding a rule adds a column, not a scan);
+    each unique rule is one groupBy on its key; each ref rule is one
+    anti join against the (pruned, usually broadcast) parent key.
+    """
+    refs = refs or {}
+    spark = df.sparkSession
+    row_flags = []
+    reports = []
+    for r in rules:
+        if r.kind == "not_null":
+            flag = F.col(r.col).isNull()
+        elif r.kind == "in_set":
+            flag = ~F.col(r.col).isin(list(r.values)) | F.col(r.col).isNull()
+        elif r.kind == "range":
+            flag = F.lit(False)
+            if r.lo is not None:
+                flag = flag | (F.col(r.col) < F.lit(r.lo))
+            if r.hi is not None:
+                flag = flag | (F.col(r.col) > F.lit(r.hi))
+            flag = flag | F.col(r.col).isNull()
+        elif r.kind == "expr":
+            flag = ~F.expr(r.expr)
+        elif r.kind == "unique":
+            cols = [c.strip() for c in r.col.split(",")]
+            dup = (
+                df.groupBy(*cols)
+                .agg(F.count(F.lit(1)).alias("__n"))
+                .filter(F.col("__n") > 1)
+                .agg(F.coalesce(F.sum(F.col("__n") - 1), F.lit(0)).alias("v"))
+                .select(
+                    F.lit(r.name).alias("rule"),
+                    F.lit(r.kind).alias("kind"),
+                    F.col("v").cast("long").alias("n_violations"),
+                )
+            )
+            reports.append(dup)
+            continue
+        elif r.kind == "ref":
+            ref_df, ref_col = refs[r.name]
+            missing = (
+                df.filter(F.col(r.col).isNotNull())
+                .join(
+                    ref_df.select(F.col(ref_col).alias(r.col)).distinct(),
+                    r.col,
+                    "left_anti",
+                )
+                .agg(F.count(F.lit(1)).alias("v"))
+                .select(
+                    F.lit(r.name).alias("rule"),
+                    F.lit(r.kind).alias("kind"),
+                    F.col("v").cast("long").alias("n_violations"),
+                )
+            )
+            reports.append(missing)
+            continue
+        else:  # pragma: no cover - misconfiguration guard
+            raise ValueError(f"unknown rule kind: {r.kind}")
+        row_flags.append((r, flag))
+    if row_flags:
+        one_pass = df.agg(
+            *[
+                F.coalesce(F.sum(flag.cast("long")), F.lit(0)).alias(f"__v{i}")
+                for i, (_, flag) in enumerate(row_flags)
+            ]
+        )
+        # unpivot the single 1-row aggregate into (rule, kind, count)
+        # rows with stack() — one job however many row-local rules
+        cells = ", ".join(
+            f"'{r.name}', '{r.kind}', __v{i}" for i, (r, _) in enumerate(row_flags)
+        )
+        reports.append(
+            one_pass.selectExpr(
+                f"stack({len(row_flags)}, {cells}) as (rule, kind, n_violations)"
+            ).select("rule", "kind", F.col("n_violations").cast("long").alias("n_violations"))
+        )
+    if not reports:
+        return spark.createDataFrame([], "rule string, kind string, n_violations long")
+    out = reports[0]
+    for rep in reports[1:]:
+        out = out.unionByName(rep)
+    return out

@@ -76,9 +76,12 @@ _loaded = False
 # to the back.  Union over rounds = every oracle-bearing query verified
 # (scripts/check_oracle.py verifies ALL of them locally each round).
 _PRIORITY = [
-    # full TPC-H suite (oracle-unchecked in round 1 — VERDICT.md top ask)
-    "q1_pricing_summary", "q2_min_cost_supplier", "q3_shipping_priority",
-    "q4_order_priority", "q5_local_supplier", "q6_revenue_forecast",
+    # TPC-H q4 + q6-q22: oracle-unchecked in round 1 — VERDICT.md top
+    # ask ("green rows+schema+hash for all of q4, q6-q22 in
+    # CORRECTNESS_r02").  q1/q2/q3/q5 were r01-green and tpch.py is
+    # unchanged since (git diff 769e19c..HEAD empty), so they yield
+    # their slots to queries added later this round.
+    "q4_order_priority", "q6_revenue_forecast",
     "q7_volume_shipping", "q8_market_share", "q9_product_profit",
     "q10_returned_items", "q11_important_stock", "q12_late_lines",
     "q13_customer_distribution", "q14_promo_effect", "q15_top_supplier",
@@ -121,6 +124,12 @@ _PRIORITY = [
     "consolidate_mapping",
     # LLM-pipeline exact ops (llm.py heavily reworked this round)
     "text_tfidf_topterms",        # new: top-k terms per doc by tf-idf
+    "dq_violations",              # new: declarative data-quality gate
+    "trend_slopes",               # new: exact-sums OLS per group
+    # rows-only entries placed IN-window so the driver at least
+    # executes them and records row counts under its own environment
+    "pagerank_hierarchy",         # new: power-iteration PageRank
+    "sketch_uniques_rollup",      # new: mergeable HLL rollup
 ]
 # rotated out to the overflow this round (round-1 verified, unchanged
 # source since 769e19c): dates_normalize, group_topn_window,

@@ -834,3 +834,69 @@ def score_hourly_anomalies(hourly, frame: int = 24, threshold: float = 2.0):
             F.round(z, 4).alias("z"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Per-group trend slopes (closed-form OLS from exact integer sums)
+# ---------------------------------------------------------------------------
+@query(
+    "trend_slopes",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type, DATE_TRUNC('day', ts) AS d, CAST(COUNT(*) AS BIGINT) AS y
+      FROM events GROUP BY 1, 2
+    ),
+    s AS (
+      SELECT event_type,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             SUM(DATEDIFF('day', DATE '1970-01-01', d)) AS sx,
+             SUM(DATEDIFF('day', DATE '1970-01-01', d)
+                 * DATEDIFF('day', DATE '1970-01-01', d)) AS sxx,
+             SUM(y) AS sy,
+             SUM(DATEDIFF('day', DATE '1970-01-01', d) * y) AS sxy
+      FROM daily GROUP BY event_type
+    )
+    SELECT event_type, n,
+           ROUND((n * sxy - sx * sy) / CAST(n * sxx - sx * sx AS DOUBLE), 6)
+             AS slope_per_day,
+           ROUND((sy - ((n * sxy - sx * sy) / CAST(n * sxx - sx * sx AS DOUBLE))
+                  * sx) / CAST(n AS DOUBLE), 6) AS intercept
+    FROM s WHERE n * sxx - sx * sx <> 0
+    """,
+)
+def trend_slopes(spark, sf_dir):
+    """Per-event-type trend line over daily counts: closed-form OLS
+    slope/intercept computed from EXACT integer sums (n, Σx, Σx²,
+    Σy, Σxy with x = epoch day) so both engines evaluate the identical
+    IEEE expression — one-pass regr_slope/regr_avg aggregators are the
+    convenient alternative but differ in final-ULP between engines.
+
+    Scale shape: raw events collapse to (type, day) counts first
+    (map-side combined), then one tiny aggregation per type computes
+    the five sums — the regression itself is arithmetic on a handful
+    of numbers however large the corpus.  The same five-sums pattern
+    extends to any per-group linear fit (bytes/day, revenue/week)."""
+    e = load(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "event_type", F.date_trunc("day", "ts").alias("d")
+    ).agg(F.count(F.lit(1)).alias("y"))
+    x = F.datediff(F.col("d"), F.lit("1970-01-01").cast("date")).cast("long")
+    s = daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(x).alias("sx"),
+        F.sum(x * x).alias("sxx"),
+        F.sum("y").alias("sy"),
+        F.sum(x * F.col("y")).alias("sxy"),
+    )
+    denom = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    slope = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / denom
+    intercept = (F.col("sy") - slope * F.col("sx")) / F.col("n").cast("double")
+    return (
+        s.filter(F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx") != 0)
+        .select(
+            "event_type",
+            "n",
+            F.round(slope, 6).alias("slope_per_day"),
+            F.round(intercept, 6).alias("intercept"),
+        )
+    )

@@ -1007,3 +1007,104 @@ def fuzzy_join_names(spark, sf_dir):
         .filter(F.col("dist") <= 1)
         .select("id_a", "id_b", F.col("dist").cast("int").alias("dist"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Declarative data-quality gate (expectation suite -> violation report)
+# ---------------------------------------------------------------------------
+@query(
+    "dq_violations",
+    oracle="""
+    SELECT 'orderkey_unique' AS rule, 'unique' AS kind,
+           CAST(COALESCE(SUM(n - 1), 0) AS BIGINT) AS n_violations
+    FROM (SELECT COUNT(*) AS n FROM orders GROUP BY o_orderkey) WHERE n > 1
+    UNION ALL
+    SELECT 'custkey_exists', 'ref',
+           CAST(COUNT(*) AS BIGINT)
+    FROM orders o WHERE o.o_custkey IS NOT NULL
+      AND NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)
+    UNION ALL
+    SELECT 'custkey_not_null', 'not_null',
+           CAST(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+    FROM orders
+    UNION ALL
+    SELECT 'status_in_set', 'in_set',
+           CAST(SUM(CASE WHEN o_orderstatus NOT IN ('O','F','P')
+                          OR o_orderstatus IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+    FROM orders
+    UNION ALL
+    SELECT 'price_positive', 'range',
+           CAST(SUM(CASE WHEN o_totalprice < 0 OR o_totalprice IS NULL
+                         THEN 1 ELSE 0 END) AS BIGINT)
+    FROM orders
+    UNION ALL
+    SELECT 'date_before_1999', 'expr',
+           CAST(SUM(CASE WHEN NOT (o_orderdate < TIMESTAMP '1999-01-01')
+                         THEN 1 ELSE 0 END) AS BIGINT)
+    FROM orders
+    """,
+)
+def dq_violations(spark, sf_dir):
+    """Declarative data-quality expectation suite over orders — the
+    dbt-test/Great-Expectations pattern, generalizing the reference's
+    hard-coded integrity checks (integrity-checks.js:5-137 orphan FKs,
+    uuid-checks.js:59-70 uniqueness) into a rule list
+    (:func:`operators.checks.validate_table`).  One row per rule with
+    its violation count (zeros included — stable gate schema).
+
+    Plan shape: the four row-local rules fold into ONE aggregation
+    pass (sum-of-CASE flags unpivoted via stack); uniqueness is one
+    groupBy; the referential rule is one anti join with the parent key
+    column pruned and broadcast.  Adding a row-local rule adds a
+    column to the existing pass, not a scan — at 100 TB the whole
+    suite costs one table read plus one groupBy per unique key."""
+    from beehive_spark.operators.checks import Rule, validate_table
+
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    rules = [
+        Rule("orderkey_unique", "unique", col="o_orderkey"),
+        Rule("custkey_exists", "ref", col="o_custkey"),
+        Rule("custkey_not_null", "not_null", col="o_custkey"),
+        Rule("status_in_set", "in_set", col="o_orderstatus", values=("O", "F", "P")),
+        Rule("price_positive", "range", col="o_totalprice", lo=0.0),
+        Rule("date_before_1999", "expr", expr="o_orderdate < timestamp'1999-01-01'"),
+    ]
+    return validate_table(o, rules, refs={"custkey_exists": (c, "c_custkey")})
+
+
+# ---------------------------------------------------------------------------
+# Sketch persistence/merge: incremental distinct-count rollup
+# ---------------------------------------------------------------------------
+@query("sketch_uniques_rollup")  # sketch-typed -> rows-only driver check
+def sketch_uniques_rollup(spark, sf_dir):
+    """Incremental unique-user counting via mergeable HLL sketches
+    (Apache DataSketches, exposed as Spark's hll_sketch_agg family):
+    one sketch per (event_type, day) — the shape a daily job PERSISTS
+    as a binary column — then rolled up per type by merging sketches,
+    never re-touching raw events.  ``est_users`` (merged estimate) is
+    reported next to ``exact_users`` so the error is visible in-row
+    (pinned < 5% in tests/test_sketches.py).
+
+    This is THE pattern for distinct counts at 100 TB: the daily pass
+    is the only one that reads events; every rollup (weekly, monthly,
+    all-time, cross-dataset) merges kilobyte sketches.  COUNT(DISTINCT)
+    by contrast reshuffles the raw key set on every recomputation.
+    approx_count_distinct (see ``approx_sketches``) gives one-shot
+    estimates but its sketch state is not persistable/mergeable across
+    jobs — hll_sketch_agg's binary IS."""
+    e = load(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "event_type", F.date_trunc("day", "ts").alias("day")
+    ).agg(F.hll_sketch_agg("user_id").alias("sk"))
+    rolled = daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_days"),
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est_users"),
+    )
+    exact = e.groupBy("event_type").agg(
+        F.count_distinct("user_id").cast("long").alias("exact_users")
+    )
+    return rolled.join(exact, "event_type").select(
+        "event_type", "n_days", F.col("est_users").cast("long").alias("est_users"),
+        "exact_users"
+    )

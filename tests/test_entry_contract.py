@@ -33,6 +33,7 @@ def test_registry_consistency():
         "similarity_ann_pq",
         "approx_sketches",
         "pagerank_hierarchy",
+        "sketch_uniques_rollup",
     }
 
 

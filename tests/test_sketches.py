@@ -27,3 +27,14 @@ def test_sketches_within_error_bounds(spark, sf_dir):
         assert abs(g["approx_users"] - e["users"]) <= max(3, 0.06 * e["users"])
         # percentile_approx with 1000 buckets on this data: within 10%
         assert abs(g["approx_median_value"] - e["median"]) <= 0.1 * abs(e["median"])
+
+
+def test_hll_rollup_estimate_within_5pct_of_exact(spark, sf_dir):
+    from beehive_spark.queries.relational import sketch_uniques_rollup
+
+    rows = sketch_uniques_rollup(spark, sf_dir).collect()
+    assert len(rows) > 0
+    for r in rows:
+        assert r["n_days"] > 1  # the rollup really merged multiple sketches
+        err = abs(r["est_users"] - r["exact_users"]) / max(r["exact_users"], 1)
+        assert err < 0.05, (r["event_type"], r["est_users"], r["exact_users"])
