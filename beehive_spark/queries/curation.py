@@ -903,3 +903,78 @@ def sample_weighted(spark, sf_dir, k: int = 50):
         .filter(F.col("rk") <= k)
         .select("source", "doc_id", "n_chars", F.col("rk").cast("long").alias("rk"))
     )
+
+
+# ---------------------------------------------------------------------------
+# BPE train + apply: learned-subword token counts per document
+# ---------------------------------------------------------------------------
+@query("bpe_encode")  # learned merges -> rows-only driver check
+def bpe_encode(spark, sf_dir, n_merges: int = 100, vocab_cap: int = 30_000):
+    """End-to-end BPE: distributed word-frequency statistics -> driver
+    -side merge training on the top-``vocab_cap`` frequency-weighted
+    vocab (sequential by nature; seconds at any corpus size) ->
+    distributed Arrow-batched encoding with the merge table broadcast
+    and an LRU per-word cache (`functions.bpe`).  Output per document:
+    exact subword token count and the chars-per-token compression the
+    learned vocab achieves — the per-doc statistic that token-budget
+    accounting and mixture reweighting consume.
+
+    Completes the tokenizer story next to ``bpe_top_merges`` (which
+    reports first-round pair statistics): this trains the full merge
+    sequence and APPLIES it.  Deterministic: vocab sample ordered by
+    (-freq, word), ties in training break on (-count, pair).
+
+    Scale shape: the corpus is read twice (word stats; encoding).
+    Encoding is the only Python stage — per-batch cost is amortized by
+    the word cache (each distinct word encodes once per batch,
+    Zipf-friendly), and the merge table is O(n_merges) however big the
+    corpus."""
+    import pandas as pd
+
+    from beehive_spark.functions.bpe import make_encoder, train_bpe
+
+    d = load(spark, sf_dir, "documents")
+    wf = (
+        d.select(F.explode(_tokens(F.col("text"))).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .orderBy(F.col("c").desc(), "w")
+        .limit(vocab_cap)
+    )
+    word_freqs = [(r["w"], r["c"]) for r in wf.collect()]
+    merges = train_bpe(word_freqs, n_merges=n_merges)
+
+    import re
+
+    tok_re = re.compile("[a-z0-9]+")
+
+    def encode_docs(batches):
+        enc = make_encoder(merges)
+        for pdf in batches:
+            n_words, n_bpe, n_chars = [], [], []
+            for text in pdf["text"]:
+                words = tok_re.findall(text.lower())
+                toks = 0
+                chars = 0
+                for w in words:
+                    toks += len(enc(w))
+                    chars += len(w)
+                n_words.append(len(words))
+                n_bpe.append(toks)
+                n_chars.append(chars)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "n_words": n_words,
+                    "n_bpe_tokens": n_bpe,
+                    "chars_per_token": [
+                        round(c / t, 4) if t else 0.0
+                        for c, t in zip(n_chars, n_bpe)
+                    ],
+                }
+            )
+
+    return d.select("doc_id", "text").mapInPandas(
+        encode_docs,
+        "doc_id long, n_words long, n_bpe_tokens long, chars_per_token double",
+    )

@@ -34,6 +34,7 @@ def test_registry_consistency():
         "approx_sketches",
         "pagerank_hierarchy",
         "sketch_uniques_rollup",
+        "bpe_encode",
     }
 
 
