@@ -66,3 +66,50 @@ def test_assign_ids_scalable_no_single_partition_window(spark, sf_dir):
     partition (the round-1 scale flag on contiguous mode)."""
     plan = _plan(all_queries()["assign_ids_scalable"](spark, sf_dir))
     assert "Exchange SinglePartition" not in plan
+
+
+def test_fuzzy_join_carries_no_strings_through_candidate_shuffle(spark, sf_dir):
+    """Candidate generation must shuffle only (vk, id); names rejoin by
+    broadcast afterward. A CartesianProduct or names in the exchange
+    would be the quadratic/payload regression."""
+    plan = _plan(all_queries()["fuzzy_join_names"](spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastHashJoin") >= 2  # the two name rejoins
+    # no shuffle exchange may carry the name payload column
+    for m in re.findall(r"Exchange hashpartitioning\([^\n]*", plan):
+        assert "c_name" not in m, m
+
+
+def test_grouping_sets_single_expand_single_shuffle(spark, sf_dir):
+    """Three grains must come from ONE pass: one Expand, one shuffle,
+    dims broadcast."""
+    plan = _plan(all_queries()["grouping_sets_revenue"](spark, sf_dir))
+    assert plan.count("Expand") == 1
+    assert _shuffles(plan) <= 1
+    assert plan.count("BroadcastHashJoin") == 2
+
+
+def test_snapshot_diff_copartitioned_full_outer(spark, sf_dir):
+    """CDC diff: one full-outer join co-partitioned on the key — two
+    input shuffles at most, no nested-loop fallback."""
+    plan = _plan(all_queries()["snapshot_diff"](spark, sf_dir))
+    assert "FullOuter" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert _shuffles(plan) <= 2
+
+
+def test_events_anomaly_windows_after_aggregation(spark, sf_dir):
+    """The trailing window must run over the (type, hour) aggregate,
+    not raw events: exactly one pre-window aggregate pair and no
+    single-partition global sort."""
+    plan = _plan(all_queries()["events_anomaly"](spark, sf_dir))
+    assert "Exchange SinglePartition" not in plan
+    assert "Window" in plan and "HashAggregate" in plan
+
+
+def test_dq_violations_row_rules_fold_into_one_scan_pass(spark, sf_dir):
+    """Four row-local rules + unique + ref must cost three orders scans
+    (one-pass flags, groupBy, anti join) — adding a row rule must not
+    add a scan."""
+    plan = _plan(all_queries()["dq_violations"](spark, sf_dir))
+    assert len(re.findall(r"FileScan parquet|Scan parquet", plan)) <= 4
