@@ -22,7 +22,7 @@ from __future__ import annotations
 
 import os
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -427,6 +427,55 @@ def run_anomaly_foreachbatch(
         counts.writeStream.outputMode("complete")
         .foreachBatch(sink)
         .option("checkpointLocation", os.path.join(checkpoint_dir, "anomaly"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(timeout_sec)
+    if q.isActive:  # pragma: no cover
+        q.stop()
+
+
+def run_cdc_apply_stream(
+    spark: SparkSession,
+    changes: DataFrame,
+    table_path: str,
+    checkpoint_dir: str,
+    keys: list[str] | str,
+    timeout_sec: int = 120,
+) -> None:
+    """Streaming CDC ingestion: apply a stream of change records
+    (insert/update/delete rows, Debezium-feed shaped) to a keyed
+    parquet table, one transactional batch per micro-batch — the
+    stream-to-lakehouse apply loop, built on the same crash-safe
+    `sources.writers.apply_cdc_parquet` rewrite the batch path uses.
+
+    foreachBatch is the idiomatic seam: the micro-batch is a bounded
+    DataFrame, so the identical merge/delete logic serves batch
+    backfills and streaming tail-follows — one code path, two
+    latencies.  Ordering within a micro-batch collapses to the last
+    change per key (standard CDC compaction) before applying, so
+    replays of an upstream at-least-once feed stay idempotent."""
+    from beehive_spark.sources.writers import apply_cdc_parquet
+
+    key_cols = [keys] if isinstance(keys, str) else list(keys)
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        # last change per key wins within the batch (CDC compaction);
+        # a monotonic per-record sequence column is required
+        w = Window.partitionBy(*key_cols).orderBy(F.col("seq").desc())
+        compacted = (
+            batch_df.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .drop("__rn", "seq")
+        )
+        apply_cdc_parquet(spark, table_path, compacted, keys=key_cols)
+
+    q = (
+        changes.writeStream.outputMode("append")
+        .foreachBatch(sink)
+        .option("checkpointLocation", os.path.join(checkpoint_dir, "cdc_apply"))
         .trigger(availableNow=True)
         .start()
     )

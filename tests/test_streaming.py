@@ -298,3 +298,39 @@ def test_anomaly_stream_matches_batch(spark, sf_dir, tmp_path):
     assert got == want_t1 and len(got) > 0
     # and the batch query's stricter flags are a subset of the stream's
     assert set(want) <= set(got)
+
+
+def test_cdc_apply_stream_converges_to_expected_table(spark, tmp_path):
+    from beehive_spark.streaming.events import run_cdc_apply_stream
+
+    feed_dir = tmp_path / "feed"
+    feed_dir.mkdir()
+    schema = "change_type string, k bigint, v double, seq bigint"
+    # file 1: initial inserts
+    spark.createDataFrame(
+        [("insert", 1, 10.0, 1), ("insert", 2, 20.0, 2), ("insert", 3, 30.0, 3)],
+        schema,
+    ).coalesce(1).write.parquet(str(feed_dir / "f1.parquet"))
+    # file 2: update k2, delete k3, insert k5 then delete it (the
+    # within-batch conflict: compaction must keep only the later delete)
+    spark.createDataFrame(
+        [
+            ("update", 2, 21.0, 4),
+            ("delete", 3, None, 5),
+            ("insert", 5, 50.0, 6),
+            ("delete", 5, None, 7),
+        ],
+        schema,
+    ).coalesce(1).write.parquet(str(feed_dir / "f2.parquet"))
+
+    changes = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(feed_dir) + "/*/")
+    )
+    table = str(tmp_path / "table")
+    run_cdc_apply_stream(
+        spark, changes, table, str(tmp_path / "ckpt"), keys="k"
+    )
+    got = sorted((r["k"], r["v"]) for r in spark.read.parquet(table).collect())
+    assert got == [(1, 10.0), (2, 21.0)]
