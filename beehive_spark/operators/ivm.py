@@ -1,0 +1,140 @@
+"""Incremental view maintenance — keep aggregates fresh from a CDC delta.
+
+The reference recomputes every derived number by re-reading the whole
+source database each run (orchestrator.js:22-121 re-scans all tables;
+counts are re-derived per run in integrity-checks.js:5-137).  At 100 TB
+a full recompute of a materialized aggregate is the single most
+expensive recurring job a warehouse runs, yet between two runs only a
+sliver of rows changed.  This module maintains a grouped aggregate from
+just that sliver: the classic retraction-stream model (each change is a
+signed row: +1 insert, -1 retract; an update is a retract/insert pair),
+as in Flink retract streams and differential dataflow — public
+literature, re-expressed as DataFrame ops.
+
+Self-maintainable aggregates only (SUM / COUNT, and anything derivable
+from them: AVG = SUM/COUNT): they merge with pure addition, so the new
+aggregate of a touched group is ``base + delta`` without consulting the
+raw fact rows.  MIN/MAX are deliberately out of scope — a retraction of
+the current extreme forces a rescan of that group, which is no longer
+"incremental" (callers should recompute affected groups instead).
+
+Scale shape (the whole point):
+
+- the delta aggregates first — ONE shuffle over the handful of touched
+  groups, never over the base;
+- the base aggregate table is split by a BROADCAST anti/semi join on
+  the touched keys: untouched groups pass through with zero shuffle
+  and zero decode beyond the scan, touched groups merge with the
+  broadcast delta.  The base NEVER repartitions — at 100 TB the cost
+  is one scan of the aggregate table (itself small) plus work
+  proportional to the delta, not to history.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: name of the signed-multiplicity column in a retraction feed
+SIGN = "_sign"
+
+
+def cdc_to_retractions(
+    feed: DataFrame,
+    keys: Sequence[str],
+    values: Sequence[str],
+    change_col: str = "change_type",
+    old_suffix: str = "_old",
+    new_suffix: str = "_new",
+) -> DataFrame:
+    """Convert an insert/update/delete CDC feed (the shape
+    ``snapshot_diff`` / ``writers.apply_cdc_parquet`` use: one row per
+    changed key with ``<val>_old`` / ``<val>_new`` columns) into a
+    signed retraction stream: deletes emit (-1, old values), inserts
+    (+1, new values), updates both.  Group-key changes are handled for
+    free — the retraction carries the OLD key columns and the insert
+    the NEW ones when both are present in the feed (columns named
+    ``<key>_old`` / ``<key>_new``); plain key columns are used as-is.
+    """
+
+    def side(suffix: str, sign: int, ops: list[str]) -> DataFrame:
+        cols: list[Column] = [F.lit(sign).alias(SIGN)]
+        for k in keys:
+            src = k + suffix if (k + suffix) in feed.columns else k
+            cols.append(F.col(src).alias(k))
+        for v in values:
+            src = v + suffix if (v + suffix) in feed.columns else v
+            cols.append(F.col(src).alias(v))
+        return feed.filter(F.col(change_col).isin(ops)).select(*cols)
+
+    retract = side(old_suffix, -1, ["update", "delete"])
+    insert = side(new_suffix, +1, ["update", "insert"])
+    return retract.unionByName(insert)
+
+
+def incremental_agg(
+    base: DataFrame,
+    retractions: DataFrame,
+    keys: Sequence[str],
+    sums: dict[str, str],
+    count_col: str = "n_rows",
+) -> DataFrame:
+    """Maintain ``base`` — a grouped aggregate with columns
+    ``keys + [count_col] + list(sums)`` — from a signed retraction
+    stream carrying ``[SIGN] + keys + source value columns``.
+
+    ``sums`` maps aggregate column name -> source value column in the
+    retraction feed (SUM semantics; NULL source values contribute 0 to
+    the sum and still count the row, matching SQL SUM/COUNT(*)).
+    Groups whose maintained row count reaches zero are dropped, new
+    groups appear; the result equals a from-scratch recompute over the
+    post-change fact table (proven by the ``incremental_agg_orders``
+    oracle and ``tests/test_ivm.py``).
+
+    The base side is never shuffled: touched keys are broadcast for the
+    semi/anti split and the merged delta is broadcast for the final
+    join, so cost scales with the DELTA, not the base.
+    """
+    keys = list(keys)
+    delta = retractions.groupBy(*keys).agg(
+        F.sum(SIGN).cast("long").alias(count_col),
+        *[
+            F.sum(
+                F.when(F.col(src).isNotNull(), F.col(SIGN) * F.col(src)).otherwise(
+                    F.lit(0)
+                )
+            ).alias(out)
+            for out, src in sums.items()
+        ],
+    )
+    # delta is small by construction (touched groups only) — broadcast it
+    # for both the split and the merge so `base` never repartitions.
+    bdelta = F.broadcast(delta)
+    untouched = base.join(bdelta.select(*keys), keys, "left_anti")
+    # touched base rows are a subset of delta's keys, so the merge that
+    # must also surface brand-new groups is delta LEFT OUTER touched —
+    # NOT a full outer (which Spark cannot broadcast-hash-join).  Both
+    # sides are delta-sized; the touched slice broadcasts.
+    touched = base.join(bdelta.select(*keys), keys, "left_semi")
+    merged = (
+        delta.alias("d")
+        .join(F.broadcast(touched.alias("b")), keys, "left_outer")
+        .select(
+            *keys,
+            (
+                F.coalesce(F.col(f"b.{count_col}"), F.lit(0))
+                + F.coalesce(F.col(f"d.{count_col}"), F.lit(0))
+            ).alias(count_col),
+            *[
+                (
+                    F.coalesce(F.col(f"b.{out}"), F.lit(0))
+                    + F.coalesce(F.col(f"d.{out}"), F.lit(0))
+                ).alias(out)
+                for out in sums
+            ],
+        )
+        .filter(F.col(count_col) > 0)
+    )
+    return untouched.unionByName(merged)

@@ -126,11 +126,16 @@ _PRIORITY = [
     "text_tfidf_topterms",        # new: top-k terms per doc by tf-idf
     "dq_violations",              # new: declarative data-quality gate
     "trend_slopes",               # new: exact-sums OLS per group
-    # rows-only entries placed IN-window so the driver at least
-    # executes them and records row counts under its own environment
+    "incremental_agg_orders",     # new: IVM delta-maintained aggregate
+    # rows-only entry placed IN-window so the driver at least
+    # executes it and records row counts under its own environment
     "pagerank_hierarchy",         # new: power-iteration PageRank
-    "sketch_uniques_rollup",      # new: mergeable HLL rollup
 ]
+# sketch_uniques_rollup (rows-only; error-vs-exact pinned in
+# tests/test_sketches.py) yielded its window slot to the
+# oracle-bearing incremental_agg_orders — rows-only entries give the
+# driver the weakest signal, so they are first out when slots are
+# scarce.
 # rotated out to the overflow this round (round-1 verified, unchanged
 # source since 769e19c): dates_normalize, group_topn_window,
 # window_running_total, not_in_null_semantics, hierarchy_bfs,

@@ -1108,3 +1108,99 @@ def sketch_uniques_rollup(spark, sf_dir):
         "event_type", "n_days", F.col("est_users").cast("long").alias("est_users"),
         "exact_users"
     )
+
+
+# ---------------------------------------------------------------------------
+# Incremental view maintenance — CDC delta -> aggregate update, no recompute
+# ---------------------------------------------------------------------------
+@query(
+    "incremental_agg_orders",
+    oracle="""
+    WITH newsnap AS (
+      SELECT CASE WHEN o_orderkey % 11 = 0 THEN '1-URGENT'
+                  ELSE o_orderpriority END AS o_orderpriority,
+             o_orderstatus,
+             CAST(ROUND(o_totalprice * 100) AS BIGINT)
+               + CASE WHEN o_orderkey % 5 = 0 THEN 1000 ELSE 0 END AS cents
+      FROM orders WHERE o_orderkey % 97 <> 0
+      UNION ALL
+      SELECT o_orderpriority, o_orderstatus,
+             CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+      FROM orders WHERE o_orderkey % 101 = 0
+    )
+    SELECT o_orderpriority, o_orderstatus,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           ROUND(SUM(cents) / 100.0, 2) AS revenue
+    FROM newsnap GROUP BY o_orderpriority, o_orderstatus
+    """,
+)
+def incremental_agg_orders(spark, sf_dir):
+    """Incremental view maintenance: a grouped revenue aggregate over
+    orders is kept fresh from a CDC delta feed alone — deletes
+    (key%97), price updates (key%5, +10.00), group-key-moving updates
+    (key%11 re-prioritized to 1-URGENT) and inserts (key%101 clones) —
+    via ``operators.ivm``: the feed becomes a signed retraction stream
+    (``cdc_to_retractions``), the delta aggregates once, and
+    ``incremental_agg`` merges it into the base WITHOUT re-reading the
+    fact table.  The oracle recomputes the aggregate from scratch over
+    the mutated snapshot, proving delta-maintenance == full recompute.
+
+    The reference re-derives every count by re-scanning the source DB
+    each run (orchestrator.js:22-121); this is the 100 TB answer:
+    the base aggregate never shuffles (touched keys broadcast for the
+    anti/semi split), total cost scales with the delta.  Money sums are
+    maintained as exact integer cents so incremental addition is
+    bit-identical to the recompute regardless of order."""
+    from beehive_spark.operators.ivm import cdc_to_retractions, incremental_agg
+
+    keys = ["o_orderpriority", "o_orderstatus"]
+    o = load(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        *keys,
+        F.round(F.col("o_totalprice") * 100)
+        .cast("long")
+        .alias("cents"),
+    )
+    k = F.col("o_orderkey")
+    base = o.groupBy(*keys).agg(
+        F.count(F.lit(1)).alias("n_rows"), F.sum("cents").alias("rev_cents")
+    )
+    null_s, null_l = F.lit(None).cast("string"), F.lit(None).cast("long")
+    upd = o.filter((k % 97 != 0) & ((k % 5 == 0) | (k % 11 == 0))).select(
+        F.lit("update").alias("change_type"),
+        F.col("o_orderpriority").alias("o_orderpriority_old"),
+        F.when(k % 11 == 0, F.lit("1-URGENT"))
+        .otherwise(F.col("o_orderpriority"))
+        .alias("o_orderpriority_new"),
+        F.col("o_orderstatus").alias("o_orderstatus_old"),
+        F.col("o_orderstatus").alias("o_orderstatus_new"),
+        F.col("cents").alias("cents_old"),
+        (F.col("cents") + F.when(k % 5 == 0, 1000).otherwise(0)).alias("cents_new"),
+    )
+    dels = o.filter(k % 97 == 0).select(
+        F.lit("delete").alias("change_type"),
+        F.col("o_orderpriority").alias("o_orderpriority_old"),
+        null_s.alias("o_orderpriority_new"),
+        F.col("o_orderstatus").alias("o_orderstatus_old"),
+        null_s.alias("o_orderstatus_new"),
+        F.col("cents").alias("cents_old"),
+        null_l.alias("cents_new"),
+    )
+    ins = o.filter(k % 101 == 0).select(
+        F.lit("insert").alias("change_type"),
+        null_s.alias("o_orderpriority_old"),
+        F.col("o_orderpriority").alias("o_orderpriority_new"),
+        null_s.alias("o_orderstatus_old"),
+        F.col("o_orderstatus").alias("o_orderstatus_new"),
+        null_l.alias("cents_old"),
+        F.col("cents").alias("cents_new"),
+    )
+    feed = upd.unionByName(dels).unionByName(ins)
+    retr = cdc_to_retractions(feed, keys=keys, values=["cents"])
+    fresh = incremental_agg(base, retr, keys, sums={"rev_cents": "cents"},
+                            count_col="n_rows")
+    return fresh.select(
+        *keys,
+        "n_rows",
+        F.round(F.col("rev_cents") / 100.0, 2).alias("revenue"),
+    )
