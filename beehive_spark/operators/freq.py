@@ -1,0 +1,86 @@
+"""Heavy hitters — exact frequent items with sketch-bounded shuffle.
+
+``groupBy(item).count().filter(cnt > phi*N)`` is the one-shuffle
+textbook answer, and map-side combine keeps it viable surprisingly far.
+But over a 100 TB stream of high-cardinality items (n-grams, URLs,
+session keys) the combined map output is still vocabulary-sized: the
+shuffle moves one record per DISTINCT item per map partition, almost
+all of which are far below any interesting threshold.
+
+This module bounds that cost with the classic two-pass scheme:
+
+1. **Candidate pass** — a per-partition Misra-Gries summary with
+   ``k = ceil(1/phi)`` counters (Arrow-batched ``mapInPandas``; MG is
+   sequential per-partition state that no built-in aggregate
+   expresses).  The batched merge rule — add a batch's value counts,
+   then if more than ``k`` counters survive, subtract the (k+1)-th
+   largest count from all and drop non-positives — is the mergeable-
+   summaries form of MG (Agarwal et al., PODS'12), so the pigeonhole
+   guarantee survives arbitrary batching: every item with global count
+   > N/(k+1) appears in SOME partition's summary.  Each partition
+   emits at most ``k`` candidate rows, so the collected candidate set
+   is ``k × partitions`` — kilobytes, not vocabulary-sized.
+2. **Exact pass** — the stream is filtered to candidates with a
+   broadcast semi-join (map-side, no shuffle of non-candidates) and
+   only the surviving sliver is counted exactly; the final
+   ``count > phi*N`` filter makes the output EXACT and independent of
+   partitioning (extra candidates are harmlessly re-counted and
+   dropped), which is what lets a DuckDB GROUP BY/HAVING oracle verify
+   a sketch-powered plan.
+
+Reference scope: net-new; generalizes the reference's exact grouped
+counts (integrity-checks.js:5-137) to cardinalities where exact
+grouping is the bottleneck.
+"""
+
+from __future__ import annotations
+
+import math
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def frequent_items(df: DataFrame, col: str, phi: float) -> DataFrame:
+    """All values of ``df[col]`` with frequency strictly above
+    ``phi * N`` (N = total row count), with exact counts and fractions.
+
+    Returns columns ``(col, cnt long, frac double)``.  Output is exact
+    and deterministic for any partitioning; only candidate DISCOVERY
+    uses the MG sketch.  ``0 < phi < 1``; memory per partition is
+    ``O(1/phi)`` counters.
+    """
+    if not 0.0 < phi < 1.0:
+        raise ValueError(f"phi must be in (0,1), got {phi}")
+    k = math.ceil(1.0 / phi)
+
+    def mg(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        counters = pd.Series(dtype="int64")
+        for b in batches:
+            counters = counters.add(b[col].value_counts(), fill_value=0)
+            if len(counters) > k:
+                # subtract the (k+1)-th largest count from everyone and
+                # keep strict positives: the mergeable-summaries MG step
+                kth = counters.nlargest(k + 1).iloc[k]
+                counters = counters[counters > kth] - kth
+        yield pd.DataFrame({col: counters.index})
+
+    col_type = df.schema[col].dataType.simpleString()
+    candidates = F.broadcast(
+        df.select(col).mapInPandas(mg, schema=f"{col} {col_type}").distinct()
+    )
+    total = df.agg(F.count(F.lit(1)).alias("n"))
+    return (
+        df.join(candidates, col, "left_semi")
+        .groupBy(col)
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .crossJoin(F.broadcast(total))
+        .filter(F.col("cnt") > F.lit(phi) * F.col("n"))
+        .select(
+            col,
+            "cnt",
+            F.round(F.col("cnt") / F.col("n"), 6).alias("frac"),
+        )
+    )

@@ -127,15 +127,14 @@ _PRIORITY = [
     "dq_violations",              # new: declarative data-quality gate
     "trend_slopes",               # new: exact-sums OLS per group
     "incremental_agg_orders",     # new: IVM delta-maintained aggregate
-    # rows-only entry placed IN-window so the driver at least
-    # executes it and records row counts under its own environment
-    "pagerank_hierarchy",         # new: power-iteration PageRank
+    "text_perplexity",            # new: unigram-LM cross-entropy score
+    "heavy_hitters_shingles",     # new: MG-candidates exact frequent items
 ]
-# sketch_uniques_rollup (rows-only; error-vs-exact pinned in
-# tests/test_sketches.py) yielded its window slot to the
-# oracle-bearing incremental_agg_orders — rows-only entries give the
-# driver the weakest signal, so they are first out when slots are
-# scarce.
+# Rotated out to make room for the three new oracle-bearing queries
+# above: sketch_uniques_rollup and pagerank_hierarchy (both rows-only —
+# the weakest driver signal; error-vs-exact is pinned in
+# tests/test_sketches.py / test_graph.py, and both stay in the local
+# scripts/check_oracle.py sweep which runs ALL registered queries).
 # rotated out to the overflow this round (round-1 verified, unchanged
 # source since 769e19c): dates_normalize, group_topn_window,
 # window_running_total, not_in_null_semantics, hierarchy_bfs,

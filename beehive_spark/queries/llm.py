@@ -1739,3 +1739,136 @@ def events_sessionize(spark, sf_dir):
         F.count(F.lit(1)).alias("n_events"),
     ).select("user_id", F.col("session_no").cast("long").alias("session_no"),
              "session_start", "n_events")
+
+
+# ---------------------------------------------------------------------------
+# Unigram-LM perplexity — CCNet-style language-model quality scoring
+# ---------------------------------------------------------------------------
+@query(
+    "text_perplexity",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id,
+             unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term
+      FROM documents
+    ),
+    unig AS (SELECT term, COUNT(*) AS c FROM toks GROUP BY term),
+    tot AS (SELECT COUNT(*) AS t, COUNT(DISTINCT term) AS v FROM toks),
+    lp AS (
+      SELECT term,
+             CAST(ROUND(ln((c + 1.0) / (t + v)) * 1000000) AS BIGINT) AS lp
+      FROM unig CROSS JOIN tot
+    ),
+    perdoc AS (
+      SELECT toks.doc_id, COUNT(*) AS n_tokens, SUM(lp.lp) AS s
+      FROM toks JOIN lp USING (term) GROUP BY toks.doc_id
+    )
+    SELECT d.doc_id,
+           CAST(COALESCE(p.n_tokens, 0) AS BIGINT) AS n_tokens,
+           ROUND(-p.s / 1000000.0 / p.n_tokens, 4) AS xent
+    FROM documents d LEFT JOIN perdoc p ON d.doc_id = p.doc_id
+    """,
+)
+def text_perplexity(spark, sf_dir):
+    """Language-model quality scoring a la CCNet (Wenzek et al. 2020):
+    per-document cross-entropy under a unigram LM trained on the corpus
+    itself — the standard "how much does this text look like the rest
+    of the data" filter signal used next to the rule-based
+    ``text_quality_score`` gate.  Add-one smoothing over the observed
+    vocabulary: p(w) = (c_w + 1) / (T + V); score = -mean ln p(w) in
+    nats (lower = more typical text; boilerplate and gibberish both
+    stand out).
+
+    Cross-engine determinism: per-token log-probs are rounded to
+    integer MICRO-NATS and summed exactly as BIGINTs, so the per-doc
+    sum is bit-identical in any aggregation order on any engine — the
+    exact-integer-sums trick shared with ``trend_slopes`` /
+    ``events_anomaly``.  Only the final division rounds to 4.
+
+    Scale shape: the unigram table is ONE map-side-combined hash agg
+    over the token stream (reusing the tokenizer of text_token_stats);
+    totals are a 1-row broadcast.  Scoring re-joins tokens to the
+    vocab on ``term`` — deliberately NOT a forced broadcast (a
+    web-scale vocab need not fit one executor); AQE handles stopword
+    skew, exactly as in ``text_tfidf_topterms``.  Docs with zero
+    tokens surface with n_tokens=0 and NULL score (never silently
+    dropped — they are exactly the docs a filter must flag).
+
+    Reference scope: net-new (no counterpart in mhawila/beehive)."""
+    d = load(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.explode(_tokens(F.col("text"))).alias("term"))
+    unig = toks.groupBy("term").agg(F.count(F.lit(1)).alias("c"))
+    tot = toks.agg(
+        F.count(F.lit(1)).alias("t"), F.countDistinct("term").alias("v")
+    )
+    lp = unig.crossJoin(F.broadcast(tot)).select(
+        "term",
+        F.round(
+            F.log((F.col("c") + 1.0) / (F.col("t") + F.col("v"))) * 1_000_000
+        )
+        .cast("long")
+        .alias("lp"),
+    )
+    perdoc = (
+        toks.join(lp, "term")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_tokens"), F.sum("lp").alias("s"))
+    )
+    return d.select("doc_id").join(perdoc, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce(F.col("n_tokens"), F.lit(0)).cast("long").alias("n_tokens"),
+        F.round(-F.col("s") / 1_000_000.0 / F.col("n_tokens"), 4).alias("xent"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Heavy hitters — exact frequent shingles via Misra-Gries candidates
+# ---------------------------------------------------------------------------
+@query(
+    "heavy_hitters_shingles",
+    oracle="""
+    WITH toks AS (
+      SELECT regexp_extract_all(lower(text), '[a-z0-9]+') AS ws
+      FROM documents
+    ),
+    sh AS (
+      SELECT ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS shingle
+      FROM toks, unnest(range(1, len(ws)-1)) AS t(i)
+    ),
+    tot AS (SELECT COUNT(*) AS n FROM sh)
+    SELECT shingle, CAST(COUNT(*) AS BIGINT) AS cnt,
+           ROUND(COUNT(*) / CAST(n AS DOUBLE), 6) AS frac
+    FROM sh CROSS JOIN tot
+    GROUP BY shingle, n
+    HAVING COUNT(*) > 0.0002 * n
+    """,
+)
+def heavy_hitters_shingles(spark, sf_dir, phi: float = 0.0002):
+    """Frequent word-3-grams of the corpus (boilerplate / template
+    detection — the signal that feeds the hot-shingle df-cap in
+    ``dedup_ngram_jaccard``) found EXACTLY via the two-pass
+    ``operators.freq.frequent_items``: per-partition Misra-Gries
+    candidate discovery (Arrow-batched, O(1/phi) counters), broadcast
+    semi-join filter, exact recount.  Unlike ``boilerplate_ngrams``
+    (per-DOC distinct n-grams, document frequency) this counts every
+    OCCURRENCE in the stream — the true heavy-hitter formulation.
+
+    The oracle pays the full vocabulary-sized GROUP BY; the engine
+    shuffles only candidate occurrences.  Output is provably identical
+    for any partitioning (see operators/freq.py docstring) — which is
+    why a sketch-assisted plan can face a hash-equality oracle."""
+    from beehive_spark.operators.freq import frequent_items
+
+    d = load(spark, sf_dir, "documents")
+    ws = _tokens(F.col("text"))
+    shingles = F.when(
+        F.size(ws) >= 3,
+        F.transform(
+            F.sequence(F.lit(0), F.size(ws) - 3),
+            lambda i: F.concat_ws(
+                " ", F.get(ws, i), F.get(ws, i + 1), F.get(ws, i + 2)
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    stream = d.select(F.explode(shingles).alias("shingle"))
+    return frequent_items(stream, "shingle", phi)
