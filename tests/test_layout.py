@@ -287,3 +287,36 @@ def test_zorder_value_nulls_sort_last(spark):
     rows = {r["a"]: r["z"] for r in z.collect()}
     assert rows[2] == 1 << 16  # null key past every real key
     assert rows[1] < rows[2] and rows[3] < rows[2]
+
+
+def test_dynamic_partition_pruning_from_join(spark, sf_dir, tmp_path):
+    """Runtime partition pruning: when the partition-column filter is
+    only discoverable by FILTERING A DIMENSION (not a literal), Spark
+    must inject a dynamicpruning subquery into the fact scan's
+    PartitionFilters — at 100 TB this is the difference between
+    scanning 2 date partitions and scanning all of them.  Static
+    pruning (literal filters) is pinned by
+    test_partitioned_write_prunes; this pins the join-driven case."""
+    fact_path = str(tmp_path / "orders_by_priority")
+    write_partitioned(
+        load(spark, sf_dir, "orders"), fact_path, partition_by=["o_orderpriority"]
+    )
+    fact = spark.read.parquet(fact_path)
+    dim = (
+        load(spark, sf_dir, "orders")
+        .select("o_orderpriority")
+        .distinct()
+        .withColumn("tier", F.substring("o_orderpriority", 1, 1).cast("int"))
+    )
+    joined = fact.join(dim.filter(F.col("tier") <= 2), "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    plan = _plan(joined)
+    assert "dynamicpruning" in plan.lower(), plan
+    # and the pruned plan still computes the right answer
+    expected = (
+        load(spark, sf_dir, "orders")
+        .filter(F.substring("o_orderpriority", 1, 1).cast("int") <= 2)
+        .count()
+    )
+    assert joined.first()["n"] == expected
