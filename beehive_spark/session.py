@@ -44,6 +44,17 @@ def get_spark(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # runtime bloom-filter pruning: a selective dim-side filter
+        # injects a bloom probe into the fact scan for NON-partition
+        # join keys (the runtime analog of dynamic partition pruning —
+        # at 100 TB it drops most fact rows before the shuffle).  On
+        # by default upstream for creationSideThreshold<=10MB; raise
+        # the threshold so warehouse-sized dims still qualify.
+        .config("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+        .config(
+            "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold",
+            str(64 * 1024 * 1024),
+        )
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.sql.session.timeZone", "UTC")

@@ -11,6 +11,8 @@ legally reshape details.
 
 import re
 
+from pyspark.sql import functions as F
+
 from beehive_spark.queries import all_queries
 
 
@@ -113,3 +115,35 @@ def test_dq_violations_row_rules_fold_into_one_scan_pass(spark, sf_dir):
     add a scan."""
     plan = _plan(all_queries()["dq_violations"](spark, sf_dir))
     assert len(re.findall(r"FileScan parquet|Scan parquet", plan)) <= 4
+
+
+def test_runtime_bloom_filter_prunes_fact_side(spark, sf_dir):
+    """Runtime bloom-filter join pruning (the non-partition-column
+    analog of dynamic partition pruning, enabled in session.py): a
+    selective filter on one join side must inject a
+    BloomFilterMightContain probe into the other side's scan, so at
+    scale most fact rows die before the shuffle.  Thresholds are
+    lowered test-locally because the feature gates on multi-GB scan
+    sizes that sf0.001 cannot reach."""
+    from beehive_spark.queries import load
+
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "64MB",
+    }
+    saved = {k: spark.conf.get(k) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        li = load(spark, sf_dir, "lineitem")
+        o = load(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 450000)
+        joined = li.join(o, li["l_orderkey"] == o["o_orderkey"]).agg(
+            F.sum("l_quantity").alias("q")
+        )
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "bloomfilter" in plan.lower() or "might_contain" in plan.lower(), plan
+        assert joined.first()["q"] is not None
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)
