@@ -334,3 +334,64 @@ def test_cdc_apply_stream_converges_to_expected_table(spark, tmp_path):
     )
     got = sorted((r["k"], r["v"]) for r in spark.read.parquet(table).collect())
     assert got == [(1, 10.0), (2, 21.0)]
+
+
+def test_ivm_agg_stream_maintains_aggregate(spark, tmp_path):
+    """Streaming materialized-view maintenance: the aggregate parquet
+    table must converge to the from-scratch aggregate of the final
+    row-level state, across multi-change-per-key micro-batches (the
+    telescoping-sum property of retractions), and a replayed batch id
+    must be a no-op."""
+    from beehive_spark.streaming.materialize import run_ivm_agg_stream
+
+    feed_dir = tmp_path / "feed"
+    feed_dir.mkdir()
+    schema = (
+        "change_type string, g_old string, g_new string, "
+        "v_old bigint, v_new bigint"
+    )
+    # batch 1: inserts into groups a/b
+    spark.createDataFrame(
+        [
+            ("insert", None, "a", None, 10),
+            ("insert", None, "a", None, 20),
+            ("insert", None, "b", None, 30),
+        ],
+        schema,
+    ).coalesce(1).write.parquet(str(feed_dir / "f1.parquet"))
+    # batch 2: same-key churn (update twice), a group move, a delete
+    spark.createDataFrame(
+        [
+            ("update", "a", "a", 10, 11),   # then immediately...
+            ("update", "a", "a", 11, 15),   # ...updated again: net 10->15
+            ("update", "b", "a", 30, 30),   # moves b -> a
+            ("delete", "a", None, 20, None),
+        ],
+        schema,
+    ).coalesce(1).write.parquet(str(feed_dir / "f2.parquet"))
+
+    table = str(tmp_path / "agg")
+    # initial (empty) aggregate, written by the "batch backfill"
+    spark.createDataFrame([], "g string, n_rows bigint, sv bigint").write.parquet(
+        table
+    )
+    changes = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(feed_dir) + "/*/")
+    )
+    run_ivm_agg_stream(
+        spark, changes, table, str(tmp_path / "ckpt"), keys=["g"], sums={"sv": "v"}
+    )
+    got = sorted(tuple(r) for r in spark.read.parquet(table).collect())
+    # final rows: a={15, 30}, b={} -> a:(2,45)
+    assert got == [("a", 2, 45)]
+
+    # replay: a fresh checkpoint re-delivers everything as batch 0;
+    # the recorded batch id must make it a no-op
+    changes2 = spark.readStream.schema(schema).parquet(str(feed_dir) + "/*/")
+    run_ivm_agg_stream(
+        spark, changes2, table, str(tmp_path / "ckpt2"), keys=["g"], sums={"sv": "v"}
+    )
+    again = sorted(tuple(r) for r in spark.read.parquet(table).collect())
+    assert again == got
