@@ -320,3 +320,40 @@ def test_dynamic_partition_pruning_from_join(spark, sf_dir, tmp_path):
         .count()
     )
     assert joined.first()["n"] == expected
+
+
+def test_compact_parquet_merges_small_files(spark, sf_dir, tmp_path):
+    path = str(tmp_path / "shattered")
+    load(spark, sf_dir, "orders").repartition(40).write.parquet(path)
+    before = spark.read.parquet(path)
+    n_rows, checksum = before.count(), before.agg(
+        F.sum("o_orderkey").alias("s")
+    ).first()["s"]
+    from beehive_spark.sources.layout import compact_parquet
+
+    stats = compact_parquet(spark, path, target_file_bytes=64 * 1024 * 1024)
+    assert stats["files_before"] >= 40
+    assert stats["files_after"] < stats["files_before"]
+    after = spark.read.parquet(path)
+    assert after.count() == n_rows
+    assert after.agg(F.sum("o_orderkey").alias("s")).first()["s"] == checksum
+    assert not os.path.isdir(path + ".compact_staging")
+    assert not os.path.isdir(path + ".old")
+
+
+def test_compact_parquet_partitioned_keeps_pruning(spark, sf_dir, tmp_path):
+    path = str(tmp_path / "parts")
+    load(spark, sf_dir, "orders").repartition(20).write.partitionBy(
+        "o_orderstatus"
+    ).parquet(path)
+    from beehive_spark.sources.layout import compact_parquet
+
+    stats = compact_parquet(
+        spark, path, target_file_bytes=64 * 1024 * 1024, partition_by="o_orderstatus"
+    )
+    assert stats["files_after"] < stats["files_before"]
+    pruned = spark.read.parquet(path).filter(F.col("o_orderstatus") == "F")
+    scan_line = next(
+        ln for ln in _plan(pruned).splitlines() if "PartitionFilters" in ln
+    )
+    assert "o_orderstatus" in scan_line
