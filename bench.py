@@ -71,6 +71,9 @@ EXTRA = [
     "grouping_sets_revenue",
     "fuzzy_join_names",
     "pagerank_hierarchy",
+    "incremental_agg_orders",
+    "text_perplexity",
+    "heavy_hitters_shingles",
 ]
 
 

@@ -94,6 +94,8 @@ REGISTRY_CASES = [
     ("events_anomaly", "events"),
     ("events_sessionize", "events"),
     ("fuzzy_join_names", "customer"),
+    ("text_perplexity", "documents"),
+    ("heavy_hitters_shingles", "documents"),
 ]
 
 
