@@ -82,33 +82,52 @@ def incremental_agg(
     count_col: str = "n_rows",
 ) -> DataFrame:
     """Maintain ``base`` — a grouped aggregate with columns
-    ``keys + [count_col] + list(sums)`` — from a signed retraction
-    stream carrying ``[SIGN] + keys + source value columns``.
+    ``keys + [count_col] + [out, out_nn for out in sums]`` as produced
+    by :func:`build_agg` — from a signed retraction stream carrying
+    ``[SIGN] + keys + source value columns``.
 
     ``sums`` maps aggregate column name -> source value column in the
-    retraction feed (SUM semantics; NULL source values contribute 0 to
-    the sum and still count the row, matching SQL SUM/COUNT(*)).
-    Groups whose maintained row count reaches zero are dropped, new
-    groups appear; the result equals a from-scratch recompute over the
-    post-change fact table (proven by the ``incremental_agg_orders``
-    oracle and ``tests/test_ivm.py``).
+    retraction feed.  Exact SQL SUM semantics, including NULLs: each
+    sum carries a companion non-null contribution count ``<out>_nn``,
+    and the sum reads NULL exactly when that count is zero (a plain
+    running total cannot distinguish "all contributions NULL" from
+    "contributions cancel to 0" — caught by
+    tests/test_ivm_property.py).  Groups whose maintained row count
+    reaches zero are dropped, new groups appear; the result equals a
+    from-scratch recompute over the post-change fact table (proven by
+    the ``incremental_agg_orders`` oracle and the property test).
 
     The base side is never shuffled: touched keys are broadcast for the
     semi/anti split and the merged delta is broadcast for the final
     join, so cost scales with the DELTA, not the base.
     """
     keys = list(keys)
-    delta = retractions.groupBy(*keys).agg(
-        F.sum(SIGN).cast("long").alias(count_col),
-        *[
-            F.sum(
-                F.when(F.col(src).isNotNull(), F.col(SIGN) * F.col(src)).otherwise(
-                    F.lit(0)
-                )
-            ).alias(out)
-            for out, src in sums.items()
-        ],
-    )
+    nn = {out: f"{out}_nn" for out in sums}
+    delta_aggs = [F.sum(SIGN).cast("long").alias(count_col)]
+    for out, src in sums.items():
+        contributes = F.col(src).isNotNull()
+        delta_aggs.append(
+            F.sum(F.when(contributes, F.col(SIGN) * F.col(src)).otherwise(F.lit(0)))
+            .alias(out)
+        )
+        delta_aggs.append(
+            F.sum(F.when(contributes, F.col(SIGN)).otherwise(F.lit(0)))
+            .cast("long")
+            .alias(nn[out])
+        )
+    delta = retractions.groupBy(*keys).agg(*delta_aggs)
+
+    def _merge(col: str):
+        return F.coalesce(F.col(f"b.{col}"), F.lit(0)) + F.coalesce(
+            F.col(f"d.{col}"), F.lit(0)
+        )
+
+    merged_cols: list = [_merge(count_col).alias(count_col)]
+    for out in sums:
+        n = _merge(nn[out])
+        merged_cols.append(F.when(n > 0, _merge(out)).alias(out))
+        merged_cols.append(n.alias(nn[out]))
+
     # delta is small by construction (touched groups only) — broadcast it
     # for both the split and the merge so `base` never repartitions.
     bdelta = F.broadcast(delta)
@@ -121,20 +140,25 @@ def incremental_agg(
     merged = (
         delta.alias("d")
         .join(F.broadcast(touched.alias("b")), keys, "left_outer")
-        .select(
-            *keys,
-            (
-                F.coalesce(F.col(f"b.{count_col}"), F.lit(0))
-                + F.coalesce(F.col(f"d.{count_col}"), F.lit(0))
-            ).alias(count_col),
-            *[
-                (
-                    F.coalesce(F.col(f"b.{out}"), F.lit(0))
-                    + F.coalesce(F.col(f"d.{out}"), F.lit(0))
-                ).alias(out)
-                for out in sums
-            ],
-        )
+        .select(*keys, *merged_cols)
         .filter(F.col(count_col) > 0)
     )
     return untouched.unionByName(merged)
+
+
+def build_agg(
+    df: DataFrame,
+    keys: Sequence[str],
+    sums: dict[str, str],
+    count_col: str = "n_rows",
+) -> DataFrame:
+    """The batch-backfill aggregate in the exact shape
+    :func:`incremental_agg` maintains: per group, ``count_col`` =
+    COUNT(*), and for each ``out -> src`` a SQL ``SUM(src)`` plus its
+    non-null contribution count ``<out>_nn`` (the state that makes
+    NULL-sum semantics incrementally maintainable)."""
+    aggs = [F.count(F.lit(1)).alias(count_col)]
+    for out, src in sums.items():
+        aggs.append(F.sum(src).alias(out))
+        aggs.append(F.count(src).alias(f"{out}_nn"))
+    return df.groupBy(*list(keys)).agg(*aggs)

@@ -1151,7 +1151,11 @@ def incremental_agg_orders(spark, sf_dir):
     anti/semi split), total cost scales with the delta.  Money sums are
     maintained as exact integer cents so incremental addition is
     bit-identical to the recompute regardless of order."""
-    from beehive_spark.operators.ivm import cdc_to_retractions, incremental_agg
+    from beehive_spark.operators.ivm import (
+        build_agg,
+        cdc_to_retractions,
+        incremental_agg,
+    )
 
     keys = ["o_orderpriority", "o_orderstatus"]
     o = load(spark, sf_dir, "orders").select(
@@ -1162,9 +1166,7 @@ def incremental_agg_orders(spark, sf_dir):
         .alias("cents"),
     )
     k = F.col("o_orderkey")
-    base = o.groupBy(*keys).agg(
-        F.count(F.lit(1)).alias("n_rows"), F.sum("cents").alias("rev_cents")
-    )
+    base = build_agg(o, keys, {"rev_cents": "cents"}, count_col="n_rows")
     null_s, null_l = F.lit(None).cast("string"), F.lit(None).cast("long")
     upd = o.filter((k % 97 != 0) & ((k % 5 == 0) | (k % 11 == 0))).select(
         F.lit("update").alias("change_type"),

@@ -56,8 +56,9 @@ def run_ivm_agg_stream(
     count_col: str = "n_rows",
     timeout_sec: int = 120,
 ) -> None:
-    """Maintain the aggregate table at ``table_path`` (columns
-    ``keys + [count_col] + list(sums)``) from a streaming CDC feed
+    """Maintain the aggregate table at ``table_path`` (in the
+    ``operators.ivm.build_agg`` shape: ``keys + [count_col]`` plus each
+    sum and its ``_nn`` companion) from a streaming CDC feed
     shaped like ``operators.ivm.cdc_to_retractions`` expects
     (``change_type`` + ``<col>_old`` / ``<col>_new`` payloads).
 

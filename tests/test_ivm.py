@@ -10,13 +10,16 @@ the plan contains no shuffle Exchange).
 
 from pyspark.sql import functions as F
 
-from beehive_spark.operators.ivm import SIGN, cdc_to_retractions, incremental_agg
+from beehive_spark.operators.ivm import (
+    SIGN,
+    build_agg,
+    cdc_to_retractions,
+    incremental_agg,
+)
 
 
 def _agg(df):
-    return df.groupBy("g").agg(
-        F.count(F.lit(1)).alias("n_rows"), F.sum("v").alias("sv")
-    )
+    return build_agg(df, ["g"], {"sv": "v"}, count_col="n_rows")
 
 
 def _rows(df):

@@ -372,7 +372,9 @@ def test_ivm_agg_stream_maintains_aggregate(spark, tmp_path):
 
     table = str(tmp_path / "agg")
     # initial (empty) aggregate, written by the "batch backfill"
-    spark.createDataFrame([], "g string, n_rows bigint, sv bigint").write.parquet(
+    spark.createDataFrame(
+        [], "g string, n_rows bigint, sv bigint, sv_nn bigint"
+    ).write.parquet(
         table
     )
     changes = (
@@ -384,8 +386,8 @@ def test_ivm_agg_stream_maintains_aggregate(spark, tmp_path):
         spark, changes, table, str(tmp_path / "ckpt"), keys=["g"], sums={"sv": "v"}
     )
     got = sorted(tuple(r) for r in spark.read.parquet(table).collect())
-    # final rows: a={15, 30}, b={} -> a:(2,45)
-    assert got == [("a", 2, 45)]
+    # final rows: a={15, 30}, b={} -> a:(n_rows=2, sv=45, sv_nn=2)
+    assert got == [("a", 2, 45, 2)]
 
     # replay: a fresh checkpoint re-delivers everything as batch 0;
     # the recorded batch id must make it a no-op
