@@ -65,7 +65,11 @@ def frequent_items(df: DataFrame, col: str, phi: float) -> DataFrame:
                 # keep strict positives: the mergeable-summaries MG step
                 kth = counters.nlargest(k + 1).iloc[k]
                 counters = counters[counters > kth] - kth
-        yield pd.DataFrame({col: counters.index})
+        # materialize the index as a plain list: an EMPTY partition's
+        # Series carries an int64 RangeIndex that Arrow refuses to cast
+        # to a string column (caught by the 10x stress run); a list is
+        # object-dtyped and casts per the declared schema for any type
+        yield pd.DataFrame({col: list(counters.index)}, dtype=object)
 
     col_type = df.schema[col].dataType.simpleString()
     candidates = F.broadcast(

@@ -11,12 +11,17 @@ signed row: +1 insert, -1 retract; an update is a retract/insert pair),
 as in Flink retract streams and differential dataflow — public
 literature, re-expressed as DataFrame ops.
 
-Self-maintainable aggregates only (SUM / COUNT, and anything derivable
-from them: AVG = SUM/COUNT): they merge with pure addition, so the new
-aggregate of a touched group is ``base + delta`` without consulting the
-raw fact rows.  MIN/MAX are deliberately out of scope — a retraction of
-the current extreme forces a rescan of that group, which is no longer
-"incremental" (callers should recompute affected groups instead).
+Two maintenance classes, both delta-priced:
+
+- **Self-maintainable** (:func:`incremental_agg`): SUM / COUNT and
+  anything derivable (AVG = SUM/COUNT) merge with pure addition — the
+  new aggregate of a touched group is ``base + delta`` without ever
+  consulting the raw fact rows.
+- **Rescan-on-evict** (:func:`incremental_minmax`): MIN/MAX cannot
+  survive a retraction of the current extreme (the runner-up is not in
+  the summary), so exactly the groups where that happened re-aggregate
+  from the fact table — detected precisely, reached by broadcast
+  semi-join, every other group maintained from the delta alone.
 
 Scale shape (the whole point):
 
@@ -162,3 +167,95 @@ def build_agg(
         aggs.append(F.sum(src).alias(out))
         aggs.append(F.count(src).alias(f"{out}_nn"))
     return df.groupBy(*list(keys)).agg(*aggs)
+
+
+def incremental_minmax(
+    base: DataFrame,
+    retractions: DataFrame,
+    fact: DataFrame,
+    keys: Sequence[str],
+    value: str,
+    agg: str = "max",
+    count_col: str = "n_rows",
+    out_col: str | None = None,
+) -> DataFrame:
+    """Maintain a per-group MIN/MAX — the classic NON-self-maintainable
+    aggregate — with rescans confined to the groups that need one.
+
+    Inserts are self-maintainable (``new = greatest(old, arriving)``);
+    the hard case is a retraction of the current extreme, where the
+    runner-up is unknowable from the summary.  Instead of falling back
+    to a full recompute (the reference's answer to every freshness
+    question, orchestrator.js:22-121), the affected groups are
+    detected exactly — a retraction whose value ties the stored
+    extreme — and ONLY those groups re-aggregate from ``fact`` (the
+    post-change rows), reached via a broadcast semi-join so the fact
+    table is scanned once, never shuffled, and only matching rows
+    aggregate.  Every other touched group updates from the delta alone.
+
+    ``base`` columns: ``keys + [count_col, out_col]`` (build with
+    ``fact.groupBy(keys).agg(count, max/min)``).  ``retractions`` is
+    the :func:`cdc_to_retractions` stream; NULL values contribute to
+    ``count_col`` but never to the extreme (SQL semantics; an all-NULL
+    group holds NULL).  A NULL stored extreme with surviving rows also
+    rescans on insert of a non-null (cheap and rare).  Groups reaching
+    zero rows drop; new groups form from inserts or rescan.
+    """
+    keys = list(keys)
+    if agg not in ("max", "min"):
+        raise ValueError(f"agg must be 'max' or 'min', got {agg}")
+    out = out_col or agg
+    v, sgn = F.col(value), F.col(SIGN)
+    best_in = F.max if agg == "max" else F.min
+    delta = retractions.groupBy(*keys).agg(
+        F.sum(SIGN).cast("long").alias("_dn"),
+        best_in(F.when((sgn > 0) & v.isNotNull(), v)).alias("_ins"),
+        best_in(F.when((sgn < 0) & v.isNotNull(), v)).alias("_del"),
+    )
+    bdelta = F.broadcast(delta)
+    untouched = base.join(bdelta.select(*keys), keys, "left_anti")
+    touched = base.join(bdelta.select(*keys), keys, "left_semi")
+    m = (
+        delta.alias("d")
+        .join(F.broadcast(touched.alias("b")), keys, "left_outer")
+        .select(
+            *keys,
+            (F.coalesce(F.col(f"b.{count_col}"), F.lit(0)) + F.col("d._dn")).alias(
+                count_col
+            ),
+            F.col(f"b.{out}").alias("_old"),
+            F.col("d._ins").alias("_ins"),
+            F.col("d._del").alias("_del"),
+            F.col(f"b.{count_col}").isNull().alias("_new_grp"),
+        )
+        .filter(F.col(count_col) > 0)
+    )
+    tie = (
+        F.col("_del") >= F.col("_old") if agg == "max" else F.col("_del") <= F.col("_old")
+    )
+    needs_rescan = (
+        # retraction reached the stored extreme (or the extreme is
+        # unknown-NULL while rows survive and non-nulls arrive/leave)
+        (F.col("_del").isNotNull() & (F.col("_old").isNull() | tie))
+        | (F.col("_old").isNull() & ~F.col("_new_grp") & F.col("_ins").isNotNull())
+    )
+    cheap = m.filter(~needs_rescan).select(
+        *keys,
+        F.col(count_col),
+        F.when(
+            F.col("_new_grp"), F.col("_ins")
+        ).otherwise(
+            (F.greatest if agg == "max" else F.least)(
+                F.col("_old"), F.col("_ins")
+            )
+        ).alias(out),
+    )
+    rescan_keys = m.filter(needs_rescan).select(*keys, F.col(count_col))
+    rescanned = (
+        fact.join(F.broadcast(rescan_keys.select(*keys)), keys, "left_semi")
+        .groupBy(*keys)
+        .agg(best_in(F.when(F.col(value).isNotNull(), F.col(value))).alias(out))
+        .join(F.broadcast(rescan_keys), keys, "inner")
+        .select(*keys, F.col(count_col), F.col(out))
+    )
+    return untouched.unionByName(cheap).unionByName(rescanned)

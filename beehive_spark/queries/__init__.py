@@ -95,7 +95,9 @@ _PRIORITY = [
     "contamination_ngram",        # new: benchmark-leak check
     "pack_sequences",             # new: concat-then-chunk packing
     "mixture_stats",              # new: dataset mixture accounting
-    "stratified_sample",          # new: content-hash sampling
+    # (stratified_sample rotated to overflow: zero-shuffle md5 filter
+    # whose engine-sensitive hash path is equally exercised in-window
+    # by sample_weighted; locally green in check_oracle.py)
     "dedup_clusters",             # new: CC collapse of near-dup pairs
     "pii_scrub",                  # new: pattern redaction
     "text_repetition",            # new: Gopher repetition signals
@@ -118,23 +120,26 @@ _PRIORITY = [
     "array_funcs_suite",          # new: higher-order array lambdas
     "grouping_sets_revenue",      # new: GROUPING SETS one-pass multi-grain
     "fuzzy_join_names",           # new: edit-distance join (SymSpell keys)
-    # reference-parity operator (consolidate default changed to
-    # scalable-id mode; assign_ids_window rotated out — r01-green and
-    # its contiguous path is also covered by the merge e2e suite)
-    "consolidate_mapping",
+    # (consolidate_mapping rotated out this round: driver-verified
+    # green in r01, unchanged consolidate.py logic, and its id-mode
+    # default change is covered in-window by assign_ids_scalable plus
+    # the merge e2e suite; assign_ids_window likewise r01-green.)
     # LLM-pipeline exact ops (llm.py heavily reworked this round)
     "text_tfidf_topterms",        # new: top-k terms per doc by tf-idf
     "dq_violations",              # new: declarative data-quality gate
     "trend_slopes",               # new: exact-sums OLS per group
-    "incremental_agg_orders",     # new: IVM delta-maintained aggregate
+    "incremental_agg_orders",     # new: IVM delta-maintained SUM/COUNT
+    "incremental_max_orders",     # new: IVM MAX w/ targeted evict-rescan
     "text_perplexity",            # new: unigram-LM cross-entropy score
     "heavy_hitters_shingles",     # new: MG-candidates exact frequent items
 ]
-# Rotated out to make room for the three new oracle-bearing queries
-# above: sketch_uniques_rollup and pagerank_hierarchy (both rows-only —
-# the weakest driver signal; error-vs-exact is pinned in
-# tests/test_sketches.py / test_graph.py, and both stay in the local
-# scripts/check_oracle.py sweep which runs ALL registered queries).
+# Rotated out to make room for the four new oracle-bearing queries
+# above: sketch_uniques_rollup and pagerank_hierarchy (rows-only — the
+# weakest driver signal; error-vs-exact is pinned in
+# tests/test_sketches.py / test_graph.py), and events_sliding_agg
+# (r01-green, events.py load path re-exercised in-window by
+# events_anomaly).  All stay in the local scripts/check_oracle.py
+# sweep, which runs EVERY registered query each round.
 # rotated out to the overflow this round (round-1 verified, unchanged
 # source since 769e19c): dates_normalize, group_topn_window,
 # window_running_total, not_in_null_semantics, hierarchy_bfs,

@@ -1206,3 +1206,103 @@ def incremental_agg_orders(spark, sf_dir):
         "n_rows",
         F.round(F.col("rev_cents") / 100.0, 2).alias("revenue"),
     )
+
+
+# ---------------------------------------------------------------------------
+# IVM for non-self-maintainable aggregates — MAX with targeted rescan
+# ---------------------------------------------------------------------------
+@query(
+    "incremental_max_orders",
+    oracle="""
+    WITH newsnap AS (
+      SELECT CASE WHEN o_orderkey % 11 = 0 THEN '1-URGENT'
+                  ELSE o_orderpriority END AS o_orderpriority,
+             o_orderstatus,
+             o_totalprice
+               + CASE WHEN o_orderkey % 5 = 0 THEN 10.0 ELSE 0.0 END AS price
+      FROM orders WHERE o_orderkey % 97 <> 0
+      UNION ALL
+      SELECT o_orderpriority, o_orderstatus, o_totalprice AS price
+      FROM orders WHERE o_orderkey % 101 = 0
+    )
+    SELECT o_orderpriority, o_orderstatus,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           ROUND(MAX(price), 2) AS max_price
+    FROM newsnap GROUP BY o_orderpriority, o_orderstatus
+    """,
+)
+def incremental_max_orders(spark, sf_dir):
+    """The NON-self-maintainable half of incremental view maintenance:
+    per-group MAX kept fresh from the same CDC delta as
+    ``incremental_agg_orders``, via ``operators.ivm.incremental_minmax``
+    — inserts fold in with ``greatest()``; ONLY the groups whose stored
+    maximum was retracted (deletes of %97 keys, re-prioritizations of
+    %11 keys moving rows out of a group) re-aggregate, against the
+    post-change fact reached by broadcast semi-join.  The oracle
+    recomputes MAX from scratch over the mutated snapshot, so the
+    hash-match proves the evict-detection logic finds every affected
+    group and no rescan was missed — at 100 TB the rescan set is a
+    handful of groups, not the table."""
+    from beehive_spark.operators.ivm import cdc_to_retractions, incremental_minmax
+
+    keys = ["o_orderpriority", "o_orderstatus"]
+    o = load(spark, sf_dir, "orders").select(
+        "o_orderkey", *keys, F.col("o_totalprice").alias("price")
+    )
+    k = F.col("o_orderkey")
+    base = o.groupBy(*keys).agg(
+        F.count(F.lit(1)).alias("n_rows"), F.max("price").alias("max_price")
+    )
+    null_s, null_d = F.lit(None).cast("string"), F.lit(None).cast("double")
+    upd = o.filter((k % 97 != 0) & ((k % 5 == 0) | (k % 11 == 0))).select(
+        F.lit("update").alias("change_type"),
+        F.col("o_orderpriority").alias("o_orderpriority_old"),
+        F.when(k % 11 == 0, F.lit("1-URGENT"))
+        .otherwise(F.col("o_orderpriority"))
+        .alias("o_orderpriority_new"),
+        F.col("o_orderstatus").alias("o_orderstatus_old"),
+        F.col("o_orderstatus").alias("o_orderstatus_new"),
+        F.col("price").alias("price_old"),
+        (F.col("price") + F.when(k % 5 == 0, 10.0).otherwise(0.0)).alias(
+            "price_new"
+        ),
+    )
+    dels = o.filter(k % 97 == 0).select(
+        F.lit("delete").alias("change_type"),
+        F.col("o_orderpriority").alias("o_orderpriority_old"),
+        null_s.alias("o_orderpriority_new"),
+        F.col("o_orderstatus").alias("o_orderstatus_old"),
+        null_s.alias("o_orderstatus_new"),
+        F.col("price").alias("price_old"),
+        null_d.alias("price_new"),
+    )
+    ins = o.filter(k % 101 == 0).select(
+        F.lit("insert").alias("change_type"),
+        null_s.alias("o_orderpriority_old"),
+        F.col("o_orderpriority").alias("o_orderpriority_new"),
+        null_s.alias("o_orderstatus_old"),
+        F.col("o_orderstatus").alias("o_orderstatus_new"),
+        null_d.alias("price_old"),
+        F.col("price").alias("price_new"),
+    )
+    feed = upd.unionByName(dels).unionByName(ins)
+    retr = cdc_to_retractions(feed, keys=keys, values=["price"])
+    # the post-change fact table (what the rescan consults)
+    fact = o.filter(k % 97 != 0).select(
+        *[
+            F.when(k % 11 == 0, F.lit("1-URGENT"))
+            .otherwise(F.col("o_orderpriority"))
+            .alias("o_orderpriority"),
+            F.col("o_orderstatus"),
+            (F.col("price") + F.when(k % 5 == 0, 10.0).otherwise(0.0)).alias(
+                "price"
+            ),
+        ]
+    ).unionByName(o.filter(k % 101 == 0).select(*keys, "price"))
+    fresh = incremental_minmax(
+        base, retr, fact, keys, "price", agg="max",
+        count_col="n_rows", out_col="max_price",
+    )
+    return fresh.select(
+        *keys, "n_rows", F.round("max_price", 2).alias("max_price")
+    )

@@ -66,3 +66,16 @@ def test_phi_validation(spark):
     for bad in (0.0, 1.0, -0.5, 2.0):
         with pytest.raises(ValueError):
             frequent_items(df, "k", bad)
+
+
+def test_empty_partitions_and_sparse_stream(spark):
+    # many partitions, few rows: most partitions are EMPTY — the
+    # candidate pass must still emit a well-typed (string) frame
+    # (regression: empty pandas index is int64 and broke Arrow cast)
+    df = (
+        spark.range(0, 20)
+        .select(F.concat(F.lit("x"), (F.col("id") % 2)).alias("item"))
+        .repartition(64)
+    )
+    got = {(r[0], r[1]) for r in frequent_items(df, "item", 0.3).select("item", "cnt").collect()}
+    assert got == {("x0", 10), ("x1", 10)}

@@ -100,3 +100,60 @@ def test_base_side_never_shuffles(spark):
     # shuffle volume beyond computing base is delta-sized.
     assert n_exchanges <= 2 * n_base + 3
     assert "BroadcastExchange" in plan
+
+
+def _mm_base(df):
+    return df.groupBy("g").agg(
+        F.count(F.lit(1)).alias("n_rows"), F.max("v").alias("mx")
+    )
+
+
+def test_minmax_evict_and_cheap_paths(spark):
+    from beehive_spark.operators.ivm import incremental_minmax
+
+    old = spark.createDataFrame(
+        [("a", 1, 10), ("a", 2, 7), ("b", 3, 5), ("c", 4, None)],
+        "g string, id int, v int",
+    )
+    # a: evict the max (10) -> rescan must find runner-up 7
+    # b: insert a larger value -> cheap greatest() path
+    # c: all-NULL group gains a value after NULL extreme -> rescan path
+    # d: brand-new group
+    retr = spark.createDataFrame(
+        [(-1, "a", 10), (1, "b", 9), (1, "c", 3), (1, "d", 1)],
+        f"{SIGN} int, g string, v int",
+    )
+    fact = spark.createDataFrame(
+        [("a", 7), ("b", 5), ("b", 9), ("c", None), ("c", 3), ("d", 1)],
+        "g string, v int",
+    )
+    got = {
+        r["g"]: (r["n_rows"], r["mx"])
+        for r in incremental_minmax(
+            _mm_base(old), retr, fact, ["g"], "v", agg="max", out_col="mx"
+        ).collect()
+    }
+    assert got == {"a": (1, 7), "b": (2, 9), "c": (2, 3), "d": (1, 1)}
+
+
+def test_minmax_group_vanishes_and_min_mode(spark):
+    from beehive_spark.operators.ivm import incremental_minmax
+
+    old = spark.createDataFrame(
+        [("a", 1, 10), ("a", 2, 3), ("b", 3, 5)], "g string, id int, v int"
+    )
+    base = old.groupBy("g").agg(
+        F.count(F.lit(1)).alias("n_rows"), F.min("v").alias("mn")
+    )
+    # b vanishes entirely; a loses its min -> rescan finds 10
+    retr = spark.createDataFrame(
+        [(-1, "b", 5), (-1, "a", 3)], f"{SIGN} int, g string, v int"
+    )
+    fact = spark.createDataFrame([("a", 10)], "g string, v int")
+    got = {
+        r["g"]: (r["n_rows"], r["mn"])
+        for r in incremental_minmax(
+            base, retr, fact, ["g"], "v", agg="min", out_col="mn"
+        ).collect()
+    }
+    assert got == {"a": (1, 10)}

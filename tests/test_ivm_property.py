@@ -75,3 +75,34 @@ def test_any_history_matches_recompute(spark, h):
     want = _agg(spark.createDataFrame(final, row_schema))
     as_set = lambda df: {tuple(r) for r in df.collect()}  # noqa: E731
     assert as_set(got) == as_set(want)
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+@given(history())
+def test_minmax_any_history_matches_recompute(spark, h):
+    from beehive_spark.operators.ivm import incremental_minmax
+
+    initial, ops, final = h
+    row_schema = "rid int, g string, v int"
+
+    def mm(df):
+        return df.groupBy("g").agg(
+            F.count(F.lit(1)).alias("n_rows"), F.max("v").alias("mx")
+        )
+
+    base = mm(spark.createDataFrame(initial, row_schema))
+    feed = spark.createDataFrame(
+        ops, "change_type string, g_old string, g_new string, v_old int, v_new int"
+    )
+    retr = cdc_to_retractions(feed, keys=["g"], values=["v"])
+    fact = spark.createDataFrame(final, row_schema)
+    got = incremental_minmax(
+        base, retr, fact, ["g"], "v", agg="max", out_col="mx"
+    )
+    want = mm(fact)
+    as_set = lambda df: {tuple(r) for r in df.collect()}  # noqa: E731
+    assert as_set(got) == as_set(want)
