@@ -104,7 +104,10 @@ _PRIORITY = [
     "quality_filter",             # new: composite keep/drop gate
     "dedup_incremental",          # new: batch-vs-corpus fingerprint dedup
     "dedup_containment",          # new: near-superset (asymmetric) dedup
-    "boilerplate_ngrams",         # new: hot-n-gram df report (df-cap feeder)
+    # (boilerplate_ngrams deferred to the round-3 window: its
+    # tokenize+count plan family is represented in-window by
+    # heavy_hitters_shingles; locally green in check_oracle.py)
+    "chunk_documents",            # new: overlapping token-window chunking
     "mixture_reweight",           # new: per-source target-mix weights
     "bpe_top_merges",             # new: BPE merge-pair statistics
     "dedup_substring_spans",      # new: exact substring-span dedup

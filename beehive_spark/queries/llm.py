@@ -1872,3 +1872,81 @@ def heavy_hitters_shingles(spark, sf_dir, phi: float = 0.0002):
     ).otherwise(F.array().cast("array<string>"))
     stream = d.select(F.explode(shingles).alias("shingle"))
     return frequent_items(stream, "shingle", phi)
+
+
+# ---------------------------------------------------------------------------
+# Document chunking — overlapping token windows for retrieval indexes
+# ---------------------------------------------------------------------------
+_CHUNK_W, _CHUNK_S = 64, 48  # window, stride (16-token overlap)
+
+
+@query(
+    "chunk_documents",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS ws
+      FROM documents
+    ),
+    sized AS (
+      SELECT doc_id, ws, len(ws) AS n FROM toks WHERE len(ws) > 0
+    ),
+    chunks AS (
+      SELECT doc_id, i AS chunk_id, i * {_CHUNK_S} AS start_tok,
+             ws[i * {_CHUNK_S} + 1 : least(i * {_CHUNK_S} + {_CHUNK_W}, n)] AS piece
+      FROM sized,
+           unnest(range(0, (greatest(n - {_CHUNK_W}, 0) + {_CHUNK_S} - 1)
+                           // {_CHUNK_S} + 1)) AS t(i)
+    )
+    SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
+           CAST(start_tok AS BIGINT) AS start_tok,
+           CAST(len(piece) AS BIGINT) AS n_tok,
+           md5(array_to_string(piece, ' ')) AS chunk_md5
+    FROM chunks
+    """,
+)
+def chunk_documents(spark, sf_dir, window: int = _CHUNK_W, stride: int = _CHUNK_S):
+    """Overlapping token-window chunking — the standard preparation for
+    retrieval/RAG indexes and for fixed-context embedding models:
+    every document becomes ceil(max(n-W,0)/S)+1 windows of up to W
+    tokens starting every S (here W=64, S=48: 16-token overlap so no
+    sentence straddles a boundary unseen).  Pure JVM expressions —
+    ``sequence`` + ``transform``/``slice`` build all windows per row
+    with no explode-then-window shuffle, and chunk COUNT arithmetic is
+    integer (exact across engines).  Emits the md5 of each chunk's
+    normalized text, which is simultaneously the dedup key downstream
+    (`dedup_exact` on chunks) and keeps the result narrow.
+
+    Scale shape: embarrassingly parallel map — zero shuffles, zero
+    joins (PLANS.md); at 100 TB this is scan-bound, as chunking must
+    be.  Pairs with ``similarity_ann_*`` (index the chunk vectors) and
+    ``pack_sequences`` (its training-side sibling: non-overlapping
+    packing to a budget)."""
+    d = load(spark, sf_dir, "documents")
+    ws = _tokens(F.col("text"))
+    n = F.size(ws)
+    # exact integer chunk-count arithmetic, identical on both engines:
+    # last chunk id = (max(n-W,0) + S-1) div S
+    last_id = F.expr(
+        f"(greatest(size(ws) - {window}, 0) + {stride - 1}) div {stride}"
+    )
+    sized = d.select("doc_id", ws.alias("ws"), n.alias("n")).filter(n > 0)
+    chunks = sized.select(
+        "doc_id",
+        "ws",
+        "n",
+        F.explode(F.sequence(F.lit(0).cast("long"), last_id)).alias("chunk_id"),
+    )
+    piece = F.slice(
+        F.col("ws"),
+        (F.col("chunk_id") * stride + 1).cast("int"),
+        F.least(
+            F.lit(window), (F.col("n") - F.col("chunk_id") * stride).cast("int")
+        ),
+    )
+    return chunks.select(
+        "doc_id",
+        F.col("chunk_id").cast("long").alias("chunk_id"),
+        (F.col("chunk_id") * stride).cast("long").alias("start_tok"),
+        F.size(piece).cast("long").alias("n_tok"),
+        F.md5(F.concat_ws(" ", piece)).alias("chunk_md5"),
+    )
