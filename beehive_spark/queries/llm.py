@@ -1950,3 +1950,48 @@ def chunk_documents(spark, sf_dir, window: int = _CHUNK_W, stride: int = _CHUNK_
         F.size(piece).cast("long").alias("n_tok"),
         F.md5(F.concat_ws(" ", piece)).alias("chunk_md5"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Text canonicalization — the pre-dedup normalization pass
+# ---------------------------------------------------------------------------
+_ACCENTS = "áàâäãåçéèêëíìîïñóòôöõúùûüýÿ"
+_ASCII = "aaaaaaceeeeiiiinooooouuuuyy"
+
+
+@query(
+    "text_normalize",
+    oracle=f"""
+    SELECT doc_id,
+           trim(regexp_replace(
+             translate(lower(text), '{_ACCENTS}', '{_ASCII}'),
+             '[\\s]+', ' ', 'g')) AS norm_text,
+           CAST(length(trim(regexp_replace(
+             translate(lower(text), '{_ACCENTS}', '{_ASCII}'),
+             '[\\s]+', ' ', 'g'))) AS BIGINT) AS n_chars_norm
+    FROM documents
+    """,
+)
+def text_normalize(spark, sf_dir):
+    """Canonicalization pass that runs BEFORE every dedup/fingerprint
+    operator in a real pipeline: lowercase, fold common accented latin
+    characters to ascii (explicit ``translate`` map — deterministic on
+    every engine, unlike locale-dependent unicode normalizers), squeeze
+    runs of whitespace to one space, trim.  Exactly the kind of
+    normalization the reference applies ad hoc per string column
+    (person-users.js username matching is case-exact; this makes the
+    policy explicit and engine-wide).  All JVM built-ins, zero
+    shuffles — scan-bound at any scale, like ``pii_scrub``."""
+    d = load(spark, sf_dir, "documents")
+    norm = F.trim(
+        F.regexp_replace(
+            F.translate(F.lower(F.col("text")), _ACCENTS, _ASCII),
+            r"\s+",
+            " ",
+        )
+    )
+    return d.select(
+        "doc_id",
+        norm.alias("norm_text"),
+        F.length(norm).cast("long").alias("n_chars_norm"),
+    )
