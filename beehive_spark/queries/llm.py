@@ -1853,25 +1853,47 @@ def heavy_hitters_shingles(spark, sf_dir, phi: float = 0.0002):
     (per-DOC distinct n-grams, document frequency) this counts every
     OCCURRENCE in the stream — the true heavy-hitter formulation.
 
-    The oracle pays the full vocabulary-sized GROUP BY; the engine
-    shuffles only candidate occurrences.  Output is provably identical
-    for any partitioning (see operators/freq.py docstring) — which is
-    why a sketch-assisted plan can face a hash-equality oracle."""
+    The oracle pays the full vocabulary-sized GROUP BY over shingle
+    STRINGS; the engine never builds them in bulk — the stream is
+    xxhash64 tuple-hashes (`_ngram_hashes`, the shared fast path:
+    building "a b c" strings just to count them measured ~8s of pure
+    string assembly at sf0.1), the MG candidate pass and exact recount
+    run on bigints, and only the ~|winners| strings are reconstructed,
+    each from ONE witness occurrence (min (doc_id, pos) per winning
+    hash -> broadcast join back to that document -> slice 3 tokens).
+    Same 2^-64-per-pair collision caveat as every hashed-shingle
+    operator here (test_ngram_hash_property.py).  Output is provably
+    identical for any partitioning (see operators/freq.py docstring) —
+    which is why a sketch-assisted plan can face a hash-equality
+    oracle."""
     from beehive_spark.operators.freq import frequent_items
 
-    d = load(spark, sf_dir, "documents")
-    ws = _tokens(F.col("text"))
-    shingles = F.when(
-        F.size(ws) >= 3,
-        F.transform(
-            F.sequence(F.lit(0), F.size(ws) - 3),
-            lambda i: F.concat_ws(
-                " ", F.get(ws, i), F.get(ws, i + 1), F.get(ws, i + 2)
-            ),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
-    stream = d.select(F.explode(shingles).alias("shingle"))
-    return frequent_items(stream, "shingle", phi)
+    raw = load(spark, sf_dir, "documents")
+    d = raw.select("doc_id", _tokens(F.col("text")).alias("w"))
+    hs = d.select(
+        "doc_id",
+        F.posexplode(_ngram_hashes(F.col("w"), distinct=False)).alias("pos", "hk"),
+    )
+    winners = frequent_items(hs, "hk", phi)
+    witness = (
+        hs.join(F.broadcast(winners.select("hk")), "hk")
+        .groupBy("hk")
+        .agg(F.min(F.struct("doc_id", "pos")).alias("at"))
+        .select("hk", F.col("at.doc_id").alias("doc_id"), F.col("at.pos").alias("pos"))
+    )
+    resolved = (
+        raw.join(F.broadcast(witness), "doc_id")
+        .select(
+            "hk",
+            F.concat_ws(
+                " ", F.slice(_tokens(F.col("text")), F.col("pos") + 1, 3)
+            ).alias("shingle"),
+        )
+    )
+    return (
+        winners.join(F.broadcast(resolved), "hk")
+        .select("shingle", "cnt", "frac")
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -72,8 +72,11 @@ EXTRA = [
     "fuzzy_join_names",
     "pagerank_hierarchy",
     "incremental_agg_orders",
+    "incremental_max_orders",
     "text_perplexity",
     "heavy_hitters_shingles",
+    "chunk_documents",
+    "text_normalize",
 ]
 
 
