@@ -1796,13 +1796,20 @@ def text_perplexity(spark, sf_dir):
 
     Reference scope: net-new (no counterpart in mhawila/beehive)."""
     d = load(spark, sf_dir, "documents")
-    toks = d.select("doc_id", F.explode(_tokens(F.col("text"))).alias("term"))
-    unig = toks.groupBy("term").agg(F.count(F.lit(1)).alias("c"))
+    # tokens travel as xxhash64 keys: the vocab aggregation and the
+    # scoring join shuffle 8-byte ints, never the strings (the
+    # no-payload-shuffles rule; same 2^-64 collision caveat as every
+    # hashed-token operator here — the oracle groups real strings and
+    # still hash-matches)
+    toks = d.select(
+        "doc_id", F.explode(_tokens(F.col("text"))).alias("term")
+    ).select("doc_id", F.xxhash64("term").alias("hk"))
+    unig = toks.groupBy("hk").agg(F.count(F.lit(1)).alias("c"))
     tot = toks.agg(
-        F.count(F.lit(1)).alias("t"), F.countDistinct("term").alias("v")
+        F.count(F.lit(1)).alias("t"), F.countDistinct("hk").alias("v")
     )
     lp = unig.crossJoin(F.broadcast(tot)).select(
-        "term",
+        "hk",
         F.round(
             F.log((F.col("c") + 1.0) / (F.col("t") + F.col("v"))) * 1_000_000
         )
@@ -1810,7 +1817,7 @@ def text_perplexity(spark, sf_dir):
         .alias("lp"),
     )
     perdoc = (
-        toks.join(lp, "term")
+        toks.join(lp, "hk")
         .groupBy("doc_id")
         .agg(F.count(F.lit(1)).alias("n_tokens"), F.sum("lp").alias("s"))
     )
