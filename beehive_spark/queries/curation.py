@@ -978,3 +978,48 @@ def bpe_encode(spark, sf_dir, n_merges: int = 100, vocab_cap: int = 30_000):
         encode_docs,
         "doc_id long, n_words long, n_bpe_tokens long, chars_per_token double",
     )
+
+
+# ---------------------------------------------------------------------------
+# Per-group quota sampling — exact-size strata for eval-set construction
+# ---------------------------------------------------------------------------
+@query(
+    "stratified_quota_sample",
+    oracle="""
+    SELECT lang, source, doc_id
+    FROM (
+      SELECT lang, source, doc_id,
+             row_number() OVER (
+               PARTITION BY lang, source
+               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+      FROM documents
+    ) WHERE rn <= 5
+    """,
+)
+def stratified_quota_sample(spark, sf_dir, quota: int = 5):
+    """Exact-quota stratified sampling: the FIRST ``quota`` documents
+    per (lang, source) stratum in md5-of-id order — the deterministic
+    "shuffled" order every engine reproduces bit-identically, so the
+    drawn eval/holdout set is stable across reruns and engines (the
+    property ``stratified_sample`` provides for RATE-based draws,
+    here for exact per-stratum SIZES — balanced eval sets, per-source
+    spot-check samples, labeling batches).
+
+    Scale shape: one hash-partitioned window per stratum; no stratum
+    materializes beyond its partition, and the md5 sort key is computed
+    on the fly (no shuffle of text payloads — doc ids only join back
+    to content downstream if needed).  With heavy skew toward one
+    stratum, rank-then-filter still only SORTS within partitions after
+    hash exchange — at 100 TB prefer bucketing the table by the
+    stratum columns to delete the exchange (sources/layout.py)."""
+    d = load(spark, sf_dir, "documents")
+    w = (
+        Window.partitionBy("lang", "source")
+        .orderBy(F.md5(F.col("doc_id").cast("string")), "doc_id")
+    )
+    return (
+        d.select("lang", "source", "doc_id")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= quota)
+        .drop("rn")
+    )
