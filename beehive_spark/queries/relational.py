@@ -1306,3 +1306,93 @@ def incremental_max_orders(spark, sf_dir):
     return fresh.select(
         *keys, "n_rows", F.round("max_price", 2).alias("max_price")
     )
+
+
+# ---------------------------------------------------------------------------
+# Mergeable histogram rollup — distribution sketches without re-reading raw
+# ---------------------------------------------------------------------------
+@query(
+    "events_histogram_rollup",
+    oracle="""
+    WITH binned AS (
+      SELECT event_type,
+             CAST(date_trunc('day', ts) AS DATE) AS day,
+             CAST(least(63, floor(value / 8)) AS INTEGER) AS bin
+      FROM events
+    ),
+    daily AS (  -- the per-day sketches a warehouse would store
+      SELECT event_type, day, bin, COUNT(*) AS cnt
+      FROM binned GROUP BY event_type, day, bin
+    ),
+    merged AS (  -- rollup = vector addition of daily sketches
+      SELECT event_type, bin, CAST(SUM(cnt) AS BIGINT) AS cnt
+      FROM daily GROUP BY event_type, bin
+    ),
+    cum AS (
+      SELECT event_type, bin, cnt,
+             SUM(cnt) OVER (PARTITION BY event_type ORDER BY bin) AS running,
+             SUM(cnt) OVER (PARTITION BY event_type) AS total
+      FROM merged
+    )
+    SELECT event_type, bin, cnt,
+           MIN(CASE WHEN running >= 0.95 * total THEN (bin + 1) * 8.0 END)
+             OVER (PARTITION BY event_type) AS est_p95
+    FROM cum
+    """,
+)
+def events_histogram_rollup(spark, sf_dir):
+    """Mergeable fixed-bin histograms — the quantile counterpart of
+    ``sketch_uniques_rollup``: per-day (event_type, bin) count vectors
+    merge by pure addition into any coarser grain, so distribution
+    questions (p95 latency last quarter?) never re-read raw events.
+    Bin = ``least(63, floor(value/8))`` — division by a power of two
+    and floor are IEEE-exact, so binning (unlike log/t-digest bins) is
+    bit-identical on every engine, which is what lets the FULL pipeline
+    (daily sketch -> merged rollup -> p95-from-bins) face a
+    hash-equality oracle; estimation error is bounded by bin width
+    (pinned vs exact percentile in tests/test_sketches.py).
+
+    Scale shape: two map-side-combined aggs (the second consumes the
+    first's tiny output) and per-type window passes over <=64-row
+    partitions.  At 100 TB the daily sketches are the stored artifact;
+    the rollup touches |days|x|types|x64 rows, not events.
+
+    Reference scope: net-new; generalizes the reference's exact counts
+    (integrity-checks.js:5-137) to distribution summaries."""
+    e = load(spark, sf_dir, "events")
+    binned = e.select(
+        "event_type",
+        F.to_date(F.date_trunc("day", F.col("ts"))).alias("day"),
+        F.least(F.lit(63), F.floor(F.col("value") / 8)).cast("int").alias("bin"),
+    )
+    daily = binned.groupBy("event_type", "day", "bin").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    merged = daily.groupBy("event_type", "bin").agg(
+        F.sum("cnt").cast("long").alias("cnt")
+    )
+    wcum = (
+        Window.partitionBy("event_type")
+        .orderBy("bin")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wall = Window.partitionBy("event_type")
+    cum = merged.select(
+        "event_type",
+        "bin",
+        "cnt",
+        F.sum("cnt").over(wcum).alias("running"),
+        F.sum("cnt").over(wall).alias("total"),
+    )
+    return cum.select(
+        "event_type",
+        "bin",
+        "cnt",
+        F.min(
+            F.when(
+                F.col("running") >= 0.95 * F.col("total"), (F.col("bin") + 1) * 8.0
+            )
+        )
+        .over(wall)
+        .alias("est_p95"),
+    )

@@ -77,6 +77,8 @@ EXTRA = [
     "heavy_hitters_shingles",
     "chunk_documents",
     "text_normalize",
+    "events_histogram_rollup",
+    "stratified_quota_sample",
 ]
 
 
