@@ -273,3 +273,28 @@ def compact_parquet(
         "files_after": len(list(_walk(path))),
         "bytes": total_bytes,
     }
+
+
+def vacuum_artifacts(root: str) -> list[str]:
+    """Remove stale transactional leftovers under ``root``: the
+    ``.staging`` / ``.compact_staging`` / ``.old`` sibling directories
+    that an interrupted staged-swap writer (upsert_parquet,
+    apply_cdc_parquet, compact_parquet, merge.publish) can leave
+    behind.  Safe by construction: these names are never a live table
+    — every writer treats them as scratch and re-creates them from
+    scratch — so deleting them cannot lose committed data (the swap
+    protocol guarantees the main directory is always a complete
+    version).  Returns the paths removed.
+    """
+    import shutil
+
+    suffixes = (".staging", ".compact_staging", ".old")
+    removed = []
+    for dirpath, dirnames, _files in os.walk(root):
+        for d in list(dirnames):
+            if d.endswith(suffixes):
+                full = os.path.join(dirpath, d)
+                shutil.rmtree(full, ignore_errors=True)
+                removed.append(full)
+                dirnames.remove(d)
+    return removed

@@ -357,3 +357,33 @@ def test_compact_parquet_partitioned_keeps_pruning(spark, sf_dir, tmp_path):
         ln for ln in _plan(pruned).splitlines() if "PartitionFilters" in ln
     )
     assert "o_orderstatus" in scan_line
+
+
+def test_compact_recovers_from_interrupted_run(spark, sf_dir, tmp_path):
+    """A crash that left a half-written staging dir must not affect a
+    later compaction, and vacuum must clear stale artifacts without
+    touching live tables."""
+    from beehive_spark.sources.layout import compact_parquet, vacuum_artifacts
+
+    path = str(tmp_path / "t")
+    load(spark, sf_dir, "orders").repartition(8).write.parquet(path)
+    checksum = spark.read.parquet(path).agg(F.sum("o_orderkey").alias("s")).first()["s"]
+    # simulate an interrupted previous compaction: garbage staging + old
+    os.makedirs(path + ".compact_staging")
+    open(path + ".compact_staging/part-junk.parquet", "w").write("not parquet")
+    os.makedirs(path + ".old")
+    stats = compact_parquet(spark, path, target_file_bytes=64 * 1024 * 1024)
+    assert stats["files_after"] < stats["files_before"]
+    assert (
+        spark.read.parquet(path).agg(F.sum("o_orderkey").alias("s")).first()["s"]
+        == checksum
+    )
+    # fresh garbage, then vacuum: artifacts gone, table untouched
+    os.makedirs(path + ".staging")
+    removed = vacuum_artifacts(str(tmp_path))
+    assert path + ".staging" in removed
+    assert not os.path.isdir(path + ".staging")
+    assert (
+        spark.read.parquet(path).agg(F.sum("o_orderkey").alias("s")).first()["s"]
+        == checksum
+    )
