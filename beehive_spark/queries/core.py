@@ -900,3 +900,87 @@ def trend_slopes(spark, sf_dir):
             F.round(intercept, 6).alias("intercept"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Sweep-line interval concurrency — peak simultaneous activity
+# ---------------------------------------------------------------------------
+@query(
+    "peak_concurrency",
+    oracle="""
+    WITH endpoints AS (
+      SELECT event_type, ts AS t, 1 AS delta FROM events
+      UNION ALL
+      SELECT event_type, ts + INTERVAL 5 MINUTE, -1 FROM events
+    ),
+    swept AS (
+      SELECT event_type, t,
+             SUM(delta) OVER (
+               PARTITION BY event_type
+               ORDER BY t, delta
+               ROWS UNBOUNDED PRECEDING) AS live
+      FROM endpoints
+    ),
+    peaks AS (
+      SELECT event_type, MAX(live) AS peak FROM swept GROUP BY event_type
+    )
+    SELECT p.event_type, CAST(p.peak AS BIGINT) AS peak,
+           MIN(s.t) AS first_peak_ts
+    FROM peaks p JOIN swept s
+      ON s.event_type = p.event_type AND s.live = p.peak
+    GROUP BY p.event_type, p.peak
+    """,
+)
+def peak_concurrency(spark, sf_dir):
+    """Peak concurrent activity per event type — each event held open
+    for 5 minutes — via the classic sweep line: every interval becomes
+    a +1 start and a -1 end endpoint, a per-type running sum over the
+    time-ordered endpoints is the live-interval count, and its max is
+    the peak (with the earliest instant it is reached).  Half-open
+    [t, t+5m) semantics come from the (t, delta) sort order: ends sort
+    before starts at the same instant, so back-to-back intervals never
+    double-count.  The sweep is how capacity questions (max concurrent
+    sessions / connections / jobs) are answered without materializing
+    a row per (interval x time-grain) — 2n endpoint rows, one
+    per-type sort, versus the interval-join blowup of comparing every
+    pair of overlapping windows.
+
+    Scale shape: one map-side endpoint expansion (2x rows, no join),
+    one hash exchange on event_type for the ordered window, one
+    aggregate.  Skewed single-type streams at 100 TB would switch the
+    partition key to (type, day) with per-day carry-in — the
+    streaming twin of this op is watermark-ordered by construction.
+
+    Reference scope: net-new; temporal family next to asof/range
+    joins (SURVEY §2 has no temporal operators at all)."""
+    e = load(spark, sf_dir, "events")
+    starts = e.select(
+        "event_type", F.col("ts").alias("t"), F.lit(1).alias("delta")
+    )
+    ends = e.select(
+        "event_type",
+        (F.col("ts") + F.expr("INTERVAL 5 MINUTES")).alias("t"),
+        F.lit(-1).alias("delta"),
+    )
+    endpoints = starts.unionByName(ends)
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("t", "delta")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    swept = endpoints.withColumn("live", F.sum("delta").over(w)).alias("s")
+    peaks = (
+        swept.groupBy("event_type").agg(F.max("live").alias("peak")).alias("p")
+    )
+    return (
+        swept.join(
+            F.broadcast(peaks),
+            (F.col("s.event_type") == F.col("p.event_type"))
+            & (F.col("s.live") == F.col("p.peak")),
+        )
+        .groupBy(F.col("p.event_type").alias("event_type"), "peak")
+        .agg(F.min("t").alias("first_peak_ts"))
+        .select(
+            "event_type", F.col("peak").cast("long").alias("peak"), "first_peak_ts"
+        )
+    )

@@ -79,6 +79,7 @@ EXTRA = [
     "text_normalize",
     "events_histogram_rollup",
     "stratified_quota_sample",
+    "peak_concurrency",
 ]
 
 
