@@ -259,3 +259,94 @@ def incremental_minmax(
         .select(*keys, F.col(count_col), F.col(out))
     )
     return untouched.unionByName(cheap).unionByName(rescanned)
+
+
+def _sort_desc(arr):
+    return F.reverse(F.array_sort(arr))
+
+
+def incremental_topk(
+    base: DataFrame,
+    retractions: DataFrame,
+    fact: DataFrame,
+    keys: Sequence[str],
+    value: str,
+    k: int,
+    count_col: str = "n_rows",
+    out_col: str = "topk",
+) -> DataFrame:
+    """Maintain a per-group descending top-``k`` value array — the
+    k-extremes generalization of :func:`incremental_minmax`, closing
+    out the IVM family (sums/counts self-maintain; extremes and top-k
+    rescan only evicted groups).
+
+    Cheap path: inserts merge with ``sort(concat(old, new))[:k]`` — no
+    fact access.  Rescan path, detected exactly: a non-null retraction
+    whose value reaches the group's in-threshold zone (>= the k-th
+    stored value, or ANY retraction while the group holds fewer than k
+    values, since then every member is stored).  Rescanned groups
+    re-aggregate from ``fact`` via broadcast semi-join — the fact
+    table is scanned once and never shuffled; all other groups update
+    from the delta alone.  NULLs count rows but never enter the array.
+
+    ``base`` columns: ``keys + [count_col, out_col]`` with ``out_col``
+    descending-sorted (build with
+    ``slice(reverse(array_sort(collect_list(v))), 1, k)``).
+    """
+    keys = list(keys)
+    v, sgn = F.col(value), F.col(SIGN)
+    delta = retractions.groupBy(*keys).agg(
+        F.sum(SIGN).cast("long").alias("_dn"),
+        F.slice(
+            _sort_desc(F.collect_list(F.when((sgn > 0) & v.isNotNull(), v))),
+            1,
+            k,
+        ).alias("_ins"),
+        F.max(F.when((sgn < 0) & v.isNotNull(), v)).alias("_del_mx"),
+    )
+    bdelta = F.broadcast(delta)
+    untouched = base.join(bdelta.select(*keys), keys, "left_anti")
+    touched = base.join(bdelta.select(*keys), keys, "left_semi")
+    m = (
+        delta.alias("d")
+        .join(F.broadcast(touched.alias("b")), keys, "left_outer")
+        .select(
+            *keys,
+            (F.coalesce(F.col(f"b.{count_col}"), F.lit(0)) + F.col("d._dn")).alias(
+                count_col
+            ),
+            F.coalesce(
+                F.col(f"b.{out_col}"),
+                F.expr("array()").cast(base.schema[out_col].dataType.simpleString()),
+            ).alias("_old"),
+            F.col("d._ins").alias("_ins"),
+            F.col("d._del_mx").alias("_del_mx"),
+        )
+        .filter(F.col(count_col) > 0)
+    )
+    kth = F.element_at(F.col("_old"), F.size("_old"))  # smallest stored
+    needs_rescan = F.col("_del_mx").isNotNull() & (
+        (F.size("_old") < k) | (F.col("_del_mx") >= kth)
+    )
+    cheap = m.filter(~needs_rescan).select(
+        *keys,
+        F.col(count_col),
+        F.slice(_sort_desc(F.concat("_old", "_ins")), 1, k).alias(out_col),
+    )
+    rescan_keys = m.filter(needs_rescan).select(*keys, F.col(count_col))
+    rescanned = (
+        fact.join(F.broadcast(rescan_keys.select(*keys)), keys, "left_semi")
+        .groupBy(*keys)
+        .agg(
+            F.slice(
+                _sort_desc(
+                    F.collect_list(F.when(F.col(value).isNotNull(), F.col(value)))
+                ),
+                1,
+                k,
+            ).alias(out_col)
+        )
+        .join(F.broadcast(rescan_keys), keys, "inner")
+        .select(*keys, F.col(count_col), F.col(out_col))
+    )
+    return untouched.unionByName(cheap).unionByName(rescanned)

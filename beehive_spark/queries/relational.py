@@ -1396,3 +1396,99 @@ def events_histogram_rollup(spark, sf_dir):
         .over(wall)
         .alias("est_p95"),
     )
+
+
+# ---------------------------------------------------------------------------
+# IVM top-k — k-extremes maintenance with targeted rescan
+# ---------------------------------------------------------------------------
+@query(
+    "incremental_topk_orders",
+    oracle="""
+    WITH newsnap AS (
+      SELECT CASE WHEN o_orderkey % 11 = 0 THEN '1-URGENT'
+                  ELSE o_orderpriority END AS o_orderpriority,
+             o_orderstatus,
+             o_totalprice
+               + CASE WHEN o_orderkey % 5 = 0 THEN 10.0 ELSE 0.0 END AS price
+      FROM orders WHERE o_orderkey % 97 <> 0
+      UNION ALL
+      SELECT o_orderpriority, o_orderstatus, o_totalprice AS price
+      FROM orders WHERE o_orderkey % 101 = 0
+    )
+    SELECT o_orderpriority, o_orderstatus,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           (list(round(price, 2) ORDER BY price DESC))[1:3] AS top_prices
+    FROM newsnap GROUP BY o_orderpriority, o_orderstatus
+    """,
+)
+def incremental_topk_orders(spark, sf_dir):
+    """Top-3 order prices per group maintained from the same CDC delta
+    as ``incremental_agg_orders`` / ``incremental_max_orders`` via
+    ``operators.ivm.incremental_topk`` — the k-extremes member of the
+    IVM family: inserts merge as a sorted-array concat+slice, and only
+    groups where a retraction reached the in-threshold zone (>= the
+    3rd stored price) re-aggregate from the post-change fact by
+    broadcast semi-join.  The oracle recomputes every group's top-3
+    from scratch; a hash match proves the evict detection missed no
+    group and array order is exact."""
+    from beehive_spark.operators.ivm import cdc_to_retractions, incremental_topk
+
+    keys = ["o_orderpriority", "o_orderstatus"]
+    o = load(spark, sf_dir, "orders").select(
+        "o_orderkey", *keys, F.col("o_totalprice").alias("price")
+    )
+    k = F.col("o_orderkey")
+    base = o.groupBy(*keys).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.slice(F.reverse(F.array_sort(F.collect_list("price"))), 1, 3).alias(
+            "topk"
+        ),
+    )
+    null_s, null_d = F.lit(None).cast("string"), F.lit(None).cast("double")
+    upd = o.filter((k % 97 != 0) & ((k % 5 == 0) | (k % 11 == 0))).select(
+        F.lit("update").alias("change_type"),
+        F.col("o_orderpriority").alias("o_orderpriority_old"),
+        F.when(k % 11 == 0, F.lit("1-URGENT"))
+        .otherwise(F.col("o_orderpriority"))
+        .alias("o_orderpriority_new"),
+        F.col("o_orderstatus").alias("o_orderstatus_old"),
+        F.col("o_orderstatus").alias("o_orderstatus_new"),
+        F.col("price").alias("price_old"),
+        (F.col("price") + F.when(k % 5 == 0, 10.0).otherwise(0.0)).alias(
+            "price_new"
+        ),
+    )
+    dels = o.filter(k % 97 == 0).select(
+        F.lit("delete").alias("change_type"),
+        F.col("o_orderpriority").alias("o_orderpriority_old"),
+        null_s.alias("o_orderpriority_new"),
+        F.col("o_orderstatus").alias("o_orderstatus_old"),
+        null_s.alias("o_orderstatus_new"),
+        F.col("price").alias("price_old"),
+        null_d.alias("price_new"),
+    )
+    ins = o.filter(k % 101 == 0).select(
+        F.lit("insert").alias("change_type"),
+        null_s.alias("o_orderpriority_old"),
+        F.col("o_orderpriority").alias("o_orderpriority_new"),
+        null_s.alias("o_orderstatus_old"),
+        F.col("o_orderstatus").alias("o_orderstatus_new"),
+        null_d.alias("price_old"),
+        F.col("price").alias("price_new"),
+    )
+    feed = upd.unionByName(dels).unionByName(ins)
+    retr = cdc_to_retractions(feed, keys=keys, values=["price"])
+    fact = o.filter(k % 97 != 0).select(
+        F.when(k % 11 == 0, F.lit("1-URGENT"))
+        .otherwise(F.col("o_orderpriority"))
+        .alias("o_orderpriority"),
+        "o_orderstatus",
+        (F.col("price") + F.when(k % 5 == 0, 10.0).otherwise(0.0)).alias("price"),
+    ).unionByName(o.filter(k % 101 == 0).select(*keys, "price"))
+    fresh = incremental_topk(base, retr, fact, keys, "price", k=3,
+                             count_col="n_rows", out_col="topk")
+    return fresh.select(
+        *keys,
+        "n_rows",
+        F.transform("topk", lambda x: F.round(x, 2)).alias("top_prices"),
+    )

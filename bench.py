@@ -80,6 +80,7 @@ EXTRA = [
     "events_histogram_rollup",
     "stratified_quota_sample",
     "peak_concurrency",
+    "incremental_topk_orders",
 ]
 
 

@@ -106,3 +106,51 @@ def test_minmax_any_history_matches_recompute(spark, h):
     want = mm(fact)
     as_set = lambda df: {tuple(r) for r in df.collect()}  # noqa: E731
     assert as_set(got) == as_set(want)
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+@given(history())
+def test_topk_any_history_matches_recompute(spark, h):
+    from beehive_spark.operators.ivm import incremental_topk
+
+    initial, ops, final = h
+    row_schema = "rid int, g string, v int"
+
+    def tk(df):
+        return df.groupBy("g").agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.slice(
+                F.reverse(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(F.col("v").isNotNull(), F.col("v")).cast(
+                                "double"
+                            )
+                        )
+                    )
+                ),
+                1,
+                2,
+            ).alias("topk"),
+        )
+
+    base = tk(spark.createDataFrame(initial, row_schema))
+    feed = spark.createDataFrame(
+        ops, "change_type string, g_old string, g_new string, v_old int, v_new int"
+    )
+    retr = cdc_to_retractions(feed, keys=["g"], values=["v"]).withColumn(
+        "v", F.col("v").cast("double")
+    )
+    fact = spark.createDataFrame(final, row_schema).withColumn(
+        "v", F.col("v").cast("double")
+    )
+    got = incremental_topk(base, retr, fact, ["g"], "v", k=2)
+    want = tk(fact)
+    canon = lambda df: {  # noqa: E731
+        (r["g"], r["n_rows"], tuple(r["topk"])) for r in df.collect()
+    }
+    assert canon(got) == canon(want)
