@@ -1023,3 +1023,121 @@ def stratified_quota_sample(spark, sf_dir, quota: int = 5):
         .filter(F.col("rn") <= quota)
         .drop("rn")
     )
+
+
+# ---------------------------------------------------------------------------
+# Corpus drift report — per-source distribution shift between snapshots
+# ---------------------------------------------------------------------------
+@query(
+    "corpus_drift",
+    oracle="""
+    WITH old AS (
+      SELECT source, n_chars FROM documents
+    ),
+    new AS (
+      SELECT source,
+             n_chars + CASE WHEN doc_id % 7 = 0 THEN 40 ELSE 0 END AS n_chars
+      FROM documents WHERE doc_id % 13 <> 0
+    ),
+    ob AS (
+      SELECT source, least(7, n_chars // 256) AS bin, COUNT(*) AS c
+      FROM old GROUP BY source, bin
+    ),
+    nb AS (
+      SELECT source, least(7, n_chars // 256) AS bin, COUNT(*) AS c
+      FROM new GROUP BY source, bin
+    ),
+    bins AS (
+      SELECT COALESCE(ob.source, nb.source) AS source,
+             COALESCE(ob.bin, nb.bin) AS bin,
+             COALESCE(ob.c, 0) AS c_old, COALESCE(nb.c, 0) AS c_new
+      FROM ob FULL OUTER JOIN nb
+        ON ob.source = nb.source AND ob.bin = nb.bin
+    ),
+    spread AS (
+      SELECT source, c_old, c_new,
+             SUM(c_old) OVER (PARTITION BY source) AS n_old,
+             SUM(c_new) OVER (PARTITION BY source) AS n_new
+      FROM bins
+    ),
+    tot AS (
+      SELECT source, n_old, n_new,
+             SUM(ABS(c_old * n_new - c_new * n_old)) AS l1_num
+      FROM spread GROUP BY source, n_old, n_new
+    )
+    SELECT source, CAST(n_old AS BIGINT) AS n_old,
+           CAST(n_new AS BIGINT) AS n_new,
+           ROUND(CAST(l1_num AS DOUBLE) / (n_old * n_new), 6) AS len_l1
+    FROM tot
+    """,
+)
+def corpus_drift(spark, sf_dir):
+    """Distribution-shift monitor between two corpus snapshots (the
+    "new" one a deterministic mutation: drop doc_id%13, lengthen %7):
+    per source, row-count drift plus the L1 distance between the two
+    length histograms — the data-card diff a pipeline checks before
+    accepting a vendor refresh.  The L1 of PROPORTIONS is computed as
+    the integer numerator ``sum |c_old*n_new - c_new*n_old|`` over
+    ``n_old*n_new`` (cross-multiplied so every intermediate is an
+    exact BIGINT; only the final division rounds — the exact-sums
+    trick again), and binning is integer ``n_chars div 256`` — the
+    whole report is bit-identical on any engine.
+
+    Scale shape: two map-side-combined per-source histogram aggs, a
+    bins-sized full-outer merge, a per-source window — cost scales
+    with |sources| x 8 bins, not documents, once the first aggs run.
+
+    Reference scope: net-new; monitoring counterpart of
+    `mixture_stats` / `dq_violations`."""
+    d = load(spark, sf_dir, "documents")
+    old = d.select("source", "n_chars")
+    new = d.filter(F.col("doc_id") % 13 != 0).select(
+        "source",
+        (
+            F.col("n_chars")
+            + F.when(F.col("doc_id") % 7 == 0, 40).otherwise(0)
+        ).alias("n_chars"),
+    )
+
+    def hist(df, cname):
+        return df.select(
+            "source", F.least(F.lit(7), F.expr("n_chars div 256")).alias("bin")
+        ).groupBy("source", "bin").agg(F.count(F.lit(1)).alias(cname))
+
+    ob, nb = hist(old, "c_old"), hist(new, "c_new")
+    bins = (
+        ob.join(nb, ["source", "bin"], "full_outer")
+        .select(
+            "source",
+            "bin",
+            F.coalesce("c_old", F.lit(0)).alias("c_old"),
+            F.coalesce("c_new", F.lit(0)).alias("c_new"),
+        )
+    )
+    w = Window.partitionBy("source")
+    per = bins.select(
+        "source",
+        "c_old",
+        "c_new",
+        F.sum("c_old").over(w).alias("n_old"),
+        F.sum("c_new").over(w).alias("n_new"),
+    )
+    return (
+        per.groupBy("source", "n_old", "n_new")
+        .agg(
+            F.sum(
+                F.abs(
+                    F.col("c_old") * F.col("n_new")
+                    - F.col("c_new") * F.col("n_old")
+                )
+            ).alias("l1_num")
+        )
+        .select(
+            "source",
+            F.col("n_old").cast("long").alias("n_old"),
+            F.col("n_new").cast("long").alias("n_new"),
+            F.round(
+                F.col("l1_num") / (F.col("n_old") * F.col("n_new")), 6
+            ).alias("len_l1"),
+        )
+    )

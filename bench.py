@@ -81,6 +81,7 @@ EXTRA = [
     "stratified_quota_sample",
     "peak_concurrency",
     "incremental_topk_orders",
+    "corpus_drift",
 ]
 
 
