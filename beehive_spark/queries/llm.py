@@ -2024,3 +2024,89 @@ def text_normalize(spark, sf_dir):
         norm.alias("norm_text"),
         F.length(norm).cast("long").alias("n_chars_norm"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Survivorship policy — keep the best copy of each near-dup cluster
+# ---------------------------------------------------------------------------
+@query(
+    "dedup_survivorship",
+    oracle="""
+    WITH RECURSIVE toks AS (
+      SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS w
+      FROM documents
+    ),
+    sh AS (
+      SELECT doc_id,
+             unnest(list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                                   for i in range(1, len(w) - 1)])) AS s
+      FROM toks WHERE len(w) >= 3
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+    common AS (
+      SELECT a.doc_id AS i, b.doc_id AS j, COUNT(*) AS c
+      FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    pairs AS (
+      SELECT i, j FROM common
+      JOIN sizes si ON si.doc_id = i
+      JOIN sizes sj ON sj.doc_id = j
+      WHERE CAST(c AS DOUBLE) / (si.sz + sj.sz - c) >= 0.5
+    ),
+    edges AS (SELECT i AS a, j AS b FROM pairs
+              UNION SELECT j, i FROM pairs),
+    reach(n, m) AS (
+      SELECT a, a FROM edges
+      UNION
+      SELECT r.n, e.b FROM reach r JOIN edges e ON r.m = e.a
+    ),
+    lab AS (SELECT n AS doc_id, MIN(m) AS cluster_id FROM reach GROUP BY n),
+    ranked AS (
+      SELECT lab.doc_id, lab.cluster_id, d.n_chars,
+             row_number() OVER (
+               PARTITION BY cluster_id
+               ORDER BY d.n_chars DESC, lab.doc_id) AS rn
+      FROM lab JOIN documents d ON d.doc_id = lab.doc_id
+    ),
+    keepers AS (
+      SELECT cluster_id, doc_id AS keep_id FROM ranked WHERE rn = 1
+    )
+    SELECT CAST(r.doc_id AS BIGINT) AS doc_id,
+           CAST(k.keep_id AS BIGINT) AS keep_id,
+           CAST(r.cluster_id AS BIGINT) AS cluster_id
+    FROM ranked r JOIN keepers k ON k.cluster_id = r.cluster_id
+    WHERE r.doc_id <> k.keep_id
+    """,
+)
+def dedup_survivorship(spark, sf_dir):
+    """Survivorship policy over near-dup clusters: instead of the
+    min-id canonical (``dedup_clusters``), each cluster keeps its most
+    COMPLETE copy — longest document, doc_id as tiebreak — and every
+    other member maps to that keeper.  This is the record-survivorship
+    step of real MDM/curation pipelines (and the quality-aware upgrade
+    to the reference's keep-the-existing-row consolidation,
+    person-users.js:83-150: the reference always keeps the destination
+    copy; here the keep decision is a declared, data-driven policy).
+    Swapping the ranking column for a quality score is a one-line
+    change; ``n_chars`` keeps the oracle exact and self-contained.
+
+    Scale shape: clusters come from distributed min-label propagation
+    (see dedup_clusters); the policy itself is one broadcast join to
+    the slim (doc_id, n_chars) projection plus a per-cluster window
+    over near-dup clusters only — never the full corpus."""
+    clusters = dedup_clusters(spark, sf_dir).select("doc_id", "cluster_id")
+    meta = load(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    ranked = clusters.join(F.broadcast(meta), "doc_id")
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.col("n_chars").desc(), "doc_id"
+    )
+    labeled = ranked.withColumn("rn", F.row_number().over(w))
+    keepers = labeled.filter(F.col("rn") == 1).select(
+        "cluster_id", F.col("doc_id").alias("keep_id")
+    )
+    return (
+        labeled.join(F.broadcast(keepers), "cluster_id")
+        .filter(F.col("doc_id") != F.col("keep_id"))
+        .select("doc_id", "keep_id", "cluster_id")
+    )

@@ -82,6 +82,7 @@ EXTRA = [
     "peak_concurrency",
     "incremental_topk_orders",
     "corpus_drift",
+    "dedup_survivorship",
 ]
 
 
