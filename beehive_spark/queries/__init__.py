@@ -143,6 +143,13 @@ _PRIORITY = [
 # (r01-green, events.py load path re-exercised in-window by
 # events_anomaly).  All stay in the local scripts/check_oracle.py
 # sweep, which runs EVERY registered query each round.
+#
+# ROUND-3 WINDOW CANDIDATES (added late in round 2, locally green in
+# check_oracle.py but not yet driver-verified — rotate these into the
+# first 50 next round, displacing round-2-verified entries):
+# boilerplate_ngrams, text_normalize, events_histogram_rollup,
+# stratified_quota_sample, peak_concurrency, incremental_topk_orders,
+# corpus_drift, dedup_survivorship.
 # rotated out to the overflow this round (round-1 verified, unchanged
 # source since 769e19c): dates_normalize, group_topn_window,
 # window_running_total, not_in_null_semantics, hierarchy_bfs,
