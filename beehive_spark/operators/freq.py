@@ -43,24 +43,31 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
-def frequent_items(df: DataFrame, col: str, phi: float) -> DataFrame:
+def frequent_items(
+    df: DataFrame, col: str, phi: float, by: Sequence[str] = ()
+) -> DataFrame:
     """All values of ``df[col]`` with frequency strictly above
-    ``phi * N`` (N = total row count), with exact counts and fractions.
+    ``phi * N``, with exact counts and fractions — globally, or PER
+    STRATUM when ``by`` grouping columns are given (N is then each
+    stratum's row count, and MG state is kept per stratum: the
+    per-source / per-day heavy-hitter rollup shape, where each
+    stratum's summary is independent and thresholds are local).
 
-    Returns columns ``(col, cnt long, frac double)``.  Output is exact
-    and deterministic for any partitioning; only candidate DISCOVERY
-    uses the MG sketch.  ``0 < phi < 1``; memory per partition is
-    ``O(1/phi)`` counters.
+    Returns columns ``by + (col, cnt long, frac double)``.  Output is
+    exact and deterministic for any partitioning; only candidate
+    DISCOVERY uses the MG sketch.  ``0 < phi < 1``; memory per
+    partition is ``O(|strata| / phi)`` counters.
     """
     if not 0.0 < phi < 1.0:
         raise ValueError(f"phi must be in (0,1), got {phi}")
+    by = list(by)
     k = math.ceil(1.0 / phi)
 
-    # amortized prune: let the dict grow to a multiple of k before
-    # subtracting the (k+1)-th largest.  The mergeable-summaries bound
-    # is unchanged — every prune subtracts its threshold t from >= k+1
-    # surviving-or-dropped counters, so the total subtracted per item
-    # stays <= N_p/(k+1) — but prunes become 4x rarer and each one
+    # amortized prune: let each stratum's dict grow to a multiple of k
+    # before subtracting the (k+1)-th largest.  The mergeable-summaries
+    # bound is unchanged — every prune subtracts its threshold t from
+    # >= k+1 surviving-or-dropped counters, so the total subtracted per
+    # item stays <= N_p/(k+1) — but prunes become 4x rarer and each one
     # drops far more of the tail, which cut the candidate pass ~5x on
     # the 10x stress corpus vs prune-at-k.
     cap = 4 * k
@@ -68,37 +75,61 @@ def frequent_items(df: DataFrame, col: str, phi: float) -> DataFrame:
     def mg(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as np
 
-        counters: dict = {}
-        get = counters.get
+        strata: dict = {}
         for b in batches:
-            vc = b[col].value_counts()
-            for item, c in zip(vc.index.tolist(), vc.to_numpy()):
-                counters[item] = get(item, 0) + int(c)
-            if len(counters) > cap:
-                vals = np.fromiter(counters.values(), dtype="int64")
-                # (k+1)-th largest == k-th from the end of a partition
-                kth = np.partition(vals, len(vals) - (k + 1))[len(vals) - (k + 1)]
-                counters = {i: c - kth for i, c in counters.items() if c > kth}
+            if by:
+                groups = b.groupby(by, sort=False, dropna=False)[col]
+                items = ((g, s.value_counts()) for g, s in groups)
+            else:
+                items = [((), b[col].value_counts())]
+            for g, vc in items:
+                g = g if isinstance(g, tuple) else (g,)
+                counters = strata.setdefault(g, {})
                 get = counters.get
-        # a plain list keeps the empty case object-dtyped (an empty
+                for item, c in zip(vc.index.tolist(), vc.to_numpy()):
+                    counters[item] = get(item, 0) + int(c)
+                if len(counters) > cap:
+                    vals = np.fromiter(counters.values(), dtype="int64")
+                    kth = np.partition(vals, len(vals) - (k + 1))[
+                        len(vals) - (k + 1)
+                    ]
+                    strata[g] = {
+                        i: c - kth for i, c in counters.items() if c > kth
+                    }
+        # plain lists keep the empty case object-dtyped (an empty
         # pandas index is int64 and broke the Arrow cast to string —
         # caught by the 10x stress run)
-        yield pd.DataFrame({col: list(counters)}, dtype=object)
+        out = {c: [] for c in (*by, col)}
+        for g, counters in strata.items():
+            for item in counters:
+                for c, v in zip(by, g):
+                    out[c].append(v)
+                out[col].append(item)
+        yield pd.DataFrame(out, dtype=object)
 
-    col_type = df.schema[col].dataType.simpleString()
+    typ = lambda c: df.schema[c].dataType.simpleString()  # noqa: E731
+    schema = ", ".join(f"{c} {typ(c)}" for c in (*by, col))
     candidates = F.broadcast(
-        df.select(col).mapInPandas(mg, schema=f"{col} {col_type}").distinct()
+        df.select(*by, col).mapInPandas(mg, schema=schema).distinct()
     )
-    total = df.agg(F.count(F.lit(1)).alias("n"))
-    return (
-        df.join(candidates, col, "left_semi")
-        .groupBy(col)
+    keys = [*by, col]
+    counted = (
+        df.join(candidates, keys, "left_semi")
+        .groupBy(*keys)
         .agg(F.count(F.lit(1)).alias("cnt"))
-        .crossJoin(F.broadcast(total))
-        .filter(F.col("cnt") > F.lit(phi) * F.col("n"))
-        .select(
-            col,
-            "cnt",
-            F.round(F.col("cnt") / F.col("n"), 6).alias("frac"),
+    )
+    if by:
+        total = F.broadcast(
+            df.groupBy(*by).agg(F.count(F.lit(1)).alias("n"))
         )
+        counted = counted.join(total, by)
+    else:
+        counted = counted.crossJoin(
+            F.broadcast(df.agg(F.count(F.lit(1)).alias("n")))
+        )
+    return counted.filter(F.col("cnt") > F.lit(phi) * F.col("n")).select(
+        *by,
+        col,
+        "cnt",
+        F.round(F.col("cnt") / F.col("n"), 6).alias("frac"),
     )

@@ -2110,3 +2110,57 @@ def dedup_survivorship(spark, sf_dir):
         .filter(F.col("doc_id") != F.col("keep_id"))
         .select("doc_id", "keep_id", "cluster_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Per-stratum heavy hitters — local boilerplate per source
+# ---------------------------------------------------------------------------
+@query(
+    "heavy_hitters_by_source",
+    oracle="""
+    WITH toks AS (
+      SELECT source, regexp_extract_all(lower(text), '[a-z0-9]+') AS ws
+      FROM documents
+    ),
+    sh AS (
+      SELECT source, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS shingle
+      FROM toks, unnest(range(1, len(ws)-1)) AS t(i)
+    ),
+    tot AS (SELECT source, COUNT(*) AS n FROM sh GROUP BY source)
+    SELECT sh.source, shingle, CAST(COUNT(*) AS BIGINT) AS cnt,
+           ROUND(COUNT(*) / CAST(n AS DOUBLE), 6) AS frac
+    FROM sh JOIN tot ON tot.source = sh.source
+    GROUP BY sh.source, shingle, n
+    HAVING COUNT(*) > 0.002 * n
+    """,
+)
+def heavy_hitters_by_source(spark, sf_dir, phi: float = 0.002):
+    """Frequent word-3-grams PER SOURCE (``frequent_items(by=...)``) —
+    boilerplate detection where it actually operates: a crawler's
+    cookie banner is 0.2% of ONE source's shingles and invisible
+    globally, so the threshold must be local.  Per-stratum Misra-Gries
+    state, per-stratum exact recount, same partitioning-independence
+    guarantee; the string-vs-hash tradeoff of heavy_hitters_shingles
+    is skipped here because per-source streams are the smaller,
+    already-grouped path (and the oracle keeps one string-keyed
+    variant honest end-to-end)."""
+    from beehive_spark.operators.freq import frequent_items
+
+    d = load(spark, sf_dir, "documents")
+    ws = _tokens(F.col("text"))
+    toked = d.select("source", ws.alias("w")).filter(F.size("w") >= 3)
+    stream = toked.select(
+        "source",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.size("w") - 3),
+                lambda i: F.concat_ws(
+                    " ",
+                    F.element_at(F.col("w"), i + 1),
+                    F.element_at(F.col("w"), i + 2),
+                    F.element_at(F.col("w"), i + 3),
+                ),
+            )
+        ).alias("shingle"),
+    )
+    return frequent_items(stream, "shingle", phi, by=["source"])

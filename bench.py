@@ -83,6 +83,7 @@ EXTRA = [
     "incremental_topk_orders",
     "corpus_drift",
     "dedup_survivorship",
+    "heavy_hitters_by_source",
 ]
 
 

@@ -79,3 +79,33 @@ def test_empty_partitions_and_sparse_stream(spark):
     )
     got = {(r[0], r[1]) for r in frequent_items(df, "item", 0.3).select("item", "cnt").collect()}
     assert got == {("x0", 10), ("x1", 10)}
+
+
+def test_grouped_matches_per_stratum_bruteforce(spark):
+    # two strata with different sizes and different heavy hitters
+    df = (
+        spark.range(0, 900)
+        .select(
+            F.when(F.col("id") < 600, "big").otherwise("small").alias("src"),
+            F.when(F.col("id") % 3 == 0, "hot")
+            .otherwise(F.concat(F.lit("t"), F.col("id")))
+            .alias("item"),
+        )
+        .repartition(8)
+    )
+    got = {
+        (r["src"], r["item"], r["cnt"])
+        for r in frequent_items(df, "item", 0.2, by=["src"]).collect()
+    }
+    want = set()
+    for src in ("big", "small"):
+        sub = df.filter(F.col("src") == src)
+        n = sub.count()
+        want |= {
+            (src, r["item"], r["cnt"])
+            for r in sub.groupBy("item")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .filter(F.col("cnt") > 0.2 * n)
+            .collect()
+        }
+    assert got == want and got
