@@ -157,3 +157,35 @@ def test_minmax_group_vanishes_and_min_mode(spark):
         ).collect()
     }
     assert got == {"a": (1, 10)}
+
+
+def test_ivm_maintains_histogram_bins(spark):
+    """Composition: histogram bins are grouped counts, so
+    incremental_agg maintains DISTRIBUTION sketches (and with them
+    p95-style estimates) under CDC — no special operator needed."""
+    from beehive_spark.operators.ivm import build_agg, incremental_agg
+
+    def bins(df):
+        return df.select(
+            "t", F.least(F.lit(7), F.expr("v div 8")).alias("bin")
+        )
+
+    old = spark.range(0, 2000).select(
+        (F.col("id") % 3).cast("string").alias("t"),
+        (F.col("id") % 60).cast("int").alias("v"),
+    )
+    base = build_agg(bins(old), ["t", "bin"], {}, count_col="cnt")
+    # delta: delete every v>=48 row of type 0, insert 100 rows of v=1 type 2
+    dels = old.filter((F.col("t") == "0") & (F.col("v") >= 48))
+    ins = spark.range(0, 100).select(
+        F.lit("2").alias("t"), F.lit(1).cast("int").alias("v")
+    )
+    retr = (
+        bins(dels).select(F.lit(-1).alias("_sign"), "t", "bin")
+        .unionByName(bins(ins).select(F.lit(1).alias("_sign"), "t", "bin"))
+    )
+    got = incremental_agg(base, retr, ["t", "bin"], {}, count_col="cnt")
+    new = old.join(dels, ["t", "v"], "left_anti").unionByName(ins)
+    want = build_agg(bins(new), ["t", "bin"], {}, count_col="cnt")
+    as_set = lambda df: {tuple(r) for r in df.select("t", "bin", "cnt").collect()}  # noqa: E731
+    assert as_set(got) == as_set(want)
