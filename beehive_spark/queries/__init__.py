@@ -149,7 +149,8 @@ _PRIORITY = [
 # first 50 next round, displacing round-2-verified entries):
 # boilerplate_ngrams, text_normalize, events_histogram_rollup,
 # stratified_quota_sample, peak_concurrency, incremental_topk_orders,
-# corpus_drift, dedup_survivorship, heavy_hitters_by_source.
+# corpus_drift, dedup_survivorship, heavy_hitters_by_source,
+# embedding_centroids.
 # rotated out to the overflow this round (round-1 verified, unchanged
 # source since 769e19c): dates_normalize, group_topn_window,
 # window_running_total, not_in_null_semantics, hierarchy_bfs,

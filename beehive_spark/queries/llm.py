@@ -2164,3 +2164,60 @@ def heavy_hitters_by_source(spark, sf_dir, phi: float = 0.002):
         ).alias("shingle"),
     )
     return frequent_items(stream, "shingle", phi, by=["source"])
+
+
+# ---------------------------------------------------------------------------
+# Vector aggregation — element-wise centroids per group
+# ---------------------------------------------------------------------------
+@query(
+    "embedding_centroids",
+    oracle="""
+    WITH comps AS (
+      SELECT label, i - 1 AS pos, embedding[i] AS x
+      FROM embeddings, unnest(range(1, len(embedding) + 1)) AS t(i)
+    ),
+    means AS (
+      SELECT label, pos, AVG(x) AS m, COUNT(*) AS n
+      FROM comps GROUP BY label, pos
+    )
+    SELECT label,
+           CAST(MAX(n) AS BIGINT) AS n_vectors,
+           list(round(m, 6) ORDER BY pos) AS centroid
+    FROM means GROUP BY label
+    """,
+)
+def embedding_centroids(spark, sf_dir):
+    """Element-wise mean vector per label — the centroid-computation
+    primitive under k-means, class prototypes, and topic averaging,
+    expressed as relational ops: ``posexplode`` the vectors, aggregate
+    each (group, position) cell, re-assemble ordered arrays with
+    ``array_agg(struct(pos, m)) -> sort -> project``.  All JVM; one
+    map-side-combined shuffle on (label, pos) then a label-grain
+    reassembly — no vector ever sits whole in aggregation state, so
+    dimension count scales independently of group cardinality (the
+    shape that survives 4096-dim embeddings at 100 TB, unlike
+    collect_list-of-arrays approaches that buffer whole groups).
+
+    Cross-engine determinism: per-cell means round to 6 before the
+    hash (summation order differs between engines; 24-vector cells at
+    float precision stay well inside 1e-6).
+
+    Reference scope: net-new; vector-side sibling of `mixture_stats`."""
+    e = load(spark, sf_dir, "embeddings")
+    comps = e.select(
+        "label", F.posexplode(F.col("embedding").cast("array<double>"))
+    ).withColumnsRenamed({"pos": "pos", "col": "x"})
+    cells = comps.groupBy("label", "pos").agg(
+        F.avg("x").alias("m"), F.count(F.lit(1)).alias("n")
+    )
+    return (
+        cells.groupBy("label")
+        .agg(
+            F.max("n").cast("long").alias("n_vectors"),
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "m"))),
+                lambda s: F.round(s["m"], 6),
+            ).alias("centroid"),
+        )
+        .select("label", "n_vectors", "centroid")
+    )

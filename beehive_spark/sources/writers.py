@@ -261,3 +261,42 @@ def apply_cdc_parquet(
     os.replace(staging, path)
     shutil.rmtree(backup, ignore_errors=True)
     return {"deleted": n_del, "upserted": upserts.count(), "total": total}
+
+
+def delete_where(spark, path: str, predicate) -> dict:
+    """Retention / right-to-be-forgotten delete: rewrite the keyed
+    parquet table at ``path`` WITHOUT the rows matching ``predicate``
+    (a Column or SQL string), using the same staged-write +
+    backup-then-replace swap as :func:`upsert_parquet` — readers never
+    observe a partial table and a crash at any step leaves either the
+    old or the new complete version on disk.
+
+    The reference's only delete is row-by-row SQL against MySQL; at
+    lakehouse scale deletion is a REWRITE, and the cost lever is how
+    much survives untouched: the predicate is pushed to the scan
+    (Catalyst prunes row groups via footer stats), and with the table
+    partitioned on a predicate column whole partitions skip.  Pair
+    with ``layout.compact_parquet`` when deletes shrink files below
+    target size.
+
+    Returns {"deleted", "remaining"}.
+    """
+    import os
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    cond = F.expr(predicate) if isinstance(predicate, str) else predicate
+    existing = spark.read.parquet(path)
+    survivors = existing.filter(~cond | cond.isNull())
+    n_before = existing.count()
+    staging = path.rstrip("/") + ".staging"
+    shutil.rmtree(staging, ignore_errors=True)
+    survivors.write.mode("overwrite").parquet(staging)
+    remaining = spark.read.parquet(staging).count()
+    backup = path.rstrip("/") + ".old"
+    shutil.rmtree(backup, ignore_errors=True)
+    os.replace(path, backup)
+    os.replace(staging, path)
+    shutil.rmtree(backup, ignore_errors=True)
+    return {"deleted": n_before - remaining, "remaining": remaining}

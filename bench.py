@@ -84,6 +84,7 @@ EXTRA = [
     "corpus_drift",
     "dedup_survivorship",
     "heavy_hitters_by_source",
+    "embedding_centroids",
 ]
 
 

@@ -80,3 +80,33 @@ def test_apply_cdc_delete_only(spark, tmp_path):
     res = apply_cdc_parquet(spark, path, feed, keys="k")
     assert res["deleted"] == 1 and res["total"] == 2
     assert sorted(r["k"] for r in spark.read.parquet(path).collect()) == [1, 3]
+
+
+def test_delete_where_null_safe_and_crash_safe(spark, sf_dir, tmp_path):
+    """delete_where removes exactly the predicate-true rows (NULL
+    predicate rows survive, SQL DELETE semantics), leaves no scratch
+    dirs, and a pre-existing stale staging dir does not corrupt it."""
+    import os
+
+    from beehive_spark.queries import load
+    from beehive_spark.sources.writers import delete_where
+
+    path = str(tmp_path / "t")
+    c = load(spark, sf_dir, "customer").select(
+        "c_custkey",
+        F.when(F.col("c_custkey") % 10 == 0, None)
+        .otherwise(F.col("c_acctbal"))
+        .alias("bal"),
+    )
+    c.write.parquet(path)
+    os.makedirs(path + ".staging")  # stale leftovers from a "crash"
+    n = c.count()
+    doomed = c.filter(F.col("bal") < 0).count()
+    nulls = c.filter(F.col("bal").isNull()).count()
+    stats = delete_where(spark, path, "bal < 0")
+    assert stats == {"deleted": doomed, "remaining": n - doomed}
+    left = spark.read.parquet(path)
+    assert left.filter(F.col("bal") < 0).count() == 0
+    assert left.filter(F.col("bal").isNull()).count() == nulls
+    assert not os.path.isdir(path + ".staging")
+    assert not os.path.isdir(path + ".old")
