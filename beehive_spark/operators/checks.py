@@ -273,3 +273,39 @@ def validate_table(
     for rep in reports[1:]:
         out = out.unionByName(rep)
     return out
+
+
+def schema_diff(old: DataFrame, new: DataFrame) -> list[dict]:
+    """Data-contract check between two table versions: report added,
+    removed, and retyped columns (name-keyed; order changes are not
+    drift).  Run it before `snapshot_diff`/`apply_cdc_parquet` when a
+    vendor refresh lands — a retyped column turns a value diff into
+    garbage silently, which is exactly how the reference's untyped
+    string-SQL pipeline breaks (utils.js builds INSERTs positionally).
+
+    Returns a list of {"column", "change", "old_type", "new_type"}
+    dicts, empty when the schemas are compatible.  Pure metadata — no
+    job runs.
+    """
+    old_t = {f.name: f.dataType.simpleString() for f in old.schema.fields}
+    new_t = {f.name: f.dataType.simpleString() for f in new.schema.fields}
+    out = []
+    for c in sorted(old_t.keys() - new_t.keys()):
+        out.append(
+            {"column": c, "change": "removed", "old_type": old_t[c], "new_type": None}
+        )
+    for c in sorted(new_t.keys() - old_t.keys()):
+        out.append(
+            {"column": c, "change": "added", "old_type": None, "new_type": new_t[c]}
+        )
+    for c in sorted(old_t.keys() & new_t.keys()):
+        if old_t[c] != new_t[c]:
+            out.append(
+                {
+                    "column": c,
+                    "change": "retyped",
+                    "old_type": old_t[c],
+                    "new_type": new_t[c],
+                }
+            )
+    return out

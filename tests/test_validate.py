@@ -59,3 +59,17 @@ def test_empty_table_reports_zero_rows_per_rule(spark):
         [Rule("k_not_null", "not_null", col="k"), Rule("u", "unique", col="k")],
     )
     assert got == {"k_not_null": 0, "u": 0}
+
+
+def test_schema_diff_reports_add_remove_retype(spark):
+    from beehive_spark.operators.checks import schema_diff
+
+    old = spark.createDataFrame([], "a int, b string, c double")
+    new = spark.createDataFrame([], "a bigint, b string, d date")
+    got = schema_diff(old, new)
+    assert got == [
+        {"column": "c", "change": "removed", "old_type": "double", "new_type": None},
+        {"column": "d", "change": "added", "old_type": None, "new_type": "date"},
+        {"column": "a", "change": "retyped", "old_type": "int", "new_type": "bigint"},
+    ]
+    assert schema_diff(old, old) == []
