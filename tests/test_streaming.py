@@ -397,3 +397,64 @@ def test_ivm_agg_stream_maintains_aggregate(spark, tmp_path):
     )
     again = sorted(tuple(r) for r in spark.read.parquet(table).collect())
     assert again == got
+
+
+def test_cdc_materialize_stream_rows_sums_and_max(spark, tmp_path):
+    """One feed -> row table AND aggregate (sum + evict-rescanned max)
+    both converge to the from-scratch answers, across micro-batches
+    that delete the current maximum."""
+    from pyspark.sql import functions as F
+
+    from beehive_spark.streaming.materialize import run_cdc_materialize_stream
+
+    feed_dir = tmp_path / "feed"
+    feed_dir.mkdir()
+    schema = (
+        "change_type string, seq bigint, k_old bigint, k_new bigint, "
+        "g_old string, g_new string, v_old double, v_new double"
+    )
+    spark.createDataFrame(
+        [
+            ("insert", 1, None, 1, None, "a", None, 10.0),
+            ("insert", 2, None, 2, None, "a", None, 30.0),
+            ("insert", 3, None, 3, None, "b", None, 7.0),
+        ],
+        schema,
+    ).coalesce(1).write.parquet(str(feed_dir / "f1.parquet"))
+    spark.createDataFrame(
+        [
+            ("delete", 4, 2, None, "a", None, 30.0, None),  # evicts a's max
+            ("update", 5, 3, 3, "b", "b", 7.0, 9.0),
+        ],
+        schema,
+    ).coalesce(1).write.parquet(str(feed_dir / "f2.parquet"))
+
+    row_path, agg_path = str(tmp_path / "rows"), str(tmp_path / "agg")
+    spark.createDataFrame(
+        [], "g string, n_rows bigint, sv double, sv_nn bigint, mx double"
+    ).write.parquet(agg_path)
+    changes = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(feed_dir) + "/*/")
+    )
+    run_cdc_materialize_stream(
+        spark,
+        changes,
+        row_path,
+        agg_path,
+        row_keys=["k"],
+        agg_keys=["g"],
+        sums={"sv": "v"},
+        minmax={"mx": "v"},
+        checkpoint_dir=str(tmp_path / "ckpt"),
+    )
+    rows = sorted(
+        (r["k"], r["g"], r["v"]) for r in spark.read.parquet(row_path).collect()
+    )
+    assert rows == [(1, "a", 10.0), (3, "b", 9.0)]
+    agg = {
+        r["g"]: (r["n_rows"], r["sv"], r["mx"])
+        for r in spark.read.parquet(agg_path).collect()
+    }
+    assert agg == {"a": (1, 10.0, 10.0), "b": (1, 9.0, 9.0)}
