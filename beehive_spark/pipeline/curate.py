@@ -59,6 +59,7 @@ def curate_corpus(
     sf_dir: str,
     out_dir: str,
     n_shards: int = 8,
+    survivorship: str = "min_id",
 ) -> dict:
     """Run the full curation pipeline over ``{sf_dir}/documents`` and
     write curated, scrubbed, sharded parquet under ``out_dir`` plus a
@@ -68,9 +69,16 @@ def curate_corpus(
     then near-dup), so counts partition the input exactly:
     ``kept + dropped_quality + dropped_exact_dup + dropped_near_dup
     == n_input``.  Every decision is deterministic (content hashes,
-    min-id canonicals), so re-running over the same input reproduces
-    the same corpus bit-for-bit — the property that makes ablations
-    and incremental rebuilds trustworthy."""
+    canonical policies with doc_id tiebreaks), so re-running over the
+    same input reproduces the same corpus bit-for-bit — the property
+    that makes ablations and incremental rebuilds trustworthy.
+
+    ``survivorship`` picks the near-dup canonical: ``"min_id"``
+    (default, first-seen wins — the reference's keep-the-destination
+    behavior) or ``"longest"`` (keep the most complete copy, the
+    `dedup_survivorship` policy)."""
+    if survivorship not in ("min_id", "longest"):
+        raise ValueError(f"unknown survivorship policy: {survivorship}")
     docs = load(spark, sf_dir, "documents")
 
     # stage 1: quality gate (scan-speed signals; audited reasons)
@@ -94,9 +102,24 @@ def curate_corpus(
     survivors2 = survivors1.join(exact_dropped.select("doc_id"), "doc_id", "left_anti")
     clusters = dedup_clusters(spark, sf_dir).select("doc_id", "cluster_id")
     alive_clusters = clusters.join(survivors2, "doc_id")
-    canon_near = alive_clusters.groupBy("cluster_id").agg(
-        F.min("doc_id").alias("keep_id")
-    )
+    if survivorship == "longest":
+        from pyspark.sql import Window
+
+        ranked = alive_clusters.join(
+            F.broadcast(docs.select("doc_id", "n_chars")), "doc_id"
+        )
+        w = Window.partitionBy("cluster_id").orderBy(
+            F.col("n_chars").desc(), "doc_id"
+        )
+        canon_near = (
+            ranked.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("cluster_id", F.col("doc_id").alias("keep_id"))
+        )
+    else:
+        canon_near = alive_clusters.groupBy("cluster_id").agg(
+            F.min("doc_id").alias("keep_id")
+        )
     near_dropped = (
         alive_clusters.join(canon_near, "cluster_id")
         .filter(F.col("doc_id") != F.col("keep_id"))

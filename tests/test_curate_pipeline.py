@@ -54,3 +54,54 @@ def test_curate_deterministic(spark, sf_dir, tmp_path):
         ).collect()
     )
     assert a == b
+
+
+def test_longest_survivorship_keeps_most_complete_copy(spark, sf_dir, tmp_path):
+    """With survivorship="longest", near-dup clusters keep their
+    longest alive member; stage-count conservation still holds and the
+    kept count matches the default policy (same clusters, different
+    representatives)."""
+    from beehive_spark.pipeline.curate import curate_corpus
+
+    a = curate_corpus(spark, sf_dir, str(tmp_path / "a"))
+    b = curate_corpus(
+        spark, sf_dir, str(tmp_path / "b"), survivorship="longest"
+    )
+    for r in (a, b):
+        assert (
+            r["kept"]
+            + r["dropped_quality"]
+            + r["dropped_exact_dup"]
+            + r["dropped_near_dup"]
+            == r["n_input"]
+        )
+    assert a["kept"] == b["kept"]
+    # the longest policy's kept set dominates by length within clusters
+    import pyspark.sql.functions as F
+
+    from beehive_spark.queries import load
+    from beehive_spark.queries.llm import dedup_clusters
+
+    kept_b = spark.read.parquet(str(tmp_path / "b" / "report")).filter(
+        F.col("fate") == "kept"
+    ).select("doc_id")
+    clusters = dedup_clusters(spark, sf_dir).select("doc_id", "cluster_id")
+    meta = load(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    alive = clusters.join(meta, "doc_id")
+    keeper_len = (
+        alive.join(kept_b, "doc_id")
+        .groupBy("cluster_id")
+        .agg(F.max("n_chars").alias("keeper_chars"))
+    )
+    # no alive cluster-mate that was DROPPED as near_dup is longer than
+    # its cluster's kept representative
+    dropped_b = spark.read.parquet(str(tmp_path / "b" / "report")).filter(
+        F.col("fate") == "near_dup"
+    ).select("doc_id")
+    viol = (
+        alive.join(dropped_b, "doc_id")
+        .join(keeper_len, "cluster_id")
+        .filter(F.col("n_chars") > F.col("keeper_chars"))
+        .count()
+    )
+    assert viol == 0
