@@ -984,3 +984,69 @@ def peak_concurrency(spark, sf_dir):
             "event_type", F.col("peak").cast("long").alias("peak"), "first_peak_ts"
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Gaps and islands — longest consecutive-day activity streak per user
+# ---------------------------------------------------------------------------
+@query(
+    "user_activity_streaks",
+    oracle="""
+    WITH days AS (
+      SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS DATE) AS day
+      FROM events
+    ),
+    grouped AS (
+      SELECT user_id, day,
+             day - CAST(row_number() OVER (
+               PARTITION BY user_id ORDER BY day) AS INTEGER) AS grp
+      FROM days
+    ),
+    streaks AS (
+      SELECT user_id, COUNT(*) AS len, MIN(day) AS streak_start
+      FROM grouped GROUP BY user_id, grp
+    ),
+    best AS (
+      SELECT user_id, len, streak_start,
+             row_number() OVER (
+               PARTITION BY user_id ORDER BY len DESC, streak_start) AS rn
+      FROM streaks
+    )
+    SELECT user_id, CAST(len AS BIGINT) AS streak_days, streak_start
+    FROM best WHERE rn = 1
+    """,
+)
+def user_activity_streaks(spark, sf_dir):
+    """Longest run of CONSECUTIVE active days per user — the classic
+    gaps-and-islands pattern: distinct active days, then ``day -
+    row_number()`` is constant exactly within a consecutive run (the
+    island key), so one more aggregate yields every streak and a
+    ranked pick returns the longest (earliest start on ties).
+    Retention/engagement building block next to ``cohort_retention``;
+    the reference has no temporal analytics at all.
+
+    Scale shape: one distinct-day aggregate (map-side combined), one
+    per-user window over that user's few dozen day rows, one streak
+    aggregate — everything after the distinct operates on |user x
+    active-day| rows, not events.  Integer date arithmetic end to end:
+    bit-identical across engines, no doubles anywhere."""
+    e = load(spark, sf_dir, "events")
+    days = e.select(
+        "user_id", F.to_date(F.date_trunc("day", "ts")).alias("day")
+    ).distinct()
+    w = Window.partitionBy("user_id").orderBy("day")
+    grouped = days.withColumn(
+        "grp", F.date_sub(F.col("day"), F.row_number().over(w))
+    )
+    streaks = grouped.groupBy("user_id", "grp").agg(
+        F.count(F.lit(1)).alias("streak_days"),
+        F.min("day").alias("streak_start"),
+    )
+    wb = Window.partitionBy("user_id").orderBy(
+        F.col("streak_days").desc(), "streak_start"
+    )
+    return (
+        streaks.withColumn("rn", F.row_number().over(wb))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "streak_days", "streak_start")
+    )

@@ -85,6 +85,7 @@ EXTRA = [
     "dedup_survivorship",
     "heavy_hitters_by_source",
     "embedding_centroids",
+    "user_activity_streaks",
 ]
 
 
