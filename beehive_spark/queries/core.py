@@ -1050,3 +1050,170 @@ def user_activity_streaks(spark, sf_dir):
         .filter(F.col("rn") == 1)
         .select("user_id", "streak_days", "streak_start")
     )
+
+
+# ---------------------------------------------------------------------------
+# Markov transitions — consecutive event-type pairs per user
+# ---------------------------------------------------------------------------
+@query(
+    "event_transitions",
+    oracle="""
+    WITH ordered AS (
+      SELECT user_id, event_type,
+             lead(event_type) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id) AS next_type
+      FROM events
+    ),
+    trans AS (
+      SELECT event_type AS from_type, next_type AS to_type, COUNT(*) AS n
+      FROM ordered WHERE next_type IS NOT NULL
+      GROUP BY from_type, to_type
+    ),
+    tot AS (
+      SELECT from_type, SUM(n) AS row_n FROM trans GROUP BY from_type
+    )
+    SELECT t.from_type, t.to_type, CAST(t.n AS BIGINT) AS n,
+           ROUND(CAST(t.n AS DOUBLE) / row_n, 6) AS p
+    FROM trans t JOIN tot ON tot.from_type = t.from_type
+    """,
+)
+def event_transitions(spark, sf_dir):
+    """First-order Markov transition matrix of user behavior:
+    consecutive event-type pairs per user (``lead`` over the per-user
+    time order, event_id tiebreak for simultaneous events) counted and
+    row-normalized into transition probabilities — the building block
+    of behavioral modeling, next-action prediction baselines, and
+    bot-pattern detection.  Counts are exact integers; only the final
+    row-normalization divides (same exact-count-then-divide shape as
+    ``text_perplexity``).
+
+    Scale shape: one per-user window (hash exchange on user_id; a
+    user's events fit a partition by construction), one
+    map-side-combined pair count over |types|^2 keys, a broadcast-size
+    row-total join.  Reference scope: net-new temporal analytics."""
+    e = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ordered = e.select(
+        "event_type", F.lead("event_type").over(w).alias("next_type")
+    ).filter(F.col("next_type").isNotNull())
+    trans = ordered.groupBy(
+        F.col("event_type").alias("from_type"),
+        F.col("next_type").alias("to_type"),
+    ).agg(F.count(F.lit(1)).alias("n"))
+    wt = Window.partitionBy("from_type")
+    return trans.select(
+        "from_type",
+        "to_type",
+        F.col("n").cast("long").alias("n"),
+        F.round(F.col("n") / F.sum("n").over(wt), 6).alias("p"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Session co-occurrence — event-type pairs with support and lift
+# ---------------------------------------------------------------------------
+@query(
+    "session_cooccurrence",
+    oracle="""
+    WITH marked AS (
+      SELECT user_id, ts, event_type,
+             CASE WHEN ts - lag(ts) OVER (
+                    PARTITION BY user_id ORDER BY ts, event_id)
+                  > INTERVAL 30 MINUTE OR lag(ts) OVER (
+                    PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                  THEN 1 ELSE 0 END AS is_start
+      FROM events
+    ),
+    sess AS (
+      SELECT user_id, event_type,
+             SUM(is_start) OVER (
+               PARTITION BY user_id ORDER BY ts
+               ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM marked
+    ),
+    st AS (
+      SELECT DISTINCT user_id, session_id, event_type FROM sess
+    ),
+    n_sessions AS (SELECT COUNT(DISTINCT (user_id, session_id)) AS ns FROM st),
+    singles AS (
+      SELECT event_type, COUNT(*) AS c FROM st GROUP BY event_type
+    ),
+    pairs AS (
+      SELECT a.event_type AS type_a, b.event_type AS type_b, COUNT(*) AS nb
+      FROM st a JOIN st b
+        ON a.user_id = b.user_id AND a.session_id = b.session_id
+       AND a.event_type < b.event_type
+      GROUP BY type_a, type_b
+    )
+    SELECT type_a, type_b, CAST(nb AS BIGINT) AS n_sessions_both,
+           ROUND(CAST(nb AS DOUBLE) / ns, 6) AS support,
+           ROUND(CAST(nb AS DOUBLE) * ns / (sa.c * sb.c), 6) AS lift
+    FROM pairs
+    JOIN singles sa ON sa.event_type = type_a
+    JOIN singles sb ON sb.event_type = type_b
+    CROSS JOIN n_sessions
+    """,
+)
+def session_cooccurrence(spark, sf_dir):
+    """Association-mining lite: which event types occur in the SAME
+    session (30-minute inactivity gaps), with support and lift — the
+    co-occurrence statistics behind "users who do A also do B",
+    feature co-activation checks, and funnel hypothesis generation.
+    Sessions come from the same gap rule as ``events_sessionize``
+    (lag + running start-count); each session collapses to its
+    DISTINCT types before the pair self-join, so the join is bounded
+    by |types| per session — 5 types here means <= 10 pair rows per
+    session, never |events|^2.  Counts exact; support = P(a,b), lift
+    = P(a,b)/(P(a)P(b)) over the session universe, divided once at
+    the end (exact-count-then-divide).
+
+    Scale shape: one per-user window, one distinct, one equi-join on
+    (user, session) between type-sets — all shuffles on user_id.
+    Reference scope: net-new temporal analytics."""
+    e = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w)
+    marked = e.select(
+        "user_id",
+        "ts",
+        "event_type",
+        F.when(gap.isNull() | (gap > 30 * 60), 1).otherwise(0).alias("is_start"),
+    )
+    ws = (
+        Window.partitionBy("user_id")
+        .orderBy("ts")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    st = (
+        marked.withColumn("session_id", F.sum("is_start").over(ws))
+        .select("user_id", "session_id", "event_type")
+        .distinct()
+    )
+    ns = st.select("user_id", "session_id").distinct().agg(
+        F.count(F.lit(1)).alias("ns")
+    )
+    singles = st.groupBy("event_type").agg(F.count(F.lit(1)).alias("c"))
+    a = st.select("user_id", "session_id", F.col("event_type").alias("type_a"))
+    b = st.select("user_id", "session_id", F.col("event_type").alias("type_b"))
+    pairs = (
+        a.join(b, ["user_id", "session_id"])
+        .filter(F.col("type_a") < F.col("type_b"))
+        .groupBy("type_a", "type_b")
+        .agg(F.count(F.lit(1)).alias("both"))
+    )
+    sa = singles.select(F.col("event_type").alias("type_a"), F.col("c").alias("ca"))
+    sb = singles.select(F.col("event_type").alias("type_b"), F.col("c").alias("cb"))
+    return (
+        pairs.join(F.broadcast(sa), "type_a")
+        .join(F.broadcast(sb), "type_b")
+        .crossJoin(F.broadcast(ns))
+        .select(
+            "type_a",
+            "type_b",
+            F.col("both").cast("long").alias("n_sessions_both"),
+            F.round(F.col("both") / F.col("ns"), 6).alias("support"),
+            F.round(
+                F.col("both") * F.col("ns") / (F.col("ca") * F.col("cb")), 6
+            ).alias("lift"),
+        )
+    )

@@ -86,6 +86,8 @@ EXTRA = [
     "heavy_hitters_by_source",
     "embedding_centroids",
     "user_activity_streaks",
+    "event_transitions",
+    "session_cooccurrence",
 ]
 
 
