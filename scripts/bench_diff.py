@@ -32,7 +32,11 @@ def main() -> int:
     args = ap.parse_args()
 
     base, cur = load_bench(args.baseline), load_bench(args.current)
-    bq, cq = base["queries"], cur["queries"]
+    bq, cq = dict(base["queries"]), dict(cur["queries"])
+    # fold in the non-headline tier when both sides report it, so new
+    # operators get regression-gated from their second round onward
+    for d, q in ((base, bq), (cur, cq)):
+        q.update(d.get("extra_queries") or {})
     regressions = []
     print(f"{'query':<28} {'base':>8} {'cur':>8} {'ratio':>7}")
     for name in sorted(set(bq) | set(cq)):
