@@ -1217,3 +1217,50 @@ def session_cooccurrence(spark, sf_dir):
             ).alias("lift"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Unpivot / melt — wide measures to long (metric, value) rows
+# ---------------------------------------------------------------------------
+@query(
+    "lineitem_unpivot",
+    oracle="""
+    WITH m AS (
+      SELECT l_orderkey, l_linenumber, 'quantity' AS metric,
+             l_quantity AS value FROM lineitem
+      UNION ALL
+      SELECT l_orderkey, l_linenumber, 'extendedprice', l_extendedprice
+      FROM lineitem
+      UNION ALL
+      SELECT l_orderkey, l_linenumber, 'discount', l_discount FROM lineitem
+      UNION ALL
+      SELECT l_orderkey, l_linenumber, 'tax', l_tax FROM lineitem
+    )
+    SELECT metric, CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(SUM(value), 2) AS total,
+           ROUND(MIN(value), 2) AS min_v, ROUND(MAX(value), 2) AS max_v
+    FROM m GROUP BY metric
+    """,
+)
+def lineitem_unpivot(spark, sf_dir):
+    """Wide-to-long reshape via the native ``unpivot`` operator (the
+    melt every metrics pipeline needs before generic per-metric
+    processing), aggregated per metric so the result is small and the
+    whole unpivot executes.  Spark's ``unpivot`` expands rows in the
+    Expand node — one scan, no join, no UNION re-scan — whereas the
+    oracle pays the honest four-scan UNION ALL; both reach identical
+    totals.  Same Expand machinery as GROUPING SETS
+    (`grouping_sets_revenue`), exposed through the reshape API."""
+    li = load(spark, sf_dir, "lineitem")
+    long = li.unpivot(
+        ids=["l_orderkey", "l_linenumber"],
+        values=["l_quantity", "l_extendedprice", "l_discount", "l_tax"],
+        variableColumnName="metric",
+        valueColumnName="value",
+    ).withColumn("metric", F.expr("substring(metric, 3)"))
+    return long.groupBy("metric").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.round(F.sum("value"), 2).alias("total"),
+        F.round(F.min("value"), 2).alias("min_v"),
+        F.round(F.max("value"), 2).alias("max_v"),
+    )

@@ -88,6 +88,7 @@ EXTRA = [
     "user_activity_streaks",
     "event_transitions",
     "session_cooccurrence",
+    "lineitem_unpivot",
 ]
 
 
