@@ -172,23 +172,43 @@ def main() -> None:
     spark.read.parquet(os.path.join(SF_DIR, "lineitem.parquet")).count()  # warm
     qs = all_queries()
 
+    # each case runs in TWO round-robin sweeps and reports its best —
+    # same noise control as bench.py: the host shows intermittent
+    # kernel-time storms that otherwise randomly inflate whichever
+    # single sample they land on (observed: a pure-JVM scan case
+    # jumping 1.4x -> 13x between runs of identical code)
+    def record(key, thunk):
+        t0 = time.time()
+        thunk()
+        dt = round(time.time() - t0, 2)
+        results[key] = min(results.get(key, dt), dt)
+
     results, rows = {}, {}
     for copies in (1, COPIES):
         li = scaled_lineitem(spark, copies)
         rows[copies] = li.count()
-        for name, fn in LINEITEM_CASES.items():
-            t0 = time.time()
-            fn(spark, li).write.format("noop").mode("overwrite").save()
-            results[(name, copies)] = round(time.time() - t0, 2)
+        for _sweep in range(2):
+            for name, fn in LINEITEM_CASES.items():
+                record(
+                    (name, copies),
+                    lambda fn=fn: fn(spark, li)
+                    .write.format("noop")
+                    .mode("overwrite")
+                    .save(),
+                )
 
     scaled_dir = build_scaled_dir(spark, COPIES)
-    base_rows, scaled_rows = {}, {}
     for copies, sf in ((1, SF_DIR), (COPIES, scaled_dir)):
-        for name, table in REGISTRY_CASES:
-            t0 = time.time()
-            qs[name](spark, sf).write.format("noop").mode("overwrite").save()
-            results[(name, copies)] = round(time.time() - t0, 2)
-            spark.catalog.clearCache()
+        for _sweep in range(2):
+            for name, table in REGISTRY_CASES:
+                record(
+                    (name, copies),
+                    lambda name=name, sf=sf: qs[name](spark, sf)
+                    .write.format("noop")
+                    .mode("overwrite")
+                    .save(),
+                )
+                spark.catalog.clearCache()
 
     lines = [
         "# STRESS — scaling smoke (1x vs 10x rows, local[32])",
