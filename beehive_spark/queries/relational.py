@@ -1492,3 +1492,97 @@ def incremental_topk_orders(spark, sf_dir):
         "n_rows",
         F.transform("topk", lambda x: F.round(x, 2)).alias("top_prices"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Cross-table integrity audit — FK orphans + aggregate reconciliation
+# ---------------------------------------------------------------------------
+@query(
+    "dq_orders_audit",
+    oracle="""
+    WITH ls AS (
+      SELECT l_orderkey,
+             ROUND(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2)
+               AS lsum
+      FROM lineitem GROUP BY l_orderkey
+    )
+    SELECT 'lineitem_orphans' AS rule,
+           CAST((SELECT COUNT(*) FROM lineitem l
+                 WHERE NOT EXISTS (SELECT 1 FROM orders o
+                                   WHERE o.o_orderkey = l.l_orderkey))
+                AS BIGINT) AS n_violations
+    UNION ALL
+    SELECT 'childless_orders',
+           CAST((SELECT COUNT(*) FROM orders o
+                 WHERE NOT EXISTS (SELECT 1 FROM lineitem l
+                                   WHERE l.l_orderkey = o.o_orderkey))
+                AS BIGINT)
+    UNION ALL
+    SELECT 'totalprice_mismatch',
+           CAST((SELECT COUNT(*) FROM orders o JOIN ls
+                   ON ls.l_orderkey = o.o_orderkey
+                 WHERE ABS(o.o_totalprice - ls.lsum) > 0.01) AS BIGINT)
+    UNION ALL
+    SELECT 'customer_orphans',
+           CAST((SELECT COUNT(*) FROM orders o
+                 WHERE NOT EXISTS (SELECT 1 FROM customer c
+                                   WHERE c.c_custkey = o.o_custkey))
+                AS BIGINT)
+    UNION ALL
+    SELECT 'nonpositive_quantity',
+           CAST((SELECT COUNT(*) FROM lineitem WHERE l_quantity <= 0)
+                AS BIGINT)
+    """,
+)
+def dq_orders_audit(spark, sf_dir):
+    """Cross-table integrity audit over the order book — the direct
+    generalization of the reference's integrity checks
+    (integrity-checks.js:5-137 counts orphans and reconciles row
+    counts across its 31 tables): FK orphans in both directions,
+    customer references, an AGGREGATE reconciliation (order header
+    total vs the charge sum of its lines, the kind of invariant row
+    counts cannot see), and a domain rule.  One row per rule with its
+    exact violation count — the shape a CI data gate consumes.  (On
+    this synthetic data the header totals are independent of the
+    lines, so totalprice_mismatch counts every order with lines —
+    an audit reports what IS, and the oracle agrees to the row.)
+
+    Scale shape: orphan checks are broadcast-or-shuffle anti/semi
+    joins on the key columns only; the reconciliation reuses one
+    map-side-combined per-order aggregate.  All counts exact
+    integers."""
+    o = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem")
+    c = load(spark, sf_dir, "customer")
+    ls = li.groupBy("l_orderkey").agg(
+        F.round(
+            F.sum(
+                F.col("l_extendedprice")
+                * (1 - F.col("l_discount"))
+                * (1 + F.col("l_tax"))
+            ),
+            2,
+        ).alias("lsum")
+    )
+
+    def one(rule, cnt_df):
+        return cnt_df.agg(
+            F.count(F.lit(1)).cast("long").alias("n_violations")
+        ).select(F.lit(rule).alias("rule"), "n_violations")
+
+    checks = [
+        one("lineitem_orphans", li.join(o, li["l_orderkey"] == o["o_orderkey"], "left_anti")),
+        one("childless_orders", o.join(li, o["o_orderkey"] == li["l_orderkey"], "left_anti")),
+        one(
+            "totalprice_mismatch",
+            o.join(ls, o["o_orderkey"] == ls["l_orderkey"]).filter(
+                F.abs(F.col("o_totalprice") - F.col("lsum")) > 0.01
+            ),
+        ),
+        one("customer_orphans", o.join(c, o["o_custkey"] == c["c_custkey"], "left_anti")),
+        one("nonpositive_quantity", li.filter(F.col("l_quantity") <= 0)),
+    ]
+    out = checks[0]
+    for ch in checks[1:]:
+        out = out.unionByName(ch)
+    return out

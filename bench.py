@@ -89,6 +89,7 @@ EXTRA = [
     "event_transitions",
     "session_cooccurrence",
     "lineitem_unpivot",
+    "dq_orders_audit",
 ]
 
 
