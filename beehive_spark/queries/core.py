@@ -1264,3 +1264,60 @@ def lineitem_unpivot(spark, sf_dir):
         F.round(F.min("value"), 2).alias("min_v"),
         F.round(F.max("value"), 2).alias("max_v"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Robust statistics — trimmed mean per group
+# ---------------------------------------------------------------------------
+@query(
+    "trimmed_mean_prices",
+    oracle="""
+    WITH bounds AS (
+      SELECT o_orderpriority,
+             ROUND(quantile_cont(o_totalprice, 0.05), 2) AS lo,
+             ROUND(quantile_cont(o_totalprice, 0.95), 2) AS hi
+      FROM orders GROUP BY o_orderpriority
+    )
+    SELECT o.o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_kept,
+           ROUND(AVG(o.o_totalprice), 2) AS trimmed_mean,
+           ROUND(MIN(b.lo), 2) AS lo, ROUND(MAX(b.hi), 2) AS hi
+    FROM orders o JOIN bounds b ON b.o_orderpriority = o.o_orderpriority
+    WHERE o.o_totalprice >= b.lo AND o.o_totalprice <= b.hi
+    GROUP BY o.o_orderpriority
+    """,
+)
+def trimmed_mean_prices(spark, sf_dir):
+    """Robust central tendency: the mean of order totals WITHIN each
+    group's [p5, p95] — the winsorization-style outlier-proof KPI used
+    when a handful of whale orders would otherwise own the average.
+    Two passes: per-group interpolated percentile bounds (Spark's
+    ``percentile`` and DuckDB's ``quantile_cont`` share the linear
+    interpolation definition — the equivalence `group_percentiles`
+    already pins by hash), broadcast back, filter, exact mean.
+    Bounds round to 2 decimals in BOTH engines before filtering so a
+    1-ulp percentile divergence cannot flip a boundary row's
+    membership (prices live on the 2-decimal grid).
+
+    Scale shape: one percentile aggregate (|groups| rows, broadcast
+    back), one filtered scan + mean — two passes over the fact, no
+    shuffle of it."""
+    o = load(spark, sf_dir, "orders")
+    bounds = o.groupBy("o_orderpriority").agg(
+        F.round(F.expr("percentile(o_totalprice, 0.05)"), 2).alias("lo"),
+        F.round(F.expr("percentile(o_totalprice, 0.95)"), 2).alias("hi"),
+    )
+    return (
+        o.join(F.broadcast(bounds), "o_orderpriority")
+        .filter(
+            (F.col("o_totalprice") >= F.col("lo"))
+            & (F.col("o_totalprice") <= F.col("hi"))
+        )
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_kept"),
+            F.round(F.avg("o_totalprice"), 2).alias("trimmed_mean"),
+            F.round(F.min("lo"), 2).alias("lo"),
+            F.round(F.max("hi"), 2).alias("hi"),
+        )
+    )

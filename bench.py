@@ -90,6 +90,7 @@ EXTRA = [
     "session_cooccurrence",
     "lineitem_unpivot",
     "dq_orders_audit",
+    "trimmed_mean_prices",
 ]
 
 
