@@ -152,7 +152,7 @@ _PRIORITY = [
 # corpus_drift, dedup_survivorship, heavy_hitters_by_source,
 # embedding_centroids, user_activity_streaks, event_transitions,
 # session_cooccurrence, lineitem_unpivot, dq_orders_audit,
-# trimmed_mean_prices.
+# trimmed_mean_prices, weekly_revenue_wow.
 # rotated out to the overflow this round (round-1 verified, unchanged
 # source since 769e19c): dates_normalize, group_topn_window,
 # window_running_total, not_in_null_semantics, hierarchy_bfs,

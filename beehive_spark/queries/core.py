@@ -1321,3 +1321,50 @@ def trimmed_mean_prices(spark, sf_dir):
             F.round(F.max("hi"), 2).alias("hi"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Week-over-week growth — lag comparison on exact integer sums
+# ---------------------------------------------------------------------------
+@query(
+    "weekly_revenue_wow",
+    oracle="""
+    WITH weekly AS (
+      SELECT CAST(date_trunc('week', o_orderdate) AS DATE) AS week,
+             SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS cents
+      FROM orders GROUP BY week
+    )
+    SELECT week,
+           ROUND(cents / 100.0, 2) AS revenue,
+           ROUND(
+             (cents - lag(cents) OVER (ORDER BY week))
+               / (lag(cents) OVER (ORDER BY week) / 100.0) , 4
+           ) AS wow_pct
+    FROM weekly
+    """,
+)
+def weekly_revenue_wow(spark, sf_dir):
+    """Week-over-week revenue growth — the lag-comparison KPI every
+    reporting layer ships: weekly totals as exact integer cents
+    (bit-identical in any aggregation order), then ``lag`` over the
+    week sequence for the percent change; only the final division
+    rounds.  First week's change is NULL, not zero (no fabricated
+    baseline).
+
+    Scale shape: one map-side-combined weekly aggregate, then a
+    window over |weeks| rows — the ordered window runs on the
+    AGGREGATE, never the fact table, so the single-partition
+    orderBy is bounded by calendar size, not data size."""
+    o = load(spark, sf_dir, "orders")
+    weekly = o.groupBy(
+        F.to_date(F.date_trunc("week", "o_orderdate")).alias("week")
+    ).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("cents")
+    )
+    w = Window.orderBy("week")
+    prev = F.lag("cents").over(w)
+    return weekly.select(
+        "week",
+        F.round(F.col("cents") / 100.0, 2).alias("revenue"),
+        F.round((F.col("cents") - prev) / (prev / 100.0), 4).alias("wow_pct"),
+    )

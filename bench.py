@@ -91,6 +91,7 @@ EXTRA = [
     "lineitem_unpivot",
     "dq_orders_audit",
     "trimmed_mean_prices",
+    "weekly_revenue_wow",
 ]
 
 
