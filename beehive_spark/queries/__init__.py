@@ -67,15 +67,36 @@ def all_oracles() -> dict[str, str]:
 _loaded = False
 
 # Registry order is the driver's ORACLE-VERIFICATION order, and the driver
-# differentially checks the FIRST 50 registered queries per round.  With 84
-# registered queries the window must rotate: round 1 verified the first 50
-# by import order (everything except TPC-H q4, q6-q22 — see
-# CORRECTNESS_r01.json); this explicit priority list puts the full TPC-H
-# suite plus every query CHANGED OR ADDED this round inside the window, and
-# rotates queries that already passed rows+schema+hash in round 1 unchanged
-# to the back.  Union over rounds = every oracle-bearing query verified
-# (scripts/check_oracle.py verifies ALL of them locally each round).
+# differentially checks the FIRST 50 registered queries per round.  The
+# window rotates each round so the cross-round union covers every
+# registered query: round 1 verified the first 50 by import order, round 2
+# verified TPC-H q4/q6-q22 plus the round-2 additions (CORRECTNESS_r0{1,2}
+# .json), and this round-3 window leads with the 18 oracle-bearing queries
+# the driver has NEVER checked (union r01+r02 = 99 of 122; VERDICT.md round
+# 2 "What's missing" #1), then the 5 rows-only queries never windowed (a
+# weaker rows-only record, but it completes full-registry driver coverage),
+# then everything CHANGED OR ADDED in round 3.  Queries already green in a
+# prior round with unchanged source rotate to the back; the local
+# scripts/check_oracle.py sweep still verifies ALL of them each round.
 _PRIORITY = [
+    # --- 18 oracle-bearing, never driver-verified (locally green in the
+    # round-2 check_oracle.py sweep AND independently by the round-2 judge)
+    "peak_concurrency", "user_activity_streaks", "event_transitions",
+    "session_cooccurrence", "lineitem_unpivot", "trimmed_mean_prices",
+    "weekly_revenue_wow",          # ALSO changed r3: calendar self-join WoW
+    "text_normalize", "dedup_survivorship", "heavy_hitters_by_source",
+    "embedding_centroids", "stratified_sample", "boilerplate_ngrams",
+    "stratified_quota_sample", "corpus_drift", "events_histogram_rollup",
+    "incremental_topk_orders", "dq_orders_audit",
+    # --- rows-only queries never windowed (driver records a rows-only
+    # check; exactness is pinned in tests/test_{bpe,semantic_pq,graph,
+    # sketches}.py)
+    "bpe_encode", "dedup_semantic", "pagerank_hierarchy",
+    "similarity_ann_pq", "sketch_uniques_rollup",
+    # --- changed or added in round 3 (appended below as they land)
+    "fuzzy_join_names",            # r3: length-bucket + df-cap candidate bound
+]
+_PRIORITY_R2 = [
     # TPC-H q4 + q6-q22: oracle-unchecked in round 1 — VERDICT.md top
     # ask ("green rows+schema+hash for all of q4, q6-q22 in
     # CORRECTNESS_r02").  q1/q2/q3/q5 were r01-green and tpch.py is
@@ -176,6 +197,12 @@ def _ensure_loaded() -> None:
         from beehive_spark.queries import tpch  # noqa: F401
 
         ordered = {n: _REGISTRY[n] for n in _PRIORITY if n in _REGISTRY}
+        # round-2-verified entries fill any window slots the round-3
+        # priority list leaves open (harmless re-verification), then
+        # everything else
+        for n in _PRIORITY_R2:
+            if n in _REGISTRY and n not in ordered:
+                ordered[n] = _REGISTRY[n]
         rest = [n for n in _REGISTRY if n not in ordered]
         # overflow: round-1-verified unchanged queries first, then the
         # approximate (rows-only, no-oracle) ops last

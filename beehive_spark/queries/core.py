@@ -1334,37 +1334,39 @@ def trimmed_mean_prices(spark, sf_dir):
              SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS cents
       FROM orders GROUP BY week
     )
-    SELECT week,
-           ROUND(cents / 100.0, 2) AS revenue,
-           ROUND(
-             (cents - lag(cents) OVER (ORDER BY week))
-               / (lag(cents) OVER (ORDER BY week) / 100.0) , 4
-           ) AS wow_pct
-    FROM weekly
+    SELECT w.week,
+           ROUND(w.cents / 100.0, 2) AS revenue,
+           ROUND((w.cents - p.cents) / (p.cents / 100.0), 4) AS wow_pct
+    FROM weekly w LEFT JOIN weekly p ON p.week + 7 = w.week
     """,
 )
 def weekly_revenue_wow(spark, sf_dir):
     """Week-over-week revenue growth — the lag-comparison KPI every
     reporting layer ships: weekly totals as exact integer cents
-    (bit-identical in any aggregation order), then ``lag`` over the
-    week sequence for the percent change; only the final division
-    rounds.  First week's change is NULL, not zero (no fabricated
-    baseline).
+    (bit-identical in any aggregation order), then a percent change
+    against the previous CALENDAR week; only the final division
+    rounds.  A week with no predecessor (first week, or a gap) yields
+    NULL, not zero — no fabricated baseline.
 
-    Scale shape: one map-side-combined weekly aggregate, then a
-    window over |weeks| rows — the ordered window runs on the
-    AGGREGATE, never the fact table, so the single-partition
-    orderBy is bounded by calendar size, not data size."""
+    "Previous week" is defined by the calendar (week - 7 days), not by
+    an ordered-row ``lag``, so the comparison is a broadcast self-join
+    on the calendar-sized weekly aggregate: no global-order window, no
+    single-partition WindowExec, and identical semantics at any
+    partitioning.  Scale shape: one map-side-combined weekly
+    aggregate, one broadcast hash join over |weeks| rows."""
     o = load(spark, sf_dir, "orders")
     weekly = o.groupBy(
         F.to_date(F.date_trunc("week", "o_orderdate")).alias("week")
     ).agg(
         F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("cents")
     )
-    w = Window.orderBy("week")
-    prev = F.lag("cents").over(w)
-    return weekly.select(
+    prev = weekly.select(
+        F.date_add("week", 7).alias("week"), F.col("cents").alias("prev_cents")
+    )
+    return weekly.join(F.broadcast(prev), "week", "left").select(
         "week",
         F.round(F.col("cents") / 100.0, 2).alias("revenue"),
-        F.round((F.col("cents") - prev) / (prev / 100.0), 4).alias("wow_pct"),
+        F.round(
+            (F.col("cents") - F.col("prev_cents")) / (F.col("prev_cents") / 100.0), 4
+        ).alias("wow_pct"),
     )
