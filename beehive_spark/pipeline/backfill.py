@@ -7,35 +7,69 @@ landing, a gap from an earlier failure) and can be re-run at any time
 without duplicating output.
 
 ``backfill_partitions`` compares the DISTINCT partition values present
-in the source against the partition directories already on disk and
-runs the supplied transform ONLY for the missing ones, writing with
-dynamic partition overwrite so a retry of a half-finished backfill
-replaces (never duplicates) the partitions it re-emits.  Partition
-pruning makes the incremental read cheap: the missing-value filter is
-pushed to the source scan, so a one-day backfill reads one day.
+in the source against the partition values already on disk and runs
+the supplied transform ONLY for the missing ones, writing with dynamic
+partition overwrite so a retry of a half-finished backfill replaces
+(never duplicates) the partitions it re-emits.  Partition pruning makes
+the incremental read cheap: the missing-value filter is pushed to the
+source scan, so a one-day backfill reads one day.
+
+Missing-partition detection reads the partition COLUMN back from the
+output dataset (typed values, satisfied from directory metadata plus
+footer row counts — no data pages), never by string-comparing raw
+``str(value)`` against directory names: Hive URL-escapes special
+characters in ``col=value`` paths (space, ``:``, ``%`` … — every
+timestamp value), so name comparison would see escaped ``va%20lue`` vs
+raw ``va lue``, flag present partitions as missing, and rewrite them on
+every run.
 """
 
 from __future__ import annotations
 
 import os
 from collections.abc import Callable
+from urllib.parse import unquote
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+#: directory name Hive/Spark uses for the NULL partition value
+HIVE_DEFAULT_PARTITION = "__HIVE_DEFAULT_PARTITION__"
+
 
 def existing_partition_values(out_path: str, part_col: str) -> set[str]:
     """Partition values already materialized under ``out_path``
-    (Hive-style ``col=value`` directories)."""
+    (Hive-style ``col=value`` directories), UNESCAPED — Hive percent-
+    encodes special path characters (``escapePathName``), so the raw
+    directory name for ``a b:c`` is ``a%20b%3Ac``; this returns
+    ``a b:c``.  The NULL sentinel directory is excluded."""
     prefix = f"{part_col}="
     try:
         return {
-            d[len(prefix):]
+            unquote(d[len(prefix):])
             for d in os.listdir(out_path)
             if d.startswith(prefix)
+            and d[len(prefix):] != HIVE_DEFAULT_PARTITION
         }
     except FileNotFoundError:
         return set()
+
+
+def _existing_typed(
+    spark: SparkSession, out_path: str, part_col: str
+) -> set:
+    """Typed partition values present in the output dataset.  Reading
+    the partition column back through Spark sidesteps escaping AND type
+    formatting entirely: values compare in the column's own domain."""
+    if not os.path.isdir(out_path):
+        return set()
+    try:
+        rows = (
+            spark.read.parquet(out_path).select(part_col).distinct().collect()
+        )
+    except Exception:  # empty/garbled dir: treat as nothing materialized
+        return set()
+    return {r[0] for r in rows if r[0] is not None}
 
 
 def backfill_partitions(
@@ -54,19 +88,22 @@ def backfill_partitions(
     is idempotent — finished partitions are skipped entirely, the
     interrupted one is replaced whole.
 
-    Returns {"missing": [...], "written": n_rows} (missing values as
-    strings, matching directory names).
+    Returns {"missing": [...], "written": n_rows} (missing values
+    rendered as strings for the report; comparison and filtering happen
+    on the TYPED values, so escaping-sensitive partition values —
+    timestamps, strings with spaces — round-trip correctly and are not
+    rewritten on every run).
     """
-    have = existing_partition_values(out_path, part_col)
+    have = _existing_typed(spark, out_path, part_col)
     want = {
-        str(r[0])
+        r[0]
         for r in source.select(part_col).distinct().collect()
         if r[0] is not None
     }
-    missing = sorted(want - have)
+    missing = sorted(want - have, key=str)
     if not missing:
         return {"missing": [], "written": 0}
-    todo = source.filter(F.col(part_col).cast("string").isin(missing))
+    todo = source.filter(F.col(part_col).isin(missing))
     result = transform(todo)
     prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
     try:
@@ -80,7 +117,7 @@ def backfill_partitions(
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
     written = (
         spark.read.parquet(out_path)
-        .filter(F.col(part_col).cast("string").isin(missing))
+        .filter(F.col(part_col).isin(missing))
         .count()
     )
-    return {"missing": missing, "written": written}
+    return {"missing": [str(v) for v in missing], "written": written}

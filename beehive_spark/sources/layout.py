@@ -233,13 +233,21 @@ def compact_parquet(
     Sizing uses the actual on-disk byte count (not row counts) so
     compression ratio changes don't skew file sizes.  Unpartitioned
     tables use ``coalesce`` (no shuffle — merging files needs no
-    repartition); partitioned tables must ``repartition`` on the
-    partition columns so each Hive partition's rows land together.
+    repartition).  Partitioned tables are salted PER PARTITION VALUE:
+    each Hive partition gets ``ceil(partition_bytes / target)`` salt
+    buckets (partition bytes estimated from its row share of the
+    table's measured bytes — exact under uniform compression, the
+    documented approximation), and rows repartition on
+    ``(partition_cols, salt)`` so a 10 GB partition splits into ~40
+    target-sized files instead of one 10 GB file, while small
+    partitions stay single-file.
 
     Returns {"files_before", "files_after", "bytes"}.
     """
     import math
     import shutil
+
+    from pyspark.sql import functions as F
 
     def _walk(d: str):
         for root, _dirs, files in os.walk(d):
@@ -255,8 +263,28 @@ def compact_parquet(
     shutil.rmtree(staging, ignore_errors=True)
     if partition_by:
         cols = [partition_by] if isinstance(partition_by, str) else list(partition_by)
+        # per-partition bucket counts from row shares of the measured
+        # bytes — a calendar/region-sized aggregate, broadcast back
+        sizes = df.groupBy(*cols).agg(F.count(F.lit(1)).alias("__rows"))
+        total_rows = df.count() or 1
+        bpr = total_bytes / total_rows
+        buckets = sizes.select(
+            *cols,
+            F.greatest(
+                F.lit(1),
+                F.ceil(F.col("__rows") * F.lit(bpr) / F.lit(target_file_bytes)),
+            )
+            .cast("int")
+            .alias("__buckets"),
+        )
+        salt = F.pmod(
+            F.xxhash64(*[F.col(c) for c in df.columns]), F.col("__buckets")
+        ).alias("__salt")
         (
-            df.repartition(n_files, *cols)
+            df.join(F.broadcast(buckets), cols)
+            .withColumn("__salt", salt)
+            .repartition(max(n_files, 1), *cols, F.col("__salt"))
+            .drop("__buckets", "__salt")
             .write.mode("overwrite")
             .partitionBy(*cols)
             .parquet(staging)
@@ -275,26 +303,53 @@ def compact_parquet(
     }
 
 
-def vacuum_artifacts(root: str) -> list[str]:
+def vacuum_artifacts(root: str, min_age_sec: float = 24 * 3600) -> list[str]:
     """Remove stale transactional leftovers under ``root``: the
     ``.staging`` / ``.compact_staging`` / ``.old`` sibling directories
     that an interrupted staged-swap writer (upsert_parquet,
     apply_cdc_parquet, compact_parquet, merge.publish) can leave
-    behind.  Safe by construction: these names are never a live table
-    — every writer treats them as scratch and re-creates them from
-    scratch — so deleting them cannot lose committed data (the swap
-    protocol guarantees the main directory is always a complete
-    version).  Returns the paths removed.
+    behind.  Returns the paths removed.
+
+    Two guards make this safe to run while writers are active (the
+    naive "delete anything ending in .staging/.old" is NOT — it can
+    race an in-flight swap between its two renames and delete the only
+    complete copy):
+
+    - **Liveness**: a suffix dir is only removed when its base path
+      (the name with the suffix stripped) exists as a live directory.
+      If the base is MISSING, the artifact may be the sole surviving
+      version of a swap that crashed between renames (e.g. a staged
+      IVM table carrying its committed batch meta — see
+      ``streaming.materialize._recover``) — left alone for the owning
+      writer's roll-forward.  This also stops the vacuum from touching
+      unrelated user directories that merely end in ``.old``.
+    - **Age**: only artifacts whose mtime is older than
+      ``min_age_sec`` (default 24 h) are removed, so a freshly-written
+      staging dir of an in-flight swap is never collected.  Pass ``0``
+      only when no writer can be running.
     """
     import shutil
+    import time
 
     suffixes = (".staging", ".compact_staging", ".old")
+    now = time.time()
     removed = []
     for dirpath, dirnames, _files in os.walk(root):
         for d in list(dirnames):
-            if d.endswith(suffixes):
-                full = os.path.join(dirpath, d)
-                shutil.rmtree(full, ignore_errors=True)
-                removed.append(full)
-                dirnames.remove(d)
+            full = os.path.join(dirpath, d)
+            suffix = next((s for s in suffixes if d.endswith(s)), None)
+            if suffix is None:
+                continue
+            dirnames.remove(d)  # never descend into artifacts
+            base = full[: -len(suffix)]
+            if not os.path.isdir(base):
+                continue  # possible sole-copy of an interrupted swap
+            try:
+                age = now - os.path.getmtime(full)
+            except OSError:
+                continue
+            if age < min_age_sec:
+                continue
+            shutil.rmtree(full, ignore_errors=True)
+            removed.append(full)
     return removed

@@ -12,8 +12,10 @@ an entity updated five times in one batch contributes a telescoping
 sum in which intermediate states cancel exactly (no last-change-per-key
 compaction pass needed, unlike the row-level apply).  Exactly-once on
 an at-least-once source comes from foreachBatch's deterministic batch
-ids: the last applied id is recorded in a sidecar next to the table and
-replayed batches are skipped, making the whole sink idempotent.
+ids: the last applied id is recorded in a ``_ivm_meta.json`` INSIDE the
+staged table directory before the atomic swap (so data and replay marker
+commit in one rename — no crash window where the fold is live but
+unrecorded), and replayed batches are skipped, making the sink idempotent.
 
 At scale this is the materialized-view answer to the reference's
 recompute-everything loop (orchestrator.js:22-121): the aggregate table
@@ -33,16 +35,69 @@ from pyspark.sql import DataFrame, SparkSession
 from beehive_spark.operators.ivm import cdc_to_retractions, incremental_agg
 
 
-def _meta_path(table_path: str) -> str:
+def _meta_file(table_path: str) -> str:
+    # INSIDE the table directory: leading "_" makes Spark's file index
+    # skip it, and it rides along in the directory rename, so "data
+    # swapped" and "batch id recorded" are one atomic os.replace.
+    return os.path.join(table_path, "_ivm_meta.json")
+
+
+def _legacy_meta_path(table_path: str) -> str:
     return table_path.rstrip("/") + ".ivm_meta.json"
 
 
+def _recover(table_path: str) -> None:
+    """Finish a swap interrupted between the two renames.
+
+    ``_commit_swap`` briefly has no live table (os.replace cannot swap
+    two directories atomically); if a crash lands there, the staged
+    directory — which already contains both the fresh data AND its
+    batch-id meta — is the complete committed state, so promoting it
+    is the unambiguous roll-forward."""
+    staging = table_path.rstrip("/") + ".staging"
+    if not os.path.exists(table_path) and os.path.exists(_meta_file(staging)):
+        os.replace(staging, table_path)
+
+
 def _last_applied(table_path: str) -> int:
-    try:
-        with open(_meta_path(table_path)) as f:
-            return json.load(f)["batch_id"]
-    except (OSError, ValueError, KeyError):
-        return -1
+    _recover(table_path)
+    for path in (_meta_file(table_path), _legacy_meta_path(table_path)):
+        try:
+            with open(path) as f:
+                return json.load(f)["batch_id"]
+        except (OSError, ValueError, KeyError):
+            continue
+    return -1
+
+
+def _commit_swap(fresh: DataFrame, table_path: str, batch_id: int) -> None:
+    """Atomically publish ``fresh`` as ``table_path`` with its batch id.
+
+    The batch-id meta is written (and fsynced) INTO the staging
+    directory BEFORE the swap, so the final os.replace commits data and
+    replay marker together: a replayed micro-batch after any crash
+    either sees the old table with the old id (recomputes — the batch
+    never committed) or the new table with the new id (skips).  The
+    double-fold window ADVICE.md flagged (meta written after the swap)
+    is gone — there is no state in which the new data is live without
+    its id."""
+    staging = table_path.rstrip("/") + ".staging"
+    backup = table_path.rstrip("/") + ".old"
+    shutil.rmtree(staging, ignore_errors=True)
+    fresh.write.mode("overwrite").parquet(staging)
+    with open(_meta_file(staging), "w") as f:
+        json.dump({"batch_id": batch_id}, f)
+        f.flush()
+        os.fsync(f.fileno())
+    shutil.rmtree(backup, ignore_errors=True)
+    os.replace(table_path, backup)
+    os.replace(staging, table_path)  # commit point
+    # the pre-swap table had its meta inside it, so nothing stale lingers
+    shutil.rmtree(backup, ignore_errors=True)
+    try:  # drop a legacy external sidecar if this table predates in-dir meta
+        os.remove(_legacy_meta_path(table_path))
+    except OSError:
+        pass
 
 
 def run_ivm_agg_stream(
@@ -77,16 +132,7 @@ def run_ivm_agg_stream(
         retr = cdc_to_retractions(batch_df, keys=keys, values=value_cols)
         base = spark.read.parquet(table_path)
         fresh = incremental_agg(base, retr, keys, sums, count_col=count_col)
-        staging = table_path.rstrip("/") + ".staging"
-        backup = table_path.rstrip("/") + ".old"
-        shutil.rmtree(staging, ignore_errors=True)
-        fresh.write.mode("overwrite").parquet(staging)
-        shutil.rmtree(backup, ignore_errors=True)
-        os.replace(table_path, backup)
-        os.replace(staging, table_path)
-        with open(_meta_path(table_path), "w") as f:
-            json.dump({"batch_id": batch_id}, f)
-        shutil.rmtree(backup, ignore_errors=True)
+        _commit_swap(fresh, table_path, batch_id)
 
     q = (
         changes.writeStream.outputMode("append")
@@ -199,16 +245,7 @@ def run_cdc_materialize_stream(
                 fresh = fresh.drop(out).join(
                     mm.select(*agg_keys, out), agg_keys, "left"
                 )
-        staging = agg_path.rstrip("/") + ".staging"
-        backup = agg_path.rstrip("/") + ".old"
-        shutil.rmtree(staging, ignore_errors=True)
-        fresh.write.mode("overwrite").parquet(staging)
-        shutil.rmtree(backup, ignore_errors=True)
-        os.replace(agg_path, backup)
-        os.replace(staging, agg_path)
-        with open(_meta_path(agg_path), "w") as f:
-            json.dump({"batch_id": batch_id}, f)
-        shutil.rmtree(backup, ignore_errors=True)
+        _commit_swap(fresh, agg_path, batch_id)
 
     q = (
         changes.writeStream.outputMode("append")

@@ -62,3 +62,37 @@ def test_backfill_retry_replaces_interrupted_partition(spark, sf_dir, tmp_path):
     want = sorted(map(tuple, _daily(e)
                   .select("day", "event_type", "n", "total").collect()))
     assert got == want
+
+
+def test_backfill_handles_escaped_partition_values(spark, tmp_path):
+    """Partition values Hive URL-escapes in directory names (spaces,
+    colons — every timestamp) must be detected as PRESENT on re-run
+    (round-2 ADVICE: raw str(value) was compared against the escaped
+    'col=va%20lue' dir name, so such partitions were rewritten every
+    run)."""
+    src = spark.createDataFrame(
+        [("us east", 1), ("us west", 2), ("eu:central", 3), ("plain", 4)],
+        "zone string, v int",
+    )
+    out = str(tmp_path / "zones")
+    ident = lambda df: df  # noqa: E731
+    r1 = backfill_partitions(spark, src, ident, out, "zone")
+    assert len(r1["missing"]) == 4
+    # the escaped values really did escape on disk
+    assert any("%" in d for d in os.listdir(out))
+    # re-run: nothing is missing — no perpetual rewrite
+    r2 = backfill_partitions(spark, src, ident, out, "zone")
+    assert r2 == {"missing": [], "written": 0}
+    # a genuinely new escaped value is the ONLY thing processed
+    src2 = src.union(
+        spark.createDataFrame([("ap south:2", 5)], "zone string, v int")
+    )
+    r3 = backfill_partitions(spark, src2, ident, out, "zone")
+    assert r3["missing"] == ["ap south:2"]
+    got = sorted(
+        (r["zone"], r["v"]) for r in spark.read.parquet(out).collect()
+    )
+    assert got == [
+        ("ap south:2", 5), ("eu:central", 3), ("plain", 4),
+        ("us east", 1), ("us west", 2),
+    ]

@@ -378,12 +378,65 @@ def test_compact_recovers_from_interrupted_run(spark, sf_dir, tmp_path):
         spark.read.parquet(path).agg(F.sum("o_orderkey").alias("s")).first()["s"]
         == checksum
     )
-    # fresh garbage, then vacuum: artifacts gone, table untouched
+    # fresh garbage, then vacuum: under the default age gate a
+    # just-written artifact is NOT collected (it could belong to an
+    # in-flight swap); with the gate waived it is
     os.makedirs(path + ".staging")
-    removed = vacuum_artifacts(str(tmp_path))
+    assert vacuum_artifacts(str(tmp_path)) == []
+    assert os.path.isdir(path + ".staging")
+    removed = vacuum_artifacts(str(tmp_path), min_age_sec=0)
     assert path + ".staging" in removed
     assert not os.path.isdir(path + ".staging")
     assert (
         spark.read.parquet(path).agg(F.sum("o_orderkey").alias("s")).first()["s"]
         == checksum
     )
+
+
+def test_vacuum_never_touches_orphan_staging_or_lookalike_dirs(tmp_path):
+    """An artifact whose base table is MISSING may be the sole complete
+    copy of a swap that crashed between renames — vacuum must leave it
+    for the owner's roll-forward.  A user directory that merely ends in
+    .old but has no base sibling is equally off-limits."""
+    from beehive_spark.sources.layout import vacuum_artifacts
+
+    orphan = tmp_path / "ivm_table.staging"
+    orphan.mkdir()
+    (orphan / "_ivm_meta.json").write_text('{"batch_id": 7}')
+    lookalike = tmp_path / "photos.old"
+    lookalike.mkdir()
+    (lookalike / "keep.txt").write_text("precious")
+    assert vacuum_artifacts(str(tmp_path), min_age_sec=0) == []
+    assert orphan.is_dir() and lookalike.is_dir()
+    assert (lookalike / "keep.txt").read_text() == "precious"
+
+
+def test_compact_partitioned_splits_oversized_partitions(spark, sf_dir, tmp_path):
+    """Per-partition salting: a partition whose bytes exceed the target
+    must come out as MULTIPLE files, not one monolith (the round-2
+    ADVICE finding: repartition on partition cols alone wrote exactly
+    one file per Hive partition regardless of size)."""
+    from beehive_spark.sources.layout import compact_parquet
+
+    path = str(tmp_path / "skewed")
+    load(spark, sf_dir, "orders").repartition(10).write.partitionBy(
+        "o_orderstatus"
+    ).parquet(path)
+    # tiny target so the dominant status partitions are "oversized"
+    compact_parquet(
+        spark, path, target_file_bytes=8 * 1024, partition_by="o_orderstatus"
+    )
+    per_part = {}
+    for d in os.listdir(path):
+        if d.startswith("o_orderstatus="):
+            per_part[d] = [
+                f
+                for f in os.listdir(os.path.join(path, d))
+                if f.endswith(".parquet")
+            ]
+    # the dominant partitions (O/F) must have split into several files
+    assert max(len(v) for v in per_part.values()) > 1
+    # and the data survives intact
+    assert spark.read.parquet(path).count() == load(
+        spark, sf_dir, "orders"
+    ).count()

@@ -458,3 +458,76 @@ def test_cdc_materialize_stream_rows_sums_and_max(spark, tmp_path):
         for r in spark.read.parquet(agg_path).collect()
     }
     assert agg == {"a": (1, 10.0, 10.0), "b": (1, 9.0, 9.0)}
+
+
+def test_ivm_commit_is_atomic_and_recovers_mid_swap(spark, tmp_path):
+    """The replay marker must commit WITH the data (round-2 ADVICE: a
+    crash between the directory swap and a trailing sidecar write let a
+    replayed batch fold its retractions twice).  The marker now rides
+    inside the staged directory, so (a) after a normal run it sits
+    inside the table and Spark's reader ignores it, and (b) a swap
+    interrupted between the two renames — no live table, complete
+    staging — rolls FORWARD, with the batch id intact so the replay is
+    skipped."""
+    import json
+    import os
+
+    from beehive_spark.streaming.materialize import (
+        _commit_swap,
+        _last_applied,
+        run_ivm_agg_stream,
+    )
+
+    feed_dir = tmp_path / "feed"
+    feed_dir.mkdir()
+    schema = (
+        "change_type string, g_old string, g_new string, "
+        "v_old bigint, v_new bigint"
+    )
+    spark.createDataFrame(
+        [("insert", None, "a", None, 10), ("insert", None, "b", None, 30)],
+        schema,
+    ).coalesce(1).write.parquet(str(feed_dir / "f1.parquet"))
+    table = str(tmp_path / "agg")
+    spark.createDataFrame(
+        [], "g string, n_rows bigint, sv bigint, sv_nn bigint"
+    ).write.parquet(table)
+    changes = spark.readStream.schema(schema).parquet(str(feed_dir) + "/*/")
+    run_ivm_agg_stream(
+        spark, changes, table, str(tmp_path / "ck"), keys=["g"], sums={"sv": "v"}
+    )
+    # (a) marker lives inside the table dir, reader ignores it
+    assert os.path.exists(os.path.join(table, "_ivm_meta.json"))
+    assert not os.path.exists(table + ".ivm_meta.json")
+    assert _last_applied(table) == 0
+    base = sorted(tuple(r) for r in spark.read.parquet(table).collect())
+    assert base == [("a", 1, 10, 1), ("b", 1, 30, 1)]
+
+    # (b) simulate the mid-swap crash: commit a new version but stop
+    # after the first rename (table moved away, staging not yet
+    # promoted) — exactly the window between materialize's two
+    # os.replace calls
+    fresh = spark.createDataFrame(
+        [("a", 2, 45, 2)], "g string, n_rows bigint, sv bigint, sv_nn bigint"
+    )
+    staging = table + ".staging"
+    fresh.write.parquet(staging)
+    with open(os.path.join(staging, "_ivm_meta.json"), "w") as f:
+        json.dump({"batch_id": 1}, f)
+    os.replace(table, table + ".old")
+    assert not os.path.exists(table)
+    # recovery (first touch of the table) rolls the swap forward
+    assert _last_applied(table) == 1
+    got = sorted(tuple(r) for r in spark.read.parquet(table).collect())
+    assert got == [("a", 2, 45, 2)]
+
+    # a replay of batch <= 1 is now a no-op even though the "crash"
+    # happened mid-swap
+    changes2 = spark.readStream.schema(schema).parquet(str(feed_dir) + "/*/")
+    run_ivm_agg_stream(
+        spark, changes2, table, str(tmp_path / "ck2"), keys=["g"], sums={"sv": "v"}
+    )
+    assert sorted(tuple(r) for r in spark.read.parquet(table).collect()) == got
+    # exercise _commit_swap directly once more on the recovered table
+    _commit_swap(fresh, table, 2)
+    assert _last_applied(table) == 2
