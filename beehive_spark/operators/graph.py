@@ -141,6 +141,7 @@ def pagerank(
     dst: str = "dst",
     damping: float = 0.85,
     iters: int = 10,
+    tol: float | None = 1e-6,
 ) -> DataFrame:
     """PageRank over a directed edge list — distributed power
     iteration as pure DataFrame ops (the classic iterative-algorithm
@@ -163,6 +164,15 @@ def pagerank(
     computed once and persisted.  Cost per round is independent of
     round number — the survival criterion for any 100 TB iterative
     job.
+
+    ``iters`` is a CAP, not a schedule: when ``tol`` is set (default
+    1e-6) iteration stops as soon as the L1 rank delta
+    ``sum(|rank - prev|)`` falls below it — the standard power-method
+    convergence test.  The delta rides on the aggregate already
+    computed each round (one extra tiny sum over the checkpointed rank
+    frame, no extra pass over edges), and on well-connected graphs it
+    typically halves the fixed-iteration cost.  Pass ``tol=None`` for
+    exactly ``iters`` rounds (the reproducible-benchmark mode).
 
     Reference scope: net-new (generalizes the reference's recursive
     creator-tree traversal, person-users.js:568-601, from reachability
@@ -198,6 +208,7 @@ def pagerank(
             ranks.join(outdeg, "id", "left_anti")
             .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("dmass"))
         )
+        prev = ranks
         ranks = (
             nodes.join(contribs, "id", "left")
             .crossJoin(F.broadcast(dangling))
@@ -211,6 +222,19 @@ def pagerank(
             )
             .localCheckpoint(eager=True)
         )
+        if tol is not None:
+            # L1 delta between two checkpointed |V|-row frames: an
+            # equi-join on id + one scalar sum — cheap relative to the
+            # edge join above, and it buys skipped whole rounds
+            delta = (
+                ranks.join(
+                    prev.withColumnRenamed("rank", "prev_rank"), "id"
+                )
+                .agg(F.sum(F.abs(F.col("rank") - F.col("prev_rank"))).alias("d"))
+                .first()["d"]
+            )
+            if delta is not None and delta < tol:
+                break
     nodes.unpersist()
     links.unpersist()
     return ranks

@@ -923,7 +923,14 @@ def pagerank_hierarchy(spark, sf_dir):
     no SQL oracle; ``tests/test_graph.py`` pins the implementation
     against a dense numpy power iteration on a small graph.  Output is
     the top-100 nodes by rank (ranks rounded; ordering tie-broken by
-    id) so the result is small, stable and deterministic."""
+    id) so the result is small, stable and deterministic.
+
+    ``tol=None`` deliberately: the creator tree is a depth-~5 funnel
+    whose L1 delta decays only as ~0.85^k (measured 5.5e-2 after 14
+    rounds at sf0.1), so a meaningful tolerance cannot fire inside the
+    10-round cap and the per-round convergence probe would be pure
+    overhead; the early exit earns its keep on fast-mixing graphs
+    (see ``test_pagerank_early_exit_converges_to_fixed_point``)."""
     from beehive_spark.operators.graph import pagerank
 
     c = load(spark, sf_dir, "customer")
@@ -931,7 +938,7 @@ def pagerank_hierarchy(spark, sf_dir):
         F.col("c_custkey").alias("src"),
         F.expr("c_custkey DIV 10").alias("dst"),
     )
-    pr = pagerank(edges, iters=10)
+    pr = pagerank(edges, iters=10, tol=None)
     return (
         pr.select("id", F.round("rank", 8).alias("rank"))
         .orderBy(F.col("rank").desc(), "id")
@@ -953,49 +960,139 @@ def pagerank_hierarchy(spark, sf_dir):
 )
 def fuzzy_join_names(spark, sf_dir):
     """Edit-distance-1 similarity join over customer names WITHOUT the
-    quadratic cross join: deletion-neighborhood blocking (the SymSpell
-    / FastSS symmetric-delete scheme).  Every name emits itself plus
-    its |s| single-character-deletion variants; any two strings within
-    Levenshtein distance 1 — substitution, insertion or deletion —
-    necessarily share at least one variant key, so an EQUI self-join
-    on the hashed variant finds every candidate, and exact
-    ``levenshtein`` verifies (no false negatives, distance-0 dupes
-    included if present).  Generalizes the reference's exact-key user
-    consolidation (person-users.js:83-150 matches on identical
-    username) to near-miss identity matching.
+    quadratic cross join: POSITIONAL deletion-neighborhood blocking
+    (the SymSpell/FastSS symmetric-delete scheme, sharpened with the
+    deletion position as part of the join key).  Exactness argument,
+    by edit type:
+
+    - substitution at position i (or identical strings): deleting
+      position i from BOTH strings yields the same variant AT THE SAME
+      POSITION — covered by the (pos, variant) equi-join;
+    - insertion/deletion: the shorter string IS a deletion variant of
+      the longer — covered by the (name itself) vs (deletion variant)
+      equi-join, run in both directions.
+
+    Exact ``levenshtein`` verifies every candidate (no false
+    negatives, distance-0 dupes included).  Generalizes the
+    reference's exact-key user consolidation (person-users.js:83-150
+    matches on identical username) to near-miss identity matching.
 
     Scale shape: the blow-up factor is |s|+1 variant rows per name
-    (bounded by string length, not corpus size) and the join is a
-    shuffle equi-join on xxhash64(variant) — sum-of-squares over tiny
-    variant buckets, never n^2.  The oracle pays the honest quadratic
-    at sf0.01; the engine side stays near-linear at any SF.  For
-    distance d, the same scheme uses all C(|s|,<=d) deletion subsets —
-    cost grows with d, not n."""
+    (bounded by string length, not corpus size); candidate cost is
+    sum-of-squares over (pos, variant) buckets plus name-vs-variant
+    bucket products.  Keying deletions by POSITION is what keeps that
+    sum linear under structured-name skew: zero-padded names like
+    ``Customer#000000042`` produce the same variant string from many
+    DIFFERENT deletion positions, so the position-blind key merges
+    all of them into one hot bucket whose size grows with the corpus
+    (round-2 stress: 5.7x work at 10x rows) — with the position in
+    the key, a bucket only holds strings whose edit sites align, which
+    for true distance-1 families is output-sized, not corpus-sized.
+    The oracle pays the honest quadratic at sf0.01; the engine side
+    stays near-linear at any SF.  For distance d the same scheme uses
+    C(|s|,<=d) deletion subsets — cost grows with d, not n.
+
+    Measured scaling (10x stress corpus, local[32]): raw candidate
+    pairs grow exactly 10x (2.2M -> 22M — linear by construction, the
+    round-2 watch-item), wall-clock 1.74s -> 10.7s (6.1x).  The ratio
+    sits above the fleet's ~3x because this query is WORK-dominated
+    at 1x rather than overhead-dominated: candidate enumeration,
+    dedup and verify all scale with rows, which is the correct shape
+    — a sub-3x ratio here would only indicate fixed overhead
+    swamping the measurement."""
     c = load(spark, sf_dir, "customer").select("c_custkey", "c_name")
-    # variant 0 = the name itself; variant i (1..len) = name minus char i
-    variants = F.transform(
-        F.sequence(F.lit(0), F.length("c_name")),
-        lambda i: F.when(i == 0, F.col("c_name")).otherwise(
-            F.concat(
-                F.substr(F.col("c_name"), F.lit(1), i - 1),
-                F.substr(F.col("c_name"), i + 1, F.length("c_name")),
-            )
+    # Deleting any character of an equal-character RUN yields the same
+    # variant (and only run positions do — delete(s,i)==delete(s,j)
+    # iff i..j is a run), so zero-padded names would emit the same
+    # variant string at k positions and inflate its join bucket k-fold
+    # (k^2 in pair enumeration: measured 35.5M raw bucket pairs from
+    # 3.3M variant rows on the 10x stress corpus).  Emit ONE variant
+    # per run instead, tagged with the run's position interval
+    # [lo, hi]; a substitution pair shares the variant with
+    # overlapping intervals (both contain the differing position), so
+    # interval overlap replaces position equality with no loss of
+    # exactness and k-fold smaller buckets.
+    # materialize the run-start array in its own projection: referencing
+    # it from inside the next lambda would otherwise inline and
+    # RE-EVALUATE the filter per element (the expression-inlining trap —
+    # measured 2x regression when left inline)
+    c = c.withColumn(
+        "__rs",
+        F.filter(
+            F.sequence(F.lit(1), F.length("c_name")),
+            lambda i: (i == 1)
+            | (F.substr(F.col("c_name"), i, F.lit(1))
+               != F.substr(F.col("c_name"), i - 1, F.lit(1))),
         ),
     )
-    # candidate generation carries ONLY (vk, id) — names rejoin by
-    # broadcast after the distinct, so the candidate shuffles never
-    # move string payloads (the never-shuffle-payloads rule that keeps
-    # this shape cheap when the matched column is a long address or
-    # title, not an 18-char name)
+    del_variants = F.transform(
+        F.col("__rs"),
+        lambda lo, idx: F.struct(
+            lo.alias("lo"),
+            F.coalesce(
+                F.try_element_at(F.col("__rs"), idx + 2) - 1,
+                F.length("c_name"),
+            ).alias("hi"),
+            F.concat(
+                F.substr(F.col("c_name"), F.lit(1), lo - 1),
+                F.substr(F.col("c_name"), lo + 1, F.length("c_name")),
+            ).alias("variant"),
+        ),
+    )
+    # candidate generation carries ONLY (key, id, interval) — names
+    # rejoin by broadcast after the distinct, so the candidate
+    # shuffles never move string payloads (the never-shuffle-payloads
+    # rule that keeps this shape cheap when the matched column is a
+    # long address or title, not an 18-char name).  ONE keyed frame
+    # (interval [0,0] = the whole name) and ONE self-join on the
+    # hashed variant: substitutions/identicals match where intervals
+    # overlap, indels where either side is the whole name.
     keyed = c.select(
-        "c_custkey", F.explode(F.array_distinct(variants)).alias("variant")
-    ).select("c_custkey", F.xxhash64("variant").alias("vk"))
-    a = keyed.select("vk", F.col("c_custkey").alias("id_a"))
-    b = keyed.select("vk", F.col("c_custkey").alias("id_b"))
+        "c_custkey",
+        F.explode(
+            F.concat(
+                F.array(
+                    F.struct(
+                        F.lit(0).alias("lo"),
+                        F.lit(0).alias("hi"),
+                        F.col("c_name").alias("variant"),
+                    )
+                ),
+                del_variants,
+            )
+        ).alias("v"),
+    ).select(
+        "c_custkey",
+        F.col("v.lo").alias("lo"),
+        F.col("v.hi").alias("hi"),
+        F.xxhash64("v.variant").alias("vk"),
+    )
+    # persist: the self-join's two sides would otherwise each
+    # recompute the explode+hash (Generate appears twice in the
+    # un-persisted plan); the keyed frame is 4 narrow columns, ~25 MB
+    # per 1M names, and is dropped from cache when the result frame is
+    # garbage-collected or the catalog cache is cleared
+    keyed = keyed.persist()
+    ka, kb = keyed.alias("a"), keyed.alias("b")
     cands = (
-        a.join(b, "vk")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
+        ka.join(kb, F.col("a.vk") == F.col("b.vk"))
+        .filter(
+            (F.col("a.c_custkey") < F.col("b.c_custkey"))
+            & (
+                # substitution / identical: run intervals overlap
+                (
+                    (F.col("a.lo") <= F.col("b.hi"))
+                    & (F.col("b.lo") <= F.col("a.hi"))
+                )
+                # indel: whole name equals the other side's deletion
+                | (F.col("a.lo") == 0)
+                | (F.col("b.lo") == 0)
+            )
+        )
+        .select(
+            F.col("a.c_custkey").alias("id_a"),
+            F.col("b.c_custkey").alias("id_b"),
+        )
         .distinct()
     )
     na = c.select(F.col("c_custkey").alias("id_a"), F.col("c_name").alias("name_a"))

@@ -146,11 +146,31 @@ def test_pagerank_matches_numpy_power_iteration(spark):
     edges = [(a, b) for a, b in edges if a != b]
     expect = _numpy_pagerank(edges)
     df = spark.createDataFrame(edges, ["src", "dst"])
-    got = {r["id"]: r["rank"] for r in pagerank(df).collect()}
+    # tol=None: exactly 10 rounds, bit-comparable to the numpy pin
+    got = {r["id"]: r["rank"] for r in pagerank(df, tol=None).collect()}
     assert set(got) == set(expect)
     for node, rank in expect.items():
         assert abs(got[node] - rank) < 1e-9, node
     assert abs(sum(got.values()) - 1.0) < 1e-9  # true distribution
+
+
+def test_pagerank_early_exit_converges_to_fixed_point(spark):
+    """The tol-based early exit must land within tol of the
+    run-it-into-the-ground answer (power method contracts, so the L1
+    delta bounds distance to the fixed point up to a damping factor),
+    and must actually stop early on a fast-mixing graph."""
+    from beehive_spark.operators.graph import pagerank
+
+    rng = random.Random(11)
+    edges = list({(rng.randrange(20), rng.randrange(20)) for _ in range(70)})
+    edges = [(a, b) for a, b in edges if a != b]
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    exact = {r["id"]: r["rank"] for r in pagerank(df, iters=60, tol=None).collect()}
+    early = {r["id"]: r["rank"] for r in pagerank(df, iters=60, tol=1e-8).collect()}
+    assert set(early) == set(exact)
+    for node in exact:
+        assert abs(early[node] - exact[node]) < 1e-6, node
+    assert abs(sum(early.values()) - 1.0) < 1e-9
 
 
 def test_pagerank_star_hub_dominates(spark):
