@@ -94,7 +94,9 @@ _PRIORITY = [
     "bpe_encode", "dedup_semantic", "pagerank_hierarchy",
     "similarity_ann_pq", "sketch_uniques_rollup",
     # --- changed or added in round 3 (appended below as they land)
-    "fuzzy_join_names",            # r3: length-bucket + df-cap candidate bound
+    "fuzzy_join_names",            # r3: interval-keyed single-join candidates
+    "ann_index_build",             # r3 new: persisted IVF index (manifest)
+    "ann_index_probe",             # r3 new: probe persisted index, no retrain
 ]
 _PRIORITY_R2 = [
     # TPC-H q4 + q6-q22: oracle-unchecked in round 1 — VERDICT.md top

@@ -92,6 +92,9 @@ EXTRA = [
     "dq_orders_audit",
     "trimmed_mean_prices",
     "weekly_revenue_wow",
+    # round-3 additions
+    "ann_index_build",
+    "ann_index_probe",
 ]
 
 

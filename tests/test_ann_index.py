@@ -1,0 +1,188 @@
+"""Persistent ANN index lifecycle (`operators.ann_index`): build once,
+probe many, append increments — plus the equivalence guarantee that the
+persisted path computes exactly what the in-query path computes."""
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from beehive_spark.operators.ann_index import (
+    META_NAME,
+    append_ivf_index,
+    build_ivf_index,
+    build_pq_index,
+    probe_ivf_index,
+    probe_pq_index,
+    read_meta,
+)
+from beehive_spark.queries import load
+
+
+def _corpus(spark, sf_dir):
+    e = load(spark, sf_dir, "embeddings")
+    return e.select("vec_id", "embedding").filter(F.col("vec_id") >= 10)
+
+
+def _queries(spark, sf_dir):
+    e = load(spark, sf_dir, "embeddings")
+    return e.select("vec_id", "embedding").filter(F.col("vec_id") < 10)
+
+
+@pytest.fixture(scope="module")
+def ivf_index(spark, sf_dir, tmp_path_factory):
+    idx = str(tmp_path_factory.mktemp("ann") / "ivf")
+    meta = build_ivf_index(spark, _corpus(spark, sf_dir), idx, k=16, replicas=3)
+    return idx, meta
+
+
+def test_build_persists_codebook_lists_and_meta(spark, sf_dir, ivf_index):
+    idx, meta = ivf_index
+    n = _corpus(spark, sf_dir).count()
+    assert meta["n_vectors"] == n and meta["kind"] == "ivf"
+    assert read_meta(idx) == meta
+    cb = spark.read.parquet(os.path.join(idx, "codebook.parquet"))
+    assert cb.count() == meta["k"]
+    lists = spark.read.parquet(os.path.join(idx, "assignments.parquet"))
+    # multi-assignment: replicas entries per vector
+    assert lists.count() == n * meta["replicas"]
+    # hive-partitioned by list id
+    parts = [d for d in os.listdir(os.path.join(idx, "assignments.parquet"))
+             if d.startswith("centroid_id=")]
+    assert len(parts) == meta["k"]
+    # no swap artifacts left behind
+    assert not os.path.exists(idx + ".staging")
+    assert not os.path.exists(idx + ".old")
+
+
+def test_probe_matches_in_query_ivf_exactly(spark, sf_dir, ivf_index):
+    """Same trainer, same hyper-parameters => the persisted-index probe
+    must return row-identical results to the self-contained
+    similarity_ann_ivf query (shared implementation, different
+    lifecycle).  This transfers the measured recall (0.96 @ sf0.1,
+    scripts/measure_ivf_recall.py) to the index path for free."""
+    from beehive_spark.queries.llm import similarity_ann_ivf
+
+    idx, _ = ivf_index
+    got = sorted(
+        tuple(r)
+        for r in probe_ivf_index(
+            spark, idx, _queries(spark, sf_dir), nprobe=6, k=5
+        ).collect()
+    )
+    want = sorted(
+        tuple(r)
+        for r in similarity_ann_ivf(
+            spark, sf_dir, nprobe=6, k=16, replicas=3
+        ).collect()
+    )
+    assert got == want and len(got) > 0
+
+
+def test_probe_prunes_to_probed_list_partitions(spark, sf_dir, ivf_index):
+    """The probe plan must show dynamic pruning/filter on centroid_id
+    rather than a full assignments scan — nprobe/k bytes read is the
+    entire point of a persisted IVF layout."""
+    idx, meta = ivf_index
+    df = probe_ivf_index(spark, idx, _queries(spark, sf_dir), nprobe=2, k=5)
+    df.write.format("noop").mode("overwrite").save()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # partition column reaches the scan as a join-key filter: the scan
+    # node must carry centroid_id as a partition filter (static or
+    # dynamic/runtime) — a bare full scan would show none
+    scan = next(
+        ln for ln in plan.splitlines()
+        if "assignments.parquet" in ln and "Scan" in ln
+    )
+    assert "PartitionFilters: [" in scan
+    assert "dynamicpruning" in scan or "centroid_id" in scan.split(
+        "PartitionFilters"
+    )[1]
+
+
+def test_append_extends_index_without_retraining(spark, sf_dir, tmp_path):
+    idx = str(tmp_path / "ivf")
+    corpus = _corpus(spark, sf_dir)
+    # build on a PREFIX of the corpus, append the rest
+    cutoff = corpus.agg(F.expr("percentile(vec_id, 0.7)").alias("c")).first()["c"]
+    head = corpus.filter(F.col("vec_id") <= cutoff)
+    tail = corpus.filter(F.col("vec_id") > cutoff)
+    build_ivf_index(spark, head, idx, k=8, replicas=2)
+    cb_before = spark.read.parquet(os.path.join(idx, "codebook.parquet")).collect()
+    meta = append_ivf_index(spark, idx, tail)
+    assert meta["n_vectors"] == corpus.count()
+    # codebook frozen by contract
+    cb_after = spark.read.parquet(os.path.join(idx, "codebook.parquet")).collect()
+    assert sorted(map(tuple, cb_before)) == sorted(map(tuple, cb_after))
+    # every appended vector is findable: probe FOR an appended vector's
+    # own embedding must return it as its top neighbor (cosine 1.0)
+    probe_vec = tail.orderBy(F.col("vec_id").desc()).limit(1)
+    got = probe_ivf_index(spark, idx, probe_vec, nprobe=2, k=1).collect()
+    assert len(got) == 1
+    assert got[0]["neighbor_id"] == probe_vec.first()["vec_id"]
+    assert got[0]["cosine"] == 1.0
+
+
+def test_build_swap_is_atomic_over_existing_index(spark, sf_dir, tmp_path):
+    """Rebuilding over a live index must leave either the old or the
+    new artifact — and a rebuild with different k really replaces it."""
+    idx = str(tmp_path / "ivf")
+    corpus = _corpus(spark, sf_dir)
+    build_ivf_index(spark, corpus, idx, k=4, replicas=1)
+    assert read_meta(idx)["k"] == 4
+    build_ivf_index(spark, corpus, idx, k=8, replicas=1)
+    assert read_meta(idx)["k"] == 8
+    assert spark.read.parquet(os.path.join(idx, "codebook.parquet")).count() == 8
+    assert not os.path.exists(idx + ".old")
+
+
+def test_pq_index_build_probe_matches_in_query(spark, sf_dir, tmp_path):
+    from beehive_spark.queries.llm import similarity_ann_pq
+
+    idx = str(tmp_path / "pq")
+    meta = build_pq_index(spark, _corpus(spark, sf_dir), idx, m=8, ksub=32)
+    assert meta["kind"] == "pq" and meta["m"] == 8
+    # codes are m small ints per vector
+    enc = spark.read.parquet(os.path.join(idx, "codes.parquet"))
+    row = enc.first()
+    assert len(row["codes"]) == 8 and all(0 <= c < 32 for c in row["codes"])
+    got = sorted(
+        tuple(r)
+        for r in probe_pq_index(
+            spark, idx, _queries(spark, sf_dir), refine=96, k=5
+        ).collect()
+    )
+    want = sorted(
+        tuple(r)
+        for r in similarity_ann_pq(
+            spark, sf_dir, m=8, ksub=32, refine=96, k=5
+        ).collect()
+    )
+    assert got == want and len(got) > 0
+
+
+def test_registered_build_and_probe_queries(spark, sf_dir):
+    """The registry entries wire the lifecycle: build emits a per-list
+    manifest, probe answers from the artifact."""
+    from beehive_spark.queries import all_queries
+
+    qs = all_queries()
+    manifest = qs["ann_index_build"](spark, sf_dir).collect()
+    n = _corpus(spark, sf_dir).count()
+    assert sum(r["n_vectors"] for r in manifest) == n * 3  # replicas=3
+    assert len(manifest) == 16
+    res = qs["ann_index_probe"](spark, sf_dir).collect()
+    assert len(res) == _queries(spark, sf_dir).count() * 5
+    # idempotent rebuild leaves a loadable meta
+    idx_meta = json.load(
+        open(
+            os.path.join(
+                __import__("beehive_spark.queries.llm", fromlist=["x"])._ann_index_dir(
+                    sf_dir, "ivf"
+                ),
+                META_NAME,
+            )
+        )
+    )
+    assert idx_meta["kind"] == "ivf"
