@@ -3,9 +3,14 @@
 Design: media are opaque ``binary`` columns with a typed metadata
 struct alongside (modality, mime, width/height/duration, source).
 All Spark-side machinery — schema, partition sizing, Arrow-batched
-mapInPandas signatures, feature schemas — is real and tested here;
-only the codec step is stubbed, because media libraries (PIL,
-ffmpeg, torchaudio) are not in this container.
+mapInPandas signatures, feature schemas — is real and tested here.
+The codec layer has three tiers: Pillow when installed (any format),
+a vendored pure-Python PNG codec otherwise (``functions/png.py`` —
+so the ``use_real_decoder=True`` path EXECUTES on real pixels even in
+codec-less containers like this one), and NotImplementedError only
+for non-PNG formats without Pillow.  Resampling and grayscale math
+run in numpy on the decoded array regardless of decode backend, so
+resize/ahash results are backend-independent for PNG inputs.
 
 At 100 TB: media bytes dominate row size, so operators below
 repartition by byte budget (`target_partition_bytes`) before any
@@ -53,44 +58,72 @@ _FEATURE_SCHEMA = T.StructType(
 )
 
 
-try:  # optional extra: real image codec when Pillow is installed
+try:  # optional extra: full-format image codec when Pillow is installed
     from PIL import Image as _PILImage
 
     HAS_PIL = True
-except ImportError:  # container default: deterministic fakes only
+except ImportError:  # container default: vendored PNG codec only
     _PILImage = None
     HAS_PIL = False
 
 
-def _decode_real(content: bytes, meta) -> bytes:
-    """Decode image bytes to raw RGB via Pillow when installed.
+def _decode_rgb_array(content: bytes):
+    """Decode image bytes to an (h, w, 3) uint8 numpy array.
 
-    ``use_real_decoder=True`` is an explicit request for real pixels,
-    so without the library this raises instead of silently faking;
-    callers that can run either way should branch on ``HAS_PIL``.
-    """
-    if not HAS_PIL:  # pragma: no cover - exercised only without Pillow
+    Pillow handles any format it knows; without it, the vendored
+    pure-Python PNG codec (``functions/png.py``) decodes PNG — so
+    ``use_real_decoder=True`` runs on REAL pixels in codec-less
+    containers.  Non-PNG bytes without Pillow raise
+    NotImplementedError (an explicit request for real pixels must not
+    silently fake)."""
+    import numpy as np
+
+    if HAS_PIL:
+        import io
+
+        with _PILImage.open(io.BytesIO(content)) as img:
+            rgb = img.convert("RGB")
+            return np.asarray(rgb, dtype=np.uint8).reshape(
+                rgb.size[1], rgb.size[0], 3
+            )
+    from beehive_spark.functions.png import decode_png
+
+    try:
+        px = decode_png(content)
+    except ValueError as e:
         raise NotImplementedError(
-            "media decoding requires Pillow, which is not installed; "
-            "pip install Pillow enables the use_real_decoder=True path"
-        )
-    import io
+            f"cannot decode media without Pillow ({e}); the vendored "
+            "codec handles 8-bit non-interlaced PNG only — pip install "
+            "Pillow for other formats"
+        ) from e
+    ch = px.shape[2]
+    if ch == 1:  # grayscale -> replicate
+        return np.repeat(px, 3, axis=2)
+    if ch == 2:  # gray+alpha -> replicate luma, drop alpha
+        return np.repeat(px[:, :, :1], 3, axis=2)
+    return px[:, :, :3]  # RGB / RGBA (alpha dropped, as PIL convert does)
 
-    with _PILImage.open(io.BytesIO(content)) as img:
-        return img.convert("RGB").tobytes()
+
+def _decode_real(content: bytes, meta) -> bytes:
+    """Decode image bytes to raw RGB (Pillow or vendored PNG codec —
+    see `_decode_rgb_array`)."""
+    return _decode_rgb_array(content).tobytes()
 
 
 def _resize_real(content: bytes, width: int, height: int) -> bytes:
-    """Real image resample to (width, height) raw RGB via Pillow."""
-    if not HAS_PIL:  # pragma: no cover - exercised only without Pillow
-        raise NotImplementedError(
-            "image resizing requires Pillow, which is not installed; "
-            "pip install Pillow enables the use_real_decoder=True path"
-        )
-    import io
+    """Real image resample to (width, height) raw RGB.
 
-    with _PILImage.open(io.BytesIO(content)) as img:
-        return img.convert("RGB").resize((width, height)).tobytes()
+    Decode goes through `_decode_rgb_array`; the resample itself is
+    nearest-neighbor in numpy REGARDLESS of backend, so outputs are
+    bit-identical with and without Pillow for PNG inputs (Pillow's own
+    resize defaults to bicubic — deliberately not used)."""
+    import numpy as np
+
+    px = _decode_rgb_array(content)
+    h, w = px.shape[:2]
+    ys = np.minimum((np.arange(height) * h) // height, h - 1)
+    xs = np.minimum((np.arange(width) * w) // width, w - 1)
+    return px[ys][:, xs].tobytes()
 
 
 def _feature_fake(content: bytes) -> list[float]:
@@ -282,20 +315,35 @@ _PHASH_SCHEMA = T.StructType(
 )
 
 
-def _ahash_real(content: bytes) -> int:  # pragma: no cover - needs Pillow
-    """Classic 64-bit average hash: decode, resize to 8x8 grayscale,
+def _ahash_real(content: bytes) -> int:
+    """Classic 64-bit average hash: decode, reduce to 8x8 grayscale,
     bit = pixel >= mean.  Near-identical images (recompression, small
-    edits) land within a few bits of each other."""
-    import io
+    edits) land within a few bits of each other.
 
-    img = _PILImage.open(io.BytesIO(content)).convert("L").resize((8, 8))
-    px = list(img.getdata())
-    mean = sum(px) / 64.0
-    h = 0
-    for i, p in enumerate(px):
-        if p >= mean:
-            h |= 1 << i
-    return h - (1 << 64) if h >= 1 << 63 else h
+    Decode via `_decode_rgb_array` (Pillow or vendored PNG codec); the
+    luma (ITU-R 601) + 8x8 block-mean reduction runs in numpy either
+    way, so the hash is backend-independent for PNG inputs."""
+    import numpy as np
+
+    px = _decode_rgb_array(content).astype(np.float64)
+    luma = px[:, :, 0] * 0.299 + px[:, :, 1] * 0.587 + px[:, :, 2] * 0.114
+    h, w = luma.shape
+    # 8x8 block means over nearest-partition cells (handles h,w < 8 by
+    # index clamping, same convention as the resize)
+    ys = np.minimum((np.arange(9) * h) // 8, h)
+    xs = np.minimum((np.arange(9) * w) // 8, w)
+    cells = np.empty((8, 8))
+    for i in range(8):
+        for j in range(8):
+            block = luma[ys[i]: max(ys[i + 1], ys[i] + 1),
+                         xs[j]: max(xs[j + 1], xs[j] + 1)]
+            cells[i, j] = block.mean()
+    bits = (cells >= cells.mean()).reshape(-1)
+    out = 0
+    for i, b in enumerate(bits):
+        if b:
+            out |= 1 << i
+    return out - (1 << 64) if out >= 1 << 63 else out
 
 
 def perceptual_hash(

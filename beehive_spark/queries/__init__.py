@@ -97,6 +97,7 @@ _PRIORITY = [
     "fuzzy_join_names",            # r3: interval-keyed single-join candidates
     "ann_index_build",             # r3 new: persisted IVF index (manifest)
     "ann_index_probe",             # r3 new: probe persisted index, no retrain
+    "media_phash_dedup",           # r3 new: real-pixel PNG decode + ahash LSH
 ]
 _PRIORITY_R2 = [
     # TPC-H q4 + q6-q22: oracle-unchecked in round 1 — VERDICT.md top
@@ -195,6 +196,7 @@ def _ensure_loaded() -> None:
         from beehive_spark.queries import core  # noqa: F401
         from beehive_spark.queries import curation  # noqa: F401
         from beehive_spark.queries import llm  # noqa: F401
+        from beehive_spark.queries import media  # noqa: F401
         from beehive_spark.queries import relational  # noqa: F401
         from beehive_spark.queries import tpch  # noqa: F401
 

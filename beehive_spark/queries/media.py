@@ -1,0 +1,125 @@
+"""Multimodal queries — real-pixel media dedup over synthesized PNGs.
+
+The multimodal layer's plumbing has always been tested
+(``tests/test_sources_multimodal.py``); this module puts the REAL
+codec path under the DRIVER's differential check as well: PNG images
+are synthesized deterministically from the documents table (vendored
+``functions/png.py`` encoder inside an Arrow-batched stage), decoded
+back to pixels by the same codec tier, average-hashed, and
+near-dup-joined — so a driver-green row certifies the whole
+pixels-in/pixels-out loop, not just schema plumbing.
+
+Reference scope: net-new (the reference is relational-only); the
+operators generalize its consolidation queries (person-users.js) to
+media identity.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from beehive_spark.queries import load, query
+
+_IMG_W = _IMG_H = 16
+
+_PNG_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("payload", T.BinaryType()),
+    ]
+)
+
+
+def synth_png_media(docs, dup_every: int = 5, dup_offset: int = 1_000_000):
+    """Deterministic PNG corpus from (doc_id, text): each doc renders
+    a 16x16 RGB pattern tiled from md5(doc_id || text) — unique per
+    doc even if texts repeat — and every ``dup_every``-th doc is
+    planted again VERBATIM under ``doc_id + dup_offset``, giving
+    ground-truth duplicate pairs with byte-identical payloads.
+
+    Synthesis runs in an Arrow-batched mapInPandas stage (the same
+    shape a real render/transcode stage has); the encoder is the
+    vendored pure-Python PNG writer, so the downstream decode
+    exercises a real compressed format, not raw bytes."""
+    import numpy as np
+    import pandas as pd
+
+    from beehive_spark.functions.png import encode_png
+
+    def render(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            ids, payloads = [], []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                seed = hashlib.md5(f"{doc_id}|{text}".encode()).digest()
+                # full-entropy 2D noise from a seeded PRNG — a tiled
+                # digest would repeat with the row stride and collapse
+                # the ahash to a few effective bits (measured: 1.6k
+                # chance pairs at 500 docs)
+                rng = np.random.default_rng(int.from_bytes(seed[:8], "big"))
+                px = rng.integers(
+                    0, 256, size=(_IMG_H, _IMG_W, 3), dtype=np.uint8
+                )
+                png = encode_png(px)
+                ids.append(int(doc_id))
+                payloads.append(png)
+                if doc_id % dup_every == 0:
+                    ids.append(int(doc_id) + dup_offset)
+                    payloads.append(png)
+            yield pd.DataFrame({"media_id": ids, "payload": payloads})
+
+    return docs.select("doc_id", "text").mapInPandas(render, schema=_PNG_SCHEMA)
+
+
+@query(
+    "media_phash_dedup",
+    oracle="""
+    SELECT doc_id AS id_i,
+           doc_id + 1000000 AS id_j,
+           0 AS hamming
+    FROM documents
+    WHERE doc_id % 5 = 0
+    ORDER BY id_i
+    """,
+)
+def media_phash_dedup(spark, sf_dir):
+    """Real-pixel media near-dup detection, driver-hash-checked end to
+    end: synthesize a PNG per document (+ byte-identical planted
+    copies of every 5th), decode with the REAL codec tier
+    (``use_real_decoder=True`` — vendored PNG codec in this container,
+    Pillow elsewhere), average-hash the pixels, and pair via the
+    4-block pigeonhole LSH join (``phash_dedup``, hamming <= 3).
+
+    The oracle is exact because the planted copies are byte-identical
+    (decode -> luma -> ahash is deterministic, so hamming is exactly
+    0) while distinct docs' patterns are md5-tiled noise whose ahash
+    pairs sit ~32 bits apart — the probability of a chance <=3-bit
+    pair among 500 docs is ~1e-9.  A wrong decode, a non-deterministic
+    hash, or a broken LSH join all break the hash match.
+
+    Scale shape: synthesis and hashing are Arrow-batched map stages
+    (payloads never shuffle); the dedup join shuffles 8-byte hashes on
+    (block, value) keys — `functions/multimodal.py:phash_dedup`."""
+    from beehive_spark.functions.multimodal import (
+        perceptual_hash,
+        phash_dedup,
+        wrap_as_media,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    media = wrap_as_media(
+        synth_png_media(docs), "media_id", "payload", modality="image"
+    )
+    hashes = perceptual_hash(media, use_real_decoder=True)
+    return (
+        phash_dedup(hashes, max_hamming=3)
+        .select(
+            F.col("id_i").cast("long").alias("id_i"),
+            F.col("id_j").cast("long").alias("id_j"),
+            F.col("hamming").cast("int").alias("hamming"),
+        )
+        .orderBy("id_i")
+    )

@@ -95,6 +95,7 @@ EXTRA = [
     # round-3 additions
     "ann_index_build",
     "ann_index_probe",
+    "media_phash_dedup",
 ]
 
 

@@ -118,6 +118,7 @@ EXTRA = [
     # round-3 additions (ann_index_build excluded: artifact write runs
     # eagerly; its manifest plan is one grouped count over the index)
     "ann_index_probe",
+    "media_phash_dedup",
 ]
 
 

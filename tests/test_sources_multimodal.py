@@ -147,39 +147,88 @@ def test_sample_frames_fans_out_bounded(spark, sf_dir):
         assert sorted(v) == [(0, 0), (1, 1000), (2, 2000)]
 
 
-# -- optional real codec (Pillow) --------------------------------------
-# Exercised for real when Pillow is installed; skipped cleanly in the
-# codec-less container, where the explicit-request error is pinned
-# instead.
+# -- real codec tier ----------------------------------------------------
+# Pillow when installed, the vendored pure-Python PNG codec otherwise
+# (functions/png.py) — the real-pixel path runs EITHER WAY; only
+# non-PNG formats without Pillow raise.
 
-def test_decode_real_raises_cleanly_without_pillow():
+def _png_bytes(w, h, value=None, seed=0):
+    import numpy as np
+
+    from beehive_spark.functions.png import encode_png
+
+    if value is not None:
+        px = np.full((h, w, 3), value, dtype=np.uint8)
+    else:
+        px = np.random.default_rng(seed).integers(
+            0, 256, size=(h, w, 3), dtype=np.uint8
+        )
+    return encode_png(px)
+
+
+def test_non_png_without_pillow_raises_cleanly():
     from beehive_spark.functions import multimodal as mm
 
     if mm.HAS_PIL:
-        pytest.skip("Pillow installed - covered by the roundtrip test")
-    with pytest.raises(NotImplementedError, match="Pillow"):
-        mm._decode_real(b"\x00", None)
-    with pytest.raises(NotImplementedError, match="Pillow"):
-        mm._resize_real(b"\x00", 2, 2)
+        pytest.skip("Pillow installed - it may handle arbitrary formats")
+    with pytest.raises(NotImplementedError, match="PNG"):
+        mm._decode_real(b"\x00not-an-image", None)
+    with pytest.raises(NotImplementedError, match="PNG"):
+        mm._resize_real(b"\x00not-an-image", 2, 2)
 
 
-def test_real_decoder_roundtrip_when_pillow_present(spark):
-    from beehive_spark.functions import multimodal as mm
-
-    if not mm.HAS_PIL:
-        pytest.skip("Pillow not installed - real codec path unavailable")
-    import io
-
-    from PIL import Image
-
-    buf = io.BytesIO()
-    Image.new("RGB", (6, 3), (10, 20, 30)).save(buf, "PNG")
-    df = spark.createDataFrame([(1, buf.getvalue())], "media_id long, payload binary")
+def test_real_decoder_roundtrip_on_png(spark):
+    """The use_real_decoder=True path decodes REAL compressed pixels in
+    every environment (vendored codec here; Pillow-backed elsewhere)."""
+    df = spark.createDataFrame(
+        [(1, _png_bytes(6, 3, value=17))], "media_id long, payload binary"
+    )
     media = wrap_as_media(df, "media_id", "payload")
     resized = resize_images(media, 4, 2, use_real_decoder=True).collect()
-    assert len(resized[0]["content"]) == 4 * 2 * 3  # raw RGB bytes
+    assert resized[0]["content"] == bytes([17]) * (4 * 2 * 3)  # true resample
     feats = extract_features(media, use_real_decoder=True).collect()
     assert feats[0]["n_bytes"] == 6 * 3 * 3  # decoded raw RGB length
+
+
+def test_real_ahash_invariance_and_discrimination(spark):
+    """Real-pixel average hash: byte-identical images collide exactly;
+    a constant brightness shift leaves the hash unchanged (ahash
+    thresholds against the image's own mean); independent noise images
+    sit far apart."""
+    import numpy as np
+
+    from beehive_spark.functions.multimodal import perceptual_hash
+    from beehive_spark.functions.png import encode_png
+
+    rng = np.random.default_rng(3)
+    base = rng.integers(0, 200, size=(16, 16, 3), dtype=np.uint8)
+    rows = [
+        (1, encode_png(base)),
+        (2, encode_png(base)),                      # identical copy
+        (3, encode_png((base + 20).astype("uint8"))),  # uniform brightening
+        (4, _png_bytes(16, 16, seed=99)),            # unrelated noise
+    ]
+    df = spark.createDataFrame(rows, "media_id long, payload binary")
+    media = wrap_as_media(df, "media_id", "payload")
+    h = {
+        r["media_id"]: r["phash"]
+        for r in perceptual_hash(media, use_real_decoder=True).collect()
+    }
+    assert h[1] == h[2]
+    assert h[1] == h[3]  # mean-relative threshold: shift-invariant
+    assert bin((h[1] ^ h[4]) & ((1 << 64) - 1)).count("1") > 10
+
+
+def test_registered_media_query_finds_exactly_planted_pairs(spark, sf_dir):
+    from beehive_spark.queries import all_queries, load
+
+    res = all_queries()["media_phash_dedup"](spark, sf_dir).collect()
+    docs = load(spark, sf_dir, "documents")
+    want = sorted(
+        (r["doc_id"], r["doc_id"] + 1_000_000, 0)
+        for r in docs.filter(F.col("doc_id") % 5 == 0).collect()
+    )
+    assert sorted((r["id_i"], r["id_j"], r["hamming"]) for r in res) == want
 
 
 def test_phash_dedup_finds_identical_payloads(spark, sf_dir):
