@@ -98,6 +98,13 @@ _PRIORITY = [
     "ann_index_build",             # r3 new: persisted IVF index (manifest)
     "ann_index_probe",             # r3 new: probe persisted index, no retrain
     "media_phash_dedup",           # r3 new: real-pixel PNG decode + ahash LSH
+    "events_gap_fill",             # r3 new: calendar grid + forward fill
+    "orders_rfm_segments",         # r3 new: RFM quintile scores, no ntile
+    "stddev_prices_exact",         # r3 new: dispersion from decimal sums
+    "session_attribution",         # r3 new: last-touch revenue attribution
+    "bigram_next_word",            # r3 new: bigram LM data-QA table
+    "dataset_interleave",          # r3 new: deterministic source mixing
+    "dataset_split_manifest",      # r3 new: hash-deterministic splits
 ]
 _PRIORITY_R2 = [
     # TPC-H q4 + q6-q22: oracle-unchecked in round 1 — VERDICT.md top

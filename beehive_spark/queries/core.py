@@ -1370,3 +1370,315 @@ def weekly_revenue_wow(spark, sf_dir):
             (F.col("cents") - F.col("prev_cents")) / (F.col("prev_cents") / 100.0), 4
         ).alias("wow_pct"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Calendar gap fill + forward fill — hourly event counts without holes
+# ---------------------------------------------------------------------------
+@query(
+    "events_gap_fill",
+    oracle="""
+    WITH hourly AS (
+      SELECT event_type, date_trunc('hour', ts) AS hr, COUNT(*) AS n
+      FROM events GROUP BY 1, 2
+    ),
+    bounds AS (SELECT MIN(hr) AS lo, MAX(hr) AS hi FROM hourly),
+    calendar AS (
+      -- generate_series takes constants only; synthesize the hour axis
+      -- from a wide range() and clip to [lo, hi]
+      SELECT b.lo + INTERVAL 1 HOUR * CAST(t.i AS INT) AS hr
+      FROM bounds b, range(200000) t(i)
+      WHERE b.lo + INTERVAL 1 HOUR * CAST(t.i AS INT) <= b.hi
+    ),
+    grid AS (
+      SELECT t.event_type, c.hr
+      FROM (SELECT DISTINCT event_type FROM hourly) t, calendar c
+    ),
+    filled AS (
+      SELECT g.event_type, g.hr, h.n
+      FROM grid g LEFT JOIN hourly h
+        ON h.event_type = g.event_type AND h.hr = g.hr
+    )
+    SELECT event_type, hr,
+           CAST(COALESCE(n, 0) AS BIGINT) AS n,
+           CAST(COALESCE(last_value(n IGNORE NULLS) OVER (
+             PARTITION BY event_type ORDER BY hr), 0) AS BIGINT) AS carried_n
+    FROM filled
+    """,
+)
+def events_gap_fill(spark, sf_dir):
+    """Dense hourly series per event type: the calendar grid is
+    generated (min..max hour x types), daily... hourly counts join
+    onto it, holes become explicit 0 rows, and ``carried_n`` forward-
+    fills the last observed count (``last(.., ignorenulls)`` over the
+    per-type hour order) — the resample + ffill primitive every
+    time-series feature pipeline needs, done with a generated
+    dimension instead of a Pandas resample.
+
+    Scale shape: the grid is |types| x |hours| (calendar-sized, NOT
+    event-sized) built from one explode of a 1-row bounds aggregate;
+    the fact collapses to hourly counts before any join; the ffill
+    window partitions by type so no global ordering exists.  At 100 TB
+    the same plan holds: the grid stays tiny while the one expensive
+    step (hourly aggregation) is a map-side-combined groupBy."""
+    e = load(spark, sf_dir, "events")
+    hourly = e.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("hr")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    bounds = hourly.agg(F.min("hr").alias("lo"), F.max("hr").alias("hi"))
+    calendar = bounds.select(
+        F.explode(
+            F.sequence("lo", "hi", F.expr("interval 1 hour"))
+        ).alias("hr")
+    )
+    types = hourly.select("event_type").distinct()
+    grid = types.crossJoin(F.broadcast(calendar))
+    filled = grid.join(hourly, ["event_type", "hr"], "left")
+    w = Window.partitionBy("event_type").orderBy("hr")
+    return filled.select(
+        "event_type",
+        "hr",
+        F.coalesce("n", F.lit(0)).cast("long").alias("n"),
+        F.coalesce(F.last("n", ignorenulls=True).over(w), F.lit(0))
+        .cast("long")
+        .alias("carried_n"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# RFM segmentation — recency/frequency/monetary quintile scores per customer
+# ---------------------------------------------------------------------------
+@query(
+    "orders_rfm_segments",
+    oracle="""
+    WITH ref AS (SELECT MAX(CAST(o_orderdate AS DATE)) AS ref_day FROM orders),
+    rfm AS (
+      SELECT o_custkey,
+             date_diff('day', MAX(CAST(o_orderdate AS DATE)), MAX(ref_day))
+               AS recency_days,
+             COUNT(*) AS frequency,
+             SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS monetary_cents
+      FROM orders, ref GROUP BY o_custkey
+    ),
+    b AS (
+      SELECT ROUND(quantile_cont(recency_days, 0.2), 2) AS r20,
+             ROUND(quantile_cont(recency_days, 0.4), 2) AS r40,
+             ROUND(quantile_cont(recency_days, 0.6), 2) AS r60,
+             ROUND(quantile_cont(recency_days, 0.8), 2) AS r80,
+             ROUND(quantile_cont(frequency, 0.2), 2) AS f20,
+             ROUND(quantile_cont(frequency, 0.4), 2) AS f40,
+             ROUND(quantile_cont(frequency, 0.6), 2) AS f60,
+             ROUND(quantile_cont(frequency, 0.8), 2) AS f80,
+             ROUND(quantile_cont(monetary_cents, 0.2), 2) AS m20,
+             ROUND(quantile_cont(monetary_cents, 0.4), 2) AS m40,
+             ROUND(quantile_cont(monetary_cents, 0.6), 2) AS m60,
+             ROUND(quantile_cont(monetary_cents, 0.8), 2) AS m80
+      FROM rfm
+    )
+    SELECT o_custkey,
+           CAST(recency_days AS BIGINT) AS recency_days,
+           CAST(frequency AS BIGINT) AS frequency,
+           ROUND(monetary_cents / 100.0, 2) AS monetary,
+           CAST(5 - (CAST(recency_days > r20 AS INT)
+                   + CAST(recency_days > r40 AS INT)
+                   + CAST(recency_days > r60 AS INT)
+                   + CAST(recency_days > r80 AS INT)) AS INT) AS r_score,
+           CAST(1 + (CAST(frequency > f20 AS INT)
+                   + CAST(frequency > f40 AS INT)
+                   + CAST(frequency > f60 AS INT)
+                   + CAST(frequency > f80 AS INT)) AS INT) AS f_score,
+           CAST(1 + (CAST(monetary_cents > m20 AS INT)
+                   + CAST(monetary_cents > m40 AS INT)
+                   + CAST(monetary_cents > m60 AS INT)
+                   + CAST(monetary_cents > m80 AS INT)) AS INT) AS m_score
+    FROM rfm, b
+    """,
+)
+def orders_rfm_segments(spark, sf_dir):
+    """RFM customer segmentation — the marketing-analytics staple:
+    per-customer recency (days since last order vs corpus max day),
+    frequency (order count) and monetary value (exact cents), each
+    scored 1-5 against the population's quintile BOUNDARIES.  High
+    r_score = recent (recency inverted), high f/m = heavy.
+
+    Deliberately NOT ``ntile``: a global ntile is a total sort of all
+    customers through one partition — the anti-pattern at 100 TB.
+    Quintile boundaries instead come from one 1-row percentile
+    aggregate (broadcast back), and each customer scores by comparing
+    its exact-integer metrics against them: no global window anywhere.
+    Bounds round to the 2-decimal grid in both engines so 1-ulp
+    interpolation divergence cannot flip a boundary customer (the
+    `trimmed_mean_prices` trick; metrics are integers, so a
+    2-decimal-rounded bound decides every comparison identically)."""
+    o = load(spark, sf_dir, "orders")
+    ref = o.agg(F.max(F.to_date("o_orderdate")).alias("ref_day"))
+    rfm = (
+        o.crossJoin(F.broadcast(ref))
+        .groupBy("o_custkey")
+        .agg(
+            F.datediff(F.max("ref_day"), F.max(F.to_date("o_orderdate"))).alias(
+                "recency_days"
+            ),
+            F.count(F.lit(1)).alias("frequency"),
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias(
+                "monetary_cents"
+            ),
+        )
+    )
+    qs = {}
+    for m in ("recency_days", "frequency", "monetary_cents"):
+        for p in (20, 40, 60, 80):
+            qs[f"{m[0]}{p}"] = F.round(
+                F.expr(f"percentile({m}, {p / 100})"), 2
+            ).alias(f"{m[0]}{p}")
+    bounds = rfm.agg(*qs.values())
+
+    def score(metric, prefix, invert=False):
+        hits = sum(
+            (F.col(metric) > F.col(f"{prefix}{p}")).cast("int")
+            for p in (20, 40, 60, 80)
+        )
+        return (F.lit(5) - hits) if invert else (F.lit(1) + hits)
+
+    return rfm.crossJoin(F.broadcast(bounds)).select(
+        "o_custkey",
+        F.col("recency_days").cast("long").alias("recency_days"),
+        F.col("frequency").cast("long").alias("frequency"),
+        F.round(F.col("monetary_cents") / 100.0, 2).alias("monetary"),
+        score("recency_days", "r", invert=True).cast("int").alias("r_score"),
+        score("frequency", "f").cast("int").alias("f_score"),
+        score("monetary_cents", "m").cast("int").alias("m_score"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Exact-sum dispersion — per-group stddev from decimal power sums
+# ---------------------------------------------------------------------------
+@query(
+    "stddev_prices_exact",
+    oracle="""
+    WITH sums AS (
+      SELECT o_orderpriority,
+             COUNT(*) AS n,
+             SUM(CAST(CAST(ROUND(o_totalprice * 100) AS BIGINT)
+                      AS DECIMAL(38, 0))) AS s1,
+             SUM(CAST(CAST(ROUND(o_totalprice * 100) AS BIGINT)
+                      AS DECIMAL(38, 0))
+                 * CAST(CAST(ROUND(o_totalprice * 100) AS BIGINT)
+                        AS DECIMAL(38, 0))) AS s2
+      FROM orders GROUP BY o_orderpriority
+    )
+    SELECT o_orderpriority,
+           CAST(n AS BIGINT) AS n,
+           ROUND(CAST(s1 AS DOUBLE) / n / 100.0, 2) AS mean_price,
+           ROUND(
+             sqrt((CAST(s2 AS DOUBLE)
+                   - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / n)
+                  / (n - 1)) / 100.0, 4) AS stddev_price
+    FROM sums
+    """,
+)
+def stddev_prices_exact(spark, sf_dir):
+    """Per-group standard deviation computed from EXACT decimal power
+    sums (sum of cents, sum of squared cents) rather than a streaming
+    variance: the two sums are integers with no rounding error in any
+    aggregation order, so both engines feed bit-identical values into
+    one final closed-form evaluation — the only doubles are the last
+    divide/sqrt, applied identically.  A naive stddev_samp would hash-
+    diverge across engines because Welford/merge order changes the
+    floating-point result; exact-sum-then-formula is how a columnar
+    warehouse makes dispersion deterministic.  (Squared cents overflow
+    int64 at warehouse row counts — hence DECIMAL(38,0) accumulators,
+    which Spark and DuckDB both sum exactly.)
+
+    Scale shape: one map-side-combined aggregate over the fact; |groups|
+    rows out.  No second pass, no window."""
+    o = load(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100).cast("long").cast("decimal(38,0)")
+    sums = o.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(cents).alias("s1"),
+        F.sum(cents * cents).alias("s2"),
+    )
+    s1d, s2d = F.col("s1").cast("double"), F.col("s2").cast("double")
+    n = F.col("n")
+    return sums.select(
+        "o_orderpriority",
+        n.cast("long").alias("n"),
+        F.round(s1d / n / 100.0, 2).alias("mean_price"),
+        F.round(
+            F.sqrt((s2d - s1d * s1d / n) / (n - 1)) / 100.0, 4
+        ).alias("stddev_price"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Last-touch attribution — purchases credited to the preceding touch event
+# ---------------------------------------------------------------------------
+@query(
+    "session_attribution",
+    oracle="""
+    WITH marked AS (
+      SELECT user_id, ts, event_id, event_type, value,
+             CASE WHEN event_type IN ('click', 'view') THEN event_type END
+               AS touch_type,
+             CASE WHEN event_type IN ('click', 'view') THEN event_id END
+               AS touch_id
+      FROM events
+    ),
+    carried AS (
+      SELECT user_id, ts, event_id, event_type, value,
+             last_value(touch_type IGNORE NULLS) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id) AS touch_type,
+             last_value(touch_id IGNORE NULLS) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id) AS touch_id
+      FROM marked
+    )
+    SELECT COALESCE(touch_type, 'none') AS touch_type,
+           CAST(COUNT(*) AS BIGINT) AS n_purchases,
+           CAST(COUNT(touch_id) AS BIGINT) AS n_attributed,
+           SUM(CAST(ROUND(value * 100) AS BIGINT)) AS revenue_cents
+    FROM carried
+    WHERE event_type = 'purchase'
+    GROUP BY 1
+    """,
+)
+def session_attribution(spark, sf_dir):
+    """Last-touch attribution: every purchase is credited to the most
+    recent preceding click/view by the same user (the standard
+    marketing-attribution join), then revenue rolls up by touch type —
+    purchases with no prior touch land in 'none'.  One forward-fill
+    window per user (``last(.., ignorenulls)`` over the user's event
+    order — no self-join, no per-purchase subquery) and one aggregate;
+    revenue sums as exact integer cents.
+
+    Scale shape: the window partitions by user_id (millions of small
+    partitions, never global); everything else is a map-side-combined
+    group-by.  The reference has no events surface at all — this is
+    net-new analytics over the stream table."""
+    e = load(spark, sf_dir, "events")
+    touch = F.when(
+        F.col("event_type").isin("click", "view"), F.col("event_type")
+    )
+    touch_id = F.when(
+        F.col("event_type").isin("click", "view"), F.col("event_id")
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    carried = e.select(
+        "user_id", "ts", "event_id", "event_type", "value",
+        F.last(touch, ignorenulls=True).over(w).alias("touch_type"),
+        F.last(touch_id, ignorenulls=True).over(w).alias("touch_id"),
+    )
+    return (
+        carried.filter(F.col("event_type") == "purchase")
+        .groupBy(
+            F.coalesce("touch_type", F.lit("none")).alias("touch_type")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_purchases"),
+            F.count("touch_id").alias("n_attributed"),
+            F.sum(F.round(F.col("value") * 100).cast("long")).alias(
+                "revenue_cents"
+            ),
+        )
+    )

@@ -1141,3 +1141,217 @@ def corpus_drift(spark, sf_dir):
             ).alias("len_l1"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Bigram language-model table — conditional next-word statistics
+# ---------------------------------------------------------------------------
+@query(
+    "bigram_next_word",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t
+      FROM documents
+    ),
+    pairs AS (
+      SELECT t[i] AS w1, t[i + 1] AS w2
+      FROM toks, unnest(range(1, len(t))) AS u(i)
+    ),
+    pair_counts AS (
+      SELECT w1, w2, COUNT(*) AS n_pair FROM pairs GROUP BY w1, w2
+    ),
+    head_counts AS (
+      SELECT w1, SUM(n_pair) AS n_head FROM pair_counts GROUP BY w1
+    ),
+    top_heads AS (
+      SELECT w1, n_head,
+             row_number() OVER (ORDER BY n_head DESC, w1) AS hr
+      FROM head_counts
+    ),
+    ranked AS (
+      SELECT p.w1, p.w2, p.n_pair, h.n_head,
+             row_number() OVER (
+               PARTITION BY p.w1 ORDER BY p.n_pair DESC, p.w2) AS rn
+      FROM pair_counts p
+      JOIN top_heads h ON h.w1 = p.w1 AND h.hr <= 20
+    )
+    SELECT w1, w2,
+           CAST(n_pair AS BIGINT) AS n_pair,
+           CAST(n_head AS BIGINT) AS n_head,
+           ROUND(n_pair / CAST(n_head AS DOUBLE), 4) AS p_next
+    FROM ranked WHERE rn <= 3
+    """,
+)
+def bigram_next_word(spark, sf_dir, top_heads: int = 20, k: int = 3):
+    """Bigram conditional next-word table — the language-model data-QA
+    report: for the ``top_heads`` most frequent first words, the top-k
+    successors with exact pair counts and P(w2|w1).  Integer counts end
+    to end; only the final probability divides (rounded identically in
+    both engines).  This is the data-side bigram table a tokenizer/LM
+    pipeline inspects for corpus anomalies (a hot bigram = boilerplate,
+    a near-1.0 conditional = templated text).
+
+    Scale shape: one token explode -> one (w1,w2) count (map-side
+    combined), head totals as a second aggregate of the PAIR COUNTS
+    (never a second corpus pass), per-head top-k window partitioned by
+    w1 (vocabulary-sized partitions), and head selection via
+    orderBy().limit() — Spark's distributed TakeOrdered, NOT a global
+    row_number window, so the |vocab|-row frame never funnels through
+    one partition.  The corpus is touched once."""
+    from beehive_spark.queries.llm import _tokens
+
+    d = load(spark, sf_dir, "documents")
+    toks = d.select(_tokens(F.col("text")).alias("t"))
+    pairs = toks.select(
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.greatest(F.size("t") - 1, F.lit(0))),
+                lambda i: F.struct(
+                    F.element_at("t", i).alias("w1"),
+                    F.element_at("t", i + 1).alias("w2"),
+                ),
+            )
+        ).alias("p")
+    ).select("p.w1", "p.w2")
+    pair_counts = pairs.groupBy("w1", "w2").agg(
+        F.count(F.lit(1)).alias("n_pair")
+    )
+    head_counts = pair_counts.groupBy("w1").agg(F.sum("n_pair").alias("n_head"))
+    heads = head_counts.orderBy(F.col("n_head").desc(), "w1").limit(top_heads)
+    w_next = Window.partitionBy("w1").orderBy(F.col("n_pair").desc(), "w2")
+    return (
+        pair_counts.join(F.broadcast(heads), "w1")
+        .withColumn("rn", F.row_number().over(w_next))
+        .filter(F.col("rn") <= k)
+        .select(
+            "w1", "w2",
+            F.col("n_pair").cast("long").alias("n_pair"),
+            F.col("n_head").cast("long").alias("n_head"),
+            F.round(F.col("n_pair") / F.col("n_head").cast("double"), 4).alias(
+                "p_next"
+            ),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic source interleave — reproducible training order
+# ---------------------------------------------------------------------------
+@query(
+    "dataset_interleave",
+    oracle="""
+    WITH src AS (
+      SELECT source,
+             row_number() OVER (ORDER BY source) - 1 AS src_idx,
+             COUNT(*) OVER () AS n_sources
+      FROM (SELECT DISTINCT source FROM documents)
+    ),
+    pos AS (
+      SELECT doc_id, source,
+             row_number() OVER (
+               PARTITION BY source
+               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) - 1 AS pos
+      FROM documents
+    )
+    SELECT p.doc_id, p.source,
+           CAST(p.pos * s.n_sources + s.src_idx AS BIGINT)
+             AS interleave_pos
+    FROM pos p JOIN src s ON s.source = p.source
+    """,
+)
+def dataset_interleave(spark, sf_dir):
+    """Deterministic round-robin interleave across sources — the
+    training-order primitive: each source's docs are shuffled by a
+    content hash (md5 — reproducible on any cluster/partitioning,
+    unlike rand() or zipWithIndex), then sources take strict turns:
+    global position = within-source position * n_sources + source
+    index.  A dataloader reading in ``interleave_pos`` order sees
+    sources evenly mixed at every prefix — the property curriculum
+    and multi-corpus training schedules rely on, with no shuffle of
+    the payload (the ordering is a computed COLUMN; the write layer
+    range-partitions by it if files must be physically ordered).
+
+    Scale shape: one per-source window (hash-ordered within source —
+    partitioned, no global sort) plus a broadcast join against the
+    |sources|-row index frame.  The tiny ordered window runs on the
+    distinct-source list, bounded by catalog size."""
+    d = load(spark, sf_dir, "documents")
+    w_src = Window.orderBy("source")
+    src = (
+        d.select("source").distinct()
+        .select(
+            "source",
+            (F.row_number().over(w_src) - 1).alias("src_idx"),
+        )
+    )
+    n_sources = d.select("source").distinct().count()
+    w_pos = Window.partitionBy("source").orderBy(
+        F.md5(F.col("doc_id").cast("string")), "doc_id"
+    )
+    return (
+        d.select("doc_id", "source")
+        .withColumn("pos", F.row_number().over(w_pos) - 1)
+        .join(F.broadcast(src), "source")
+        .select(
+            "doc_id",
+            "source",
+            (F.col("pos") * n_sources + F.col("src_idx"))
+            .cast("long")
+            .alias("interleave_pos"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Train/val/test split manifest — hash-deterministic, per-source accounting
+# ---------------------------------------------------------------------------
+@query(
+    "dataset_split_manifest",
+    oracle="""
+    WITH tagged AS (
+      SELECT source, n_chars,
+             CASE
+               WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT
+                    / 4294967296.0 < 0.9 THEN 'train'
+               WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT
+                    / 4294967296.0 < 0.95 THEN 'val'
+               ELSE 'test'
+             END AS split
+      FROM documents
+    )
+    SELECT source, split,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS n_chars
+    FROM tagged GROUP BY source, split
+    """,
+)
+def dataset_split_manifest(spark, sf_dir):
+    """Hash-deterministic train/val/test assignment (90/5/5) with the
+    per-source data-card manifest: a doc's split is a pure function of
+    md5(doc_id), so the SAME doc lands in the SAME split on any
+    cluster, any engine, any rerun — leakage-proof by construction
+    (contrast df.randomSplit, which reshuffles with partitioning), and
+    the oracle verifies the exact assignment, not just counts.
+
+    Scale shape: zero shuffles before the |sources x 3|-row manifest
+    aggregate; the split column is a JVM expression usable directly as
+    a partition column for the split write."""
+    d = load(spark, sf_dir, "documents")
+    u = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("double")
+        / F.lit(4294967296.0)
+    )
+    split = (
+        F.when(u < 0.9, F.lit("train"))
+        .when(u < 0.95, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    return (
+        d.select("source", "n_chars", split.alias("split"))
+        .groupBy("source", "split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("n_chars"),
+        )
+    )

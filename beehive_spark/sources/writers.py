@@ -65,6 +65,16 @@ def build_upsert_sql(
     dialect="sqlite": ANSI-ish `INSERT ... ON CONFLICT(keys) DO UPDATE`
     with ? params — requires ``key_columns`` (the conflict target);
     used by the live DB-API integration test and any SQLite deployment.
+    dialect="postgres": same ON CONFLICT form with %s (psycopg-style)
+    params.
+
+    Dialect coverage note (the matrix lives in
+    ``tests/test_jdbc_live.py``): the mysql text is what the reference
+    executes but no MySQL server or driver ships in this container, so
+    its SEMANTICS are exercised through SQLite's ON CONFLICT twin
+    (same conflict-update contract; the live suite proves
+    executemany-from-executors + conflict updates for real) while the
+    mysql/postgres TEXTS are pinned by unit test.
 
     update_columns: the subset rewritten on conflict (the reference
     updates only audit/self-FK columns, e.g. person-users.js:56-66).
@@ -79,10 +89,10 @@ def build_upsert_sql(
             f"INSERT INTO {table} ({collist}) VALUES ({params}) "
             f"ON DUPLICATE KEY UPDATE {updates}"
         )
-    if dialect == "sqlite":
+    if dialect in ("sqlite", "postgres"):
         if not key_columns:
-            raise ValueError("sqlite upsert needs key_columns (conflict target)")
-        params = ", ".join(["?"] * len(columns))
+            raise ValueError(f"{dialect} upsert needs key_columns (conflict target)")
+        params = ", ".join(["?" if dialect == "sqlite" else "%s"] * len(columns))
         keys = ", ".join(key_columns)
         updates = ", ".join(f"{c} = excluded.{c}" for c in update_columns)
         return (

@@ -96,6 +96,13 @@ EXTRA = [
     "ann_index_build",
     "ann_index_probe",
     "media_phash_dedup",
+    "events_gap_fill",
+    "orders_rfm_segments",
+    "stddev_prices_exact",
+    "session_attribution",
+    "bigram_next_word",
+    "dataset_interleave",
+    "dataset_split_manifest",
 ]
 
 

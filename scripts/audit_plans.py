@@ -119,6 +119,13 @@ EXTRA = [
     # eagerly; its manifest plan is one grouped count over the index)
     "ann_index_probe",
     "media_phash_dedup",
+    "events_gap_fill",
+    "orders_rfm_segments",
+    "stddev_prices_exact",
+    "session_attribution",
+    "bigram_next_word",
+    "dataset_interleave",
+    "dataset_split_manifest",
 ]
 
 

@@ -210,6 +210,41 @@ def main() -> None:
                 )
                 spark.catalog.clearCache()
 
+    # --- pathological-skew case: one key holds 80% of the large side.
+    # AQE's skew splitting targets oversized partitions, but a single
+    # hot KEY in a shuffled hash/SMJ join stays one task's work unless
+    # salted (operators/skew.py); this measures plain vs salted on the
+    # same zipfian join at both scales, broadcast disabled so the join
+    # actually shuffles.
+    def zipf_join(copies: int, salted: bool):
+        from beehive_spark.operators.skew import salted_join
+
+        n = 2_000_000 * copies
+        large = spark.range(n).select(
+            F.when(F.pmod("id", F.lit(5)) != 0, F.lit(0))
+            .otherwise(F.pmod(F.xxhash64("id"), F.lit(20_000)))
+            .alias("k"),
+            (F.col("id") % 1000).alias("v"),
+        )
+        small = spark.range(20_000).select(
+            F.col("id").alias("k"), (F.col("id") * 7).alias("w")
+        )
+        joined = (
+            salted_join(large, small, "k", salt=32)
+            if salted
+            else large.join(small, "k")
+        )
+        joined.agg(
+            F.count(F.lit(1)).alias("n"), F.sum(F.col("v") * F.col("w")).alias("s")
+        ).collect()
+
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    for copies in (1, COPIES):
+        for _sweep in range(2):
+            for name, salted in (("skew_join_plain", False), ("skew_join_salted", True)):
+                record((name, copies), lambda s=salted, c=copies: zipf_join(c, s))
+    spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+
     lines = [
         "# STRESS — scaling smoke (1x vs 10x rows, local[32])",
         "",
@@ -224,7 +259,11 @@ def main() -> None:
         "| plan | 1x sec | 10x sec | scale factor (ideal <= 10) |",
         "|---|---|---|---|",
     ]
-    for name in list(LINEITEM_CASES) + [n for n, _ in REGISTRY_CASES]:
+    for name in (
+        list(LINEITEM_CASES)
+        + [n for n, _ in REGISTRY_CASES]
+        + ["skew_join_plain", "skew_join_salted"]
+    ):
         t1, t10 = results[(name, 1)], results[(name, COPIES)]
         ratio = round(t10 / t1, 1) if t1 > 0 else float("inf")
         lines.append(f"| {name} | {t1} | {t10} | {ratio}x |")
@@ -234,6 +273,14 @@ def main() -> None:
         "task launch, Python worker startup for Arrow stages) amortizing",
         "over more data; a ratio well above 10x would flag a quadratic or",
         "driver-bound operator.",
+        "",
+        "The skew_join rows are the same zipfian join (80% of the large",
+        "side on ONE key, broadcast disabled) plain vs salted",
+        "(`operators/skew.py`, salt=32): plain is bounded by the single",
+        "hot task, salted spreads the hot key across 32 tasks — the",
+        "wall-clock gap and the better scale factor are the salting win;",
+        "at cluster scale the plain variant is the one that fails outright",
+        "(one task must hold 80% of the shuffle).",
     ]
     out = os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "STRESS.md"

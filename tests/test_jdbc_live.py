@@ -13,6 +13,23 @@ engines available in-container:
   upsert sink (S6, reference person-users.js:46-68) with real conflict
   semantics, running distributed (one connection per partition from
   executor workers).
+
+Dialect matrix (what is exercised where — the reference's actual
+target is MySQL, for which neither a server nor a client driver ships
+in this container):
+
+| dialect  | upsert statement                  | params | exercised by |
+|----------|-----------------------------------|--------|--------------|
+| mysql    | INSERT .. ON DUPLICATE KEY UPDATE | %s     | SQL text pinned (test_upsert_sql_dialect_matrix); semantics emulated via the SQLite twin below |
+| sqlite   | INSERT .. ON CONFLICT DO UPDATE   | ?      | LIVE here: executemany from executor workers, real conflict updates |
+| postgres | INSERT .. ON CONFLICT DO UPDATE   | %s     | SQL text pinned; a `postgres` binary exists in-container but no DB-API/JDBC driver, so no live path |
+| derby    | (no native upsert; append + read) | jdbc   | LIVE here: batched append, bounds-probe partitioned read, catalog probe |
+
+Known deltas of the SQLite emulation vs real MySQL: ON CONFLICT needs
+an explicit key list where MySQL uses any unique index; VALUES(col)
+vs excluded.col naming; MySQL's implicit type coercions are stricter
+here.  None affect the sink contract the engine relies on
+(insert-or-update by key, batched, idempotent on replay).
 """
 
 import sqlite3
@@ -133,3 +150,29 @@ def test_upsert_sql_dialects():
         build_upsert_sql("t", ["a"], [], dialect="sqlite", key_columns=["a"])
     with pytest.raises(ValueError):
         build_upsert_sql("t", ["a", "b"], ["b"], dialect="sqlite")
+
+
+def test_upsert_sql_dialect_matrix():
+    """Pin the exact statement text per dialect (the mysql form is the
+    reference's own statement shape, person-users.js:46-68)."""
+    args = dict(
+        table="person",
+        columns=["uuid", "name", "creator"],
+        update_columns=["creator"],
+        key_columns=["uuid"],
+    )
+    assert build_upsert_sql(dialect="mysql", **args) == (
+        "INSERT INTO person (uuid, name, creator) VALUES (%s, %s, %s) "
+        "ON DUPLICATE KEY UPDATE creator = VALUES(creator)"
+    )
+    assert build_upsert_sql(dialect="sqlite", **args) == (
+        "INSERT INTO person (uuid, name, creator) VALUES (?, ?, ?) "
+        "ON CONFLICT(uuid) DO UPDATE SET creator = excluded.creator"
+    )
+    assert build_upsert_sql(dialect="postgres", **args) == (
+        "INSERT INTO person (uuid, name, creator) VALUES (%s, %s, %s) "
+        "ON CONFLICT(uuid) DO UPDATE SET creator = excluded.creator"
+    )
+    with pytest.raises(ValueError, match="key_columns"):
+        build_upsert_sql(dialect="postgres", table="t", columns=["a"],
+                         update_columns=["a"])
