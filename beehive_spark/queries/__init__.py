@@ -105,6 +105,10 @@ _PRIORITY = [
     "bigram_next_word",            # r3 new: bigram LM data-QA table
     "dataset_interleave",          # r3 new: deterministic source mixing
     "dataset_split_manifest",      # r3 new: hash-deterministic splits
+    "brand_affinity",              # r3 new: market-basket support/lift
+    "revenue_concentration",       # r3 new: decile revenue share curve
+    "cross_corpus_overlap",        # r3 new: source-pair shingle Jaccard
+    "doc_length_outliers",         # r3 new: median/MAD robust z screen
 ]
 _PRIORITY_R2 = [
     # TPC-H q4 + q6-q22: oracle-unchecked in round 1 — VERDICT.md top

@@ -1682,3 +1682,168 @@ def session_attribution(spark, sf_dir):
             ),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Market-basket affinity — brand pairs co-purchased within an order
+# ---------------------------------------------------------------------------
+@query(
+    "brand_affinity",
+    oracle="""
+    WITH ob AS (
+      SELECT DISTINCT l.l_orderkey, p.p_brand
+      FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    ),
+    n AS (SELECT COUNT(DISTINCT l_orderkey) AS n_orders FROM ob),
+    brand_n AS (SELECT p_brand, COUNT(*) AS n_b FROM ob GROUP BY p_brand),
+    pair_n AS (
+      SELECT a.p_brand AS brand_a, b.p_brand AS brand_b, COUNT(*) AS n_ab
+      FROM ob a JOIN ob b
+        ON a.l_orderkey = b.l_orderkey AND a.p_brand < b.p_brand
+      GROUP BY 1, 2
+    )
+    SELECT brand_a, brand_b,
+           CAST(n_ab AS BIGINT) AS n_ab,
+           ROUND(n_ab / CAST(n.n_orders AS DOUBLE), 4) AS support,
+           ROUND(n_ab * CAST(n.n_orders AS DOUBLE)
+                 / (ba.n_b * CAST(bb.n_b AS DOUBLE)), 4) AS lift
+    FROM pair_n
+    JOIN brand_n ba ON ba.p_brand = brand_a
+    JOIN brand_n bb ON bb.p_brand = brand_b
+    CROSS JOIN n
+    WHERE n_ab >= 5
+    """,
+)
+def brand_affinity(spark, sf_dir, min_pairs: int = 5):
+    """Market-basket analysis on the order/part graph: which part
+    BRANDS are bought together?  Support (co-purchase frequency) and
+    lift (observed vs independence) per brand pair, over distinct
+    brands per order — the classic association-rule building block,
+    grouped at brand grain so pair counts are statistically meaningful
+    at any SF (raw part pairs are support-1 noise at small scale).
+
+    Scale shape: orders collapse to DISTINCT (order, brand) first —
+    the pair join then fans out at most C(|brands in order|, 2) ≈ 20
+    rows per order regardless of lineitem count, and the brand
+    dimension (|brands| ~ 25) broadcasts everywhere.  Exact integer
+    counts; one final rounded divide per output row."""
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    part = load(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    ob = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .select("l_orderkey", "p_brand")
+        .distinct()
+    )
+    n_orders = ob.select("l_orderkey").distinct().count()
+    brand_n = ob.groupBy("p_brand").agg(F.count(F.lit(1)).alias("n_b"))
+    a = ob.select(F.col("l_orderkey"), F.col("p_brand").alias("brand_a"))
+    b = ob.select(F.col("l_orderkey"), F.col("p_brand").alias("brand_b"))
+    pair_n = (
+        a.join(b, "l_orderkey")
+        .filter(F.col("brand_a") < F.col("brand_b"))
+        .groupBy("brand_a", "brand_b")
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+        .filter(F.col("n_ab") >= min_pairs)
+    )
+    na = brand_n.select(F.col("p_brand").alias("brand_a"), F.col("n_b").alias("na"))
+    nb = brand_n.select(F.col("p_brand").alias("brand_b"), F.col("n_b").alias("nb"))
+    return (
+        pair_n.join(F.broadcast(na), "brand_a")
+        .join(F.broadcast(nb), "brand_b")
+        .select(
+            "brand_a", "brand_b",
+            F.col("n_ab").cast("long").alias("n_ab"),
+            F.round(F.col("n_ab") / F.lit(float(n_orders)), 4).alias("support"),
+            F.round(
+                F.col("n_ab") * F.lit(float(n_orders))
+                / (F.col("na") * F.col("nb").cast("double")),
+                4,
+            ).alias("lift"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Revenue concentration — decile-bucketed customer revenue share
+# ---------------------------------------------------------------------------
+@query(
+    "revenue_concentration",
+    oracle="""
+    WITH rev AS (
+      SELECT o_custkey,
+             SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS cents
+      FROM orders GROUP BY o_custkey
+    ),
+    b AS (
+      SELECT ROUND(quantile_cont(cents, 0.1), 2) AS b1,
+             ROUND(quantile_cont(cents, 0.2), 2) AS b2,
+             ROUND(quantile_cont(cents, 0.3), 2) AS b3,
+             ROUND(quantile_cont(cents, 0.4), 2) AS b4,
+             ROUND(quantile_cont(cents, 0.5), 2) AS b5,
+             ROUND(quantile_cont(cents, 0.6), 2) AS b6,
+             ROUND(quantile_cont(cents, 0.7), 2) AS b7,
+             ROUND(quantile_cont(cents, 0.8), 2) AS b8,
+             ROUND(quantile_cont(cents, 0.9), 2) AS b9
+      FROM rev
+    ),
+    bucketed AS (
+      SELECT r.o_custkey, r.cents,
+             1 + CAST(r.cents > b.b1 AS INT) + CAST(r.cents > b.b2 AS INT)
+               + CAST(r.cents > b.b3 AS INT) + CAST(r.cents > b.b4 AS INT)
+               + CAST(r.cents > b.b5 AS INT) + CAST(r.cents > b.b6 AS INT)
+               + CAST(r.cents > b.b7 AS INT) + CAST(r.cents > b.b8 AS INT)
+               + CAST(r.cents > b.b9 AS INT) AS decile
+      FROM rev r, b
+    )
+    SELECT CAST(decile AS INT) AS decile,
+           CAST(COUNT(*) AS BIGINT) AS n_customers,
+           ROUND(SUM(cents) / 100.0, 2) AS revenue,
+           ROUND(SUM(cents) / CAST((SELECT SUM(cents) FROM rev) AS DOUBLE), 4)
+             AS revenue_share
+    FROM bucketed GROUP BY decile
+    """,
+)
+def revenue_concentration(spark, sf_dir):
+    """Revenue concentration curve ("do 20% of customers carry 80% of
+    revenue?"): per-customer exact-cents revenue bucketed into deciles
+    against broadcast percentile BOUNDARIES — same no-global-ntile
+    design as ``orders_rfm_segments`` (a total sort of all customers
+    is the 100 TB anti-pattern; nine 1-row bounds + a comparison
+    ladder is not).  Output is one row per decile with its customer
+    count, exact revenue, and share of total.
+
+    Bounds round to the cent grid before comparison so interpolation
+    ulps cannot move a boundary customer between deciles; shares
+    divide two exact integers and round identically in both engines."""
+    o = load(spark, sf_dir, "orders")
+    rev = o.groupBy("o_custkey").agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("cents")
+    )
+    bounds = rev.agg(
+        *[
+            F.round(F.expr(f"percentile(cents, {d / 10})"), 2).alias(f"b{d}")
+            for d in range(1, 10)
+        ]
+    )
+    total = rev.agg(F.sum("cents").alias("t"))
+    decile = F.lit(1) + sum(
+        (F.col("cents") > F.col(f"b{d}")).cast("int") for d in range(1, 10)
+    )
+    return (
+        rev.crossJoin(F.broadcast(bounds))
+        .select("o_custkey", "cents", decile.alias("decile"))
+        .groupBy(F.col("decile").cast("int").alias("decile"))
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.sum("cents").alias("cents"),
+        )
+        .crossJoin(F.broadcast(total))
+        .select(
+            "decile",
+            F.col("n_customers").cast("long").alias("n_customers"),
+            F.round(F.col("cents") / 100.0, 2).alias("revenue"),
+            F.round(F.col("cents") / F.col("t").cast("double"), 4).alias(
+                "revenue_share"
+            ),
+        )
+    )

@@ -1355,3 +1355,148 @@ def dataset_split_manifest(spark, sf_dir):
             F.sum("n_chars").cast("long").alias("n_chars"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Cross-corpus overlap — source-level shingle Jaccard matrix
+# ---------------------------------------------------------------------------
+@query(
+    "cross_corpus_overlap",
+    oracle="""
+    WITH toks AS (
+      SELECT source, regexp_extract_all(lower(text), '[a-z0-9]+') AS w
+      FROM documents
+    ),
+    sh AS (
+      SELECT DISTINCT source,
+             unnest([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                     for i in range(1, len(w) - 1)]) AS s
+      FROM toks WHERE len(w) >= 3
+    ),
+    sizes AS (SELECT source, COUNT(*) AS sz FROM sh GROUP BY source),
+    common AS (
+      SELECT a.source AS src_a, b.source AS src_b, COUNT(*) AS c
+      FROM sh a JOIN sh b ON a.s = b.s AND a.source < b.source
+      GROUP BY 1, 2
+    )
+    SELECT src_a, src_b,
+           CAST(c AS BIGINT) AS n_common,
+           ROUND(CAST(c AS DOUBLE) / (sa.sz + sb.sz - c), 4) AS jaccard
+    FROM common
+    JOIN sizes sa ON sa.source = src_a
+    JOIN sizes sb ON sb.source = src_b
+    """,
+)
+def cross_corpus_overlap(spark, sf_dir):
+    """Corpus-level contamination matrix: word-3-gram Jaccard between
+    every pair of SOURCES — the dataset-card diligence check before
+    mixing corpora (high overlap = shared boilerplate, scraped
+    mirrors, or a benchmark leak at source grain; the per-doc twin is
+    ``contamination_ngram``).
+
+    Scale shape: docs collapse to DISTINCT (source, shingle-hash)
+    first, so the intersection join fans out at most
+    C(|sources sharing the shingle|, 2) <= C(|sources|, 2) pairs per
+    distinct shingle — bounded by the SOURCE count squared, never by
+    docs; size and intersection aggregates are map-side combined and
+    the |sources|-row size frame broadcasts.  Shingles are
+    xxhash64-hashed (8-byte shuffle keys, same as
+    ``dedup_ngram_jaccard``)."""
+    from beehive_spark.queries.llm import _ngram_hashes, _tokens
+
+    d = load(spark, sf_dir, "documents")
+    sh = (
+        d.select("source", F.explode(_ngram_hashes(_tokens(F.col("text")))).alias("s"))
+        .distinct()
+    )
+    sizes = sh.groupBy("source").agg(F.count(F.lit(1)).alias("sz"))
+    a = sh.select(F.col("source").alias("src_a"), "s")
+    b = sh.select(F.col("source").alias("src_b"), "s")
+    common = (
+        a.join(b, "s")
+        .filter(F.col("src_a") < F.col("src_b"))
+        .groupBy("src_a", "src_b")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    sa = sizes.select(F.col("source").alias("src_a"), F.col("sz").alias("sza"))
+    sb = sizes.select(F.col("source").alias("src_b"), F.col("sz").alias("szb"))
+    return (
+        common.join(F.broadcast(sa), "src_a")
+        .join(F.broadcast(sb), "src_b")
+        .select(
+            "src_a", "src_b",
+            F.col("c").cast("long").alias("n_common"),
+            F.round(
+                F.col("c") / (F.col("sza") + F.col("szb") - F.col("c")).cast("double"),
+                4,
+            ).alias("jaccard"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Robust length outliers — per-source median/MAD z-scores
+# ---------------------------------------------------------------------------
+@query(
+    "doc_length_outliers",
+    oracle="""
+    WITH stats AS (
+      SELECT source,
+             ROUND(quantile_cont(n_chars, 0.5), 2) AS med
+      FROM documents GROUP BY source
+    ),
+    dev AS (
+      SELECT d.source, d.doc_id, d.n_chars, s.med,
+             ABS(d.n_chars - s.med) AS adev
+      FROM documents d JOIN stats s ON s.source = d.source
+    ),
+    mads AS (
+      SELECT source, ROUND(quantile_cont(adev, 0.5), 2) AS mad
+      FROM dev GROUP BY source
+    )
+    SELECT v.source, v.doc_id,
+           CAST(v.n_chars AS BIGINT) AS n_chars,
+           ROUND(0.6745 * (v.n_chars - v.med) / m.mad, 4) AS robust_z
+    FROM dev v JOIN mads m ON m.source = v.source
+    WHERE m.mad > 0
+      AND ABS(0.6745 * (v.n_chars - v.med) / m.mad) > 1.5
+    """,
+)
+def doc_length_outliers(spark, sf_dir, z_cut: float = 1.5):
+    """Per-source robust length outliers — the data-cleaning screen
+    that mean/stddev cannot provide when the lengths themselves are
+    heavy-tailed: median + MAD (median absolute deviation) per source,
+    then the modified z-score 0.6745*(x - med)/MAD (Iglewicz-Hoaglin)
+    flags docs beyond ``z_cut``.  Truncation artifacts, concatenated
+    pages and empty shells all surface here before they skew token
+    budgets.
+
+    Scale shape: two percentile aggregates per source (|sources| rows,
+    broadcast back) and two scans of the n_chars column only (column
+    pruning leaves the text bytes unread); medians round to the
+    2-decimal grid in both engines so interpolation ulps cannot flip
+    a boundary doc."""
+    d = load(spark, sf_dir, "documents").select("source", "doc_id", "n_chars")
+    stats = d.groupBy("source").agg(
+        F.round(F.expr("percentile(n_chars, 0.5)"), 2).alias("med")
+    )
+    dev = d.join(F.broadcast(stats), "source").withColumn(
+        "adev", F.abs(F.col("n_chars") - F.col("med"))
+    )
+    mads = dev.groupBy("source").agg(
+        F.round(F.expr("percentile(adev, 0.5)"), 2).alias("mad")
+    )
+    z = F.round(
+        F.lit(0.6745) * (F.col("n_chars") - F.col("med")) / F.col("mad"), 4
+    )
+    return (
+        dev.join(F.broadcast(mads), "source")
+        .filter(F.col("mad") > 0)
+        .withColumn("robust_z", z)
+        .filter(F.abs("robust_z") > z_cut)
+        .select(
+            "source", "doc_id",
+            F.col("n_chars").cast("long").alias("n_chars"),
+            "robust_z",
+        )
+    )

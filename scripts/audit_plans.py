@@ -126,6 +126,10 @@ EXTRA = [
     "bigram_next_word",
     "dataset_interleave",
     "dataset_split_manifest",
+    "brand_affinity",
+    "revenue_concentration",
+    "cross_corpus_overlap",
+    "doc_length_outliers",
 ]
 
 
