@@ -109,6 +109,10 @@ _PRIORITY = [
     "revenue_concentration",       # r3 new: decile revenue share curve
     "cross_corpus_overlap",        # r3 new: source-pair shingle Jaccard
     "doc_length_outliers",         # r3 new: median/MAD robust z screen
+    "events_dwell_time",           # r3 new: lead-gap engagement metric
+    "orders_seasonality",          # r3 new: month-of-year revenue index
+    "user_ltv_cohort",             # r3 new: cohort LTV triangle
+    "doc_prefix_clusters",         # r3 new: templated-doc prefix screen
 ]
 _PRIORITY_R2 = [
     # TPC-H q4 + q6-q22: oracle-unchecked in round 1 — VERDICT.md top

@@ -1847,3 +1847,177 @@ def revenue_concentration(spark, sf_dir):
             ),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Dwell time — inter-event gaps per event type via lead()
+# ---------------------------------------------------------------------------
+@query(
+    "events_dwell_time",
+    oracle="""
+    WITH gaps AS (
+      SELECT event_type,
+             epoch_us(lead(ts) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id) - ts) AS dwell_us
+      FROM events
+    )
+    SELECT event_type,
+           CAST(COUNT(dwell_us) AS BIGINT) AS n_gaps,
+           CAST(SUM(dwell_us) AS BIGINT) AS total_dwell_us,
+           ROUND(AVG(dwell_us) / 1e6, 3) AS avg_dwell_sec
+    FROM gaps
+    WHERE dwell_us IS NOT NULL
+    GROUP BY event_type
+    """,
+)
+def events_dwell_time(spark, sf_dir):
+    """Dwell time after each event: the gap to the SAME user's next
+    event (lead over the per-user order), aggregated by the event type
+    the user was dwelling ON — the engagement metric behind
+    time-on-page.  A user's last event has no successor and drops out
+    (no fabricated dwell).
+
+    Gaps are exact integer MICROSECONDS (timestamp subtraction never
+    touches doubles), so sums are bit-identical across engines; only
+    the final average divides and rounds.  Scale shape: one per-user
+    window (partitioned, no global order), one map-side-combined
+    aggregate."""
+    e = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gaps = e.select(
+        "event_type",
+        (
+            F.unix_micros(F.lead("ts").over(w)) - F.unix_micros("ts")
+        ).alias("dwell_us"),
+    ).filter(F.col("dwell_us").isNotNull())
+    return gaps.groupBy("event_type").agg(
+        F.count("dwell_us").alias("n_gaps"),
+        F.sum("dwell_us").alias("total_dwell_us"),
+        F.round(F.avg("dwell_us") / 1e6, 3).alias("avg_dwell_sec"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Seasonality — month-of-year revenue index vs the all-time monthly mean
+# ---------------------------------------------------------------------------
+@query(
+    "orders_seasonality",
+    oracle="""
+    WITH monthly AS (
+      SELECT CAST(month(o_orderdate) AS INT) AS month_of_year,
+             CAST(year(o_orderdate) AS INT) AS yr,
+             SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS cents
+      FROM orders GROUP BY 1, 2
+    ),
+    moy AS (
+      SELECT month_of_year,
+             CAST(SUM(cents) AS BIGINT) AS cents,
+             CAST(COUNT(*) AS BIGINT) AS n_months
+      FROM monthly GROUP BY month_of_year
+    )
+    SELECT month_of_year,
+           ROUND(cents / 100.0, 2) AS revenue,
+           n_months,
+           ROUND((cents / CAST(n_months AS DOUBLE))
+                 / ((SELECT SUM(cents) FROM moy)
+                    / CAST((SELECT SUM(n_months) FROM moy) AS DOUBLE)), 4)
+             AS seasonal_index
+    FROM moy
+    """,
+)
+def orders_seasonality(spark, sf_dir):
+    """Month-of-year seasonality index: each calendar month's average
+    monthly revenue relative to the overall monthly average (1.0 = an
+    average month; December retail spikes show up as > 1) — the
+    decomposition step before any demand forecast.  Exact integer
+    cents through every aggregate; the index divides two exact
+    averages once, rounded identically in both engines.
+
+    Scale shape: fact -> (month, year) aggregate (map-side combined,
+    calendar-sized output) -> month-of-year rollup; the global totals
+    ride along as a broadcast 1-row frame."""
+    o = load(spark, sf_dir, "orders")
+    monthly = o.groupBy(
+        F.month("o_orderdate").cast("int").alias("month_of_year"),
+        F.year("o_orderdate").cast("int").alias("yr"),
+    ).agg(F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("cents"))
+    moy = monthly.groupBy("month_of_year").agg(
+        F.sum("cents").alias("cents"), F.count(F.lit(1)).alias("n_months")
+    )
+    totals = moy.agg(
+        F.sum("cents").alias("tc"), F.sum("n_months").alias("tm")
+    )
+    return (
+        moy.crossJoin(F.broadcast(totals))
+        .select(
+            "month_of_year",
+            F.round(F.col("cents") / 100.0, 2).alias("revenue"),
+            F.col("n_months").cast("long").alias("n_months"),
+            F.round(
+                (F.col("cents") / F.col("n_months").cast("double"))
+                / (F.col("tc") / F.col("tm").cast("double")),
+                4,
+            ).alias("seasonal_index"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Cohort LTV — cumulative purchase value by signup cohort and week age
+# ---------------------------------------------------------------------------
+@query(
+    "user_ltv_cohort",
+    oracle="""
+    WITH firsts AS (
+      SELECT user_id,
+             CAST(date_trunc('week', MIN(ts)) AS DATE) AS cohort_week
+      FROM events GROUP BY user_id
+    ),
+    purchases AS (
+      SELECT f.cohort_week,
+             CAST(floor(date_diff('day', f.cohort_week,
+                                  CAST(date_trunc('day', e.ts) AS DATE)) / 7)
+                  AS INT) AS week_age,
+             CAST(ROUND(e.value * 100) AS BIGINT) AS cents
+      FROM events e JOIN firsts f ON f.user_id = e.user_id
+      WHERE e.event_type = 'purchase'
+    )
+    SELECT cohort_week, week_age,
+           CAST(COUNT(*) AS BIGINT) AS n_purchases,
+           ROUND(SUM(cents) / 100.0, 2) AS revenue
+    FROM purchases GROUP BY cohort_week, week_age
+    """,
+)
+def user_ltv_cohort(spark, sf_dir):
+    """Cohort lifetime-value triangle: users grouped by first-seen
+    week, purchase revenue bucketed by whole weeks since cohort entry
+    — the money-dimension sibling of ``cohort_retention`` (who comes
+    back) that answers what they are WORTH as they age.  Integer date
+    math for the age bucket, exact cents for revenue.
+
+    Scale shape: one per-user MIN aggregate (the cohort map — user-
+    dimension-sized, shuffles once on user_id), one equi-join back to
+    the purchase slice of the fact, one map-side-combined aggregate to
+    the |cohorts x ages| triangle."""
+    e = load(spark, sf_dir, "events")
+    firsts = e.groupBy("user_id").agg(
+        F.to_date(F.date_trunc("week", F.min("ts"))).alias("cohort_week")
+    )
+    purchases = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(firsts, "user_id")
+        .select(
+            "cohort_week",
+            F.floor(
+                F.datediff(F.to_date(F.date_trunc("day", "ts")), F.col("cohort_week"))
+                / 7
+            )
+            .cast("int")
+            .alias("week_age"),
+            F.round(F.col("value") * 100).cast("long").alias("cents"),
+        )
+    )
+    return purchases.groupBy("cohort_week", "week_age").agg(
+        F.count(F.lit(1)).alias("n_purchases"),
+        F.round(F.sum("cents") / 100.0, 2).alias("revenue"),
+    )

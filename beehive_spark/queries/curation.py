@@ -1500,3 +1500,59 @@ def doc_length_outliers(spark, sf_dir, z_cut: float = 1.5):
             "robust_z",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Prefix clusters — templated-document detection by shared openings
+# ---------------------------------------------------------------------------
+@query(
+    "doc_prefix_clusters",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, source, regexp_extract_all(lower(text), '[a-z0-9]+') AS w
+      FROM documents
+    ),
+    pfx AS (
+      SELECT doc_id, source,
+             array_to_string(w[1:8], ' ') AS prefix
+      FROM toks WHERE len(w) >= 8
+    )
+    SELECT prefix,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources,
+           CAST(MIN(doc_id) AS BIGINT) AS exemplar_doc
+    FROM pfx
+    GROUP BY prefix
+    HAVING COUNT(*) >= 2
+    """,
+)
+def doc_prefix_clusters(spark, sf_dir, k: int = 8, min_docs: int = 2):
+    """Templated-document detection: documents sharing their first
+    ``k`` tokens verbatim cluster together — the cheap screen that
+    catches form letters, scraped boilerplate pages and generation
+    templates BEFORE any expensive near-dup pass (a shared opening is
+    the strongest single signal of templating; Lee et al. 2022 §4
+    observe most exact dups share prefixes).  Reports each prefix
+    cluster's size, source spread (cross-source clusters = scraped
+    mirrors) and an exemplar doc for inspection.
+
+    Scale shape: one zero-join projection (first-k-token prefix, JVM
+    slice + concat) and one map-side-combined aggregate keyed on the
+    prefix; the HAVING filter prunes singleton groups before they
+    leave the aggregate."""
+    d = load(spark, sf_dir, "documents")
+    toks = d.select("doc_id", "source", _tokens(F.col("text")).alias("w"))
+    pfx = toks.filter(F.size("w") >= k).select(
+        "doc_id",
+        "source",
+        F.concat_ws(" ", F.slice("w", 1, k)).alias("prefix"),
+    )
+    return (
+        pfx.groupBy("prefix")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.count_distinct("source").alias("n_sources"),
+            F.min("doc_id").alias("exemplar_doc"),
+        )
+        .filter(F.col("n_docs") >= min_docs)
+    )

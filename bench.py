@@ -107,6 +107,10 @@ EXTRA = [
     "revenue_concentration",
     "cross_corpus_overlap",
     "doc_length_outliers",
+    "events_dwell_time",
+    "orders_seasonality",
+    "user_ltv_cohort",
+    "doc_prefix_clusters",
 ]
 
 

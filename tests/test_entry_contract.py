@@ -35,6 +35,11 @@ def test_registry_consistency():
         "pagerank_hierarchy",
         "sketch_uniques_rollup",
         "bpe_encode",
+        # persisted-ANN lifecycle: manifest/probe results depend on the
+        # trained codebook, so no SQL oracle (equivalence to the
+        # in-query ANN paths is pinned in tests/test_ann_index.py)
+        "ann_index_build",
+        "ann_index_probe",
     }
 
 
