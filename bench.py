@@ -151,14 +151,22 @@ def main() -> None:
                 timings[name] = elapsed
     timings = {k: round(v, 3) for k, v in timings.items()}
 
+    # extras: best-of-2 round-robin — the single-pass tier was the one
+    # place a host timing storm could still masquerade as a regression
+    # (round-3 observed four untouched queries "regress" 1.3-1.5x on one
+    # sample and re-measure at or below baseline)
     extra: dict[str, float] = {}
     if os.environ.get("BEEHIVE_BENCH_EXTRA", "1") != "0":
-        spark.catalog.clearCache()
-        for name in EXTRA:
-            fn = qs[name]
-            t0 = time.time()
-            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-            extra[name] = round(time.time() - t0, 3)
+        extra_runs = int(os.environ.get("BEEHIVE_BENCH_EXTRA_RUNS", "2"))
+        for _sweep in range(extra_runs):
+            spark.catalog.clearCache()
+            for name in EXTRA:
+                fn = qs[name]
+                t0 = time.time()
+                fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+                elapsed = round(time.time() - t0, 3)
+                if name not in extra or elapsed < extra[name]:
+                    extra[name] = elapsed
 
     out = {
         "metric": "headline_queries_total",
