@@ -493,6 +493,57 @@ def build_pq_index(
     return meta
 
 
+def append_pq_index(
+    spark: SparkSession, index_dir: str, new_emb: DataFrame
+) -> dict:
+    """Fold new vectors into a persisted PQ index without retraining:
+    encode the increment with the FROZEN per-subspace codebooks and
+    append the codes — the PQ twin of :func:`append_ivf_index`, same
+    contract (codebooks drift only on explicit rebuild; appends are
+    new files, concurrent probes see a complete old or new file set).
+    Cost is O(|increment| * m * ksub) JVM projections plus the append
+    write."""
+    meta = read_meta(index_dir)
+    m, sd = meta["m"], meta["sd"]
+    books_row = spark.read.parquet(os.path.join(index_dir, "books.parquet"))
+    embc = _unit(new_emb).crossJoin(F.broadcast(books_row))
+    codes = F.array(
+        *[
+            F.element_at(
+                F.reverse(
+                    F.array_sort(
+                        F.transform(
+                            pq_subspace_sims(j, sd, books="cb"),
+                            lambda s: F.named_struct(
+                                F.lit("sim"),
+                                s["sim"]
+                                - F.element_at(
+                                    F.element_at(F.col("halfsq"), j + 1),
+                                    s["cid"] + 1,
+                                ),
+                                F.lit("cid"),
+                                s["cid"],
+                            ),
+                        )
+                    )
+                ),
+                1,
+            )["cid"]
+            for j in range(m)
+        ]
+    )
+    enc = embc.select("vec_id", codes.alias("codes"), "en")
+    enc.write.mode("append").parquet(os.path.join(index_dir, "codes.parquet"))
+    meta["n_vectors"] += new_emb.count()
+    tmp = os.path.join(index_dir, META_NAME + ".tmp")
+    with open(tmp, "w") as f:
+        json.dump(meta, f)
+        f.flush()
+        os.fsync(f.fileno())
+    os.replace(tmp, os.path.join(index_dir, META_NAME))
+    return meta
+
+
 def probe_pq_index(
     spark: SparkSession,
     index_dir: str,

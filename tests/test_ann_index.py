@@ -186,3 +186,28 @@ def test_registered_build_and_probe_queries(spark, sf_dir):
         )
     )
     assert idx_meta["kind"] == "ivf"
+
+
+def test_pq_append_extends_codes_under_frozen_books(spark, sf_dir, tmp_path):
+    from beehive_spark.operators.ann_index import append_pq_index, probe_pq_index
+
+    idx = str(tmp_path / "pq")
+    corpus = _corpus(spark, sf_dir)
+    cutoff = corpus.agg(F.expr("percentile(vec_id, 0.7)").alias("c")).first()["c"]
+    head = corpus.filter(F.col("vec_id") <= cutoff)
+    tail = corpus.filter(F.col("vec_id") > cutoff)
+    build_pq_index(spark, head, idx, m=8, ksub=16)
+    books_before = spark.read.parquet(os.path.join(idx, "books.parquet")).collect()
+    meta = append_pq_index(spark, idx, tail)
+    assert meta["n_vectors"] == corpus.count()
+    books_after = spark.read.parquet(os.path.join(idx, "books.parquet")).collect()
+    assert [tuple(map(tuple, r["cb"])) for r in books_before] == [
+        tuple(map(tuple, r["cb"])) for r in books_after
+    ]
+    enc = spark.read.parquet(os.path.join(idx, "codes.parquet"))
+    assert enc.count() == corpus.count()
+    # an appended vector probes to itself at cosine 1.0
+    probe_vec = tail.orderBy(F.col("vec_id").desc()).limit(1)
+    got = probe_pq_index(spark, idx, probe_vec, refine=32, k=1).collect()
+    assert got[0]["neighbor_id"] == probe_vec.first()["vec_id"]
+    assert got[0]["cosine"] == 1.0
