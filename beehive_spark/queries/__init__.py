@@ -114,6 +114,14 @@ _PRIORITY = [
     "user_ltv_cohort",             # r3 new: cohort LTV triangle
     "doc_prefix_clusters",         # r3 new: templated-doc prefix screen
 ]
+# ROUND-4 NOTE: with this 46-entry priority list (the 4 remaining window
+# slots fall to r2-verified TPC-H q4/q6/q7/q8), a green CORRECTNESS_r03
+# makes the cross-round union cover EVERY registered query — r01+r02
+# verified the rest and none of their sources changed this round except
+# the queries listed above (which are in-window).  Round 4's window
+# should lead with whatever round 4 changes or adds; if nothing else
+# needs the slots, rotate in long-unverified r01 entries for
+# re-confirmation (oldest evidence first).
 _PRIORITY_R2 = [
     # TPC-H q4 + q6-q22: oracle-unchecked in round 1 — VERDICT.md top
     # ask ("green rows+schema+hash for all of q4, q6-q22 in
