@@ -1407,16 +1407,26 @@ def cross_corpus_overlap(spark, sf_dir):
     from beehive_spark.queries.llm import _ngram_hashes, _tokens
 
     d = load(spark, sf_dir, "documents")
-    sh = (
-        d.select("source", F.explode(_ngram_hashes(_tokens(F.col("text")))).alias("s"))
-        .distinct()
+    raw = d.select(
+        "source", F.explode(_ngram_hashes(_tokens(F.col("text")))).alias("s")
     )
-    sizes = sh.groupBy("source").agg(F.count(F.lit(1)).alias("sz"))
-    bysh = (
-        sh.groupBy("s")
-        .agg(F.sort_array(F.collect_set("source")).alias("srcs"))
-        .filter(F.size("srcs") >= 2)
+    # ONE corpus-sized shuffle (on the shingle key): collect_set
+    # dedupes (source, s) duplicates inside the aggregate, so no
+    # pre-distinct pass is needed, and per-source distinct sizes fall
+    # out of the SAME persisted frame by re-exploding the
+    # |sources|-bounded sets.  Locally this measures even with the
+    # two-shuffle version (the corpus tokenize+hash pass dominates at
+    # sf0.1); at cluster scale, where shuffle I/O dominates CPU,
+    # halving the corpus shuffle volume is the difference that matters.
+    bysh = raw.groupBy("s").agg(
+        F.sort_array(F.collect_set("source")).alias("srcs")
+    ).persist()
+    sizes = (
+        bysh.select(F.explode("srcs").alias("source"))
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("sz"))
     )
+    bysh = bysh.filter(F.size("srcs") >= 2)
     pair_arr = F.flatten(
         F.transform(
             F.col("srcs"),

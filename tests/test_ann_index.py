@@ -211,3 +211,87 @@ def test_pq_append_extends_codes_under_frozen_books(spark, sf_dir, tmp_path):
     got = probe_pq_index(spark, idx, probe_vec, refine=32, k=1).collect()
     assert got[0]["neighbor_id"] == probe_vec.first()["vec_id"]
     assert got[0]["cosine"] == 1.0
+
+
+def test_streaming_append_keeps_index_fresh_and_replays_noop(
+    spark, sf_dir, tmp_path
+):
+    """Streaming ANN maintenance: micro-batches of new vectors fold
+    into the persisted index (frozen codebook), the final index answers
+    probes for streamed vectors, and a full replay from a fresh
+    checkpoint is a no-op (batch-id guard)."""
+    from beehive_spark.streaming.ann_stream import run_ann_index_append_stream
+
+    corpus = _corpus(spark, sf_dir)
+    cutoff = corpus.agg(F.expr("percentile(vec_id, 0.6)").alias("c")).first()["c"]
+    head = corpus.filter(F.col("vec_id") <= cutoff)
+    tail = corpus.filter(F.col("vec_id") > cutoff)
+    idx = str(tmp_path / "ivf")
+    build_ivf_index(spark, head, idx, k=8, replicas=2)
+
+    # stream the tail in two micro-batch files
+    feed = tmp_path / "feed"
+    feed.mkdir()
+    mid = tail.agg(F.expr("percentile(vec_id, 0.5)").alias("m")).first()["m"]
+    tail.filter(F.col("vec_id") <= mid).coalesce(1).write.parquet(
+        str(feed / "f1.parquet")
+    )
+    tail.filter(F.col("vec_id") > mid).coalesce(1).write.parquet(
+        str(feed / "f2.parquet")
+    )
+    schema = tail.schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(feed) + "/*/")
+    )
+    run_ann_index_append_stream(spark, stream, idx, str(tmp_path / "ck"))
+    meta = read_meta(idx)
+    assert meta["n_vectors"] == corpus.count()
+    assert meta["last_stream_batch"] == 1  # two micro-batches applied
+
+    # streamed vectors are findable at cosine 1.0
+    probe_vec = tail.orderBy(F.col("vec_id").desc()).limit(1)
+    got = probe_ivf_index(spark, idx, probe_vec, nprobe=2, k=1).collect()
+    assert got[0]["neighbor_id"] == probe_vec.first()["vec_id"]
+    assert got[0]["cosine"] == 1.0
+
+    # replay everything from a fresh checkpoint: batch ids restart at 0
+    # <= last_stream_batch, so nothing is re-appended
+    lists_before = spark.read.parquet(
+        os.path.join(idx, "assignments.parquet")
+    ).count()
+    stream2 = spark.readStream.schema(schema).parquet(str(feed) + "/*/")
+    run_ann_index_append_stream(spark, stream2, idx, str(tmp_path / "ck2"))
+    lists_after = spark.read.parquet(
+        os.path.join(idx, "assignments.parquet")
+    ).count()
+    assert lists_after == lists_before
+    assert read_meta(idx)["n_vectors"] == corpus.count()
+
+
+def test_probe_results_absorb_duplicate_list_entries(spark, sf_dir, tmp_path):
+    """The at-least-once append contract: even if a crash-replay
+    duplicated list entries, probe results are unchanged — the
+    per-(query, vector) dedupe absorbs them."""
+    from beehive_spark.operators.ann_index import append_ivf_index
+
+    corpus = _corpus(spark, sf_dir)
+    idx = str(tmp_path / "ivf")
+    build_ivf_index(spark, corpus, idx, k=8, replicas=2)
+    before = sorted(
+        tuple(r)
+        for r in probe_ivf_index(
+            spark, idx, _queries(spark, sf_dir), nprobe=3, k=5
+        ).collect()
+    )
+    # simulate the crash-replay: append a slice of the corpus AGAIN
+    dup = corpus.orderBy("vec_id").limit(50)
+    append_ivf_index(spark, idx, dup)
+    after = sorted(
+        tuple(r)
+        for r in probe_ivf_index(
+            spark, idx, _queries(spark, sf_dir), nprobe=3, k=5
+        ).collect()
+    )
+    assert after == before
