@@ -113,9 +113,10 @@ _PRIORITY = [
     "orders_seasonality",          # r3 new: month-of-year revenue index
     "user_ltv_cohort",             # r3 new: cohort LTV triangle
     "doc_prefix_clusters",         # r3 new: templated-doc prefix screen
+    "media_audio_features",        # r3 new: real WAV decode, exact oracle
 ]
-# ROUND-4 NOTE: with this 46-entry priority list (the 4 remaining window
-# slots fall to r2-verified TPC-H q4/q6/q7/q8), a green CORRECTNESS_r03
+# ROUND-4 NOTE: with this 47-entry priority list (the 3 remaining window
+# slots fall to r2-verified TPC-H q4/q6/q7), a green CORRECTNESS_r03
 # makes the cross-round union cover EVERY registered query — r01+r02
 # verified the rest and none of their sources changed this round except
 # the queries listed above (which are in-window).  Round 4's window

@@ -123,3 +123,71 @@ def media_phash_dedup(spark, sf_dir):
         )
         .orderBy("id_i")
     )
+
+
+_WAV_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("payload", T.BinaryType()),
+    ]
+)
+
+
+def synth_wav_media(docs):
+    """Deterministic WAV corpus from doc ids: each doc renders a mono
+    16 kHz square wave whose frame count and amplitude are pure
+    arithmetic in doc_id — so every acoustic feature of the synthesized
+    signal is predictable in closed form, which is what lets the
+    downstream feature query carry an EXACT SQL oracle.  Encoding runs
+    through the real stdlib WAV container writer inside an
+    Arrow-batched stage (the same shape a real transcode stage has)."""
+    import pandas as pd
+
+    from beehive_spark.functions.audio import encode_wav
+
+    def render(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            ids, payloads = [], []
+            for doc_id in pdf["doc_id"]:
+                n = 800 + (int(doc_id) % 100) * 16
+                a = 1000 + (int(doc_id) % 50) * 100
+                samples = [a if (i // 8) % 2 == 0 else -a for i in range(n)]
+                ids.append(int(doc_id))
+                payloads.append(encode_wav(samples, rate=16000))
+            yield pd.DataFrame({"media_id": ids, "payload": payloads})
+
+    return docs.select("doc_id").mapInPandas(render, schema=_WAV_SCHEMA)
+
+
+@query(
+    "media_audio_features",
+    oracle="""
+    SELECT doc_id AS media_id,
+           CAST(800 + (doc_id % 100) * 16 AS BIGINT) AS n_frames,
+           CAST((800 + (doc_id % 100) * 16) / 16 AS BIGINT) AS duration_ms,
+           CAST(1000 + (doc_id % 50) * 100 AS BIGINT) AS peak,
+           CAST(1000 + (doc_id % 50) * 100 AS DOUBLE) AS rms,
+           CAST((800 + (doc_id % 100) * 16) / 8 - 1 AS BIGINT)
+             AS zero_crossings
+    FROM documents
+    """,
+)
+def media_audio_features(spark, sf_dir):
+    """Real-codec audio feature extraction, driver-hash-checked end to
+    end: synthesize a PCM WAV per document (square wave; stdlib
+    ``wave`` writer), decode it back through the same stdlib codec
+    (``functions/audio.py``), and emit frame count, duration, peak,
+    RMS and zero crossings — every one of which has a CLOSED-FORM
+    value for a square wave (RMS == amplitude, crossings == blocks-1),
+    so the oracle is exact arithmetic over doc_id and any decode or
+    feature bug breaks the hash.
+
+    The audio sibling of ``media_phash_dedup``: together they put both
+    non-text modalities' real decode paths under the driver's
+    differential gate.  Scale shape: two Arrow-batched map stages
+    (synthesize, featurize) with byte-budget repartitioning; payloads
+    never shuffle."""
+    from beehive_spark.functions.audio import extract_audio_features
+
+    docs = load(spark, sf_dir, "documents")
+    return extract_audio_features(synth_wav_media(docs))

@@ -111,6 +111,7 @@ EXTRA = [
     "orders_seasonality",
     "user_ltv_cohort",
     "doc_prefix_clusters",
+    "media_audio_features",
 ]
 
 

@@ -96,6 +96,7 @@ REGISTRY_CASES = [
     ("fuzzy_join_names", "customer"),
     ("text_perplexity", "documents"),
     ("heavy_hitters_shingles", "documents"),
+    ("cross_corpus_overlap", "documents"),
 ]
 
 

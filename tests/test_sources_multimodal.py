@@ -254,3 +254,32 @@ def test_phash_dedup_finds_identical_payloads(spark, sf_dir):
     assert planted <= exact
     # ...and nothing at 1 <= hamming <= 3 (sha256 stand-in scatters)
     assert all(r["hamming"] == 0 for r in pairs)
+
+
+def test_wav_codec_roundtrip_and_rejection():
+    from beehive_spark.functions.audio import decode_wav, encode_wav
+
+    samples = [0, 1000, -1000, 32767, -32768, 5]
+    rate, back = decode_wav(encode_wav(samples, rate=8000))
+    assert rate == 8000 and back == samples
+    # clamping
+    _, clamped = decode_wav(encode_wav([99999, -99999]))
+    assert clamped == [32767, -32768]
+    with pytest.raises(NotImplementedError):
+        decode_wav(b"not audio at all")
+
+
+def test_registered_audio_query_closed_form(spark, sf_dir):
+    from beehive_spark.queries import all_queries, load
+
+    res = {r["media_id"]: r for r in
+           all_queries()["media_audio_features"](spark, sf_dir).collect()}
+    docs = load(spark, sf_dir, "documents")
+    assert len(res) == docs.count()
+    for doc_id, r in list(res.items())[:20]:
+        n = 800 + (doc_id % 100) * 16
+        a = 1000 + (doc_id % 50) * 100
+        assert r["n_frames"] == n
+        assert r["duration_ms"] == n // 16
+        assert r["peak"] == a and r["rms"] == float(a)
+        assert r["zero_crossings"] == n // 8 - 1
