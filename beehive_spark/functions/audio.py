@@ -52,7 +52,10 @@ def decode_wav(data: bytes) -> tuple[int, list[int]]:
                 )
             rate = w.getframerate()
             raw = w.readframes(w.getnframes())
-    except wave.Error as e:
+    # wave surfaces truncated/garbled input as EOFError or struct
+    # errors, not just wave.Error — fold them all into the contract
+    # (property-tested in tests/test_codec_property.py)
+    except (wave.Error, EOFError, struct.error) as e:
         raise NotImplementedError(f"not a PCM WAV stream ({e})") from e
     return rate, list(struct.unpack(f"<{len(raw) // 2}h", raw))
 
