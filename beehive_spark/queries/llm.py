@@ -2148,3 +2148,127 @@ def embedding_centroids(spark, sf_dir):
         )
         .select("label", "n_vectors", "centroid")
     )
+
+
+# ---------------------------------------------------------------------------
+# Winnowing fingerprints — rolling-hash document signatures (MOSS)
+# ---------------------------------------------------------------------------
+_WIN_K = 8      # character k-gram length (rolling-hash unit)
+_WIN_W = 4      # winnowing window over the hash sequence
+_WIN_B = 31     # polynomial base
+_WIN_M = 10**9 + 7
+
+
+@query(
+    "doc_winnowing_fingerprints",
+    oracle=f"""
+    WITH base AS (
+      SELECT doc_id, text, LENGTH(text) AS L
+      FROM documents WHERE LENGTH(text) >= {_WIN_K + _WIN_W - 1}
+    ),
+    hashes AS (
+      SELECT doc_id,
+             [ (CAST(ord(substring(text, i + 0, 1)) AS BIGINT) * {_WIN_B ** 7}
+              + CAST(ord(substring(text, i + 1, 1)) AS BIGINT) * {_WIN_B ** 6}
+              + CAST(ord(substring(text, i + 2, 1)) AS BIGINT) * {_WIN_B ** 5}
+              + CAST(ord(substring(text, i + 3, 1)) AS BIGINT) * {_WIN_B ** 4}
+              + CAST(ord(substring(text, i + 4, 1)) AS BIGINT) * {_WIN_B ** 3}
+              + CAST(ord(substring(text, i + 5, 1)) AS BIGINT) * {_WIN_B ** 2}
+              + CAST(ord(substring(text, i + 6, 1)) AS BIGINT) * {_WIN_B}
+              + ord(substring(text, i + 7, 1))) % {_WIN_M}
+               for i in range(1, L - {_WIN_K} + 2) ] AS h
+      FROM base
+    ),
+    fps AS (
+      -- fingerprint (pos, v) packs into one BIGINT pos*M + v so
+      -- list_distinct works (DuckDB lacks struct-list distinct)
+      SELECT doc_id, len(h) AS n_grams,
+             list_distinct([
+               (p - 1 + ({_WIN_W} - list_position(
+                          list_reverse(h[p:p + {_WIN_W} - 1]),
+                          list_min(h[p:p + {_WIN_W} - 1]))))
+                 * {_WIN_M} + list_min(h[p:p + {_WIN_W} - 1])
+               for p in range(1, len(h) - {_WIN_W} + 2) ]) AS fp
+      FROM hashes
+    )
+    SELECT doc_id,
+           CAST(n_grams AS BIGINT) AS n_grams,
+           CAST(len(fp) AS BIGINT) AS n_fingerprints,
+           CAST(list_sum([x % {_WIN_M} for x in fp]) % {_WIN_M} AS BIGINT)
+             AS fp_checksum,
+           ROUND(len(fp) / CAST(n_grams AS DOUBLE), 4) AS density
+    FROM fps
+    """,
+)
+def doc_winnowing_fingerprints(spark, sf_dir):
+    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken 2003
+    — the MOSS algorithm): a polynomial ROLLING HASH over character
+    8-grams, then the rightmost-minimum of each 4-hash window is
+    selected, so matching substrings of length >= k + w - 1 between
+    any two documents are GUARANTEED to share a fingerprint while only
+    ~2/(w+1) of positions are kept — the locality-guaranteed sampling
+    that plain minhash lacks.  Output per doc: gram count, selected
+    fingerprint count, their modular checksum (hash-exact across
+    engines — every quantity is integer arithmetic) and the selection
+    density (~0.4 at w=4, the theoretical 2/(w+1) plus tie effects).
+
+    The fingerprint SET (pos, hash) is what a plagiarism/near-dup
+    index stores; an equi-join on the hash then finds shared runs, the
+    same inverted-index shape as ``dedup_ngram_jaccard`` with a 2.5x
+    smaller index.  Scale: all JVM array expressions, zero joins, zero
+    shuffles before the final projection; the hash array is
+    materialized in its own projection so the winnowing lambda does
+    not re-evaluate it per window (the expression-inlining trap)."""
+    k, w, B, M = _WIN_K, _WIN_W, _WIN_B, _WIN_M
+    d = load(spark, sf_dir, "documents").filter(
+        F.length("text") >= k + w - 1
+    )
+    # rolling k-gram hashes, one per start position (materialized
+    # column); ascii() is IntegerType, so cast to long BEFORE the
+    # power multiply (31^5 * codepoint overflows int32 under ANSI)
+    h = F.transform(
+        F.sequence(F.lit(1), F.length("text") - k + 1),
+        lambda i: sum(
+            F.ascii(F.substr(F.col("text"), i + j, F.lit(1))).cast("long")
+            * F.lit(B ** (k - 1 - j)).cast("long")
+            for j in range(k)
+        )
+        % F.lit(M),
+    )
+    hashed = d.select("doc_id", h.alias("h"))
+    # winnow: rightmost-minimum per window, deduplicated by (pos, v)
+    win = lambda p: F.slice(F.col("h"), p, w)  # noqa: E731
+    # (pos, v) packed as pos*M + v — one BIGINT per fingerprint, so
+    # distinct/dedup handles 8 bytes and the oracle can mirror it
+    fp = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.size("h") - w + 1),
+            lambda p: (
+                p - 1 + (
+                    F.lit(w)
+                    - F.array_position(
+                        F.reverse(win(p)), F.array_min(win(p))
+                    )
+                )
+            ).cast("long") * F.lit(M) + F.array_min(win(p)),
+        )
+    )
+    fps = hashed.select(
+        "doc_id", F.size("h").alias("n_grams"), fp.alias("fp")
+    )
+    return fps.select(
+        "doc_id",
+        F.col("n_grams").cast("long").alias("n_grams"),
+        F.size("fp").cast("long").alias("n_fingerprints"),
+        (
+            F.aggregate(
+                F.transform("fp", lambda x: x % M),
+                F.lit(0).cast("long"),
+                lambda acc, x: acc + x,
+            )
+            % M
+        ).cast("long").alias("fp_checksum"),
+        F.round(F.size("fp") / F.col("n_grams").cast("double"), 4).alias(
+            "density"
+        ),
+    )

@@ -112,6 +112,7 @@ EXTRA = [
     "user_ltv_cohort",
     "doc_prefix_clusters",
     "media_audio_features",
+    "doc_winnowing_fingerprints",
 ]
 
 

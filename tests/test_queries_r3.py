@@ -172,3 +172,35 @@ def test_length_outliers_all_beyond_cut(spark, sf_dir, qs):
 def test_prefix_clusters_sizes(spark, sf_dir, qs):
     rows = qs["doc_prefix_clusters"](spark, sf_dir).collect()
     assert rows and all(r["n_docs"] >= 2 and r["n_sources"] >= 1 for r in rows)
+
+
+def test_winnowing_matches_reference_implementation(spark, sf_dir, qs):
+    """Pin the Spark winnowing against a direct python transliteration
+    of the Schleimer et al. scheme (rolling k-gram hash, rightmost
+    minimum per window, distinct (pos, hash) set)."""
+    K, W, B, M = 8, 4, 31, 10**9 + 7
+
+    def reference(text):
+        h = [
+            sum(ord(text[i + j]) * pow(B, K - 1 - j, M) for j in range(K)) % M
+            for i in range(len(text) - K + 1)
+        ]
+        fps = set()
+        for p in range(len(h) - W + 1):
+            win = h[p:p + W]
+            m = min(win)
+            idx = max(i for i, v in enumerate(win) if v == m)
+            fps.add((p + idx, m))
+        return len(h), len(fps), sum(v for _, v in fps) % M
+
+    rows = {r["doc_id"]: r
+            for r in qs["doc_winnowing_fingerprints"](spark, sf_dir).collect()}
+    docs = load(spark, sf_dir, "documents").limit(10).collect()
+    for d in docs:
+        n_grams, n_fp, checksum = reference(d["text"])
+        r = rows[d["doc_id"]]
+        assert (r["n_grams"], r["n_fingerprints"], r["fp_checksum"]) == (
+            n_grams, n_fp, checksum,
+        ), d["doc_id"]
+        # winnowing guarantee: density near 2/(w+1), never above 1
+        assert 0 < r["density"] <= 1
