@@ -264,6 +264,46 @@ _FRAME_SCHEMA = T.StructType(
     ]
 )
 
+#: magic for the minimal multi-frame container below
+_MPNG_MAGIC = b"MPNG"
+
+
+def encode_mpng(frames: list[bytes]) -> bytes:
+    """Minimal multi-frame container: ``MPNG`` magic, u32 frame count,
+    then length-prefixed PNG frames.  This is a TEST/DEMO container —
+    a real pipeline decodes mp4/webm via ffmpeg at exactly this seam —
+    but the frames inside are real compressed PNGs, so the sampling
+    path below exercises genuine per-frame decode, not fakes."""
+    import struct as _s
+
+    out = [_MPNG_MAGIC, _s.pack(">I", len(frames))]
+    for f in frames:
+        out.append(_s.pack(">I", len(f)))
+        out.append(f)
+    return b"".join(out)
+
+
+def decode_mpng(data: bytes) -> list[bytes]:
+    """Frame payloads (PNG bytes) from an MPNG container; raises
+    NotImplementedError for other containers (the explicit-request
+    contract shared by the image/audio tiers)."""
+    import struct as _s
+
+    if data[:4] != _MPNG_MAGIC:
+        raise NotImplementedError(
+            "only the MPNG test container decodes without ffmpeg; real "
+            "video formats need an external codec at this same seam"
+        )
+    (n,) = _s.unpack(">I", data[4:8])
+    frames, pos = [], 8
+    for _ in range(n):
+        (ln,) = _s.unpack(">I", data[pos : pos + 4])
+        frames.append(data[pos + 4 : pos + 4 + ln])
+        pos += 4 + ln
+    if len(frames) != n:
+        raise NotImplementedError("truncated MPNG container")
+    return frames
+
 
 def sample_frames(
     media: DataFrame,
@@ -275,11 +315,14 @@ def sample_frames(
     (the flatMap shape codecs need) at a fixed time stride.
 
     Frame count derives from meta.duration_ms (default 1 frame when
-    absent); the frame payload is a deterministic fake (digest of
-    content + frame index) unless ``use_real_decoder`` wires in
-    ffmpeg.  Fan-out is bounded by ``max_frames`` so one long video
-    cannot blow up a task — at scale, split long media upstream
-    instead of raising the cap."""
+    absent).  With ``use_real_decoder`` the payload is parsed as an
+    MPNG container and each sampled frame is REALLY decoded to raw RGB
+    (``decode_mpng`` + the PNG codec tier — ffmpeg plugs into this
+    same seam for real formats); otherwise the frame payload is a
+    deterministic fake (digest of content + frame index).  Fan-out is
+    bounded by ``max_frames`` so one long video cannot blow up a task
+    — at scale, split long media upstream instead of raising the
+    cap."""
     import pandas as pd
 
     def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
@@ -289,16 +332,19 @@ def sample_frames(
                 pdf["media_id"], pdf["content"], pdf["meta"]
             ):
                 b = bytes(content) if content is not None else b""
-                if use_real_decoder:
-                    b = _decode_real(b, meta)
                 dur = (meta or {}).get("duration_ms") or 0
                 n = max(1, min(max_frames, int(dur // every_ms) + 1))
+                if use_real_decoder:
+                    payloads = decode_mpng(b)
+                    n = min(n, len(payloads))
                 for i in range(n):
                     ids.append(media_id)
                     idxs.append(i)
                     tss.append(i * every_ms)
                     frames.append(
-                        hashlib.sha256(b + i.to_bytes(4, "big")).digest()
+                        _decode_rgb_array(payloads[i]).tobytes()
+                        if use_real_decoder
+                        else hashlib.sha256(b + i.to_bytes(4, "big")).digest()
                     )
             yield pd.DataFrame(
                 {"media_id": ids, "frame_idx": idxs, "ts_ms": tss, "frame": frames}

@@ -115,9 +115,10 @@ _PRIORITY = [
     "doc_prefix_clusters",         # r3 new: templated-doc prefix screen
     "media_audio_features",        # r3 new: real WAV decode, exact oracle
     "doc_winnowing_fingerprints",  # r3 new: MOSS rolling-hash winnowing
+    "media_video_frames",          # r3 new: real frame-decode sampling
 ]
-# ROUND-4 NOTE: with this 48-entry priority list (the 2 remaining window
-# slots fall to r2-verified TPC-H q4/q6), a green CORRECTNESS_r03
+# ROUND-4 NOTE: with this 49-entry priority list (the 1 remaining window
+# slot falls to r2-verified TPC-H q4), a green CORRECTNESS_r03
 # makes the cross-round union cover EVERY registered query — r01+r02
 # verified the rest and none of their sources changed this round except
 # the queries listed above (which are in-window).  Round 4's window

@@ -191,3 +191,118 @@ def media_audio_features(spark, sf_dir):
 
     docs = load(spark, sf_dir, "documents")
     return extract_audio_features(synth_wav_media(docs))
+
+
+_FRAME_N = 6          # frames per synthesized video
+_FRAME_EVERY_MS = 1000
+_FRAME_MAX = 3
+
+
+def synth_video_media(docs):
+    """Deterministic multi-frame corpus: each doc becomes a 6-frame
+    MPNG container whose frame f is a SOLID-COLOR PNG with value
+    ``(doc_id*7 + f*13) % 256`` — closed-form pixels, so frame-level
+    statistics after a REAL decode are pure arithmetic in (doc_id,
+    frame_idx) and the oracle can check them exactly."""
+    import numpy as np
+    import pandas as pd
+
+    from beehive_spark.functions.multimodal import encode_mpng
+    from beehive_spark.functions.png import encode_png
+
+    def render(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            ids, payloads = [], []
+            for doc_id in pdf["doc_id"]:
+                frames = []
+                for f in range(_FRAME_N):
+                    v = (int(doc_id) * 7 + f * 13) % 256
+                    px = np.full((8, 8, 3), v, dtype=np.uint8)
+                    frames.append(encode_png(px))
+                ids.append(int(doc_id))
+                payloads.append(encode_mpng(frames))
+            yield pd.DataFrame({"media_id": ids, "payload": payloads})
+
+    return docs.select("doc_id").mapInPandas(render, schema=_PNG_SCHEMA)
+
+
+@query(
+    "media_video_frames",
+    oracle="""
+    SELECT doc_id AS media_id,
+           CAST(f AS INT) AS frame_idx,
+           CAST(f * 1000 AS BIGINT) AS ts_ms,
+           CAST(192 AS BIGINT) AS frame_bytes,
+           ROUND(CAST((doc_id * 7 + f * 13) % 256 AS DOUBLE), 2)
+             AS mean_luma
+    FROM documents, unnest(range(0, 3)) t(f)
+    """,
+)
+def media_video_frames(spark, sf_dir):
+    """Real frame sampling + decode under the driver's hash gate — the
+    video leg of the modality triple (images: ``media_phash_dedup``,
+    audio: ``media_audio_features``): synthesize a 6-frame MPNG per
+    document (solid-color PNG frames, closed-form pixel values),
+    sample 3 frames at a 1s stride with ``use_real_decoder=True`` (the
+    container parses, every sampled frame REALLY decodes through the
+    PNG tier), and emit each frame's byte length and mean luma — which
+    for a solid frame equals its color value exactly, so the oracle is
+    arithmetic in (doc_id, frame_idx).
+
+    Scale shape: one Arrow-batched synthesis stage, one flatMap-shaped
+    sampling stage (bounded fan-out), one JVM aggregate-free
+    projection; frame payloads never shuffle (luma reduces each frame
+    to one double before any exchange)."""
+    from beehive_spark.functions.multimodal import sample_frames, wrap_as_media
+
+    docs = load(spark, sf_dir, "documents")
+    media = wrap_as_media(
+        synth_video_media(docs), "media_id", "payload", modality="video"
+    )
+    media = media.withColumn(
+        "meta",
+        F.col("meta").withField(
+            "duration_ms", F.lit((_FRAME_N - 1) * 500).cast("long")
+        ),
+    )
+    frames = sample_frames(
+        media,
+        every_ms=_FRAME_EVERY_MS,
+        max_frames=_FRAME_MAX,
+        use_real_decoder=True,
+    )
+    # mean luma of the raw RGB bytes, all JVM: hex the frame once and
+    # read unsigned byte values positionally, weighted by the ITU-R
+    # 601 coefficients; for a solid frame every pixel contributes
+    # luma(v,v,v) = v
+    return frames.select(
+        "media_id",
+        "frame_idx",
+        "ts_ms",
+        F.length("frame").cast("long").alias("frame_bytes"),
+        F.round(
+            F.aggregate(
+                F.transform(
+                    F.sequence(
+                        F.lit(0), (F.length("frame") / 3).cast("int") - 1
+                    ),
+                    lambda p: F.conv(
+                        F.substring(F.hex("frame"), (p * 3) * 2 + 1, 2), 16, 10
+                    ).cast("double")
+                    * 0.299
+                    + F.conv(
+                        F.substring(F.hex("frame"), (p * 3 + 1) * 2 + 1, 2), 16, 10
+                    ).cast("double")
+                    * 0.587
+                    + F.conv(
+                        F.substring(F.hex("frame"), (p * 3 + 2) * 2 + 1, 2), 16, 10
+                    ).cast("double")
+                    * 0.114,
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            / (F.length("frame") / 3),
+            2,
+        ).alias("mean_luma"),
+    )

@@ -113,6 +113,7 @@ EXTRA = [
     "doc_prefix_clusters",
     "media_audio_features",
     "doc_winnowing_fingerprints",
+    "media_video_frames",
 ]
 
 

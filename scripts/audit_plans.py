@@ -136,6 +136,7 @@ EXTRA = [
     "doc_prefix_clusters",
     "media_audio_features",
     "doc_winnowing_fingerprints",
+    "media_video_frames",
 ]
 
 

@@ -283,3 +283,32 @@ def test_registered_audio_query_closed_form(spark, sf_dir):
         assert r["duration_ms"] == n // 16
         assert r["peak"] == a and r["rms"] == float(a)
         assert r["zero_crossings"] == n // 8 - 1
+
+
+def test_mpng_container_and_real_frame_sampling(spark):
+    import numpy as np
+
+    from beehive_spark.functions.multimodal import (
+        decode_mpng,
+        encode_mpng,
+        sample_frames,
+    )
+    from beehive_spark.functions.png import encode_png
+
+    frames = [encode_png(np.full((4, 4, 3), v, dtype=np.uint8)) for v in (9, 99, 199)]
+    assert decode_mpng(encode_mpng(frames)) == frames
+    with pytest.raises(NotImplementedError):
+        decode_mpng(b"RIFFnot-a-container")
+
+    df = spark.createDataFrame(
+        [(1, encode_mpng(frames))], "media_id long, payload binary"
+    )
+    media = wrap_as_media(df, "media_id", "payload", modality="video").withColumn(
+        "meta", F.col("meta").withField("duration_ms", F.lit(5000).cast("long"))
+    )
+    out = sample_frames(media, every_ms=1000, max_frames=5, use_real_decoder=True)
+    rows = sorted((r["frame_idx"], bytes(r["frame"])) for r in out.collect())
+    # capped at the 3 real frames, each decoded to solid raw RGB
+    assert [i for i, _ in rows] == [0, 1, 2]
+    for (i, payload), v in zip(rows, (9, 99, 199)):
+        assert payload == bytes([v]) * (4 * 4 * 3), i
