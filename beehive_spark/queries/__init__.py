@@ -124,7 +124,9 @@ _PRIORITY = [
 # the queries listed above (which are in-window).  Round 4's window
 # should lead with whatever round 4 changes or adds; if nothing else
 # needs the slots, rotate in long-unverified r01 entries for
-# re-confirmation (oldest evidence first).
+# re-confirmation (oldest evidence first).  point_in_time_state was
+# added after the r3 window filled — locally green in
+# check_oracle.py; FIRST CANDIDATE for the round-4 window.
 _PRIORITY_R2 = [
     # TPC-H q4 + q6-q22: oracle-unchecked in round 1 — VERDICT.md top
     # ask ("green rows+schema+hash for all of q4, q6-q22 in

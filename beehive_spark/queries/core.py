@@ -2021,3 +2021,73 @@ def user_ltv_cohort(spark, sf_dir):
         F.count(F.lit(1)).alias("n_purchases"),
         F.round(F.sum("cents") / 100.0, 2).alias("revenue"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Point-in-time state — AS OF reconstruction from the event log
+# ---------------------------------------------------------------------------
+@query(
+    "point_in_time_state",
+    oracle="""
+    WITH cutoff AS (
+      -- exact integer microseconds so both engines pick the identical
+      -- boundary instant
+      SELECT MIN(epoch_us(ts))
+             + (MAX(epoch_us(ts)) - MIN(epoch_us(ts))) // 2 AS t_us
+      FROM events
+    ),
+    ranked AS (
+      SELECT user_id, event_type, value, ts,
+             row_number() OVER (
+               PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn,
+             COUNT(*) OVER (PARTITION BY user_id) AS n_events
+      FROM events, cutoff WHERE epoch_us(ts) <= cutoff.t_us
+    )
+    SELECT user_id,
+           event_type AS last_event_type,
+           ts AS last_event_ts,
+           CAST(n_events AS BIGINT) AS n_events,
+           ROUND(value, 4) AS last_value
+    FROM ranked WHERE rn = 1
+    """,
+)
+def point_in_time_state(spark, sf_dir):
+    """AS OF state reconstruction — the time-travel query every
+    event-sourced system needs: each user's state at a historical
+    cutoff (here the corpus midpoint, derived from the data so the
+    query is SF-agnostic), defined as their latest event at or before
+    the cutoff plus how many events they had accumulated.  Users with
+    no events by the cutoff correctly do not exist yet.
+
+    Scale shape: the cutoff predicate prunes the scan FIRST (on a
+    time-clustered layout this is file skipping — see
+    ``write_clustered``), then one per-user window picks the frontier
+    row; no self-join, no global order.  The same plan answers any
+    cutoff, which is how a lakehouse emulates snapshot reads over an
+    append-only log."""
+    e = load(spark, sf_dir, "events")
+    us = F.unix_micros("ts")
+    cut = e.agg(
+        (
+            F.min(us)
+            + F.floor((F.max(us) - F.min(us)) / 2)
+        ).alias("t_us")
+    )
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    wn = Window.partitionBy("user_id")
+    return (
+        e.crossJoin(F.broadcast(cut))
+        .filter(us <= F.col("t_us"))
+        .withColumn("rn", F.row_number().over(w))
+        .withColumn("n_events", F.count(F.lit(1)).over(wn))
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id",
+            F.col("event_type").alias("last_event_type"),
+            F.col("ts").alias("last_event_ts"),
+            F.col("n_events").cast("long").alias("n_events"),
+            F.round("value", 4).alias("last_value"),
+        )
+    )

@@ -137,6 +137,7 @@ EXTRA = [
     "media_audio_features",
     "doc_winnowing_fingerprints",
     "media_video_frames",
+    "point_in_time_state",
 ]
 
 

@@ -204,3 +204,29 @@ def test_winnowing_matches_reference_implementation(spark, sf_dir, qs):
         ), d["doc_id"]
         # winnowing guarantee: density near 2/(w+1), never above 1
         assert 0 < r["density"] <= 1
+
+
+def test_point_in_time_state_is_a_true_snapshot(spark, sf_dir, qs):
+    """The AS OF result must equal a brute-force per-user replay of the
+    event log up to the same cutoff."""
+    rows = {r["user_id"]: r
+            for r in qs["point_in_time_state"](spark, sf_dir).collect()}
+    e = load(spark, sf_dir, "events").collect()
+    us = sorted(r["ts"] for r in e)
+    import datetime
+    lo, hi = us[0], us[-1]
+    cutoff = lo + (hi - lo) / 2
+    replay = {}
+    for r in e:
+        if r["ts"] <= cutoff:
+            cur = replay.setdefault(r["user_id"], {"n": 0, "last": None})
+            cur["n"] += 1
+            key = (r["ts"], r["event_id"])
+            if cur["last"] is None or key > (cur["last"]["ts"], cur["last"]["event_id"]):
+                cur["last"] = r
+    assert set(rows) == set(replay)
+    for uid, st in replay.items():
+        got = rows[uid]
+        assert got["n_events"] == st["n"]
+        assert got["last_event_ts"] == st["last"]["ts"]
+        assert got["last_event_type"] == st["last"]["event_type"]
