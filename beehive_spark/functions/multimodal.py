@@ -294,14 +294,22 @@ def decode_mpng(data: bytes) -> list[bytes]:
             "only the MPNG test container decodes without ffmpeg; real "
             "video formats need an external codec at this same seam"
         )
+    if len(data) < 8:
+        raise NotImplementedError("truncated MPNG container (no count)")
     (n,) = _s.unpack(">I", data[4:8])
     frames, pos = [], 8
     for _ in range(n):
+        # explicit length checks: struct.unpack on a short slice would
+        # leak struct.error, and a short payload slice would silently
+        # yield a garbled frame (review finding; pinned in
+        # test_mpng_truncation_raises_contract_error)
+        if pos + 4 > len(data):
+            raise NotImplementedError("truncated MPNG container (header)")
         (ln,) = _s.unpack(">I", data[pos : pos + 4])
+        if pos + 4 + ln > len(data):
+            raise NotImplementedError("truncated MPNG container (frame)")
         frames.append(data[pos + 4 : pos + 4 + ln])
         pos += 4 + ln
-    if len(frames) != n:
-        raise NotImplementedError("truncated MPNG container")
     return frames
 
 
@@ -336,16 +344,30 @@ def sample_frames(
                 n = max(1, min(max_frames, int(dur // every_ms) + 1))
                 if use_real_decoder:
                     payloads = decode_mpng(b)
-                    n = min(n, len(payloads))
                 for i in range(n):
+                    ts = i * every_ms
+                    if use_real_decoder:
+                        # map the sample TIME to its nearest source
+                        # frame (frames span [0, dur] evenly) — using
+                        # the raw sample index would hand back the
+                        # wrong frame for every ts past 0 whenever the
+                        # container's frame interval differs from the
+                        # sampling stride (review finding; pinned in
+                        # tests)
+                        nf = len(payloads)
+                        if dur > 0 and nf > 1:
+                            src = min(nf - 1, round(ts * (nf - 1) / dur))
+                        else:
+                            src = min(i, nf - 1)
+                        frame = _decode_rgb_array(payloads[src]).tobytes()
+                    else:
+                        frame = hashlib.sha256(
+                            b + i.to_bytes(4, "big")
+                        ).digest()
                     ids.append(media_id)
                     idxs.append(i)
-                    tss.append(i * every_ms)
-                    frames.append(
-                        _decode_rgb_array(payloads[i]).tobytes()
-                        if use_real_decoder
-                        else hashlib.sha256(b + i.to_bytes(4, "big")).digest()
-                    )
+                    tss.append(ts)
+                    frames.append(frame)
             yield pd.DataFrame(
                 {"media_id": ids, "frame_idx": idxs, "ts_ms": tss, "frame": frames}
             )

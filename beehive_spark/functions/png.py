@@ -72,6 +72,18 @@ def decode_png(data: bytes) -> "np.ndarray":
     """
     if data[: len(_SIG)] != _SIG:
         raise ValueError("not a PNG byte stream")
+    try:
+        return _decode_body(data)
+    # truncated chunks surface as struct.error, corrupt IDAT as
+    # zlib.error — fold both into the documented ValueError contract
+    # so callers' error handling (e.g. multimodal._decode_rgb_array)
+    # sees one exception family (review finding; pinned in
+    # test_png_codec.py::test_truncated_and_corrupt_streams_raise_valueerror)
+    except (struct.error, zlib.error) as e:
+        raise ValueError(f"corrupt PNG stream ({e})") from e
+
+
+def _decode_body(data: bytes) -> "np.ndarray":
     pos = len(_SIG)
     idat, w = b"", None
     while pos + 8 <= len(data):

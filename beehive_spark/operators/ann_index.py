@@ -260,6 +260,19 @@ def read_meta(index_dir: str) -> dict:
         return json.load(f)
 
 
+def write_meta(dir_path: str, meta: dict) -> None:
+    """Durably write ``_ann_meta.json`` into ``dir_path``: fsynced temp
+    file + atomic rename (one shared implementation for the build,
+    append and streaming paths — the sequence was previously copied in
+    five places)."""
+    tmp = os.path.join(dir_path, META_NAME + ".tmp")
+    with open(tmp, "w") as f:
+        json.dump(meta, f)
+        f.flush()
+        os.fsync(f.fileno())
+    os.replace(tmp, os.path.join(dir_path, META_NAME))
+
+
 # ---------------------------------------------------------------------------
 # IVF index
 # ---------------------------------------------------------------------------
@@ -317,10 +330,7 @@ def build_ivf_index(
         "dim": len(cents[0]),
         "n_vectors": emb.count(),
     }
-    with open(os.path.join(staging, META_NAME), "w") as f:
-        json.dump(meta, f)
-        f.flush()
-        os.fsync(f.fileno())
+    write_meta(staging, meta)
     _swap_in(staging, index_dir)
     return meta
 
@@ -410,12 +420,7 @@ def append_ivf_index(
         os.path.join(index_dir, "assignments.parquet")
     )
     meta["n_vectors"] += new_emb.count()
-    tmp = os.path.join(index_dir, META_NAME + ".tmp")
-    with open(tmp, "w") as f:
-        json.dump(meta, f)
-        f.flush()
-        os.fsync(f.fileno())
-    os.replace(tmp, os.path.join(index_dir, META_NAME))
+    write_meta(index_dir, meta)
     return meta
 
 
@@ -474,9 +479,8 @@ def build_pq_index(
     staging = index_dir.rstrip("/") + ".staging"
     shutil.rmtree(staging, ignore_errors=True)
     os.makedirs(staging)
-    codebook_df(spark, books, extra={"halfsq": half_sq}).coalesce(1).write.parquet(
-        os.path.join(staging, "books.parquet")
-    )
+    # same one-row frame already broadcast into the encode — reuse it
+    cbdf.coalesce(1).write.parquet(os.path.join(staging, "books.parquet"))
     enc.write.parquet(os.path.join(staging, "codes.parquet"))
     meta = {
         "kind": "pq",
@@ -485,10 +489,7 @@ def build_pq_index(
         "sd": sd,
         "n_vectors": emb.count(),
     }
-    with open(os.path.join(staging, META_NAME), "w") as f:
-        json.dump(meta, f)
-        f.flush()
-        os.fsync(f.fileno())
+    write_meta(staging, meta)
     _swap_in(staging, index_dir)
     return meta
 
@@ -535,12 +536,7 @@ def append_pq_index(
     enc = embc.select("vec_id", codes.alias("codes"), "en")
     enc.write.mode("append").parquet(os.path.join(index_dir, "codes.parquet"))
     meta["n_vectors"] += new_emb.count()
-    tmp = os.path.join(index_dir, META_NAME + ".tmp")
-    with open(tmp, "w") as f:
-        json.dump(meta, f)
-        f.flush()
-        os.fsync(f.fileno())
-    os.replace(tmp, os.path.join(index_dir, META_NAME))
+    write_meta(index_dir, meta)
     return meta
 
 

@@ -56,19 +56,39 @@ def existing_partition_values(out_path: str, part_col: str) -> set[str]:
 
 
 def _existing_typed(
-    spark: SparkSession, out_path: str, part_col: str
+    spark: SparkSession,
+    out_path: str,
+    part_col: str,
+    source_type: str = "string",
 ) -> set:
     """Typed partition values present in the output dataset.  Reading
     the partition column back through Spark sidesteps escaping AND type
-    formatting entirely: values compare in the column's own domain."""
+    formatting entirely: values compare in the column's own domain.
+
+    Partition-column TYPE INFERENCE is disabled for the read and the
+    raw string values are cast to ``source_type`` (the SOURCE column's
+    type) instead: inference would re-type a string source's
+    '2024-01-01' partitions as DATE (or '01' as INT 1), making every
+    partition look missing forever — the perpetual-rewrite bug this
+    function exists to prevent, reintroduced through the type axis
+    (caught by review; pinned in
+    test_backfill_string_date_partitions_are_not_retyped)."""
     if not os.path.isdir(out_path):
         return set()
+    conf_key = "spark.sql.sources.partitionColumnTypeInference.enabled"
+    prev = spark.conf.get(conf_key, "true")
     try:
+        spark.conf.set(conf_key, "false")
         rows = (
-            spark.read.parquet(out_path).select(part_col).distinct().collect()
+            spark.read.parquet(out_path)
+            .select(F.col(part_col).cast(source_type).alias("v"))
+            .distinct()
+            .collect()
         )
     except Exception:  # empty/garbled dir: treat as nothing materialized
         return set()
+    finally:
+        spark.conf.set(conf_key, prev)
     return {r[0] for r in rows if r[0] is not None}
 
 
@@ -94,7 +114,8 @@ def backfill_partitions(
     timestamps, strings with spaces — round-trip correctly and are not
     rewritten on every run).
     """
-    have = _existing_typed(spark, out_path, part_col)
+    source_type = dict(source.dtypes)[part_col]
+    have = _existing_typed(spark, out_path, part_col, source_type=source_type)
     want = {
         r[0]
         for r in source.select(part_col).distinct().collect()
@@ -115,9 +136,18 @@ def backfill_partitions(
         )
     finally:
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
-    written = (
-        spark.read.parquet(out_path)
-        .filter(F.col(part_col).isin(missing))
-        .count()
-    )
+    # same inference-off + cast-to-source-type discipline as the
+    # missing-detection read, or the count would silently be 0 for
+    # retyped partition values
+    conf_key = "spark.sql.sources.partitionColumnTypeInference.enabled"
+    prev = spark.conf.get(conf_key, "true")
+    try:
+        spark.conf.set(conf_key, "false")
+        written = (
+            spark.read.parquet(out_path)
+            .filter(F.col(part_col).cast(source_type).isin(missing))
+            .count()
+        )
+    finally:
+        spark.conf.set(conf_key, prev)
     return {"missing": [str(v) for v in missing], "written": written}

@@ -116,17 +116,19 @@ _PRIORITY = [
     "media_audio_features",        # r3 new: real WAV decode, exact oracle
     "doc_winnowing_fingerprints",  # r3 new: MOSS rolling-hash winnowing
     "media_video_frames",          # r3 new: real frame-decode sampling
+    "point_in_time_state",         # r3 new: AS OF event-log snapshot
 ]
-# ROUND-4 NOTE: with this 49-entry priority list (the 1 remaining window
-# slot falls to r2-verified TPC-H q4), a green CORRECTNESS_r03
-# makes the cross-round union cover EVERY registered query — r01+r02
-# verified the rest and none of their sources changed this round except
-# the queries listed above (which are in-window).  Round 4's window
-# should lead with whatever round 4 changes or adds; if nothing else
-# needs the slots, rotate in long-unverified r01 entries for
-# re-confirmation (oldest evidence first).  point_in_time_state was
-# added after the r3 window filled — locally green in
-# check_oracle.py; FIRST CANDIDATE for the round-4 window.
+# ROUND-4 NOTE: this priority list has 46 entries (18 never-verified +
+# 5 rows-only + 23 round-3 changed/added — earlier comments here
+# miscounted it as full at 49; review caught the arithmetic), so the 4
+# remaining window slots fall to r2-verified TPC-H q4/q6/q7/q8.  A
+# green CORRECTNESS_r03 makes the cross-round union cover EVERY
+# registered query — r01+r02 verified the rest and none of their
+# sources changed this round except the queries listed above (all
+# in-window).  Round 4's window should lead with whatever round 4
+# changes or adds; if nothing else needs the slots, rotate in
+# long-unverified r01 entries for re-confirmation (oldest evidence
+# first).
 _PRIORITY_R2 = [
     # TPC-H q4 + q6-q22: oracle-unchecked in round 1 — VERDICT.md top
     # ask ("green rows+schema+hash for all of q4, q6-q22 in

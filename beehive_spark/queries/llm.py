@@ -1552,11 +1552,31 @@ def similarity_ann_pq(
 # ---------------------------------------------------------------------------
 def _ann_index_dir(sf_dir: str, kind: str = "ivf") -> str:
     """Deterministic per-corpus index location under the system temp
-    dir (the driver harness must not write inside read-only sf dirs)."""
+    dir (the driver harness must not write inside read-only sf dirs).
+
+    The key is a fingerprint of the embeddings table's FILE STATS
+    (relative name, size, mtime per data file), not just the path: a
+    path-only key would keep serving a stale index after the corpus at
+    that path is regenerated (new testdata round, refreshed fixtures)
+    — probes would return neighbors from the previous corpus (review
+    finding).  A changed corpus now keys a different directory, so
+    ``_ensure_ivf_index`` rebuilds."""
     import hashlib
     import tempfile
 
-    tag = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
+    h = hashlib.md5(os.path.abspath(sf_dir).encode())
+    emb = os.path.join(sf_dir, "embeddings.parquet")
+    try:
+        entries = (
+            sorted(os.listdir(emb)) if os.path.isdir(emb) else [""]
+        )
+        for name in entries:
+            fp = os.path.join(emb, name) if name else emb
+            st = os.stat(fp)
+            h.update(f"{name}:{st.st_size}:{st.st_mtime_ns}".encode())
+    except OSError:
+        pass  # missing table: path-only key; the build itself will fail loudly
+    tag = h.hexdigest()[:16]
     return os.path.join(tempfile.gettempdir(), "beehive_ann", f"{kind}_{tag}")
 
 

@@ -233,7 +233,9 @@ def synth_video_media(docs):
            CAST(f AS INT) AS frame_idx,
            CAST(f * 1000 AS BIGINT) AS ts_ms,
            CAST(192 AS BIGINT) AS frame_bytes,
-           ROUND(CAST((doc_id * 7 + f * 13) % 256 AS DOUBLE), 2)
+           -- sampled time f*1000ms maps to source frame
+           -- round(ts*(6-1)/2500) = f*2 of the 6-frame container
+           ROUND(CAST((doc_id * 7 + (f * 2) * 13) % 256 AS DOUBLE), 2)
              AS mean_luma
     FROM documents, unnest(range(0, 3)) t(f)
     """,
@@ -244,10 +246,14 @@ def media_video_frames(spark, sf_dir):
     audio: ``media_audio_features``): synthesize a 6-frame MPNG per
     document (solid-color PNG frames, closed-form pixel values),
     sample 3 frames at a 1s stride with ``use_real_decoder=True`` (the
-    container parses, every sampled frame REALLY decodes through the
-    PNG tier), and emit each frame's byte length and mean luma — which
-    for a solid frame equals its color value exactly, so the oracle is
-    arithmetic in (doc_id, frame_idx).
+    container parses, every sampled TIME maps to its nearest source
+    frame — 1000ms lands on container frame 2 of the 500ms-interval
+    sequence — and that frame REALLY decodes through the PNG tier),
+    and emit each frame's byte length and mean luma — which for a
+    solid frame equals its color value exactly, so the oracle is
+    arithmetic in (doc_id, frame_idx) INCLUDING the time-to-frame
+    mapping: a sampler that confused sample index with frame index
+    would hash-mismatch (it did; review finding).
 
     Scale shape: one Arrow-batched synthesis stage, one flatMap-shaped
     sampling stage (bounded fan-out), one JVM aggregate-free

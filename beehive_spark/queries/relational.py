@@ -1069,9 +1069,12 @@ def fuzzy_join_names(spark, sf_dir):
     )
     # persist: the self-join's two sides would otherwise each
     # recompute the explode+hash (Generate appears twice in the
-    # un-persisted plan); the keyed frame is 4 narrow columns, ~25 MB
-    # per 1M names, and is dropped from cache when the result frame is
-    # garbage-collected or the catalog cache is cleared
+    # un-persisted plan).  The keyed frame is 4 narrow columns, ~25 MB
+    # per 1M names.  The cache entry lives until
+    # spark.catalog.clearCache() or session end (Spark's CacheManager
+    # does not track object reachability) — bench/stress clear between
+    # samples; a long-lived service calling this repeatedly should
+    # clear or unpersist via its own session hygiene
     keyed = keyed.persist()
     ka, kb = keyed.alias("a"), keyed.alias("b")
     cands = (

@@ -29,12 +29,11 @@ stream appends between rebuilds.
 
 from __future__ import annotations
 
-import json
 import os
 
 from pyspark.sql import DataFrame, SparkSession
 
-from beehive_spark.operators.ann_index import META_NAME, append_ivf_index, read_meta
+from beehive_spark.operators.ann_index import append_ivf_index, read_meta, write_meta
 
 
 def _last_stream_batch(index_dir: str) -> int:
@@ -67,12 +66,7 @@ def run_ann_index_append_stream(
             return  # replayed micro-batch: already appended
         meta = append_ivf_index(spark, index_dir, batch_df)
         meta["last_stream_batch"] = batch_id
-        tmp = os.path.join(index_dir, META_NAME + ".tmp")
-        with open(tmp, "w") as f:
-            json.dump(meta, f)
-            f.flush()
-            os.fsync(f.fileno())
-        os.replace(tmp, os.path.join(index_dir, META_NAME))
+        write_meta(index_dir, meta)
 
     q = (
         vectors.writeStream.outputMode("append")

