@@ -1618,25 +1618,31 @@ def stddev_prices_exact(spark, sf_dir):
 @query(
     "session_attribution",
     oracle="""
-    WITH marked AS (
+    WITH seqd AS (
       SELECT user_id, ts, event_id, event_type, value,
-             CASE WHEN event_type IN ('click', 'view') THEN event_type END
-               AS touch_type,
-             CASE WHEN event_type IN ('click', 'view') THEN event_id END
-               AS touch_id
+             row_number() OVER (
+               PARTITION BY user_id ORDER BY ts, event_id) AS seq
       FROM events
     ),
-    carried AS (
+    packed AS (
       SELECT user_id, ts, event_id, event_type, value,
-             last_value(touch_type IGNORE NULLS) OVER (
-               PARTITION BY user_id ORDER BY ts, event_id) AS touch_type,
-             last_value(touch_id IGNORE NULLS) OVER (
-               PARTITION BY user_id ORDER BY ts, event_id) AS touch_id
-      FROM marked
+             CASE WHEN event_type IN ('click', 'view')
+                  THEN seq * 2 + CASE WHEN event_type = 'view'
+                                      THEN 1 ELSE 0 END
+             END AS touch_code
+      FROM seqd
+    ),
+    carried AS (
+      SELECT user_id, event_type, value,
+             MAX(touch_code) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id) AS last_touch
+      FROM packed
     )
-    SELECT COALESCE(touch_type, 'none') AS touch_type,
+    SELECT CASE WHEN last_touch IS NULL THEN 'none'
+                WHEN last_touch % 2 = 1 THEN 'view'
+                ELSE 'click' END AS touch_type,
            CAST(COUNT(*) AS BIGINT) AS n_purchases,
-           CAST(COUNT(touch_id) AS BIGINT) AS n_attributed,
+           CAST(COUNT(last_touch) AS BIGINT) AS n_attributed,
            SUM(CAST(ROUND(value * 100) AS BIGINT)) AS revenue_cents
     FROM carried
     WHERE event_type = 'purchase'
@@ -1647,36 +1653,49 @@ def session_attribution(spark, sf_dir):
     """Last-touch attribution: every purchase is credited to the most
     recent preceding click/view by the same user (the standard
     marketing-attribution join), then revenue rolls up by touch type —
-    purchases with no prior touch land in 'none'.  One forward-fill
-    window per user (``last(.., ignorenulls)`` over the user's event
-    order — no self-join, no per-purchase subquery) and one aggregate;
-    revenue sums as exact integer cents.
+    purchases with no prior touch land in 'none'.  Revenue sums as
+    exact integer cents.
 
-    Scale shape: the window partitions by user_id (millions of small
-    partitions, never global); everything else is a map-side-combined
-    group-by.  The reference has no events surface at all — this is
-    net-new analytics over the stream table."""
+    Implementation note: the obvious forward-fill is ``last_value(...
+    IGNORE NULLS)`` over the user window, but windowed IGNORE-NULLS is
+    a known cross-engine edge area (round 3's only differential hash
+    mismatch was exactly that construct).  Both sides instead pack each
+    touch as a monotone BIGINT — ``row_number * 2 + view-flag`` in the
+    user's (ts, event_id) order — and take a plain running MAX: the
+    ANSI rule that aggregates skip NULLs is semantics every engine
+    agrees on, and the max of a monotone packing IS the latest touch.
+    The flag bit decodes back to the touch type.
+
+    Scale shape: two windows over the same user_id partitioning (one
+    shuffle, millions of small partitions, never global); everything
+    else is a map-side-combined group-by.  The reference has no events
+    surface at all — this is net-new analytics over the stream table."""
     e = load(spark, sf_dir, "events")
-    touch = F.when(
-        F.col("event_type").isin("click", "view"), F.col("event_type")
-    )
-    touch_id = F.when(
-        F.col("event_type").isin("click", "view"), F.col("event_id")
-    )
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    carried = e.select(
+    seq = F.row_number().over(w)
+    touch_code = F.when(
+        F.col("event_type").isin("click", "view"),
+        seq * 2 + F.when(F.col("event_type") == "view", 1).otherwise(0),
+    ).cast("long")
+    packed = e.select(
         "user_id", "ts", "event_id", "event_type", "value",
-        F.last(touch, ignorenulls=True).over(w).alias("touch_type"),
-        F.last(touch_id, ignorenulls=True).over(w).alias("touch_id"),
+        touch_code.alias("touch_code"),
+    )
+    carried = packed.select(
+        "user_id", "event_type", "value",
+        F.max("touch_code").over(w).alias("last_touch"),
+    )
+    touch_type = (
+        F.when(F.col("last_touch").isNull(), "none")
+        .when(F.col("last_touch") % 2 == 1, "view")
+        .otherwise("click")
     )
     return (
         carried.filter(F.col("event_type") == "purchase")
-        .groupBy(
-            F.coalesce("touch_type", F.lit("none")).alias("touch_type")
-        )
+        .groupBy(touch_type.alias("touch_type"))
         .agg(
             F.count(F.lit(1)).alias("n_purchases"),
-            F.count("touch_id").alias("n_attributed"),
+            F.count("last_touch").alias("n_attributed"),
             F.sum(F.round(F.col("value") * 100).cast("long")).alias(
                 "revenue_cents"
             ),

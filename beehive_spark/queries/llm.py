@@ -2122,28 +2122,31 @@ def heavy_hitters_by_source(spark, sf_dir, phi: float = 0.002):
     WITH comps AS (
       SELECT label, i - 1 AS pos, embedding[i] AS x
       FROM embeddings, unnest(range(1, len(embedding) + 1)) AS t(i)
-    ),
-    means AS (
-      SELECT label, pos, AVG(x) AS m, COUNT(*) AS n
-      FROM comps GROUP BY label, pos
     )
     SELECT label,
-           CAST(MAX(n) AS BIGINT) AS n_vectors,
-           list(round(m, 6) ORDER BY pos) AS centroid
-    FROM means GROUP BY label
+           CAST(pos AS INT) AS pos,
+           ROUND(AVG(x), 6) AS centroid_val,
+           CAST(COUNT(*) AS BIGINT) AS n_vectors
+    FROM comps GROUP BY label, pos
     """,
 )
 def embedding_centroids(spark, sf_dir):
     """Element-wise mean vector per label — the centroid-computation
     primitive under k-means, class prototypes, and topic averaging,
-    expressed as relational ops: ``posexplode`` the vectors, aggregate
-    each (group, position) cell, re-assemble ordered arrays with
-    ``array_agg(struct(pos, m)) -> sort -> project``.  All JVM; one
-    map-side-combined shuffle on (label, pos) then a label-grain
-    reassembly — no vector ever sits whole in aggregation state, so
-    dimension count scales independently of group cardinality (the
-    shape that survives 4096-dim embeddings at 100 TB, unlike
-    collect_list-of-arrays approaches that buffer whole groups).
+    expressed as relational ops: ``posexplode`` the vectors, then
+    aggregate each (group, position) cell.  All JVM; one map-side-
+    combined shuffle on (label, pos) — no vector ever sits whole in
+    aggregation state, so dimension count scales independently of
+    group cardinality (the shape that survives 4096-dim embeddings at
+    100 TB, unlike collect_list-of-arrays approaches that buffer whole
+    groups).
+
+    Output is one row per (label, pos) cell rather than an assembled
+    array column: identical information, but scalar cells let the
+    differential harness sort/hash the result (pandas cannot sort
+    list-valued columns — round 3's driver check crashed on exactly
+    that); a user wanting array form applies the trivial
+    ``groupBy(label).agg(array_agg(struct(pos, val)))`` reassembly.
 
     Cross-engine determinism: per-cell means round to 6 before the
     hash (summation order differs between engines; 24-vector cells at
@@ -2154,19 +2157,9 @@ def embedding_centroids(spark, sf_dir):
     comps = e.select(
         "label", F.posexplode(F.col("embedding").cast("array<double>"))
     ).withColumnsRenamed({"pos": "pos", "col": "x"})
-    cells = comps.groupBy("label", "pos").agg(
-        F.avg("x").alias("m"), F.count(F.lit(1)).alias("n")
-    )
-    return (
-        cells.groupBy("label")
-        .agg(
-            F.max("n").cast("long").alias("n_vectors"),
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("pos", "m"))),
-                lambda s: F.round(s["m"], 6),
-            ).alias("centroid"),
-        )
-        .select("label", "n_vectors", "centroid")
+    return comps.groupBy("label", F.col("pos").cast("int").alias("pos")).agg(
+        F.round(F.avg("x"), 6).alias("centroid_val"),
+        F.count(F.lit(1)).cast("long").alias("n_vectors"),
     )
 
 

@@ -1517,7 +1517,11 @@ def events_histogram_rollup(spark, sf_dir):
     )
     SELECT o_orderpriority, o_orderstatus,
            CAST(COUNT(*) AS BIGINT) AS n_rows,
-           (list(round(price, 2) ORDER BY price DESC))[1:3] AS top_prices
+           array_to_string(
+             list_transform(
+               (list(price ORDER BY price DESC))[1:3],
+               x -> CAST(CAST(round(x * 100) AS BIGINT) AS VARCHAR)),
+             ',') AS top_prices_cents
     FROM newsnap GROUP BY o_orderpriority, o_orderstatus
     """,
 )
@@ -1530,7 +1534,13 @@ def incremental_topk_orders(spark, sf_dir):
     3rd stored price) re-aggregate from the post-change fact by
     broadcast semi-join.  The oracle recomputes every group's top-3
     from scratch; a hash match proves the evict detection missed no
-    group and array order is exact."""
+    group and array order is exact.
+
+    The top-3 list is emitted as a comma-joined string of exact
+    integer cents (descending) rather than an array column: identical
+    information and ordering proof, but a scalar cell the differential
+    harness can sort/hash (pandas cannot sort list-valued columns —
+    round 3's driver check crashed on exactly that)."""
     from beehive_spark.operators.ivm import cdc_to_retractions, incremental_topk
 
     keys = ["o_orderpriority", "o_orderstatus"]
@@ -1590,7 +1600,13 @@ def incremental_topk_orders(spark, sf_dir):
     return fresh.select(
         *keys,
         "n_rows",
-        F.transform("topk", lambda x: F.round(x, 2)).alias("top_prices"),
+        F.array_join(
+            F.transform(
+                "topk",
+                lambda x: F.round(x * 100).cast("long").cast("string"),
+            ),
+            ",",
+        ).alias("top_prices_cents"),
     )
 
 

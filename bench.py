@@ -172,6 +172,23 @@ def main() -> None:
                 if name not in extra or elapsed < extra[name]:
                     extra[name] = elapsed
 
+    # The driver tail-captures bench output and parses the FINAL JSON
+    # line; round 3's single line (headline + ~60 extras) outgrew that
+    # buffer and the round recorded no bench at all (BENCH_r03.json
+    # parsed: null).  So: extras go to a sidecar file AND an earlier,
+    # separate output line; the final line is only the short headline
+    # dict (16 queries, well under any tail buffer).
+    if extra:
+        extra_line = {"metric": "extra_queries", "unit": "sec", "sf": sf_num,
+                      "runs_per_query": int(os.environ.get("BEEHIVE_BENCH_EXTRA_RUNS", "2")),
+                      "agg": "min", "queries": extra}
+        print(json.dumps(extra_line))
+        try:
+            with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                   "BENCH_EXTRA.json"), "w") as fh:
+                json.dump(extra_line, fh, indent=1)
+        except OSError:  # pragma: no cover - read-only checkout
+            pass
     out = {
         "metric": "headline_queries_total",
         "value": round(sum(timings.values()), 3),
@@ -180,7 +197,7 @@ def main() -> None:
         "sf": sf_num,
         "runs_per_query": runs,
         "agg": "min",
-        "extra_queries": extra,
+        "extras_file": "BENCH_EXTRA.json" if extra else None,
     }
     print(json.dumps(out))
     spark.stop()
