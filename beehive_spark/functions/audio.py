@@ -77,6 +77,7 @@ def extract_audio_features(
     id_col: str = "media_id",
     payload_col: str = "payload",
     target_partition_bytes: int = 128 * 1024 * 1024,
+    total_bytes: int | None = None,
 ) -> DataFrame:
     """Decode WAV payloads and emit the loudness/shape features a
     training-data audio pipeline filters on: frame count, duration,
@@ -86,14 +87,20 @@ def extract_audio_features(
     Same scale shape as the image tier: byte-budget repartition before
     the Arrow stage so one partition's audio fits executor memory, and
     the output is 6 small columns — payloads never shuffle past the
-    decode."""
+    decode.  Pass ``total_bytes`` when payload sizes are known
+    upstream (a manifest, fixed-rate renders): the fallback sizing
+    aggregate executes the upstream plan an extra time, which doubles
+    the work when that upstream is itself a synthesis/transcode
+    stage."""
     import math
 
     import pandas as pd
 
-    stats = media.agg(F.sum(F.length(payload_col)).alias("b")).first()
-    total = int(stats["b"] or 0)
-    n_parts = max(1, min(4096, total // target_partition_bytes + 1))
+    from beehive_spark.functions.multimodal import byte_budget_partitions
+
+    n_parts = byte_budget_partitions(
+        media, target_partition_bytes, total_bytes, payload_col=payload_col
+    )
     repart = media.select(
         F.col(id_col).cast("long").alias("media_id"), F.col(payload_col).alias("p")
     ).repartition(n_parts, "media_id")

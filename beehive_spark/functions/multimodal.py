@@ -135,23 +135,45 @@ def _feature_fake(content: bytes) -> list[float]:
     return [dg[i] / 255.0 for i in range(FEATURE_DIM)]
 
 
+def byte_budget_partitions(
+    media: DataFrame,
+    target_partition_bytes: int,
+    total_bytes: int | None = None,
+    payload_col: str = "content",
+) -> int:
+    """Partition count such that one partition's payload bytes fit the
+    byte budget.  When ``total_bytes`` is None this runs a sizing
+    aggregate over the input — which EXECUTES the upstream plan once
+    before the real pass.  For a parquet scan that is one cheap
+    column read, but for a computed upstream (a synthesis/transcode
+    mapInPandas stage) it doubles the stage's work: callers that know
+    their payload sizes (fixed-size renders, closed-form synthesis, a
+    manifest column) should pass the precomputed/estimated total
+    instead — the count is a memory-budget heuristic, so an estimate
+    within a small factor is as good as the exact sum."""
+    if total_bytes is None:
+        stats = media.agg(F.sum(F.length(payload_col)).alias("b")).first()
+        total_bytes = int(stats["b"] or 0)
+    return max(1, min(4096, total_bytes // target_partition_bytes + 1))
+
+
 def extract_features(
     media: DataFrame,
     use_real_decoder: bool = False,
     target_partition_bytes: int = 128 * 1024 * 1024,
+    total_bytes: int | None = None,
 ) -> DataFrame:
     """mapInPandas feature extraction over binary media.
 
     Arrow-batched: each pandas batch holds whole rows of (media_id,
     content); the UDF never sees the driver.  Partition count is
     derived from the byte volume so one partition's media fits
-    executor memory.
+    executor memory (pass ``total_bytes`` when known — see
+    ``byte_budget_partitions``).
     """
     import pandas as pd
 
-    stats = media.agg(F.sum(F.length("content")).alias("b")).first()
-    total = int(stats["b"] or 0)
-    n_parts = max(1, min(4096, total // target_partition_bytes + 1))
+    n_parts = byte_budget_partitions(media, target_partition_bytes, total_bytes)
     repart = media.select("media_id", "content").repartition(n_parts, "media_id")
 
     def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
@@ -211,6 +233,7 @@ def resize_images(
     height: int,
     use_real_decoder: bool = False,
     target_partition_bytes: int = 128 * 1024 * 1024,
+    total_bytes: int | None = None,
 ) -> DataFrame:
     """Image resize over binary media (mapInPandas, Arrow-batched).
 
@@ -222,9 +245,7 @@ def resize_images(
     input media schema, so resize stages compose/chain."""
     import pandas as pd
 
-    stats = media.agg(F.sum(F.length("content")).alias("b")).first()
-    total = int(stats["b"] or 0)
-    n_parts = max(1, min(4096, total // target_partition_bytes + 1))
+    n_parts = byte_budget_partitions(media, target_partition_bytes, total_bytes)
     repart = media.repartition(n_parts, "media_id")
     out_len = width * height
 
@@ -418,6 +439,7 @@ def perceptual_hash(
     media: DataFrame,
     use_real_decoder: bool = False,
     target_partition_bytes: int = 128 * 1024 * 1024,
+    total_bytes: int | None = None,
 ) -> DataFrame:
     """64-bit perceptual hash per media row -> (media_id, phash).
 
@@ -431,9 +453,7 @@ def perceptual_hash(
     joins shuffle — never the payload."""
     import pandas as pd
 
-    stats = media.agg(F.sum(F.length("content")).alias("b")).first()
-    total = int(stats["b"] or 0)
-    n_parts = max(1, min(4096, total // target_partition_bytes + 1))
+    n_parts = byte_budget_partitions(media, target_partition_bytes, total_bytes)
     repart = media.select("media_id", "content").repartition(n_parts, "media_id")
 
     def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:

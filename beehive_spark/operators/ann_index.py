@@ -14,7 +14,10 @@ lifecycle:
   ``out_dir/codebook.parquet`` (k rows) plus
   ``out_dir/assignments.parquet`` partitioned BY LIST ID, all via a
   staged write + atomic directory swap (readers never see a partial
-  index; an interrupted rebuild leaves the old index live).
+  index; a rebuild interrupted before the swap leaves the old index
+  live, and one interrupted MID-swap is rolled forward by the next
+  reader — ``_recover`` promotes a complete ``.staging``, else
+  restores ``.old``).
 - :func:`probe_ivf_index` — answer top-k cosine queries from the
   persisted index: pick each query's ``nprobe`` closest lists from the
   (broadcast) codebook, then scan ONLY those list partitions —
@@ -255,7 +258,33 @@ def _swap_in(staging: str, path: str) -> None:
     shutil.rmtree(backup, ignore_errors=True)
 
 
+def _recover(path: str) -> None:
+    """Roll the staged swap forward after a crash.
+
+    ``_swap_in`` has a window between demoting the live dir to
+    ``.old`` and promoting ``.staging`` where NO live index exists; a
+    crash there would otherwise fail every probe with
+    FileNotFoundError until a manual rebuild, with the complete
+    ``.staging``/``.old`` copies sitting unrecovered (mirrors
+    ``streaming.materialize._recover``).  A complete copy is one whose
+    meta file exists — the meta is always written last, so a mid-build
+    staging dir is never promoted.  Preference order: ``.staging``
+    (the newer artifact — the interrupted swap's whole point) then
+    ``.old``."""
+    if os.path.exists(os.path.join(path, META_NAME)):
+        return
+    staging = path.rstrip("/") + ".staging"
+    backup = path.rstrip("/") + ".old"
+    for cand, other in ((staging, backup), (backup, staging)):
+        if os.path.exists(os.path.join(cand, META_NAME)):
+            shutil.rmtree(path, ignore_errors=True)
+            os.replace(cand, path)
+            shutil.rmtree(other, ignore_errors=True)
+            return
+
+
 def read_meta(index_dir: str) -> dict:
+    _recover(index_dir)
     with open(os.path.join(index_dir, META_NAME)) as f:
         return json.load(f)
 
@@ -336,6 +365,7 @@ def build_ivf_index(
 
 
 def _load_codebook(spark: SparkSession, index_dir: str) -> list:
+    _recover(index_dir)
     rows = (
         spark.read.parquet(os.path.join(index_dir, "codebook.parquet"))
         .orderBy("cid")

@@ -1482,7 +1482,7 @@ def cross_corpus_overlap(spark, sf_dir):
            ROUND(0.6745 * (v.n_chars - v.med) / m.mad, 4) AS robust_z
     FROM dev v JOIN mads m ON m.source = v.source
     WHERE m.mad > 0
-      AND ABS(0.6745 * (v.n_chars - v.med) / m.mad) > 1.5
+      AND ABS(ROUND(0.6745 * (v.n_chars - v.med) / m.mad, 4)) > 1.5
     """,
 )
 def doc_length_outliers(spark, sf_dir, z_cut: float = 1.5):

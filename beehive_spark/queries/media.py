@@ -113,7 +113,15 @@ def media_phash_dedup(spark, sf_dir):
     media = wrap_as_media(
         synth_png_media(docs), "media_id", "payload", modality="image"
     )
-    hashes = perceptual_hash(media, use_real_decoder=True)
+    # byte-budget estimate: a 16x16 RGB noise PNG is incompressible
+    # (~0.9 KB with container overhead) and every 5th doc plants a
+    # copy; an estimate is all the partition-count heuristic needs,
+    # and it spares the sizing pass from re-running the synthesis
+    # stage (review finding)
+    n_docs = docs.count()
+    hashes = perceptual_hash(
+        media, use_real_decoder=True, total_bytes=n_docs * 6 // 5 * 900
+    )
     return (
         phash_dedup(hashes, max_hamming=3)
         .select(
@@ -190,7 +198,19 @@ def media_audio_features(spark, sf_dir):
     from beehive_spark.functions.audio import extract_audio_features
 
     docs = load(spark, sf_dir, "documents")
-    return extract_audio_features(synth_wav_media(docs))
+    # byte-budget hint in closed form (44-byte WAV header + 2 bytes per
+    # sample, sample count arithmetic in doc_id) from a one-column JVM
+    # aggregate — without it the sizing pass would re-run the synthesis
+    # stage and every corpus WAV would be rendered twice (review
+    # finding)
+    hint = docs.agg(
+        F.sum(
+            F.lit(44) + (F.lit(800) + F.pmod("doc_id", F.lit(100)) * 16) * 2
+        ).alias("b")
+    ).first()["b"]
+    return extract_audio_features(
+        synth_wav_media(docs), total_bytes=int(hint or 0)
+    )
 
 
 _FRAME_N = 6          # frames per synthesized video

@@ -36,11 +36,23 @@ from pyspark.sql import DataFrame, SparkSession
 from beehive_spark.operators.ann_index import append_ivf_index, read_meta, write_meta
 
 
-def _last_stream_batch(index_dir: str) -> int:
+def _last_stream_batch(index_dir: str, lineage: str) -> int:
+    """Replay watermark, scoped to one checkpoint lineage.
+
+    foreachBatch batch ids are only monotonic WITHIN a checkpoint: a
+    new/lost checkpoint restarts them at 0, so a watermark recorded
+    under an old lineage would silently skip the new stream's batches
+    0..N of genuinely new vectors.  The meta therefore records which
+    checkpoint the watermark belongs to; a different lineage resets
+    the watermark (replays from the old lineage cannot arrive any
+    more, so nothing is double-applied by resetting)."""
     try:
-        return read_meta(index_dir).get("last_stream_batch", -1)
+        meta = read_meta(index_dir)
     except OSError:
         return -1
+    if meta.get("stream_lineage") != lineage:
+        return -1
+    return meta.get("last_stream_batch", -1)
 
 
 def run_ann_index_append_stream(
@@ -59,19 +71,22 @@ def run_ann_index_append_stream(
     batch (restart, checkpoint recovery) is skipped.  See the module
     docstring for the precise delivery semantics."""
 
+    lineage = os.path.abspath(os.path.join(checkpoint_dir, "ann_append"))
+
     def sink(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
-        if batch_id <= _last_stream_batch(index_dir):
-            return  # replayed micro-batch: already appended
+        if batch_id <= _last_stream_batch(index_dir, lineage):
+            return  # replayed micro-batch (same checkpoint): already appended
         meta = append_ivf_index(spark, index_dir, batch_df)
         meta["last_stream_batch"] = batch_id
+        meta["stream_lineage"] = lineage
         write_meta(index_dir, meta)
 
     q = (
         vectors.writeStream.outputMode("append")
         .foreachBatch(sink)
-        .option("checkpointLocation", os.path.join(checkpoint_dir, "ann_append"))
+        .option("checkpointLocation", lineage)
         .trigger(availableNow=True)
         .start()
     )

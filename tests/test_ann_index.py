@@ -256,18 +256,90 @@ def test_streaming_append_keeps_index_fresh_and_replays_noop(
     assert got[0]["neighbor_id"] == probe_vec.first()["vec_id"]
     assert got[0]["cosine"] == 1.0
 
-    # replay everything from a fresh checkpoint: batch ids restart at 0
-    # <= last_stream_batch, so nothing is re-appended
+    # restart under the SAME checkpoint: the source has no new files
+    # and any re-delivered batch id is <= the recorded watermark, so
+    # nothing is re-appended
     lists_before = spark.read.parquet(
         os.path.join(idx, "assignments.parquet")
     ).count()
     stream2 = spark.readStream.schema(schema).parquet(str(feed) + "/*/")
-    run_ann_index_append_stream(spark, stream2, idx, str(tmp_path / "ck2"))
+    run_ann_index_append_stream(spark, stream2, idx, str(tmp_path / "ck"))
     lists_after = spark.read.parquet(
         os.path.join(idx, "assignments.parquet")
     ).count()
     assert lists_after == lists_before
     assert read_meta(idx)["n_vectors"] == corpus.count()
+
+    # a FRESH checkpoint is a new lineage: its batch ids restart at 0,
+    # so the watermark must NOT suppress them (they could be genuinely
+    # new vectors — the silent-loss bug the lineage scoping fixes).
+    # Re-reading the same feed re-appends at-least-once; probe results
+    # stay exact because per-(query, vector) dedupe absorbs duplicate
+    # list entries.
+    stream3 = spark.readStream.schema(schema).parquet(str(feed) + "/*/")
+    run_ann_index_append_stream(spark, stream3, idx, str(tmp_path / "ck2"))
+    lists_replayed = spark.read.parquet(
+        os.path.join(idx, "assignments.parquet")
+    ).count()
+    assert lists_replayed > lists_after  # applied, not skipped
+    meta2 = read_meta(idx)
+    # fresh lineage restarted ids at 0 (all files in one availableNow
+    # batch) — the watermark was reset, not inherited from lineage 1
+    assert meta2["last_stream_batch"] == 0
+    assert meta2["stream_lineage"].endswith("ann_append")
+    got2 = probe_ivf_index(spark, idx, probe_vec, nprobe=2, k=1).collect()
+    assert got2[0]["neighbor_id"] == probe_vec.first()["vec_id"]
+    assert got2[0]["cosine"] == 1.0
+
+
+def test_interrupted_swap_rolls_forward(spark, sf_dir, tmp_path):
+    """A crash in `_swap_in`'s window (live dir demoted to .old, .staging
+    not yet promoted) must not strand the index: the next reader
+    promotes the complete staging copy (roll-forward) — and with only
+    a backup present, restores it."""
+    import shutil
+
+    from beehive_spark.operators.ann_index import read_meta
+
+    corpus = _corpus(spark, sf_dir)
+    idx = str(tmp_path / "ivf")
+    build_ivf_index(spark, corpus, idx, k=8, replicas=2)
+    want = sorted(
+        tuple(r)
+        for r in probe_ivf_index(
+            spark, idx, _queries(spark, sf_dir), nprobe=3, k=5
+        ).collect()
+    )
+
+    # crash state A: new index complete in .staging, live dir already
+    # demoted -> reader must promote staging
+    os.replace(idx, idx + ".staging")
+    meta = read_meta(idx)
+    assert meta["kind"] == "ivf"
+    assert not os.path.exists(idx + ".staging")
+    got = sorted(
+        tuple(r)
+        for r in probe_ivf_index(
+            spark, idx, _queries(spark, sf_dir), nprobe=3, k=5
+        ).collect()
+    )
+    assert got == want
+
+    # crash state B: only the .old backup exists (crash before the new
+    # staging finished its meta) -> reader restores the backup; an
+    # incomplete staging (no meta yet) must NOT be promoted
+    os.replace(idx, idx + ".old")
+    os.makedirs(idx + ".staging")  # mid-build: meta not written yet
+    meta = read_meta(idx)
+    assert meta["kind"] == "ivf"
+    shutil.rmtree(idx + ".staging", ignore_errors=True)
+    got = sorted(
+        tuple(r)
+        for r in probe_ivf_index(
+            spark, idx, _queries(spark, sf_dir), nprobe=3, k=5
+        ).collect()
+    )
+    assert got == want
 
 
 def test_probe_results_absorb_duplicate_list_entries(spark, sf_dir, tmp_path):
