@@ -2229,46 +2229,55 @@ def doc_winnowing_fingerprints(spark, sf_dir):
     index stores; an equi-join on the hash then finds shared runs, the
     same inverted-index shape as ``dedup_ngram_jaccard`` with a 2.5x
     smaller index.  Scale: all JVM array expressions, zero joins, zero
-    shuffles before the final projection; the hash array is
-    materialized in its own projection so the winnowing lambda does
-    not re-evaluate it per window (the expression-inlining trap)."""
+    shuffles before the final projection.
+
+    Constant-factor shape (the round-3 bench flagged 15 s): each stage
+    materializes what the next one indexes, so nothing quadratic in
+    the document length survives — (1) the text splits into a
+    char-code ARRAY once (``substr(text, i, 1)`` per position is an
+    O(i) UTF-8 boundary walk, O(L^2) per doc in total; ``element_at``
+    on an array is O(1)), (2) gram hashes read 8 array cells each,
+    (3) window slices materialize once so the min and its rightmost
+    position don't re-slice per reference."""
     k, w, B, M = _WIN_K, _WIN_W, _WIN_B, _WIN_M
     d = load(spark, sf_dir, "documents").filter(
         F.length("text") >= k + w - 1
     )
-    # rolling k-gram hashes, one per start position (materialized
-    # column); ascii() is IntegerType, so cast to long BEFORE the
-    # power multiply (31^5 * codepoint overflows int32 under ANSI)
+    # char codepoints as one materialized array — ascii() is
+    # IntegerType, so cast to long BEFORE the power multiply
+    # (31^5 * codepoint overflows int32 under ANSI)
+    cs = F.transform(F.split("text", ""), lambda c: F.ascii(c).cast("long"))
+    coded = d.select("doc_id", cs.alias("cs"))
+    # k-gram hashes: 8 O(1) element_at reads per position
     h = F.transform(
-        F.sequence(F.lit(1), F.length("text") - k + 1),
+        F.sequence(F.lit(1), F.size("cs") - k + 1),
         lambda i: sum(
-            F.ascii(F.substr(F.col("text"), i + j, F.lit(1))).cast("long")
-            * F.lit(B ** (k - 1 - j)).cast("long")
+            F.element_at(F.col("cs"), i + j) * F.lit(B ** (k - 1 - j))
             for j in range(k)
         )
         % F.lit(M),
     )
-    hashed = d.select("doc_id", h.alias("h"))
-    # winnow: rightmost-minimum per window, deduplicated by (pos, v)
-    win = lambda p: F.slice(F.col("h"), p, w)  # noqa: E731
-    # (pos, v) packed as pos*M + v — one BIGINT per fingerprint, so
-    # distinct/dedup handles 8 bytes and the oracle can mirror it
+    hashed = coded.select("doc_id", h.alias("h"))
+    # winnow: materialize each window once, then pick the rightmost
+    # minimum; (pos, v) packed as pos*M + v — one BIGINT per
+    # fingerprint, so distinct/dedup handles 8 bytes and the oracle
+    # can mirror it
+    wins = F.transform(
+        F.sequence(F.lit(1), F.size("h") - w + 1),
+        lambda p: F.slice(F.col("h"), p, w),
+    )
+    sliced = hashed.select("doc_id", F.size("h").alias("n_grams"),
+                           wins.alias("wins"))
     fp = F.array_distinct(
         F.transform(
-            F.sequence(F.lit(1), F.size("h") - w + 1),
-            lambda p: (
-                p - 1 + (
-                    F.lit(w)
-                    - F.array_position(
-                        F.reverse(win(p)), F.array_min(win(p))
-                    )
-                )
-            ).cast("long") * F.lit(M) + F.array_min(win(p)),
+            F.col("wins"),
+            lambda win, i: (
+                i + F.lit(w)
+                - F.array_position(F.reverse(win), F.array_min(win))
+            ).cast("long") * F.lit(M) + F.array_min(win),
         )
     )
-    fps = hashed.select(
-        "doc_id", F.size("h").alias("n_grams"), fp.alias("fp")
-    )
+    fps = sliced.select("doc_id", "n_grams", fp.alias("fp"))
     return fps.select(
         "doc_id",
         F.col("n_grams").cast("long").alias("n_grams"),
