@@ -1407,9 +1407,13 @@ def cross_corpus_overlap(spark, sf_dir):
     from beehive_spark.queries.llm import _ngram_hashes, _tokens
 
     d = load(spark, sf_dir, "documents")
-    raw = d.select(
-        "source", F.explode(_ngram_hashes(_tokens(F.col("text")))).alias("s")
-    )
+    # the token array MUST materialize in its own projection: inlining
+    # the tokenizer expression into _ngram_hashes re-evaluates it per
+    # gram position inside the transform lambda (no CSE across lambda
+    # boundaries) — O(len^2) per doc, measured 80.8s -> 6.3s at the
+    # 10x stress corpus from this one split
+    toks = d.select("source", _tokens(F.col("text")).alias("w"))
+    raw = toks.select("source", F.explode(_ngram_hashes(F.col("w"))).alias("s"))
     # ONE corpus-sized shuffle (on the shingle key): collect_set
     # dedupes (source, s) duplicates inside the aggregate, so no
     # pre-distinct pass is needed, and per-source distinct sizes fall
