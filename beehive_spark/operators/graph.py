@@ -181,60 +181,66 @@ def pagerank(
     e = edges.select(
         F.col(src).cast("long").alias("src"), F.col(dst).cast("long").alias("dst")
     ).distinct()
+    outdeg = e.groupBy(F.col("src").alias("id")).agg(F.count(F.lit(1)).alias("deg"))
+    # static per-node frame, reused every round: out-degree with 0 for
+    # dangling nodes, so the per-round dangling-mass scalar is a
+    # conditional sum over the rank frame itself (no per-round anti join)
     nodes = (
         e.select(F.col("src").alias("id"))
         .union(e.select(F.col("dst").alias("id")))
         .distinct()
+        .join(outdeg, "id", "left")
+        .select("id", F.coalesce("deg", F.lit(0)).alias("deg"))
         .persist()
     )
     n = nodes.count()  # scalar graph size: needed to seed ranks; one small agg
-    outdeg = e.groupBy(F.col("src").alias("id")).agg(F.count(F.lit(1)).alias("deg"))
     # static, reused every round: (src, dst, deg) — persist once
     links = (
         e.join(outdeg.withColumnRenamed("id", "src"), "src")
         .select("src", "dst", "deg")
         .persist()
     )
-    ranks = nodes.withColumn("rank", F.lit(1.0 / n)).localCheckpoint(eager=True)
+    ranks = nodes.select("id", "deg", F.lit(1.0 / n).alias("rank")).localCheckpoint(
+        eager=True
+    )
     for _ in range(iters):
         contribs = (
-            links.join(ranks.withColumnRenamed("id", "src"), "src")
+            links.join(ranks.select(F.col("id").alias("src"), "rank"), "src")
             .groupBy(F.col("dst").alias("id"))
             .agg(F.sum(F.col("rank") / F.col("deg")).alias("contrib"))
         )
-        # mass held by dangling nodes (no out-edges) — 1-row frame,
+        # mass held by dangling nodes (deg 0) — 1-row frame,
         # broadcast-cross-joined so the loop stays fully lazy/declarative
-        dangling = (
-            ranks.join(outdeg, "id", "left_anti")
-            .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("dmass"))
+        dangling = ranks.agg(
+            F.coalesce(
+                F.sum(F.when(F.col("deg") == 0, F.col("rank"))), F.lit(0.0)
+            ).alias("dmass")
         )
-        prev = ranks
+        # the new rank frame carries the previous rank, so the tol
+        # probe below is a scalar agg over THIS checkpointed frame —
+        # no extra |V| join per round
         ranks = (
-            nodes.join(contribs, "id", "left")
+            ranks.select("id", "deg", F.col("rank").alias("prev_rank"))
+            .join(contribs, "id", "left")
             .crossJoin(F.broadcast(dangling))
             .select(
                 "id",
+                "deg",
                 (
                     F.lit((1.0 - damping) / n)
                     + F.lit(damping)
                     * (F.coalesce("contrib", F.lit(0.0)) + F.col("dmass") / n)
                 ).alias("rank"),
+                "prev_rank",
             )
             .localCheckpoint(eager=True)
         )
         if tol is not None:
-            # L1 delta between two checkpointed |V|-row frames: an
-            # equi-join on id + one scalar sum — cheap relative to the
-            # edge join above, and it buys skipped whole rounds
-            delta = (
-                ranks.join(
-                    prev.withColumnRenamed("rank", "prev_rank"), "id"
-                )
-                .agg(F.sum(F.abs(F.col("rank") - F.col("prev_rank"))).alias("d"))
-                .first()["d"]
-            )
+            delta = ranks.agg(
+                F.sum(F.abs(F.col("rank") - F.col("prev_rank"))).alias("d")
+            ).first()["d"]
             if delta is not None and delta < tol:
                 break
     nodes.unpersist()
     links.unpersist()
-    return ranks
+    return ranks.select("id", "rank")

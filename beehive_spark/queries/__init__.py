@@ -69,16 +69,54 @@ _loaded = False
 # Registry order is the driver's ORACLE-VERIFICATION order, and the driver
 # differentially checks the FIRST 50 registered queries per round.  The
 # window rotates each round so the cross-round union covers every
-# registered query: round 1 verified the first 50 by import order, round 2
-# verified TPC-H q4/q6-q22 plus the round-2 additions (CORRECTNESS_r0{1,2}
-# .json), and this round-3 window leads with the 18 oracle-bearing queries
-# the driver has NEVER checked (union r01+r02 = 99 of 122; VERDICT.md round
-# 2 "What's missing" #1), then the 5 rows-only queries never windowed (a
-# weaker rows-only record, but it completes full-registry driver coverage),
-# then everything CHANGED OR ADDED in round 3.  Queries already green in a
-# prior round with unchanged source rotate to the back; the local
-# scripts/check_oracle.py sweep still verifies ALL of them each round.
+# registered query (144/144 after r03; 129/132 oracle-bearing hash-green).
+# The round-4 window leads with (a) the three queries VERDICT.md round 3
+# marked weak — session_attribution's hash mismatch was rewritten NULL-free
+# and embedding_centroids / incremental_topk_orders now emit scalar
+# encodings the harness can sort — then (b) everything changed or added in
+# round 4, then (c) backfills the remaining slots with the OLDEST-evidence
+# entries (r01-verified, unchanged source — harmless re-confirmation, per
+# the rotation policy below).  The local scripts/check_oracle.py sweep
+# still verifies ALL registered queries each round.
 _PRIORITY = [
+    # --- round-3 weak/red, fixed after the r3 driver check (commit 4dd8dd5)
+    "session_attribution",         # was: hash FAIL (IGNORE NULLS removed)
+    "embedding_centroids",         # was: harness crash (array -> cell rows)
+    "incremental_topk_orders",     # was: harness crash (array -> string)
+    # --- changed or added in round 4 (appended as they land)
+    "doc_winnowing_fingerprints",  # r4: staged-projection rolling hash
+    "cross_corpus_overlap",        # r4: tokenizer-materialization fix
+    "doc_length_outliers",         # r3-late: oracle thresholds rounded z
+    "media_audio_features",        # r3-late: single-render byte budget
+    "media_phash_dedup",           # r3-late: count-based byte budget
+    "ann_index_build",             # r3-late: staged-swap crash recovery
+    "ann_index_probe",             # r3-late: probes recovered index
+    "pagerank_copurchase",         # r4 new: convergent graph, tol fires
+    "pagerank_hierarchy",          # r4: operator loop reworked
+    # --- oldest-evidence backfill: r01-verified, source unchanged since;
+    # ordered as registered in r01.  Entries beyond the 50-slot window
+    # simply spill to overflow as round-4 additions displace them.
+    "scan_project", "filter_in_notin", "filter_compound",
+    "semi_join_exists", "anti_join_orphans", "consolidate_mapping",
+    "disjunctive_match_users", "fk_remap_chain", "assign_ids_window",
+    "uuid_collision_semi", "count_by_group", "order_limit_first",
+    "q1_pricing_summary", "q3_shipping_priority", "q5_local_supplier",
+    "group_topn_window", "events_windowed_agg", "dedup_exact",
+    "similarity_cosine_topk", "dedup_embedding_cosine", "text_token_stats",
+    "text_bpe_token_stats", "text_quality_score", "doc_fingerprint",
+    "text_lang_id", "events_sessionize", "hierarchy_bfs", "self_fk_remap",
+    "set_ops_chain", "dates_normalize", "asof_join_purchases",
+    "range_join_windows", "rollup_revenue", "events_json_extract",
+    "window_running_total", "group_percentiles", "events_pivot",
+    "profile_events", "not_in_null_semantics", "cube_revenue",
+    "window_rank_suite", "string_funcs_suite", "events_sliding_agg",
+    "q2_min_cost_supplier",
+]
+# The round-3 window (kept for the fill chain: anything here not already
+# in the round-4 window queues behind it, before _PRIORITY_R2 and the
+# overflow; all of these are r03-driver-green except the three promoted
+# to the top of _PRIORITY above).
+_PRIORITY_R3 = [
     # --- 18 oracle-bearing, never driver-verified (locally green in the
     # round-2 check_oracle.py sweep AND independently by the round-2 judge)
     "peak_concurrency", "user_activity_streaks", "event_transitions",
@@ -118,17 +156,6 @@ _PRIORITY = [
     "media_video_frames",          # r3 new: real frame-decode sampling
     "point_in_time_state",         # r3 new: AS OF event-log snapshot
 ]
-# ROUND-4 NOTE: this priority list has 46 entries (18 never-verified +
-# 5 rows-only + 23 round-3 changed/added — earlier comments here
-# miscounted it as full at 49; review caught the arithmetic), so the 4
-# remaining window slots fall to r2-verified TPC-H q4/q6/q7/q8.  A
-# green CORRECTNESS_r03 makes the cross-round union cover EVERY
-# registered query — r01+r02 verified the rest and none of their
-# sources changed this round except the queries listed above (all
-# in-window).  Round 4's window should lead with whatever round 4
-# changes or adds; if nothing else needs the slots, rotate in
-# long-unverified r01 entries for re-confirmation (oldest evidence
-# first).
 _PRIORITY_R2 = [
     # TPC-H q4 + q6-q22: oracle-unchecked in round 1 — VERDICT.md top
     # ask ("green rows+schema+hash for all of q4, q6-q22 in
@@ -231,12 +258,13 @@ def _ensure_loaded() -> None:
         from beehive_spark.queries import tpch  # noqa: F401
 
         ordered = {n: _REGISTRY[n] for n in _PRIORITY if n in _REGISTRY}
-        # round-2-verified entries fill any window slots the round-3
-        # priority list leaves open (harmless re-verification), then
-        # everything else
-        for n in _PRIORITY_R2:
-            if n in _REGISTRY and n not in ordered:
-                ordered[n] = _REGISTRY[n]
+        # prior rounds' windows fill any slots the round-4 priority
+        # list leaves open (harmless re-verification), then everything
+        # else
+        for prio in (_PRIORITY_R3, _PRIORITY_R2):
+            for n in prio:
+                if n in _REGISTRY and n not in ordered:
+                    ordered[n] = _REGISTRY[n]
         rest = [n for n in _REGISTRY if n not in ordered]
         # overflow: round-1-verified unchanged queries first, then the
         # approximate (rows-only, no-oracle) ops last

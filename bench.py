@@ -115,6 +115,8 @@ EXTRA = [
     "doc_winnowing_fingerprints",
     "media_video_frames",
     "point_in_time_state",
+    # round-4 additions
+    "pagerank_copurchase",
 ]
 
 

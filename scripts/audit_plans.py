@@ -79,9 +79,10 @@ EXTRA = [
     "dedup_semantic",
     "similarity_ann_pq",
     "mixture_reweight",
-    # round-2 second batch (pagerank_hierarchy excluded: iterative
-    # loop runs eagerly — its per-round plan is one equi-join + agg +
-    # broadcast cross-join, fixed cost per iteration)
+    # round-2 second batch (pagerank_hierarchy and r4's
+    # pagerank_copurchase excluded: iterative loops run eagerly — the
+    # per-round plan is one equi-join + agg + broadcast cross-join,
+    # fixed cost per iteration)
     "snapshot_diff",
     "sample_weighted",
     "events_anomaly",

@@ -1,0 +1,64 @@
+"""Semantic invariants for the round-4 query batch.
+
+Same contract as test_queries_r3: the driver's differential gate
+proves Spark == DuckDB where an oracle exists; these pin properties
+both engines could get wrong together, plus invariants for the
+rows-only (iterative) queries the gate can't hash-check."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from beehive_spark.queries import all_queries, load
+
+
+@pytest.fixture(scope="module")
+def qs():
+    return all_queries()
+
+
+def test_copurchase_pagerank_is_a_distribution_head(spark, sf_dir, qs):
+    rows = qs["pagerank_copurchase"](spark, sf_dir).collect()
+    assert 0 < len(rows) <= 100
+    # ranks are probabilities, emitted in deterministic descending order
+    assert all(0.0 < r["rank"] < 1.0 for r in rows)
+    ranks = [r["rank"] for r in rows]
+    assert ranks == sorted(ranks, reverse=True)
+    # every scored node is a real part co-purchased at least once
+    parts = {
+        r["l_partkey"]
+        for r in load(spark, sf_dir, "lineitem").select("l_partkey").collect()
+    }
+    assert all(r["id"] in parts for r in rows)
+
+
+def test_copurchase_pagerank_early_exit_matches_capped_run(spark, sf_dir):
+    """tol must change WHEN iteration stops, never WHAT it converges
+    to: the early-exited ranks agree with a longer capped run to well
+    inside the tolerance."""
+    from beehive_spark.operators.graph import pagerank
+
+    li = load(spark, sf_dir, "lineitem")
+    baskets = li.groupBy("l_orderkey").agg(
+        F.sort_array(F.collect_set("l_partkey")).alias("parts")
+    )
+    pair_arr = F.flatten(
+        F.transform(
+            F.col("parts"),
+            lambda a, i: F.transform(
+                F.slice(F.col("parts"), i + 2, F.size(F.col("parts"))),
+                lambda b: F.struct(a.alias("pa"), b.alias("pb")),
+            ),
+        )
+    )
+    pairs = (
+        baskets.filter(F.size("parts") >= 2)
+        .select(F.explode(pair_arr).alias("p"))
+        .select(F.col("p.pa").alias("pa"), F.col("p.pb").alias("pb"))
+    )
+    edges = pairs.select(F.col("pa").alias("src"), F.col("pb").alias("dst")).union(
+        pairs.select(F.col("pb").alias("src"), F.col("pa").alias("dst"))
+    )
+    early = {r["id"]: r["rank"] for r in pagerank(edges, iters=30, tol=1e-6).collect()}
+    capped = {r["id"]: r["rank"] for r in pagerank(edges, iters=25, tol=None).collect()}
+    assert early.keys() == capped.keys()
+    assert max(abs(early[k] - capped[k]) for k in early) < 1e-6
