@@ -93,6 +93,7 @@ _PRIORITY = [
     "ann_index_probe",             # r3-late: probes recovered index
     "pagerank_copurchase",         # r4 new: convergent graph, tol fires
     "pagerank_hierarchy",          # r4: operator loop reworked
+    "media_image_resize",          # r4 new: real decode+resample, exact
     # --- oldest-evidence backfill: r01-verified, source unchanged since;
     # ordered as registered in r01.  Entries beyond the 50-slot window
     # simply spill to overflow as round-4 additions displace them.

@@ -332,3 +332,99 @@ def media_video_frames(spark, sf_dir):
             2,
         ).alias("mean_luma"),
     )
+
+
+def synth_gradient_png_media(docs):
+    """Deterministic gradient-PNG corpus: pixel (y, x) of doc d holds
+    ``(d + y*16 + x) % 256`` in all three channels — closed-form
+    pixels, so any resample of the image is pure arithmetic in
+    (doc_id, target cell) and the resize query below can carry an
+    EXACT SQL oracle.  The row-to-row delta structure also exercises
+    the PNG filter reconstruction paths harder than solid frames."""
+    import numpy as np
+    import pandas as pd
+
+    from beehive_spark.functions.png import encode_png
+
+    def render(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            ids, payloads = [], []
+            for doc_id in pdf["doc_id"]:
+                base = np.arange(_IMG_H * _IMG_W, dtype=np.int64).reshape(
+                    _IMG_H, _IMG_W
+                )
+                gray = ((int(doc_id) + base) % 256).astype(np.uint8)
+                px = np.repeat(gray[:, :, None], 3, axis=2)
+                ids.append(int(doc_id))
+                payloads.append(encode_png(px))
+            yield pd.DataFrame({"media_id": ids, "payload": payloads})
+
+    return docs.select("doc_id").mapInPandas(render, schema=_PNG_SCHEMA)
+
+
+@query(
+    "media_image_resize",
+    oracle="""
+    SELECT doc_id AS media_id,
+           CAST(cy AS INT) AS cy,
+           CAST(cx AS INT) AS cx,
+           -- nearest-neighbor 16->4 samples source pixel
+           -- (cy*16 div 4, cx*16 div 4) = (cy*4, cx*4), whose value is
+           -- (doc_id + (cy*4)*16 + cx*4) % 256
+           CAST((doc_id + cy * 64 + cx * 4) % 256 AS INT) AS px_val,
+           CAST(48 AS BIGINT) AS out_bytes
+    FROM documents,
+         unnest(range(0, 4)) a(cy),
+         unnest(range(0, 4)) b(cx)
+    """,
+)
+def media_image_resize(spark, sf_dir):
+    """Real decode -> resize under the driver's hash gate — the
+    RESAMPLE leg of the multimodal suite (decode: ``media_phash_dedup``,
+    frame-sample: ``media_video_frames``): synthesize a 16x16 gradient
+    PNG per document (closed-form pixels), push it through the REAL
+    codec + nearest-neighbor resample tier
+    (``functions/multimodal.resize_images`` with
+    ``use_real_decoder=True`` — vendored PNG codec here, Pillow
+    elsewhere; the resample itself is backend-independent numpy), and
+    emit every output pixel as a (cell, value) row.  The oracle is
+    exact arithmetic in (doc_id, cy, cx) INCLUDING the source-index
+    mapping ``ys = (arange(4)*16) div 4`` — a bicubic resample, an
+    off-by-one in the index map, a channel mixup, or a filter-
+    reconstruction bug in the decoder all break the hash.
+
+    Scale shape: synthesis and resize are Arrow-batched map stages
+    with byte-budget repartitioning (payloads never shuffle); the
+    per-cell explode is a JVM projection over 48-byte outputs, and
+    output volume is docs x 16 rows regardless of source image size."""
+    from beehive_spark.functions.multimodal import resize_images, wrap_as_media
+
+    docs = load(spark, sf_dir, "documents")
+    media = wrap_as_media(
+        synth_gradient_png_media(docs), "media_id", "payload", modality="image"
+    )
+    # byte-budget hint: a 16x16 gradient PNG rides ZIP delta filters
+    # well (~200-400 B incl. container overhead); an estimate is all
+    # the partition heuristic needs and it spares a sizing pass that
+    # would re-run the synthesis stage
+    n_docs = docs.count()
+    small = resize_images(
+        media, 4, 4, use_real_decoder=True, total_bytes=n_docs * 400
+    )
+    # one row per output cell: value read positionally from the raw
+    # RGB bytes (channel 0 of pixel cy*4+cx), all JVM
+    cells = small.select(
+        "media_id",
+        F.length("content").cast("long").alias("out_bytes"),
+        F.hex("content").alias("hx"),
+        F.explode(F.sequence(F.lit(0), F.lit(15))).alias("cell"),
+    )
+    return cells.select(
+        "media_id",
+        (F.col("cell") / 4).cast("int").alias("cy"),
+        F.pmod("cell", F.lit(4)).cast("int").alias("cx"),
+        F.conv(F.substring("hx", F.col("cell") * 6 + 1, F.lit(2)), 16, 10)
+        .cast("int")
+        .alias("px_val"),
+        "out_bytes",
+    )

@@ -117,6 +117,7 @@ EXTRA = [
     "point_in_time_state",
     # round-4 additions
     "pagerank_copurchase",
+    "media_image_resize",
 ]
 
 

@@ -139,6 +139,8 @@ EXTRA = [
     "doc_winnowing_fingerprints",
     "media_video_frames",
     "point_in_time_state",
+    # round-4 additions
+    "media_image_resize",
 ]
 
 

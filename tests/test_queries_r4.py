@@ -62,3 +62,22 @@ def test_copurchase_pagerank_early_exit_matches_capped_run(spark, sf_dir):
     capped = {r["id"]: r["rank"] for r in pagerank(edges, iters=25, tol=None).collect()}
     assert early.keys() == capped.keys()
     assert max(abs(early[k] - capped[k]) for k in early) < 1e-6
+
+
+def test_image_resize_matches_numpy_reference(spark, sf_dir, qs):
+    """Independent check of the real decode+resample path: re-derive
+    the expected cell values with numpy's own nearest-neighbor
+    indexing over the synthesized gradient (not the closed form the
+    oracle uses), and check coverage/shape."""
+    import numpy as np
+
+    rows = qs["media_image_resize"](spark, sf_dir).collect()
+    docs = load(spark, sf_dir, "documents").count()
+    assert len(rows) == docs * 16
+    assert all(r["out_bytes"] == 48 for r in rows)
+    base = np.arange(256, dtype=np.int64).reshape(16, 16)
+    ys = np.minimum((np.arange(4) * 16) // 4, 15)
+    for r in rows[:64]:
+        gray = (r["media_id"] + base) % 256
+        want = gray[ys][:, ys][r["cy"], r["cx"]]
+        assert r["px_val"] == want
