@@ -94,6 +94,7 @@ _PRIORITY = [
     "pagerank_copurchase",         # r4 new: convergent graph, tol fires
     "pagerank_hierarchy",          # r4: operator loop reworked
     "media_image_resize",          # r4 new: real decode+resample, exact
+    "embedding_gram",              # r4 new: one-pass X^T X aggregation
     # --- oldest-evidence backfill: r01-verified, source unchanged since;
     # ordered as registered in r01.  Entries beyond the 50-slot window
     # simply spill to overflow as round-4 additions displace them.

@@ -2294,3 +2294,75 @@ def doc_winnowing_fingerprints(spark, sf_dir):
             "density"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Gram matrix — the X^T X aggregation under PCA / whitening / linear probes
+# ---------------------------------------------------------------------------
+@query(
+    "embedding_gram",
+    oracle="""
+    SELECT CAST(a.i AS INT) AS i,
+           CAST(b.j AS INT) AS j,
+           ROUND(SUM(CAST(embedding[a.i + 1] AS DOUBLE)
+                     * CAST(embedding[b.j + 1] AS DOUBLE)), 6) AS gram,
+           CAST(COUNT(*) AS BIGINT) AS n_vectors
+    FROM embeddings,
+         unnest(range(0, 64)) a(i),
+         unnest(range(0, 64)) b(j)
+    WHERE b.j >= a.i
+    GROUP BY 1, 2
+    """,
+)
+def embedding_gram(spark, sf_dir):
+    """Distributed Gram matrix X^T X over the embedding corpus — the
+    one-pass aggregation under PCA, ZCA whitening, ridge regression
+    and linear probing of representation quality (covariance follows
+    as gram/n - mean-outer-mean, with the means available from
+    ``embedding_centroids``).
+
+    Scale shape: each row emits its d(d+1)/2 upper-triangle products
+    as a JVM array expression and the (i, j) cells aggregate with
+    map-side combine — partial state is a FIXED d^2 doubles per task
+    regardless of row count, so the single shuffle carries
+    #partitions x d^2 rows no matter whether X is 2,000 vectors or
+    100 TB.  That mergeability is exactly why the driver-side
+    alternative (collect + numpy) and the collect_list-of-arrays
+    shape are wrong at scale.  The d x d result is then small enough
+    to eigendecompose anywhere.
+
+    The vector array materializes in its own projection before the
+    pair lambda indexes it (the expression-inlining trap: a lambda
+    re-evaluates an inlined upstream expression per element).
+    Cross-engine determinism: products are computed in double on both
+    engines (float32 x float32 ulps differ) and per-cell sums round
+    to 6 before the hash — summation order differs between engines,
+    but 2,000-term double sums of O(1) values agree well inside 1e-6.
+
+    Reference scope: net-new; the linear-algebra sibling of
+    `embedding_centroids`."""
+    e = load(spark, sf_dir, "embeddings")
+    vecs = e.select(F.col("embedding").cast("array<double>").alias("v"))
+    pairs = F.flatten(
+        F.transform(
+            F.sequence(F.lit(0), F.size("v") - 1),
+            lambda i: F.transform(
+                F.sequence(i, F.size("v") - 1),
+                lambda j: F.struct(
+                    i.cast("int").alias("i"),
+                    j.cast("int").alias("j"),
+                    (
+                        F.element_at(F.col("v"), i + 1)
+                        * F.element_at(F.col("v"), j + 1)
+                    ).alias("x"),
+                ),
+            ),
+        )
+    )
+    cells = vecs.select(F.explode(pairs).alias("p"))
+    return cells.groupBy(
+        F.col("p.i").alias("i"), F.col("p.j").alias("j")
+    ).agg(
+        F.round(F.sum("p.x"), 6).alias("gram"),
+        F.count(F.lit(1)).cast("long").alias("n_vectors"),
+    )

@@ -118,6 +118,7 @@ EXTRA = [
     # round-4 additions
     "pagerank_copurchase",
     "media_image_resize",
+    "embedding_gram",
 ]
 
 

@@ -141,6 +141,7 @@ EXTRA = [
     "point_in_time_state",
     # round-4 additions
     "media_image_resize",
+    "embedding_gram",
 ]
 
 

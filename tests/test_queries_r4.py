@@ -81,3 +81,30 @@ def test_image_resize_matches_numpy_reference(spark, sf_dir, qs):
         gray = (r["media_id"] + base) % 256
         want = gray[ys][:, ys][r["cy"], r["cx"]]
         assert r["px_val"] == want
+
+
+def test_embedding_gram_is_psd_consistent(spark, sf_dir, qs):
+    """Properties both engines could get wrong together: the Gram
+    matrix must be symmetric-by-construction (upper triangle only),
+    Cauchy-Schwarz-consistent, and match a dense numpy X^T X."""
+    import numpy as np
+
+    rows = qs["embedding_gram"](spark, sf_dir).collect()
+    d = max(r["j"] for r in rows) + 1
+    assert len(rows) == d * (d + 1) // 2
+    g = {(r["i"], r["j"]): r["gram"] for r in rows}
+    assert all(g[(i, i)] >= 0 for i in range(d))
+    assert all(
+        g[(i, j)] ** 2 <= g[(i, i)] * g[(j, j)] + 1e-6
+        for (i, j) in g
+    )
+    x = np.array(
+        [
+            r["embedding"]
+            for r in load(spark, sf_dir, "embeddings").collect()
+        ],
+        dtype=np.float64,
+    )
+    want = x.T @ x
+    err = max(abs(want[i, j] - g[(i, j)]) for (i, j) in g)
+    assert err < 1e-5, err
