@@ -45,9 +45,11 @@ Spark artifacts.
 
 from __future__ import annotations
 
+import fcntl
 import json
 import os
 import shutil
+from contextlib import contextmanager
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -247,15 +249,39 @@ def _unit(emb: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding"):
     )
 
 
+@contextmanager
+def _dir_lock(path: str):
+    """Exclusive advisory lock serializing swap/recovery on one index.
+
+    Without it, a reader's ``_recover`` racing a writer's ``_swap_in``
+    (or a second reader's recovery) can promote ``.staging`` mid-swap
+    and strand — or with two interleaved recoveries even DELETE — the
+    artifact (review finding).  ``flock`` is held only around the
+    directory renames (microseconds), is released by the kernel if the
+    holder dies (no stale-lock deadlock, unlike O_EXCL sentinel
+    files), and works across processes on one host — matching the
+    local-rename atomicity this lifecycle already assumes; on a shared
+    filesystem the existing single-maintainer contract stands."""
+    lockfile = path.rstrip("/") + ".lock"
+    fd = os.open(lockfile, os.O_CREAT | os.O_RDWR)
+    try:
+        fcntl.flock(fd, fcntl.LOCK_EX)
+        yield
+    finally:
+        fcntl.flock(fd, fcntl.LOCK_UN)
+        os.close(fd)
+
+
 def _swap_in(staging: str, path: str) -> None:
     """Atomic-with-backup directory promotion (same protocol as
     ``sources.layout.compact_parquet``; artifacts are vacuum-safe)."""
     backup = path.rstrip("/") + ".old"
-    shutil.rmtree(backup, ignore_errors=True)
-    if os.path.exists(path):
-        os.replace(path, backup)
-    os.replace(staging, path)
-    shutil.rmtree(backup, ignore_errors=True)
+    with _dir_lock(path):
+        shutil.rmtree(backup, ignore_errors=True)
+        if os.path.exists(path):
+            os.replace(path, backup)
+        os.replace(staging, path)
+        shutil.rmtree(backup, ignore_errors=True)
 
 
 def _recover(path: str) -> None:
@@ -270,17 +296,23 @@ def _recover(path: str) -> None:
     meta file exists — the meta is always written last, so a mid-build
     staging dir is never promoted.  Preference order: ``.staging``
     (the newer artifact — the interrupted swap's whole point) then
-    ``.old``."""
+    ``.old``.  The cheap already-live check runs unlocked (the hot
+    probe path takes no lock); the promotion itself serializes with
+    ``_swap_in`` and other recoveries, re-checking liveness inside the
+    lock."""
     if os.path.exists(os.path.join(path, META_NAME)):
         return
-    staging = path.rstrip("/") + ".staging"
-    backup = path.rstrip("/") + ".old"
-    for cand, other in ((staging, backup), (backup, staging)):
-        if os.path.exists(os.path.join(cand, META_NAME)):
-            shutil.rmtree(path, ignore_errors=True)
-            os.replace(cand, path)
-            shutil.rmtree(other, ignore_errors=True)
-            return
+    with _dir_lock(path):
+        if os.path.exists(os.path.join(path, META_NAME)):
+            return  # a concurrent swap/recovery already made it live
+        staging = path.rstrip("/") + ".staging"
+        backup = path.rstrip("/") + ".old"
+        for cand, other in ((staging, backup), (backup, staging)):
+            if os.path.exists(os.path.join(cand, META_NAME)):
+                shutil.rmtree(path, ignore_errors=True)
+                os.replace(cand, path)
+                shutil.rmtree(other, ignore_errors=True)
+                return
 
 
 def read_meta(index_dir: str) -> dict:

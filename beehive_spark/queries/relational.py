@@ -949,28 +949,13 @@ def pagerank_hierarchy(spark, sf_dir):
 # ---------------------------------------------------------------------------
 # PageRank — co-purchase product graph, where convergence early-exit fires
 # ---------------------------------------------------------------------------
-@query("pagerank_copurchase")  # iterative; rows-only driver check by design
-def pagerank_copurchase(spark, sf_dir):
-    """PageRank over the part co-purchase graph (parts sharing an
-    order, both directions): product-importance scoring of the
-    catalog, the classic recommender-adjacent centrality query.
-
-    Unlike ``pagerank_hierarchy``'s depth-5 tree (whose L1 delta
-    decays only as 0.85^k, so a tolerance can never fire inside the
-    round cap), this graph is dense and fast-mixing — the measured
-    delta decays ~0.15^k at sf0.1 (1.4e-1, 1.1e-2, 1.2e-3, ...), so
-    ``tol=1e-6`` stops at round 7 of the 30-round cap: the operator's
-    convergence probe earns ~75% of the capped iteration cost here.
-
-    Shape: baskets collapse per order (one lineitem shuffle),
-    within-order pairs enumerate as a JVM array expression (fan-out
-    C(items-per-order, 2) ~ 21 per order, never quadratic in parts),
-    then the operator's per-round cost is one edge join + one agg.
-    Iterative-by-nature, so no SQL oracle; the operator is pinned
-    against dense numpy power iteration in ``tests/test_graph.py``."""
-    from beehive_spark.operators.graph import pagerank
-
-    li = load(spark, sf_dir, "lineitem")
+def copurchase_edges(li):
+    """Symmetric part co-purchase edge list from a lineitem frame:
+    baskets collapse per order (one shuffle), within-order pairs
+    enumerate as a JVM array expression (fan-out C(items-per-order, 2)
+    ~ 21 per order, never quadratic in parts).  Shared by the query
+    below and its early-exit pin in ``tests/test_queries_r4.py`` so
+    the test always exercises the graph the query actually builds."""
     baskets = li.groupBy("l_orderkey").agg(
         F.sort_array(F.collect_set("l_partkey")).alias("parts")
     )
@@ -988,9 +973,32 @@ def pagerank_copurchase(spark, sf_dir):
         .select(F.explode(pair_arr).alias("p"))
         .select(F.col("p.pa").alias("pa"), F.col("p.pb").alias("pb"))
     )
-    edges = pairs.select(F.col("pa").alias("src"), F.col("pb").alias("dst")).union(
+    return pairs.select(F.col("pa").alias("src"), F.col("pb").alias("dst")).union(
         pairs.select(F.col("pb").alias("src"), F.col("pa").alias("dst"))
     )
+
+
+@query("pagerank_copurchase")  # iterative; rows-only driver check by design
+def pagerank_copurchase(spark, sf_dir):
+    """PageRank over the part co-purchase graph (parts sharing an
+    order, both directions): product-importance scoring of the
+    catalog, the classic recommender-adjacent centrality query.
+
+    Unlike ``pagerank_hierarchy``'s depth-5 tree (whose L1 delta
+    decays only as 0.85^k, so a tolerance can never fire inside the
+    round cap), this graph is dense and fast-mixing — the measured
+    delta decays ~0.15^k at sf0.1 (1.4e-1, 1.1e-2, 1.2e-3, ...), so
+    ``tol=1e-6`` stops at round 7 of the 30-round cap: the operator's
+    convergence probe earns ~75% of the capped iteration cost here.
+
+    Shape: edge construction via :func:`copurchase_edges` (one
+    lineitem shuffle, bounded pair fan-out), then the operator's
+    per-round cost is one edge join + one agg.  Iterative-by-nature,
+    so no SQL oracle; the operator is pinned against dense numpy power
+    iteration in ``tests/test_graph.py``."""
+    from beehive_spark.operators.graph import pagerank
+
+    edges = copurchase_edges(load(spark, sf_dir, "lineitem"))
     pr = pagerank(edges, iters=30, tol=1e-6)
     return (
         pr.select("id", F.round("rank", 8).alias("rank"))

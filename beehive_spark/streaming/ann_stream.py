@@ -43,9 +43,14 @@ def _last_stream_batch(index_dir: str, lineage: str) -> int:
     new/lost checkpoint restarts them at 0, so a watermark recorded
     under an old lineage would silently skip the new stream's batches
     0..N of genuinely new vectors.  The meta therefore records which
-    checkpoint the watermark belongs to; a different lineage resets
-    the watermark (replays from the old lineage cannot arrive any
-    more, so nothing is double-applied by resetting)."""
+    checkpoint lineage the watermark belongs to; a different lineage
+    resets the watermark (replays from the old lineage cannot arrive
+    any more, so nothing is double-applied by resetting).  The lineage
+    key is a marker that LIVES INSIDE the checkpoint directory (see
+    :func:`_lineage_id`), not the directory path: a checkpoint wiped
+    and recreated at the same path is a new lineage — its batch ids
+    restart at 0 — and a path-keyed watermark would silently skip
+    those batches (review finding)."""
     try:
         meta = read_meta(index_dir)
     except OSError:
@@ -53,6 +58,26 @@ def _last_stream_batch(index_dir: str, lineage: str) -> int:
     if meta.get("stream_lineage") != lineage:
         return -1
     return meta.get("last_stream_batch", -1)
+
+
+def _lineage_id(checkpoint: str) -> str:
+    """Identity of THIS checkpoint lineage: a uuid marker stored inside
+    the checkpoint directory, created on first use.  It shares the
+    checkpoint's fate — wiping the directory destroys the marker, so a
+    recreated checkpoint (whose batch ids restart at 0) presents a new
+    lineage and the watermark resets; a surviving checkpoint keeps its
+    marker across restarts and the watermark stays in force."""
+    import uuid
+
+    os.makedirs(checkpoint, exist_ok=True)
+    marker = os.path.join(checkpoint, "lineage.id")
+    if not os.path.exists(marker):
+        tmp = marker + ".tmp"
+        with open(tmp, "w") as fh:
+            fh.write(uuid.uuid4().hex)
+        os.replace(tmp, marker)  # atomic vs a concurrent creator
+    with open(marker) as fh:
+        return fh.read().strip()
 
 
 def run_ann_index_append_stream(
@@ -71,7 +96,8 @@ def run_ann_index_append_stream(
     batch (restart, checkpoint recovery) is skipped.  See the module
     docstring for the precise delivery semantics."""
 
-    lineage = os.path.abspath(os.path.join(checkpoint_dir, "ann_append"))
+    checkpoint = os.path.abspath(os.path.join(checkpoint_dir, "ann_append"))
+    lineage = _lineage_id(checkpoint)
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
@@ -86,7 +112,7 @@ def run_ann_index_append_stream(
     q = (
         vectors.writeStream.outputMode("append")
         .foreachBatch(sink)
-        .option("checkpointLocation", lineage)
+        .option("checkpointLocation", checkpoint)
         .trigger(availableNow=True)
         .start()
     )

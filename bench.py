@@ -184,7 +184,7 @@ def main() -> None:
     # dict (16 queries, well under any tail buffer).
     if extra:
         extra_line = {"metric": "extra_queries", "unit": "sec", "sf": sf_num,
-                      "runs_per_query": int(os.environ.get("BEEHIVE_BENCH_EXTRA_RUNS", "2")),
+                      "runs_per_query": extra_runs,
                       "agg": "min", "queries": extra}
         print(json.dumps(extra_line))
         try:

@@ -11,6 +11,7 @@ round-1 review), so CI / the per-round loop can gate on it.
 
 import argparse
 import json
+import os
 import sys
 
 
@@ -21,6 +22,20 @@ def load_bench(path: str) -> dict:
         d = d["parsed"]
     if "queries" not in d:
         raise SystemExit(f"{path}: no 'queries' key — not a bench result")
+    # bench.py moved the non-headline tier out of the final line into a
+    # BENCH_EXTRA.json sidecar (the single line outgrew the driver's
+    # tail capture); fold the sidecar back in so the ~60 extra-tier
+    # queries stay regression-gated (review finding: without this they
+    # all printed '(only one side)' and were never ratio-checked)
+    if "extra_queries" not in d and d.get("extras_file"):
+        sidecar = os.path.join(os.path.dirname(os.path.abspath(path)),
+                               d["extras_file"])
+        try:
+            with open(sidecar) as f:
+                d["extra_queries"] = json.load(f).get("queries", {})
+        except OSError:
+            print(f"warning: {sidecar} missing — extras not gated",
+                  file=sys.stderr)
     return d
 
 

@@ -286,10 +286,27 @@ def test_streaming_append_keeps_index_fresh_and_replays_noop(
     # fresh lineage restarted ids at 0 (all files in one availableNow
     # batch) — the watermark was reset, not inherited from lineage 1
     assert meta2["last_stream_batch"] == 0
-    assert meta2["stream_lineage"].endswith("ann_append")
+    assert len(meta2["stream_lineage"]) == 32  # uuid marker, not a path
     got2 = probe_ivf_index(spark, idx, probe_vec, nprobe=2, k=1).collect()
     assert got2[0]["neighbor_id"] == probe_vec.first()["vec_id"]
     assert got2[0]["cosine"] == 1.0
+
+    # the hardest case: checkpoint WIPED and recreated at the SAME
+    # path.  Batch ids restart at 0 again, and a path-keyed lineage
+    # would wrongly inherit the old watermark and silently skip them;
+    # the in-checkpoint uuid marker dies with the directory, so the
+    # watermark resets and the batch applies (review finding)
+    import shutil
+
+    shutil.rmtree(str(tmp_path / "ck2"))
+    stream4 = spark.readStream.schema(schema).parquet(str(feed) + "/*/")
+    run_ann_index_append_stream(spark, stream4, idx, str(tmp_path / "ck2"))
+    lists_rewiped = spark.read.parquet(
+        os.path.join(idx, "assignments.parquet")
+    ).count()
+    assert lists_rewiped > lists_replayed  # applied, not skipped
+    meta3 = read_meta(idx)
+    assert meta3["stream_lineage"] != meta2["stream_lineage"]
 
 
 def test_interrupted_swap_rolls_forward(spark, sf_dir, tmp_path):

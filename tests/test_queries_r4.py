@@ -36,28 +36,9 @@ def test_copurchase_pagerank_early_exit_matches_capped_run(spark, sf_dir):
     to: the early-exited ranks agree with a longer capped run to well
     inside the tolerance."""
     from beehive_spark.operators.graph import pagerank
+    from beehive_spark.queries.relational import copurchase_edges
 
-    li = load(spark, sf_dir, "lineitem")
-    baskets = li.groupBy("l_orderkey").agg(
-        F.sort_array(F.collect_set("l_partkey")).alias("parts")
-    )
-    pair_arr = F.flatten(
-        F.transform(
-            F.col("parts"),
-            lambda a, i: F.transform(
-                F.slice(F.col("parts"), i + 2, F.size(F.col("parts"))),
-                lambda b: F.struct(a.alias("pa"), b.alias("pb")),
-            ),
-        )
-    )
-    pairs = (
-        baskets.filter(F.size("parts") >= 2)
-        .select(F.explode(pair_arr).alias("p"))
-        .select(F.col("p.pa").alias("pa"), F.col("p.pb").alias("pb"))
-    )
-    edges = pairs.select(F.col("pa").alias("src"), F.col("pb").alias("dst")).union(
-        pairs.select(F.col("pb").alias("src"), F.col("pa").alias("dst"))
-    )
+    edges = copurchase_edges(load(spark, sf_dir, "lineitem"))
     early = {r["id"]: r["rank"] for r in pagerank(edges, iters=30, tol=1e-6).collect()}
     capped = {r["id"]: r["rank"] for r in pagerank(edges, iters=25, tol=None).collect()}
     assert early.keys() == capped.keys()
