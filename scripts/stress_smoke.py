@@ -97,6 +97,7 @@ REGISTRY_CASES = [
     ("text_perplexity", "documents"),
     ("heavy_hitters_shingles", "documents"),
     ("cross_corpus_overlap", "documents"),
+    ("embedding_gram", "embeddings"),
 ]
 
 
@@ -144,6 +145,19 @@ def build_scaled_dir(spark, copies: int) -> str:
             "props",
         )
         .write.parquet(os.path.join(out, "events.parquet"))
+    )
+
+    v = spark.read.parquet(os.path.join(SF_DIR, "embeddings.parquet"))
+    # replicas keep the vectors (gram runtime is value-independent);
+    # shifted ids keep dedup-by-id semantics honest
+    (
+        v.crossJoin(F.broadcast(reps))
+        .select(
+            (F.col("vec_id") + F.col("__rep") * 10_000_000).alias("vec_id"),
+            "embedding",
+            "label",
+        )
+        .write.parquet(os.path.join(out, "embeddings.parquet"))
     )
 
     c = spark.read.parquet(os.path.join(SF_DIR, "customer.parquet"))
