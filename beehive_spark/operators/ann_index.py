@@ -274,9 +274,19 @@ def _dir_lock(path: str):
 
 def _swap_in(staging: str, path: str) -> None:
     """Atomic-with-backup directory promotion (same protocol as
-    ``sources.layout.compact_parquet``; artifacts are vacuum-safe)."""
+    ``sources.layout.compact_parquet``; artifacts are vacuum-safe).
+
+    A concurrent reader's ``_recover`` may promote OUR complete
+    staging before this writer reaches its critical section (legal:
+    roll-forward cannot distinguish a crash from a slow writer while
+    no live index exists) — in that case the swap's goal is already
+    achieved and this is a no-op, not an error."""
     backup = path.rstrip("/") + ".old"
     with _dir_lock(path):
+        if not os.path.exists(staging) and os.path.exists(
+            os.path.join(path, META_NAME)
+        ):
+            return  # a recoverer promoted this staging already
         shutil.rmtree(backup, ignore_errors=True)
         if os.path.exists(path):
             os.replace(path, backup)

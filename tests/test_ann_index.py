@@ -384,3 +384,51 @@ def test_probe_results_absorb_duplicate_list_entries(spark, sf_dir, tmp_path):
         ).collect()
     )
     assert after == before
+
+
+def test_swap_and_recover_serialize_under_concurrency(tmp_path):
+    """Hammer _swap_in against concurrent _recover callers (the review
+    race: a reader promoting .staging mid-swap stranded the writer, and
+    two interleaved recoveries could delete the artifact).  Pure
+    filesystem — no Spark.  Invariants: no call raises, and after every
+    swap the live index exists with monotonically advancing content."""
+    import json
+    import threading
+
+    from beehive_spark.operators.ann_index import META_NAME, _recover, _swap_in
+
+    path = str(tmp_path / "idx")
+
+    def make_staging(version: int) -> str:
+        staging = path + ".staging"
+        os.makedirs(staging)
+        with open(os.path.join(staging, META_NAME), "w") as fh:
+            json.dump({"version": version}, fh)
+        return staging
+
+    errors = []
+    stop = threading.Event()
+
+    def recover_loop():
+        while not stop.is_set():
+            try:
+                _recover(path)
+            except Exception as exc:  # pragma: no cover - the failure under test
+                errors.append(exc)
+                return
+
+    threads = [threading.Thread(target=recover_loop) for _ in range(4)]
+    for t in threads:
+        t.start()
+    try:
+        for version in range(30):
+            staging = make_staging(version)
+            _swap_in(staging, path)
+            with open(os.path.join(path, META_NAME)) as fh:
+                assert json.load(fh)["version"] == version
+    finally:
+        stop.set()
+        for t in threads:
+            t.join()
+    assert not errors, errors
+    assert json.load(open(os.path.join(path, META_NAME)))["version"] == 29

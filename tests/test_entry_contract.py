@@ -33,6 +33,7 @@ def test_registry_consistency():
         "similarity_ann_pq",
         "approx_sketches",
         "pagerank_hierarchy",
+        "pagerank_copurchase",
         "sketch_uniques_rollup",
         "bpe_encode",
         # persisted-ANN lifecycle: manifest/probe results depend on the
