@@ -194,10 +194,17 @@ def pagerank(
         .persist()
     )
     n = nodes.count()  # scalar graph size: needed to seed ranks; one small agg
-    # static, reused every round: (src, dst, deg) — persist once
+    # static, reused every round: (src, dst, deg) — persisted
+    # hash-partitioned AND sorted on the join key, so the per-round
+    # sort-merge join neither re-exchanges nor re-sorts the edge side
+    # (cached frames preserve outputPartitioning/outputOrdering); only
+    # the |V|-row rank frame moves each round — the property that
+    # keeps per-round cost edge-stationary on a real cluster
     links = (
         e.join(outdeg.withColumnRenamed("id", "src"), "src")
         .select("src", "dst", "deg")
+        .repartition("src")
+        .sortWithinPartitions("src")
         .persist()
     )
     ranks = nodes.select("id", "deg", F.lit(1.0 / n).alias("rank")).localCheckpoint(
