@@ -45,15 +45,15 @@ Spark artifacts.
 
 from __future__ import annotations
 
-import fcntl
 import json
 import os
 import shutil
-from contextlib import contextmanager
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
+
+from beehive_spark.sources.layout import dir_swap_lock
 
 META_NAME = "_ann_meta.json"
 
@@ -249,29 +249,6 @@ def _unit(emb: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding"):
     )
 
 
-@contextmanager
-def _dir_lock(path: str):
-    """Exclusive advisory lock serializing swap/recovery on one index.
-
-    Without it, a reader's ``_recover`` racing a writer's ``_swap_in``
-    (or a second reader's recovery) can promote ``.staging`` mid-swap
-    and strand — or with two interleaved recoveries even DELETE — the
-    artifact (review finding).  ``flock`` is held only around the
-    directory renames (microseconds), is released by the kernel if the
-    holder dies (no stale-lock deadlock, unlike O_EXCL sentinel
-    files), and works across processes on one host — matching the
-    local-rename atomicity this lifecycle already assumes; on a shared
-    filesystem the existing single-maintainer contract stands."""
-    lockfile = path.rstrip("/") + ".lock"
-    fd = os.open(lockfile, os.O_CREAT | os.O_RDWR)
-    try:
-        fcntl.flock(fd, fcntl.LOCK_EX)
-        yield
-    finally:
-        fcntl.flock(fd, fcntl.LOCK_UN)
-        os.close(fd)
-
-
 def _swap_in(staging: str, path: str) -> None:
     """Atomic-with-backup directory promotion (same protocol as
     ``sources.layout.compact_parquet``; artifacts are vacuum-safe).
@@ -282,7 +259,7 @@ def _swap_in(staging: str, path: str) -> None:
     no live index exists) — in that case the swap's goal is already
     achieved and this is a no-op, not an error."""
     backup = path.rstrip("/") + ".old"
-    with _dir_lock(path):
+    with dir_swap_lock(path):
         if not os.path.exists(staging) and os.path.exists(
             os.path.join(path, META_NAME)
         ):
@@ -309,10 +286,17 @@ def _recover(path: str) -> None:
     ``.old``.  The cheap already-live check runs unlocked (the hot
     probe path takes no lock); the promotion itself serializes with
     ``_swap_in`` and other recoveries, re-checking liveness inside the
-    lock."""
+    lock.
+
+    The non-promoted sibling is removed only if it is itself COMPLETE
+    (has meta): an incomplete ``.staging`` next to a complete ``.old``
+    may be a live writer's in-progress rebuild — deleting it would let
+    that writer commit a gutted index once its meta lands (review
+    finding); incomplete leftovers are the age-guarded vacuum's job,
+    not recovery's."""
     if os.path.exists(os.path.join(path, META_NAME)):
         return
-    with _dir_lock(path):
+    with dir_swap_lock(path):
         if os.path.exists(os.path.join(path, META_NAME)):
             return  # a concurrent swap/recovery already made it live
         staging = path.rstrip("/") + ".staging"
@@ -321,7 +305,8 @@ def _recover(path: str) -> None:
             if os.path.exists(os.path.join(cand, META_NAME)):
                 shutil.rmtree(path, ignore_errors=True)
                 os.replace(cand, path)
-                shutil.rmtree(other, ignore_errors=True)
+                if os.path.exists(os.path.join(other, META_NAME)):
+                    shutil.rmtree(other, ignore_errors=True)
                 return
 
 

@@ -23,9 +23,38 @@ AQE, and any reader interoperate.
 
 from __future__ import annotations
 
+import fcntl
 import os
+from contextlib import contextmanager
 
 from pyspark.sql import DataFrame, SparkSession
+
+
+@contextmanager
+def dir_swap_lock(path: str):
+    """Exclusive advisory lock serializing staged-directory swaps and
+    crash recovery on one artifact path — THE shared guard for every
+    rename-with-backup protocol in this engine (`compact_parquet`
+    here, `operators.ann_index._swap_in`/`_recover`,
+    `streaming.materialize._commit_swap`/`_recover`).
+
+    Without it, a reader's roll-forward recovery racing a writer's
+    swap (or a second reader's recovery) can promote `.staging`
+    mid-swap and strand — or with two interleaved recoveries even
+    delete — the artifact.  ``flock`` is held only around the renames
+    (microseconds), is released by the kernel if the holder dies (no
+    stale-lock deadlock, unlike O_EXCL sentinel files), and works
+    across processes on one host — matching the local-rename
+    atomicity these protocols already assume; on a shared filesystem
+    the single-maintainer contract stands."""
+    lockfile = path.rstrip("/") + ".lock"
+    fd = os.open(lockfile, os.O_CREAT | os.O_RDWR)
+    try:
+        fcntl.flock(fd, fcntl.LOCK_EX)
+        yield
+    finally:
+        fcntl.flock(fd, fcntl.LOCK_UN)
+        os.close(fd)
 
 
 def write_partitioned(
@@ -292,10 +321,11 @@ def compact_parquet(
     else:
         df.coalesce(n_files).write.mode("overwrite").parquet(staging)
     backup = path.rstrip("/") + ".old"
-    shutil.rmtree(backup, ignore_errors=True)
-    os.replace(path, backup)
-    os.replace(staging, path)
-    shutil.rmtree(backup, ignore_errors=True)
+    with dir_swap_lock(path):
+        shutil.rmtree(backup, ignore_errors=True)
+        os.replace(path, backup)
+        os.replace(staging, path)
+        shutil.rmtree(backup, ignore_errors=True)
     return {
         "files_before": len(files_before),
         "files_after": len(list(_walk(path))),

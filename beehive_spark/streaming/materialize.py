@@ -33,6 +33,7 @@ import shutil
 from pyspark.sql import DataFrame, SparkSession
 
 from beehive_spark.operators.ivm import cdc_to_retractions, incremental_agg
+from beehive_spark.sources.layout import dir_swap_lock
 
 
 def _meta_file(table_path: str) -> str:
@@ -53,10 +54,18 @@ def _recover(table_path: str) -> None:
     two directories atomically); if a crash lands there, the staged
     directory — which already contains both the fresh data AND its
     batch-id meta — is the complete committed state, so promoting it
-    is the unambiguous roll-forward."""
+    is the unambiguous roll-forward.  Promotion serializes with
+    ``_commit_swap`` and other recoveries on the shared swap lock
+    (same race as `operators.ann_index`: an unlocked recovery racing
+    the writer's rename window strands the writer); the cheap
+    already-live check stays unlocked."""
     staging = table_path.rstrip("/") + ".staging"
     if not os.path.exists(table_path) and os.path.exists(_meta_file(staging)):
-        os.replace(staging, table_path)
+        with dir_swap_lock(table_path):
+            if not os.path.exists(table_path) and os.path.exists(
+                _meta_file(staging)
+            ):
+                os.replace(staging, table_path)
 
 
 def _last_applied(table_path: str) -> int:
@@ -89,11 +98,14 @@ def _commit_swap(fresh: DataFrame, table_path: str, batch_id: int) -> None:
         json.dump({"batch_id": batch_id}, f)
         f.flush()
         os.fsync(f.fileno())
-    shutil.rmtree(backup, ignore_errors=True)
-    os.replace(table_path, backup)
-    os.replace(staging, table_path)  # commit point
-    # the pre-swap table had its meta inside it, so nothing stale lingers
-    shutil.rmtree(backup, ignore_errors=True)
+    with dir_swap_lock(table_path):
+        if not os.path.exists(staging) and os.path.exists(_meta_file(table_path)):
+            return  # a recoverer promoted this staging already
+        shutil.rmtree(backup, ignore_errors=True)
+        os.replace(table_path, backup)
+        os.replace(staging, table_path)  # commit point
+        # the pre-swap table had its meta inside it, so nothing stale lingers
+        shutil.rmtree(backup, ignore_errors=True)
     try:  # drop a legacy external sidecar if this table predates in-dir meta
         os.remove(_legacy_meta_path(table_path))
     except OSError:

@@ -15,19 +15,23 @@ import os
 import sys
 
 
-def load_bench(path: str) -> dict:
+def load_bench(path: str, with_sidecar: bool = False) -> dict:
     with open(path) as f:
         d = json.load(f)
     if "parsed" in d:
         d = d["parsed"]
-    if "queries" not in d:
-        raise SystemExit(f"{path}: no 'queries' key — not a bench result")
+    if not isinstance(d, dict) or "queries" not in d:
+        # covers driver records with "parsed": null (the round-3
+        # tail-buffer overflow) as a clean exit, not a TypeError
+        raise SystemExit(f"{path}: no parsed 'queries' — not a usable bench result")
     # bench.py moved the non-headline tier out of the final line into a
     # BENCH_EXTRA.json sidecar (the single line outgrew the driver's
-    # tail capture); fold the sidecar back in so the ~60 extra-tier
-    # queries stay regression-gated (review finding: without this they
-    # all printed '(only one side)' and were never ratio-checked)
-    if "extra_queries" not in d and d.get("extras_file"):
+    # tail capture) — but the sidecar is a single MUTABLE file
+    # overwritten by every run, so it can only ever describe the
+    # LATEST run.  Fold it into the `current` side only; folding it
+    # into both sides would compare the sidecar against itself and
+    # report 1.00x for every extra-tier query (a false PASS).
+    if with_sidecar and "extra_queries" not in d and d.get("extras_file"):
         sidecar = os.path.join(os.path.dirname(os.path.abspath(path)),
                                d["extras_file"])
         try:
@@ -46,7 +50,8 @@ def main() -> int:
     ap.add_argument("--ratio", type=float, default=1.3)
     args = ap.parse_args()
 
-    base, cur = load_bench(args.baseline), load_bench(args.current)
+    base = load_bench(args.baseline)
+    cur = load_bench(args.current, with_sidecar=True)
     bq, cq = dict(base["queries"]), dict(cur["queries"])
     # fold in the non-headline tier when both sides report it, so new
     # operators get regression-gated from their second round onward
