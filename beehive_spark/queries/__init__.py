@@ -114,6 +114,17 @@ _PRIORITY = [
     "window_rank_suite", "string_funcs_suite", "events_sliding_agg",
     "q2_min_cost_supplier",
 ]
+# ROUND-5 NOTE: with 15 round-4 lead entries the 50-slot window reaches
+# `group_percentiles` (#50); the backfill tail past it spills to
+# overflow still carrying only r01 evidence — rotate these in next
+# round (oldest evidence first) along with whatever round 5 changes:
+# events_pivot, profile_events, not_in_null_semantics, cube_revenue,
+# window_rank_suite, string_funcs_suite, events_sliding_agg,
+# q2_min_cost_supplier, plus the five r01 rows-only entries
+# (dedup_minhash_lsh, dedup_simhash, similarity_ann_lsh,
+# similarity_ann_ivf, approx_sketches).  Verify the actual window
+# boundary by EXECUTING list(all_queries())[:50], not by counting
+# comments (the round-3 review caught exactly that arithmetic drift).
 # The round-3 window (kept for the fill chain: anything here not already
 # in the round-4 window queues behind it, before _PRIORITY_R2 and the
 # overflow; all of these are r03-driver-green except the three promoted
