@@ -102,6 +102,12 @@ def connected_components(
             )
         )
         .distinct()
+        # persisted hash-partitioned AND sorted on the per-round join
+        # key, so each round's sort-merge join neither re-exchanges nor
+        # re-sorts the edge side — only the (id, label) frame moves
+        # (same edge-stationary shape as `pagerank`'s link table)
+        .repartition("b")
+        .sortWithinPartitions("b")
         .persist()
     )
     labels = (
