@@ -53,7 +53,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from beehive_spark.sources.layout import dir_swap_lock
+from beehive_spark.sources.layout import dir_swap_lock, promote_staging
 
 META_NAME = "_ann_meta.json"
 
@@ -254,21 +254,10 @@ def _swap_in(staging: str, path: str) -> None:
     ``sources.layout.compact_parquet``; artifacts are vacuum-safe).
 
     A concurrent reader's ``_recover`` may promote OUR complete
-    staging before this writer reaches its critical section (legal:
-    roll-forward cannot distinguish a crash from a slow writer while
-    no live index exists) — in that case the swap's goal is already
-    achieved and this is a no-op, not an error."""
-    backup = path.rstrip("/") + ".old"
-    with dir_swap_lock(path):
-        if not os.path.exists(staging) and os.path.exists(
-            os.path.join(path, META_NAME)
-        ):
-            return  # a recoverer promoted this staging already
-        shutil.rmtree(backup, ignore_errors=True)
-        if os.path.exists(path):
-            os.replace(path, backup)
-        os.replace(staging, path)
-        shutil.rmtree(backup, ignore_errors=True)
+    staging before this writer reaches its critical section — the
+    shared `sources.layout.promote_staging` treats that as a no-op
+    success (see its docstring)."""
+    promote_staging(staging, path, marker=META_NAME)
 
 
 def _recover(path: str) -> None:

@@ -57,6 +57,39 @@ def dir_swap_lock(path: str):
         os.close(fd)
 
 
+def promote_staging(staging: str, path: str, marker: str | None = None) -> bool:
+    """THE locked rename-with-backup promotion: demote the live
+    directory to ``.old``, promote ``staging``, drop the backup — one
+    implementation for every staged swap in the engine
+    (`compact_parquet`, `operators.ann_index._swap_in`,
+    `streaming.materialize._commit_swap`), so protocol fixes land once.
+
+    ``marker`` is the relative filename whose presence makes a
+    directory "complete" (always written last by builders).  When
+    given, a missing staging next to a complete live path means a
+    concurrent reader's roll-forward already promoted OUR staging
+    (legal: recovery cannot distinguish a crash from a slow writer
+    while no live directory exists) — that is a no-op success, not an
+    error.  Returns True when this call performed the promotion,
+    False for the recoverer-already-did-it no-op."""
+    import shutil
+
+    backup = path.rstrip("/") + ".old"
+    with dir_swap_lock(path):
+        if (
+            marker is not None
+            and not os.path.exists(staging)
+            and os.path.exists(os.path.join(path, marker))
+        ):
+            return False
+        shutil.rmtree(backup, ignore_errors=True)
+        if os.path.exists(path):
+            os.replace(path, backup)
+        os.replace(staging, path)
+        shutil.rmtree(backup, ignore_errors=True)
+        return True
+
+
 def write_partitioned(
     df: DataFrame,
     path: str,
@@ -320,12 +353,7 @@ def compact_parquet(
         )
     else:
         df.coalesce(n_files).write.mode("overwrite").parquet(staging)
-    backup = path.rstrip("/") + ".old"
-    with dir_swap_lock(path):
-        shutil.rmtree(backup, ignore_errors=True)
-        os.replace(path, backup)
-        os.replace(staging, path)
-        shutil.rmtree(backup, ignore_errors=True)
+    promote_staging(staging, path)
     return {
         "files_before": len(files_before),
         "files_after": len(list(_walk(path))),

@@ -33,14 +33,17 @@ import shutil
 from pyspark.sql import DataFrame, SparkSession
 
 from beehive_spark.operators.ivm import cdc_to_retractions, incremental_agg
-from beehive_spark.sources.layout import dir_swap_lock
+from beehive_spark.sources.layout import dir_swap_lock, promote_staging
+
+
+META_NAME = "_ivm_meta.json"
 
 
 def _meta_file(table_path: str) -> str:
     # INSIDE the table directory: leading "_" makes Spark's file index
     # skip it, and it rides along in the directory rename, so "data
     # swapped" and "batch id recorded" are one atomic os.replace.
-    return os.path.join(table_path, "_ivm_meta.json")
+    return os.path.join(table_path, META_NAME)
 
 
 def _legacy_meta_path(table_path: str) -> str:
@@ -91,21 +94,16 @@ def _commit_swap(fresh: DataFrame, table_path: str, batch_id: int) -> None:
     is gone — there is no state in which the new data is live without
     its id."""
     staging = table_path.rstrip("/") + ".staging"
-    backup = table_path.rstrip("/") + ".old"
     shutil.rmtree(staging, ignore_errors=True)
     fresh.write.mode("overwrite").parquet(staging)
     with open(_meta_file(staging), "w") as f:
         json.dump({"batch_id": batch_id}, f)
         f.flush()
         os.fsync(f.fileno())
-    with dir_swap_lock(table_path):
-        if not os.path.exists(staging) and os.path.exists(_meta_file(table_path)):
-            return  # a recoverer promoted this staging already
-        shutil.rmtree(backup, ignore_errors=True)
-        os.replace(table_path, backup)
-        os.replace(staging, table_path)  # commit point
-        # the pre-swap table had its meta inside it, so nothing stale lingers
-        shutil.rmtree(backup, ignore_errors=True)
+    # commit point: the shared locked promotion (no-op if a recoverer
+    # already promoted this staging); the pre-swap table had its meta
+    # inside it, so nothing stale lingers
+    promote_staging(staging, table_path, marker=META_NAME)
     try:  # drop a legacy external sidecar if this table predates in-dir meta
         os.remove(_legacy_meta_path(table_path))
     except OSError:

@@ -182,17 +182,6 @@ def main() -> None:
     # parsed: null).  So: extras go to a sidecar file AND an earlier,
     # separate output line; the final line is only the short headline
     # dict (16 queries, well under any tail buffer).
-    if extra:
-        extra_line = {"metric": "extra_queries", "unit": "sec", "sf": sf_num,
-                      "runs_per_query": extra_runs,
-                      "agg": "min", "queries": extra}
-        print(json.dumps(extra_line))
-        try:
-            with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                                   "BENCH_EXTRA.json"), "w") as fh:
-                json.dump(extra_line, fh, indent=1)
-        except OSError:  # pragma: no cover - read-only checkout
-            pass
     out = {
         "metric": "headline_queries_total",
         "value": round(sum(timings.values()), 3),
@@ -203,6 +192,25 @@ def main() -> None:
         "agg": "min",
         "extras_file": "BENCH_EXTRA.json" if extra else None,
     }
+    if extra:
+        # headline_value ties this extras record to its run: the
+        # sidecar is one mutable file, so scripts/bench_diff.py only
+        # attributes it to a bench record whose total matches; the
+        # append-only history file keeps every round's extras
+        # regression-gateable after the sidecar is overwritten.
+        extra_line = {"metric": "extra_queries", "unit": "sec", "sf": sf_num,
+                      "runs_per_query": extra_runs,
+                      "agg": "min", "headline_value": out["value"],
+                      "queries": extra}
+        print(json.dumps(extra_line))
+        here = os.path.dirname(os.path.abspath(__file__))
+        try:
+            with open(os.path.join(here, "BENCH_EXTRA.json"), "w") as fh:
+                json.dump(extra_line, fh, indent=1)
+            with open(os.path.join(here, "BENCH_EXTRA_HISTORY.jsonl"), "a") as fh:
+                fh.write(json.dumps(extra_line) + "\n")
+        except OSError:  # pragma: no cover - read-only checkout
+            pass
     print(json.dumps(out))
     spark.stop()
 

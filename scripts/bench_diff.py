@@ -15,7 +15,50 @@ import os
 import sys
 
 
-def load_bench(path: str, with_sidecar: bool = False) -> dict:
+def _extras_for(d: dict, base_dir: str) -> dict | None:
+    """Find the extras record belonging to THIS bench run.
+
+    bench.py moved the non-headline tier out of the final line into a
+    BENCH_EXTRA.json sidecar (the single line outgrew the driver's
+    tail capture), but the sidecar is one MUTABLE file overwritten by
+    every run — folding it into an arbitrary side would either compare
+    it against itself (1.00x false PASS for every extra-tier query) or
+    misattribute another run's numbers.  Attribution key: bench.py
+    stamps every extras record with the run's ``headline_value``; a
+    record is used only when that stamp matches this side's total.
+    Lookup order: append-only BENCH_EXTRA_HISTORY.jsonl (newest match
+    last — survives sidecar overwrites, so old baselines stay
+    gateable), then the live sidecar."""
+    value = d.get("value")
+    if value is None:
+        return None
+    hist = os.path.join(base_dir, "BENCH_EXTRA_HISTORY.jsonl")
+    found = None
+    try:
+        with open(hist) as f:
+            for line in f:
+                try:
+                    rec = json.loads(line)
+                except ValueError:
+                    continue
+                if rec.get("headline_value") == value:
+                    found = rec.get("queries")
+    except OSError:
+        pass
+    if found is not None:
+        return found
+    if d.get("extras_file"):
+        try:
+            with open(os.path.join(base_dir, d["extras_file"])) as f:
+                rec = json.load(f)
+            if rec.get("headline_value") == value:
+                return rec.get("queries")
+        except OSError:
+            pass
+    return None
+
+
+def load_bench(path: str) -> dict:
     with open(path) as f:
         d = json.load(f)
     if "parsed" in d:
@@ -24,21 +67,13 @@ def load_bench(path: str, with_sidecar: bool = False) -> dict:
         # covers driver records with "parsed": null (the round-3
         # tail-buffer overflow) as a clean exit, not a TypeError
         raise SystemExit(f"{path}: no parsed 'queries' — not a usable bench result")
-    # bench.py moved the non-headline tier out of the final line into a
-    # BENCH_EXTRA.json sidecar (the single line outgrew the driver's
-    # tail capture) — but the sidecar is a single MUTABLE file
-    # overwritten by every run, so it can only ever describe the
-    # LATEST run.  Fold it into the `current` side only; folding it
-    # into both sides would compare the sidecar against itself and
-    # report 1.00x for every extra-tier query (a false PASS).
-    if with_sidecar and "extra_queries" not in d and d.get("extras_file"):
-        sidecar = os.path.join(os.path.dirname(os.path.abspath(path)),
-                               d["extras_file"])
-        try:
-            with open(sidecar) as f:
-                d["extra_queries"] = json.load(f).get("queries", {})
-        except OSError:
-            print(f"warning: {sidecar} missing — extras not gated",
+    if "extra_queries" not in d:
+        extras = _extras_for(d, os.path.dirname(os.path.abspath(path)))
+        if extras is not None:
+            d["extra_queries"] = extras
+        elif d.get("extras_file"):
+            print(f"warning: {path}: no extras record matches headline "
+                  f"{d.get('value')} — extra tier not gated for this side",
                   file=sys.stderr)
     return d
 
@@ -50,8 +85,7 @@ def main() -> int:
     ap.add_argument("--ratio", type=float, default=1.3)
     args = ap.parse_args()
 
-    base = load_bench(args.baseline)
-    cur = load_bench(args.current, with_sidecar=True)
+    base, cur = load_bench(args.baseline), load_bench(args.current)
     bq, cq = dict(base["queries"]), dict(cur["queries"])
     # fold in the non-headline tier when both sides report it, so new
     # operators get regression-gated from their second round onward

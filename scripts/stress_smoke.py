@@ -9,7 +9,9 @@ counts stay linear and the measurement isolates engine scaling from
 corpus pathology); events with shifted user/event ids over the same
 time range (10x key cardinality, same window count); customers with a
 two-char replica prefix (cross-replica name distance 2 > the match
-radius, so fuzzy-join candidates scale linearly).
+radius, so fuzzy-join candidates scale linearly); embeddings with
+shifted vec_ids and value-identical vectors (gram/ANN runtime is
+value-independent, so replicas measure engine scaling directly).
 
 Near-linear scaling indicates no driver-side or quadratic chokepoint;
 broadcast dims stay constant-size, as they would at cluster scale.
@@ -106,7 +108,8 @@ def _rot(s: str, r: int) -> str:
 
 
 def build_scaled_dir(spark, copies: int) -> str:
-    """Write a temp sf dir with documents/events/customer at ``copies``x."""
+    """Write a temp sf dir with documents/events/embeddings/customer at
+    ``copies``x."""
     out = os.path.join(tempfile.gettempdir(), f"stress_sf_{copies}x")
     shutil.rmtree(out, ignore_errors=True)
     os.makedirs(out)
@@ -265,8 +268,9 @@ def main() -> None:
         "",
         f"Generated by `scripts/stress_smoke.py` on `{SF_DIR}`:",
         f"lineitem {rows[1]:,} -> {rows[COPIES]:,} rows (shifted-key union);",
-        "documents/events/customer synthesized at 10x on disk (distinct",
-        "replicas: letter-rotated texts, shifted ids, prefixed names — see",
+        "documents/events/embeddings/customer synthesized at 10x on disk",
+        "(distinct replicas: letter-rotated texts, shifted ids, prefixed",
+        "names, value-identical shifted-id vectors — see",
         "module docstring; near-dup and fuzzy pair counts stay linear by",
         "construction so the ratio measures the ENGINE, not corpus",
         "pathology).",
