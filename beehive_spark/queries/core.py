@@ -1643,7 +1643,8 @@ def stddev_prices_exact(spark, sf_dir):
                 ELSE 'click' END AS touch_type,
            CAST(COUNT(*) AS BIGINT) AS n_purchases,
            CAST(COUNT(last_touch) AS BIGINT) AS n_attributed,
-           SUM(CAST(ROUND(value * 100) AS BIGINT)) AS revenue_cents
+           CAST(SUM(CAST(ROUND(value * 100) AS BIGINT))
+                AS BIGINT) AS revenue_cents
     FROM carried
     WHERE event_type = 'purchase'
     GROUP BY 1
@@ -1665,6 +1666,13 @@ def session_attribution(spark, sf_dir):
     ANSI rule that aggregates skip NULLs is semantics every engine
     agrees on, and the max of a monotone packing IS the latest touch.
     The flag bit decodes back to the touch type.
+
+    Oracle note (r5): the final ``SUM(BIGINT)`` is wrapped in
+    ``CAST(... AS BIGINT)`` — DuckDB widens SUM(BIGINT) to HUGEINT
+    (int128), which pandas-based harnesses render as float
+    (``"123.0" != "123"``); every other integer-cents oracle consumes
+    its SUM inside a CTE and never hits this.  check_oracle.py now
+    lints the whole oracle surface for exactly this dtype drift.
 
     Scale shape: two windows over the same user_id partitioning (one
     shuffle, millions of small partitions, never global); everything

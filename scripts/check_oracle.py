@@ -44,6 +44,71 @@ def canon(v):
     return str(v)
 
 
+def _spark_kind(dt) -> str:
+    """Collapse a Spark type to a comparison kind: i/f/b/M/dec/other."""
+    from pyspark.sql import types as T
+
+    if isinstance(dt, (T.ByteType, T.ShortType, T.IntegerType, T.LongType)):
+        return "i"
+    if isinstance(dt, (T.FloatType, T.DoubleType)):
+        return "f"
+    if isinstance(dt, T.DecimalType):
+        return "dec"
+    if isinstance(dt, T.BooleanType):
+        return "b"
+    if isinstance(dt, (T.TimestampType, T.TimestampNTZType, T.DateType)):
+        return "M"
+    return "other"
+
+
+def _duck_kind(dtype) -> str:
+    """Collapse a pandas dtype (as DuckDB .df() renders it) to a kind."""
+    k = dtype.kind
+    if k in "iu":
+        return "i"
+    if k == "f":
+        return "f"
+    if k == "b":
+        return "b"
+    if k == "M":
+        return "M"
+    return "other"
+
+
+def dtype_drift(sdf, duck_df) -> list[str]:
+    """The local-green/driver-red divergence class (VERDICT r4 #1).
+
+    The driver canonicalizes the DuckDB side through PANDAS: an oracle
+    whose result type drifts — DuckDB widening SUM(BIGINT) to HUGEINT
+    (rendered float64/object by pandas), or one side float where the
+    other is integer — hashes ``"123.0"`` against Spark's ``"123"`` and
+    goes red even when every value is numerically identical.  The
+    fetchall-based value compare below stringifies Python ints and
+    can't see it, so this check compares collapsed dtype kinds the way
+    the driver's canonicalizer would observe them.  Flags:
+      * integer-vs-float cross (either direction, incl. HUGEINT→float)
+      * Spark DECIMAL output (canonicalizes differently from both int
+        and float on pandas — cast to DOUBLE or BIGINT in the query)
+      * numeric-vs-object cross (HUGEINT→object path, decimal leakage)
+    """
+    probs = []
+    duck_kinds = {c: _duck_kind(duck_df[c].dtype) for c in duck_df.columns}
+    for field in sdf.schema.fields:
+        s = _spark_kind(field.dataType)
+        d = duck_kinds.get(field.name)
+        if d is None:
+            continue  # column-name mismatch reported elsewhere
+        if s == "dec":
+            probs.append(f"dtype {field.name}: spark DECIMAL (cast it)")
+        elif {s, d} == {"i", "f"}:
+            probs.append(f"dtype {field.name}: spark={s} duck={d}")
+        elif s in ("i", "f") and d == "other":
+            probs.append(f"dtype {field.name}: spark={s} duck=object")
+        elif s == "b" and d != "b" or d == "b" and s != "b":
+            probs.append(f"dtype {field.name}: spark={s} duck={d}")
+    return probs
+
+
 def main():
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = set(sys.argv[2:])
@@ -81,12 +146,15 @@ def main():
             cur = con.execute(oracles[name])
             duck_cols_raw = [d[0] for d in cur.description]
             duck_rows = cur.fetchall()
+            # second fetch through pandas for the dtype-drift lint —
+            # this is the representation the driver's canonicalizer sees
+            duck_df = con.execute(oracles[name]).df()
         except Exception as exc:  # noqa: BLE001
             failures.append(name)
             print(f"FAIL {name}: duckdb error: {exc}")
             continue
         duck_cols = sorted(duck_cols_raw)
-        problems = []
+        problems = dtype_drift(sdf, duck_df)
         if len(spark_rows) != len(duck_rows):
             problems.append(f"rowcount spark={len(spark_rows)} duck={len(duck_rows)}")
         if spark_cols != duck_cols:
