@@ -1753,7 +1753,21 @@ def brand_affinity(spark, sf_dir, min_pairs: int = 5):
     the pair join then fans out at most C(|brands in order|, 2) ≈ 20
     rows per order regardless of lineitem count, and the brand
     dimension (|brands| ~ 25) broadcasts everywhere.  Exact integer
-    counts; one final rounded divide per output row."""
+    counts; one final rounded divide per output row.
+
+    Formulation note (r5, measured): the round-3/4 version ran a
+    driver-side ``.count()`` action for n_orders before building the
+    final plan, so the base frame executed once for the action and
+    again per plan branch (PLANS.md r4: 3 lineitem scans).  Carrying
+    n_orders as a broadcast 1-row aggregate (exactly like the oracle's
+    ``CROSS JOIN n``) folds everything into ONE job: best-of-4 at
+    sf0.1 local[32] is 1.70 s vs 2.04 s (count action) vs 2.59 s
+    (persist + count — the cache-write barrier serializes what the
+    one-job plan overlaps; same lesson as the q21 window rewrite:
+    measure, don't assume).  The branches still each scan the base,
+    but they run concurrently inside one job; on a cluster where the
+    scan dominates, a ``.persist()`` on ``ob`` is the one-line flip
+    and the bench history records why the default is not that."""
     li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
     part = load(spark, sf_dir, "part").select("p_partkey", "p_brand")
     ob = (
@@ -1761,13 +1775,19 @@ def brand_affinity(spark, sf_dir, min_pairs: int = 5):
         .select("l_orderkey", "p_brand")
         .distinct()
     )
-    n_orders = ob.select("l_orderkey").distinct().count()
+    n = ob.agg(F.countDistinct("l_orderkey").alias("n_orders"))
     brand_n = ob.groupBy("p_brand").agg(F.count(F.lit(1)).alias("n_b"))
-    a = ob.select(F.col("l_orderkey"), F.col("p_brand").alias("brand_a"))
-    b = ob.select(F.col("l_orderkey"), F.col("p_brand").alias("brand_b"))
+    x, y = ob.alias("x"), ob.alias("y")
     pair_n = (
-        a.join(b, "l_orderkey")
-        .filter(F.col("brand_a") < F.col("brand_b"))
+        x.join(
+            y,
+            (F.col("x.l_orderkey") == F.col("y.l_orderkey"))
+            & (F.col("x.p_brand") < F.col("y.p_brand")),
+        )
+        .select(
+            F.col("x.p_brand").alias("brand_a"),
+            F.col("y.p_brand").alias("brand_b"),
+        )
         .groupBy("brand_a", "brand_b")
         .agg(F.count(F.lit(1)).alias("n_ab"))
         .filter(F.col("n_ab") >= min_pairs)
@@ -1777,12 +1797,15 @@ def brand_affinity(spark, sf_dir, min_pairs: int = 5):
     return (
         pair_n.join(F.broadcast(na), "brand_a")
         .join(F.broadcast(nb), "brand_b")
+        .crossJoin(F.broadcast(n))
         .select(
             "brand_a", "brand_b",
             F.col("n_ab").cast("long").alias("n_ab"),
-            F.round(F.col("n_ab") / F.lit(float(n_orders)), 4).alias("support"),
             F.round(
-                F.col("n_ab") * F.lit(float(n_orders))
+                F.col("n_ab") / F.col("n_orders").cast("double"), 4
+            ).alias("support"),
+            F.round(
+                F.col("n_ab") * F.col("n_orders").cast("double")
                 / (F.col("na") * F.col("nb").cast("double")),
                 4,
             ).alias("lift"),

@@ -86,7 +86,13 @@ def dtype_drift(sdf, duck_df) -> list[str]:
     fetchall-based value compare below stringifies Python ints and
     can't see it, so this check compares collapsed dtype kinds the way
     the driver's canonicalizer would observe them.  Flags:
-      * integer-vs-float cross (either direction, incl. HUGEINT→float)
+      * integer-vs-float cross where the float column holds NO nulls
+        (HUGEINT widening, genuine float upcast).  A float column WITH
+        nulls is pandas's nullable-int artifact: the driver floats the
+        SPARK side of those columns identically (empirically — the four
+        nullable-int-output queries self_fk_remap / asof_join_purchases
+        / window_rank_suite / dedup_incremental are driver-green), so
+        only the null-free cross diverges.
       * Spark DECIMAL output (canonicalizes differently from both int
         and float on pandas — cast to DOUBLE or BIGINT in the query)
       * numeric-vs-object cross (HUGEINT→object path, decimal leakage)
@@ -100,8 +106,14 @@ def dtype_drift(sdf, duck_df) -> list[str]:
             continue  # column-name mismatch reported elsewhere
         if s == "dec":
             probs.append(f"dtype {field.name}: spark DECIMAL (cast it)")
-        elif {s, d} == {"i", "f"}:
-            probs.append(f"dtype {field.name}: spark={s} duck={d}")
+        elif s == "i" and d == "f":
+            if not bool(duck_df[field.name].isna().any()):
+                probs.append(
+                    f"dtype {field.name}: spark=i duck=f with no NULLs "
+                    "(HUGEINT/upcast drift)"
+                )
+        elif s == "f" and d == "i":
+            probs.append(f"dtype {field.name}: spark=f duck=i")
         elif s in ("i", "f") and d == "other":
             probs.append(f"dtype {field.name}: spark={s} duck=object")
         elif s == "b" and d != "b" or d == "b" and s != "b":
