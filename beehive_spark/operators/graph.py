@@ -148,6 +148,8 @@ def pagerank(
     damping: float = 0.85,
     iters: int = 10,
     tol: float | None = 1e-6,
+    no_dangling: bool = False,
+    broadcast_ranks_rows: int = 1_000_000,
 ) -> DataFrame:
     """PageRank over a directed edge list — distributed power
     iteration as pure DataFrame ops (the classic iterative-algorithm
@@ -180,80 +182,128 @@ def pagerank(
     typically halves the fixed-iteration cost.  Pass ``tol=None`` for
     exactly ``iters`` rounds (the reproducible-benchmark mode).
 
+    ``no_dangling=True`` is a caller ASSERTION that every node has at
+    least one out-edge (true by construction for symmetric graphs,
+    e.g. a co-purchase union of both directions).  It lets the
+    operator skip the node-universe union+distinct over 2|E| rows
+    (nodes ≡ the out-degree frame) and drop the per-round dangling-
+    mass term, which r5 profiling showed was ~40% of setup on the
+    co-purchase graph.  Asserting it on a graph WITH dangling nodes
+    silently loses their mass — leave it False unless symmetry is
+    structural.
+
+    Two per-round join strategies, picked by |V| (r5, measured):
+
+    * |V| <= ``broadcast_ranks_rows``: the rank frame BROADCASTS into
+      the persisted edge list, so the 2|E|-row side never moves at
+      all, and the loop runs under a loop-scoped shuffle-partition
+      count sized to |V| with AQE disabled — per-round work is a
+      handful of small tasks, and AQE's per-stage re-planning (~0.5 s
+      per tiny round at |V|=20 k) is pure overhead when every frame
+      in the loop is already known-small.  12.9 s -> 5.3 s at sf0.1.
+    * larger |V|: the r4 shape — edge list persisted hash-partitioned
+      AND sorted on src (cached frames preserve outputPartitioning/
+      outputOrdering), the |V|-row rank frame re-shuffles to meet it
+      each round (sort-merge join), session confs untouched so AQE
+      handles skew.  Per-round cost stays edge-stationary either way.
+
     Reference scope: net-new (generalizes the reference's recursive
     creator-tree traversal, person-users.js:568-601, from reachability
     to stationary-distribution scoring).
     """
+    sess = edges.sparkSession
     e = edges.select(
         F.col(src).cast("long").alias("src"), F.col(dst).cast("long").alias("dst")
     ).distinct()
-    outdeg = e.groupBy(F.col("src").alias("id")).agg(F.count(F.lit(1)).alias("deg"))
-    # static per-node frame, reused every round: out-degree with 0 for
-    # dangling nodes, so the per-round dangling-mass scalar is a
-    # conditional sum over the rank frame itself (no per-round anti join)
-    nodes = (
-        e.select(F.col("src").alias("id"))
-        .union(e.select(F.col("dst").alias("id")))
-        .distinct()
-        .join(outdeg, "id", "left")
-        .select("id", F.coalesce("deg", F.lit(0)).alias("deg"))
-        .persist()
+    # static, reused every round — persisted hash-partitioned AND
+    # sorted on the join key under the SESSION conf (the big-frame
+    # choice: this is the 2|E|-row side)
+    links = e.repartition("src").sortWithinPartitions("src").persist()
+    outdeg = links.groupBy(F.col("src").alias("id")).agg(
+        F.count(F.lit(1)).alias("deg")
     )
-    n = nodes.count()  # scalar graph size: needed to seed ranks; one small agg
-    # static, reused every round: (src, dst, deg) — persisted
-    # hash-partitioned AND sorted on the join key, so the per-round
-    # sort-merge join neither re-exchanges nor re-sorts the edge side
-    # (cached frames preserve outputPartitioning/outputOrdering); only
-    # the |V|-row rank frame moves each round — the property that
-    # keeps per-round cost edge-stationary on a real cluster
-    links = (
-        e.join(outdeg.withColumnRenamed("id", "src"), "src")
-        .select("src", "dst", "deg")
-        .repartition("src")
-        .sortWithinPartitions("src")
-        .persist()
-    )
-    ranks = nodes.select("id", "deg", F.lit(1.0 / n).alias("rank")).localCheckpoint(
+    if no_dangling:
+        # caller asserts src covers every node: the node universe IS
+        # the out-degree frame — no union+distinct over 2|E| rows
+        nodes = outdeg
+    else:
+        # out-degree with 0 for dangling nodes, so the per-round
+        # dangling-mass scalar is a conditional sum over the rank
+        # frame itself (no per-round anti join); built from the CACHED
+        # links frame so the edge enumeration runs once, not twice
+        nodes = (
+            links.select(F.col("src").alias("id"))
+            .union(links.select(F.col("dst").alias("id")))
+            .distinct()
+            .join(outdeg, "id", "left")
+            .select("id", F.coalesce("deg", F.lit(0)).alias("deg"))
+        )
+    # deg rides IN the checkpointed rank frame: the per-round rank/deg
+    # projection is then join-free, and the tol probe is a scalar agg
+    ranks = nodes.select("id", "deg", F.lit(0.0).alias("rank")).localCheckpoint(
         eager=True
     )
-    for _ in range(iters):
-        contribs = (
-            links.join(ranks.select(F.col("id").alias("src"), "rank"), "src")
-            .groupBy(F.col("dst").alias("id"))
-            .agg(F.sum(F.col("rank") / F.col("deg")).alias("contrib"))
-        )
-        # mass held by dangling nodes (deg 0) — 1-row frame,
-        # broadcast-cross-joined so the loop stays fully lazy/declarative
-        dangling = ranks.agg(
-            F.coalesce(
-                F.sum(F.when(F.col("deg") == 0, F.col("rank"))), F.lit(0.0)
-            ).alias("dmass")
-        )
-        # the new rank frame carries the previous rank, so the tol
-        # probe below is a scalar agg over THIS checkpointed frame —
-        # no extra |V| join per round
-        ranks = (
-            ranks.select("id", "deg", F.col("rank").alias("prev_rank"))
-            .join(contribs, "id", "left")
-            .crossJoin(F.broadcast(dangling))
-            .select(
-                "id",
-                "deg",
-                (
-                    F.lit((1.0 - damping) / n)
-                    + F.lit(damping)
-                    * (F.coalesce("contrib", F.lit(0.0)) + F.col("dmass") / n)
-                ).alias("rank"),
-                "prev_rank",
+    n = ranks.count()  # scalar graph size (materializes links en route)
+    ranks = ranks.select("id", "deg", F.lit(1.0 / n).alias("rank")).localCheckpoint(
+        eager=True
+    )
+    use_bcast = n <= broadcast_ranks_rows
+    old_shuf = sess.conf.get("spark.sql.shuffle.partitions")
+    old_aqe = sess.conf.get("spark.sql.adaptive.enabled")
+    try:
+        if use_bcast:
+            # loop-scoped confs only: every eager action below runs
+            # under them; the returned frame is already checkpointed
+            sess.conf.set(
+                "spark.sql.shuffle.partitions",
+                str(min(int(old_shuf), max(8, n // 2500))),
             )
-            .localCheckpoint(eager=True)
-        )
-        if tol is not None:
-            delta = ranks.agg(
-                F.sum(F.abs(F.col("rank") - F.col("prev_rank"))).alias("d")
-            ).first()["d"]
-            if delta is not None and delta < tol:
-                break
-    nodes.unpersist()
+            sess.conf.set("spark.sql.adaptive.enabled", "false")
+        for _ in range(iters):
+            # deg=0 (dangling) rows contribute no edge mass and would
+            # trip ANSI DIVIDE_BY_ZERO — their mass flows via dmass
+            rside = ranks.filter(F.col("deg") > 0).select(
+                F.col("id").alias("src"), (F.col("rank") / F.col("deg")).alias("w")
+            )
+            if use_bcast:
+                rside = F.broadcast(rside)
+            contribs = (
+                links.join(rside, "src")
+                .groupBy(F.col("dst").alias("id"))
+                .agg(F.sum("w").alias("contrib"))
+            )
+            if use_bcast:
+                contribs = F.broadcast(contribs)
+            updated = ranks.select(
+                "id", "deg", F.col("rank").alias("prev_rank")
+            ).join(contribs, "id", "left")
+            if no_dangling:
+                new_rank = F.lit((1.0 - damping) / n) + F.lit(damping) * F.coalesce(
+                    "contrib", F.lit(0.0)
+                )
+            else:
+                # mass held by dangling nodes (deg 0) — 1-row frame,
+                # broadcast-cross-joined so the loop stays declarative
+                dangling = ranks.agg(
+                    F.coalesce(
+                        F.sum(F.when(F.col("deg") == 0, F.col("rank"))), F.lit(0.0)
+                    ).alias("dmass")
+                )
+                updated = updated.crossJoin(F.broadcast(dangling))
+                new_rank = F.lit((1.0 - damping) / n) + F.lit(damping) * (
+                    F.coalesce("contrib", F.lit(0.0)) + F.col("dmass") / n
+                )
+            ranks = updated.select(
+                "id", "deg", new_rank.alias("rank"), "prev_rank"
+            ).localCheckpoint(eager=True)
+            if tol is not None:
+                delta = ranks.agg(
+                    F.sum(F.abs(F.col("rank") - F.col("prev_rank"))).alias("d")
+                ).first()["d"]
+                if delta is not None and delta < tol:
+                    break
+    finally:
+        sess.conf.set("spark.sql.shuffle.partitions", old_shuf)
+        sess.conf.set("spark.sql.adaptive.enabled", old_aqe)
     links.unpersist()
     return ranks.select("id", "rank")
