@@ -70,18 +70,33 @@ def promote_staging(staging: str, path: str, marker: str | None = None) -> bool:
     concurrent reader's roll-forward already promoted OUR staging
     (legal: recovery cannot distinguish a crash from a slow writer
     while no live directory exists) — that is a no-op success, not an
-    error.  Returns True when this call performed the promotion,
-    False for the recoverer-already-did-it no-op."""
+    error.  An EXISTING staging without its marker is never swapped
+    in either (r5): after a recoverer promotes a writer's complete
+    staging, a NEW rebuild may already have begun writing a fresh
+    ``.staging`` — the retried writer must not demote the good live
+    directory in favor of that foreign, incomplete build.  With a
+    complete live dir that is the same recoverer-already-promoted
+    no-op; with no complete live dir it is a hard error (promoting an
+    incomplete build would publish a partial table).  Returns True
+    when this call performed the promotion, False for the
+    no-op cases."""
     import shutil
 
     backup = path.rstrip("/") + ".old"
     with dir_swap_lock(path):
-        if (
-            marker is not None
-            and not os.path.exists(staging)
-            and os.path.exists(os.path.join(path, marker))
-        ):
-            return False
+        if marker is not None:
+            live_complete = os.path.exists(os.path.join(path, marker))
+            if not os.path.exists(staging):
+                if live_complete:
+                    return False
+            elif not os.path.exists(os.path.join(staging, marker)):
+                if live_complete:
+                    return False
+                raise RuntimeError(
+                    f"refusing to promote incomplete staging {staging!r} "
+                    f"(no {marker!r}) over a live dir that is also "
+                    "incomplete — nothing safe to publish"
+                )
         shutil.rmtree(backup, ignore_errors=True)
         if os.path.exists(path):
             os.replace(path, backup)
@@ -385,6 +400,18 @@ def vacuum_artifacts(root: str, min_age_sec: float = 24 * 3600) -> list[str]:
       ``min_age_sec`` (default 24 h) are removed, so a freshly-written
       staging dir of an in-flight swap is never collected.  Pass ``0``
       only when no writer can be running.
+
+    ``.lock`` sentinel FILES (created by :func:`dir_swap_lock`, even
+    by pure readers probing a nonexistent artifact) are collected too
+    (r5), under inverted liveness: a lock whose base artifact EXISTS
+    is plausibly in active use and costs nothing to keep, so only
+    locks for MISSING artifacts are candidates — and each is unlinked
+    while holding a non-blocking exclusive flock on it, so no process
+    inside its critical section can lose the lock.  Residual race: a
+    process that opened the lockfile but had not yet flock()ed when
+    the unlink landed would lock the stale inode; with the age guard
+    that requires holding an un-flocked fd open for ``min_age_sec``,
+    which no code path here does (open and flock are adjacent).
     """
     import shutil
     import time
@@ -392,7 +419,7 @@ def vacuum_artifacts(root: str, min_age_sec: float = 24 * 3600) -> list[str]:
     suffixes = (".staging", ".compact_staging", ".old")
     now = time.time()
     removed = []
-    for dirpath, dirnames, _files in os.walk(root):
+    for dirpath, dirnames, files in os.walk(root):
         for d in list(dirnames):
             full = os.path.join(dirpath, d)
             suffix = next((s for s in suffixes if d.endswith(s)), None)
@@ -410,4 +437,29 @@ def vacuum_artifacts(root: str, min_age_sec: float = 24 * 3600) -> list[str]:
                 continue
             shutil.rmtree(full, ignore_errors=True)
             removed.append(full)
+        for f in files:
+            if not f.endswith(".lock"):
+                continue
+            full = os.path.join(dirpath, f)
+            base = full[: -len(".lock")]
+            if os.path.exists(base):
+                continue  # artifact alive: lock may be in active use
+            try:
+                if now - os.path.getmtime(full) < min_age_sec:
+                    continue
+                fd = os.open(full, os.O_RDWR)
+            except OSError:
+                continue
+            try:
+                fcntl.flock(fd, fcntl.LOCK_EX | fcntl.LOCK_NB)
+            except OSError:
+                os.close(fd)
+                continue  # held right now: leave it
+            try:
+                os.unlink(full)
+                removed.append(full)
+            except OSError:
+                pass
+            finally:
+                os.close(fd)
     return removed

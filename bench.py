@@ -182,6 +182,9 @@ def main() -> None:
     # parsed: null).  So: extras go to a sidecar file AND an earlier,
     # separate output line; the final line is only the short headline
     # dict (16 queries, well under any tail buffer).
+    import uuid
+
+    run_id = uuid.uuid4().hex[:12]
     out = {
         "metric": "headline_queries_total",
         "value": round(sum(timings.values()), 3),
@@ -190,17 +193,22 @@ def main() -> None:
         "sf": sf_num,
         "runs_per_query": runs,
         "agg": "min",
+        "run_id": run_id,
         "extras_file": "BENCH_EXTRA.json" if extra else None,
     }
     if extra:
-        # headline_value ties this extras record to its run: the
-        # sidecar is one mutable file, so scripts/bench_diff.py only
-        # attributes it to a bench record whose total matches; the
-        # append-only history file keeps every round's extras
+        # run_id ties this extras record to its run: the sidecar is
+        # one mutable file, so scripts/bench_diff.py only attributes
+        # it to the bench record carrying the same id (headline_value
+        # kept as the legacy fallback key for pre-r5 records — exact
+        # float equality of two rounds' totals could otherwise yield
+        # the 1.00x self-comparison this scheme exists to prevent);
+        # the append-only history file keeps every round's extras
         # regression-gateable after the sidecar is overwritten.
         extra_line = {"metric": "extra_queries", "unit": "sec", "sf": sf_num,
                       "runs_per_query": extra_runs,
                       "agg": "min", "headline_value": out["value"],
+                      "run_id": run_id,
                       "queries": extra}
         print(json.dumps(extra_line))
         here = os.path.dirname(os.path.abspath(__file__))

@@ -23,15 +23,25 @@ def _extras_for(d: dict, base_dir: str) -> dict | None:
     tail capture), but the sidecar is one MUTABLE file overwritten by
     every run — folding it into an arbitrary side would either compare
     it against itself (1.00x false PASS for every extra-tier query) or
-    misattribute another run's numbers.  Attribution key: bench.py
-    stamps every extras record with the run's ``headline_value``; a
-    record is used only when that stamp matches this side's total.
-    Lookup order: append-only BENCH_EXTRA_HISTORY.jsonl (newest match
-    last — survives sidecar overwrites, so old baselines stay
-    gateable), then the live sidecar."""
-    value = d.get("value")
-    if value is None:
+    misattribute another run's numbers.  Attribution key (r5): bench.py
+    stamps headline AND extras records with a run-unique ``run_id``; a
+    record is used only when the ids match.  Pre-r5 records carry only
+    ``headline_value`` — kept as the fallback key for those (two rounds
+    with float-identical totals could in principle collide on it, which
+    is exactly why the id replaced it; with the id present the value
+    fallback is never consulted).  Lookup order: append-only
+    BENCH_EXTRA_HISTORY.jsonl (newest match last — survives sidecar
+    overwrites, so old baselines stay gateable), then the live
+    sidecar."""
+    run_id, value = d.get("run_id"), d.get("value")
+    if run_id is None and value is None:
         return None
+
+    def _matches(rec: dict) -> bool:
+        if run_id is not None or rec.get("run_id") is not None:
+            return rec.get("run_id") == run_id and run_id is not None
+        return rec.get("headline_value") == value
+
     hist = os.path.join(base_dir, "BENCH_EXTRA_HISTORY.jsonl")
     found = None
     try:
@@ -41,7 +51,7 @@ def _extras_for(d: dict, base_dir: str) -> dict | None:
                     rec = json.loads(line)
                 except ValueError:
                     continue
-                if rec.get("headline_value") == value:
+                if _matches(rec):
                     found = rec.get("queries")
     except OSError:
         pass
@@ -51,7 +61,7 @@ def _extras_for(d: dict, base_dir: str) -> dict | None:
         try:
             with open(os.path.join(base_dir, d["extras_file"])) as f:
                 rec = json.load(f)
-            if rec.get("headline_value") == value:
+            if _matches(rec):
                 return rec.get("queries")
         except OSError:
             pass

@@ -1,0 +1,139 @@
+"""Round-5 regression pins: staged-swap marker guard, lock vacuum,
+bench-extras run-id attribution."""
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+import pytest
+
+from beehive_spark.sources.layout import (
+    promote_staging,
+    vacuum_artifacts,
+)
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _mkdir_with(path, *files):
+    os.makedirs(path, exist_ok=True)
+    for f in files:
+        with open(os.path.join(path, f), "w") as fh:
+            fh.write("x")
+
+
+def test_promote_refuses_foreign_incomplete_staging(tmp_path):
+    """After a recoverer promotes a writer's complete staging, the
+    writer's RETRIED promotion must not demote the (now good) live dir
+    in favor of a newly-started rebuild's incomplete staging (ADVICE
+    r4): with a complete live dir that is the recoverer-already-did-it
+    no-op."""
+    live = str(tmp_path / "idx")
+    staging = live + ".staging"
+    _mkdir_with(live, "MARKER", "data.parquet")
+    _mkdir_with(staging, "part-0.parquet")  # mid-write rebuild: no marker
+    assert promote_staging(staging, live, marker="MARKER") is False
+    # live untouched, foreign staging untouched
+    assert os.path.exists(os.path.join(live, "MARKER"))
+    assert os.path.exists(os.path.join(staging, "part-0.parquet"))
+
+
+def test_promote_incomplete_staging_no_live_raises(tmp_path):
+    """With NO complete live dir, promoting an incomplete staging would
+    publish a partial table — hard error, nothing deleted."""
+    live = str(tmp_path / "idx")
+    staging = live + ".staging"
+    _mkdir_with(staging, "part-0.parquet")  # no marker
+    with pytest.raises(RuntimeError, match="incomplete staging"):
+        promote_staging(staging, live, marker="MARKER")
+    assert os.path.exists(staging)
+    assert not os.path.exists(live)
+
+
+def test_promote_complete_staging_still_swaps(tmp_path):
+    live = str(tmp_path / "idx")
+    staging = live + ".staging"
+    _mkdir_with(live, "MARKER", "old.parquet")
+    _mkdir_with(staging, "MARKER", "new.parquet")
+    assert promote_staging(staging, live, marker="MARKER") is True
+    assert os.path.exists(os.path.join(live, "new.parquet"))
+    assert not os.path.exists(staging)
+
+
+def test_vacuum_collects_dangling_locks_only(tmp_path):
+    """.lock sentinels are collected only when old AND their base
+    artifact is missing; a lock whose artifact exists stays (ADVICE
+    r4: read_meta on a nonexistent index leaves a lock behind)."""
+    root = str(tmp_path)
+    live = os.path.join(root, "idx")
+    _mkdir_with(live, "meta.json")
+    old = time.time() - 100_000
+    for name in ("idx.lock", "ghost.lock", "fresh_ghost.lock"):
+        p = os.path.join(root, name)
+        with open(p, "w"):
+            pass
+    os.utime(os.path.join(root, "idx.lock"), (old, old))
+    os.utime(os.path.join(root, "ghost.lock"), (old, old))
+    # fresh_ghost.lock keeps its current mtime (too young to collect)
+    removed = vacuum_artifacts(root)
+    assert removed == [os.path.join(root, "ghost.lock")]
+    assert os.path.exists(os.path.join(root, "idx.lock"))  # artifact alive
+    assert os.path.exists(os.path.join(root, "fresh_ghost.lock"))  # young
+
+
+def test_bench_diff_attributes_extras_by_run_id(tmp_path):
+    """Two runs with float-identical headline totals must not resolve
+    to each other's extras records (the 1.00x self-comparison ADVICE
+    r4 flagged): attribution is by run_id when present."""
+    hist = tmp_path / "BENCH_EXTRA_HISTORY.jsonl"
+    recs = [
+        {"metric": "extra_queries", "headline_value": 10.0,
+         "run_id": "aaa", "queries": {"x": 1.0}},
+        {"metric": "extra_queries", "headline_value": 10.0,
+         "run_id": "bbb", "queries": {"x": 2.0}},
+    ]
+    hist.write_text("".join(json.dumps(r) + "\n" for r in recs))
+    base = tmp_path / "base.json"
+    cur = tmp_path / "cur.json"
+    base.write_text(json.dumps(
+        {"value": 10.0, "queries": {"q": 1.0}, "run_id": "aaa",
+         "extras_file": "BENCH_EXTRA.json"}))
+    cur.write_text(json.dumps(
+        {"value": 10.0, "queries": {"q": 1.0}, "run_id": "bbb",
+         "extras_file": "BENCH_EXTRA.json"}))
+    out = subprocess.run(
+        [sys.executable, os.path.join(REPO, "scripts", "bench_diff.py"),
+         str(base), str(cur), "--ratio", "1.5"],
+        capture_output=True, text=True,
+    )
+    assert out.returncode == 1, out.stdout + out.stderr
+    # x: 1.0 (run aaa) vs 2.0 (run bbb) => 2.00x regression, NOT 1.00x
+    assert "2.00x" in out.stdout
+
+
+def test_bench_diff_headline_value_fallback_for_old_records(tmp_path):
+    """Pre-r5 history records carry no run_id; a pre-r5 baseline side
+    still attributes by headline_value."""
+    hist = tmp_path / "BENCH_EXTRA_HISTORY.jsonl"
+    hist.write_text(json.dumps(
+        {"metric": "extra_queries", "headline_value": 7.5,
+         "queries": {"x": 3.0}}) + "\n")
+    base = tmp_path / "base.json"
+    cur = tmp_path / "cur.json"
+    base.write_text(json.dumps(
+        {"value": 7.5, "queries": {"q": 1.0},
+         "extras_file": "BENCH_EXTRA.json"}))
+    cur.write_text(json.dumps(
+        {"value": 9.9, "queries": {"q": 1.0}, "run_id": "ccc",
+         "extras_file": "BENCH_EXTRA.json"}))
+    out = subprocess.run(
+        [sys.executable, os.path.join(REPO, "scripts", "bench_diff.py"),
+         str(base), str(cur)],
+        capture_output=True, text=True,
+    )
+    # baseline folded its extras (x shows as only-one-side since cur
+    # has no matching record), and the run completes without error
+    assert "x" in out.stdout
+    assert "only one side" in out.stdout
