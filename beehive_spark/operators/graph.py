@@ -141,6 +141,146 @@ def connected_components(
     return labels
 
 
+def connected_components_twophase(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_iter: int = 40,
+) -> DataFrame:
+    """Connected components by ALTERNATING large-star / small-star
+    rounds (Kiveris et al., "Connected Components in MapReduce and
+    Beyond", SoCC'14) — the high-diameter complement to
+    :func:`connected_components`: label propagation needs diameter-many
+    rounds (a 10k-long chain needs 10k), while star operations halve
+    path lengths aggressively and converge in O(log^2 n) rounds on ANY
+    topology.  Per-round cost is higher (the EDGE SET is rewritten
+    each round, where propagation only moves the node-label frame),
+    which is why this is the explicit choice for chain/mesh-shaped
+    graphs and propagation stays the default for clique-ish dedup
+    clusters.
+
+    Returns (id, component) with component = min reachable id, same
+    contract as :func:`connected_components`.
+
+    Per round (both phases follow the same shape): one groupBy(u) min
+    to get each node's neighborhood minimum, one equi-join of the edge
+    set against that 1-row-per-node frame, one projection emitting the
+    rewritten edges, then distinct — all bounded shuffles on node
+    keys, no driver-side graph state, eager ``localCheckpoint`` per
+    round to cut lineage.  Convergence = the small-star output is
+    edge-for-edge identical to the previous round's (detected with an
+    order-insensitive xxhash64-sum + count over the edge frame: two
+    scalar aggs, no exceptAll pass; collision odds are ~2^-64 per
+    round and the cap backstops).
+
+    - large-star(u): m = min(neighbors(u) ∪ {u}); every neighbor
+      v > u re-attaches to m.
+    - small-star(u): m = min({v in neighbors(u) : v < u} ∪ {u});
+      every neighbor v < u (and u itself, when u != m) attaches to m.
+    """
+    sess = edges.sparkSession
+    both = (
+        edges.select(
+            F.col(src).cast("long").alias("u"), F.col(dst).cast("long").alias("v")
+        )
+        .filter(F.col("u") != F.col("v"))
+        .union(
+            edges.select(
+                F.col(dst).cast("long").alias("u"),
+                F.col(src).cast("long").alias("v"),
+            ).filter(F.col("u") != F.col("v"))
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    n_edges = both.count()  # cached; sizes the loop-scoped confs
+    # CANONICAL representation invariant: `attach` always holds u > v
+    # distinct edges, so the full symmetric neighborhood view is a
+    # plain dup-free union with its swap — no distinct, no checkpoint.
+    attach = both.filter(F.col("v") < F.col("u")).localCheckpoint(eager=True)
+    prev_sig = None
+    old_shuf = sess.conf.get("spark.sql.shuffle.partitions")
+    old_aqe = sess.conf.get("spark.sql.adaptive.enabled")
+    try:
+        # same loop-scoped treatment as `pagerank`: iterative rounds
+        # over a frame bounded by |E| drown in per-stage AQE
+        # re-planning and oversized shuffles when the graph is small;
+        # at cluster scale the cap keeps the session's own settings
+        if n_edges <= 50_000_000:
+            sess.conf.set(
+                "spark.sql.shuffle.partitions",
+                str(min(int(old_shuf), max(8, n_edges // 250_000))),
+            )
+            sess.conf.set("spark.sql.adaptive.enabled", "false")
+        for _ in range(max_iter):
+            e = attach.union(
+                attach.select(F.col("v").alias("u"), F.col("u").alias("v"))
+            )
+            # --- large-star: neighbors above u hook onto u's global
+            # min.  m <= u < v always, so the output is ALREADY
+            # canonical (new u = old v > new v = m).
+            mins = e.groupBy("u").agg(
+                F.least(F.min("v"), F.first("u")).alias("m")
+            )
+            large = (
+                e.join(mins, "u")
+                .filter(F.col("v") > F.col("u"))
+                .select(F.col("v").alias("u"), F.col("m").alias("v"))
+                .filter(F.col("u") != F.col("v"))
+                .distinct()
+                .localCheckpoint(eager=True)
+            )
+            # --- small-star: each node's DOWNWARD neighborhood is
+            # exactly its canonical rows, so small-star reads `large`
+            # directly — the swapped copies would only add upward
+            # edges the phase ignores
+            small_mins = large.groupBy("u").agg(F.min("v").alias("m"))
+            attach = (
+                large.join(small_mins, "u")
+                .select(F.col("v").alias("a"), F.col("m").alias("b"))
+                .union(
+                    small_mins.select(
+                        F.col("u").alias("a"), F.col("m").alias("b")
+                    )
+                )
+                .filter(F.col("a") != F.col("b"))
+                .select(
+                    F.greatest("a", "b").alias("u"),
+                    F.least("a", "b").alias("v"),
+                )
+                .distinct()
+                .localCheckpoint(eager=True)
+            )
+            sig = attach.agg(
+                F.count(F.lit(1)).alias("n"),
+                # decimal accumulator: an int64 sum of 64-bit hashes
+                # overflows (ANSI error), decimal(38,0) cannot
+                F.sum(F.xxhash64("u", "v").cast("decimal(38,0)")).alias("h"),
+            ).first()
+            if prev_sig is not None and sig == prev_sig:
+                break
+            prev_sig = sig
+    finally:
+        sess.conf.set("spark.sql.shuffle.partitions", old_shuf)
+        sess.conf.set("spark.sql.adaptive.enabled", old_aqe)
+    # converged: every attach edge is (node, component-min); nodes that
+    # ARE their component's min appear only on the v side (or, for
+    # isolated pairs' minima, not at all) — they label themselves
+    labels = attach.select(
+        F.col("u").alias("id"), F.col("v").alias("component")
+    ).union(
+        both.select(F.col("u").alias("id"))
+        .distinct()
+        .join(
+            attach.select(F.col("u").alias("id")),
+            "id",
+            "left_anti",
+        )
+        .select("id", F.col("id").alias("component"))
+    )
+    return labels
+
+
 def pagerank(
     edges: DataFrame,
     src: str = "src",

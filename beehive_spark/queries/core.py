@@ -2141,3 +2141,195 @@ def point_in_time_state(spark, sf_dir):
             F.round("value", 4).alias("last_value"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Open-order backlog timeline — interval facts folded to +1/-1 delta events
+# ---------------------------------------------------------------------------
+@query(
+    "orders_backlog_timeline",
+    oracle="""
+    WITH closes AS (
+      SELECT l_orderkey, MAX(l_shipdate) AS close_ts
+      FROM lineitem GROUP BY l_orderkey
+    ),
+    ev AS (
+      SELECT CAST(date_trunc('month', o.o_orderdate) AS TIMESTAMP) AS month,
+             1 AS op, 0 AS cl
+      FROM orders o JOIN closes c ON c.l_orderkey = o.o_orderkey
+      UNION ALL
+      SELECT CAST(date_trunc('month', c.close_ts) AS TIMESTAMP), 0, 1
+      FROM orders o JOIN closes c ON c.l_orderkey = o.o_orderkey
+    ),
+    m AS (
+      SELECT month, SUM(op) AS n_opened, SUM(cl) AS n_closed
+      FROM ev GROUP BY month
+    )
+    SELECT month,
+           CAST(n_opened AS BIGINT) AS n_opened,
+           CAST(n_closed AS BIGINT) AS n_closed,
+           CAST(SUM(n_opened - n_closed) OVER (
+                  ORDER BY month
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS BIGINT) AS backlog
+    FROM m
+    """,
+)
+def orders_backlog_timeline(spark, sf_dir):
+    """Month-end open-order backlog: every order is an interval —
+    opened at ``o_orderdate``, closed when its LAST lineitem ships —
+    and the timeline asks how many sit open at each month end.  The
+    WIP/inventory question every operations dashboard runs against an
+    interval fact table.
+
+    Scale shape: the classic sweep-line reduction — intervals fold to
+    +1/-1 delta EVENTS, events aggregate to month grain FIRST (one
+    map-side-combined shuffle over the fact; the close timestamp is
+    itself one agg over lineitem), and only then does a running-sum
+    window touch the tiny month axis (~85 rows — a global window is
+    fine at calendar grain because the aggregation already happened;
+    windowing the raw fact on a global order would be the scale
+    killer).  Counts are exact integers.  Orders with no lineitems
+    (impossible in TPC-H) would be excluded by the inner join on
+    both sides.
+
+    Reference scope: net-new analytics (the reference's visit tables
+    carry the same open/close interval shape it never aggregates)."""
+    li = load(spark, sf_dir, "lineitem")
+    o = load(spark, sf_dir, "orders")
+    closes = li.groupBy("l_orderkey").agg(F.max("l_shipdate").alias("close_ts"))
+    oc = o.join(closes, o.o_orderkey == closes.l_orderkey)
+    ev = oc.select(
+        F.date_trunc("month", "o_orderdate").alias("month"),
+        F.lit(1).alias("op"),
+        F.lit(0).alias("cl"),
+    ).unionAll(
+        oc.select(
+            F.date_trunc("month", "close_ts").alias("month"),
+            F.lit(0).alias("op"),
+            F.lit(1).alias("cl"),
+        )
+    )
+    m = ev.groupBy("month").agg(
+        F.sum("op").alias("n_opened"), F.sum("cl").alias("n_closed")
+    )
+    w = Window.orderBy("month").rowsBetween(Window.unboundedPreceding, 0)
+    return m.select(
+        "month",
+        F.col("n_opened").cast("long").alias("n_opened"),
+        F.col("n_closed").cast("long").alias("n_closed"),
+        F.sum(F.col("n_opened") - F.col("n_closed"))
+        .over(w)
+        .cast("long")
+        .alias("backlog"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Supplier-base churn — quarter-over-quarter retained / new / churned
+# ---------------------------------------------------------------------------
+@query(
+    "supplier_churn_quarters",
+    oracle="""
+    WITH qx AS (
+      SELECT DISTINCT CAST(year(l_shipdate) AS INTEGER) AS y,
+                      CAST(quarter(l_shipdate) AS INTEGER) AS q,
+                      CAST(year(l_shipdate) * 4 + quarter(l_shipdate) - 1
+                           AS BIGINT) AS qidx,
+                      l_suppkey AS s
+      FROM lineitem
+    ),
+    act AS (
+      SELECT qidx, MIN(y) AS y, MIN(q) AS q, COUNT(*) AS n_active
+      FROM qx GROUP BY qidx
+    ),
+    ret AS (
+      SELECT a.qidx, COUNT(*) AS n_retained
+      FROM qx a JOIN qx b ON b.qidx = a.qidx - 1 AND b.s = a.s
+      GROUP BY a.qidx
+    ),
+    chn AS (
+      SELECT b.qidx + 1 AS qidx, COUNT(*) AS n_churned
+      FROM qx b LEFT JOIN qx a ON a.qidx = b.qidx + 1 AND a.s = b.s
+      WHERE a.s IS NULL GROUP BY b.qidx + 1
+    )
+    SELECT act.y AS year, act.q AS quarter,
+           CAST(act.n_active AS BIGINT) AS n_active,
+           CAST(COALESCE(ret.n_retained, 0) AS BIGINT) AS n_retained,
+           CAST(act.n_active - COALESCE(ret.n_retained, 0)
+                AS BIGINT) AS n_new,
+           CAST(COALESCE(chn.n_churned, 0) AS BIGINT) AS n_churned
+    FROM act
+    LEFT JOIN ret ON ret.qidx = act.qidx
+    LEFT JOIN chn ON chn.qidx = act.qidx
+    """,
+)
+def supplier_churn_quarters(spark, sf_dir):
+    """Quarter-over-quarter supplier-base accounting: per quarter, how
+    many suppliers shipped anything (active), how many of those also
+    shipped last quarter (retained), how many are new, and how many of
+    last quarter's suppliers went silent (churned, attributed to the
+    quarter they missed).  The standard cohort-churn ledger, here over
+    the supply side.
+
+    Scale shape: the fact collapses to DISTINCT (quarter, supplier)
+    first — one shuffle over lineitem, after which every join touches
+    only |quarters|x|suppliers| rows.  Adjacency is an equi-join on a
+    DENSE quarter index (year*4+quarter), not a window over a global
+    order, so the plan stays shuffle-bounded by the distinct frame
+    regardless of history length.  Exact integer counts; identity
+    n_active = n_retained + n_new holds by construction.
+
+    Reference scope: net-new analytics; generalizes the reference's
+    per-table row reconciliation counts (A3) into a temporal ledger."""
+    li = load(spark, sf_dir, "lineitem")
+    qx = (
+        li.select(
+            F.year("l_shipdate").alias("y"),
+            F.quarter("l_shipdate").alias("q"),
+            F.col("l_suppkey").alias("s"),
+        )
+        .distinct()
+        .withColumn(
+            "qidx", (F.col("y") * 4 + F.col("q") - 1).cast("long")
+        )
+    )
+    act = qx.groupBy("qidx").agg(
+        F.min("y").alias("y"),
+        F.min("q").alias("q"),
+        F.count(F.lit(1)).alias("n_active"),
+    )
+    a, b = qx.alias("a"), qx.alias("b")
+    ret = (
+        a.join(
+            b,
+            (F.col("b.qidx") == F.col("a.qidx") - 1)
+            & (F.col("b.s") == F.col("a.s")),
+        )
+        .groupBy(F.col("a.qidx").alias("qidx"))
+        .agg(F.count(F.lit(1)).alias("n_retained"))
+    )
+    chn = (
+        b.join(
+            a,
+            (F.col("a.qidx") == F.col("b.qidx") + 1)
+            & (F.col("a.s") == F.col("b.s")),
+            "left_anti",
+        )
+        .groupBy((F.col("b.qidx") + 1).alias("qidx"))
+        .agg(F.count(F.lit(1)).alias("n_churned"))
+    )
+    return (
+        act.join(ret, "qidx", "left")
+        .join(chn, "qidx", "left")
+        .select(
+            F.col("y").alias("year"),
+            F.col("q").alias("quarter"),
+            F.col("n_active").cast("long").alias("n_active"),
+            F.coalesce("n_retained", F.lit(0)).cast("long").alias("n_retained"),
+            (F.col("n_active") - F.coalesce("n_retained", F.lit(0)))
+            .cast("long")
+            .alias("n_new"),
+            F.coalesce("n_churned", F.lit(0)).cast("long").alias("n_churned"),
+        )
+    )

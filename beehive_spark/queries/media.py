@@ -428,3 +428,170 @@ def media_image_resize(spark, sf_dir):
         .alias("px_val"),
         "out_bytes",
     )
+
+
+# ---------------------------------------------------------------------------
+# Typed metadata harvest — EXIF-style TLV headers parsed out of binary media
+# ---------------------------------------------------------------------------
+
+_EXIF_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("payload", T.BinaryType()),
+    ]
+)
+
+_META_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("camera", T.StringType()),
+        T.StructField("iso", T.IntegerType()),
+    ]
+)
+
+
+def synth_exif_media(docs):
+    """Deterministic binary corpus with an EXIF-style header: magic
+    ``EXF0``, then big-endian TLV entries (tag u8, len u16, value) —
+    width(1)/height(2) u16, camera(3) utf-8, iso(4) u16, one UNKNOWN
+    tag (9) the parser must skip, END(0) — followed by md5-derived
+    "pixel payload" noise the parser must NOT read past the header.
+    Field values are closed-form arithmetic in doc_id, which is what
+    makes the downstream aggregate oracle-able as pure SQL."""
+    import struct
+
+    import pandas as pd
+
+    def render(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            ids, payloads = [], []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                w = 640 + (d % 5) * 160
+                h = 480 + (d % 3) * 120
+                cam = f"cam{d % 7}".encode()
+                iso = 100 * (1 + d % 4)
+                tlv = b"".join(
+                    [
+                        struct.pack(">BH", 1, 2), struct.pack(">H", w),
+                        struct.pack(">BH", 2, 2), struct.pack(">H", h),
+                        struct.pack(">BH", 3, len(cam)), cam,
+                        # unknown tag the parser must length-skip
+                        struct.pack(">BH", 9, 3), b"\x00\x01\x02",
+                        struct.pack(">BH", 4, 2), struct.pack(">H", iso),
+                        struct.pack(">BH", 0, 0),
+                    ]
+                )
+                noise = hashlib.md5(f"exif|{d}".encode()).digest() * 4
+                ids.append(d)
+                payloads.append(b"EXF0" + tlv + noise)
+            yield pd.DataFrame({"media_id": ids, "payload": payloads})
+
+    return docs.select("doc_id").mapInPandas(render, schema=_EXIF_SCHEMA)
+
+
+def parse_exif_headers(media, id_col: str = "media_id", payload_col: str = "payload"):
+    """Walk the TLV header of each payload into typed metadata columns
+    (the harvest seam a real EXIF/XMP extractor plugs into): validate
+    magic, iterate tag/len/value entries until END, length-skip
+    unknown tags, NULL out fields on any malformed header instead of
+    failing the batch.  Arrow-batched mapInPandas — payloads stay in
+    their scan partitions, only the ~30-byte typed rows move on."""
+    import struct
+
+    import pandas as pd
+
+    def parse_one(buf):
+        try:
+            if bytes(buf[:4]) != b"EXF0":
+                return None
+            off, out = 4, {}
+            while off + 3 <= len(buf):
+                tag, ln = struct.unpack_from(">BH", buf, off)
+                off += 3
+                if tag == 0:
+                    return out
+                val = bytes(buf[off : off + ln])
+                if len(val) != ln:
+                    return None  # truncated header
+                off += ln
+                if tag == 1:
+                    out["width"] = struct.unpack(">H", val)[0]
+                elif tag == 2:
+                    out["height"] = struct.unpack(">H", val)[0]
+                elif tag == 3:
+                    out["camera"] = val.decode("utf-8", "replace")
+                elif tag == 4:
+                    out["iso"] = struct.unpack(">H", val)[0]
+                # unknown tags: skipped by length
+            return None  # ran off the end without END tag
+        except Exception:
+            return None
+
+    def parse(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf[id_col], pdf[payload_col]):
+                meta = parse_one(payload) or {}
+                rows.append(
+                    {
+                        "media_id": int(mid),
+                        "width": meta.get("width"),
+                        "height": meta.get("height"),
+                        "camera": meta.get("camera"),
+                        "iso": meta.get("iso"),
+                    }
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["media_id", "width", "height", "camera", "iso"],
+            )
+
+    return media.mapInPandas(parse, schema=_META_SCHEMA)
+
+
+@query(
+    "media_exif_harvest",
+    oracle="""
+    SELECT 'cam' || CAST(doc_id % 7 AS VARCHAR) AS camera,
+           CAST(COUNT(*) AS BIGINT) AS n_images,
+           CAST(SUM(CAST((640 + doc_id % 5 * 160)
+                         * (480 + doc_id % 3 * 120) AS BIGINT))
+                AS BIGINT) AS total_pixels,
+           CAST(MAX(100 * (1 + doc_id % 4)) AS INTEGER) AS max_iso,
+           CAST(COUNT(DISTINCT 640 + doc_id % 5 * 160) AS BIGINT)
+             AS n_widths
+    FROM documents
+    GROUP BY camera
+    """,
+)
+def media_exif_harvest(spark, sf_dir):
+    """Typed-metadata harvest from binary media columns, driver-hash-
+    checked end to end: synthesize an EXIF-style binary header per
+    document (magic + big-endian TLV entries + trailing payload
+    noise), parse it back with a REAL byte-walking TLV decoder
+    (``parse_exif_headers`` — validates magic, length-skips an unknown
+    tag planted in every header, stops at END without touching the
+    payload bytes), then roll the typed columns up per camera.  The
+    oracle is exact because every field is closed-form arithmetic in
+    doc_id — an endianness slip, a wrong skip length, or reading past
+    END all break the hash.
+
+    Scale shape: synthesis and parsing are chained Arrow map stages in
+    ONE task pipeline — payload bytes never shuffle; only the ~30-byte
+    typed rows reach the aggregate (map-side combined, |cameras| rows
+    out).  This is the plumbing a Pillow/exiftool extractor drops
+    into unchanged (same seam as the codec tier's
+    ``use_real_decoder``)."""
+    docs = load(spark, sf_dir, "documents")
+    meta = parse_exif_headers(synth_exif_media(docs))
+    return meta.groupBy("camera").agg(
+        F.count(F.lit(1)).alias("n_images"),
+        F.sum(
+            F.col("width").cast("long") * F.col("height").cast("long")
+        ).alias("total_pixels"),
+        F.max("iso").alias("max_iso"),
+        F.countDistinct("width").alias("n_widths"),
+    )

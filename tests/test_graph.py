@@ -181,3 +181,50 @@ def test_pagerank_star_hub_dominates(spark):
     df = spark.createDataFrame(edges, ["src", "dst"])
     got = {r["id"]: r["rank"] for r in pagerank(df).collect()}
     assert got[0] > max(v for k, v in got.items() if k != 0) * 3
+
+
+def test_twophase_cc_matches_propagation_on_random_graph(spark):
+    """Same contract as connected_components: on a random graph both
+    operators must produce identical (id, component-min) labelings."""
+    from beehive_spark.operators.graph import (
+        connected_components,
+        connected_components_twophase,
+    )
+
+    rng = random.Random(13)
+    edges = list({(rng.randrange(40), rng.randrange(40)) for _ in range(45)})
+    edges = [(a, b) for a, b in edges if a != b]
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    prop = {r["id"]: r["component"] for r in connected_components(df).collect()}
+    two = {
+        r["id"]: r["component"]
+        for r in connected_components_twophase(df).collect()
+    }
+    assert two == prop
+
+
+def test_twophase_cc_finishes_long_chain(spark):
+    """The motivating case: a diameter-120 chain exceeds propagation's
+    default 50-round cap but two-phase converges in O(log^2 n) rounds
+    to the exact labeling."""
+    from beehive_spark.operators.graph import connected_components_twophase
+
+    edges = [(i, i + 1) for i in range(120)]
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    got = {
+        r["id"]: r["component"]
+        for r in connected_components_twophase(df, max_iter=15).collect()
+    }
+    assert got == {i: 0 for i in range(121)}
+
+
+def test_twophase_cc_isolated_pairs_and_singleton_components(spark):
+    from beehive_spark.operators.graph import connected_components_twophase
+
+    edges = [(5, 9), (20, 21), (21, 22)]
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    got = {
+        r["id"]: r["component"]
+        for r in connected_components_twophase(df).collect()
+    }
+    assert got == {5: 5, 9: 5, 20: 20, 21: 20, 22: 20}
