@@ -2383,3 +2383,164 @@ def embedding_gram(spark, sf_dir):
         F.round(F.sum("part"), 6).alias("gram"),
         F.sum("n").cast("long").alias("n_vectors"),
     )
+
+
+# ---------------------------------------------------------------------------
+# MMR diversity rerank — greedy Maximal Marginal Relevance over a top-N pool
+# ---------------------------------------------------------------------------
+
+_MMR_LAMBDA = 0.7
+_MMR_POOL = 50
+_MMR_K = 5
+
+
+def _mmr_sim_sql(a: str, b: str) -> str:
+    """Pairwise cosine between two candidate CTE aliases (doubles,
+    sequential accumulation — the arithmetic Spark's zip_with/aggregate
+    and python's left-to-right loop reproduce bit-identically)."""
+    return (
+        f"list_dot_product({a}.e, {b}.e) / ({a}.nrm * {b}.nrm)"
+    )
+
+
+def _mmr_step(step: int) -> str:
+    """One unrolled greedy step: argmax over the pool, excluding prior
+    picks, of lambda*rel - (1-lambda)*max(sim to each prior pick)."""
+    priors = [f"s{i}" for i in range(1, step)]
+    sims = ", ".join(_mmr_sim_sql("c", p) for p in priors)
+    not_in = ", ".join(f"{p}.vec_id" for p in priors)
+    froms = ", ".join(["cand c"] + priors)
+    return f"""
+    s{step} AS (
+      SELECT c.vec_id, c.e, c.nrm, c.rel,
+             {_MMR_LAMBDA} * c.rel
+               - {round(1 - _MMR_LAMBDA, 10)} * GREATEST({sims}) AS mmr
+      FROM {froms}
+      WHERE c.vec_id NOT IN ({not_in})
+      ORDER BY mmr DESC, c.vec_id LIMIT 1
+    )"""
+
+
+_MMR_ORACLE = (
+    """
+    WITH q AS (
+      SELECT CAST(embedding AS DOUBLE[]) AS e,
+             SQRT(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                   CAST(embedding AS DOUBLE[]))) AS nrm
+      FROM embeddings WHERE vec_id = 0
+    ),
+    pool AS (
+      SELECT v.vec_id, CAST(v.embedding AS DOUBLE[]) AS e,
+             SQRT(list_dot_product(CAST(v.embedding AS DOUBLE[]),
+                                   CAST(v.embedding AS DOUBLE[]))) AS nrm
+      FROM embeddings v WHERE v.vec_id >= 1
+    ),
+    scored AS (
+      SELECT p.vec_id, p.e, p.nrm,
+             list_dot_product(p.e, q.e) / (p.nrm * q.nrm) AS rel
+      FROM pool p, q
+    ),
+    cand AS (SELECT * FROM scored ORDER BY rel DESC, vec_id LIMIT """
+    + str(_MMR_POOL)
+    + """),
+    s1 AS (
+      SELECT vec_id, e, nrm, rel, """
+    + str(_MMR_LAMBDA)
+    + """ * rel AS mmr
+      FROM cand ORDER BY rel DESC, vec_id LIMIT 1
+    ),"""
+    + ",".join(_mmr_step(i) for i in range(2, _MMR_K + 1))
+    + "\n    "
+    + "\n    UNION ALL\n    ".join(
+        f"SELECT {i} AS rank, vec_id, ROUND(rel, 6) AS relevance, "
+        f"ROUND(mmr, 6) AS mmr_score FROM s{i}"
+        for i in range(1, _MMR_K + 1)
+    )
+)
+
+
+@query("embedding_mmr_rerank", oracle=_MMR_ORACLE)
+def embedding_mmr_rerank(spark, sf_dir):
+    """Maximal Marginal Relevance rerank (Carbonell & Goldstein 1998)
+    — the diversity-aware top-k every retrieval/RAG pipeline bolts
+    onto a similarity search: greedily pick the candidate maximizing
+    ``lambda*relevance - (1-lambda)*max_sim_to_already_picked``, so
+    the final k are relevant AND mutually dissimilar.
+
+    Scale shape: the DISTRIBUTED part is candidate generation — one
+    broadcast crossJoin + JVM zip_with/aggregate dot products over all
+    vectors, TakeOrdered top-50 (no global window) — after which the
+    greedy rerank runs driver-side over the BOUNDED pool (50 rows x
+    k=5 steps; like the BPE vocab cap, boundedness is by construction:
+    MMR's sequential argmax is inherently iterative, and k*N tiny
+    dot products do not warrant a cluster round-trip each).  Driver
+    arithmetic replicates the engine arithmetic exactly: sequential
+    left-to-right double accumulation, same as Spark's aggregate
+    lambda and DuckDB's list_dot_product, so the oracle (the greedy
+    UNROLLED as five chained argmax CTEs) is exact — final rounding
+    happens IN SPARK so ROUND semantics match the SQL side."""
+    emb = load(spark, sf_dir, "embeddings")
+    e = emb.select("vec_id", F.col("embedding").cast("array<double>").alias("e"))
+    norm = F.sqrt(
+        F.aggregate("e", F.lit(0.0), lambda acc, x: acc + x * x)
+    )
+    q = e.filter(F.col("vec_id") == 0).select(
+        F.col("e").alias("qe"), norm.alias("qn")
+    )
+    pool = e.filter(F.col("vec_id") >= 1).withColumn("nrm", norm)
+    dot = F.aggregate(
+        F.zip_with("e", "qe", lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+    cand = (
+        pool.crossJoin(F.broadcast(q))
+        .withColumn("rel", dot / (F.col("nrm") * F.col("qn")))
+        .select("vec_id", "e", "nrm", "rel")
+        .orderBy(F.col("rel").desc(), "vec_id")
+        .limit(_MMR_POOL)
+        .collect()
+    )
+
+    def dot_py(a, b):
+        acc = 0.0
+        for x, y in zip(a, b):
+            acc += x * y
+        return acc
+
+    lam = _MMR_LAMBDA
+    picked = []
+    remaining = list(cand)
+    # step 1: pure relevance (pool is already rel-desc, vec_id-tiebroken)
+    first = remaining.pop(0)
+    picked.append((1, first["vec_id"], first["rel"], lam * first["rel"], first))
+    while len(picked) < _MMR_K and remaining:
+        best = None
+        for c in remaining:
+            max_sim = max(
+                dot_py(c["e"], p[4]["e"]) / (c["nrm"] * p[4]["nrm"])
+                for p in picked
+            )
+            score = lam * c["rel"] - (1 - lam) * max_sim
+            key = (-score, c["vec_id"])
+            if best is None or key < best[0]:
+                best = (key, c, score)
+        _, chosen, score = best
+        remaining.remove(chosen)
+        picked.append(
+            (len(picked) + 1, chosen["vec_id"], chosen["rel"], score, chosen)
+        )
+    out = spark.createDataFrame(
+        [(r, v, rel, mmr) for r, v, rel, mmr, _ in picked],
+        schema=T.StructType(
+            [
+                T.StructField("rank", T.IntegerType(), False),
+                T.StructField("vec_id", T.LongType(), False),
+                T.StructField("relevance", T.DoubleType(), False),
+                T.StructField("mmr_score", T.DoubleType(), False),
+            ]
+        ),
+    )
+    return out.select(
+        "rank", "vec_id",
+        F.round("relevance", 6).alias("relevance"),
+        F.round("mmr_score", 6).alias("mmr_score"),
+    )

@@ -119,6 +119,12 @@ EXTRA = [
     "pagerank_copurchase",
     "media_image_resize",
     "embedding_gram",
+    # round-5 additions
+    "orders_backlog_timeline",
+    "supplier_churn_quarters",
+    "media_exif_harvest",
+    "connected_components_twophase",
+    "embedding_mmr_rerank",
 ]
 
 

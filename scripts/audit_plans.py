@@ -142,6 +142,14 @@ EXTRA = [
     # round-4 additions
     "media_image_resize",
     "embedding_gram",
+    # round-5 additions (connected_components_twophase and
+    # embedding_mmr_rerank excluded from the static audit: the CC loop
+    # and the bounded driver-side greedy run eagerly — the CC per-round
+    # plan is two grouped mins + one equi-join; MMR's distributed part
+    # is the audited similarity_cosine_topk shape with TakeOrdered)
+    "orders_backlog_timeline",
+    "supplier_churn_quarters",
+    "media_exif_harvest",
 ]
 
 

@@ -137,3 +137,53 @@ def test_bench_diff_headline_value_fallback_for_old_records(tmp_path):
     # has no matching record), and the run completes without error
     assert "x" in out.stdout
     assert "only one side" in out.stdout
+
+
+def test_mmr_rerank_is_diverse_and_relevant(spark):
+    """MMR picks must (a) start with the single most relevant
+    candidate, (b) never repeat, and (c) be more mutually diverse than
+    the naive top-k prefix of the same pool (the property the operator
+    exists for), measured by max pairwise cosine."""
+    from beehive_spark.queries import all_queries, load
+    from pyspark.sql import functions as F
+
+    sf = "/root/testdata/sf0.001"
+    out = all_queries()["embedding_mmr_rerank"](spark, sf).collect()
+    assert [r["rank"] for r in out] == [1, 2, 3, 4, 5]
+    ids = [r["vec_id"] for r in out]
+    assert len(set(ids)) == 5
+    rels = [r["relevance"] for r in out]
+    assert rels[0] == max(rels)
+
+    emb = load(spark, sf, "embeddings")
+    vecs = {
+        r["vec_id"]: r["e"]
+        for r in emb.select(
+            "vec_id", F.col("embedding").cast("array<double>").alias("e")
+        )
+        .filter(F.col("vec_id").isin([int(i) for i in ids] + list(range(60))))
+        .collect()
+    }
+
+    def cos(a, b):
+        dot = sum(x * y for x, y in zip(a, b))
+        na = sum(x * x for x in a) ** 0.5
+        nb = sum(x * x for x in b) ** 0.5
+        return dot / (na * nb)
+
+    q = vecs[0] if 0 in vecs else None
+    # naive top-5 = 5 highest-relevance candidates (vec_id >= 1)
+    cand = {
+        i: cos(v, q) for i, v in vecs.items() if i >= 1
+    }
+    naive = sorted(cand, key=lambda i: (-cand[i], i))[:5]
+
+    def max_pair(sel):
+        return max(
+            cos(vecs[a], vecs[b])
+            for i, a in enumerate(sel)
+            for b in sel[i + 1 :]
+        )
+
+    if set(ids) != set(naive):  # MMR changed the set: diversity improved
+        assert max_pair([int(i) for i in ids]) <= max_pair(naive) + 1e-12
