@@ -67,6 +67,35 @@ except ImportError:  # container default: vendored PNG codec only
     HAS_PIL = False
 
 
+def codec_probe() -> dict:
+    """Session-start codec inventory (VERDICT r4 ask #7): which decode
+    backends this environment actually has, so callers (and tests) can
+    gate real-format work instead of discovering a missing codec via
+    NotImplementedError mid-job.
+
+    - ``vendored`` formats always decode (pure-Python: PNG via
+      ``functions/png.py``, WAV via stdlib ``wave``, MPNG frame
+      container) — the driver-gated media queries run on exactly these,
+      so they are environment-independent.
+    - ``pil`` lights up JPEG/WebP/TIFF/... through the SAME
+      ``use_real_decoder`` seam (``_decode_rgb_array`` prefers Pillow
+      when present; ``tests/test_codec_probe.py`` proves the JPEG
+      round-trip wherever Pillow exists and skips with this probe's
+      reason otherwise).
+    - ``ffmpeg`` reports the binary for an MP4/MP3 frame-extraction
+      drop-in at the ``sample_frames``/audio seam; not wired to a
+      query until a container ships it.
+    """
+    import shutil as _shutil
+
+    return {
+        "pil": HAS_PIL,
+        "pil_formats": ["JPEG", "PNG", "WEBP", "TIFF", "BMP"] if HAS_PIL else [],
+        "ffmpeg": _shutil.which("ffmpeg"),
+        "vendored": ["PNG", "WAV", "MPNG"],
+    }
+
+
 def _decode_rgb_array(content: bytes):
     """Decode image bytes to an (h, w, 3) uint8 numpy array.
 
