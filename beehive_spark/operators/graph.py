@@ -13,8 +13,40 @@ frontier, exactly like a recursive CTE.
 
 from __future__ import annotations
 
+from contextlib import contextmanager
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+
+@contextmanager
+def _iter_loop_confs(sess, target_partitions: int | None):
+    """Pin small shuffle partitions and disable AQE around an EAGER
+    iterative loop, restoring both on exit — shared by ``pagerank``
+    and ``connected_components_twophase`` (r5 review: the save/set/
+    finally dance was duplicated and would drift).
+
+    Rationale: per-round frames in these loops are known-small, so
+    AQE's per-stage re-planning (~0.5 s per tiny round measured at
+    |V|=20 k) and session-sized shuffles are pure overhead; pass
+    ``None`` (the big-graph path) to leave the session untouched so
+    AQE keeps handling skew where it earns its keep.  The clamp never
+    RAISES the session's partition count."""
+    if target_partitions is None:
+        yield
+        return
+    old_shuf = sess.conf.get("spark.sql.shuffle.partitions")
+    old_aqe = sess.conf.get("spark.sql.adaptive.enabled")
+    try:
+        sess.conf.set(
+            "spark.sql.shuffle.partitions",
+            str(min(int(old_shuf), max(8, target_partitions))),
+        )
+        sess.conf.set("spark.sql.adaptive.enabled", "false")
+        yield
+    finally:
+        sess.conf.set("spark.sql.shuffle.partitions", old_shuf)
+        sess.conf.set("spark.sql.adaptive.enabled", old_aqe)
 
 
 def bfs_levels(
@@ -179,6 +211,15 @@ def connected_components_twophase(
       every neighbor v < u (and u itself, when u != m) attaches to m.
     """
     sess = edges.sparkSession
+    # node UNIVERSE before any filtering: a node appearing only in
+    # self-loop edges still exists and labels itself (r5 review —
+    # matching connected_components, which keeps such nodes)
+    nodes = (
+        edges.select(F.col(src).cast("long").alias("id"))
+        .union(edges.select(F.col(dst).cast("long").alias("id")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
     both = (
         edges.select(
             F.col(src).cast("long").alias("u"), F.col(dst).cast("long").alias("v")
@@ -199,19 +240,11 @@ def connected_components_twophase(
     # plain dup-free union with its swap — no distinct, no checkpoint.
     attach = both.filter(F.col("v") < F.col("u")).localCheckpoint(eager=True)
     prev_sig = None
-    old_shuf = sess.conf.get("spark.sql.shuffle.partitions")
-    old_aqe = sess.conf.get("spark.sql.adaptive.enabled")
-    try:
-        # same loop-scoped treatment as `pagerank`: iterative rounds
-        # over a frame bounded by |E| drown in per-stage AQE
-        # re-planning and oversized shuffles when the graph is small;
-        # at cluster scale the cap keeps the session's own settings
-        if n_edges <= 50_000_000:
-            sess.conf.set(
-                "spark.sql.shuffle.partitions",
-                str(min(int(old_shuf), max(8, n_edges // 250_000))),
-            )
-            sess.conf.set("spark.sql.adaptive.enabled", "false")
+    # iterative rounds over a frame bounded by |E| drown in per-stage
+    # AQE re-planning and oversized shuffles when the graph is small;
+    # at cluster scale the threshold keeps the session's own settings
+    loop_parts = n_edges // 250_000 if n_edges <= 50_000_000 else None
+    with _iter_loop_confs(sess, loop_parts):
         for _ in range(max_iter):
             e = attach.union(
                 attach.select(F.col("v").alias("u"), F.col("u").alias("v"))
@@ -260,23 +293,18 @@ def connected_components_twophase(
             if prev_sig is not None and sig == prev_sig:
                 break
             prev_sig = sig
-    finally:
-        sess.conf.set("spark.sql.shuffle.partitions", old_shuf)
-        sess.conf.set("spark.sql.adaptive.enabled", old_aqe)
     # converged: every attach edge is (node, component-min); nodes that
-    # ARE their component's min appear only on the v side (or, for
-    # isolated pairs' minima, not at all) — they label themselves
+    # ARE their component's min appear only on the v side — or not at
+    # all (component minima, self-loop-only and isolated-pair nodes):
+    # anti-joining the UNFILTERED universe labels all of those selves
     labels = attach.select(
         F.col("u").alias("id"), F.col("v").alias("component")
     ).union(
-        both.select(F.col("u").alias("id"))
-        .distinct()
-        .join(
+        nodes.join(
             attach.select(F.col("u").alias("id")),
             "id",
             "left_anti",
-        )
-        .select("id", F.col("id").alias("component"))
+        ).select("id", F.col("id").alias("component"))
     )
     return labels
 
@@ -289,7 +317,7 @@ def pagerank(
     iters: int = 10,
     tol: float | None = 1e-6,
     no_dangling: bool = False,
-    broadcast_ranks_rows: int = 1_000_000,
+    broadcast_ranks_rows: int = 100_000,
 ) -> DataFrame:
     """PageRank over a directed edge list — distributed power
     iteration as pure DataFrame ops (the classic iterative-algorithm
@@ -388,17 +416,9 @@ def pagerank(
         eager=True
     )
     use_bcast = n <= broadcast_ranks_rows
-    old_shuf = sess.conf.get("spark.sql.shuffle.partitions")
-    old_aqe = sess.conf.get("spark.sql.adaptive.enabled")
-    try:
-        if use_bcast:
-            # loop-scoped confs only: every eager action below runs
-            # under them; the returned frame is already checkpointed
-            sess.conf.set(
-                "spark.sql.shuffle.partitions",
-                str(min(int(old_shuf), max(8, n // 2500))),
-            )
-            sess.conf.set("spark.sql.adaptive.enabled", "false")
+    # loop-scoped confs only (shared helper): every eager action below
+    # runs under them; the returned frame is already checkpointed
+    with _iter_loop_confs(sess, n // 2500 if use_bcast else None):
         for _ in range(iters):
             # deg=0 (dangling) rows contribute no edge mass and would
             # trip ANSI DIVIDE_BY_ZERO — their mass flows via dmass
@@ -442,8 +462,5 @@ def pagerank(
                 ).first()["d"]
                 if delta is not None and delta < tol:
                     break
-    finally:
-        sess.conf.set("spark.sql.shuffle.partitions", old_shuf)
-        sess.conf.set("spark.sql.adaptive.enabled", old_aqe)
     links.unpersist()
     return ranks.select("id", "rank")

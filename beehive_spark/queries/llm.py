@@ -2390,6 +2390,13 @@ def embedding_gram(spark, sf_dir):
 # ---------------------------------------------------------------------------
 
 _MMR_LAMBDA = 0.7
+# the penalty coefficient must be the SAME double on both sides:
+# python's 1 - 0.7 is 0.30000000000000004 while the SQL literal 0.3
+# parses to the double nearest 0.3 — a 1-ulp coefficient gap that
+# could flip an argmax between near-tied candidates (r5 review).
+# round(.., 10) lands on the 0.3 double; both the oracle text and the
+# driver greedy use this constant.
+_MMR_PENALTY = round(1 - _MMR_LAMBDA, 10)
 _MMR_POOL = 50
 _MMR_K = 5
 
@@ -2414,7 +2421,7 @@ def _mmr_step(step: int) -> str:
     s{step} AS (
       SELECT c.vec_id, c.e, c.nrm, c.rel,
              {_MMR_LAMBDA} * c.rel
-               - {round(1 - _MMR_LAMBDA, 10)} * GREATEST({sims}) AS mmr
+               - {_MMR_PENALTY} * GREATEST({sims}) AS mmr
       FROM {froms}
       WHERE c.vec_id NOT IN ({not_in})
       ORDER BY mmr DESC, c.vec_id LIMIT 1
@@ -2519,7 +2526,7 @@ def embedding_mmr_rerank(spark, sf_dir):
                 dot_py(c["e"], p[4]["e"]) / (c["nrm"] * p[4]["nrm"])
                 for p in picked
             )
-            score = lam * c["rel"] - (1 - lam) * max_sim
+            score = lam * c["rel"] - _MMR_PENALTY * max_sim
             key = (-score, c["vec_id"])
             if best is None or key < best[0]:
                 best = (key, c, score)

@@ -48,9 +48,32 @@ def dir_swap_lock(path: str):
     atomicity these protocols already assume; on a shared filesystem
     the single-maintainer contract stands."""
     lockfile = path.rstrip("/") + ".lock"
-    fd = os.open(lockfile, os.O_CREAT | os.O_RDWR)
+    while True:
+        fd = os.open(lockfile, os.O_CREAT | os.O_RDWR)
+        try:
+            fcntl.flock(fd, fcntl.LOCK_EX)
+        except BaseException:
+            os.close(fd)
+            raise
+        # unlink-safe acquisition (r5 review): vacuum_artifacts may
+        # unlink a dangling lockfile between our open() and flock().
+        # Holding a lock on an ORPHANED inode is no lock at all (a new
+        # acquirer creates a fresh file and locks that), so verify the
+        # path still resolves to the inode we locked and retry if not.
+        try:
+            st_fd = os.fstat(fd)
+            st_path = os.stat(lockfile)
+            same = (
+                st_fd.st_ino == st_path.st_ino
+                and st_fd.st_dev == st_path.st_dev
+            )
+        except FileNotFoundError:
+            same = False
+        if same:
+            break
+        fcntl.flock(fd, fcntl.LOCK_UN)
+        os.close(fd)
     try:
-        fcntl.flock(fd, fcntl.LOCK_EX)
         yield
     finally:
         fcntl.flock(fd, fcntl.LOCK_UN)
@@ -89,6 +112,14 @@ def promote_staging(staging: str, path: str, marker: str | None = None) -> bool:
             if not os.path.exists(staging):
                 if live_complete:
                     return False
+                # nothing to promote and nothing complete to keep:
+                # erroring here (r5 review) beats the old fall-through,
+                # which demoted the live dir to .old and THEN crashed
+                # on the missing staging rename — stranding the data
+                raise RuntimeError(
+                    f"staging {staging!r} is missing and the live dir "
+                    f"has no {marker!r} — nothing safe to publish"
+                )
             elif not os.path.exists(os.path.join(staging, marker)):
                 if live_complete:
                     return False

@@ -169,14 +169,25 @@ def build_scaled_dir(spark, copies: int) -> str:
     )
 
     li = spark.read.parquet(os.path.join(SF_DIR, "lineitem.parquet"))
-    # shifted orderkeys: 10x baskets over the SAME part catalog — the
-    # co-purchase graph stays |parts|-node but its edge set densifies
-    # ~linearly while still in the sparse regime, which is the scaling
-    # a real catalog sees as order history grows
+    # shifted orderkeys AND per-replica partkey rotation (prime stride
+    # within the same catalog): replicated baskets with identical part
+    # sets would collapse in copurchase_edges' pair-distinct to the 1x
+    # edge set exactly (r5 review) — rotating each replica's basket
+    # contents keeps |V| = |parts| while the DISTINCT edge set grows
+    # ~linearly, which is the scaling a real catalog sees as order
+    # history accumulates
+    n_parts = li.agg(F.max("l_partkey")).collect()[0][0] + 1
     (
         li.crossJoin(F.broadcast(reps))
         .withColumn(
             "l_orderkey", F.col("l_orderkey") + F.col("__rep") * 10_000_000
+        )
+        .withColumn(
+            "l_partkey",
+            F.pmod(
+                F.col("l_partkey") + F.col("__rep") * F.lit(977),
+                F.lit(int(n_parts)),
+            ),
         )
         .drop("__rep")
         .write.parquet(os.path.join(out, "lineitem.parquet"))

@@ -187,3 +187,55 @@ def test_mmr_rerank_is_diverse_and_relevant(spark):
 
     if set(ids) != set(naive):  # MMR changed the set: diversity improved
         assert max_pair([int(i) for i in ids]) <= max_pair(naive) + 1e-12
+
+
+def test_promote_missing_staging_incomplete_live_raises_before_demoting(tmp_path):
+    """r5 review: with marker set, staging MISSING and an incomplete
+    live dir, promote must error out WITHOUT demoting the live dir
+    (the old fall-through moved live to .old and then crashed on the
+    staging rename, stranding the data)."""
+    live = str(tmp_path / "idx")
+    _mkdir_with(live, "data.parquet")  # no marker
+    with pytest.raises(RuntimeError, match="missing"):
+        promote_staging(live + ".staging", live, marker="MARKER")
+    assert os.path.exists(os.path.join(live, "data.parquet"))
+    assert not os.path.exists(live + ".old")
+
+
+def test_dir_swap_lock_reacquires_after_unlink(tmp_path):
+    """r5 review: if the lockfile is unlinked between open() and
+    flock() (vacuum collecting a dangling lock), the acquirer must
+    detect the orphaned inode and retry on the fresh file — holding a
+    lock on an unlinked inode is no lock at all."""
+    from beehive_spark.sources.layout import dir_swap_lock
+
+    path = str(tmp_path / "idx")
+    lockfile = path + ".lock"
+    with dir_swap_lock(path):
+        # lock held: the path must resolve to the inode we locked
+        assert os.path.exists(lockfile)
+    # simulate the race: stale lockfile vanishes, then a new acquire
+    # must create a fresh file and still succeed
+    os.unlink(lockfile)
+    with dir_swap_lock(path):
+        assert os.path.exists(lockfile)
+
+
+def test_twophase_cc_keeps_self_loop_only_nodes(spark):
+    """r5 review: a node appearing only in self-loop edges must label
+    itself, matching connected_components."""
+    from beehive_spark.operators.graph import (
+        connected_components,
+        connected_components_twophase,
+    )
+
+    edges = [(5, 5), (7, 8)]
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    two = {
+        r["id"]: r["component"]
+        for r in connected_components_twophase(df).collect()
+    }
+    prop = {
+        r["id"]: r["component"] for r in connected_components(df).collect()
+    }
+    assert two == prop == {5: 5, 7: 7, 8: 7}
