@@ -27,6 +27,15 @@ lifecycle:
   codebook and append their list files; cost is proportional to the
   increment, never the corpus.  (The standard IVF contract: the
   codebook drifts only on explicit rebuild.)
+- :func:`delete_from_ivf_index` / :func:`compact_ivf_index` — the
+  delete leg (r5): deletions land as TOMBSTONE files (cost
+  O(|delete|), no corpus pass — the same economics as append), probes
+  anti-join the tombstone set, and compaction folds tombstones into a
+  rewritten assignments table under the frozen codebook via the same
+  staged atomic swap as a rebuild.  Contract: ids are append-once —
+  re-inserting a previously deleted id stays masked by its tombstone
+  until :func:`compact_ivf_index` clears the slate (documented, like
+  FAISS's remove_ids + rebuild guidance).
 - :func:`build_pq_index` / :func:`probe_pq_index` — same lifecycle for
   the product-quantization compressed index: per-subspace codebooks +
   an m-byte code per vector (the 32x memory lever), probed via ADC
@@ -415,6 +424,13 @@ def probe_ivf_index(
         F.explode(F.slice(F.reverse(F.array_sort(sims)), 1, nprobe)).alias("p"),
     ).select("query_id", "qe", F.col("p")["cid"].cast("int").alias("centroid_id"))
     lists = spark.read.parquet(os.path.join(index_dir, "assignments.parquet"))
+    tombs = _tombstones(spark, index_dir)
+    if tombs is not None:
+        # deleted vectors never surface: tombstones are small until
+        # compaction, so the anti-join broadcasts
+        lists = lists.join(
+            F.broadcast(tombs.select("vec_id").distinct()), "vec_id", "left_anti"
+        )
     cands = (
         lists.join(F.broadcast(probes), "centroid_id")
         .dropDuplicates(["query_id", "vec_id"])
@@ -467,6 +483,78 @@ def append_ivf_index(
     )
     meta["n_vectors"] += new_emb.count()
     write_meta(index_dir, meta)
+    return meta
+
+
+TOMBSTONES = "tombstones.parquet"
+
+
+def delete_from_ivf_index(
+    spark: SparkSession, index_dir: str, ids: DataFrame, id_col: str = "vec_id"
+) -> dict:
+    """Mark vectors deleted in a persisted IVF index WITHOUT touching
+    the inverted lists: the id set appends to ``tombstones.parquet``
+    and probes anti-join it.  Cost is O(|delete|) — the same
+    increment-not-corpus economics as :func:`append_ivf_index` — and
+    concurrent probes see either the old or the new tombstone file
+    set, both consistent answer sets.
+
+    ``n_deleted`` in the meta counts tombstone ROWS (ids never present
+    in the index still cost a tombstone row until compaction; the
+    exact live count is recomputed by :func:`compact_ivf_index`).
+    Contract: ids are append-once — a re-appended id stays masked by
+    its tombstone until compaction clears it."""
+    meta = read_meta(index_dir)
+    tids = ids.select(F.col(id_col).cast("long").alias("vec_id")).distinct()
+    tids.write.mode("append").parquet(os.path.join(index_dir, TOMBSTONES))
+    meta["n_deleted"] = int(meta.get("n_deleted", 0)) + tids.count()
+    write_meta(index_dir, meta)
+    return meta
+
+
+def _tombstones(spark: SparkSession, index_dir: str) -> DataFrame | None:
+    p = os.path.join(index_dir, TOMBSTONES)
+    if not os.path.exists(p):
+        return None
+    return spark.read.parquet(p)
+
+
+def compact_ivf_index(spark: SparkSession, index_dir: str) -> dict:
+    """Fold tombstones into the index: rewrite the assignments table
+    minus the deleted ids under the FROZEN codebook, recompute the
+    exact live-vector count, and publish via the same staged atomic
+    swap as a rebuild (crash-safe; readers never see a partial index;
+    the shared ``promote_staging`` protocol applies).  Run when the
+    tombstone fraction makes the probe-side anti-join or the dead-row
+    scan fraction worth reclaiming — the OPTIMIZE step of the delete
+    leg, exactly like ``compact_parquet`` for small files."""
+    meta = read_meta(index_dir)
+    tombs = _tombstones(spark, index_dir)
+    staging = index_dir.rstrip("/") + ".staging"
+    shutil.rmtree(staging, ignore_errors=True)
+    os.makedirs(staging)
+    shutil.copytree(
+        os.path.join(index_dir, "codebook.parquet"),
+        os.path.join(staging, "codebook.parquet"),
+    )
+    lists = spark.read.parquet(os.path.join(index_dir, "assignments.parquet"))
+    if tombs is not None:
+        lists = lists.join(
+            F.broadcast(tombs.select("vec_id").distinct()), "vec_id", "left_anti"
+        )
+    lists.select("vec_id", "en", "centroid_id").write.partitionBy(
+        "centroid_id"
+    ).parquet(os.path.join(staging, "assignments.parquet"))
+    n_live = (
+        spark.read.parquet(os.path.join(staging, "assignments.parquet"))
+        .select("vec_id")
+        .distinct()
+        .count()
+    )
+    meta["n_vectors"] = n_live
+    meta["n_deleted"] = 0
+    write_meta(staging, meta)
+    _swap_in(staging, index_dir)
     return meta
 
 

@@ -87,6 +87,7 @@ _PRIORITY = [
     "brand_affinity",              # r5: persist shared (order,brand) frame
     "pagerank_copurchase",         # r5: small-partition rank frame, probe/2
     "embedding_mmr_rerank",        # r5 new: MMR diverse top-k rerank
+    "ann_index_delete",            # r5 new: tombstone delete leg (rows-only)
     "connected_components_twophase",  # r5 new: two-phase hash-to-min CC
     "orders_backlog_timeline",     # r5 new: open-order backlog time series
     "media_exif_harvest",          # r5 new: typed metadata harvest + stats

@@ -2551,3 +2551,37 @@ def embedding_mmr_rerank(spark, sf_dir):
         F.round("relevance", 6).alias("relevance"),
         F.round("mmr_score", 6).alias("mmr_score"),
     )
+
+
+# ---------------------------------------------------------------------------
+# ANN index delete leg — tombstoned probe == compacted probe
+# ---------------------------------------------------------------------------
+@query("ann_index_delete")  # approximate probe -> rows-only driver check
+def ann_index_delete(spark, sf_dir):
+    """DELETE leg of the persistent ANN index lifecycle (r5; completes
+    build/probe/append): rebuild a scratch index deterministically,
+    tombstone every corpus vector whose id is divisible by 7
+    (O(|delete|) — no corpus pass), and probe through the tombstones.
+    Returned rows are the probe's top-k with the deleted ids
+    provably absent; ``tests/test_ann_index.py`` additionally pins
+    that the tombstoned probe is row-identical to probing after
+    ``compact_ivf_index`` folds the tombstones into a rewritten
+    assignments table (same staged-swap publish as a rebuild).
+
+    Scale shape: the tombstone set broadcasts into a probe-side
+    anti-join until compaction reclaims the dead rows — FAISS's
+    remove_ids semantics re-expressed as lakehouse artifacts."""
+    from beehive_spark.operators.ann_index import (
+        build_ivf_index,
+        delete_from_ivf_index,
+        probe_ivf_index,
+    )
+
+    idx = _ann_index_dir(sf_dir, "ivf_del")
+    e = load(spark, sf_dir, "embeddings")
+    corpus = e.select("vec_id", "embedding").filter(F.col("vec_id") >= 10)
+    build_ivf_index(spark, corpus, idx)
+    victims = corpus.select("vec_id").filter(F.col("vec_id") % 7 == 0)
+    delete_from_ivf_index(spark, idx, victims)
+    q = e.select("vec_id", "embedding").filter(F.col("vec_id") < 10)
+    return probe_ivf_index(spark, idx, q, nprobe=6, k=5)

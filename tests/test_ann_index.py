@@ -432,3 +432,62 @@ def test_swap_and_recover_serialize_under_concurrency(tmp_path):
             t.join()
     assert not errors, errors
     assert json.load(open(os.path.join(path, META_NAME)))["version"] == 29
+
+
+# -- delete + compaction (r5: the delete leg of the lifecycle) ----------
+
+
+def test_delete_masks_ids_and_compaction_folds_them(spark, sf_dir, tmp_path):
+    from beehive_spark.operators.ann_index import (
+        compact_ivf_index,
+        delete_from_ivf_index,
+    )
+
+    idx = str(tmp_path / "ivf_del")
+    build_ivf_index(spark, _corpus(spark, sf_dir), idx, k=8, replicas=2)
+    q = _queries(spark, sf_dir)
+    before = probe_ivf_index(spark, idx, q, nprobe=4, k=5).collect()
+    victims = sorted({r["neighbor_id"] for r in before})[:3]
+    vdf = spark.createDataFrame([(int(v),) for v in victims], "vec_id long")
+
+    meta = delete_from_ivf_index(spark, idx, vdf)
+    assert meta["n_deleted"] == len(victims)
+    masked = probe_ivf_index(spark, idx, q, nprobe=4, k=5).collect()
+    assert not {r["neighbor_id"] for r in masked} & set(victims)
+    # still k results per query: candidates refill from the lists
+    per_q = {}
+    for r in masked:
+        per_q[r["query_id"]] = per_q.get(r["query_id"], 0) + 1
+    assert all(v == 5 for v in per_q.values())
+
+    n_before = read_meta(idx)["n_vectors"]
+    cmeta = compact_ivf_index(spark, idx)
+    # tombstoned ids are physically gone and the live count is exact
+    assert cmeta["n_deleted"] == 0
+    assert cmeta["n_vectors"] == n_before - len(victims)
+    lists = spark.read.parquet(os.path.join(idx, "assignments.parquet"))
+    assert lists.filter(F.col("vec_id").isin(victims)).count() == 0
+    # probe answers are IDENTICAL through tombstones vs after compaction
+    compacted = probe_ivf_index(spark, idx, q, nprobe=4, k=5).collect()
+    assert sorted(map(tuple, masked)) == sorted(map(tuple, compacted))
+    # compaction leaves no swap artifacts
+    assert not os.path.exists(idx + ".staging")
+    assert not os.path.exists(idx + ".old")
+
+
+def test_delete_of_absent_id_is_harmless_and_counted_until_compaction(
+    spark, sf_dir, tmp_path
+):
+    from beehive_spark.operators.ann_index import (
+        compact_ivf_index,
+        delete_from_ivf_index,
+    )
+
+    idx = str(tmp_path / "ivf_del2")
+    build_ivf_index(spark, _corpus(spark, sf_dir), idx, k=8, replicas=2)
+    n = read_meta(idx)["n_vectors"]
+    ghost = spark.createDataFrame([(999_999_999,)], "vec_id long")
+    meta = delete_from_ivf_index(spark, idx, ghost)
+    assert meta["n_deleted"] == 1  # tombstone rows, not live hits
+    cmeta = compact_ivf_index(spark, idx)
+    assert cmeta["n_vectors"] == n  # nothing was actually removed
