@@ -84,10 +84,11 @@ _loaded = False
 _PRIORITY = [
     # --- changed in round 5 (appended as they land)
     "session_attribution",         # r5: oracle HUGEINT fix (CAST AS BIGINT)
-    "brand_affinity",              # r5: persist shared (order,brand) frame
-    "pagerank_copurchase",         # r5: small-partition rank frame, probe/2
+    "brand_affinity",              # r5: one-job rewrite (no count action)
+    "pagerank_copurchase",         # r5: broadcast-rank loop + no_dangling
     "embedding_mmr_rerank",        # r5 new: MMR diverse top-k rerank
     "ann_index_delete",            # r5 new: tombstone delete leg (rows-only)
+    "bloom_prune_join",            # r5 new: bloom runtime-filter semi join
     "connected_components_twophase",  # r5 new: two-phase hash-to-min CC
     "orders_backlog_timeline",     # r5 new: open-order backlog time series
     "media_exif_harvest",          # r5 new: typed metadata harvest + stats

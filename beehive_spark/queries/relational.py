@@ -1811,3 +1811,47 @@ def dq_orders_audit(spark, sf_dir):
     for ch in checks[1:]:
         out = out.unionByName(ch)
     return out
+
+
+# ---------------------------------------------------------------------------
+# Bloom-filter runtime join pruning — exact result, reduced shuffle
+# ---------------------------------------------------------------------------
+@query(
+    "bloom_prune_join",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(COUNT(*) AS BIGINT) AS n_lines,
+           CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 100)
+                         AS BIGINT)) AS BIGINT) AS revenue_cents
+    FROM lineitem
+    WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_brand = 'Brand#13')
+    GROUP BY l_returnflag
+    """,
+)
+def bloom_prune_join(spark, sf_dir):
+    """Selective star join with an explicit Bloom runtime filter
+    (``operators/bloom.py``): parts of ONE brand (~4% of the catalog)
+    drive a fact-side membership pre-filter, so ~96% of lineitem rows
+    drop BEFORE the semi-join exchange — the dynamic-filtering
+    pattern that decides whether a 100 TB star join shuffles 100 TB
+    or 4 TB.  False positives (~1% at these sizes) only add rows the
+    exact semi join then discards, so the result — exact integer
+    revenue cents by return flag — is row-identical to the plain
+    semi join, which is precisely what the oracle checks.
+
+    Scale shape: one tiny dim aggregation (m/64 longs collected,
+    ~KBs), bitmap re-broadcast as an array literal inside whole-stage
+    codegen, then the exact semi join over the pre-filtered fact."""
+    from beehive_spark.operators.bloom import bloom_semi_join
+
+    li = load(spark, sf_dir, "lineitem")
+    part = load(spark, sf_dir, "part")
+    sel = part.filter(F.col("p_brand") == "Brand#13").select("p_partkey")
+    hits = bloom_semi_join(li, sel, "l_partkey", "p_partkey")
+    cents = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
+    ).cast("long")
+    return hits.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.sum(cents).alias("revenue_cents"),
+    )

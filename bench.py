@@ -125,6 +125,8 @@ EXTRA = [
     "media_exif_harvest",
     "connected_components_twophase",
     "embedding_mmr_rerank",
+    "ann_index_delete",
+    "bloom_prune_join",
 ]
 
 

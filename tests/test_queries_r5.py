@@ -239,3 +239,40 @@ def test_twophase_cc_keeps_self_loop_only_nodes(spark):
         r["id"]: r["component"] for r in connected_components(df).collect()
     }
     assert two == prop == {5: 5, 7: 7, 8: 7}
+
+
+def test_bloom_semi_join_exact_and_selective(spark):
+    """The bloom pre-filter must (a) keep the result EXACTLY equal to
+    the plain semi join and (b) actually prune: the pre-filtered fact
+    row count sits near |matches| + ~1% false positives, far below
+    the full fact."""
+    from pyspark.sql import functions as F
+
+    from beehive_spark.operators.bloom import (
+        bloom_semi_join,
+        build_bloom,
+        might_contain,
+    )
+
+    fact = spark.range(20_000).select(F.col("id").alias("k"))
+    dim = spark.range(300).select((F.col("id") * 50).alias("k"))  # 300 keys
+    got = sorted(r["k"] for r in bloom_semi_join(fact, dim, "k").collect())
+    want = sorted(
+        r["k"] for r in fact.join(dim, "k", "left_semi").collect()
+    )
+    assert got == want and len(got) == 300
+    # selectivity of the raw pre-filter
+    bitmap = build_bloom(dim, "k")
+    kept = fact.filter(might_contain(F.col("k"), bitmap, len(bitmap) * 64)).count()
+    assert kept < 300 + 0.05 * 20_000  # matches + well under 5% fp
+
+
+def test_bloom_handles_fp_and_missing_keys(spark):
+    from pyspark.sql import functions as F
+
+    from beehive_spark.operators.bloom import bloom_semi_join
+
+    fact = spark.createDataFrame([(i,) for i in range(50)], "k long")
+    dim = spark.createDataFrame([(1,), (7,), (999,)], "k long")  # 999 unmatched
+    got = sorted(r["k"] for r in bloom_semi_join(fact, dim, "k").collect())
+    assert got == [1, 7]
