@@ -438,11 +438,11 @@ def vacuum_artifacts(root: str, min_age_sec: float = 24 * 3600) -> list[str]:
     is plausibly in active use and costs nothing to keep, so only
     locks for MISSING artifacts are candidates — and each is unlinked
     while holding a non-blocking exclusive flock on it, so no process
-    inside its critical section can lose the lock.  Residual race: a
-    process that opened the lockfile but had not yet flock()ed when
-    the unlink landed would lock the stale inode; with the age guard
-    that requires holding an un-flocked fd open for ``min_age_sec``,
-    which no code path here does (open and flock are adjacent).
+    inside its critical section can lose the lock.  The complementary
+    half lives in :func:`dir_swap_lock`: an acquirer that flocks an
+    inode the vacuum just orphaned detects the path/inode mismatch and
+    retries on the fresh file, so exclusion holds under arbitrary
+    interleaving (hammer-pinned in ``tests/test_queries_r5.py``).
     """
     import shutil
     import time

@@ -297,7 +297,10 @@ def main() -> None:
         "# STRESS — scaling smoke (1x vs 10x rows, local[32])",
         "",
         f"Generated by `scripts/stress_smoke.py` on `{SF_DIR}`:",
-        f"lineitem {rows[1]:,} -> {rows[COPIES]:,} rows (shifted-key union);",
+        f"lineitem {rows[1]:,} -> {rows[COPIES]:,} rows (shifted-key union;",
+        "the on-disk 10x lineitem also rotates partkeys per replica so",
+        "the co-purchase edge set genuinely grows ~linearly instead of",
+        "collapsing to the 1x graph under pair-distinct);",
         "documents/events/embeddings/customer synthesized at 10x on disk",
         "(distinct replicas: letter-rotated texts, shifted ids, prefixed",
         "names, value-identical shifted-id vectors — see",

@@ -276,3 +276,68 @@ def test_bloom_handles_fp_and_missing_keys(spark):
     dim = spark.createDataFrame([(1,), (7,), (999,)], "k long")  # 999 unmatched
     got = sorted(r["k"] for r in bloom_semi_join(fact, dim, "k").collect())
     assert got == [1, 7]
+
+
+def test_dir_swap_lock_mutual_exclusion_survives_vacuum_hammer(tmp_path):
+    """r5 review follow-up: N workers repeatedly enter the critical
+    section while a vacuum thread keeps unlinking the (dangling)
+    lockfile; the inode re-check must keep the section exclusive —
+    without it two workers holding different inodes overlap."""
+    import multiprocessing as mp
+
+    from beehive_spark.sources.layout import dir_swap_lock
+
+    path = str(tmp_path / "idx")  # base artifact never exists
+    shared = str(tmp_path / "counter")
+
+    def worker(n_iters: int):
+        for _ in range(n_iters):
+            with dir_swap_lock(path):
+                # read-modify-write a counter file: lost updates reveal
+                # any mutual-exclusion break
+                try:
+                    with open(shared) as f:
+                        v = int(f.read())
+                except FileNotFoundError:
+                    v = 0
+                with open(shared, "w") as f:
+                    f.write(str(v + 1))
+
+    def vacuum(stop_file: str):
+        # mirrors vacuum_artifacts' collection protocol: unlink ONLY
+        # while holding a non-blocking exclusive flock on the inode —
+        # an unconditional unlink genuinely breaks exclusion (a worker
+        # past its re-check can lose the file under it), which is why
+        # the production vacuum never does that
+        import fcntl
+
+        while not os.path.exists(stop_file):
+            try:
+                fd = os.open(path + ".lock", os.O_RDWR)
+            except FileNotFoundError:
+                continue
+            try:
+                fcntl.flock(fd, fcntl.LOCK_EX | fcntl.LOCK_NB)
+            except OSError:
+                os.close(fd)
+                continue
+            try:
+                os.unlink(path + ".lock")
+            except FileNotFoundError:
+                pass
+            finally:
+                os.close(fd)
+
+    stop = str(tmp_path / "stop")
+    vac = mp.Process(target=vacuum, args=(stop,))
+    vac.start()
+    workers = [mp.Process(target=worker, args=(60,)) for _ in range(4)]
+    for w in workers:
+        w.start()
+    for w in workers:
+        w.join()
+    with open(stop, "w"):
+        pass
+    vac.join()
+    with open(shared) as f:
+        assert int(f.read()) == 4 * 60  # zero lost updates
