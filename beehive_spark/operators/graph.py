@@ -464,3 +464,134 @@ def pagerank(
                     break
     links.unpersist()
     return ranks.select("id", "rank")
+
+
+
+def triangle_counts(
+    edges: DataFrame, broadcast_adjacency: bool = True
+) -> DataFrame:
+    """Per-node triangle counts over an undirected simple graph given
+    as CANONICAL edges ``(u, v)`` with ``u < v``, one row per edge
+    (dupes allowed — deduped here).  Returns ``(id, triangles)`` for
+    every node in at least one triangle.
+
+    Skew guard (both strategies): every edge is ORIENTED from its
+    (degree, id)-smaller endpoint to the larger, which bounds every
+    node's out-degree by O(sqrt(2m)) on ANY degree distribution — the
+    power-law hub that would otherwise fan out deg^2 wedges instead
+    RECEIVES its edges (Suri & Vassilvitskii WWW'11).  Each triangle
+    {x < y < z in orientation order} is then found exactly once, at
+    edge (x, y) via z in N+(x) & N+(y), and attributed to all three
+    corners.  Integer arithmetic end to end, so results are
+    hash-exact.
+
+    ``broadcast_adjacency=True`` (default): the oriented adjacency map
+    (|V| rows, sqrt(2m)-bounded arrays) broadcasts to both sides of
+    the per-edge intersection, so NOTHING but the final count agg
+    shuffles and the wedge set is never materialized — per-edge work
+    is one array_intersect of two out-neighbor lists.  Right whenever
+    the adjacency fits an executor (tens of millions of edges).
+
+    ``broadcast_adjacency=False``: the classic MR pattern for graphs
+    whose adjacency exceeds broadcast — wedges enumerate from a
+    per-apex sorted adjacency array (bounded JVM fan-out, no self-join
+    for the wedge side) and close with one equi-join against the
+    oriented edge list; shuffle volume is O(#wedges) <= m^(3/2).
+
+    The packed order key ``d * 1_000_000 + id`` requires node ids in
+    ``[0, 1e6)``.  The contribution explode is a SINGLE pass — the
+    naive 3-way union of the triangle frame re-evaluates the closure
+    plan once per branch (measured 3x the whole query's cost).
+    """
+    e = (
+        edges.select(F.col("u").cast("long"), F.col("v").cast("long"))
+        .distinct()
+        .persist()
+    )
+    deg = (
+        e.select(F.col("u").alias("id"))
+        .unionAll(e.select(F.col("v").alias("id")))
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    ewd = e.join(
+        F.broadcast(deg.select(F.col("id").alias("u"), F.col("d").alias("du"))),
+        "u",
+    ).join(
+        F.broadcast(deg.select(F.col("id").alias("v"), F.col("d").alias("dv"))),
+        "v",
+    )
+    ord_u = F.col("du") * F.lit(1000000) + F.col("u")
+    ord_v = F.col("dv") * F.lit(1000000) + F.col("v")
+    fwd = ord_u <= ord_v
+    # oriented edge list feeds two plan branches (adjacency + probe);
+    # localCheckpoint materializes it once and truncates the
+    # pairs->distinct->orient lineage (renamed-projection reuse does
+    # not get ReusedExchange)
+    o = ewd.select(
+        F.when(fwd, F.col("u")).otherwise(F.col("v")).alias("src"),
+        F.when(fwd, F.col("v")).otherwise(F.col("u")).alias("dst"),
+        F.when(fwd, ord_v).otherwise(ord_u).alias("dst_ord"),
+    ).localCheckpoint(eager=True)
+    e.unpersist()
+
+    if broadcast_adjacency:
+        adj = o.groupBy("src").agg(F.collect_list("dst").alias("nbrs"))
+        probe = o.join(
+            F.broadcast(adj.select("src", F.col("nbrs").alias("nu"))), "src"
+        ).join(
+            F.broadcast(
+                adj.select(F.col("src").alias("dst"), F.col("nbrs").alias("nv"))
+            ),
+            "dst",
+        )
+        # inner joins drop edges whose dst has no out-neighbors — those
+        # edges close no wedge, so dropping them is the count semantics
+        per_edge = probe.select(
+            "src", "dst", F.array_intersect("nu", "nv").alias("ix")
+        ).filter(F.size("ix") > 0)
+        t = F.size("ix").cast("long")
+        contrib = F.concat(
+            F.array(
+                F.struct(F.col("src").alias("id"), t.alias("t")),
+                F.struct(F.col("dst").alias("id"), t.alias("t")),
+            ),
+            F.transform(
+                F.col("ix"),
+                lambda w: F.struct(
+                    w.alias("id"), F.lit(1).cast("long").alias("t")
+                ),
+            ),
+        )
+        exploded = per_edge.select(F.explode(contrib).alias("c")).select(
+            F.col("c.id").alias("id"), F.col("c.t").alias("t")
+        )
+    else:
+        adj = o.groupBy("src").agg(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("dst_ord"), F.col("dst")))
+            ).alias("nbrs")
+        )
+        wedge_arr = F.flatten(
+            F.transform(
+                F.col("nbrs"),
+                lambda a, i: F.transform(
+                    F.slice(F.col("nbrs"), i + 2, F.size(F.col("nbrs"))),
+                    lambda b: F.struct(a["dst"].alias("v"), b["dst"].alias("w")),
+                ),
+            )
+        )
+        wedges = (
+            adj.filter(F.size("nbrs") >= 2)
+            .select(F.col("src").alias("a"), F.explode(wedge_arr).alias("p"))
+            .select("a", F.col("p.v").alias("b"), F.col("p.w").alias("c"))
+        )
+        tri = wedges.join(
+            o.select(F.col("src").alias("b"), F.col("dst").alias("c")),
+            ["b", "c"],
+        )
+        exploded = tri.select(
+            F.explode(F.array("a", "b", "c")).alias("id")
+        ).withColumn("t", F.lit(1).cast("long"))
+
+    return exploded.groupBy("id").agg(F.sum("t").alias("triangles"))

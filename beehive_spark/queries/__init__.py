@@ -93,6 +93,7 @@ _PRIORITY = [
     "orders_backlog_timeline",     # r5 new: open-order backlog time series
     "media_exif_harvest",          # r5 new: typed metadata harvest + stats
     "supplier_churn_quarters",     # r5 new: QoQ supplier base churn
+    "graph_triangles",             # r5 new: degree-ordered triangle counts
     # --- newest evidence still r01: 8 oracle-bearing ...
     "events_pivot", "profile_events", "not_in_null_semantics",
     "cube_revenue", "window_rank_suite", "string_funcs_suite",

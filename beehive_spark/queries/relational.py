@@ -949,13 +949,13 @@ def pagerank_hierarchy(spark, sf_dir):
 # ---------------------------------------------------------------------------
 # PageRank — co-purchase product graph, where convergence early-exit fires
 # ---------------------------------------------------------------------------
-def copurchase_edges(li):
-    """Symmetric part co-purchase edge list from a lineitem frame:
-    baskets collapse per order (one shuffle), within-order pairs
-    enumerate as a JVM array expression (fan-out C(items-per-order, 2)
-    ~ 21 per order, never quadratic in parts).  Shared by the query
-    below and its early-exit pin in ``tests/test_queries_r4.py`` so
-    the test always exercises the graph the query actually builds."""
+def copurchase_pairs(li):
+    """Canonical (pa < pb) within-order part pairs from a lineitem
+    frame: baskets collapse per order (one shuffle), within-order
+    pairs enumerate as a JVM array expression (fan-out
+    C(items-per-order, 2) ~ 21 per order, never quadratic in parts).
+    One row per (order, pair) — callers dedupe or symmetrize as their
+    semantics need."""
     baskets = li.groupBy("l_orderkey").agg(
         F.sort_array(F.collect_set("l_partkey")).alias("parts")
     )
@@ -968,11 +968,20 @@ def copurchase_edges(li):
             ),
         )
     )
-    pairs = (
+    return (
         baskets.filter(F.size("parts") >= 2)
         .select(F.explode(pair_arr).alias("p"))
         .select(F.col("p.pa").alias("pa"), F.col("p.pb").alias("pb"))
     )
+
+
+def copurchase_edges(li):
+    """Symmetric part co-purchase edge list from a lineitem frame
+    (both directions of :func:`copurchase_pairs`).  Shared by the
+    pagerank query below and its early-exit pin in
+    ``tests/test_queries_r4.py`` so the test always exercises the
+    graph the query actually builds."""
+    pairs = copurchase_pairs(li)
     return pairs.select(F.col("pa").alias("src"), F.col("pb").alias("dst")).union(
         pairs.select(F.col("pb").alias("src"), F.col("pa").alias("dst"))
     )
@@ -1052,6 +1061,79 @@ def connected_components_twophase_chain(spark, sf_dir):
     )
     return connected_components_twophase(edges).select(
         "id", F.col("component").cast("long").alias("component")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Triangle counting — degree-ordered wedge closure over the co-purchase graph
+# ---------------------------------------------------------------------------
+@query(
+    "graph_triangles",
+    oracle="""
+    WITH pairs AS (
+      SELECT DISTINCT LEAST(a.l_partkey, b.l_partkey) AS u,
+                      GREATEST(a.l_partkey, b.l_partkey) AS v
+      FROM lineitem a JOIN lineitem b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    ),
+    deg AS (
+      SELECT id, COUNT(*) AS d FROM (
+        SELECT u AS id FROM pairs UNION ALL SELECT v AS id FROM pairs
+      ) GROUP BY id
+    ),
+    o AS (
+      SELECT CASE WHEN du.d * 1000000 + u <= dv.d * 1000000 + v
+                  THEN u ELSE v END AS src,
+             CASE WHEN du.d * 1000000 + u <= dv.d * 1000000 + v
+                  THEN v ELSE u END AS dst,
+             CASE WHEN du.d * 1000000 + u <= dv.d * 1000000 + v
+                  THEN dv.d * 1000000 + v
+                  ELSE du.d * 1000000 + u END AS dst_ord
+      FROM pairs JOIN deg du ON du.id = u JOIN deg dv ON dv.id = v
+    ),
+    tri AS (
+      SELECT e1.src AS a, e1.dst AS b, e2.dst AS c
+      FROM o e1
+      JOIN o e2 ON e1.src = e2.src AND e1.dst_ord < e2.dst_ord
+      JOIN o e3 ON e3.src = e1.dst AND e3.dst = e2.dst
+    )
+    SELECT part_id, CAST(COUNT(*) AS BIGINT) AS triangles
+    FROM (
+      SELECT a AS part_id FROM tri
+      UNION ALL SELECT b FROM tri
+      UNION ALL SELECT c FROM tri
+    )
+    GROUP BY part_id
+    ORDER BY triangles DESC, part_id
+    LIMIT 100
+    """,
+)
+def graph_triangles(spark, sf_dir):
+    """Per-node triangle counts over the part co-purchase graph — the
+    local-clustering / community-density primitive, via
+    :func:`operators.graph.triangle_counts` (degree-ordered
+    orientation bounds wedge fan-out by O(sqrt(2m)) per node on any
+    degree skew; each triangle found once at its orientation apex —
+    see the operator docstring for the full scale argument).  All
+    arithmetic is integer, so the oracle hash is exact; output is the
+    top-100 parts by (count, id) total order.
+
+    Reference parity: the reference has no graph analytics; this
+    extends its recursive creator-tree walk (creator-tree.js) the same
+    way pagerank/connected-components do, as net-new §2.8 capability.
+    Brute-force pinned on random graphs in ``tests/test_graph.py``.
+    """
+    from beehive_spark.operators.graph import triangle_counts
+
+    li = load(spark, sf_dir, "lineitem")
+    e = copurchase_pairs(li).select(
+        F.col("pa").alias("u"), F.col("pb").alias("v")
+    )
+    return (
+        triangle_counts(e)
+        .select(F.col("id").alias("part_id"), "triangles")
+        .orderBy(F.col("triangles").desc(), "part_id")
+        .limit(100)
     )
 
 

@@ -127,6 +127,7 @@ EXTRA = [
     "embedding_mmr_rerank",
     "ann_index_delete",
     "bloom_prune_join",
+    "graph_triangles",
 ]
 
 

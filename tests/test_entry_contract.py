@@ -41,6 +41,7 @@ def test_registry_consistency():
         # in-query ANN paths is pinned in tests/test_ann_index.py)
         "ann_index_build",
         "ann_index_probe",
+        "ann_index_delete",
     }
 
 

@@ -228,3 +228,61 @@ def test_twophase_cc_isolated_pairs_and_singleton_components(spark):
         for r in connected_components_twophase(df).collect()
     }
     assert got == {5: 5, 9: 5, 20: 20, 21: 20, 22: 20}
+
+
+def _brute_triangles(edges):
+    """Per-node triangle membership counts by neighbor-set intersection."""
+    adj = {}
+    for u, v in edges:
+        adj.setdefault(u, set()).add(v)
+        adj.setdefault(v, set()).add(u)
+    counts = {}
+    nodes = sorted(adj)
+    for i, u in enumerate(nodes):
+        for v in sorted(adj[u]):
+            if v <= u:
+                continue
+            for w in adj[u] & adj[v]:
+                if w > v:
+                    for x in (u, v, w):
+                        counts[x] = counts.get(x, 0) + 1
+    return counts
+
+
+def test_triangle_counts_matches_brute_force_random(spark):
+    from beehive_spark.operators.graph import triangle_counts
+
+    rng = random.Random(7)
+    edges = set()
+    while len(edges) < 200:
+        u, v = rng.randrange(40), rng.randrange(40)
+        if u != v:
+            edges.add((min(u, v), max(u, v)))
+    df = spark.createDataFrame(sorted(edges), ["u", "v"])
+    want = _brute_triangles(edges)
+    for bcast in (True, False):  # both strategies, same exact counts
+        got = {
+            r["id"]: r["triangles"]
+            for r in triangle_counts(df, broadcast_adjacency=bcast).collect()
+        }
+        assert got == want, f"broadcast_adjacency={bcast}"
+
+
+def test_triangle_counts_clique_and_duplicates(spark):
+    from beehive_spark.operators.graph import triangle_counts
+
+    # K5 with every edge duplicated: C(4,2) = 6 triangles per node
+    edges = [(u, v) for u in range(5) for v in range(u + 1, 5)] * 2
+    df = spark.createDataFrame(edges, ["u", "v"])
+    got = {r["id"]: r["triangles"] for r in triangle_counts(df).collect()}
+    assert got == {i: 6 for i in range(5)}
+
+
+def test_triangle_counts_triangle_free(spark):
+    from beehive_spark.operators.graph import triangle_counts
+
+    # even cycle C6 has no triangles
+    df = spark.createDataFrame(
+        [(i, i + 1) for i in range(5)] + [(0, 5)], ["u", "v"]
+    )
+    assert triangle_counts(df).count() == 0
