@@ -94,6 +94,7 @@ _PRIORITY = [
     "media_exif_harvest",          # r5 new: typed metadata harvest + stats
     "supplier_churn_quarters",     # r5 new: QoQ supplier base churn
     "graph_triangles",             # r5 new: degree-ordered triangle counts
+    "copurchase_recommendations",  # r5 new: item-item lift top-5
     # --- newest evidence still r01: 8 oracle-bearing ...
     "events_pivot", "profile_events", "not_in_null_semantics",
     "cube_revenue", "window_rank_suite", "string_funcs_suite",

@@ -128,6 +128,7 @@ EXTRA = [
     "ann_index_delete",
     "bloom_prune_join",
     "graph_triangles",
+    "copurchase_recommendations",
 ]
 
 

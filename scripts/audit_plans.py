@@ -151,6 +151,7 @@ EXTRA = [
     "supplier_churn_quarters",
     "media_exif_harvest",
     "graph_triangles",
+    "copurchase_recommendations",
     # (ann_index_delete excluded: builds/mutates its index eagerly;
     # bloom_prune_join excluded: the bitmap build collects eagerly —
     # its static plan is the pre-filtered semi join + agg)

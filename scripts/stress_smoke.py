@@ -293,6 +293,40 @@ def main() -> None:
                 record((name, copies), lambda s=salted, c=copies: zipf_join(c, s))
     spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
 
+    # --- triangle counting: DISJOINT replicas (both orderkey and
+    # partkey shifted), so 10x data = 10 independent copies of the 1x
+    # graph and ideal scaling is exactly 10x.  The shared scaled dir
+    # would instead densify one fixed part catalog 10x, growing the
+    # TRIANGLE COUNT superlinearly by construction — that measures
+    # graph density, not the engine.
+    def tri_case(copies: int):
+        from beehive_spark.operators.graph import triangle_counts
+        from beehive_spark.queries.relational import copurchase_pairs
+
+        li = spark.read.parquet(os.path.join(SF_DIR, "lineitem.parquet"))
+        if copies > 1:
+            reps = spark.range(copies).select(F.col("id").alias("__rep"))
+            li = (
+                li.crossJoin(F.broadcast(reps))
+                .withColumn(
+                    "l_orderkey", F.col("l_orderkey") + F.col("__rep") * 10_000_000
+                )
+                .withColumn(
+                    "l_partkey", F.col("l_partkey") + F.col("__rep") * 100_000
+                )
+                .drop("__rep")
+            )
+        pairs = copurchase_pairs(li).select(
+            F.col("pa").alias("u"), F.col("pb").alias("v")
+        )
+        # shifted partkeys exceed the operator's packed-key id bound of
+        # 1e6 only above 9 replicas x 1e5; 10 copies stays within it
+        triangle_counts(pairs).write.format("noop").mode("overwrite").save()
+
+    for copies in (1, COPIES):
+        for _sweep in range(2):
+            record(("graph_triangles", copies), lambda c=copies: tri_case(c))
+
     lines = [
         "# STRESS — scaling smoke (1x vs 10x rows, local[32])",
         "",
