@@ -465,28 +465,63 @@ def append_ivf_index(
     or the append fraction warrants.  Appends are new files inside
     existing list partitions — concurrent probes see either the old or
     the new file set, both complete answers over their respective
-    vector sets."""
-    meta = read_meta(index_dir)
+    vector sets.
+
+    Maintenance ops (append / delete / compact / recover) serialize
+    under ``dir_swap_lock``: the append + meta update is one critical
+    section, so a concurrent compaction can neither interleave its
+    swap between them nor silently drop this increment (its conflict
+    check sees the new files).  The vector count comes from the files
+    this call just WROTE — re-executing the caller's ``new_emb`` plan
+    for a count would run it twice and desynchronize the meta when the
+    plan is non-deterministic (r5 review)."""
     cents = _load_codebook(spark, index_dir)
     unit = _unit(new_emb)
     embc = unit.crossJoin(F.broadcast(codebook_df(spark, cents)))
     sims = codebook_sims()
-    lists = embc.select(
-        "vec_id",
-        "en",
-        F.explode(
-            F.slice(F.reverse(F.array_sort(sims)), 1, meta["replicas"])
-        ).alias("a"),
-    ).select(F.col("a")["cid"].cast("int").alias("centroid_id"), "vec_id", "en")
-    lists.write.mode("append").partitionBy("centroid_id").parquet(
-        os.path.join(index_dir, "assignments.parquet")
-    )
-    meta["n_vectors"] += new_emb.count()
-    write_meta(index_dir, meta)
+    adir = os.path.join(index_dir, "assignments.parquet")
+    with dir_swap_lock(index_dir):
+        meta = read_meta(index_dir)
+        lists = embc.select(
+            "vec_id",
+            "en",
+            F.explode(
+                F.slice(F.reverse(F.array_sort(sims)), 1, meta["replicas"])
+            ).alias("a"),
+        ).select(F.col("a")["cid"].cast("int").alias("centroid_id"), "vec_id", "en")
+        before = _data_files(adir)
+        lists.write.mode("append").partitionBy("centroid_id").parquet(adir)
+        new = [os.path.join(adir, f) for f in _data_files(adir) - before]
+        n_new = (
+            spark.read.parquet(*new).select("vec_id").distinct().count()
+            if new
+            else 0
+        )
+        meta["n_vectors"] += n_new
+        write_meta(index_dir, meta)
     return meta
 
 
 TOMBSTONES = "tombstones.parquet"
+
+
+def _data_files(root: str) -> set:
+    """Relative paths of data files under ``root`` (recursive),
+    excluding ``_SUCCESS``/dot markers.  Parquet jobs only ever ADD
+    uniquely-named part files inside a live artifact (removal happens
+    solely via the locked staged swap), so set difference on this
+    listing is both an exact new-rows detector (count what an append
+    just wrote without re-executing the caller's plan) and a sound
+    concurrent-maintenance conflict detector for compaction."""
+    out = set()
+    if not os.path.exists(root):
+        return out
+    for dirpath, _dirs, files in os.walk(root):
+        for f in files:
+            if f.startswith(("_", ".")):
+                continue
+            out.add(os.path.relpath(os.path.join(dirpath, f), root))
+    return out
 
 
 def delete_from_ivf_index(
@@ -503,12 +538,24 @@ def delete_from_ivf_index(
     in the index still cost a tombstone row until compaction; the
     exact live count is recomputed by :func:`compact_ivf_index`).
     Contract: ids are append-once — a re-appended id stays masked by
-    its tombstone until compaction clears it."""
-    meta = read_meta(index_dir)
+    its tombstone until compaction clears it.
+
+    The append + meta update runs under ``dir_swap_lock`` (maintenance
+    ops serialize; probes stay lock-free), and the row count comes
+    from the tombstone files this call just wrote — never from a
+    second execution of the caller's ``ids`` plan (r5 review: a
+    non-deterministic ids source desynchronized meta from the written
+    rows, and every delete paid a redundant job)."""
     tids = ids.select(F.col(id_col).cast("long").alias("vec_id")).distinct()
-    tids.write.mode("append").parquet(os.path.join(index_dir, TOMBSTONES))
-    meta["n_deleted"] = int(meta.get("n_deleted", 0)) + tids.count()
-    write_meta(index_dir, meta)
+    tdir = os.path.join(index_dir, TOMBSTONES)
+    with dir_swap_lock(index_dir):
+        meta = read_meta(index_dir)
+        before = _data_files(tdir)
+        tids.write.mode("append").parquet(tdir)
+        new = [os.path.join(tdir, f) for f in _data_files(tdir) - before]
+        n_new = spark.read.parquet(*new).count() if new else 0
+        meta["n_deleted"] = int(meta.get("n_deleted", 0)) + n_new
+        write_meta(index_dir, meta)
     return meta
 
 
@@ -519,7 +566,7 @@ def _tombstones(spark: SparkSession, index_dir: str) -> DataFrame | None:
     return spark.read.parquet(p)
 
 
-def compact_ivf_index(spark: SparkSession, index_dir: str) -> dict:
+def compact_ivf_index(spark: SparkSession, index_dir: str, attempts: int = 3) -> dict:
     """Fold tombstones into the index: rewrite the assignments table
     minus the deleted ids under the FROZEN codebook, recompute the
     exact live-vector count, and publish via the same staged atomic
@@ -527,35 +574,66 @@ def compact_ivf_index(spark: SparkSession, index_dir: str) -> dict:
     the shared ``promote_staging`` protocol applies).  Run when the
     tombstone fraction makes the probe-side anti-join or the dead-row
     scan fraction worth reclaiming — the OPTIMIZE step of the delete
-    leg, exactly like ``compact_parquet`` for small files."""
-    meta = read_meta(index_dir)
-    tombs = _tombstones(spark, index_dir)
+    leg, exactly like ``compact_parquet`` for small files.
+
+    Concurrency (r5 review): the long rewrite runs UNLOCKED, so a
+    delete/append can land in the live dir meanwhile — swapping the
+    stale rewrite in would silently discard those rows (a delete's
+    "successfully deleted" ids would resurrect).  The swap therefore
+    happens inside ``dir_swap_lock`` only after verifying the live
+    file set (assignments + tombstones, snapshotted before the
+    rewrite and read AS that exact snapshot) is unchanged; on conflict
+    the rewrite retries against the fresh state, ``attempts`` times,
+    then raises — quiesce maintenance traffic or retry later."""
     staging = index_dir.rstrip("/") + ".staging"
-    shutil.rmtree(staging, ignore_errors=True)
-    os.makedirs(staging)
-    shutil.copytree(
-        os.path.join(index_dir, "codebook.parquet"),
-        os.path.join(staging, "codebook.parquet"),
-    )
-    lists = spark.read.parquet(os.path.join(index_dir, "assignments.parquet"))
-    if tombs is not None:
-        lists = lists.join(
-            F.broadcast(tombs.select("vec_id").distinct()), "vec_id", "left_anti"
+    adir = os.path.join(index_dir, "assignments.parquet")
+    tdir = os.path.join(index_dir, TOMBSTONES)
+    for _ in range(attempts):
+        snap_a = _data_files(adir)
+        snap_t = _data_files(tdir)
+        shutil.rmtree(staging, ignore_errors=True)
+        os.makedirs(staging)
+        shutil.copytree(
+            os.path.join(index_dir, "codebook.parquet"),
+            os.path.join(staging, "codebook.parquet"),
         )
-    lists.select("vec_id", "en", "centroid_id").write.partitionBy(
-        "centroid_id"
-    ).parquet(os.path.join(staging, "assignments.parquet"))
-    n_live = (
-        spark.read.parquet(os.path.join(staging, "assignments.parquet"))
-        .select("vec_id")
-        .distinct()
-        .count()
+        # read the SNAPSHOTS, not the dirs: files appended mid-job must
+        # not leak into a rewrite that claims to be of the snapshot
+        lists = spark.read.option("basePath", adir).parquet(
+            *[os.path.join(adir, f) for f in sorted(snap_a)]
+        )
+        if snap_t:
+            tombs = spark.read.parquet(
+                *[os.path.join(tdir, f) for f in sorted(snap_t)]
+            )
+            lists = lists.join(
+                F.broadcast(tombs.select("vec_id").distinct()),
+                "vec_id",
+                "left_anti",
+            )
+        lists.select("vec_id", "en", "centroid_id").write.partitionBy(
+            "centroid_id"
+        ).parquet(os.path.join(staging, "assignments.parquet"))
+        n_live = (
+            spark.read.parquet(os.path.join(staging, "assignments.parquet"))
+            .select("vec_id")
+            .distinct()
+            .count()
+        )
+        with dir_swap_lock(index_dir):
+            if _data_files(adir) != snap_a or _data_files(tdir) != snap_t:
+                continue  # maintenance landed mid-rewrite; retry fresh
+            meta = read_meta(index_dir)
+            meta["n_vectors"] = n_live
+            meta["n_deleted"] = 0
+            write_meta(staging, meta)
+            promote_staging(staging, index_dir, marker=META_NAME, assume_locked=True)
+            return meta
+    raise RuntimeError(
+        f"compact_ivf_index: live index at {index_dir!r} changed during "
+        f"each of {attempts} rewrite attempts (concurrent append/delete "
+        "traffic); quiesce maintenance or retry later"
     )
-    meta["n_vectors"] = n_live
-    meta["n_deleted"] = 0
-    write_meta(staging, meta)
-    _swap_in(staging, index_dir)
-    return meta
 
 
 # ---------------------------------------------------------------------------

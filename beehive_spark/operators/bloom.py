@@ -40,6 +40,43 @@ def _positions(col: Column, m_bits: int, k: int) -> list[Column]:
     ]
 
 
+_INT_TYPES = {"tinyint", "smallint", "int", "bigint"}
+
+
+def _hash_cast_type(fact_type: str, dim_type: str) -> str | None:
+    """Common type both join keys are cast to BEFORE hashing.
+
+    xxhash64 is type-sensitive (hash(42 as int) != hash(42 as long)),
+    so hashing each side in its native type silently turns every probe
+    into a false negative when the key dtypes differ — wrong results,
+    not just a slow plan.  Equal-after-cast values always hash equal,
+    and a cast can only MERGE values (adding false positives the exact
+    join discards), never split them, so casting both sides to a
+    common type preserves the no-false-negative contract."""
+    def fam(t: str) -> str:
+        if t in _INT_TYPES:
+            return "int"
+        if t in ("float", "double") or t.startswith("decimal"):
+            return "num"
+        return t
+
+    ff, df_ = fam(fact_type), fam(dim_type)
+    if ff == "int" and df_ == "int":
+        return "long"
+    if ff in ("int", "num") and df_ in ("int", "num"):
+        # equal join values cast to the same double; beyond-2^53
+        # precision loss only merges values (false positives only)
+        return "double"
+    if fact_type == dim_type:
+        return None
+    raise ValueError(
+        f"bloom_semi_join: join key types {fact_type!r} vs {dim_type!r} "
+        "are in different type families; align them explicitly before "
+        "the join (implicit cross-family coercion would make the hash "
+        "pre-filter unsound)"
+    )
+
+
 def build_bloom(dim: DataFrame, key: str, m_bits: int = 1 << 20, k: int = 5) -> list:
     """Build the bitmap: one row per SET bit -> word/bit split ->
     per-word ``bit_or`` aggregate -> driver list of m_bits/64 longs
@@ -48,7 +85,7 @@ def build_bloom(dim: DataFrame, key: str, m_bits: int = 1 << 20, k: int = 5) -> 
     Sizing: for n keys, m_bits ~ 10n gives ~1% false positives at
     k=5 (standard Bloom arithmetic); the bitmap is m/8 bytes — 1.25 MB
     for 1M keys — well inside broadcast budgets."""
-    n_words = m_bits // 64
+    n_words = (m_bits + 63) // 64  # round UP: m_bits need not be word-aligned
     pos = F.explode(F.array(*_positions(F.col(key), m_bits, k))).alias("p")
     words = (
         dim.select(pos)
@@ -111,14 +148,25 @@ def bloom_semi_join(
     measured 40 s where the auto-sized filter runs the same query in
     ~2 s (r5)."""
     dk = dim_key or fact_key
-    keys = dim.select(F.col(dk).alias(dk)).distinct()
+    cast_t = _hash_cast_type(
+        dict(fact.dtypes)[fact_key], dict(dim.dtypes)[dk]
+    )
+    # persisted: the distinct key set feeds three consumers (the sizing
+    # count, the bitmap build, the exact semi join) — without the cache
+    # the dim aggregation runs three times (r5 review)
+    keys = dim.select(F.col(dk).alias(dk)).distinct().persist()
     if m_bits is None:
         n = keys.count()
         m_bits = 1024
         while m_bits < 12 * n:
             m_bits <<= 1
-    bitmap = build_bloom(keys, dk, m_bits=m_bits, k=k)
-    pruned = fact.filter(might_contain(F.col(fact_key), bitmap, m_bits, k))
+    hk = f"__{dk}_hashkey"
+    build_side = keys.select(
+        (F.col(dk).cast(cast_t) if cast_t else F.col(dk)).alias(hk)
+    )
+    bitmap = build_bloom(build_side, hk, m_bits=m_bits, k=k)
+    probe = F.col(fact_key).cast(cast_t) if cast_t else F.col(fact_key)
+    pruned = fact.filter(might_contain(probe, bitmap, m_bits, k))
     return pruned.join(
         keys.withColumnRenamed(dk, fact_key), fact_key, "left_semi"
     )

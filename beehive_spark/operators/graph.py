@@ -498,8 +498,14 @@ def triangle_counts(
     for the wedge side) and close with one equi-join against the
     oriented edge list; shuffle volume is O(#wedges) <= m^(3/2).
 
-    The packed order key ``d * 1_000_000 + id`` requires node ids in
-    ``[0, 1e6)``.  The contribution explode is a SINGLE pass — the
+    The (degree, id) pair packs into one BIGINT as ``d * scale + id``
+    with ``scale`` sized to the graph's actual max id (one tiny agg on
+    the cached edge frame — it doubles as the cache fill), so ANY id
+    range short of BIGINT packing overflow works; the overflow bound
+    is asserted, never silent (r5 review: a hardcoded 1e6 multiplier
+    stopped being a total order at id >= 1e6, and because orientation
+    is an internal choice, counts would have been wrong with no error
+    on BOTH engines).  The contribution explode is a SINGLE pass — the
     naive 3-way union of the triangle frame re-evaluates the closure
     plan once per branch (measured 3x the whole query's cost).
     """
@@ -507,6 +513,21 @@ def triangle_counts(
         edges.select(F.col("u").cast("long"), F.col("v").cast("long"))
         .distinct()
         .persist()
+    )
+    bounds = e.agg(
+        F.max(F.greatest("u", "v")).alias("mx"),
+        F.min(F.least("u", "v")).alias("mn"),
+    ).first()
+    mx = bounds["mx"]
+    if mx is None:
+        e.unpersist()
+        return e.sparkSession.createDataFrame([], "id long, triangles long")
+    assert bounds["mn"] >= 0, "triangle_counts: node ids must be non-negative"
+    scale = 10 ** len(str(int(mx)))  # next power of 10 > max id
+    # worst-case packed key: degree <= |V| <= mx + 1
+    assert (mx + 1) * scale + mx < 2**63, (
+        f"triangle_counts: packed (degree, id) order key overflows "
+        f"BIGINT at max id {mx}"
     )
     deg = (
         e.select(F.col("u").alias("id"))
@@ -521,8 +542,8 @@ def triangle_counts(
         F.broadcast(deg.select(F.col("id").alias("v"), F.col("d").alias("dv"))),
         "v",
     )
-    ord_u = F.col("du") * F.lit(1000000) + F.col("u")
-    ord_v = F.col("dv") * F.lit(1000000) + F.col("v")
+    ord_u = F.col("du") * F.lit(scale) + F.col("u")
+    ord_v = F.col("dv") * F.lit(scale) + F.col("v")
     fwd = ord_u <= ord_v
     # oriented edge list feeds two plan branches (adjacency + probe);
     # localCheckpoint materializes it once and truncates the

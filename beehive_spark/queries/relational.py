@@ -1116,7 +1116,11 @@ def graph_triangles(spark, sf_dir):
     degree skew; each triangle found once at its orientation apex —
     see the operator docstring for the full scale argument).  All
     arithmetic is integer, so the oracle hash is exact; output is the
-    top-100 parts by (count, id) total order.
+    top-100 parts by (count, id) total order.  Orientation is an
+    internal choice (any total order yields the same counts), so the
+    oracle's fixed d*1e6+id pack and the operator's auto-scaled pack
+    agree wherever both are total orders — which the operator asserts
+    and the oracle's sf0.01 id range (partkey < 1e6) satisfies.
 
     Reference parity: the reference has no graph analytics; this
     extends its recursive creator-tree walk (creator-tree.js) the same

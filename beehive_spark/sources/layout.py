@@ -80,7 +80,9 @@ def dir_swap_lock(path: str):
         os.close(fd)
 
 
-def promote_staging(staging: str, path: str, marker: str | None = None) -> bool:
+def promote_staging(
+    staging: str, path: str, marker: str | None = None, assume_locked: bool = False
+) -> bool:
     """THE locked rename-with-backup promotion: demote the live
     directory to ``.old``, promote ``staging``, drop the backup — one
     implementation for every staged swap in the engine
@@ -102,38 +104,51 @@ def promote_staging(staging: str, path: str, marker: str | None = None) -> bool:
     no-op; with no complete live dir it is a hard error (promoting an
     incomplete build would publish a partial table).  Returns True
     when this call performed the promotion, False for the
-    no-op cases."""
+    no-op cases.
+
+    ``assume_locked=True`` runs the promotion WITHOUT re-acquiring
+    ``dir_swap_lock`` — for callers that must hold the lock across a
+    larger critical section (e.g. ``ann_index.compact_ivf_index``'s
+    conflict check + promote; flock is per-fd, so re-acquiring from
+    the same process would self-deadlock).  The caller asserts it
+    already holds the lock for ``path``."""
+    if assume_locked:
+        return _promote_locked(staging, path, marker)
+    with dir_swap_lock(path):
+        return _promote_locked(staging, path, marker)
+
+
+def _promote_locked(staging: str, path: str, marker: str | None) -> bool:
     import shutil
 
     backup = path.rstrip("/") + ".old"
-    with dir_swap_lock(path):
-        if marker is not None:
-            live_complete = os.path.exists(os.path.join(path, marker))
-            if not os.path.exists(staging):
-                if live_complete:
-                    return False
-                # nothing to promote and nothing complete to keep:
-                # erroring here (r5 review) beats the old fall-through,
-                # which demoted the live dir to .old and THEN crashed
-                # on the missing staging rename — stranding the data
-                raise RuntimeError(
-                    f"staging {staging!r} is missing and the live dir "
-                    f"has no {marker!r} — nothing safe to publish"
-                )
-            elif not os.path.exists(os.path.join(staging, marker)):
-                if live_complete:
-                    return False
-                raise RuntimeError(
-                    f"refusing to promote incomplete staging {staging!r} "
-                    f"(no {marker!r}) over a live dir that is also "
-                    "incomplete — nothing safe to publish"
-                )
-        shutil.rmtree(backup, ignore_errors=True)
-        if os.path.exists(path):
-            os.replace(path, backup)
-        os.replace(staging, path)
-        shutil.rmtree(backup, ignore_errors=True)
-        return True
+    if marker is not None:
+        live_complete = os.path.exists(os.path.join(path, marker))
+        if not os.path.exists(staging):
+            if live_complete:
+                return False
+            # nothing to promote and nothing complete to keep:
+            # erroring here (r5 review) beats the old fall-through,
+            # which demoted the live dir to .old and THEN crashed
+            # on the missing staging rename — stranding the data
+            raise RuntimeError(
+                f"staging {staging!r} is missing and the live dir "
+                f"has no {marker!r} — nothing safe to publish"
+            )
+        elif not os.path.exists(os.path.join(staging, marker)):
+            if live_complete:
+                return False
+            raise RuntimeError(
+                f"refusing to promote incomplete staging {staging!r} "
+                f"(no {marker!r}) over a live dir that is also "
+                "incomplete — nothing safe to publish"
+            )
+    shutil.rmtree(backup, ignore_errors=True)
+    if os.path.exists(path):
+        os.replace(path, backup)
+    os.replace(staging, path)
+    shutil.rmtree(backup, ignore_errors=True)
+    return True
 
 
 def write_partitioned(

@@ -150,7 +150,11 @@ EXTRA = [
     "orders_backlog_timeline",
     "supplier_churn_quarters",
     "media_exif_harvest",
-    "graph_triangles",
+    # (graph_triangles excluded: triangle_counts materializes the
+    # oriented edge list via an eager localCheckpoint at plan-BUILD
+    # time, so a "static" audit would execute the heavy half of the
+    # query and then audit a checkpoint scan — same eager-execution
+    # class as ann_index_delete / bloom_prune_join below)
     "copurchase_recommendations",
     # (ann_index_delete excluded: builds/mutates its index eagerly;
     # bloom_prune_join excluded: the bitmap build collects eagerly —

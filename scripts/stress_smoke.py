@@ -105,6 +105,9 @@ REGISTRY_CASES = [
     ("pagerank_copurchase", "lineitem"),
     ("ann_index_build", "embeddings"),
     ("media_phash_dedup", "documents"),
+    # r5: 10x orders over the same rotated catalog — pair cardinality
+    # and shuffle volumes grow ~linearly with order history
+    ("copurchase_recommendations", "lineitem"),
 ]
 
 
@@ -305,6 +308,11 @@ def main() -> None:
 
         li = spark.read.parquet(os.path.join(SF_DIR, "lineitem.parquet"))
         if copies > 1:
+            # stride derived from the ACTUAL max partkey so replicas
+            # stay disjoint at any SF_DIR (a hardcoded 1e5 silently
+            # overlapped replicas beyond sf0.1 — r5 review); the
+            # operator sizes its packed order key to the id range
+            stride = li.agg(F.max("l_partkey")).collect()[0][0] + 1
             reps = spark.range(copies).select(F.col("id").alias("__rep"))
             li = (
                 li.crossJoin(F.broadcast(reps))
@@ -312,15 +320,13 @@ def main() -> None:
                     "l_orderkey", F.col("l_orderkey") + F.col("__rep") * 10_000_000
                 )
                 .withColumn(
-                    "l_partkey", F.col("l_partkey") + F.col("__rep") * 100_000
+                    "l_partkey", F.col("l_partkey") + F.col("__rep") * stride
                 )
                 .drop("__rep")
             )
         pairs = copurchase_pairs(li).select(
             F.col("pa").alias("u"), F.col("pb").alias("v")
         )
-        # shifted partkeys exceed the operator's packed-key id bound of
-        # 1e6 only above 9 replicas x 1e5; 10 copies stays within it
         triangle_counts(pairs).write.format("noop").mode("overwrite").save()
 
     for copies in (1, COPIES):

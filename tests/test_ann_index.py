@@ -491,3 +491,79 @@ def test_delete_of_absent_id_is_harmless_and_counted_until_compaction(
     assert meta["n_deleted"] == 1  # tombstone rows, not live hits
     cmeta = compact_ivf_index(spark, idx)
     assert cmeta["n_vectors"] == n  # nothing was actually removed
+
+
+def test_compact_retries_when_delete_lands_mid_rewrite(
+    spark, sf_dir, tmp_path, monkeypatch
+):
+    """Lost-update guard (r5 review): a delete that lands between
+    compaction's rewrite and its swap must NOT be discarded by the
+    swap — compaction detects the changed live file set inside the
+    lock and retries against the fresh state, so the late victim stays
+    deleted in the compacted index."""
+    from contextlib import contextmanager
+
+    from beehive_spark.operators import ann_index as ai
+
+    idx = str(tmp_path / "ivf_race")
+    build_ivf_index(spark, _corpus(spark, sf_dir), idx, k=8, replicas=2)
+    q = _queries(spark, sf_dir)
+    seen = sorted({r["neighbor_id"] for r in
+                   probe_ivf_index(spark, idx, q, nprobe=4, k=5).collect()})
+    early, late = int(seen[0]), int(seen[1])
+    ai.delete_from_ivf_index(
+        spark, idx, spark.createDataFrame([(early,)], "vec_id long")
+    )
+
+    real_lock = ai.dir_swap_lock
+    hits = {"injected": 0}
+
+    @contextmanager
+    def lock_with_late_delete(path):
+        with real_lock(path):
+            if hits["injected"] == 0:
+                hits["injected"] = 1
+                # a "concurrent" delete appends its tombstone after the
+                # rewrite but before the conflict check (raw append —
+                # the real delete op would block on this very lock)
+                spark.createDataFrame([(late,)], "vec_id long").write.mode(
+                    "append"
+                ).parquet(os.path.join(idx, ai.TOMBSTONES))
+            yield
+
+    monkeypatch.setattr(ai, "dir_swap_lock", lock_with_late_delete)
+    n_before = read_meta(idx)["n_vectors"]
+    cmeta = ai.compact_ivf_index(spark, idx)
+    assert hits["injected"] == 1  # the conflict path really ran
+    assert cmeta["n_deleted"] == 0
+    assert cmeta["n_vectors"] == n_before - 2  # BOTH victims gone
+    lists = spark.read.parquet(os.path.join(idx, "assignments.parquet"))
+    assert lists.filter(F.col("vec_id").isin([early, late])).count() == 0
+    assert not os.path.exists(idx + ".staging")
+
+
+def test_compact_raises_after_exhausting_conflict_retries(
+    spark, sf_dir, tmp_path, monkeypatch
+):
+    from contextlib import contextmanager
+
+    from beehive_spark.operators import ann_index as ai
+
+    idx = str(tmp_path / "ivf_race2")
+    build_ivf_index(spark, _corpus(spark, sf_dir), idx, k=4, replicas=1)
+    real_lock = ai.dir_swap_lock
+    counter = {"n": 0}
+
+    @contextmanager
+    def always_conflicting(path):
+        with real_lock(path):
+            counter["n"] += 1
+            spark.createDataFrame(
+                [(10_000_000 + counter["n"],)], "vec_id long"
+            ).write.mode("append").parquet(os.path.join(idx, ai.TOMBSTONES))
+            yield
+
+    monkeypatch.setattr(ai, "dir_swap_lock", always_conflicting)
+    with pytest.raises(RuntimeError, match="changed during"):
+        ai.compact_ivf_index(spark, idx, attempts=2)
+    assert counter["n"] == 2

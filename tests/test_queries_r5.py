@@ -341,3 +341,45 @@ def test_dir_swap_lock_mutual_exclusion_survives_vacuum_hammer(tmp_path):
     vac.join()
     with open(shared) as f:
         assert int(f.read()) == 4 * 60  # zero lost updates
+
+
+def test_bloom_mixed_integral_key_types_no_false_negatives(spark):
+    """xxhash64 is type-sensitive: INT vs BIGINT keys hashed uncast
+    turned every probe into a false negative (r5 review, verified) —
+    both sides must hash through a common cast."""
+    from pyspark.sql import functions as F
+
+    from beehive_spark.operators.bloom import bloom_semi_join
+
+    fact = spark.createDataFrame(
+        [(i,) for i in range(100)], "k int"  # INT fact keys
+    )
+    dim = spark.createDataFrame(
+        [(i * 7,) for i in range(15)], "k long"  # BIGINT dim keys
+    )
+    got = sorted(r["k"] for r in bloom_semi_join(fact, dim, "k").collect())
+    want = sorted(r["k"] for r in fact.join(dim, "k", "left_semi").collect())
+    assert got == want and len(got) == 15
+
+
+def test_bloom_cross_family_key_types_raise(spark):
+    import pytest as _pytest
+    from beehive_spark.operators.bloom import bloom_semi_join
+
+    fact = spark.createDataFrame([(1,)], "k int")
+    dim = spark.createDataFrame([("1",)], "k string")
+    with _pytest.raises(ValueError, match="type families"):
+        bloom_semi_join(fact, dim, "k")
+
+
+def test_bloom_unaligned_m_bits(spark):
+    """m_bits that is not a multiple of 64 must round the word array UP
+    (15-word array for 1000 bits crashed at build, r5 review)."""
+    from beehive_spark.operators.bloom import bloom_semi_join
+
+    fact = spark.createDataFrame([(i,) for i in range(50)], "k long")
+    dim = spark.createDataFrame([(1,), (7,), (49,)], "k long")
+    got = sorted(
+        r["k"] for r in bloom_semi_join(fact, dim, "k", m_bits=1000).collect()
+    )
+    assert got == [1, 7, 49]
