@@ -123,10 +123,13 @@ _PRIORITY = [
 # registration order): array_funcs_suite, grouping_sets_revenue,
 # text_tfidf_topterms, dq_violations, trend_slopes,
 # incremental_agg_orders, incremental_max_orders, text_perplexity,
-# heavy_hitters_shingles — rotate these in along with whatever round 6
-# changes.  Verify the actual window boundary by EXECUTING
-# list(all_queries())[:50], not by counting comments (the round-3
-# review caught exactly that arithmetic drift).
+# heavy_hitters_shingles — plus the four r5-window spills the late
+# graph_triangles/copurchase_recommendations registrations pushed past
+# slot 50 (dedup_containment, chunk_documents, mixture_reweight,
+# bpe_top_merges; all r02+-verified, unchanged source).  Rotate these
+# in along with whatever round 6 changes.  Verify the actual window
+# boundary by EXECUTING list(all_queries())[:50], not by counting
+# comments (the round-3 review caught exactly that arithmetic drift).
 # The round-4 window (kept for the fill chain: anything here not already
 # in the round-5 window queues behind it, before _PRIORITY_R3/_R2 and
 # the overflow; all of these are r04-driver-green except
