@@ -511,7 +511,8 @@ def triangle_counts(
     """
     e = (
         edges.select(F.col("u").cast("long"), F.col("v").cast("long"))
-        .distinct()
+        .filter(F.col("u") != F.col("v"))  # a self-loop would intersect
+        .distinct()                        # a node's own out-list
         .persist()
     )
     bounds = e.agg(

@@ -286,3 +286,14 @@ def test_triangle_counts_triangle_free(spark):
         [(i, i + 1) for i in range(5)] + [(0, 5)], ["u", "v"]
     )
     assert triangle_counts(df).count() == 0
+
+
+def test_triangle_counts_ignores_self_loops(spark):
+    from beehive_spark.operators.graph import triangle_counts
+
+    # triangle + a self-loop on each corner: still exactly 1 per node
+    df = spark.createDataFrame(
+        [(0, 1), (0, 2), (1, 2), (0, 0), (1, 1), (2, 2)], ["u", "v"]
+    )
+    got = {r["id"]: r["triangles"] for r in triangle_counts(df).collect()}
+    assert got == {0: 1, 1: 1, 2: 1}
