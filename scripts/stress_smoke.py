@@ -354,7 +354,7 @@ def main() -> None:
     for name in (
         list(LINEITEM_CASES)
         + [n for n, _ in REGISTRY_CASES]
-        + ["skew_join_plain", "skew_join_salted"]
+        + ["skew_join_plain", "skew_join_salted", "graph_triangles"]
     ):
         t1, t10 = results[(name, 1)], results[(name, COPIES)]
         ratio = round(t10 / t1, 1) if t1 > 0 else float("inf")
@@ -373,6 +373,12 @@ def main() -> None:
         "wall-clock gap and the better scale factor are the salting win;",
         "at cluster scale the plain variant is the one that fails outright",
         "(one task must hold 80% of the shuffle).",
+        "",
+        "graph_triangles scales on DISJOINT replicas (both orderkey and",
+        "partkey shifted): the shared 10x lineitem rotates partkeys within",
+        "one fixed catalog, which densifies the graph and grows the",
+        "TRIANGLE COUNT superlinearly by construction — disjoint copies",
+        "make ideal engine scaling exactly 10x.",
     ]
     out = os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "STRESS.md"
