@@ -617,3 +617,63 @@ def triangle_counts(
         ).withColumn("t", F.lit(1).cast("long"))
 
     return exploded.groupBy("id").agg(F.sum("t").alias("triangles"))
+
+
+def kcore(edges: DataFrame, k: int, max_iter: int = 100) -> DataFrame:
+    """Members of the k-core — the maximal subgraph where every node
+    keeps degree >= k — by distributed peeling (Seidman 1983; the
+    batch step of Montresor et al.'s distributed coreness): each round
+    drops every node whose CURRENT degree is below ``k`` and the edges
+    touching it, until nothing changes.  Returns ``(id, core_degree)``
+    with the node's degree INSIDE the k-core.  The density screen for
+    community/boilerplate analysis — triangle counts say how clustered
+    a neighborhood is, the k-core says which nodes survive peeling.
+
+    Scale shape: per round, one map-side-combinable degree aggregation
+    over the live edge frame and one semi-join filtering edges to
+    surviving endpoints — node-keyed bounded shuffles, no driver-side
+    graph state; the live frame only ever SHRINKS.  Rounds are
+    topology-bound (a long chain peels one layer per round), which is
+    the known cost of exact peeling; the round frame localCheckpoints
+    eagerly so lineage stays flat.  Convergence = edge count
+    unchanged (peeling is monotone, so equal counts mean a fixed
+    point).  Runs under the shared small-loop confs when the graph is
+    small enough to drown in per-stage overhead.
+    """
+    sess = edges.sparkSession
+    live = (
+        edges.select(F.col("u").cast("long"), F.col("v").cast("long"))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    n_edges = live.count()
+    loop_parts = n_edges // 250_000 if n_edges <= 50_000_000 else None
+    with _iter_loop_confs(sess, loop_parts):
+        prev = n_edges
+        for _ in range(max_iter):
+            if prev == 0:
+                break
+            deg = (
+                live.select(F.col("u").alias("id"))
+                .unionAll(live.select(F.col("v").alias("id")))
+                .groupBy("id")
+                .agg(F.count(F.lit(1)).alias("d"))
+            )
+            keep = deg.filter(F.col("d") >= k).select("id")
+            live = (
+                live.join(keep.withColumnRenamed("id", "u"), "u", "left_semi")
+                .join(keep.withColumnRenamed("id", "v"), "v", "left_semi")
+                .select("u", "v")
+                .localCheckpoint(eager=True)
+            )
+            cur = live.count()
+            if cur == prev:
+                break
+            prev = cur
+    return (
+        live.select(F.col("u").alias("id"))
+        .unionAll(live.select(F.col("v").alias("id")))
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).cast("long").alias("core_degree"))
+    )

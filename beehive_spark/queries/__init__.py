@@ -95,6 +95,8 @@ _PRIORITY = [
     "supplier_churn_quarters",     # r5 new: QoQ supplier base churn
     "graph_triangles",             # r5 new: degree-ordered triangle counts
     "copurchase_recommendations",  # r5 new: item-item lift top-5
+    "user_feature_matrix",         # r5 new: per-user ML feature extraction
+    "graph_kcore",                 # r5 new: k-core peel (rows-only)
     # --- newest evidence still r01: 8 oracle-bearing ...
     "events_pivot", "profile_events", "not_in_null_semantics",
     "cube_revenue", "window_rank_suite", "string_funcs_suite",
@@ -123,13 +125,15 @@ _PRIORITY = [
 # registration order): array_funcs_suite, grouping_sets_revenue,
 # text_tfidf_topterms, dq_violations, trend_slopes,
 # incremental_agg_orders, incremental_max_orders, text_perplexity,
-# heavy_hitters_shingles — plus the four r5-window spills the late
-# graph_triangles/copurchase_recommendations registrations pushed past
-# slot 50 (dedup_containment, chunk_documents, mixture_reweight,
-# bpe_top_merges; all r02+-verified, unchanged source).  Rotate these
-# in along with whatever round 6 changes.  Verify the actual window
-# boundary by EXECUTING list(all_queries())[:50], not by counting
-# comments (the round-3 review caught exactly that arithmetic drift).
+# heavy_hitters_shingles — plus the r5-window spills the late round-5
+# registrations (graph_triangles, copurchase_recommendations,
+# user_feature_matrix, graph_kcore) pushed past slot 50:
+# quality_filter, dedup_incremental, dedup_containment,
+# chunk_documents, mixture_reweight, bpe_top_merges (all
+# r02+-verified, unchanged source).  Rotate these in along with
+# whatever round 6 changes.  Verify the actual window boundary by
+# EXECUTING list(all_queries())[:50], not by counting comments (the
+# round-3 review caught exactly that arithmetic drift).
 # The round-4 window (kept for the fill chain: anything here not already
 # in the round-5 window queues behind it, before _PRIORITY_R3/_R2 and
 # the overflow; all of these are r04-driver-green except

@@ -2333,3 +2333,91 @@ def supplier_churn_quarters(spark, sf_dir):
             F.coalesce("n_churned", F.lit(0)).cast("long").alias("n_churned"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Per-user feature matrix — the feature-extraction leg of a training pipeline
+# ---------------------------------------------------------------------------
+@query(
+    "user_feature_matrix",
+    oracle="""
+    WITH base AS (
+      SELECT user_id,
+             COUNT(*) AS n_events,
+             CAST(COUNT(DISTINCT CAST(ts AS DATE)) AS BIGINT) AS active_days,
+             CAST(SUM(CASE WHEN event_type = 'purchase'
+                           THEN 1 ELSE 0 END) AS BIGINT) AS n_purchases,
+             CAST(SUM(CASE WHEN event_type = 'purchase'
+                           THEN CAST(ROUND(value * 100) AS BIGINT)
+                           ELSE 0 END) AS BIGINT) AS revenue_cents,
+             MIN(ts) AS first_seen,
+             MAX(ts) AS last_seen
+      FROM events GROUP BY user_id
+    ),
+    tc AS (
+      SELECT user_id, event_type, COUNT(*) AS c
+      FROM events GROUP BY 1, 2
+    ),
+    m AS (
+      SELECT user_id, event_type AS top_type,
+             ROW_NUMBER() OVER (
+               PARTITION BY user_id ORDER BY c DESC, event_type) AS rk
+      FROM tc
+    )
+    SELECT b.user_id, b.n_events, b.active_days, b.n_purchases,
+           b.revenue_cents, b.first_seen, b.last_seen,
+           (b.n_events * 1000) // b.active_days AS events_per_day_milli,
+           m.top_type
+    FROM base b JOIN m ON m.user_id = b.user_id AND m.rk = 1
+    """,
+)
+def user_feature_matrix(spark, sf_dir):
+    """Per-user feature extraction over the event log — the feature
+    matrix a training pipeline materializes before model fitting
+    (activity volume, tenure bounds, monetization, dominant behavior):
+    n_events, active days, purchase count, exact-integer revenue
+    cents, first/last seen, events-per-active-day (integer
+    milli-units via BIGINT floor division — no float drift), and the
+    modal event type (ties broken lexicographically).
+
+    Scale shape: ONE aggregation pass over the fact for the numeric
+    features plus one (user, type) count for the mode — both map-side
+    combinable, both keyed on user, so at cluster scale the final join
+    reuses the same hash partitioning; nothing driver-side, no global
+    window (the mode's row_number partitions by user).  The bare
+    SUM(BIGINT)s are wrapped in CAST inside the oracle's final
+    projection — the DuckDB HUGEINT widening the r4->r5
+    `session_attribution` forensics isolated (the driver's pandas
+    canonicalizer floats int128 columns).
+    """
+    e = load(spark, sf_dir, "events")
+    is_purchase = F.col("event_type") == "purchase"
+    cents = F.round(F.col("value") * 100).cast("long")
+    base = e.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.countDistinct(F.to_date("ts")).alias("active_days"),
+        F.sum(F.when(is_purchase, 1).otherwise(0)).cast("long").alias("n_purchases"),
+        F.sum(F.when(is_purchase, cents).otherwise(0)).cast("long").alias(
+            "revenue_cents"
+        ),
+        F.min("ts").alias("first_seen"),
+        F.max("ts").alias("last_seen"),
+    )
+    tc = e.groupBy("user_id", "event_type").agg(F.count(F.lit(1)).alias("c"))
+    w = Window.partitionBy("user_id").orderBy(F.col("c").desc(), "event_type")
+    mode = (
+        tc.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select("user_id", F.col("event_type").alias("top_type"))
+    )
+    return base.join(mode, "user_id").select(
+        "user_id",
+        "n_events",
+        "active_days",
+        "n_purchases",
+        "revenue_cents",
+        "first_seen",
+        "last_seen",
+        F.expr("(n_events * 1000) DIV active_days").alias("events_per_day_milli"),
+        "top_type",
+    )

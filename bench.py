@@ -129,6 +129,8 @@ EXTRA = [
     "bloom_prune_join",
     "graph_triangles",
     "copurchase_recommendations",
+    "user_feature_matrix",
+    "graph_kcore",
 ]
 
 

@@ -156,9 +156,12 @@ EXTRA = [
     # query and then audit a checkpoint scan — same eager-execution
     # class as ann_index_delete / bloom_prune_join below)
     "copurchase_recommendations",
+    "user_feature_matrix",
     # (ann_index_delete excluded: builds/mutates its index eagerly;
     # bloom_prune_join excluded: the bitmap build collects eagerly —
-    # its static plan is the pre-filtered semi join + agg)
+    # its static plan is the pre-filtered semi join + agg;
+    # graph_kcore excluded: the peel loop runs eagerly — same class
+    # as connected_components_twophase)
 ]
 
 

@@ -42,6 +42,9 @@ def test_registry_consistency():
         "ann_index_build",
         "ann_index_probe",
         "ann_index_delete",
+        # iterative peeling (topology-bound rounds): brute-force pinned
+        # in tests/test_graph.py, exact counts spot-pinned at both SFs
+        "graph_kcore",
     }
 
 

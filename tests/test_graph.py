@@ -297,3 +297,48 @@ def test_triangle_counts_ignores_self_loops(spark):
     )
     got = {r["id"]: r["triangles"] for r in triangle_counts(df).collect()}
     assert got == {0: 1, 1: 1, 2: 1}
+
+
+def _brute_kcore(edges, k):
+    adj = {}
+    for u, v in edges:
+        if u == v:
+            continue
+        adj.setdefault(u, set()).add(v)
+        adj.setdefault(v, set()).add(u)
+    changed = True
+    while changed:
+        changed = False
+        for n in list(adj):
+            if len(adj[n]) < k:
+                for m in adj.pop(n):
+                    adj[m].discard(n)
+                changed = True
+    return {n: len(ns) for n, ns in adj.items()}
+
+
+def test_kcore_matches_brute_force_random(spark):
+    from beehive_spark.operators.graph import kcore
+
+    rng = random.Random(3)
+    edges = set()
+    while len(edges) < 150:
+        u, v = rng.randrange(30), rng.randrange(30)
+        if u != v:
+            edges.add((min(u, v), max(u, v)))
+    df = spark.createDataFrame(sorted(edges), ["u", "v"])
+    for k in (3, 6, 9):
+        got = {r["id"]: r["core_degree"] for r in kcore(df, k=k).collect()}
+        assert got == _brute_kcore(edges, k), f"k={k}"
+
+
+def test_kcore_peels_chain_to_nothing_keeps_clique(spark):
+    from beehive_spark.operators.graph import kcore
+
+    # a 10-chain (all degree <= 2) plus a K5 (degree 4): the 3-core is
+    # exactly the clique, found only after the chain peels layer by layer
+    chain = [(100 + i, 101 + i) for i in range(10)]
+    k5 = [(u, v) for u in range(5) for v in range(u + 1, 5)]
+    df = spark.createDataFrame(chain + k5, ["u", "v"])
+    got = {r["id"]: r["core_degree"] for r in kcore(df, k=3).collect()}
+    assert got == {i: 4 for i in range(5)}
