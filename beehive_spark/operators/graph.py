@@ -467,12 +467,36 @@ def pagerank(
 
 
 
+def _canonical_edges(edges: DataFrame) -> DataFrame:
+    """Undirected ``(u, v)`` long edges canonicalized to u < v
+    (either input orientation accepted — including both at once),
+    self-loop-free, deduped.  The shared ingest for every undirected
+    whole-graph operator here (r5 review: kcore consumed raw
+    orientation and a symmetric edge list silently doubled degrees)."""
+    u, v = F.col("u").cast("long"), F.col("v").cast("long")
+    return (
+        edges.select(F.least(u, v).alias("u"), F.greatest(u, v).alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+
+
+def _degrees(e: DataFrame) -> DataFrame:
+    """(id, d) node degrees of a canonical deduped edge frame."""
+    return (
+        e.select(F.col("u").alias("id"))
+        .unionAll(e.select(F.col("v").alias("id")))
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+
+
 def triangle_counts(
     edges: DataFrame, broadcast_adjacency: bool = True
 ) -> DataFrame:
     """Per-node triangle counts over an undirected simple graph given
-    as CANONICAL edges ``(u, v)`` with ``u < v``, one row per edge
-    (dupes allowed — deduped here).  Returns ``(id, triangles)`` for
+    as ``(u, v)`` edges in any orientation (canonicalized + deduped
+    here; self-loops dropped).  Returns ``(id, triangles)`` for
     every node in at least one triangle.
 
     Skew guard (both strategies): every edge is ORIENTED from its
@@ -509,12 +533,7 @@ def triangle_counts(
     naive 3-way union of the triangle frame re-evaluates the closure
     plan once per branch (measured 3x the whole query's cost).
     """
-    e = (
-        edges.select(F.col("u").cast("long"), F.col("v").cast("long"))
-        .filter(F.col("u") != F.col("v"))  # a self-loop would intersect
-        .distinct()                        # a node's own out-list
-        .persist()
-    )
+    e = _canonical_edges(edges).persist()
     bounds = e.agg(
         F.max(F.greatest("u", "v")).alias("mx"),
         F.min(F.least("u", "v")).alias("mn"),
@@ -530,12 +549,7 @@ def triangle_counts(
         f"triangle_counts: packed (degree, id) order key overflows "
         f"BIGINT at max id {mx}"
     )
-    deg = (
-        e.select(F.col("u").alias("id"))
-        .unionAll(e.select(F.col("v").alias("id")))
-        .groupBy("id")
-        .agg(F.count(F.lit(1)).alias("d"))
-    )
+    deg = _degrees(e)
     ewd = e.join(
         F.broadcast(deg.select(F.col("id").alias("u"), F.col("d").alias("du"))),
         "u",
@@ -637,29 +651,26 @@ def kcore(edges: DataFrame, k: int, max_iter: int = 100) -> DataFrame:
     the known cost of exact peeling; the round frame localCheckpoints
     eagerly so lineage stays flat.  Convergence = edge count
     unchanged (peeling is monotone, so equal counts mean a fixed
-    point).  Runs under the shared small-loop confs when the graph is
-    small enough to drown in per-stage overhead.
+    point); hitting ``max_iter`` without converging RAISES — k-core is
+    an exact answer, so a truncated peel would silently report
+    sub-k-degree nodes as core members (r5 review).  Runs under the
+    shared small-loop confs when the graph is small enough to drown in
+    per-stage overhead.  Edges are accepted in any orientation
+    (canonicalized + deduped by the shared ingest — a symmetric input
+    would otherwise double every degree).
     """
     sess = edges.sparkSession
-    live = (
-        edges.select(F.col("u").cast("long"), F.col("v").cast("long"))
-        .filter(F.col("u") != F.col("v"))
-        .distinct()
-        .localCheckpoint(eager=True)
-    )
+    live = _canonical_edges(edges).localCheckpoint(eager=True)
     n_edges = live.count()
     loop_parts = n_edges // 250_000 if n_edges <= 50_000_000 else None
+    deg = None
+    converged = n_edges == 0
     with _iter_loop_confs(sess, loop_parts):
         prev = n_edges
         for _ in range(max_iter):
-            if prev == 0:
+            if converged:
                 break
-            deg = (
-                live.select(F.col("u").alias("id"))
-                .unionAll(live.select(F.col("v").alias("id")))
-                .groupBy("id")
-                .agg(F.count(F.lit(1)).alias("d"))
-            )
+            deg = _degrees(live)
             keep = deg.filter(F.col("d") >= k).select("id")
             live = (
                 live.join(keep.withColumnRenamed("id", "u"), "u", "left_semi")
@@ -668,12 +679,22 @@ def kcore(edges: DataFrame, k: int, max_iter: int = 100) -> DataFrame:
                 .localCheckpoint(eager=True)
             )
             cur = live.count()
-            if cur == prev:
-                break
+            # fixed point: nothing peeled this round (every remaining
+            # node already has d >= k — the deg just computed IS the
+            # answer), or the graph peeled to nothing
+            converged = cur == prev or cur == 0
             prev = cur
-    return (
-        live.select(F.col("u").alias("id"))
-        .unionAll(live.select(F.col("v").alias("id")))
-        .groupBy("id")
-        .agg(F.count(F.lit(1)).cast("long").alias("core_degree"))
+    if not converged:
+        raise RuntimeError(
+            f"kcore: peel did not converge within {max_iter} rounds "
+            f"(k={k}; a truncated peel would report sub-k nodes as core "
+            "members) — raise max_iter for this topology"
+        )
+    if deg is None or prev == 0:
+        return live.sparkSession.createDataFrame([], "id long, core_degree long")
+    # deg was computed from the frame the converged round started with,
+    # which the fixed point proved identical to the final frame — reuse
+    # it instead of rebuilding the same aggregation as a fresh job
+    return deg.filter(F.col("d") >= k).select(
+        "id", F.col("d").cast("long").alias("core_degree")
     )

@@ -43,7 +43,9 @@ def test_registry_consistency():
         "ann_index_probe",
         "ann_index_delete",
         # iterative peeling (topology-bound rounds): brute-force pinned
-        # in tests/test_graph.py, exact counts spot-pinned at both SFs
+        # in tests/test_graph.py; the registered query's full member
+        # set + degrees equal a python peel of the real sf0.01 graph
+        # (tests/test_queries_r5.py)
         "graph_kcore",
     }
 

@@ -342,3 +342,34 @@ def test_kcore_peels_chain_to_nothing_keeps_clique(spark):
     df = spark.createDataFrame(chain + k5, ["u", "v"])
     got = {r["id"]: r["core_degree"] for r in kcore(df, k=3).collect()}
     assert got == {i: 4 for i in range(5)}
+
+
+def test_kcore_symmetric_input_not_double_counted(spark):
+    from beehive_spark.operators.graph import kcore
+
+    # both orientations of a single edge: true 2-core is EMPTY (r5
+    # review: raw orientation doubled every degree)
+    df = spark.createDataFrame([(1, 2), (2, 1)], ["u", "v"])
+    assert kcore(df, k=2).count() == 0
+    # symmetric K4 (both directions): 3-core is the whole clique with
+    # true degree 3, not 6
+    k4 = [(u, v) for u in range(4) for v in range(4) if u != v]
+    got = {
+        r["id"]: r["core_degree"]
+        for r in kcore(spark.createDataFrame(k4, ["u", "v"]), k=3).collect()
+    }
+    assert got == {i: 3 for i in range(4)}
+
+
+def test_kcore_raises_on_exhausted_rounds(spark):
+    import pytest as _pytest
+
+    from beehive_spark.operators.graph import kcore
+
+    # a 30-path peels two endpoints per round: needs ~15 rounds
+    path = [(i, i + 1) for i in range(30)]
+    df = spark.createDataFrame(path, ["u", "v"])
+    with _pytest.raises(RuntimeError, match="did not converge"):
+        kcore(df, k=2, max_iter=3)
+    # with enough rounds the same peel converges (to the empty 2-core)
+    assert kcore(df, k=2, max_iter=30).count() == 0

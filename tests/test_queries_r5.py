@@ -383,3 +383,52 @@ def test_bloom_unaligned_m_bits(spark):
         r["k"] for r in bloom_semi_join(fact, dim, "k", m_bits=1000).collect()
     )
     assert got == [1, 7, 49]
+
+
+def _brute_peel(edges, k):
+    adj = {}
+    for u, v in edges:
+        adj.setdefault(u, set()).add(v)
+        adj.setdefault(v, set()).add(u)
+    changed = True
+    while changed:
+        changed = False
+        doomed = [n for n in adj if len(adj[n]) < k]
+        for n in doomed:
+            changed = True
+            for m in adj.pop(n):
+                adj[m].discard(n)
+    return {n: len(ns) for n, ns in adj.items()}
+
+
+def test_graph_kcore_query_matches_brute_peel_on_real_data(spark):
+    """The registered query's exact member set + within-core degrees
+    equal a pure-python peel of the same co-purchase graph at sf0.01 —
+    a real non-trivial pin (1,857 of 2,000 parts survive k=80 there;
+    at the sf0.001 test default the 80-core is empty, which would be
+    exactly the 0==0 trap the workflow notes warn about)."""
+    import os
+
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from beehive_spark.queries import all_queries
+    from beehive_spark.queries.relational import copurchase_pairs, load
+
+    sf = "/root/testdata/sf0.01"
+    if not os.path.exists(os.path.join(sf, "lineitem.parquet")):
+        _pytest.skip("sf0.01 testdata not present")
+    edges = {
+        (r["u"], r["v"])
+        for r in copurchase_pairs(load(spark, sf, "lineitem"))
+        .select(F.col("pa").alias("u"), F.col("pb").alias("v"))
+        .distinct()
+        .collect()
+    }
+    want = _brute_peel(edges, 80)
+    assert len(want) > 0 and len(want) < 2000  # non-trivial strict subset
+    got = {
+        r["part_id"]: r["core_degree"]
+        for r in all_queries()["graph_kcore"](spark, sf).collect()
+    }
+    assert got == want
