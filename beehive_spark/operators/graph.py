@@ -240,6 +240,7 @@ def connected_components_twophase(
     # plain dup-free union with its swap — no distinct, no checkpoint.
     attach = both.filter(F.col("v") < F.col("u")).localCheckpoint(eager=True)
     prev_sig = None
+    converged = n_edges == 0
     # iterative rounds over a frame bounded by |E| drown in per-stage
     # AQE re-planning and oversized shuffles when the graph is small;
     # at cluster scale the threshold keeps the session's own settings
@@ -291,8 +292,18 @@ def connected_components_twophase(
                 F.sum(F.xxhash64("u", "v").cast("decimal(38,0)")).alias("h"),
             ).first()
             if prev_sig is not None and sig == prev_sig:
+                converged = True
                 break
             prev_sig = sig
+    if not converged:
+        # mid-convergence ``attach`` edges point at arbitrary smaller
+        # ids, so truncated labels are wrong AND internally
+        # inconsistent — raising mirrors kcore's round-cap contract
+        raise RuntimeError(
+            f"connected_components_twophase: star rounds did not reach "
+            f"a fixed point within {max_iter} iterations (expected "
+            "O(log^2 n) — raise max_iter for this topology)"
+        )
     # converged: every attach edge is (node, component-min); nodes that
     # ARE their component's min appear only on the v side — or not at
     # all (component minima, self-loop-only and isolated-pair nodes):

@@ -2421,10 +2421,12 @@ def _mmr_step(step: int) -> str:
     s{step} AS (
       SELECT c.vec_id, c.e, c.nrm, c.rel,
              {_MMR_LAMBDA} * c.rel
-               - {_MMR_PENALTY} * GREATEST({sims}) AS mmr
+               - {_MMR_PENALTY} * GREATEST({sims}) AS mmr,
+             ROUND({_MMR_LAMBDA} * c.rel
+               - {_MMR_PENALTY} * GREATEST({sims}), 9) AS mmr_key
       FROM {froms}
       WHERE c.vec_id NOT IN ({not_in})
-      ORDER BY mmr DESC, c.vec_id LIMIT 1
+      ORDER BY mmr_key DESC, c.vec_id LIMIT 1
     )"""
 
 
@@ -2447,14 +2449,15 @@ _MMR_ORACLE = (
              list_dot_product(p.e, q.e) / (p.nrm * q.nrm) AS rel
       FROM pool p, q
     ),
-    cand AS (SELECT * FROM scored ORDER BY rel DESC, vec_id LIMIT """
+    cand AS (SELECT * FROM scored
+             ORDER BY ROUND(rel, 9) DESC, vec_id LIMIT """
     + str(_MMR_POOL)
     + """),
     s1 AS (
       SELECT vec_id, e, nrm, rel, """
     + str(_MMR_LAMBDA)
     + """ * rel AS mmr
-      FROM cand ORDER BY rel DESC, vec_id LIMIT 1
+      FROM cand ORDER BY ROUND(rel, 9) DESC, vec_id LIMIT 1
     ),"""
     + ",".join(_mmr_step(i) for i in range(2, _MMR_K + 1))
     + "\n    "
@@ -2485,7 +2488,10 @@ def embedding_mmr_rerank(spark, sf_dir):
     left-to-right double accumulation, same as Spark's aggregate
     lambda and DuckDB's list_dot_product, so the oracle (the greedy
     UNROLLED as five chained argmax CTEs) is exact — final rounding
-    happens IN SPARK so ROUND semantics match the SQL side."""
+    happens IN SPARK so ROUND semantics match the SQL side, and every
+    argmax ORDER KEY is discretized at 9 decimals on both engines so
+    a sub-ulp accumulation difference cannot flip a near-tied pick
+    (scores themselves stay full precision until the display round)."""
     emb = load(spark, sf_dir, "embeddings")
     e = emb.select("vec_id", F.col("embedding").cast("array<double>").alias("e"))
     norm = F.sqrt(
@@ -2502,7 +2508,7 @@ def embedding_mmr_rerank(spark, sf_dir):
         pool.crossJoin(F.broadcast(q))
         .withColumn("rel", dot / (F.col("nrm") * F.col("qn")))
         .select("vec_id", "e", "nrm", "rel")
-        .orderBy(F.col("rel").desc(), "vec_id")
+        .orderBy(F.round(F.col("rel"), 9).desc(), "vec_id")
         .limit(_MMR_POOL)
         .collect()
     )
@@ -2527,7 +2533,12 @@ def embedding_mmr_rerank(spark, sf_dir):
                 for p in picked
             )
             score = lam * c["rel"] - _MMR_PENALTY * max_sim
-            key = (-score, c["vec_id"])
+            # argmax key DISCRETIZED at 9 decimals (mirrored in the
+            # oracle's ORDER BY ROUND(mmr, 9)): sub-ulp accumulation
+            # drift between list_dot_product and the python loop can
+            # no longer flip a near-tied greedy pick (r5 advice);
+            # displayed scores stay full-precision-then-round-6
+            key = (-round(score, 9), c["vec_id"])
             if best is None or key < best[0]:
                 best = (key, c, score)
         _, chosen, score = best

@@ -1082,13 +1082,13 @@ def connected_components_twophase_chain(spark, sf_dir):
       ) GROUP BY id
     ),
     o AS (
-      SELECT CASE WHEN du.d * 1000000 + u <= dv.d * 1000000 + v
+      SELECT CASE WHEN du.d * 10000000000 + u <= dv.d * 10000000000 + v
                   THEN u ELSE v END AS src,
-             CASE WHEN du.d * 1000000 + u <= dv.d * 1000000 + v
+             CASE WHEN du.d * 10000000000 + u <= dv.d * 10000000000 + v
                   THEN v ELSE u END AS dst,
-             CASE WHEN du.d * 1000000 + u <= dv.d * 1000000 + v
-                  THEN dv.d * 1000000 + v
-                  ELSE du.d * 1000000 + u END AS dst_ord
+             CASE WHEN du.d * 10000000000 + u <= dv.d * 10000000000 + v
+                  THEN dv.d * 10000000000 + v
+                  ELSE du.d * 10000000000 + u END AS dst_ord
       FROM pairs JOIN deg du ON du.id = u JOIN deg dv ON dv.id = v
     ),
     tri AS (

@@ -218,6 +218,20 @@ def test_twophase_cc_finishes_long_chain(spark):
     assert got == {i: 0 for i in range(121)}
 
 
+def test_twophase_cc_raises_on_round_cap_exhaustion(spark):
+    """A truncated star contraction returns labels that are wrong AND
+    internally inconsistent — the operator must RAISE, mirroring
+    kcore's round-cap contract (r5 advice)."""
+    import pytest
+
+    from beehive_spark.operators.graph import connected_components_twophase
+
+    edges = [(i, i + 1) for i in range(120)]
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    with pytest.raises(RuntimeError, match="did not reach a fixed point"):
+        connected_components_twophase(df, max_iter=1)
+
+
 def test_twophase_cc_isolated_pairs_and_singleton_components(spark):
     from beehive_spark.operators.graph import connected_components_twophase
 
