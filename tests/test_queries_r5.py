@@ -385,6 +385,29 @@ def test_bloom_unaligned_m_bits(spark):
     assert got == [1, 7, 49]
 
 
+def test_bloom_broadcast_bitmap_path_exact_and_no_cache_leak(spark):
+    """r6: bitmaps past _INLINE_WORDS ship as a broadcast single-row
+    array frame instead of a codegen-bloating literal — the result
+    must stay exactly the plain semi join, and the operator must leave
+    NOTHING persisted in the session cache (the r5 leak)."""
+    from pyspark.sql import functions as F
+
+    from beehive_spark.operators.bloom import _INLINE_WORDS, bloom_semi_join
+
+    fact = spark.range(5_000).select(F.col("id").alias("k"))
+    dim = spark.createDataFrame([(i * 9,) for i in range(400)], "k long")
+    big_m = (_INLINE_WORDS + 1) * 64 * 2  # forces the broadcast-data path
+    out = bloom_semi_join(fact, dim, "k", m_bits=big_m)
+    assert "__bloom_bits" not in out.columns
+    got = sorted(r["k"] for r in out.collect())
+    want = sorted(r["k"] for r in fact.join(dim, "k", "left_semi").collect())
+    assert got == want
+    # auto-sized (inline-literal) path: same leak check
+    sorted(r["k"] for r in bloom_semi_join(fact, dim, "k").collect())
+    jcache = spark._jsparkSession.sharedState().cacheManager()
+    assert jcache.isEmpty(), "bloom_semi_join leaked a persisted frame"
+
+
 def _brute_peel(edges, k):
     adj = {}
     for u, v in edges:
