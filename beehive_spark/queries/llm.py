@@ -2567,32 +2567,61 @@ def embedding_mmr_rerank(spark, sf_dir):
 # ---------------------------------------------------------------------------
 # ANN index delete leg — tombstoned probe == compacted probe
 # ---------------------------------------------------------------------------
+def _link_tree(src: str, dst: str) -> None:
+    """Hardlink-clone an index artifact: metadata-only (no byte copy),
+    sound because every index mutation is append-new-file (tombstones,
+    list appends) or replace-via-rename (``write_meta``'s tmp +
+    ``os.replace``) — an existing linked file is never modified in
+    place, so the source artifact cannot be corrupted through the
+    clone."""
+    for root, _dirs, files in os.walk(src):
+        rel = os.path.relpath(root, src)
+        tgt = dst if rel == "." else os.path.join(dst, rel)
+        os.makedirs(tgt, exist_ok=True)
+        for f in files:
+            os.link(os.path.join(root, f), os.path.join(tgt, f))
+
+
 @query("ann_index_delete")  # approximate probe -> rows-only driver check
 def ann_index_delete(spark, sf_dir):
     """DELETE leg of the persistent ANN index lifecycle (r5; completes
-    build/probe/append): rebuild a scratch index deterministically,
-    tombstone every corpus vector whose id is divisible by 7
-    (O(|delete|) — no corpus pass), and probe through the tombstones.
-    Returned rows are the probe's top-k with the deleted ids
-    provably absent; ``tests/test_ann_index.py`` additionally pins
-    that the tombstoned probe is row-identical to probing after
-    ``compact_ivf_index`` folds the tombstones into a rewritten
-    assignments table (same staged-swap publish as a rebuild).
+    build/probe/append): tombstone every corpus vector whose id is
+    divisible by 7 (O(|delete|) — no corpus pass), and probe through
+    the tombstones.  Returned rows are the probe's top-k with the
+    deleted ids provably absent; ``tests/test_ann_index.py``
+    additionally pins that the tombstoned probe is row-identical to
+    probing after ``compact_ivf_index`` folds the tombstones into a
+    rewritten assignments table (same staged-swap publish as a
+    rebuild).
+
+    The scratch index this mutates is a HARDLINK CLONE of the
+    fingerprint-cached base artifact (``_ensure_ivf_index`` — same
+    corpus, same hyper-parameters), reset per execution: the r5 bench
+    row was ~85% codebook retraining because the query rebuilt its
+    scratch from scratch every run, which misrepresented the delete
+    leg's O(|delete| + probe) economics (r5 verdict #3).  Cloning is
+    a metadata-only directory walk, so what the bench row now measures
+    is tombstone append + masked probe.
 
     Scale shape: the tombstone set broadcasts into a probe-side
     anti-join until compaction reclaims the dead rows — FAISS's
     remove_ids semantics re-expressed as lakehouse artifacts."""
+    import shutil
+
     from beehive_spark.operators.ann_index import (
-        build_ivf_index,
         delete_from_ivf_index,
         probe_ivf_index,
     )
 
+    base = _ensure_ivf_index(spark, sf_dir)
     idx = _ann_index_dir(sf_dir, "ivf_del")
+    if os.path.exists(idx):
+        shutil.rmtree(idx)
+    _link_tree(base, idx)
     e = load(spark, sf_dir, "embeddings")
-    corpus = e.select("vec_id", "embedding").filter(F.col("vec_id") >= 10)
-    build_ivf_index(spark, corpus, idx)
-    victims = corpus.select("vec_id").filter(F.col("vec_id") % 7 == 0)
+    victims = e.select("vec_id").filter(
+        (F.col("vec_id") >= 10) & (F.col("vec_id") % 7 == 0)
+    )
     delete_from_ivf_index(spark, idx, victims)
     q = e.select("vec_id", "embedding").filter(F.col("vec_id") < 10)
     return probe_ivf_index(spark, idx, q, nprobe=6, k=5)
