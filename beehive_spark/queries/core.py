@@ -2421,3 +2421,168 @@ def user_feature_matrix(spark, sf_dir):
         F.expr("(n_events * 1000) DIV active_days").alias("events_per_day_milli"),
         "top_type",
     )
+
+
+# ---------------------------------------------------------------------------
+# Skyline (Pareto frontier) — dominance query via the two-level prefix-min
+# ---------------------------------------------------------------------------
+@query(
+    "part_skyline_brand",
+    oracle="""
+    WITH p AS (
+      SELECT p_brand, p_partkey,
+             CAST(ROUND(p_retailprice * 100) AS BIGINT) AS price_cents,
+             CAST(p_size AS BIGINT) AS size
+      FROM part
+    )
+    SELECT a.p_brand, a.p_partkey, a.price_cents, a.size
+    FROM p a
+    WHERE NOT EXISTS (
+      SELECT 1 FROM p b
+      WHERE b.p_brand = a.p_brand
+        AND b.price_cents <= a.price_cents AND b.size <= a.size
+        AND (b.price_cents < a.price_cents OR b.size < a.size)
+    )
+    """,
+)
+def part_skyline_brand(spark, sf_dir):
+    """Per-brand Pareto frontier (skyline) of parts minimizing
+    (price, size) — the multi-criteria shortlist query (Borzsony,
+    Kossmann & Stocker, ICDE'01).  A part is on its brand's skyline
+    iff no same-brand part is <= on both dimensions and < on one;
+    ties on BOTH dimensions are mutually non-dominating and all kept.
+
+    Spark formulation — the 2-D sort-scan reduced to aggregations and
+    a SMALL-frame prefix scan, no quadratic pass anywhere: collapse to
+    one row per (brand, price) with that price's minimal size (an agg,
+    map-side combinable), compute each price's strictly-cheaper
+    running minimum with a lag-shifted window over the COLLAPSED frame
+    (bounded by distinct prices per brand, orders of magnitude smaller
+    than parts; at 100 TB the same shape buckets prices first and
+    prefix-scans bucket minima — the classic two-level scan), then
+    keep parts that (a) hit their price's minimal size and (b) beat
+    every strictly-cheaper price's minimum.  The oracle states the
+    NOT EXISTS dominance definition directly — a structurally
+    different formulation, which is what makes the hash gate strong.
+
+    Reference scope: net-new (no counterpart in mhawila/beehive);
+    integer cents keep the hash exact."""
+    p = load(spark, sf_dir, "part").select(
+        "p_brand",
+        "p_partkey",
+        F.round(F.col("p_retailprice") * 100).cast("long").alias("price_cents"),
+        F.col("p_size").cast("long").alias("size"),
+    )
+    per_price = p.groupBy("p_brand", "price_cents").agg(
+        F.min("size").alias("min_size")
+    )
+    w = (
+        Window.partitionBy("p_brand")
+        .orderBy("price_cents")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    pref = per_price.withColumn("cheaper_min", F.min("min_size").over(w))
+    return (
+        p.join(pref, ["p_brand", "price_cents"])
+        .filter(
+            (F.col("size") == F.col("min_size"))
+            & (
+                F.col("cheaper_min").isNull()
+                | (F.col("size") < F.col("cheaper_min"))
+            )
+        )
+        .select("p_brand", "p_partkey", "price_cents", "size")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Z-order layout — Morton-curve clustering buckets with per-bucket stats
+# ---------------------------------------------------------------------------
+_Z_BITS = 16
+_Z_BUCKETS = 64
+
+
+def _zorder_oracle() -> str:
+    terms = []
+    for i in range(_Z_BITS):
+        terms.append(f"((gx >> {i}) & 1) * {1 << (2 * i)}")
+        terms.append(f"((gy >> {i}) & 1) * {1 << (2 * i + 1)}")
+    zexpr = " + ".join(terms)
+    gmax = (1 << _Z_BITS) - 1
+    return f"""
+    WITH c AS (
+      SELECT o_custkey AS x,
+             CAST(ROUND(o_totalprice * 100) AS BIGINT) AS y
+      FROM orders
+    ),
+    b AS (SELECT MIN(x) mnx, MAX(x) mxx, MIN(y) mny, MAX(y) mxy FROM c),
+    g AS (
+      SELECT x, y,
+             CASE WHEN mxx = mnx THEN 0
+                  ELSE (x - mnx) * {gmax} // (mxx - mnx) END AS gx,
+             CASE WHEN mxy = mny THEN 0
+                  ELSE (y - mny) * {gmax} // (mxy - mny) END AS gy
+      FROM c, b
+    ),
+    z AS (SELECT x, y, {zexpr} AS zval FROM g)
+    SELECT CAST(zval * {_Z_BUCKETS} // {1 << (2 * _Z_BITS)} AS BIGINT) AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           MIN(x) AS min_custkey, MAX(x) AS max_custkey,
+           MIN(y) AS min_cents, MAX(y) AS max_cents
+    FROM z GROUP BY 1
+    """
+
+
+@query("zorder_layout", oracle=_zorder_oracle())
+def zorder_layout(spark, sf_dir):
+    """Z-order (Morton-curve) clustering assignment over orders on the
+    (customer, total price) plane — the multi-dimensional layout key
+    behind Delta/Iceberg ``ZORDER BY`` (``functions/zorder.py``).
+    Each order's two dimensions map onto a 16-bit grid (pure BIGINT
+    arithmetic off 1-row min/max bounds), interleave into a Morton
+    code, and fall into one of 64 equal-width Z-ranges — the "file"
+    a clustered rewrite would place them in.  The output is the
+    per-bucket row count plus min/max of BOTH dimensions: the
+    demonstration IS those ranges, tight on customer AND price
+    simultaneously, which is what lets file-level min/max statistics
+    prune scans for predicates on either column.  A single-column
+    sort would show one tight dimension and the other spanning the
+    whole domain.
+
+    Scale shape: the bounds are one map-side-combined aggregate
+    broadcast back as a 1-row frame; the Morton code is 2*16 unrolled
+    shift/mask terms inside whole-stage codegen; bucket stats are one
+    map-side-combinable agg on the bucket key.  In a real rewrite the
+    bucket id feeds ``repartitionByRange`` + ``sortWithinPartitions``
+    before the write — the assignment computed here is that plan's
+    partition key, and the integer `div` keeps it identical on any
+    engine."""
+    from beehive_spark.functions.zorder import grid_scale, z_value
+
+    o = load(spark, sf_dir, "orders").select(
+        F.col("o_custkey").cast("long").alias("x"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("y"),
+    )
+    bounds = o.agg(
+        F.min("x").alias("mnx"),
+        F.max("x").alias("mxx"),
+        F.min("y").alias("mny"),
+        F.max("y").alias("mxy"),
+    )
+    g = o.crossJoin(F.broadcast(bounds)).select(
+        "x",
+        "y",
+        grid_scale(F.col("x"), F.col("mnx"), F.col("mxx"), _Z_BITS).alias("gx"),
+        grid_scale(F.col("y"), F.col("mny"), F.col("mxy"), _Z_BITS).alias("gy"),
+    )
+    z = g.select("x", "y", z_value(F.col("gx"), F.col("gy"), _Z_BITS).alias("zval"))
+    bucket = F.call_function(
+        "div", F.col("zval") * _Z_BUCKETS, F.lit(1 << (2 * _Z_BITS)).cast("long")
+    )
+    return z.groupBy(bucket.alias("bucket")).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.min("x").alias("min_custkey"),
+        F.max("x").alias("max_custkey"),
+        F.min("y").alias("min_cents"),
+        F.max("y").alias("max_cents"),
+    )

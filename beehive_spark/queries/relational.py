@@ -2075,3 +2075,206 @@ def graph_kcore(spark, sf_dir):
     return kcore(e, k=80).select(
         F.col("id").alias("part_id"), "core_degree"
     )
+
+
+# ---------------------------------------------------------------------------
+# k-core, planted topology — the hash-green twin of the peel operator
+# ---------------------------------------------------------------------------
+@query(
+    "graph_kcore_planted",
+    oracle="""
+    WITH mx AS (SELECT MAX(c_custkey) // 15 AS maxb FROM customer),
+    par AS (
+      SELECT c_custkey AS id,
+             c_custkey // 15 AS b,
+             c_custkey % 15 AS p
+      FROM customer
+    )
+    SELECT id,
+           CAST((CASE WHEN b % 2 = 0 THEN 5 ELSE 6 END)
+                + CASE WHEN p = 0 THEN
+                    (CASE WHEN b > 0 THEN 1 ELSE 0 END)
+                    + (CASE WHEN b < maxb THEN 1 ELSE 0 END)
+                  ELSE 0 END AS BIGINT) AS core_degree
+    FROM par, mx
+    WHERE p < CASE WHEN b % 2 = 0 THEN 6 ELSE 7 END
+    """,
+)
+def graph_kcore_planted(spark, sf_dir):
+    """5-core of a PLANTED topology whose core membership and
+    within-core degree are pure arithmetic in the customer id — the
+    closed-form driver-hash twin of :func:`graph_kcore` (r5 verdict
+    #2; same move that made two-phase CC oracle-able).  Customer ids
+    split into 15-wide blocks, each planting a clique K6 (even
+    blocks) or K7 (odd blocks) on positions < |clique|, a hub at
+    position |clique| wired to every remaining position (leaves) plus
+    the block's position-0 node, and a chain edge joining consecutive
+    blocks' position-0 nodes.  The k=5 peel then cascades THREE
+    rounds regardless of scale: leaves fall first (degree 1), the
+    orphaned hubs second (degree 1), and the fixed point confirms —
+    so the query exercises a genuine multi-round peel, while the
+    surviving core is exactly the clique positions with
+    core_degree = |clique|-1, plus the chain contribution (1 per
+    existing neighbor block) on position-0 nodes.  All node counts
+    divide 15 at every shipped scale factor, so no block is partial.
+
+    Scale shape: clique edges come from one block-keyed equi-join,
+    every other edge class is a pure projection, and the peel itself
+    is :func:`operators.graph.kcore`'s bounded node-keyed shuffles —
+    rounds stay at three no matter the scale, unlike the data-bound
+    co-purchase variant."""
+    from beehive_spark.operators.graph import kcore
+
+    c = load(spark, sf_dir, "customer").select(
+        F.col("c_custkey").cast("long").alias("id")
+    )
+    x = c.select(
+        "id",
+        (F.col("id") / 15).cast("long").alias("b"),
+        F.pmod("id", F.lit(15)).alias("p"),
+    )
+    csize = F.when(F.col("b") % 2 == 0, F.lit(6)).otherwise(F.lit(7))
+    members = x.filter(F.col("p") < csize)
+    clique = (
+        members.select("b", F.col("id").alias("u"), F.col("p").alias("p1"))
+        .join(
+            members.select("b", F.col("id").alias("v"), F.col("p").alias("p2")),
+            "b",
+        )
+        .filter(F.col("p1") < F.col("p2"))
+        .select("u", "v")
+    )
+    hub_anchor = x.filter(F.col("p") == csize).select(
+        F.col("id").alias("u"), (F.col("b") * 15).alias("v")
+    )
+    hub_leaves = x.filter(F.col("p") > csize).select(
+        (F.col("b") * 15 + csize).alias("u"), F.col("id").alias("v")
+    )
+    chain = x.filter((F.col("p") == 0) & (F.col("b") > 0)).select(
+        (F.col("id") - 15).alias("u"), F.col("id").alias("v")
+    )
+    edges = clique.unionByName(hub_anchor).unionByName(hub_leaves).unionByName(chain)
+    return kcore(edges, k=5).select("id", "core_degree")
+
+
+# ---------------------------------------------------------------------------
+# Edit-distance-2 similarity join — q-gram count filtering (Gravano et al.)
+# ---------------------------------------------------------------------------
+@query(
+    "qgram_editdist_join",
+    oracle="""
+    WITH n AS (
+      SELECT p_name AS s, CAST(COUNT(*) AS BIGINT) AS n_parts
+      FROM part GROUP BY p_name
+    )
+    SELECT a.s AS name_a, b.s AS name_b,
+           CAST(levenshtein(a.s, b.s) AS INTEGER) AS dist,
+           a.n_parts AS n_a, b.n_parts AS n_b
+    FROM n a JOIN n b
+      ON a.s < b.s AND abs(len(a.s) - len(b.s)) <= 2
+    WHERE levenshtein(a.s, b.s) <= 2
+    """,
+)
+def qgram_editdist_join(spark, sf_dir):
+    """Edit-distance <= 2 similarity self-join over the catalog's
+    distinct part names via q-GRAM COUNT FILTERING (Gravano et al.,
+    VLDB'01 approximate string joins) — the distance-2 complement to
+    ``fuzzy_join_names``'s SymSpell deletion neighborhoods (exact but
+    distance-1): one edit operation can destroy at most q overlapping
+    q-grams, so ed(a,b) <= d implies the q-gram BAGS share at least
+    (max(|a|,|b|) - 1) - d*q grams.  Candidates therefore come from
+    one gram-keyed equi-join with a per-pair sum(least(c_a, c_b))
+    bag-intersection count against that bound plus the length band
+    |len(a)-len(b)| <= d; exact ``levenshtein`` verifies every
+    survivor, so false positives cost work, never correctness.
+    Strings short enough that the bound collapses to zero (len <=
+    1 + d*q — both sides, since the bound uses the max) bypass the filter
+    through a brute-force pass over that bounded subset.
+
+    Scale shape: grams and candidates travel as xxhash64 keys with
+    lengths — never string payloads; per-gram fan-out is len-1 rows
+    per distinct name (bounded by string length); the bag-intersection
+    is one map-side-combinable agg on the pair key.  The oracle pays
+    the honest quadratic levenshtein over all distinct-name pairs.
+
+    Reference parity: generalizes the reference's exact-key user
+    consolidation (person-users.js:83-150) to catalog-entry typo
+    families ("cold ring" / "old ring"), distance 2."""
+    d_max, q = 2, 2
+    names = (
+        load(spark, sf_dir, "part")
+        .groupBy(F.col("p_name").alias("s"))
+        .agg(F.count(F.lit(1)).alias("n_parts"))
+        .withColumn("l", F.length("s"))
+        .withColumn("hk", F.xxhash64("s"))
+    )
+    # gram bag per name: positions 1..l-1, counted per distinct gram
+    grams = (
+        names.select(
+            "hk",
+            "l",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.col("l") - 1),
+                    lambda i: F.substr(F.col("s"), i, F.lit(q)),
+                )
+            ).alias("g"),
+        )
+        .groupBy("hk", "l", F.xxhash64("g").alias("gk"))
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    ga, gb = grams.alias("a"), grams.alias("b")
+    long_cands = (
+        ga.join(gb, F.col("a.gk") == F.col("b.gk"))
+        .filter(
+            (F.col("a.hk") < F.col("b.hk"))
+            & (F.abs(F.col("a.l") - F.col("b.l")) <= d_max)
+        )
+        .groupBy(
+            F.col("a.hk").alias("ha"),
+            F.col("b.hk").alias("hb"),
+            F.col("a.l").alias("la"),
+            F.col("b.l").alias("lb"),
+        )
+        .agg(F.sum(F.least("a.c", "b.c")).alias("shared"))
+        .filter(
+            F.col("shared") >= F.greatest("la", "lb") - 1 - d_max * q
+        )
+        .select("ha", "hb")
+    )
+    # bound <= 0 is only reachable when BOTH strings are short (the
+    # bound takes the max length): brute-force that bounded subset
+    shorts = names.filter(F.col("l") <= 1 + d_max * q)
+    sa, sb = shorts.alias("a"), shorts.alias("b")
+    short_cands = (
+        sa.join(
+            sb,
+            (F.col("a.hk") < F.col("b.hk"))
+            & (F.abs(F.col("a.l") - F.col("b.l")) <= d_max),
+        )
+        .select(F.col("a.hk").alias("ha"), F.col("b.hk").alias("hb"))
+    )
+    cands = long_cands.unionByName(short_cands).distinct()
+    na = names.select(
+        F.col("hk").alias("ha"), F.col("s").alias("sa"), F.col("n_parts").alias("ca")
+    )
+    nb = names.select(
+        F.col("hk").alias("hb"), F.col("s").alias("sb"), F.col("n_parts").alias("cb")
+    )
+    return (
+        cands.join(F.broadcast(na), "ha")
+        .join(F.broadcast(nb), "hb")
+        .withColumn("dist", F.levenshtein("sa", "sb"))
+        .filter(F.col("dist") <= d_max)
+        .select(
+            F.least("sa", "sb").alias("name_a"),
+            F.greatest("sa", "sb").alias("name_b"),
+            F.col("dist").cast("int").alias("dist"),
+            F.when(F.col("sa") < F.col("sb"), F.col("ca"))
+            .otherwise(F.col("cb"))
+            .alias("n_a"),
+            F.when(F.col("sa") < F.col("sb"), F.col("cb"))
+            .otherwise(F.col("ca"))
+            .alias("n_b"),
+        )
+    )
