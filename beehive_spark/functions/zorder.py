@@ -30,16 +30,40 @@ def grid_scale(col: Column, mn: Column, mx: Column, bits: int = 16) -> Column:
     column's min/max (pass them as 1-row broadcast aggregates).  Pure
     BIGINT arithmetic — ``(v - mn) * (2**bits - 1) DIV (mx - mn)`` —
     so the mapping is exactly reproducible in any engine's integer
-    floor division (numerator is non-negative by construction).
+    floor division (numerator is non-negative by construction; a
+    double round-trip would silently corrupt cells past 2^53).
     Degenerate ranges (mx == mn) map everything to grid cell 0 rather
-    than dividing by zero."""
+    than dividing by zero.
+
+    Spans too wide for the BIGINT multiply (span * (2^bits - 1)
+    overflowing 2^63 — spans past ~2^46 at 16 bits) take a pre-shift
+    branch: value and span drop their low 17 bits before scaling.
+    That quantization moves a point at most one grid cell — harmless
+    for LAYOUT (cell boundaries are arbitrary anyway) but no longer
+    the exact closed form, so oracle-checked queries should stay
+    under the exact span (every shipped dataset does, by orders of
+    magnitude)."""
+    m = (1 << bits) - 1
     span = (mx - mn).cast("long")
-    num = (col.cast("long") - mn.cast("long")) * F.lit((1 << bits) - 1)
-    # BIGINT `div`, not float division: a double round-trip silently
-    # corrupts grid cells once the numerator passes 2^53
-    return F.when(span == 0, F.lit(0).cast("long")).otherwise(
-        F.call_function("div", num, span)
-    ).cast("long")
+    a = col.cast("long") - mn.cast("long")
+    exact_max = ((1 << 62) - 1) // m
+    shifted_span = F.call_function(
+        "div", span, F.lit(1 << 17).cast("long")
+    ) + F.lit(1)
+    wide = F.least(
+        F.call_function(
+            "div",
+            F.call_function("div", a, F.lit(1 << 17).cast("long")) * F.lit(m),
+            shifted_span,
+        ),
+        F.lit(m).cast("long"),
+    )
+    return (
+        F.when(span == 0, F.lit(0).cast("long"))
+        .when(span <= F.lit(exact_max), F.call_function("div", a * F.lit(m), span))
+        .otherwise(wide)
+        .cast("long")
+    )
 
 
 def z_value(gx: Column, gy: Column, bits: int = 16) -> Column:

@@ -2586,3 +2586,277 @@ def zorder_layout(spark, sf_dir):
         F.min("y").alias("min_cents"),
         F.max("y").alias("max_cents"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Interval concurrency — sweep-line max-overlap via two-level prefix sums
+# ---------------------------------------------------------------------------
+@query(
+    "interval_concurrency",
+    oracle="""
+    WITH iv AS (
+      SELECT epoch_us(ts) AS s,
+             epoch_us(ts)
+               + (CAST(ROUND(value * 100) AS BIGINT) % 3540 + 60) * 1000000
+               AS e
+      FROM events
+    ),
+    d AS (
+      SELECT t, SUM(delta) AS net FROM (
+        SELECT s AS t, 1 AS delta FROM iv
+        UNION ALL SELECT e AS t, -1 AS delta FROM iv
+      ) GROUP BY t
+    ),
+    r AS (
+      SELECT t, t // 3600000000 AS h,
+             SUM(net) OVER (ORDER BY t) AS run
+      FROM d
+    ),
+    r2 AS (
+      SELECT *, COALESCE(LAG(run) OVER (ORDER BY t), 0) AS prev FROM r
+    )
+    SELECT make_timestamp(h * 3600000000) AS hour_start,
+           CAST(GREATEST(FIRST(prev ORDER BY t), MAX(run)) AS BIGINT)
+             AS max_concurrent
+    FROM r2 GROUP BY h
+    """,
+)
+def interval_concurrency(spark, sf_dir):
+    """Maximum number of concurrently-open sessions per hour — the
+    sweep-line / max-overlap primitive (room bookings, connection
+    pools, ad impressions), over intervals opened at each event's
+    timestamp and held for a value-derived 1-60-minute duration.
+    Each interval contributes +1 at its start and -1 at its
+    (exclusive) end; concurrency at any instant is the prefix sum of
+    those deltas, and the per-hour answer is the max of that step
+    function over the hour — including its carry-in level before the
+    hour's first boundary.  Hours containing no boundary emit no row
+    (their level equals the previous hour's closing value).
+
+    Scale shape — the textbook GLOBAL running sum decomposed into the
+    Blelloch two-level scan, because a single global window is the
+    canonical 100 TB anti-pattern: deltas net per exact timestamp (one
+    map-side-combinable agg), the within-hour running sum partitions
+    by hour (bounded windows, full parallelism), and only the
+    per-hour NET totals — a frame bounded by the time span in hours,
+    orders of magnitude smaller than events — pass through the
+    cross-hour cumulative window that produces each hour's carry-in.
+    At a century of hourly buckets that frame is <1M rows; bucket
+    granularity is the knob.  Everything is BIGINT microseconds, so
+    the oracle (the honest single global window) hash-matches
+    exactly."""
+    e = load(spark, sf_dir, "events")
+    dur_us = (
+        (F.pmod(F.round(F.col("value") * 100).cast("long"), F.lit(3540)) + 60)
+        * F.lit(1_000_000)
+    )
+    iv = e.select(
+        F.unix_micros("ts").alias("s"), (F.unix_micros("ts") + dur_us).alias("e")
+    )
+    deltas = iv.select(F.col("s").alias("t"), F.lit(1).alias("delta")).unionByName(
+        iv.select(F.col("e").alias("t"), F.lit(-1).alias("delta"))
+    )
+    d = (
+        deltas.groupBy("t")
+        .agg(F.sum("delta").alias("net"))
+        .withColumn(
+            "h", F.call_function("div", F.col("t"), F.lit(3_600_000_000).cast("long"))
+        )
+    )
+    wb = (
+        Window.partitionBy("h")
+        .orderBy("t")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    d2 = d.withColumn("run_in", F.sum("net").over(wb))
+    per_h = d2.groupBy("h").agg(
+        F.max("run_in").alias("mxr"), F.sum("net").alias("net_h")
+    )
+    wg = Window.orderBy("h").rowsBetween(Window.unboundedPreceding, -1)
+    per_h2 = per_h.withColumn(
+        "carry", F.coalesce(F.sum("net_h").over(wg), F.lit(0)).cast("long")
+    )
+    return per_h2.select(
+        F.timestamp_micros((F.col("h") * F.lit(3_600_000_000)).cast("long")).alias(
+            "hour_start"
+        ),
+        F.greatest(F.col("carry"), F.col("carry") + F.col("mxr"))
+        .cast("long")
+        .alias("max_concurrent"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Time-series resample — hourly grid + exact integer linear interpolation
+# ---------------------------------------------------------------------------
+@query(
+    "events_resample",
+    oracle="""
+    WITH pts AS (
+      SELECT user_id, epoch_us(ts) AS t,
+             MIN(CAST(ROUND(value * 1000) AS BIGINT)) AS v
+      FROM events GROUP BY user_id, epoch_us(ts)
+    ),
+    b AS (
+      SELECT user_id,
+             (MIN(t) + 3599999999) // 3600000000 AS h0,
+             MAX(t) // 3600000000 AS h1
+      FROM pts GROUP BY user_id
+    ),
+    grid AS (
+      SELECT user_id, unnest(range(h0, h1 + 1)) * 3600000000 AS g
+      FROM b WHERE h0 <= h1
+    ),
+    pv AS (
+      SELECT grid.user_id, grid.g, pts.t AS tp, pts.v AS vp
+      FROM grid ASOF JOIN pts
+        ON grid.user_id = pts.user_id AND pts.t <= grid.g
+    ),
+    nx AS (
+      SELECT grid.user_id, grid.g, pts.t AS tn, pts.v AS vn
+      FROM grid ASOF JOIN pts
+        ON grid.user_id = pts.user_id AND pts.t >= grid.g
+    )
+    SELECT pv.user_id, make_timestamp(pv.g) AS hour_start,
+           CAST(CASE WHEN nx.tn = pv.tp THEN pv.vp
+                ELSE (pv.vp * (nx.tn - pv.g) + nx.vn * (pv.g - pv.tp))
+                     // (nx.tn - pv.tp) END AS BIGINT) AS v_milli
+    FROM pv JOIN nx ON pv.user_id = nx.user_id AND pv.g = nx.g
+    """,
+)
+def events_resample(spark, sf_dir):
+    """Per-user resampling of the event value series onto an hourly
+    grid with LINEAR INTERPOLATION between the surrounding
+    observations — the gap-fill primitive of every time-series
+    pipeline (metrics rollups, sensor alignment, feature windows).
+    The grid spans each user's own [first, last] observation, so
+    both neighbors always exist; a grid point landing exactly on an
+    observation takes its value.
+
+    Exactness: values are integer MILLI-units and the interpolation
+    is the non-negative-numerator form
+    ``(vp*(tn-g) + vn*(g-tp)) div (tn-tp)`` in BIGINT microseconds —
+    floor division equals truncating division because nothing is
+    negative, so Spark ``div`` and DuckDB ``//`` agree bit-for-bit
+    (products stay under 2^53... irrelevant — no doubles anywhere).
+
+    Scale shape: both neighbor lookups are
+    :func:`operators.temporal.asof_join` — the union-trick single
+    window per direction, one shuffle on user_id each, zero row
+    blow-up — against the per-(user, ts) pre-aggregated points frame;
+    the grid generation is one explode off a per-user 2-value
+    aggregate.  The oracle uses DuckDB's native ASOF JOIN — an
+    independent implementation of the same semantics, which is what
+    the union trick is tested against."""
+    from beehive_spark.operators.temporal import asof_join
+
+    e = load(spark, sf_dir, "events")
+    HOUR = 3_600_000_000
+    pts = e.groupBy(
+        "user_id", F.unix_micros("ts").alias("t")
+    ).agg(F.min(F.round(F.col("value") * 1000).cast("long")).alias("v"))
+    b = pts.groupBy("user_id").agg(
+        F.call_function(
+            "div", F.min("t") + F.lit(HOUR - 1), F.lit(HOUR).cast("long")
+        ).alias("h0"),
+        F.call_function("div", F.max("t"), F.lit(HOUR).cast("long")).alias("h1"),
+    )
+    grid = (
+        b.filter(F.col("h0") <= F.col("h1"))
+        .select(
+            "user_id", F.explode(F.sequence("h0", "h1")).alias("h")
+        )
+        .select("user_id", (F.col("h") * HOUR).cast("long").alias("g"))
+    )
+    pv = asof_join(
+        grid, pts, on="user_id", left_ts="g", right_ts="t",
+        direction="backward", suffix="_p",
+    ).select("user_id", "g", F.col("t_p").alias("tp"), F.col("v_p").alias("vp"))
+    nx = asof_join(
+        grid, pts, on="user_id", left_ts="g", right_ts="t",
+        direction="forward", suffix="_n",
+    ).select("user_id", "g", F.col("t_n").alias("tn"), F.col("v_n").alias("vn"))
+    j = pv.join(nx, ["user_id", "g"])
+    interp = F.call_function(
+        "div",
+        F.col("vp") * (F.col("tn") - F.col("g"))
+        + F.col("vn") * (F.col("g") - F.col("tp")),
+        F.col("tn") - F.col("tp"),
+    )
+    return j.select(
+        "user_id",
+        F.timestamp_micros(F.col("g")).alias("hour_start"),
+        F.when(F.col("tn") == F.col("tp"), F.col("vp"))
+        .otherwise(interp)
+        .cast("long")
+        .alias("v_milli"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# EWMA — exact-integer exponential smoothing as a per-key array fold
+# ---------------------------------------------------------------------------
+@query(
+    "events_ewma",
+    oracle="""
+    WITH pts AS (
+      SELECT user_id, epoch_us(ts) AS t,
+             CAST(ROUND(value * 1000) AS BIGINT) AS v
+      FROM events
+    ),
+    l AS (
+      SELECT user_id, list(v ORDER BY t, v) AS vs,
+             CAST(COUNT(*) AS BIGINT) AS n_points
+      FROM pts GROUP BY user_id
+    )
+    SELECT user_id, n_points,
+           CAST(list_reduce(vs, (acc, x) -> (3 * x + 7 * acc) // 10)
+                AS BIGINT) AS ewma_milli
+    FROM l
+    """,
+)
+def events_ewma(spark, sf_dir):
+    """Per-user exponentially-weighted moving average of event values
+    (alpha = 0.3) — the standard streaming smoother for rate/level
+    tracking, computed as an EXACT INTEGER recurrence:
+    ``s_i = (3*v_i + 7*s_{i-1}) div 10`` over milli-unit values,
+    seeded with the first observation.  Rounding at every step makes
+    the result bit-identical on any engine (no float accumulation
+    order to disagree about) — DuckDB folds the same recurrence with
+    ``list_reduce``, an independent implementation of the fold.
+
+    Scale shape: EWMA has an inherent SEQUENTIAL dependency per key —
+    the per-step integer floor is non-associative, so unlike sums it
+    cannot be split map-side without changing the answer.  The
+    distributed shape is therefore keys-in-parallel: one shuffle
+    groups each user's series, ``array_sort`` orders it (ties broken
+    by value, deterministically), and a JVM ``aggregate`` lambda folds
+    it — memory bounded by the longest single series, never the
+    corpus.  A key whose series outgrows an executor needs windowed
+    re-seeding or a float EWMA with documented tolerance; this
+    operator keeps the exact contract and states the bound.  Ordering
+    by event time, the fold is also exactly what a Structured
+    Streaming ``applyInPandasWithState`` smoother would carry as its
+    per-key state — the batch and streaming shapes share the
+    recurrence."""
+    e = load(spark, sf_dir, "events")
+    pts = e.select(
+        "user_id",
+        F.unix_micros("ts").alias("t"),
+        F.round(F.col("value") * 1000).cast("long").alias("v"),
+    )
+    l = pts.groupBy("user_id").agg(
+        F.collect_list(F.struct("t", "v")).alias("ps"),
+        F.count(F.lit(1)).alias("n_points"),
+    )
+    vs = F.transform(F.array_sort("ps"), lambda s: s["v"])
+    l = l.withColumn("vs", vs)
+    fold = F.aggregate(
+        F.slice(F.col("vs"), 2, F.size("vs") - 1),
+        F.element_at(F.col("vs"), 1),
+        lambda acc, x: F.call_function(
+            "div", F.lit(3).cast("long") * x + F.lit(7).cast("long") * acc,
+            F.lit(10).cast("long")
+        ),
+    )
+    return l.select("user_id", "n_points", fold.cast("long").alias("ewma_milli"))

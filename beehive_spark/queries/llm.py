@@ -2625,3 +2625,127 @@ def ann_index_delete(spark, sf_dir):
     delete_from_ivf_index(spark, idx, victims)
     q = e.select("vec_id", "embedding").filter(F.col("vec_id") < 10)
     return probe_ivf_index(spark, idx, q, nprobe=6, k=5)
+
+
+# ---------------------------------------------------------------------------
+# Bigram language-model scoring — train/held-out split, exact micro-nats
+# ---------------------------------------------------------------------------
+@query(
+    "ngram_lm_score",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS l
+      FROM documents
+    ),
+    bi AS (
+      SELECT doc_id, p[1] AS w1, p[2] AS w2
+      FROM (
+        SELECT doc_id, unnest(list_zip(l[1:len(l)-1], l[2:len(l)])) AS p
+        FROM tok WHERE len(l) >= 2
+      )
+    ),
+    tb AS (
+      SELECT w1, w2, COUNT(*) AS c FROM bi WHERE doc_id % 2 = 0 GROUP BY 1, 2
+    ),
+    tu AS (
+      SELECT w1, COUNT(*) AS c FROM bi WHERE doc_id % 2 = 0 GROUP BY 1
+    ),
+    v AS (
+      SELECT COUNT(DISTINCT t) AS v
+      FROM (SELECT unnest(l) AS t FROM tok WHERE doc_id % 2 = 0)
+    ),
+    sc AS (
+      SELECT b.doc_id, COUNT(*) AS n_bigrams,
+             SUM(CAST(ROUND(
+               ln((COALESCE(tb.c, 0) + 1.0) / (COALESCE(tu.c, 0) + v.v))
+               * 1000000) AS BIGINT)) AS s
+      FROM bi b
+      LEFT JOIN tb ON b.w1 = tb.w1 AND b.w2 = tb.w2
+      LEFT JOIN tu ON b.w1 = tu.w1
+      CROSS JOIN v
+      WHERE b.doc_id % 2 = 1
+      GROUP BY b.doc_id
+    )
+    SELECT d.doc_id,
+           CAST(COALESCE(sc.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+           ROUND(-sc.s / 1000000.0 / sc.n_bigrams, 4) AS xent
+    FROM documents d LEFT JOIN sc ON d.doc_id = sc.doc_id
+    WHERE d.doc_id % 2 = 1
+    """,
+)
+def ngram_lm_score(spark, sf_dir):
+    """Bigram language-model cross-entropy on a held-out split — the
+    history-conditioned upgrade of ``text_perplexity``'s unigram
+    scorer and the standard KenLM-style decontaminated quality signal:
+    train add-one-smoothed bigram probabilities
+    ``p(w2|w1) = (c(w1,w2)+1) / (c(w1,.)+V)`` on even doc_ids, score
+    the odd docs the model never saw (unseen histories fall back to
+    ``1/V`` through the same formula via COALESCE-to-zero counts).
+
+    Cross-engine determinism: the ``text_perplexity`` micro-nat
+    pattern — per-bigram log-probs round to integer micro-nats, sums
+    are exact BIGINTs in any aggregation order, only the final
+    division rounds.  Docs with fewer than two tokens surface with
+    n_bigrams=0 and NULL score.
+
+    Scale shape: bigrams travel as variadic ``xxhash64(w1, w2)`` /
+    ``xxhash64(w1)`` keys (8 bytes, never strings); the model tables
+    are two map-side-combined aggs over the train stream; scoring is
+    two LEFT equi-joins on those keys — deliberately not forced
+    broadcasts (a web-scale bigram table need not fit one executor);
+    V is a 1-row broadcast.  The 2^-64 hash-collision caveat is
+    shared with every hashed-token operator here; the oracle groups
+    the real strings and still hash-matches."""
+    d = load(spark, sf_dir, "documents")
+    toks = d.select("doc_id", _tokens(F.col("text")).alias("l"))
+    n = F.size("l")
+    bi = (
+        toks.filter(n >= 2)
+        .select(
+            "doc_id",
+            F.explode(
+                F.arrays_zip(
+                    F.slice("l", 1, n - 1).alias("w1"),
+                    F.slice("l", 2, n - 1).alias("w2"),
+                )
+            ).alias("p"),
+        )
+        .select(
+            "doc_id",
+            F.xxhash64("p.w1").alias("h1"),
+            F.xxhash64("p.w1", "p.w2").alias("h12"),
+        )
+    )
+    train = bi.filter(F.col("doc_id") % 2 == 0)
+    tb = train.groupBy("h12").agg(F.count(F.lit(1)).alias("cb"))
+    tu = train.groupBy("h1").agg(F.count(F.lit(1)).alias("cu"))
+    v = (
+        toks.filter(F.col("doc_id") % 2 == 0)
+        .select(F.explode("l").alias("t"))
+        .agg(F.countDistinct(F.xxhash64("t")).alias("v"))
+    )
+    score = bi.filter(F.col("doc_id") % 2 == 1)
+    lp = F.round(
+        F.log(
+            (F.coalesce(F.col("cb"), F.lit(0)) + 1.0)
+            / (F.coalesce(F.col("cu"), F.lit(0)) + F.col("v"))
+        )
+        * 1_000_000
+    ).cast("long")
+    sc = (
+        score.join(tb, "h12", "left")
+        .join(tu, "h1", "left")
+        .crossJoin(F.broadcast(v))
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_bigrams"), F.sum(lp).alias("s"))
+    )
+    return (
+        d.select("doc_id")
+        .filter(F.col("doc_id") % 2 == 1)
+        .join(sc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("n_bigrams"), F.lit(0)).cast("long").alias("n_bigrams"),
+            F.round(-F.col("s") / 1_000_000.0 / F.col("n_bigrams"), 4).alias("xent"),
+        )
+    )
