@@ -66,21 +66,32 @@ def grid_scale(col: Column, mn: Column, mx: Column, bits: int = 16) -> Column:
     )
 
 
-def z_value(gx: Column, gy: Column, bits: int = 16) -> Column:
-    """Interleave two ``bits``-wide grid coordinates into their Morton
-    code: bit i of ``gx`` lands at position 2i, bit i of ``gy`` at
-    2i+1.  Unrolled per bit into shift/mask/sum terms — 2*bits integer
-    expressions, all inside codegen.  2*bits must stay under 63 so the
-    code fits a BIGINT."""
-    if 2 * bits > 62:
-        raise ValueError(f"z_value: 2*bits={2 * bits} overflows BIGINT")
+def z_value_n(grids: list[Column], bits: int = 16) -> Column:
+    """Interleave ``m`` ``bits``-wide grid coordinates into their
+    Morton code: bit ``j`` of column ``i`` lands at position
+    ``j*m + i``.  Unrolled per bit into shift/mask/sum terms —
+    ``m*bits`` integer expressions, all inside whole-stage codegen.
+    ``m*bits`` must stay under 63 so the code fits a BIGINT.
+
+    This is THE shared interleave: ``sources/layout.zorder_value``
+    (the N-column layout key with double quantization and NULL
+    policy) and the exact-arithmetic 2-D path here both build on
+    it."""
+    m = len(grids)
+    if m * bits > 62:
+        raise ValueError(f"z_value_n: {m}*{bits} bit planes overflow BIGINT")
     terms = []
-    for i in range(bits):
-        bx = F.shiftright(gx, i).bitwiseAND(F.lit(1).cast("long"))
-        by = F.shiftright(gy, i).bitwiseAND(F.lit(1).cast("long"))
-        terms.append(bx * F.lit(1 << (2 * i)))
-        terms.append(by * F.lit(1 << (2 * i + 1)))
+    for j in range(bits):
+        for i, g in enumerate(grids):
+            b = F.shiftright(g, j).bitwiseAND(F.lit(1).cast("long"))
+            terms.append(b * F.lit(1 << (j * m + i)))
     out = terms[0]
     for t in terms[1:]:
         out = out + t
     return out.cast("long")
+
+
+def z_value(gx: Column, gy: Column, bits: int = 16) -> Column:
+    """Two-dimensional Morton code: bit i of ``gx`` at position 2i,
+    bit i of ``gy`` at 2i+1 (the ``m=2`` case of :func:`z_value_n`)."""
+    return z_value_n([gx, gy], bits)

@@ -69,20 +69,50 @@ _loaded = False
 # Registry order is the driver's ORACLE-VERIFICATION order, and the driver
 # differentially checks the FIRST 50 registered queries per round.  The
 # window rotates each round so the cross-round union covers every
-# registered query (147/147 after r04; 133/134 oracle-bearing hash-green;
-# the one red — session_attribution — is fixed this round: its oracle's
-# final bare SUM(BIGINT) widened to HUGEINT, which the driver's pandas
-# canonicalizer floats; now CAST ... AS BIGINT, and check_oracle.py lints
-# the whole oracle surface for that dtype-drift class).  The round-5
-# window leads with (a) everything round 5 changes — session_attribution's
-# oracle fix foremost — then (b) the 13 entries whose newest driver
-# evidence is still r01 (8 oracle-bearing + 5 rows-only, exactly the
-# rotation VERDICT.md r4 ask #2 names), then (c) backfills the remaining
-# slots with the oldest-evidence entries (r02-verified, unchanged source —
-# harmless re-confirmation).  The local scripts/check_oracle.py sweep
-# still verifies ALL registered queries each round.
+# registered query (158/158 after r05, 143/143 oracle-bearing
+# hash-green).  The round-6 window leads with (a) everything round 6
+# changes or adds — five maintenance-touched queries plus eight net-new
+# operators — then (b) the nine oracle-bearing entries whose newest
+# driver evidence was still r02 (named in VERDICT.md r5 ask #1), then
+# (c) the six r5-window spills the late round-5 registrations pushed
+# past slot 50.  Remaining slots backfill OLDEST-EVIDENCE-FIRST through
+# the fill chain in _ensure_loaded (R3 before R4 before R5: r03-vintage
+# evidence refreshes ahead of fresher rounds).  The local
+# scripts/check_oracle.py sweep still verifies ALL registered queries
+# each round.
 _PRIORITY = [
-    # --- changed in round 5 (appended as they land)
+    # --- changed in round 6
+    "connected_components_twophase",  # r6: RAISES on round-cap exhaustion
+    "embedding_mmr_rerank",        # r6: argmax keys discretized at 9 decimals
+    "graph_triangles",             # r6: oracle pack widened to d*1e10+id
+    "bloom_prune_join",            # r6: call-scoped persist, broadcast bitmap
+    "ann_index_delete",            # r6: hardlink-cloned scratch (delete-leg bench)
+    # --- new in round 6
+    "graph_kcore_planted",         # r6 new: closed-form planted-topology k-core
+    "part_skyline_brand",          # r6 new: per-brand Pareto skyline
+    "qgram_editdist_join",         # r6 new: distance-2 q-gram count-filter join
+    "zorder_layout",               # r6 new: Morton clustering buckets
+    "interval_concurrency",        # r6 new: two-level sweep-line prefix sum
+    "events_resample",             # r6 new: hourly grid + exact interpolation
+    "events_ewma",                 # r6 new: integer EWMA per-key fold
+    "ngram_lm_score",              # r6 new: bigram LM held-out scoring
+    # --- newest driver evidence still r02 (VERDICT r5 ask #1's nine)
+    "array_funcs_suite", "grouping_sets_revenue", "text_tfidf_topterms",
+    "dq_violations", "trend_slopes", "incremental_agg_orders",
+    "incremental_max_orders", "text_perplexity", "heavy_hitters_shingles",
+    # --- r5-window spills (displaced past slot 50 by late r5 additions)
+    "quality_filter", "dedup_incremental", "dedup_containment",
+    "chunk_documents", "mixture_reweight", "bpe_top_merges",
+]
+# ROUND-7 NOTE: after CORRECTNESS_r06 the union should have every
+# oracle-bearing query's newest driver evidence at r03 or later; the
+# next-oldest cohort is the r03-vintage tail of _PRIORITY_R3 that the
+# r6 backfill cannot fully absorb (the entries past the ~22 slots the
+# round-6 head leaves open — verify the actual cut by EXECUTING
+# list(all_queries())[:50], never by counting comments).  Rotate those
+# in next, after whatever round 7 changes.
+# (round-5 window, kept for the fill chain; every entry r05-driver-green)
+_PRIORITY_R5 = [
     "session_attribution",         # r5: oracle HUGEINT fix (CAST AS BIGINT)
     "brand_affinity",              # r5: one-job rewrite (no count action)
     "pagerank_copurchase",         # r5: broadcast-rank loop + no_dangling
@@ -121,23 +151,7 @@ _PRIORITY = [
     "funnel_steps", "cohort_retention", "scd2_customer_history",
     "snapshot_diff", "sample_weighted", "events_anomaly",
 ]
-# ROUND-6 NOTE: the remaining r02-evidence entries queue next (in r02
-# registration order): array_funcs_suite, grouping_sets_revenue,
-# text_tfidf_topterms, dq_violations, trend_slopes,
-# incremental_agg_orders, incremental_max_orders, text_perplexity,
-# heavy_hitters_shingles — plus the r5-window spills the late round-5
-# registrations (graph_triangles, copurchase_recommendations,
-# user_feature_matrix, graph_kcore) pushed past slot 50:
-# quality_filter, dedup_incremental, dedup_containment,
-# chunk_documents, mixture_reweight, bpe_top_merges (all
-# r02+-verified, unchanged source).  Rotate these in along with
-# whatever round 6 changes.  Verify the actual window boundary by
-# EXECUTING list(all_queries())[:50], not by counting comments (the
-# round-3 review caught exactly that arithmetic drift).
-# The round-4 window (kept for the fill chain: anything here not already
-# in the round-5 window queues behind it, before _PRIORITY_R3/_R2 and
-# the overflow; all of these are r04-driver-green except
-# session_attribution, promoted to the top of _PRIORITY above).
+# (round-4 window, kept for the fill chain; all r04-driver-green)
 _PRIORITY_R4 = [
     "embedding_centroids", "incremental_topk_orders",
     "doc_winnowing_fingerprints", "cross_corpus_overlap",
@@ -300,10 +314,11 @@ def _ensure_loaded() -> None:
         from beehive_spark.queries import tpch  # noqa: F401
 
         ordered = {n: _REGISTRY[n] for n in _PRIORITY if n in _REGISTRY}
-        # prior rounds' windows fill any slots the round-5 priority
-        # list leaves open (harmless re-verification), then everything
-        # else
-        for prio in (_PRIORITY_R4, _PRIORITY_R3, _PRIORITY_R2):
+        # prior rounds' windows fill any slots the round-6 priority
+        # list leaves open, OLDEST driver evidence first (R3's r03
+        # vintage before R4's r04 before R5's r05) so re-verification
+        # slots refresh the stalest entries, then everything else
+        for prio in (_PRIORITY_R3, _PRIORITY_R4, _PRIORITY_R5, _PRIORITY_R2):
             for n in prio:
                 if n in _REGISTRY and n not in ordered:
                     ordered[n] = _REGISTRY[n]

@@ -234,8 +234,16 @@ def zorder_value(df: DataFrame, cols: list[str], bits: int = 16):
     quantization is distribution-agnostic only for roughly uniform
     columns — for heavy-tailed ones, pre-transform (log, clamp) before
     z-ordering, same advice as Delta.
+
+    The bit interleave is the shared :func:`functions.zorder.z_value_n`
+    (r6); quantization here is double-based and NULL-aware because a
+    layout key tolerates boundary ulps, where the driver-hash-checked
+    ``zorder_layout`` query uses the exact-BIGINT
+    :func:`functions.zorder.grid_scale` instead.
     """
     from pyspark.sql import functions as F
+
+    from beehive_spark.functions.zorder import z_value_n
 
     m = len(cols)
     stats = df.agg(
@@ -252,11 +260,7 @@ def zorder_value(df: DataFrame, cols: list[str], bits: int = 16):
             F.floor((F.col(c).cast("double") - F.lit(mn)) / F.lit(span) * levels),
         ).cast("long")
         quant.append(q)
-    z = F.lit(0).cast("long")
-    for j in range(bits):
-        for i, q in enumerate(quant):
-            bit_j = F.shiftright(q, j).bitwiseAND(F.lit(1).cast("long"))
-            z = z.bitwiseOR(F.shiftleft(bit_j, j * m + i).cast("long"))
+    z = z_value_n(quant, bits)
     null_any = None
     for c in cols:
         cond = F.col(c).isNull()

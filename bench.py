@@ -131,6 +131,15 @@ EXTRA = [
     "copurchase_recommendations",
     "user_feature_matrix",
     "graph_kcore",
+    # round-6 additions
+    "graph_kcore_planted",
+    "part_skyline_brand",
+    "qgram_editdist_join",
+    "zorder_layout",
+    "interval_concurrency",
+    "events_resample",
+    "events_ewma",
+    "ngram_lm_score",
 ]
 
 

@@ -162,6 +162,15 @@ EXTRA = [
     # its static plan is the pre-filtered semi join + agg;
     # graph_kcore excluded: the peel loop runs eagerly — same class
     # as connected_components_twophase)
+    # round-6 additions (graph_kcore_planted excluded: eager peel loop,
+    # same class as graph_kcore)
+    "part_skyline_brand",
+    "qgram_editdist_join",
+    "zorder_layout",
+    "interval_concurrency",
+    "events_resample",
+    "events_ewma",
+    "ngram_lm_score",
 ]
 
 

@@ -40,7 +40,7 @@ def test_z_value_rejects_bigint_overflow():
 
     from beehive_spark.functions.zorder import z_value
 
-    with pytest.raises(ValueError, match="overflows"):
+    with pytest.raises(ValueError, match="overflow"):
         z_value(F.lit(0), F.lit(0), bits=32)
 
 
