@@ -179,11 +179,23 @@ def byte_budget_partitions(
     their payload sizes (fixed-size renders, closed-form synthesis, a
     manifest column) should pass the precomputed/estimated total
     instead — the count is a memory-budget heuristic, so an estimate
-    within a small factor is as good as the exact sum."""
+    within a small factor is as good as the exact sum.
+
+    The byte budget is a MEMORY ceiling, not a CPU target: a corpus of
+    tiny payloads (thumbnails, icons, clips) fits whole in one 128 MB
+    partition while its per-item pure-Python decode is CPU-bound — r6
+    profiling caught media_phash_dedup's decode stage running 2-wide
+    on a 32-core host for exactly this reason (20 s of a 46 s query).
+    The count therefore takes a FLOOR of the session's default
+    parallelism whenever the byte math asks for fewer partitions; a
+    few near-empty extra tasks cost milliseconds, a serialized decode
+    costs the whole machine."""
     if total_bytes is None:
         stats = media.agg(F.sum(F.length(payload_col)).alias("b")).first()
         total_bytes = int(stats["b"] or 0)
-    return max(1, min(4096, total_bytes // target_partition_bytes + 1))
+    by_bytes = max(1, min(4096, total_bytes // target_partition_bytes + 1))
+    floor = media.sparkSession.sparkContext.defaultParallelism
+    return max(by_bytes, floor)
 
 
 def extract_features(
@@ -508,7 +520,16 @@ def phash_dedup(hashes: DataFrame, max_hamming: int = 3) -> DataFrame:
     equi-join on (block_index, block_value), never an all-pairs cross
     join, and `bit_count(xor)` verifies exactly, all JVM-side.  The
     joined relation is (media_id, 2 ints, 1 long) — payload bytes never
-    shuffle."""
+    shuffle.
+
+    The input is eagerly ``localCheckpoint``-ed first: both self-join
+    sides reference it, and an unmaterialized ``hashes`` whose lineage
+    holds a decode/synthesis mapInPandas stage would RE-DECODE the
+    whole corpus per side (r6 profiling: the double decode was 40 of
+    46 s; the checkpointed frame is 16 bytes/doc, so materializing it
+    is the cheap side of that trade — and unlike ``persist`` it leaks
+    nothing into the session cache)."""
+    hashes = hashes.select("media_id", "phash").localCheckpoint(eager=True)
     blocks = hashes.select(
         "media_id",
         "phash",

@@ -333,6 +333,65 @@ def main() -> None:
         for _sweep in range(2):
             record(("graph_triangles", copies), lambda c=copies: tri_case(c))
 
+    # --- triangle fallback: broadcast_adjacency=False forces the
+    # wedge-closure equi-join strategy — the path a graph whose
+    # adjacency exceeds broadcast budgets takes at cluster scale; its
+    # 10x ratio is the number backing that claim (r5 verdict ask #4)
+    def tri_fallback_case(copies: int):
+        from beehive_spark.operators.graph import triangle_counts
+        from beehive_spark.queries.relational import copurchase_pairs
+
+        li = spark.read.parquet(os.path.join(SF_DIR, "lineitem.parquet"))
+        if copies > 1:
+            stride = li.agg(F.max("l_partkey")).collect()[0][0] + 1
+            reps = spark.range(copies).select(F.col("id").alias("__rep"))
+            li = (
+                li.crossJoin(F.broadcast(reps))
+                .withColumn(
+                    "l_orderkey", F.col("l_orderkey") + F.col("__rep") * 10_000_000
+                )
+                .withColumn(
+                    "l_partkey", F.col("l_partkey") + F.col("__rep") * stride
+                )
+                .drop("__rep")
+            )
+        pairs = copurchase_pairs(li).select(
+            F.col("pa").alias("u"), F.col("pb").alias("v")
+        )
+        triangle_counts(pairs, broadcast_adjacency=False).write.format(
+            "noop"
+        ).mode("overwrite").save()
+
+    for copies in (1, COPIES):
+        for _sweep in range(2):
+            record(
+                ("graph_triangles_shuffle", copies),
+                lambda c=copies: tri_fallback_case(c),
+            )
+
+    # --- two-phase CC on a 10x-LONG chain: the per-round edge-set
+    # rewrite is the operator's documented price; O(log^2 n) round
+    # growth plus linear per-round cost must keep the ratio <= 10
+    # (r5 verdict ask #4).  The chain is the adversarial topology —
+    # ONE component spanning every row.
+    def cc_chain_case(copies: int):
+        from beehive_spark.operators.graph import connected_components_twophase
+
+        n = 15_000 * copies
+        edges = spark.range(1, n).select(
+            F.col("id").alias("src"), (F.col("id") - 1).alias("dst")
+        )
+        connected_components_twophase(edges).write.format("noop").mode(
+            "overwrite"
+        ).save()
+
+    for copies in (1, COPIES):
+        for _sweep in range(2):
+            record(
+                ("cc_twophase_chain", copies),
+                lambda c=copies: cc_chain_case(c),
+            )
+
     lines = [
         "# STRESS — scaling smoke (1x vs 10x rows, local[32])",
         "",
@@ -354,7 +413,10 @@ def main() -> None:
     for name in (
         list(LINEITEM_CASES)
         + [n for n, _ in REGISTRY_CASES]
-        + ["skew_join_plain", "skew_join_salted", "graph_triangles"]
+        + [
+            "skew_join_plain", "skew_join_salted", "graph_triangles",
+            "graph_triangles_shuffle", "cc_twophase_chain",
+        ]
     ):
         t1, t10 = results[(name, 1)], results[(name, COPIES)]
         ratio = round(t10 / t1, 1) if t1 > 0 else float("inf")
@@ -379,6 +441,15 @@ def main() -> None:
         "one fixed catalog, which densifies the graph and grows the",
         "TRIANGLE COUNT superlinearly by construction — disjoint copies",
         "make ideal engine scaling exactly 10x.",
+        "",
+        "graph_triangles_shuffle is the same disjoint-replica graph with",
+        "broadcast_adjacency=False — the wedge-closure equi-join fallback",
+        "a beyond-broadcast adjacency takes at cluster scale.",
+        "",
+        "cc_twophase_chain runs connected_components_twophase on a single",
+        "chain of 15k vs 150k nodes (ONE component, the adversarial",
+        "topology): per-round cost is linear in the edge set and round",
+        "count grows O(log^2 n), so the ratio stays near-linear.",
     ]
     out = os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "STRESS.md"
