@@ -130,6 +130,11 @@ def might_contain(
     python list (inlined as an array literal — small filters) or as
     ``bits_col``, an ``array<long>`` column already joined in (the
     broadcast-data path for bitmaps past the literal-size cliff)."""
+    if bitmap is None and bits_col is None:
+        raise ValueError(
+            "might_contain needs the bitmap as a python list OR as "
+            "bits_col; got neither"
+        )
     arr = (
         bits_col
         if bits_col is not None
@@ -198,17 +203,18 @@ def bloom_semi_join(
     if len(bitmap) <= _INLINE_WORDS:
         pruned = fact.filter(might_contain(probe, bitmap, m_bits, k))
     else:
+        bc = "__bloom_bits"
+        while bc in fact.columns:  # chained bloom stages / user columns
+            bc += "_"
         bmp = fact.sparkSession.createDataFrame(
-            [(bitmap,)], "__bloom_bits: array<long>"
+            [(bitmap,)], f"{bc}: array<long>"
         )
         pruned = (
             fact.crossJoin(F.broadcast(bmp))
             .filter(
-                might_contain(
-                    probe, None, m_bits, k, bits_col=F.col("__bloom_bits")
-                )
+                might_contain(probe, None, m_bits, k, bits_col=F.col(bc))
             )
-            .drop("__bloom_bits")
+            .drop(bc)
         )
     # semi join straight against the dim (left_semi dedupes its build
     # side) — referencing the persisted-then-unpersisted frame here

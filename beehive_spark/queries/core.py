@@ -2597,7 +2597,8 @@ def zorder_layout(spark, sf_dir):
     WITH iv AS (
       SELECT epoch_us(ts) AS s,
              epoch_us(ts)
-               + (CAST(ROUND(value * 100) AS BIGINT) % 3540 + 60) * 1000000
+               + (((CAST(ROUND(value * 100) AS BIGINT) % 3540) + 3540) % 3540
+                  + 60) * 1000000
                AS e
       FROM events
     ),
@@ -2625,7 +2626,11 @@ def interval_concurrency(spark, sf_dir):
     """Maximum number of concurrently-open sessions per hour — the
     sweep-line / max-overlap primitive (room bookings, connection
     pools, ad impressions), over intervals opened at each event's
-    timestamp and held for a value-derived 1-60-minute duration.
+    timestamp and held for a value-derived 1-60-minute duration
+    (non-negative modulo on BOTH engines — Spark ``pmod`` vs DuckDB's
+    sign-of-dividend ``%`` wrapped as ``((x%m)+m)%m`` — so a negative
+    event value cannot produce an end-before-start interval on one
+    side only).
     Each interval contributes +1 at its start and -1 at its
     (exclusive) end; concurrency at any instant is the prefix sum of
     those deltas, and the per-hour answer is the max of that step

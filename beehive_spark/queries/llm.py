@@ -14,6 +14,7 @@ document fingerprinting. Every operator is designed scale-first:
 from __future__ import annotations
 
 import os
+import shutil
 from collections.abc import Iterator
 
 from pyspark.sql import functions as F
@@ -2574,12 +2575,7 @@ def _link_tree(src: str, dst: str) -> None:
     ``os.replace``) — an existing linked file is never modified in
     place, so the source artifact cannot be corrupted through the
     clone."""
-    for root, _dirs, files in os.walk(src):
-        rel = os.path.relpath(root, src)
-        tgt = dst if rel == "." else os.path.join(dst, rel)
-        os.makedirs(tgt, exist_ok=True)
-        for f in files:
-            os.link(os.path.join(root, f), os.path.join(tgt, f))
+    shutil.copytree(src, dst, copy_function=os.link)
 
 
 @query("ann_index_delete")  # approximate probe -> rows-only driver check
@@ -2606,8 +2602,6 @@ def ann_index_delete(spark, sf_dir):
     Scale shape: the tombstone set broadcasts into a probe-side
     anti-join until compaction reclaims the dead rows — FAISS's
     remove_ids semantics re-expressed as lakehouse artifacts."""
-    import shutil
-
     from beehive_spark.operators.ann_index import (
         delete_from_ivf_index,
         probe_ivf_index,

@@ -2115,8 +2115,13 @@ def graph_kcore_planted(spark, sf_dir):
     so the query exercises a genuine multi-round peel, while the
     surviving core is exactly the clique positions with
     core_degree = |clique|-1, plus the chain contribution (1 per
-    existing neighbor block) on position-0 nodes.  All node counts
-    divide 15 at every shipped scale factor, so no block is partial.
+    existing neighbor block) on position-0 nodes.  LOAD-BEARING data
+    assumptions, both asserted in ``tests/test_queries_r6.py``:
+    custkeys are 0-BASED AND CONTIGUOUS (conventional 1-based keys
+    would orphan block 0's position-0 node, demoting its clique below
+    the core while the arithmetic oracle still claims it), and node
+    counts divide 15 at every shipped scale factor (no partial
+    block).
 
     Scale shape: clique edges come from one block-keyed equi-join,
     every other edge class is a pure projection, and the peel itself

@@ -119,7 +119,11 @@ EXTRA = [
     # round-3 additions (ann_index_build excluded: artifact write runs
     # eagerly; its manifest plan is one grouped count over the index)
     "ann_index_probe",
-    "media_phash_dedup",
+    # (media_phash_dedup excluded since r6: phash_dedup materializes
+    # the decoded hash frame via an eager localCheckpoint at
+    # plan-BUILD time — a "static" audit would execute the full PNG
+    # synth + decode and then audit a checkpoint scan, same class as
+    # graph_triangles)
     "events_gap_fill",
     "orders_rfm_segments",
     "stddev_prices_exact",

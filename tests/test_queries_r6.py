@@ -315,7 +315,16 @@ def test_graph_kcore_planted_matches_closed_form(spark, sf_dir):
         (r["id"], r["core_degree"])
         for r in graph_kcore_planted(spark, sf_dir).collect()
     }
-    n = spark.read.parquet(f"{sf_dir}/customer.parquet").count()
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    n = cust.count()
+    # load-bearing planted-topology assumptions (see the query
+    # docstring): custkeys 0-based AND contiguous, count divisible
+    # by 15 — 1-based keys would orphan block 0's anchor and make
+    # the closed-form oracle silently wrong
+    lo, hi = cust.selectExpr(
+        "min(c_custkey)", "max(c_custkey)"
+    ).first()
+    assert lo == 0 and hi == n - 1 and n % 15 == 0
     maxb = (n - 1) // 15
     want = set()
     for i in range(n):
@@ -360,3 +369,38 @@ def test_ngram_lm_score_unseen_history_fallback(spark):
     assert got[1]["n_bigrams"] == 3
     assert got[1]["xent"] == round(-s / 1_000_000 / 3, 4)
     assert got[3]["n_bigrams"] == 0 and got[3]["xent"] is None
+
+
+# ---------------------------------------------------------------------------
+# Bloom broadcast-bitmap path: exactness, column-name collision, validation
+# ---------------------------------------------------------------------------
+def test_bloom_broadcast_path_exact_and_collision_safe(spark, monkeypatch):
+    """Force the past-the-literal-cliff path (bitmap shipped as a
+    broadcast single-row array<long> frame) and verify (a) the result
+    still equals the plain semi join, (b) a fact frame that ALREADY
+    carries a __bloom_bits column (a chained bloom stage that wasn't
+    dropped) doesn't collide with the helper column, and (c) the
+    helper column never leaks into the output schema."""
+    import beehive_spark.operators.bloom as mod
+    from beehive_spark.operators.bloom import bloom_semi_join
+
+    monkeypatch.setattr(mod, "_INLINE_WORDS", 0)  # every bitmap -> broadcast
+    fact = spark.range(5_000).select(
+        F.col("id").alias("k"),
+        F.array(F.lit(-1).cast("long")).alias("__bloom_bits"),
+    )
+    dim = spark.range(100).select((F.col("id") * 37).alias("k"))
+    out = bloom_semi_join(fact, dim, "k")
+    got = sorted(r["k"] for r in out.collect())
+    want = sorted(r["k"] for r in fact.join(dim, "k", "left_semi").collect())
+    assert got == want and len(got) == 100
+    assert out.columns == ["k", "__bloom_bits"]  # caller's column survives
+
+
+def test_might_contain_requires_a_bitmap_source():
+    import pytest
+
+    from beehive_spark.operators.bloom import might_contain
+
+    with pytest.raises(ValueError, match="bitmap"):
+        might_contain(F.col("k"), None)
