@@ -96,6 +96,7 @@ _PRIORITY = [
     "events_resample",             # r6 new: hourly grid + exact interpolation
     "events_ewma",                 # r6 new: integer EWMA per-key fold
     "ngram_lm_score",              # r6 new: bigram LM held-out scoring
+    "media_scene_cuts",            # r6 new: planted scene-cut detection
     # --- newest driver evidence still r02 (VERDICT r5 ask #1's nine)
     "array_funcs_suite", "grouping_sets_revenue", "text_tfidf_topterms",
     "dq_violations", "trend_slopes", "incremental_agg_orders",
@@ -107,10 +108,12 @@ _PRIORITY = [
 # ROUND-7 NOTE: after CORRECTNESS_r06 the union should have every
 # oracle-bearing query's newest driver evidence at r03 or later; the
 # next-oldest cohort is the r03-vintage tail of _PRIORITY_R3 that the
-# r6 backfill cannot fully absorb (the entries past the ~22 slots the
+# r6 backfill cannot fully absorb (the entries past the ~21 slots the
 # round-6 head leaves open — verify the actual cut by EXECUTING
-# list(all_queries())[:50], never by counting comments).  Rotate those
-# in next, after whatever round 7 changes.
+# list(all_queries())[:50], never by counting comments; the late
+# media_scene_cuts registration pushed similarity_ann_pq past slot
+# 50, so it joins that cohort).  Rotate those in next, after whatever
+# round 7 changes.
 # (round-5 window, kept for the fill chain; every entry r05-driver-green)
 _PRIORITY_R5 = [
     "session_attribution",         # r5: oracle HUGEINT fix (CAST AS BIGINT)

@@ -595,3 +595,136 @@ def media_exif_harvest(spark, sf_dir):
         F.max("iso").alias("max_iso"),
         F.countDistinct("width").alias("n_widths"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Scene-cut detection over decoded video frames
+# ---------------------------------------------------------------------------
+_SC_FRAMES = 8        # frames per synthesized scene video
+_SC_EVERY_MS = 500    # sampling stride == container frame interval
+_SC_THRESH = 16       # |delta| >= thresh -> cut (planted: 1 vs >= 70)
+
+
+def synth_scene_video_media(docs):
+    """Deterministic SCENE corpus: each doc becomes an 8-frame MPNG
+    whose frame f is a solid PNG with value
+    ``1 + (doc_id*53 + s*71) % 254 + (f % 2)`` where the scene index
+    ``s`` steps at two planted cut positions — ``2 + doc_id % 3`` and
+    ``6``.  Within a scene consecutive frames differ by exactly 1 (the
+    parity jitter keeps the detector honest: zero-delta would make
+    'nonzero' a trivial cut test); across a cut they differ by
+    ``|±71 mod 254| ± 1`` — always in {70, 72, 182, 184}, far above
+    the threshold — so the detected cut set is closed-form in doc_id
+    and the oracle can check frame positions AND deltas exactly."""
+    import numpy as np
+    import pandas as pd
+
+    from beehive_spark.functions.multimodal import encode_mpng
+    from beehive_spark.functions.png import encode_png
+
+    def render(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            ids, payloads = [], []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                c1 = 2 + d % 3
+                frames = []
+                for f in range(_SC_FRAMES):
+                    s = (1 if f >= c1 else 0) + (1 if f >= 6 else 0)
+                    v = 1 + (d * 53 + s * 71) % 254 + (f % 2)
+                    px = np.full((8, 8, 3), v, dtype=np.uint8)
+                    frames.append(encode_png(px))
+                ids.append(d)
+                payloads.append(encode_mpng(frames))
+            yield pd.DataFrame({"media_id": ids, "payload": payloads})
+
+    return docs.select("doc_id").mapInPandas(render, schema=_PNG_SCHEMA)
+
+
+@query(
+    "media_scene_cuts",
+    oracle="""
+    SELECT doc_id AS media_id,
+           CAST(CASE WHEN c = 0 THEN 2 + doc_id % 3 ELSE 6 END AS INT)
+             AS cut_frame,
+           CAST(abs(
+             ((doc_id*53 + (c+1)*71) % 254
+               + (CASE WHEN c = 0 THEN 2 + doc_id % 3 ELSE 6 END) % 2)
+             - ((doc_id*53 + c*71) % 254
+               + (CASE WHEN c = 0 THEN 2 + doc_id % 3 ELSE 6 END - 1) % 2)
+           ) AS BIGINT) AS delta_luma
+    FROM documents, unnest(range(0, 2)) t(c)
+    """,
+)
+def media_scene_cuts(spark, sf_dir):
+    """Scene-cut detection — the temporal-segmentation leg of the
+    video pipeline (frame sampling: ``media_video_frames``): decode
+    every frame of a synthesized 8-frame scene video (two planted
+    cuts per doc, closed-form colors), reduce each frame to its EXACT
+    integer mean byte value (solid frames make the mean the color
+    itself, integer-division-exact), and flag a cut wherever the
+    frame-over-frame absolute delta reaches the threshold.  Planted
+    intra-scene deltas are exactly 1 and cut deltas at least 70, so
+    the detected (position, delta) set is pure arithmetic in doc_id —
+    a sampler off by one frame, a biased mean, or a sign slip in the
+    lag all break the hash.
+
+    Scale shape: synthesis and decode are chained Arrow map stages in
+    one task pipeline; each frame reduces to ONE long before anything
+    shuffles, so the only exchange is the per-media lag window —
+    partitioned by media_id (bounded frames per media; a 100 TB video
+    corpus shuffles |frames| 16-byte rows, never pixels).
+
+    Reference scope: net-new (the reference is relational-only);
+    real detectors (ffmpeg scene filter, TransNet) drop into the same
+    decode seam."""
+    from pyspark.sql import Window
+
+    from beehive_spark.functions.multimodal import sample_frames, wrap_as_media
+
+    docs = load(spark, sf_dir, "documents")
+    media = wrap_as_media(
+        synth_scene_video_media(docs), "media_id", "payload", modality="video"
+    )
+    media = media.withColumn(
+        "meta",
+        F.col("meta").withField(
+            "duration_ms", F.lit((_SC_FRAMES - 1) * _SC_EVERY_MS).cast("long")
+        ),
+    )
+    frames = sample_frames(
+        media,
+        every_ms=_SC_EVERY_MS,
+        max_frames=_SC_FRAMES,
+        use_real_decoder=True,
+    )
+    # exact integer frame value: sum of all raw bytes (hex pairs read
+    # positionally, all JVM) integer-divided by the byte count — for a
+    # solid gray frame this IS the planted color, no float rounding
+    hexs = F.hex("frame")
+    total = F.aggregate(
+        F.transform(
+            F.sequence(F.lit(0), F.length("frame").cast("int") - 1),
+            lambda p: F.conv(F.substring(hexs, p * 2 + 1, 2), 16, 10).cast(
+                "long"
+            ),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    vals = frames.select(
+        "media_id",
+        "frame_idx",
+        F.call_function("div", total, F.length("frame").cast("long")).alias(
+            "v"
+        ),
+    )
+    w = Window.partitionBy("media_id").orderBy("frame_idx")
+    deltas = vals.withColumn(
+        "delta_luma", F.abs(F.col("v") - F.lag("v").over(w))
+    )
+    return deltas.filter(F.col("delta_luma") >= _SC_THRESH).select(
+        "media_id",
+        F.col("frame_idx").cast("int").alias("cut_frame"),
+        F.col("delta_luma").cast("long"),
+    )

@@ -175,6 +175,7 @@ EXTRA = [
     "events_resample",
     "events_ewma",
     "ngram_lm_score",
+    "media_scene_cuts",
 ]
 
 

@@ -404,3 +404,48 @@ def test_might_contain_requires_a_bitmap_source():
 
     with pytest.raises(ValueError, match="bitmap"):
         might_contain(F.col("k"), None)
+
+
+# ---------------------------------------------------------------------------
+# Scene cuts: the detected set matches a pure-python decode + sweep
+# ---------------------------------------------------------------------------
+def test_media_scene_cuts_matches_python_decode(spark, sf_dir):
+    """Independent twin: decode every synthesized payload with the
+    vendored codec OUTSIDE Spark, compute exact integer frame means,
+    sweep for deltas >= threshold — verifies the whole real-decode
+    pipeline, not just the oracle's closed form.  Also pins the
+    planted separation property (every delta is 1 or >= 70)."""
+    from beehive_spark.functions.multimodal import decode_mpng, _decode_rgb_array
+    from beehive_spark.queries.media import (
+        _SC_THRESH,
+        media_scene_cuts,
+        synth_scene_video_media,
+    )
+
+    docs = _load(spark, sf_dir, "documents").limit(40)
+
+    import beehive_spark.queries.media as mod
+
+    orig_load = mod.load
+    try:
+        mod.load = lambda sp, sf, t: docs
+        got = {
+            (r["media_id"], r["cut_frame"], r["delta_luma"])
+            for r in media_scene_cuts(spark, "unused").collect()
+        }
+    finally:
+        mod.load = orig_load
+
+    want = set()
+    for r in synth_scene_video_media(docs).collect():
+        vs = []
+        for frame in decode_mpng(bytes(r["payload"])):
+            px = _decode_rgb_array(frame)
+            total = int(px.astype("int64").sum())
+            vs.append(total // px.size)
+        for f in range(1, len(vs)):
+            d = abs(vs[f] - vs[f - 1])
+            assert d == 1 or d >= 70, (r["media_id"], f, d)  # separation
+            if d >= _SC_THRESH:
+                want.add((r["media_id"], f, d))
+    assert got == want and len(got) == 2 * 40
