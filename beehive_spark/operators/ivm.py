@@ -350,3 +350,59 @@ def incremental_topk(
         .select(*keys, F.col(count_col), F.col(out_col))
     )
     return untouched.unionByName(cheap).unionByName(rescanned)
+
+
+def delta_join(
+    a_old: DataFrame,
+    da: DataFrame,
+    b_old: DataFrame,
+    db: DataFrame,
+    on: str | Sequence[str],
+) -> DataFrame:
+    """Signed delta of the equi-join view ``V = A JOIN B`` from signed
+    deltas of its inputs — the bilinear join-maintenance identity
+    (differential dataflow / DBSP, public literature):
+
+        dV = dA JOIN B_old  +  A_old JOIN dB  +  dA JOIN dB
+
+    ``a_old`` / ``b_old`` are the PRE-change multisets (unsigned);
+    ``da`` / ``db`` carry :data:`SIGN`.  The first two terms keep the
+    input's sign; the cross term multiplies signs (a retracted A row
+    joined to a retracted B row REAPPEARS in the view's delta with +1
+    exactly when neither replacement matches it — the identity handles
+    every such case by algebra, no case analysis).  Applying ``dV`` to
+    the old view (union, then sign-weighted aggregation or
+    :func:`incremental_agg`) equals a from-scratch join of the
+    post-change tables — pinned against a brute-force multiset
+    recompute in ``tests/test_ivm_join.py``.
+
+    Non-key column names must be disjoint between A and B (the join
+    view's own schema requirement).
+
+    Scale shape — the whole point at 100 TB: the base tables are
+    joined only AGAINST THE DELTAS, never against each other.  Both
+    delta-side frames are broadcast (deltas are small by contract), so
+    ``A_old`` and ``B_old`` stream through map-side broadcast joins
+    with ZERO repartitioning of either base, and the cross term is
+    delta x delta.  Cost scales with |delta| x match-rate, not with
+    history."""
+    on = [on] if isinstance(on, str) else list(on)
+    a_cols = [c for c in a_old.columns if c not in on]
+    b_cols = [c for c in b_old.columns if c not in on]
+    clash = (set(a_cols) & set(b_cols)) | ({SIGN} & set(a_cols + b_cols))
+    if clash:
+        raise ValueError(f"delta_join column collision: {sorted(clash)}")
+    out = on + a_cols + b_cols + [SIGN]
+    sa, sb = f"{SIGN}_a", f"{SIGN}_b"
+    da_r = da.withColumnRenamed(SIGN, sa)
+    db_r = db.withColumnRenamed(SIGN, sb)
+    t1 = b_old.join(F.broadcast(da_r), on).select(
+        *on, *a_cols, *b_cols, F.col(sa).alias(SIGN)
+    )
+    t2 = a_old.join(F.broadcast(db_r), on).select(
+        *on, *a_cols, *b_cols, F.col(sb).alias(SIGN)
+    )
+    t3 = da_r.join(F.broadcast(db_r), on).select(
+        *on, *a_cols, *b_cols, (F.col(sa) * F.col(sb)).alias(SIGN)
+    )
+    return t1.unionByName(t2).unionByName(t3).select(*out)

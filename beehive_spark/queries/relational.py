@@ -2283,3 +2283,102 @@ def qgram_editdist_join(spark, sf_dir):
             .alias("n_b"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Incremental JOIN-view maintenance — the delta-join identity end to end
+# ---------------------------------------------------------------------------
+@query(
+    "incremental_join_orders",
+    oracle="""
+    WITH o2 AS (
+      SELECT o_custkey AS custkey,
+             CAST(ROUND(o_totalprice * 100) AS BIGINT)
+               + CASE WHEN o_orderkey % 50 = 0 AND o_orderkey % 97 <> 0
+                      THEN 100 ELSE 0 END AS cents
+      FROM orders
+      WHERE o_orderkey % 97 <> 0
+    ),
+    c2 AS (
+      SELECT c_custkey AS custkey,
+             CASE WHEN c_custkey % 70 = 0 THEN 'MOVED'
+                  ELSE c_mktsegment END AS segment
+      FROM customer
+    )
+    SELECT segment,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(cents) AS BIGINT) AS total_cents
+    FROM o2 JOIN c2 USING (custkey)
+    GROUP BY segment
+    """,
+)
+def incremental_join_orders(spark, sf_dir):
+    """Maintain the JOIN view ``orders x customer`` from CDC deltas via
+    the bilinear identity (``operators.ivm.delta_join``) and prove the
+    maintained state equals a from-scratch recompute of the
+    POST-change tables — the oracle IS that recompute.  Three
+    simultaneous change classes exercise every term: order price
+    updates (retract/insert pairs on A: +100 cents where
+    ``orderkey % 50 = 0``), order deletes (pure retractions where
+    ``orderkey % 97 = 0``), and customer segment moves (retract/insert
+    on B: ``custkey % 70 = 0`` moves to 'MOVED') — orders of moved
+    customers land in the dA x dB cross term, where only the sign
+    PRODUCT keeps retract-joined-to-retract from double-counting.
+
+    The reference recomputes derived state by re-reading every table
+    per run (orchestrator.js:22-121); this is the delta-priced
+    replacement for joins, completing the IVM family
+    (``incremental_agg`` / ``incremental_minmax`` /
+    ``incremental_topk`` cover aggregates).
+
+    Scale shape: all three delta terms broadcast the delta side —
+    neither base table ever repartitions — and the final rollup is
+    sign-weighted SUMs (map-side combinable) on |segments| groups.
+    At 100 TB the per-batch cost is |delta| x match-rate plus one
+    pass over the OLD view's aggregate, never a re-join of history."""
+    from beehive_spark.operators.ivm import SIGN, delta_join
+
+    o = load(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.col("o_custkey").alias("custkey"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    c = load(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("custkey"),
+        F.col("c_mktsegment").alias("segment"),
+    )
+    upd = o.filter(
+        (F.col("o_orderkey") % 50 == 0) & (F.col("o_orderkey") % 97 != 0)
+    )
+    dele = o.filter(F.col("o_orderkey") % 97 == 0)
+    da = (
+        upd.select(F.lit(-1).alias(SIGN), "o_orderkey", "custkey", "cents")
+        .unionByName(
+            upd.select(
+                F.lit(1).alias(SIGN),
+                "o_orderkey",
+                "custkey",
+                (F.col("cents") + 100).alias("cents"),
+            )
+        )
+        .unionByName(
+            dele.select(F.lit(-1).alias(SIGN), "o_orderkey", "custkey", "cents")
+        )
+    )
+    moved = c.filter(F.col("custkey") % 70 == 0)
+    db = moved.select(F.lit(-1).alias(SIGN), "custkey", "segment").unionByName(
+        moved.select(
+            F.lit(1).alias(SIGN), "custkey", F.lit("MOVED").alias("segment")
+        )
+    )
+    dv = delta_join(o, da, c, db, on="custkey")
+    v_old = o.join(c, "custkey").withColumn(SIGN, F.lit(1))
+    allr = v_old.select(dv.columns).unionByName(dv)
+    return (
+        allr.groupBy("segment")
+        .agg(
+            F.sum(SIGN).cast("long").alias("n_orders"),
+            F.sum(F.col(SIGN) * F.col("cents")).cast("long").alias("total_cents"),
+        )
+        .filter(F.col("n_orders") > 0)
+    )

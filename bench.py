@@ -141,6 +141,7 @@ EXTRA = [
     "events_ewma",
     "ngram_lm_score",
     "media_scene_cuts",
+    "incremental_join_orders",
 ]
 
 

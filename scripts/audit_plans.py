@@ -176,6 +176,7 @@ EXTRA = [
     "events_ewma",
     "ngram_lm_score",
     "media_scene_cuts",
+    "incremental_join_orders",
 ]
 
 
