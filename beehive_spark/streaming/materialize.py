@@ -82,6 +82,43 @@ def _last_applied(table_path: str) -> int:
     return -1
 
 
+def _stage(fresh: DataFrame, table_path: str, batch_id: int) -> str:
+    """Write ``fresh`` plus its batch-id meta into the table's staging
+    directory (NOT yet promoted) and return the staging path.  The
+    meta is written and fsynced INTO the staging directory, so a
+    staging directory WITH meta is a complete, promotable state."""
+    staging = table_path.rstrip("/") + ".staging"
+    shutil.rmtree(staging, ignore_errors=True)
+    fresh.write.mode("overwrite").parquet(staging)
+    with open(_meta_file(staging), "w") as f:
+        json.dump({"batch_id": batch_id}, f)
+        f.flush()
+        os.fsync(f.fileno())
+    return staging
+
+
+def _staged_batch_id(table_path: str) -> int:
+    """Batch id of a COMPLETE staging for this table, else -1 (no
+    staging, or one that crashed before its meta was written)."""
+    staging = table_path.rstrip("/") + ".staging"
+    try:
+        with open(_meta_file(staging)) as f:
+            return json.load(f)["batch_id"]
+    except (OSError, ValueError, KeyError):
+        return -1
+
+
+def _promote(staging: str, table_path: str) -> None:
+    # commit point: the shared locked promotion (no-op if a recoverer
+    # already promoted this staging); the pre-swap table had its meta
+    # inside it, so nothing stale lingers
+    promote_staging(staging, table_path, marker=META_NAME)
+    try:  # drop a legacy external sidecar if this table predates in-dir meta
+        os.remove(_legacy_meta_path(table_path))
+    except OSError:
+        pass
+
+
 def _commit_swap(fresh: DataFrame, table_path: str, batch_id: int) -> None:
     """Atomically publish ``fresh`` as ``table_path`` with its batch id.
 
@@ -93,21 +130,7 @@ def _commit_swap(fresh: DataFrame, table_path: str, batch_id: int) -> None:
     double-fold window ADVICE.md flagged (meta written after the swap)
     is gone — there is no state in which the new data is live without
     its id."""
-    staging = table_path.rstrip("/") + ".staging"
-    shutil.rmtree(staging, ignore_errors=True)
-    fresh.write.mode("overwrite").parquet(staging)
-    with open(_meta_file(staging), "w") as f:
-        json.dump({"batch_id": batch_id}, f)
-        f.flush()
-        os.fsync(f.fileno())
-    # commit point: the shared locked promotion (no-op if a recoverer
-    # already promoted this staging); the pre-swap table had its meta
-    # inside it, so nothing stale lingers
-    promote_staging(staging, table_path, marker=META_NAME)
-    try:  # drop a legacy external sidecar if this table predates in-dir meta
-        os.remove(_legacy_meta_path(table_path))
-    except OSError:
-        pass
+    _promote(_stage(fresh, table_path, batch_id), table_path)
 
 
 def run_ivm_agg_stream(
@@ -263,6 +286,129 @@ def run_cdc_materialize_stream(
         .option(
             "checkpointLocation",
             os.path.join(checkpoint_dir or agg_path + "_ckpt", "m"),
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(timeout_sec)
+    if q.isActive:  # pragma: no cover
+        q.stop()
+
+
+def run_ivm_join_agg_stream(
+    spark: SparkSession,
+    changes: DataFrame,
+    a_path: str,
+    b_path: str,
+    view_path: str,
+    checkpoint_dir: str,
+    join_key: str,
+    a_keys: list[str],
+    a_values: list[str],
+    b_values: list[str],
+    agg_keys: list[str],
+    sums: dict[str, str],
+    table_col: str = "src_table",
+    seq_col: str = "seq",
+    count_col: str = "n_rows",
+    timeout_sec: int = 120,
+) -> None:
+    """Maintain an AGGREGATE OVER A JOIN from one CDC stream carrying
+    changes to BOTH sides — the composition of the two batch
+    primitives: ``operators.ivm.delta_join`` turns the per-batch signed
+    deltas of fact table A and dimension table B into the signed delta
+    of the join view (dV = dA><B + A><dB + dA><dB, computed against
+    the PRE-batch row snapshots), and ``incremental_agg`` folds that
+    straight into the materialized aggregate.  This is the case plain
+    aggregate IVM cannot touch: when the GROUPING column lives on the
+    dimension, one dimension-row change re-buckets every joined fact
+    row — handled here by algebra, at |delta| x match-rate cost, with
+    no recompute and no re-join of history.
+
+    Star-schema contract: A rows are ``a_keys + [join_key] + a_values``
+    (facts, keyed by ``a_keys``, carrying the FK), B rows are
+    ``[join_key] + b_values`` (dimension keyed by the join key);
+    ``changes`` rows carry ``table_col`` ('a'/'b'), ``change_type``,
+    ``seq_col``, and ``<col>_old`` / ``<col>_new`` payloads.
+
+    Exactly-once across the THREE artifacts (A rows, B rows, view) on
+    an at-least-once source, without multi-directory transactions:
+    the view delta — the only non-idempotent piece, because it must
+    read pre-batch snapshots — is computed and STAGED (data + batch id,
+    unpromoted) before either row table mutates; the keyed row rewrites
+    are idempotent; the staged view promotes last.  A replay therefore
+    either finds no complete staging (nothing mutated — recompute), or
+    a complete staging for THIS batch (snapshots may already be
+    post-batch — skip the recompute, redo the idempotent row applies,
+    promote), or a recorded batch id (fully committed — no-op).
+
+    Scale shape: both delta terms broadcast the delta side (see
+    ``delta_join``), the row applies broadcast their touched keys, and
+    the aggregate fold broadcasts the touched groups — none of the
+    three base artifacts ever repartitions."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from beehive_spark.operators.ivm import delta_join
+    from beehive_spark.sources.writers import apply_cdc_parquet
+
+    def compact(feed: DataFrame, keys: list[str], cols: list[str]) -> DataFrame:
+        # last change per key (CDC contract: keys immutable in the
+        # feed; key changes arrive as delete+insert)
+        def col_of(c):
+            new_c, old_c = f"{c}_new", f"{c}_old"
+            if new_c in feed.columns:
+                return F.coalesce(F.col(new_c), F.col(old_c)).alias(c)
+            return F.col(c)
+
+        w = Window.partitionBy(
+            *[col_of(k).alias(f"__k_{k}") for k in keys]
+        ).orderBy(F.col(seq_col).desc())
+        return (
+            feed.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .select("change_type", *[col_of(c) for c in dict.fromkeys(cols)])
+        )
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        if batch_id <= _last_applied(view_path):
+            return  # fully committed: replay no-op
+        fa = batch_df.filter(F.col(table_col) == "a")
+        fb = batch_df.filter(F.col(table_col) == "b")
+        staging = view_path.rstrip("/") + ".staging"
+        if _staged_batch_id(view_path) != batch_id:
+            # pre-batch snapshots are intact (row applies happen only
+            # after a complete staging exists): fold the join delta
+            a_old = spark.read.parquet(a_path)
+            b_old = spark.read.parquet(b_path)
+            da = cdc_to_retractions(
+                fa, keys=a_keys, values=[join_key] + a_values
+            )
+            db = cdc_to_retractions(fb, keys=[join_key], values=b_values)
+            dv = delta_join(a_old, da, b_old, db, on=join_key)
+            fresh = incremental_agg(
+                spark.read.parquet(view_path), dv, agg_keys, sums,
+                count_col=count_col,
+            )
+            _stage(fresh, view_path, batch_id)
+        # idempotent keyed rewrites (safe to redo on replay)
+        apply_cdc_parquet(
+            spark, a_path, compact(fa, a_keys, a_keys + [join_key] + a_values),
+            keys=a_keys,
+        )
+        apply_cdc_parquet(
+            spark, b_path, compact(fb, [join_key], [join_key] + b_values),
+            keys=[join_key],
+        )
+        _promote(staging, view_path)
+
+    q = (
+        changes.writeStream.outputMode("append")
+        .foreachBatch(sink)
+        .option(
+            "checkpointLocation", os.path.join(checkpoint_dir, "ivm_join")
         )
         .trigger(availableNow=True)
         .start()

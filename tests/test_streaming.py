@@ -531,3 +531,110 @@ def test_ivm_commit_is_atomic_and_recovers_mid_swap(spark, tmp_path):
     # exercise _commit_swap directly once more on the recovered table
     _commit_swap(fresh, table, 2)
     assert _last_applied(table) == 2
+
+
+def test_ivm_join_agg_stream_maintains_join_view(spark, tmp_path):
+    """Streaming aggregate-over-a-join maintenance: fact updates,
+    fact deletes, a DIMENSION group move (which re-buckets every
+    joined fact row), and a same-batch fact+dimension change (the
+    dA x dB cross term) must all converge the view to the
+    from-scratch aggregate of the post-change join; a replayed feed
+    must be a no-op."""
+    from beehive_spark.streaming.materialize import run_ivm_join_agg_stream
+
+    a_path, b_path = str(tmp_path / "orders"), str(tmp_path / "cust")
+    view = str(tmp_path / "view")
+    spark.createDataFrame(
+        [(1, 10, 100), (2, 10, 200), (3, 20, 300)], "k long, ck long, v long"
+    ).write.parquet(a_path)
+    spark.createDataFrame([(10, "x"), (20, "y")], "ck long, seg string").write.parquet(
+        b_path
+    )
+    # initial view = build_agg shape over the join
+    spark.createDataFrame(
+        [("x", 2, 300, 2), ("y", 1, 300, 1)],
+        "seg string, n_rows bigint, sv bigint, sv_nn bigint",
+    ).write.parquet(view)
+
+    schema = (
+        "change_type string, seq bigint, src_table string, "
+        "k_old bigint, k_new bigint, ck_old bigint, ck_new bigint, "
+        "v_old bigint, v_new bigint, seg_old string, seg_new string"
+    )
+    feed_dir = tmp_path / "feed"
+    feed_dir.mkdir()
+    # batch 1: fact update + fact insert
+    spark.createDataFrame(
+        [
+            ("update", 1, "a", 1, 1, 10, 10, 100, 150, None, None),
+            ("insert", 2, "a", None, 4, None, 20, None, 50, None, None),
+        ],
+        schema,
+    ).coalesce(1).write.parquet(str(feed_dir / "f1.parquet"))
+    # batch 2: dimension move ck=10 x->z, fact delete, AND a fact
+    # update on a ck=10 order in the same batch (dA x dB cross term)
+    spark.createDataFrame(
+        [
+            ("update", 3, "b", None, None, 10, 10, None, None, "x", "z"),
+            ("delete", 4, "a", 3, None, 20, None, 300, None, None, None),
+            ("update", 5, "a", 2, 2, 10, 10, 200, 250, None, None),
+        ],
+        schema,
+    ).coalesce(1).write.parquet(str(feed_dir / "f2.parquet"))
+
+    def run(ck_dir, src=None):
+        changes = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(str(feed_dir) + "/*/")
+            if src is None
+            else src
+        )
+        run_ivm_join_agg_stream(
+            spark, changes, a_path, b_path, view, str(tmp_path / ck_dir),
+            join_key="ck", a_keys=["k"], a_values=["v"], b_values=["seg"],
+            agg_keys=["seg"], sums={"sv": "v"},
+        )
+
+    run("ck1")
+    got = {
+        r["seg"]: (r["n_rows"], r["sv"]) for r in spark.read.parquet(view).collect()
+    }
+    # post-state: A={1:(10,150), 2:(10,250), 4:(20,50)}, B={10:z, 20:y}
+    assert got == {"z": (2, 400), "y": (1, 50)}
+    rows_a = sorted(tuple(r) for r in spark.read.parquet(a_path).collect())
+    rows_b = sorted(tuple(r) for r in spark.read.parquet(b_path).collect())
+    assert rows_a == [(1, 10, 150), (2, 10, 250), (4, 20, 50)]
+    assert rows_b == [(10, "z"), (20, "y")]
+    # replay from a fresh checkpoint: recorded batch ids make it a no-op
+    run("ck2", src=spark.readStream.schema(schema).parquet(str(feed_dir) + "/*/"))
+    again = {
+        r["seg"]: (r["n_rows"], r["sv"]) for r in spark.read.parquet(view).collect()
+    }
+    assert again == got
+
+
+def test_stage_and_promote_helpers_roundtrip(spark, tmp_path):
+    """A staging with meta is complete and promotable; one without
+    meta (crash before fsync) reads as absent."""
+    import os
+
+    from beehive_spark.streaming.materialize import (
+        _meta_file,
+        _promote,
+        _stage,
+        _staged_batch_id,
+    )
+
+    table = str(tmp_path / "t")
+    spark.createDataFrame([(1,)], "x long").write.parquet(table)
+    fresh = spark.createDataFrame([(2,)], "x long")
+    staging = _stage(fresh, table, batch_id=7)
+    assert _staged_batch_id(table) == 7
+    # incomplete staging (no meta) must read as -1
+    os.remove(_meta_file(staging))
+    assert _staged_batch_id(table) == -1
+    staging = _stage(fresh, table, batch_id=8)
+    _promote(staging, table)
+    assert [r["x"] for r in spark.read.parquet(table).collect()] == [2]
+    assert not os.path.exists(staging)
