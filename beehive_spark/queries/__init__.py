@@ -71,7 +71,7 @@ _loaded = False
 # window rotates each round so the cross-round union covers every
 # registered query (158/158 after r05, 143/143 oracle-bearing
 # hash-green).  The round-6 window leads with (a) everything round 6
-# changes or adds — five maintenance-touched queries plus ten net-new
+# changes or adds — five maintenance-touched queries plus twelve net-new
 # operators — then (b) the nine oracle-bearing entries whose newest
 # driver evidence was still r02 (named in VERDICT.md r5 ask #1), then
 # (c) the six r5-window spills the late round-5 registrations pushed
@@ -98,6 +98,7 @@ _PRIORITY = [
     "ngram_lm_score",              # r6 new: bigram LM held-out scoring
     "media_scene_cuts",            # r6 new: planted scene-cut detection
     "incremental_join_orders",     # r6 new: delta-join IVM (bilinear identity)
+    "media_audio_vad",             # r6 new: audio activity segmentation
     # --- newest driver evidence still r02 (VERDICT r5 ask #1's nine)
     "array_funcs_suite", "grouping_sets_revenue", "text_tfidf_topterms",
     "dq_violations", "trend_slopes", "incremental_agg_orders",
@@ -112,9 +113,10 @@ _PRIORITY = [
 # r6 backfill cannot fully absorb (the entries past the ~21 slots the
 # round-6 head leaves open — verify the actual cut by EXECUTING
 # list(all_queries())[:50], never by counting comments; the late
-# media_scene_cuts / incremental_join_orders registrations pushed
-# pagerank_hierarchy and similarity_ann_pq past slot 50, so they join
-# that cohort).  Rotate those in next, after whatever round 7 changes.
+# r6 registrations (media_scene_cuts, incremental_join_orders,
+# media_audio_vad) pushed dedup_semantic, pagerank_hierarchy and
+# similarity_ann_pq past slot 50, so they join that cohort).  Rotate
+# those in next, after whatever round 7 changes.
 # (round-5 window, kept for the fill chain; every entry r05-driver-green)
 _PRIORITY_R5 = [
     "session_attribution",         # r5: oracle HUGEINT fix (CAST AS BIGINT)

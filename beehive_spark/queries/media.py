@@ -728,3 +728,132 @@ def media_scene_cuts(spark, sf_dir):
         F.col("frame_idx").cast("int").alias("cut_frame"),
         F.col("delta_luma").cast("long"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Audio activity segmentation (VAD-style) over decoded WAV windows
+# ---------------------------------------------------------------------------
+_VAD_WINDOWS = 12     # analysis windows per synthesized clip
+_VAD_WIN = 80         # samples per window (5 ms at 16 kHz)
+_VAD_THRESH = 500     # mean-abs >= thresh -> active (planted: 0 vs >= 1000)
+
+
+def synth_vad_wav_media(docs):
+    """Deterministic activity-pattern WAV corpus: each doc is 12
+    windows of 80 samples; two planted ACTIVE runs — windows
+    ``[1 + d%3, +2 + d%2)`` and ``[8, +2 + d%3)`` — carry a ±A square
+    wave with ``A = 1000 + (d%50)*100``, everything else is digital
+    silence.  Mean absolute amplitude is therefore EXACTLY A inside an
+    active window and 0 outside, so the merged segment list (start,
+    length, level) is closed-form arithmetic in doc_id."""
+    import pandas as pd
+
+    from beehive_spark.functions.audio import encode_wav
+
+    def render(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            ids, payloads = [], []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                a1, l1 = 1 + d % 3, 2 + d % 2
+                l2 = 2 + d % 3
+                amp = 1000 + (d % 50) * 100
+                samples = []
+                for w in range(_VAD_WINDOWS):
+                    active = a1 <= w < a1 + l1 or 8 <= w < 8 + l2
+                    for i in range(_VAD_WIN):
+                        samples.append(
+                            0 if not active
+                            else (amp if (i // 8) % 2 == 0 else -amp)
+                        )
+                ids.append(d)
+                payloads.append(encode_wav(samples, rate=16000))
+            yield pd.DataFrame({"media_id": ids, "payload": payloads})
+
+    return docs.select("doc_id").mapInPandas(render, schema=_WAV_SCHEMA)
+
+
+@query(
+    "media_audio_vad",
+    oracle="""
+    SELECT doc_id AS media_id,
+           CAST(s + 1 AS INT) AS seg_idx,
+           CAST(CASE WHEN s = 0 THEN 1 + doc_id % 3 ELSE 8 END AS INT)
+             AS start_window,
+           CAST(CASE WHEN s = 0 THEN 2 + doc_id % 2 ELSE 2 + doc_id % 3 END
+                AS BIGINT) AS n_windows,
+           CAST(1000 + (doc_id % 50) * 100 AS BIGINT) AS mean_amp
+    FROM documents, unnest(range(0, 2)) t(s)
+    """,
+)
+def media_audio_vad(spark, sf_dir):
+    """Voice-activity-style segmentation — the temporal-segmentation
+    leg of the audio pipeline (features: ``media_audio_features``;
+    the audio twin of ``media_scene_cuts``): decode each synthesized
+    clip through the real stdlib WAV codec, reduce every 80-sample
+    window to its integer absolute-amplitude sum INSIDE the Arrow
+    batch, threshold on the exact integer mean, and merge consecutive
+    active windows into segments with the gaps-and-islands pattern
+    (window_idx - row_number island key).  The planted corpus
+    separates 0 from >= 1000 at a threshold of 500, and every
+    segment's (start, length, level) is closed-form in doc_id — an
+    off-by-one in windowing, a biased mean, or a broken merge all
+    break the hash.
+
+    Scale shape: synthesis and decode+window-reduce are chained Arrow
+    map stages — payloads never shuffle, each clip leaves the codec
+    stage as 12 (media_id, window, sum) longs; the island merge and
+    segment ranking are per-media windows over that bounded frame.
+    A real VAD (webrtcvad, silero) drops into the same seam."""
+    from pyspark.sql import Window
+
+    import pandas as pd
+
+    from beehive_spark.functions.audio import decode_wav
+
+    docs = load(spark, sf_dir, "documents")
+    clips = synth_vad_wav_media(docs)
+
+    def windows(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import numpy as np
+
+        for pdf in batches:
+            ids, wins, sums = [], [], []
+            for media_id, payload in zip(pdf["media_id"], pdf["payload"]):
+                _rate, samples = decode_wav(bytes(payload))
+                arr = np.abs(np.asarray(samples, dtype=np.int64))
+                n = len(arr) // _VAD_WIN
+                per = arr[: n * _VAD_WIN].reshape(n, _VAD_WIN).sum(axis=1)
+                ids.extend([media_id] * n)
+                wins.extend(range(n))
+                sums.extend(int(x) for x in per)
+            yield pd.DataFrame(
+                {"media_id": ids, "win": wins, "sum_abs": sums}
+            )
+
+    per_win = clips.mapInPandas(
+        windows, schema="media_id long, win int, sum_abs long"
+    )
+    active = per_win.filter(
+        F.call_function("div", F.col("sum_abs"), F.lit(_VAD_WIN).cast("long"))
+        >= _VAD_THRESH
+    )
+    wo = Window.partitionBy("media_id").orderBy("win")
+    islands = active.withColumn(
+        "grp", F.col("win") - F.row_number().over(wo)
+    )
+    segs = islands.groupBy("media_id", "grp").agg(
+        F.min("win").alias("start_window"),
+        F.count(F.lit(1)).alias("n_windows"),
+        F.sum("sum_abs").alias("s"),
+    )
+    ws = Window.partitionBy("media_id").orderBy("start_window")
+    return segs.select(
+        "media_id",
+        F.row_number().over(ws).alias("seg_idx"),
+        F.col("start_window").cast("int"),
+        "n_windows",
+        F.call_function(
+            "div", F.col("s"), F.col("n_windows") * _VAD_WIN
+        ).alias("mean_amp"),
+    )

@@ -142,6 +142,7 @@ EXTRA = [
     "ngram_lm_score",
     "media_scene_cuts",
     "incremental_join_orders",
+    "media_audio_vad",
 ]
 
 

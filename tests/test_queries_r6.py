@@ -449,3 +449,59 @@ def test_media_scene_cuts_matches_python_decode(spark, sf_dir):
             if d >= _SC_THRESH:
                 want.add((r["media_id"], f, d))
     assert got == want and len(got) == 2 * 40
+
+
+# ---------------------------------------------------------------------------
+# Audio VAD: detected segments match a pure-python decode + sweep
+# ---------------------------------------------------------------------------
+def test_media_audio_vad_matches_python_decode(spark, sf_dir):
+    """Independent twin: decode every synthesized clip with the stdlib
+    codec OUTSIDE Spark, window, threshold, and merge runs in python —
+    verifies the real decode + gaps-and-islands merge, not just the
+    oracle's closed form.  Also pins the planted separation (window
+    mean-abs is 0 or >= 1000)."""
+    from beehive_spark.functions.audio import decode_wav
+    from beehive_spark.queries.media import (
+        _VAD_THRESH,
+        _VAD_WIN,
+        media_audio_vad,
+        synth_vad_wav_media,
+    )
+
+    docs = _load(spark, sf_dir, "documents").limit(40)
+
+    import beehive_spark.queries.media as mod
+
+    orig_load = mod.load
+    try:
+        mod.load = lambda sp, sf, t: docs
+        got = {
+            (r["media_id"], r["seg_idx"], r["start_window"],
+             r["n_windows"], r["mean_amp"])
+            for r in media_audio_vad(spark, "unused").collect()
+        }
+    finally:
+        mod.load = orig_load
+
+    want = set()
+    for r in synth_vad_wav_media(docs).collect():
+        _rate, samples = decode_wav(bytes(r["payload"]))
+        n = len(samples) // _VAD_WIN
+        means = [
+            sum(abs(x) for x in samples[w * _VAD_WIN:(w + 1) * _VAD_WIN])
+            // _VAD_WIN
+            for w in range(n)
+        ]
+        assert all(m == 0 or m >= 1000 for m in means)  # separation
+        runs, start = [], None
+        for w in range(n + 1):
+            active = w < n and means[w] >= _VAD_THRESH
+            if active and start is None:
+                start = w
+            elif not active and start is not None:
+                runs.append((start, w - start))
+                start = None
+        for idx, (s, ln) in enumerate(runs, 1):
+            amp = means[s]  # constant inside a planted run
+            want.add((r["media_id"], idx, s, ln, amp))
+    assert got == want and len(got) == 2 * 40
