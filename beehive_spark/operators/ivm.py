@@ -389,11 +389,13 @@ def delta_join(
     on = [on] if isinstance(on, str) else list(on)
     a_cols = [c for c in a_old.columns if c not in on]
     b_cols = [c for c in b_old.columns if c not in on]
-    clash = (set(a_cols) & set(b_cols)) | ({SIGN} & set(a_cols + b_cols))
+    sa, sb = f"{SIGN}_a", f"{SIGN}_b"
+    clash = (set(a_cols) & set(b_cols)) | (
+        {SIGN, sa, sb} & set(a_cols + b_cols)
+    )
     if clash:
         raise ValueError(f"delta_join column collision: {sorted(clash)}")
     out = on + a_cols + b_cols + [SIGN]
-    sa, sb = f"{SIGN}_a", f"{SIGN}_b"
     da_r = da.withColumnRenamed(SIGN, sa)
     db_r = db.withColumnRenamed(SIGN, sb)
     t1 = b_old.join(F.broadcast(da_r), on).select(

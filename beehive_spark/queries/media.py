@@ -297,11 +297,15 @@ def media_video_frames(spark, sf_dir):
         max_frames=_FRAME_MAX,
         use_real_decoder=True,
     )
-    # mean luma of the raw RGB bytes, all JVM: hex the frame once and
-    # read unsigned byte values positionally, weighted by the ITU-R
-    # 601 coefficients; for a solid frame every pixel contributes
+    # mean luma of the raw RGB bytes, all JVM: hex the frame ONCE into
+    # its own column (an inline F.hex inside the transform lambda is
+    # re-evaluated per element — the expression-inlining trap, O(n^2)
+    # per frame; a materialized column binds once per row) and read
+    # unsigned byte values positionally, weighted by the ITU-R 601
+    # coefficients; for a solid frame every pixel contributes
     # luma(v,v,v) = v
-    return frames.select(
+    hexed = frames.withColumn("__hex", F.hex("frame"))
+    return hexed.select(
         "media_id",
         "frame_idx",
         "ts_ms",
@@ -313,15 +317,15 @@ def media_video_frames(spark, sf_dir):
                         F.lit(0), (F.length("frame") / 3).cast("int") - 1
                     ),
                     lambda p: F.conv(
-                        F.substring(F.hex("frame"), (p * 3) * 2 + 1, 2), 16, 10
+                        F.substring(F.col("__hex"), (p * 3) * 2 + 1, 2), 16, 10
                     ).cast("double")
                     * 0.299
                     + F.conv(
-                        F.substring(F.hex("frame"), (p * 3 + 1) * 2 + 1, 2), 16, 10
+                        F.substring(F.col("__hex"), (p * 3 + 1) * 2 + 1, 2), 16, 10
                     ).cast("double")
                     * 0.587
                     + F.conv(
-                        F.substring(F.hex("frame"), (p * 3 + 2) * 2 + 1, 2), 16, 10
+                        F.substring(F.col("__hex"), (p * 3 + 2) * 2 + 1, 2), 16, 10
                     ).cast("double")
                     * 0.114,
                 ),
@@ -661,7 +665,8 @@ def media_scene_cuts(spark, sf_dir):
     video pipeline (frame sampling: ``media_video_frames``): decode
     every frame of a synthesized 8-frame scene video (two planted
     cuts per doc, closed-form colors), reduce each frame to its EXACT
-    integer mean byte value (solid frames make the mean the color
+    integer mean byte value (numpy sum inside the Arrow decode stage,
+    linear in frame bytes; solid frames make the mean the color
     itself, integer-division-exact), and flag a cut wherever the
     frame-over-frame absolute delta reaches the threshold.  Planted
     intra-scene deltas are exactly 1 and cut deltas at least 70, so
@@ -698,26 +703,31 @@ def media_scene_cuts(spark, sf_dir):
         max_frames=_SC_FRAMES,
         use_real_decoder=True,
     )
-    # exact integer frame value: sum of all raw bytes (hex pairs read
-    # positionally, all JVM) integer-divided by the byte count — for a
-    # solid gray frame this IS the planted color, no float rounding
-    hexs = F.hex("frame")
-    total = F.aggregate(
-        F.transform(
-            F.sequence(F.lit(0), F.length("frame").cast("int") - 1),
-            lambda p: F.conv(F.substring(hexs, p * 2 + 1, 2), 16, 10).cast(
-                "long"
-            ),
-        ),
-        F.lit(0).cast("long"),
-        lambda acc, x: acc + x,
-    )
-    vals = frames.select(
-        "media_id",
-        "frame_idx",
-        F.call_function("div", total, F.length("frame").cast("long")).alias(
-            "v"
-        ),
+    # exact integer frame value: mean byte (sum // count) computed with
+    # numpy INSIDE the Arrow stage, linear in frame bytes — a JVM
+    # hex-walk HOF here re-evaluates hex(frame) per element, O(bytes^2)
+    # per frame, which collapses at real frame sizes (r6 review); for a
+    # solid gray frame the integer mean IS the planted color
+    import pandas as pd
+
+    def reduce_frames(
+        batches: Iterator["pd.DataFrame"],
+    ) -> Iterator["pd.DataFrame"]:
+        import numpy as np
+
+        for pdf in batches:
+            ids, idxs, vs = [], [], []
+            for media_id, frame_idx, frame in zip(
+                pdf["media_id"], pdf["frame_idx"], pdf["frame"]
+            ):
+                buf = np.frombuffer(bytes(frame), dtype=np.uint8)
+                ids.append(media_id)
+                idxs.append(int(frame_idx))
+                vs.append(int(buf.sum(dtype=np.int64)) // len(buf))
+            yield pd.DataFrame({"media_id": ids, "frame_idx": idxs, "v": vs})
+
+    vals = frames.select("media_id", "frame_idx", "frame").mapInPandas(
+        reduce_frames, schema="media_id long, frame_idx int, v long"
     )
     w = Window.partitionBy("media_id").orderBy("frame_idx")
     deltas = vals.withColumn(

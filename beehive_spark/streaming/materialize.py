@@ -16,6 +16,12 @@ ids: the last applied id is recorded in a ``_ivm_meta.json`` INSIDE the
 staged table directory before the atomic swap (so data and replay marker
 commit in one rename — no crash window where the fold is live but
 unrecorded), and replayed batches are skipped, making the sink idempotent.
+Batch ids are scoped to ONE checkpoint lineage (Spark's foreachBatch
+contract): rebuilding a lost checkpoint and re-ingesting the feed with
+DIFFERENT batching can renumber already-applied changes past the
+recorded id and double-fold them — recover a lost checkpoint by
+re-backfilling the table from the source of truth, never by replaying
+the feed under a fresh checkpoint with a stale table.
 
 At scale this is the materialized-view answer to the reference's
 recompute-everything loop (orchestrator.js:22-121): the aggregate table
@@ -50,6 +56,10 @@ def _legacy_meta_path(table_path: str) -> str:
     return table_path.rstrip("/") + ".ivm_meta.json"
 
 
+def _staging_path(table_path: str) -> str:
+    return table_path.rstrip("/") + ".staging"
+
+
 def _recover(table_path: str) -> None:
     """Finish a swap interrupted between the two renames.
 
@@ -62,7 +72,7 @@ def _recover(table_path: str) -> None:
     (same race as `operators.ann_index`: an unlocked recovery racing
     the writer's rename window strands the writer); the cheap
     already-live check stays unlocked."""
-    staging = table_path.rstrip("/") + ".staging"
+    staging = _staging_path(table_path)
     if not os.path.exists(table_path) and os.path.exists(_meta_file(staging)):
         with dir_swap_lock(table_path):
             if not os.path.exists(table_path) and os.path.exists(
@@ -87,7 +97,7 @@ def _stage(fresh: DataFrame, table_path: str, batch_id: int) -> str:
     directory (NOT yet promoted) and return the staging path.  The
     meta is written and fsynced INTO the staging directory, so a
     staging directory WITH meta is a complete, promotable state."""
-    staging = table_path.rstrip("/") + ".staging"
+    staging = _staging_path(table_path)
     shutil.rmtree(staging, ignore_errors=True)
     fresh.write.mode("overwrite").parquet(staging)
     with open(_meta_file(staging), "w") as f:
@@ -100,7 +110,7 @@ def _stage(fresh: DataFrame, table_path: str, batch_id: int) -> str:
 def _staged_batch_id(table_path: str) -> int:
     """Batch id of a COMPLETE staging for this table, else -1 (no
     staging, or one that crashed before its meta was written)."""
-    staging = table_path.rstrip("/") + ".staging"
+    staging = _staging_path(table_path)
     try:
         with open(_meta_file(staging)) as f:
             return json.load(f)["batch_id"]
@@ -377,7 +387,7 @@ def run_ivm_join_agg_stream(
             return  # fully committed: replay no-op
         fa = batch_df.filter(F.col(table_col) == "a")
         fb = batch_df.filter(F.col(table_col) == "b")
-        staging = view_path.rstrip("/") + ".staging"
+        staging = _staging_path(view_path)
         if _staged_batch_id(view_path) != batch_id:
             # pre-batch snapshots are intact (row applies happen only
             # after a complete staging exists): fold the join delta
@@ -393,15 +403,21 @@ def run_ivm_join_agg_stream(
                 count_col=count_col,
             )
             _stage(fresh, view_path, batch_id)
-        # idempotent keyed rewrites (safe to redo on replay)
-        apply_cdc_parquet(
-            spark, a_path, compact(fa, a_keys, a_keys + [join_key] + a_values),
-            keys=a_keys,
-        )
-        apply_cdc_parquet(
-            spark, b_path, compact(fb, [join_key], [join_key] + b_values),
-            keys=[join_key],
-        )
+        # idempotent keyed rewrites (safe to redo on replay); a
+        # one-sided batch skips the untouched table's full rewrite
+        # (an empty feed is a semantic no-op, so skipping is equally
+        # replay-safe)
+        if not fa.isEmpty():
+            apply_cdc_parquet(
+                spark, a_path,
+                compact(fa, a_keys, a_keys + [join_key] + a_values),
+                keys=a_keys,
+            )
+        if not fb.isEmpty():
+            apply_cdc_parquet(
+                spark, b_path, compact(fb, [join_key], [join_key] + b_values),
+                keys=[join_key],
+            )
         _promote(staging, view_path)
 
     q = (

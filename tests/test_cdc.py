@@ -110,3 +110,46 @@ def test_delete_where_null_safe_and_crash_safe(spark, sf_dir, tmp_path):
     assert left.filter(F.col("bal").isNull()).count() == nulls
     assert not os.path.isdir(path + ".staging")
     assert not os.path.isdir(path + ".old")
+
+
+def test_apply_cdc_recovers_mid_swap_crash_window(spark, tmp_path):
+    """r6 review finding: a crash between the swap's two renames
+    leaves NO live table (old state in .old, complete new state in
+    .staging); a rerun without recovery would read the table as empty
+    and publish only the batch's own rows, losing all history.  The
+    recovery preamble must roll FORWARD (staging is complete by
+    construction there) — and with the staging also gone, roll back
+    to the backup."""
+    import os
+    import shutil
+
+    path = str(tmp_path / "t")
+    spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], "k long, v string"
+    ).write.parquet(path)
+    feed = spark.createDataFrame(
+        [("update", 2, "B")], "change_type string, k long, v string"
+    )
+
+    # simulate the window: staging fully written, first rename done,
+    # second rename not
+    staging, backup = path + ".staging", path + ".old"
+    spark.read.parquet(path).withColumn(
+        "v", __import__("pyspark.sql.functions", fromlist=["upper"]).upper("v")
+    ).write.parquet(staging)
+    os.replace(path, backup)
+
+    from beehive_spark.sources.writers import apply_cdc_parquet
+
+    res = apply_cdc_parquet(spark, path, feed, keys="k")
+    got = sorted((r["k"], r["v"]) for r in spark.read.parquet(path).collect())
+    # staging (upper-cased) was promoted, THEN the feed applied on top
+    assert got == [(1, "A"), (2, "B"), (3, "C")]
+    assert res["total"] == 3 and not os.path.exists(backup)
+
+    # staging gone too -> roll back to the backup
+    os.replace(path, backup)
+    shutil.rmtree(path + ".staging", ignore_errors=True)
+    apply_cdc_parquet(spark, path, feed, keys="k")
+    got2 = sorted((r["k"], r["v"]) for r in spark.read.parquet(path).collect())
+    assert got2 == [(1, "A"), (2, "B"), (3, "C")]

@@ -87,3 +87,14 @@ def test_delta_join_rejects_column_collisions(spark):
     d = spark.createDataFrame([(1, 1, 2)], f"{SIGN} long, k long, v long")
     with pytest.raises(ValueError, match="collision"):
         delta_join(a, d, a, d, on="k")
+
+
+def test_delta_join_rejects_internal_rename_collisions(spark):
+    a = spark.createDataFrame([(1, 2)], "k long, _sign_a long")
+    da = spark.createDataFrame(
+        [(1, 1, 2)], f"{SIGN} long, k long, _sign_a long"
+    )
+    b = spark.createDataFrame([(1, 3)], "k long, bv long")
+    db = spark.createDataFrame([(1, 1, 3)], f"{SIGN} long, k long, bv long")
+    with pytest.raises(ValueError, match="collision"):
+        delta_join(a, da, b, db, on="k")
