@@ -394,6 +394,11 @@ def test_bloom_broadcast_bitmap_path_exact_and_no_cache_leak(spark):
 
     from beehive_spark.operators.bloom import _INLINE_WORDS, bloom_semi_join
 
+    # scope the leak check to THIS operator: other suites may leave
+    # documented caller-managed caches behind (fuzzy_join_names et
+    # al.), so a global isEmpty assertion is order-dependent under the
+    # full suite (r6: failed at 93% of tests/, passed in isolation)
+    spark.catalog.clearCache()
     fact = spark.range(5_000).select(F.col("id").alias("k"))
     dim = spark.createDataFrame([(i * 9,) for i in range(400)], "k long")
     big_m = (_INLINE_WORDS + 1) * 64 * 2  # forces the broadcast-data path
