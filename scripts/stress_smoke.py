@@ -108,6 +108,14 @@ REGISTRY_CASES = [
     # r5: 10x orders over the same rotated catalog — pair cardinality
     # and shuffle volumes grow ~linearly with order history
     ("copurchase_recommendations", "lineitem"),
+    # round-6 additions: both codec-bound temporal-segmentation legs
+    # (per-doc decode cost, expected ~linear like media_phash_dedup)
+    # and the delta-join IVM query (delta size is %-of-table here, so
+    # both history and delta grow 10x — ratio stays near-linear when
+    # the maintenance joins broadcast correctly)
+    ("media_scene_cuts", "documents"),
+    ("media_audio_vad", "documents"),
+    ("incremental_join_orders", "orders"),
 ]
 
 
@@ -194,6 +202,23 @@ def build_scaled_dir(spark, copies: int) -> str:
         )
         .drop("__rep")
         .write.parquet(os.path.join(out, "lineitem.parquet"))
+    )
+
+    o = spark.read.parquet(os.path.join(SF_DIR, "orders.parquet"))
+    # shifted orderkeys; custkeys mapped into the scaled customer key
+    # space so the orders><customer FK stays consistent at 10x
+    (
+        o.crossJoin(F.broadcast(reps))
+        .select(
+            (F.col("o_orderkey") + F.col("__rep") * 10_000_000).alias(
+                "o_orderkey"
+            ),
+            (F.col("o_custkey") + F.col("__rep") * 10_000_000).alias(
+                "o_custkey"
+            ),
+            *[c for c in o.columns if c not in ("o_orderkey", "o_custkey")],
+        )
+        .write.parquet(os.path.join(out, "orders.parquet"))
     )
 
     c = spark.read.parquet(os.path.join(SF_DIR, "customer.parquet"))
