@@ -193,9 +193,12 @@ def byte_budget_partitions(
     if total_bytes is None:
         stats = media.agg(F.sum(F.length(payload_col)).alias("b")).first()
         total_bytes = int(stats["b"] or 0)
-    by_bytes = max(1, min(4096, total_bytes // target_partition_bytes + 1))
+    by_bytes = max(1, total_bytes // target_partition_bytes + 1)
     floor = media.sparkSession.sparkContext.defaultParallelism
-    return max(by_bytes, floor)
+    # The 4096 cap applies AFTER the parallelism floor: a huge cluster
+    # still gets a bounded task count, while tiny payloads never
+    # serialize the CPU-bound decode below the available cores.
+    return min(4096, max(by_bytes, floor))
 
 
 def extract_features(

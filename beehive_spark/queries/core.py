@@ -19,6 +19,7 @@ from beehive_spark.operators import (
     remap_fks,
     uuid_collisions,
 )
+from beehive_spark.functions import floor_div
 from beehive_spark.queries import load, query
 
 
@@ -2739,11 +2740,11 @@ def events_resample(spark, sf_dir):
     observation takes its value.
 
     Exactness: values are integer MILLI-units and the interpolation
-    is the non-negative-numerator form
-    ``(vp*(tn-g) + vn*(g-tp)) div (tn-tp)`` in BIGINT microseconds —
-    floor division equals truncating division because nothing is
-    negative, so Spark ``div`` and DuckDB ``//`` agree bit-for-bit
-    (products stay under 2^53... irrelevant — no doubles anywhere).
+    is ``(vp*(tn-g) + vn*(g-tp)) floor-div (tn-tp)`` in BIGINT
+    microseconds via the sign-safe :func:`functions.floor_div`
+    (pmod-adjusted truncation == floor for any value sign), so Spark
+    and DuckDB ``//`` agree bit-for-bit even on a fixture vintage
+    with negative values — no doubles anywhere.
 
     Scale shape: both neighbor lookups are
     :func:`operators.temporal.asof_join` — the union-trick single
@@ -2782,8 +2783,7 @@ def events_resample(spark, sf_dir):
         direction="forward", suffix="_n",
     ).select("user_id", "g", F.col("t_n").alias("tn"), F.col("v_n").alias("vn"))
     j = pv.join(nx, ["user_id", "g"])
-    interp = F.call_function(
-        "div",
+    interp = floor_div(
         F.col("vp") * (F.col("tn") - F.col("g"))
         + F.col("vn") * (F.col("g") - F.col("tp")),
         F.col("tn") - F.col("tp"),
@@ -2859,9 +2859,9 @@ def events_ewma(spark, sf_dir):
     fold = F.aggregate(
         F.slice(F.col("vs"), 2, F.size("vs") - 1),
         F.element_at(F.col("vs"), 1),
-        lambda acc, x: F.call_function(
-            "div", F.lit(3).cast("long") * x + F.lit(7).cast("long") * acc,
-            F.lit(10).cast("long")
+        lambda acc, x: floor_div(
+            F.lit(3).cast("long") * x + F.lit(7).cast("long") * acc,
+            F.lit(10).cast("long"),
         ),
     )
     return l.select("user_id", "n_points", fold.cast("long").alias("ewma_milli"))

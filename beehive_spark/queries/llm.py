@@ -13,6 +13,7 @@ document fingerprinting. Every operator is designed scale-first:
 
 from __future__ import annotations
 
+import math
 import os
 import shutil
 from collections.abc import Iterator
@@ -2538,8 +2539,14 @@ def embedding_mmr_rerank(spark, sf_dir):
             # oracle's ORDER BY ROUND(mmr, 9)): sub-ulp accumulation
             # drift between list_dot_product and the python loop can
             # no longer flip a near-tied greedy pick (r5 advice);
-            # displayed scores stay full-precision-then-round-6
-            key = (-round(score, 9), c["vec_id"])
+            # displayed scores stay full-precision-then-round-6.
+            # Half-away-from-zero (not python round()'s banker's) so
+            # an exact tie ON the 1e-9 grid also matches DuckDB ROUND
+            # and F.round (both HALF_UP) — sign-safe via copysign.
+            key = (
+                -math.floor(abs(score) * 1e9 + 0.5) * (-1 if score < 0 else 1),
+                c["vec_id"],
+            )
             if best is None or key < best[0]:
                 best = (key, c, score)
         _, chosen, score = best

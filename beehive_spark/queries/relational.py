@@ -1123,7 +1123,7 @@ def graph_triangles(spark, sf_dir):
     and the oracle's sf0.01 id range (partkey < 1e6) satisfies.
 
     Reference parity: the reference has no graph analytics; this
-    extends its recursive creator-tree walk (creator-tree.js) the same
+    extends its recursive creator-tree walk (person-users.js:568-601) the same
     way pagerank/connected-components do, as net-new §2.8 capability.
     Brute-force pinned on random graphs in ``tests/test_graph.py``.
     """
@@ -2135,7 +2135,7 @@ def graph_kcore_planted(spark, sf_dir):
     )
     x = c.select(
         "id",
-        (F.col("id") / 15).cast("long").alias("b"),
+        F.call_function("div", F.col("id"), F.lit(15).cast("long")).alias("b"),
         F.pmod("id", F.lit(15)).alias("p"),
     )
     csize = F.when(F.col("b") % 2 == 0, F.lit(6)).otherwise(F.lit(7))
@@ -2214,8 +2214,12 @@ def qgram_editdist_join(spark, sf_dir):
         .withColumn("hk", F.xxhash64("s"))
     )
     # gram bag per name: positions 1..l-1, counted per distinct gram
+    # l == 1 names yield no grams (F.sequence(1, 0) would auto-step
+    # DESCENDING and emit two spurious positions); they are fully
+    # covered by the brute-force short-string leg below.
     grams = (
-        names.select(
+        names.filter(F.col("l") >= 2)
+        .select(
             "hk",
             "l",
             F.explode(
