@@ -69,243 +69,75 @@ _loaded = False
 # Registry order is the driver's ORACLE-VERIFICATION order, and the driver
 # differentially checks the FIRST 50 registered queries per round.  The
 # window rotates each round so the cross-round union covers every
-# registered query (158/158 after r05, 143/143 oracle-bearing
-# hash-green).  The round-6 window leads with (a) everything round 6
-# changes or adds — five maintenance-touched queries plus twelve net-new
-# operators — then (b) the nine oracle-bearing entries whose newest
-# driver evidence was still r02 (named in VERDICT.md r5 ask #1), then
-# (c) the six r5-window spills the late round-5 registrations pushed
-# past slot 50.  Remaining slots backfill OLDEST-EVIDENCE-FIRST through
-# the fill chain in _ensure_loaded (R3 before R4 before R5: r03-vintage
-# evidence refreshes ahead of fresher rounds).  The local
-# scripts/check_oracle.py sweep still verifies ALL registered queries
-# each round.
+# registered query (169/169 after r06, 154/154 oracle-bearing
+# hash-green).  The round-7 window leads with (a) everything round 7
+# changes or adds, then (b) the SEVEN entries whose newest driver
+# evidence was still r02 — census EXECUTED over CORRECTNESS_r01..r06
+# this round (the r6 note's claim of an r03 floor was wrong: the r5
+# verdict's named-nine list undercounted the r02 cohort), then (c) the
+# full 21-entry r03-vintage cohort (oracle-bearing first, then the
+# three rows-only).  Everything past this explicit head backfills
+# OLDEST-EVIDENCE-FIRST, COMPUTED from the committed CORRECTNESS_r*.json
+# files (see _evidence_vintage) — the static per-round fill chain this
+# replaced is exactly how the r6 census drifted from reality.  The
+# local scripts/check_oracle.py sweep still verifies ALL registered
+# queries each round.
 _PRIORITY = [
-    # --- changed in round 6
-    "connected_components_twophase",  # r6: RAISES on round-cap exhaustion
-    "embedding_mmr_rerank",        # r6: argmax keys discretized at 9 decimals
-    "graph_triangles",             # r6: oracle pack widened to d*1e10+id
-    "bloom_prune_join",            # r6: call-scoped persist, broadcast bitmap
-    "ann_index_delete",            # r6: hardlink-cloned scratch (delete-leg bench)
-    # --- new in round 6
-    "graph_kcore_planted",         # r6 new: closed-form planted-topology k-core
-    "part_skyline_brand",          # r6 new: per-brand Pareto skyline
-    "qgram_editdist_join",         # r6 new: distance-2 q-gram count-filter join
-    "zorder_layout",               # r6 new: Morton clustering buckets
-    "interval_concurrency",        # r6 new: two-level sweep-line prefix sum
-    "events_resample",             # r6 new: hourly grid + exact interpolation
-    "events_ewma",                 # r6 new: integer EWMA per-key fold
-    "ngram_lm_score",              # r6 new: bigram LM held-out scoring
-    "media_scene_cuts",            # r6 new: planted scene-cut detection
-    "incremental_join_orders",     # r6 new: delta-join IVM (bilinear identity)
-    "media_audio_vad",             # r6 new: audio activity segmentation
-    # --- newest driver evidence still r02 (VERDICT r5 ask #1's nine)
-    "array_funcs_suite", "grouping_sets_revenue", "text_tfidf_topterms",
-    "dq_violations", "trend_slopes", "incremental_agg_orders",
-    "incremental_max_orders", "text_perplexity", "heavy_hitters_shingles",
-    # --- r5-window spills (displaced past slot 50 by late r5 additions)
-    "quality_filter", "dedup_incremental", "dedup_containment",
-    "chunk_documents", "mixture_reweight", "bpe_top_merges",
+    # --- changed in round 7 (advisory fixes: sign-safe floor_div in the
+    # resample/EWMA folds, half-away argmax rounding, 1-char gram guard,
+    # exact integer block div)
+    "events_resample", "events_ewma", "embedding_mmr_rerank",
+    "qgram_editdist_join", "graph_kcore_planted",
+    # --- new in round 7 (appended as they land)
+    "pagerank_planted",            # r7 new: planted star-forest PR, fixed 8 rounds
+    # --- newest driver evidence still r02 (executed census, see above)
+    "dedup_substring_spans", "funnel_steps", "cohort_retention",
+    "scd2_customer_history", "snapshot_diff", "sample_weighted",
+    "events_anomaly",
+    # --- the complete r03-vintage cohort (executed census), oracle-bearing
+    "q4_order_priority", "q6_revenue_forecast", "q7_volume_shipping",
+    "q8_market_share", "bigram_next_word", "dataset_interleave",
+    "dataset_split_manifest", "doc_prefix_clusters", "events_dwell_time",
+    "events_gap_fill", "fuzzy_join_names", "media_video_frames",
+    "orders_rfm_segments", "orders_seasonality", "point_in_time_state",
+    "revenue_concentration", "stddev_prices_exact", "user_ltv_cohort",
+    # --- r03-vintage rows-only (weaker driver signal, stalest evidence;
+    # exactness pinned in tests/test_{semantic_pq,graph,sketches,ann_*}.py)
+    "dedup_semantic", "similarity_ann_pq", "sketch_uniques_rollup",
 ]
-# ROUND-7 NOTE: after CORRECTNESS_r06 the union should have every
-# oracle-bearing query's newest driver evidence at r03 or later; the
-# next-oldest cohort is the r03-vintage tail of _PRIORITY_R3 that the
-# r6 backfill cannot fully absorb (the entries past the ~21 slots the
-# round-6 head leaves open — verify the actual cut by EXECUTING
-# list(all_queries())[:50], never by counting comments; the late
-# r6 registrations (media_scene_cuts, incremental_join_orders,
-# media_audio_vad) pushed dedup_semantic, pagerank_hierarchy and
-# similarity_ann_pq past slot 50, so they join that cohort).  Rotate
-# those in next, after whatever round 7 changes.
-# (round-5 window, kept for the fill chain; every entry r05-driver-green)
-_PRIORITY_R5 = [
-    "session_attribution",         # r5: oracle HUGEINT fix (CAST AS BIGINT)
-    "brand_affinity",              # r5: one-job rewrite (no count action)
-    "pagerank_copurchase",         # r5: broadcast-rank loop + no_dangling
-    "embedding_mmr_rerank",        # r5 new: MMR diverse top-k rerank
-    "ann_index_delete",            # r5 new: tombstone delete leg (rows-only)
-    "bloom_prune_join",            # r5 new: bloom runtime-filter semi join
-    "connected_components_twophase",  # r5 new: two-phase hash-to-min CC
-    "orders_backlog_timeline",     # r5 new: open-order backlog time series
-    "media_exif_harvest",          # r5 new: typed metadata harvest + stats
-    "supplier_churn_quarters",     # r5 new: QoQ supplier base churn
-    "graph_triangles",             # r5 new: degree-ordered triangle counts
-    "copurchase_recommendations",  # r5 new: item-item lift top-5
-    "user_feature_matrix",         # r5 new: per-user ML feature extraction
-    "graph_kcore",                 # r5 new: k-core peel (rows-only)
-    # --- newest evidence still r01: 8 oracle-bearing ...
-    "events_pivot", "profile_events", "not_in_null_semantics",
-    "cube_revenue", "window_rank_suite", "string_funcs_suite",
-    "events_sliding_agg", "q2_min_cost_supplier",
-    # --- ... and 5 rows-only (driver records rows-only checks for these;
-    # exactness pinned in tests/test_{sketches,queries}*.py)
-    "dedup_minhash_lsh", "dedup_simhash", "similarity_ann_lsh",
-    "similarity_ann_ivf", "approx_sketches",
-    # --- oldest-evidence backfill: r02-verified, source unchanged since;
-    # ordered as registered in r02.  Entries beyond the 50-slot window
-    # spill to overflow as round-5 additions displace them.
-    "q9_product_profit", "q10_returned_items", "q11_important_stock",
-    "q12_late_lines", "q13_customer_distribution", "q14_promo_effect",
-    "q15_top_supplier", "q16_supplier_count", "q17_small_qty_revenue",
-    "q18_large_volume_customer", "q19_disjunctive_revenue",
-    "q20_part_promotion", "q21_waiting_suppliers", "q22_dormant_customers",
-    "dedup_ngram_jaccard", "assign_ids_scalable", "dedup_embedding_bucketed",
-    "contamination_ngram", "pack_sequences", "mixture_stats",
-    "dedup_clusters", "pii_scrub", "text_repetition", "quality_filter",
-    "dedup_incremental", "dedup_containment", "chunk_documents",
-    "mixture_reweight", "bpe_top_merges", "dedup_substring_spans",
-    "funnel_steps", "cohort_retention", "scd2_customer_history",
-    "snapshot_diff", "sample_weighted", "events_anomaly",
-]
-# (round-4 window, kept for the fill chain; all r04-driver-green)
-_PRIORITY_R4 = [
-    "embedding_centroids", "incremental_topk_orders",
-    "doc_winnowing_fingerprints", "cross_corpus_overlap",
-    "doc_length_outliers", "media_audio_features", "media_phash_dedup",
-    "ann_index_build", "ann_index_probe", "pagerank_hierarchy",
-    "media_image_resize", "embedding_gram",
-    "scan_project", "filter_in_notin", "filter_compound",
-    "semi_join_exists", "anti_join_orphans", "consolidate_mapping",
-    "disjunctive_match_users", "fk_remap_chain", "assign_ids_window",
-    "uuid_collision_semi", "count_by_group", "order_limit_first",
-    "q1_pricing_summary", "q3_shipping_priority", "q5_local_supplier",
-    "group_topn_window", "events_windowed_agg", "dedup_exact",
-    "similarity_cosine_topk", "dedup_embedding_cosine", "text_token_stats",
-    "text_bpe_token_stats", "text_quality_score", "doc_fingerprint",
-    "text_lang_id", "events_sessionize", "hierarchy_bfs", "self_fk_remap",
-    "set_ops_chain", "dates_normalize", "asof_join_purchases",
-    "range_join_windows", "rollup_revenue", "events_json_extract",
-    "window_running_total", "group_percentiles",
-]
-# (round-3 window, next in the fill chain)
-_PRIORITY_R3 = [
-    # --- 18 oracle-bearing, never driver-verified (locally green in the
-    # round-2 check_oracle.py sweep AND independently by the round-2 judge)
-    "peak_concurrency", "user_activity_streaks", "event_transitions",
-    "session_cooccurrence", "lineitem_unpivot", "trimmed_mean_prices",
-    "weekly_revenue_wow",          # ALSO changed r3: calendar self-join WoW
-    "text_normalize", "dedup_survivorship", "heavy_hitters_by_source",
-    "embedding_centroids", "stratified_sample", "boilerplate_ngrams",
-    "stratified_quota_sample", "corpus_drift", "events_histogram_rollup",
-    "incremental_topk_orders", "dq_orders_audit",
-    # --- rows-only queries never windowed (driver records a rows-only
-    # check; exactness is pinned in tests/test_{bpe,semantic_pq,graph,
-    # sketches}.py)
-    "bpe_encode", "dedup_semantic", "pagerank_hierarchy",
-    "similarity_ann_pq", "sketch_uniques_rollup",
-    # --- changed or added in round 3 (appended below as they land)
-    "fuzzy_join_names",            # r3: interval-keyed single-join candidates
-    "ann_index_build",             # r3 new: persisted IVF index (manifest)
-    "ann_index_probe",             # r3 new: probe persisted index, no retrain
-    "media_phash_dedup",           # r3 new: real-pixel PNG decode + ahash LSH
-    "events_gap_fill",             # r3 new: calendar grid + forward fill
-    "orders_rfm_segments",         # r3 new: RFM quintile scores, no ntile
-    "stddev_prices_exact",         # r3 new: dispersion from decimal sums
-    "session_attribution",         # r3 new: last-touch revenue attribution
-    "bigram_next_word",            # r3 new: bigram LM data-QA table
-    "dataset_interleave",          # r3 new: deterministic source mixing
-    "dataset_split_manifest",      # r3 new: hash-deterministic splits
-    "brand_affinity",              # r3 new: market-basket support/lift
-    "revenue_concentration",       # r3 new: decile revenue share curve
-    "cross_corpus_overlap",        # r3 new: source-pair shingle Jaccard
-    "doc_length_outliers",         # r3 new: median/MAD robust z screen
-    "events_dwell_time",           # r3 new: lead-gap engagement metric
-    "orders_seasonality",          # r3 new: month-of-year revenue index
-    "user_ltv_cohort",             # r3 new: cohort LTV triangle
-    "doc_prefix_clusters",         # r3 new: templated-doc prefix screen
-    "media_audio_features",        # r3 new: real WAV decode, exact oracle
-    "doc_winnowing_fingerprints",  # r3 new: MOSS rolling-hash winnowing
-    "media_video_frames",          # r3 new: real frame-decode sampling
-    "point_in_time_state",         # r3 new: AS OF event-log snapshot
-]
-_PRIORITY_R2 = [
-    # TPC-H q4 + q6-q22: oracle-unchecked in round 1 — VERDICT.md top
-    # ask ("green rows+schema+hash for all of q4, q6-q22 in
-    # CORRECTNESS_r02").  q1/q2/q3/q5 were r01-green and tpch.py is
-    # unchanged since (git diff 769e19c..HEAD empty), so they yield
-    # their slots to queries added later this round.
-    "q4_order_priority", "q6_revenue_forecast",
-    "q7_volume_shipping", "q8_market_share", "q9_product_profit",
-    "q10_returned_items", "q11_important_stock", "q12_late_lines",
-    "q13_customer_distribution", "q14_promo_effect", "q15_top_supplier",
-    "q16_supplier_count", "q17_small_qty_revenue", "q18_large_volume_customer",
-    "q19_disjunctive_revenue", "q20_part_promotion", "q21_waiting_suppliers",
-    "q22_dormant_customers",
-    # changed or added in round 2 (must be re-verified)
-    "dedup_ngram_jaccard",        # hot-shingle df cap added
-    "assign_ids_scalable",        # new: distributed contiguous ids
-    "dedup_embedding_bucketed",   # new: within-bucket exact cosine
-    "contamination_ngram",        # new: benchmark-leak check
-    "pack_sequences",             # new: concat-then-chunk packing
-    "mixture_stats",              # new: dataset mixture accounting
-    # (stratified_sample rotated to overflow: zero-shuffle md5 filter
-    # whose engine-sensitive hash path is equally exercised in-window
-    # by sample_weighted; locally green in check_oracle.py)
-    "dedup_clusters",             # new: CC collapse of near-dup pairs
-    "pii_scrub",                  # new: pattern redaction
-    "text_repetition",            # new: Gopher repetition signals
-    "quality_filter",             # new: composite keep/drop gate
-    "dedup_incremental",          # new: batch-vs-corpus fingerprint dedup
-    "dedup_containment",          # new: near-superset (asymmetric) dedup
-    # (boilerplate_ngrams deferred to the round-3 window: its
-    # tokenize+count plan family is represented in-window by
-    # heavy_hitters_shingles; locally green in check_oracle.py)
-    "chunk_documents",            # new: overlapping token-window chunking
-    "mixture_reweight",           # new: per-source target-mix weights
-    "bpe_top_merges",             # new: BPE merge-pair statistics
-    "dedup_substring_spans",      # new: exact substring-span dedup
-    "funnel_steps",               # new: strict-sequence funnel
-    "cohort_retention",           # new: cohort retention triangle
-    "scd2_customer_history",      # new: history-preserving SCD2 merge
-    "snapshot_diff",              # new: CDC insert/update/delete classifier
-    "sample_weighted",            # new: Efraimidis-Spirakis weighted draw
-    "events_anomaly",             # new: trailing-window z-score spikes
-    #   ^ also the in-window sentinel for the ns->us integer-div load
-    #     conversion (events_windowed_agg/sessionize/sliding_agg rotated
-    #     out: r01-green, conversion re-exercised here)
-    "array_funcs_suite",          # new: higher-order array lambdas
-    "grouping_sets_revenue",      # new: GROUPING SETS one-pass multi-grain
-    "fuzzy_join_names",           # new: edit-distance join (SymSpell keys)
-    # (consolidate_mapping rotated out this round: driver-verified
-    # green in r01, unchanged consolidate.py logic, and its id-mode
-    # default change is covered in-window by assign_ids_scalable plus
-    # the merge e2e suite; assign_ids_window likewise r01-green.)
-    # LLM-pipeline exact ops (llm.py heavily reworked this round)
-    "text_tfidf_topterms",        # new: top-k terms per doc by tf-idf
-    "dq_violations",              # new: declarative data-quality gate
-    "trend_slopes",               # new: exact-sums OLS per group
-    "incremental_agg_orders",     # new: IVM delta-maintained SUM/COUNT
-    "incremental_max_orders",     # new: IVM MAX w/ targeted evict-rescan
-    "text_perplexity",            # new: unigram-LM cross-entropy score
-    "heavy_hitters_shingles",     # new: MG-candidates exact frequent items
-]
-# Rotated out to make room for the four new oracle-bearing queries
-# above: sketch_uniques_rollup and pagerank_hierarchy (rows-only — the
-# weakest driver signal; error-vs-exact is pinned in
-# tests/test_sketches.py / test_graph.py), and events_sliding_agg
-# (r01-green, events.py load path re-exercised in-window by
-# events_anomaly).  All stay in the local scripts/check_oracle.py
-# sweep, which runs EVERY registered query each round.
-#
-# ROUND-3 WINDOW CANDIDATES (added late in round 2, locally green in
-# check_oracle.py but not yet driver-verified — rotate these into the
-# first 50 next round, displacing round-2-verified entries):
-# boilerplate_ngrams, text_normalize, events_histogram_rollup,
-# stratified_quota_sample, peak_concurrency, incremental_topk_orders,
-# corpus_drift, dedup_survivorship, heavy_hitters_by_source,
-# embedding_centroids, user_activity_streaks, event_transitions,
-# session_cooccurrence, lineitem_unpivot, dq_orders_audit,
-# trimmed_mean_prices, weekly_revenue_wow.
-# rotated out to the overflow this round (round-1 verified, unchanged
-# source since 769e19c): dates_normalize, group_topn_window,
-# window_running_total, not_in_null_semantics, hierarchy_bfs,
-# self_fk_remap, set_ops_chain, dedup_exact, anti_join_orphans,
-# uuid_collision_semi (checks.py untouched), fk_remap_chain (remap.py
-# untouched), disjunctive_match_users (disjunctive_match untouched),
-# similarity_cosine_topk + dedup_embedding_cosine (functions untouched;
-# their dot/norm expressions are re-exercised by array_funcs_suite),
-# events_windowed_agg / events_sessionize / events_sliding_agg (logic
-# r01-green; the changed load conversion is covered by events_anomaly)
+# ROUND-8 NOTE: after CORRECTNESS_r07 the evidence floor should be r04
+# — verify by EXECUTING a census over all seven CORRECTNESS files
+# before believing it (the r6 note failed exactly this way; the
+# computed backfill below now does it automatically).  Lead the next
+# head with whatever round 8 changes; the backfill self-rotates.
+
+
+def _evidence_vintage() -> dict[str, int]:
+    """Newest driver-evidence round per query, COMPUTED from the
+    committed CORRECTNESS_r*.json files at import time — never
+    transcribed from a verdict or a comment (the r6 bookkeeping
+    lesson: a hand-maintained census claimed an r03 evidence floor
+    while seven queries actually sat at r02).  Queries absent from
+    every file have never been driver-verified and sort FIRST."""
+    import glob
+    import json
+
+    # queries/__init__.py -> queries/ -> beehive_spark/ -> repo root
+    root = os.path.dirname(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    )
+    vint: dict[str, int] = {}
+    for f in sorted(glob.glob(os.path.join(root, "CORRECTNESS_r*.json"))):
+        try:
+            rnd = int(os.path.basename(f).split("_r")[1].split(".")[0])
+            with open(f) as fh:
+                recs = json.load(fh)
+        except Exception:  # pragma: no cover - malformed sidecar file
+            continue
+        if isinstance(recs, dict):
+            for q in recs:
+                vint[q] = max(rnd, vint.get(q, 0))
+    return vint
 
 
 def _ensure_loaded() -> None:
@@ -320,18 +152,18 @@ def _ensure_loaded() -> None:
         from beehive_spark.queries import tpch  # noqa: F401
 
         ordered = {n: _REGISTRY[n] for n in _PRIORITY if n in _REGISTRY}
-        # prior rounds' windows fill any slots the round-6 priority
-        # list leaves open, OLDEST driver evidence first (R3's r03
-        # vintage before R4's r04 before R5's r05) so re-verification
-        # slots refresh the stalest entries, then everything else
-        for prio in (_PRIORITY_R3, _PRIORITY_R4, _PRIORITY_R5, _PRIORITY_R2):
-            for n in prio:
-                if n in _REGISTRY and n not in ordered:
-                    ordered[n] = _REGISTRY[n]
+        # slots the explicit head leaves open backfill OLDEST driver
+        # evidence first (never-verified entries FIRST as a safety net
+        # for a head the author forgot to extend); within a vintage,
+        # oracle-bearing entries outrank rows-only ones (stronger
+        # driver signal per slot), then registration order for a
+        # deterministic window
+        vint = _evidence_vintage()
+        reg_pos = {n: i for i, n in enumerate(_REGISTRY)}
         rest = [n for n in _REGISTRY if n not in ordered]
-        # overflow: round-1-verified unchanged queries first, then the
-        # approximate (rows-only, no-oracle) ops last
-        rest.sort(key=lambda n: _REGISTRY[n][1] is None)
+        rest.sort(
+            key=lambda n: (vint.get(n, -1), _REGISTRY[n][1] is None, reg_pos[n])
+        )
         for n in rest:
             ordered[n] = _REGISTRY[n]
         _REGISTRY.clear()

@@ -2163,6 +2163,107 @@ def graph_kcore_planted(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# PageRank on a planted star forest — the power-iteration hash twin
+# ---------------------------------------------------------------------------
+def _pr_star_oracle(iters: int) -> str:
+    """Unrolled two-state PageRank recurrence as chained DuckDB CTEs.
+
+    On a disjoint union of identical 15-node stars every node is
+    either THE hub (position 0, out-degree 14) or A leaf (out-degree
+    1), so the full |V|-dimensional power iteration collapses by
+    symmetry to two scalars per round:
+
+        h' = (1-d)/n + d * (14 * l)     -- 14 leaves send l/1 each
+        l' = (1-d)/n + d * (h / 14)     -- the hub splits h 14 ways
+
+    DuckDB 1.0 takes constant-only recursion bounds, so the FIXED
+    round count is unrolled as one CTE per round (same move as the
+    MMR chained-argmax oracle).  Each CTE applies the identical IEEE
+    double ops the operator's no_dangling update applies, so the two
+    engines agree to within the ulp-level fl-sum-vs-multiply gap —
+    ~9 orders of magnitude below the nano-unit rounding grid.
+    """
+    ctes = [
+        "nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM customer)",
+        "i0 AS (SELECT 1.0/n AS h, 1.0/n AS l, n FROM nn)",
+    ]
+    for k in range(1, iters + 1):
+        ctes.append(
+            f"i{k} AS (SELECT (1.0-0.85)/n + 0.85*(14*l) AS h, "
+            f"(1.0-0.85)/n + 0.85*(h/14) AS l, n FROM i{k - 1})"
+        )
+    return f"""
+    WITH {", ".join(ctes)}
+    SELECT CAST(c_custkey AS BIGINT) AS id,
+           CAST(ROUND(CASE WHEN c_custkey % 15 = 0 THEN h ELSE l END * 1e9, 0)
+                AS BIGINT) AS rank_nano
+    FROM customer, i{iters}
+    """
+
+
+_PR_PLANTED_ITERS = 8
+
+
+@query("pagerank_planted", oracle=_pr_star_oracle(_PR_PLANTED_ITERS))
+def pagerank_planted(spark, sf_dir):
+    """PageRank after a FIXED 8 rounds on a PLANTED star forest whose
+    exact ranks are closed-form in the customer id — the driver-hash
+    twin of the iterative power-iteration operator (r6 verdict ask
+    #4; the same planted-topology move that made the k-core peel and
+    two-phase CC oracle-able).  Customer ids split into 15-wide
+    blocks; position 0 is the block's hub, positions 1-14 its leaves,
+    with hub->leaf and leaf->hub directed edges — so every node has
+    out-edges (``no_dangling`` holds structurally) and by symmetry
+    the |V|-dimensional iteration collapses to a two-scalar
+    recurrence the oracle unrolls as chained CTEs.  The stationary
+    point is strongly NON-uniform (hub mass ~12x a leaf's), so any
+    mass-flow bug — wrong out-degree split, dropped contribution,
+    double-counted edge — moves the hash; a d-regular plant (uniform
+    everywhere) could not detect those.  ``tol=None`` forces all 8
+    rounds, exercising the full loop rather than the early-exit path
+    (which ``pagerank_copurchase`` demonstrates on real data).
+    Ranks are reported as half-up-rounded NANO-units; inter-engine
+    float drift is ulp-scale (the operator fl-sums 14 equal leaf
+    contributions where the oracle multiplies by 14), ~9 orders of
+    magnitude below the grid.  LOAD-BEARING data assumptions, both
+    asserted in ``tests/test_queries_r6.py``: custkeys 0-based
+    contiguous, counts divisible by 15 at every shipped SF.
+
+    Scale shape: the edge frame is two pure projections (no join at
+    all to build the plant); the iteration inherits
+    :func:`operators.graph.pagerank`'s broadcast-rank loop — the
+    2|E|-row edge list persists in place and never reshuffles,
+    per-round cost independent of round number.
+
+    Reference parity: the reference has no graph analytics; this
+    extends its recursive creator-tree walk (person-users.js:568-601)
+    from reachability to stationary-distribution scoring, as net-new
+    §2.8 capability."""
+    from beehive_spark.operators.graph import pagerank
+
+    c = load(spark, sf_dir, "customer").select(
+        F.col("c_custkey").cast("long").alias("id")
+    )
+    x = c.select(
+        "id",
+        (F.call_function("div", F.col("id"), F.lit(15).cast("long")) * 15).alias(
+            "hub"
+        ),
+        F.pmod("id", F.lit(15)).alias("p"),
+    )
+    leaves = x.filter(F.col("p") > 0)
+    edges = leaves.select(
+        F.col("id").alias("src"), F.col("hub").alias("dst")
+    ).unionByName(leaves.select(F.col("hub").alias("src"), F.col("id").alias("dst")))
+    pr = pagerank(
+        edges, iters=_PR_PLANTED_ITERS, tol=None, no_dangling=True
+    )
+    return pr.select(
+        "id", F.round(F.col("rank") * 1e9, 0).cast("long").alias("rank_nano")
+    )
+
+
+# ---------------------------------------------------------------------------
 # Edit-distance-2 similarity join — q-gram count filtering (Gravano et al.)
 # ---------------------------------------------------------------------------
 @query(

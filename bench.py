@@ -143,6 +143,8 @@ EXTRA = [
     "media_scene_cuts",
     "incremental_join_orders",
     "media_audio_vad",
+    # round-7 additions
+    "pagerank_planted",
 ]
 
 

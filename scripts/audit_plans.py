@@ -178,6 +178,8 @@ EXTRA = [
     "media_scene_cuts",
     "incremental_join_orders",
     "media_audio_vad",
+    # round-7 additions (pagerank_planted excluded: eager power-iteration
+    # loop, same class as pagerank_copurchase)
 ]
 
 
