@@ -1380,27 +1380,38 @@ def dedup_semantic(
     tests/test_semantic_pq.py against the all-pairs baseline).
     Cross-cluster pairs remain invisible by design — SemDeDup's
     documented approximation; dedup_embedding_bucketed is the
-    recall-exact alternative."""
+    recall-exact alternative.
+
+    Training + assignment ride the PERSISTED ANN index lifecycle (r6
+    verdict ask #5): the first execution per corpus builds an IVF
+    artifact under its own SemDeDup tag (same trainer, same
+    multi-assignment expressions — ``build_ivf_index`` is shared code,
+    so the assigned frame is row-identical to the previous inline
+    train-per-execution and the precision/recall pins hold unchanged),
+    and every later execution reads the centroid-partitioned
+    assignments straight off disk — zero k-means, zero assignment
+    projection, exactly how ``ann_index_probe`` amortizes the same
+    training.  At 100 TB the near-dup pass then prices like a probe,
+    not a rebuild; the artifact is fingerprint-keyed so a regenerated
+    corpus rebuilds (staleness guard shared with ``_ann_index_dir``),
+    and the disk frame replaces the previous in-query ``persist`` (the
+    self-join's two sides now each scan cheap parquet)."""
+    from beehive_spark.operators.ann_index import META_NAME, build_ivf_index
+
     e = load(spark, sf_dir, "embeddings")
-    norm = lambda c: F.sqrt(F.aggregate(c, F.lit(0.0), lambda a, x: a + x * x))  # noqa: E731
-    emb = (
-        e.select("vec_id", F.col("embedding").cast("array<double>").alias("ed"))
-        .withColumn("nrm", norm(F.col("ed")))
-        .select("vec_id", F.transform("ed", lambda x: x / F.col("nrm")).alias("en"))
-    )
     raw = e.select("vec_id", "embedding")
-    if k is None:
-        k = max(16, min(4096, raw.count() // 40))
-    cents = _train_ivf_codebook(raw, k=k)
-    sims = _codebook_sims()
-    topr = F.slice(F.reverse(F.array_sort(sims)), 1, replicas)
-    # persist: the self-join below would otherwise evaluate the
-    # k-centroid assignment projection once per join side
-    assigned = (
-        emb.crossJoin(F.broadcast(_codebook_df(spark, cents)))
-        .select("vec_id", "en", F.explode(topr).alias("a"))
-        .select("vec_id", "en", F.col("a")["cid"].alias("cluster_id"))
-        .persist()
+    tag = f"ivf_sd_k{k}_r{replicas}" if k is not None else f"ivf_sd_r{replicas}"
+    idx = _ann_index_dir(sf_dir, tag)
+    if not os.path.exists(os.path.join(idx, META_NAME)):
+        if k is None:
+            # the SemDeDup scaling rule: k ~ n/40 keeps expected
+            # cluster size (and with it the quadratic within-cluster
+            # term) roughly constant as the corpus grows; it is
+            # deterministic per corpus, so the auto tag is stable
+            k = max(16, min(4096, raw.count() // 40))
+        build_ivf_index(spark, raw, idx, k=k, replicas=replicas)
+    assigned = spark.read.parquet(os.path.join(idx, "assignments.parquet")).select(
+        F.col("centroid_id").cast("int").alias("cluster_id"), "vec_id", "en"
     )
     a = assigned.select(
         F.col("cluster_id"), F.col("vec_id").alias("keep_id"), F.col("en").alias("ei")
