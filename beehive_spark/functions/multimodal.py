@@ -242,6 +242,60 @@ def extract_features(
     return repart.mapInPandas(run, schema=_FEATURE_SCHEMA)
 
 
+_IMAGE_STATS_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("mean_byte", T.LongType()),
+        T.StructField("n_pixel_bytes", T.LongType(), False),
+    ]
+)
+
+
+def image_stats(
+    media: DataFrame,
+    use_real_decoder: bool = False,
+    target_partition_bytes: int = 128 * 1024 * 1024,
+    total_bytes: int | None = None,
+) -> DataFrame:
+    """EXACT integer pixel statistics per image — (media_id,
+    mean_byte, n_pixel_bytes) with ``mean_byte = sum // count`` over
+    the decoded RGB bytes, reduced with numpy INSIDE the Arrow decode
+    stage so each image collapses to two longs before anything
+    shuffles (the r6 lesson: a JVM hex-walk HOF here re-evaluates
+    hex(content) per element, O(bytes^2) per payload).
+
+    Real tier decodes through the shared codec ladder
+    (`_decode_rgb_array`: Pillow when installed, vendored PNG codec
+    otherwise); the fake tier reduces the RAW payload bytes — still
+    deterministic, so plumbing is testable codec-less.  Integer
+    division keeps the statistic bit-identical on any engine; empty
+    payloads yield NULL mean."""
+    import numpy as np
+    import pandas as pd
+
+    n_parts = byte_budget_partitions(media, target_partition_bytes, total_bytes)
+    repart = media.select("media_id", "content").repartition(n_parts, "media_id")
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            ids, means, counts = [], [], []
+            for mid, content in zip(pdf["media_id"], pdf["content"]):
+                b = bytes(content) if content is not None else b""
+                if use_real_decoder:
+                    arr = _decode_rgb_array(b).reshape(-1)
+                else:
+                    arr = np.frombuffer(b, dtype=np.uint8)
+                n = int(arr.size)
+                ids.append(int(mid))
+                means.append(int(arr.sum(dtype=np.int64)) // n if n else None)
+                counts.append(n)
+            yield pd.DataFrame(
+                {"media_id": ids, "mean_byte": means, "n_pixel_bytes": counts}
+            )
+
+    return repart.mapInPandas(run, schema=_IMAGE_STATS_SCHEMA)
+
+
 def wrap_as_media(df: DataFrame, id_col: str, payload_col: str, modality: str = "image") -> DataFrame:
     """Adapt any (id, string/binary payload) table to the media schema —
     used by tests to fabricate media rows from the documents table."""

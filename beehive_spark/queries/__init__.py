@@ -90,6 +90,8 @@ _PRIORITY = [
     "qgram_editdist_join", "graph_kcore_planted",
     # --- new in round 7 (appended as they land)
     "pagerank_planted",            # r7 new: planted star-forest PR, fixed 8 rounds
+    "media_caption_luma",          # r7 new: cross-modal image-luma x caption join
+    "dedup_semantic",              # r7: assignment rides the persisted ANN index
     # --- newest driver evidence still r02 (executed census, see above)
     "dedup_substring_spans", "funnel_steps", "cohort_retention",
     "scd2_customer_history", "snapshot_diff", "sample_weighted",
@@ -102,8 +104,9 @@ _PRIORITY = [
     "orders_rfm_segments", "orders_seasonality", "point_in_time_state",
     "revenue_concentration", "stddev_prices_exact", "user_ltv_cohort",
     # --- r03-vintage rows-only (weaker driver signal, stalest evidence;
-    # exactness pinned in tests/test_{semantic_pq,graph,sketches,ann_*}.py)
-    "dedup_semantic", "similarity_ann_pq", "sketch_uniques_rollup",
+    # exactness pinned in tests/test_{semantic_pq,sketches}.py;
+    # dedup_semantic moved up with the r7 changes)
+    "similarity_ann_pq", "sketch_uniques_rollup",
 ]
 # ROUND-8 NOTE: after CORRECTNESS_r07 the evidence floor should be r04
 # — verify by EXECUTING a census over all seven CORRECTNESS files

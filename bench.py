@@ -145,6 +145,7 @@ EXTRA = [
     "media_audio_vad",
     # round-7 additions
     "pagerank_planted",
+    "media_caption_luma",
 ]
 
 

@@ -180,6 +180,7 @@ EXTRA = [
     "media_audio_vad",
     # round-7 additions (pagerank_planted excluded: eager power-iteration
     # loop, same class as pagerank_copurchase)
+    "media_caption_luma",
 ]
 
 

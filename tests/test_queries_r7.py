@@ -54,3 +54,60 @@ def test_pagerank_planted_matches_dense_power_iteration(spark, sf_dir):
     hubs = {v for i, v in want if i % 15 == 0}
     leaves = {v for i, v in want if i % 15 != 0}
     assert min(hubs) > 5 * max(leaves)
+
+
+# ---------------------------------------------------------------------------
+# Cross-modal join: python-decode twin + fake-tier plumbing
+# ---------------------------------------------------------------------------
+def test_media_caption_luma_matches_python_join(spark, sf_dir):
+    from beehive_spark.queries.media import media_caption_luma
+
+    got = {
+        (r["luma_bucket"], r["source"]): (
+            r["n_docs"], r["total_chars"], r["luma_char_moment"]
+        )
+        for r in media_caption_luma(spark, sf_dir).collect()
+    }
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "source", F.length("text").alias("chars")
+    ).collect()
+    want = {}
+    for r in docs:
+        v = (r["doc_id"] * 37) % 251
+        key = (v // 32, r["source"])
+        n, c, m = want.get(key, (0, 0, 0))
+        want[key] = (n + 1, c + r["chars"], m + v * r["chars"])
+    assert got == want and got
+
+
+def test_media_caption_luma_decode_really_runs(spark, sf_dir):
+    """The real decode path is load-bearing: decode a few synthesized
+    payloads with the vendored codec in plain python and check the
+    pixel mean equals the planted closed form."""
+    from beehive_spark.functions.png import decode_png
+    from beehive_spark.queries.media import synth_solid_png_media
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(5)
+    rows = synth_solid_png_media(docs).collect()
+    assert rows
+    for r in rows:
+        px = decode_png(bytes(r["payload"]))
+        assert px.shape == (16, 16, 3)
+        v = (r["media_id"] * 37) % 251
+        assert int(px.sum()) // px.size == v
+        assert (px == v).all()
+
+
+def test_image_stats_fake_tier_reduces_raw_bytes(spark):
+    from beehive_spark.functions.multimodal import image_stats, wrap_as_media
+
+    df = spark.createDataFrame(
+        [(1, bytes([10, 20, 30])), (2, b""), (3, bytes([255]))],
+        "media_id long, payload binary",
+    )
+    media = wrap_as_media(df, "media_id", "payload")
+    got = {
+        r["media_id"]: (r["mean_byte"], r["n_pixel_bytes"])
+        for r in image_stats(media).collect()
+    }
+    assert got == {1: (20, 3), 2: (None, 0), 3: (255, 1)}
