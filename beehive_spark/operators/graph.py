@@ -709,3 +709,107 @@ def kcore(edges: DataFrame, k: int, max_iter: int = 100) -> DataFrame:
     return deg.filter(F.col("d") >= k).select(
         "id", F.col("d").cast("long").alias("core_degree")
     )
+
+
+def tree_rollup(
+    edges: DataFrame,
+    costs: DataFrame,
+    child: str = "child",
+    parent: str = "parent",
+    qty: str = "qty",
+    id_col: str = "id",
+    cost_col: str = "cost",
+    max_iter: int = 100,
+) -> DataFrame:
+    """Bottom-up aggregation over a FOREST (every child has exactly
+    one parent edge) — the bill-of-materials cost rollup:
+
+        total(n)  = cost(n)  + sum over child edges (c -> n): qty * total(c)
+        n_desc(n) = 1        + sum over child edges (c -> n): n_desc(c)
+
+    Returns ``(id, total, n_desc)`` for every node in ``costs``.  All
+    arithmetic is exact BIGINT (caller supplies integer costs/qty), so
+    the result is bit-identical to a recursive-CTE evaluation.
+
+    This generalizes the reference's recursive creator-tree walk
+    (person-users.js:568-601) from reachability to AGGREGATION up the
+    tree — what a per-ancestor rollup (org headcount, BOM cost,
+    nested-category totals) actually needs.
+
+    Shape: level-synchronous leaf peeling.  Each round finalizes every
+    node with no REMAINING child edges, pushes its weighted total to
+    its parent (one equi-join + one map-side-combinable agg on parent
+    keys), and drops the resolved edges (one anti join) — node-keyed
+    bounded shuffles only, both frames strictly shrink, rounds =
+    forest height (O(log n) on bushy trees).  Per-round lineage is cut
+    with eager ``localCheckpoint``; finalized slices accumulate in a
+    list and union once at the end (height-bounded, so the union tree
+    stays shallow).  A node whose children resolve across different
+    rounds accumulates partial contributions in place and finalizes
+    only when its last child edge is gone.
+
+    EXACT-operator contract: exhausting ``max_iter`` (a cycle, or a
+    forest deeper than the cap) RAISES rather than returning a
+    truncated rollup — a partial answer here silently lies (the k-core
+    lesson).
+    """
+    from functools import reduce
+
+    sess = edges.sparkSession
+    e = edges.select(
+        F.col(child).cast("long").alias("c"),
+        F.col(parent).cast("long").alias("p"),
+        F.col(qty).cast("long").alias("q"),
+    ).localCheckpoint(eager=True)
+    t = (
+        costs.select(
+            F.col(id_col).cast("long").alias("id"),
+            F.col(cost_col).cast("long").alias("total"),
+        )
+        .withColumn("n_desc", F.lit(1).cast("long"))
+        .localCheckpoint(eager=True)
+    )
+    n_edges = e.count()
+    n_nodes = t.count()
+    finalized = []
+    with _iter_loop_confs(sess, n_nodes // 250_000 if n_nodes <= 50_000_000 else None):
+        for _ in range(max_iter):
+            if n_edges == 0:
+                finalized.append(t)
+                break
+            parents_d = e.select(F.col("p").alias("id")).distinct()
+            # no remaining child edges -> this node's total is FINAL
+            leaves = t.join(parents_d, "id", "left_anti").localCheckpoint(
+                eager=True
+            )
+            contrib = (
+                e.join(leaves.select(F.col("id").alias("c"), "total", "n_desc"), "c")
+                .groupBy(F.col("p").alias("id"))
+                .agg(
+                    F.sum(F.col("q") * F.col("total")).alias("ct"),
+                    F.sum("n_desc").alias("cn"),
+                )
+            )
+            t = (
+                t.join(parents_d, "id", "left_semi")
+                .join(contrib, "id", "left")
+                .select(
+                    "id",
+                    (F.col("total") + F.coalesce("ct", F.lit(0))).alias("total"),
+                    (F.col("n_desc") + F.coalesce("cn", F.lit(0))).alias("n_desc"),
+                )
+                .localCheckpoint(eager=True)
+            )
+            e = e.join(
+                leaves.select(F.col("id").alias("c")), "c", "left_anti"
+            ).localCheckpoint(eager=True)
+            finalized.append(leaves)
+            n_edges = e.count()
+        else:
+            raise RuntimeError(
+                f"tree_rollup did not resolve within {max_iter} rounds "
+                f"({n_edges} edges remain): cycle in the input or a "
+                "deeper forest than the cap — raising rather than "
+                "returning a truncated rollup"
+            )
+    return reduce(lambda a, b: a.unionByName(b), finalized)

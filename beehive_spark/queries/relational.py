@@ -2264,6 +2264,79 @@ def pagerank_planted(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# BOM cost rollup — bottom-up tree aggregation (the creator-tree walk,
+# upgraded from reachability to aggregation)
+# ---------------------------------------------------------------------------
+@query(
+    "bom_cost_rollup",
+    oracle="""
+    WITH RECURSIVE parts AS (
+      SELECT CAST(p_partkey AS BIGINT) AS id,
+             CAST(ROUND(p_retailprice * 100) AS BIGINT) AS cost
+      FROM part
+    ),
+    edges AS (
+      SELECT id AS child, (id - 1) // 4 AS parent,
+             CAST(1 + id % 3 AS BIGINT) AS qty
+      FROM parts WHERE id >= 1
+    ),
+    walk AS (
+      SELECT id AS anc, id AS des, CAST(1 AS BIGINT) AS mult FROM parts
+      UNION ALL
+      SELECT e.parent, w.des, w.mult * e.qty
+      FROM walk w JOIN edges e ON e.child = w.anc
+    )
+    SELECT w.anc AS id,
+           CAST(SUM(w.mult * p.cost) AS BIGINT) AS total_cost_cents,
+           CAST(COUNT(*) AS BIGINT) AS n_desc
+    FROM walk w JOIN parts p ON p.id = w.des
+    GROUP BY w.anc
+    """,
+)
+def bom_cost_rollup(spark, sf_dir):
+    """Bill-of-materials cost rollup over a PLANTED 4-ary assembly
+    tree on part ids — every part's fully-burdened cost (own cents +
+    qty-weighted rollup of its whole subassembly) and subtree size,
+    via :func:`operators.graph.tree_rollup`'s level-synchronous leaf
+    peeling.  Edges are pure arithmetic (child i attaches to
+    ``(i-1) div 4`` with qty ``1 + i%3``), so the oracle evaluates the
+    SAME recursion independently as a DuckDB recursive CTE (all
+    ancestor-descendant path multiplicities, then one grouped sum) —
+    exact BIGINT cents on both engines, no closed form needed.
+
+    This is the reference's recursive creator-tree walk
+    (person-users.js:568-601) upgraded from reachability to
+    AGGREGATION — the per-ancestor rollup its tree representation
+    would need next (org headcount, nested-category totals).
+
+    Scale shape: rounds = tree height (~log4 n, 6-8 at shipped SFs,
+    independent of bushiness growth); per round one equi-join + one
+    map-side-combinable agg on parent keys over frames that strictly
+    shrink.  The oracle pays |V| * height path rows; the operator
+    never materializes paths.  RAISES on round-cap exhaustion (exact
+    iterative-operator contract).  Brute-force python twin in
+    ``tests/test_queries_r7.py`` on random forests."""
+    from beehive_spark.operators.graph import tree_rollup
+
+    p = load(spark, sf_dir, "part").select(
+        F.col("p_partkey").cast("long").alias("id"),
+        F.round(F.col("p_retailprice") * 100).cast("long").alias("cost"),
+    )
+    edges = p.filter(F.col("id") >= 1).select(
+        F.col("id").alias("child"),
+        F.call_function("div", F.col("id") - 1, F.lit(4).cast("long")).alias(
+            "parent"
+        ),
+        (F.lit(1) + F.pmod("id", F.lit(3))).cast("long").alias("qty"),
+    )
+    return tree_rollup(edges, p).select(
+        "id",
+        F.col("total").alias("total_cost_cents"),
+        "n_desc",
+    )
+
+
+# ---------------------------------------------------------------------------
 # Edit-distance-2 similarity join — q-gram count filtering (Gravano et al.)
 # ---------------------------------------------------------------------------
 @query(

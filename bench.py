@@ -146,6 +146,7 @@ EXTRA = [
     # round-7 additions
     "pagerank_planted",
     "media_caption_luma",
+    "bom_cost_rollup",
 ]
 
 

@@ -181,6 +181,8 @@ EXTRA = [
     # round-7 additions (pagerank_planted excluded: eager power-iteration
     # loop, same class as pagerank_copurchase)
     "media_caption_luma",
+    # (bom_cost_rollup excluded: eager leaf-peel loop, same class as
+    # graph_kcore)
 ]
 
 

@@ -111,3 +111,94 @@ def test_image_stats_fake_tier_reduces_raw_bytes(spark):
         for r in image_stats(media).collect()
     }
     assert got == {1: (20, 3), 2: (None, 0), 3: (255, 1)}
+
+
+# ---------------------------------------------------------------------------
+# tree_rollup: random-forest brute-force twin + contract guards
+# ---------------------------------------------------------------------------
+def _brute_rollup(edges, costs):
+    """Recursive python rollup: total(n) = cost(n) + sum qty*total(child)."""
+    import sys
+
+    kids = {}
+    for c, p, q in edges:
+        kids.setdefault(p, []).append((c, q))
+    sys.setrecursionlimit(10000)
+    memo_t, memo_n = {}, {}
+
+    def go(n):
+        if n in memo_t:
+            return memo_t[n], memo_n[n]
+        t, d = costs[n], 1
+        for c, q in kids.get(n, ()):
+            ct, cd = go(c)
+            t += q * ct
+            d += cd
+        memo_t[n], memo_n[n] = t, d
+        return t, d
+
+    for n in costs:
+        go(n)
+    return {n: (memo_t[n], memo_n[n]) for n in costs}
+
+
+def test_tree_rollup_matches_brute_force_on_random_forest(spark):
+    import random
+
+    from beehive_spark.operators.graph import tree_rollup
+
+    rng = random.Random(77)
+    n = 400
+    costs = {i: rng.randint(1, 1000) for i in range(n)}
+    # random forest: each non-root picks a parent with a SMALLER id
+    # (acyclic by construction), ~5% of nodes are extra roots
+    edges = [
+        (i, rng.randrange(i), rng.randint(1, 3))
+        for i in range(1, n)
+        if rng.random() > 0.05
+    ]
+    want = _brute_rollup(edges, costs)
+    e_df = spark.createDataFrame(edges, "child long, parent long, qty long")
+    c_df = spark.createDataFrame(list(costs.items()), "id long, cost long")
+    got = {
+        r["id"]: (r["total"], r["n_desc"])
+        for r in tree_rollup(e_df, c_df).collect()
+    }
+    assert got == want and len(got) == n
+
+
+def test_tree_rollup_raises_on_cycle(spark):
+    import pytest
+
+    from beehive_spark.operators.graph import tree_rollup
+
+    e_df = spark.createDataFrame(
+        [(1, 2, 1), (2, 1, 1)], "child long, parent long, qty long"
+    )
+    c_df = spark.createDataFrame([(1, 5), (2, 7)], "id long, cost long")
+    with pytest.raises(RuntimeError, match="truncated rollup"):
+        tree_rollup(e_df, c_df, max_iter=5)
+
+
+def test_bom_cost_rollup_root_equals_whole_forest(spark, sf_dir):
+    """The planted tree is rooted at part 0, so the root's rollup must
+    cover every part exactly once (n_desc == |part|)."""
+    from beehive_spark.queries.relational import bom_cost_rollup
+
+    out = bom_cost_rollup(spark, sf_dir)
+    n = spark.read.parquet(f"{sf_dir}/part.parquet").count()
+    root = out.filter(F.col("id") == 0).collect()[0]
+    assert root["n_desc"] == n
+    # leaves (no children): total == own cents
+    hi = out.filter(F.col("id") >= (n - 1) // 4 + 1).limit(5).collect()
+    prices = {
+        r["p_partkey"]: r["p_retailprice"]
+        for r in spark.read.parquet(f"{sf_dir}/part.parquet")
+        .filter(F.col("p_partkey") >= (n - 1) // 4 + 1)
+        .limit(50)
+        .collect()
+    }
+    for r in hi:
+        if r["id"] in prices:
+            assert r["total_cost_cents"] == round(prices[r["id"]] * 100)
+            assert r["n_desc"] == 1
