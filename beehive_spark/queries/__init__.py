@@ -92,6 +92,7 @@ _PRIORITY = [
     "pagerank_planted",            # r7 new: planted star-forest PR, fixed 8 rounds
     "media_caption_luma",          # r7 new: cross-modal image-luma x caption join
     "bom_cost_rollup",             # r7 new: bottom-up BOM tree aggregation
+    "record_linkage_fs",           # r7 new: Fellegi-Sunter scored linkage
     "dedup_semantic",              # r7: assignment rides the persisted ANN index
     # --- newest driver evidence still r02 (executed census, see above)
     "dedup_substring_spans", "funnel_steps", "cohort_retention",

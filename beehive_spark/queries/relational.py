@@ -2264,6 +2264,114 @@ def pagerank_planted(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# Fellegi-Sunter record linkage — probabilistic upgrade of the reference's
+# exact-key person consolidation
+# ---------------------------------------------------------------------------
+@query(
+    "record_linkage_fs",
+    oracle="""
+    WITH clean AS (
+      SELECT c_custkey AS id, c_name AS name, c_nationkey AS nat,
+             CAST(ROUND(c_acctbal * 100) AS BIGINT) AS cents,
+             c_mktsegment AS seg
+      FROM customer
+    ),
+    dirty AS (
+      SELECT id + 10000000 AS d_id,
+             substr(name, 1, 9 + id % 9) || 'X'
+               || substr(name, 11 + id % 9, 30) AS d_name,
+             nat AS d_nat, cents + id % 7 - 3 AS d_cents, seg AS d_seg
+      FROM clean WHERE id % 10 = 0
+    ),
+    scored AS (
+      SELECT d.d_id, c.id AS clean_id,
+             CAST(CASE WHEN levenshtein(d.d_name, c.name) <= 1
+                       THEN 4000 ELSE -1500 END
+                + CASE WHEN abs(d.d_cents - c.cents) <= 5
+                       THEN 2500 ELSE -1000 END
+                + CASE WHEN d.d_seg = c.seg THEN 800 ELSE -1200 END
+               AS BIGINT) AS score_milli
+      FROM dirty d JOIN clean c ON d.d_nat = c.nat
+    )
+    SELECT d_id AS dirty_id, clean_id, score_milli,
+           CASE WHEN score_milli >= 5000 THEN 'link'
+                ELSE 'possible' END AS decision
+    FROM scored WHERE score_milli >= 2000
+    """,
+)
+def record_linkage_fs(spark, sf_dir):
+    """Fellegi-Sunter probabilistic record linkage (Fellegi & Sunter
+    1969; the Splink/dedupe.io model) over a PLANTED corrupted twin of
+    the customer table — the probabilistic upgrade of the reference's
+    exact-key person consolidation (person-users.js:83-150) and its
+    disjunctive matcher (``disjunctive_match_users``): instead of
+    requiring any single field to match exactly, each field comparison
+    contributes a log-odds WEIGHT (agreement adds the m/u evidence,
+    disagreement subtracts it) and the summed score classifies pairs
+    into link / possible / non-link.
+
+    Every 10th customer gets a deterministic dirty copy (one name
+    character replaced at a key-derived position, account balance
+    perturbed by up to 3 cents, blocking keys kept), so the full score
+    distribution — true matches, near-miss 'possible' pairs sharing a
+    1-edit name digit, and sub-threshold rejects — is reproducible
+    arithmetic both engines evaluate independently.  Weights are
+    integer MILLI-log-odds and the balance comparison runs on exact
+    cents, so the hash gate is bit-exact.
+
+    Scale shape: candidate generation is one BLOCKED equi-join
+    (nation key), never the dirty x clean cross product; all three
+    comparison vectors and the score are whole-stage-codegen JVM
+    expressions over the joined row — no UDFs; the emit filter
+    bounds the output to scored candidates.  At 100 TB the blocking
+    key gets finer (the SymSpell/q-gram families in this module are
+    exactly those candidate generators) while the scoring plan is
+    unchanged."""
+    c = load(spark, sf_dir, "customer")
+    clean = c.select(
+        F.col("c_custkey").cast("long").alias("id"),
+        F.col("c_name").alias("name"),
+        F.col("c_nationkey").alias("nat"),
+        F.round(F.col("c_acctbal") * 100).cast("long").alias("cents"),
+        F.col("c_mktsegment").alias("seg"),
+    )
+    pos = (F.lit(9) + F.pmod("id", F.lit(9))).cast("int")
+    dirty = clean.filter(F.pmod("id", F.lit(10)) == 0).select(
+        (F.col("id") + 10_000_000).alias("d_id"),
+        F.concat(
+            F.substr("name", F.lit(1), pos),
+            F.lit("X"),
+            F.substr("name", pos + F.lit(2), F.lit(30)),
+        ).alias("d_name"),
+        F.col("nat").alias("d_nat"),
+        (F.col("cents") + F.pmod("id", F.lit(7)) - 3).alias("d_cents"),
+        F.col("seg").alias("d_seg"),
+    )
+    pairs = dirty.join(clean, dirty["d_nat"] == clean["nat"])
+    score = (
+        F.when(F.levenshtein("d_name", "name") <= 1, 4000).otherwise(-1500)
+        + F.when(F.abs(F.col("d_cents") - F.col("cents")) <= 5, 2500).otherwise(
+            -1000
+        )
+        + F.when(F.col("d_seg") == F.col("seg"), 800).otherwise(-1200)
+    ).cast("long")
+    return (
+        pairs.select(
+            F.col("d_id").alias("dirty_id"),
+            F.col("id").alias("clean_id"),
+            score.alias("score_milli"),
+        )
+        .filter(F.col("score_milli") >= 2000)
+        .withColumn(
+            "decision",
+            F.when(F.col("score_milli") >= 5000, F.lit("link")).otherwise(
+                F.lit("possible")
+            ),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # BOM cost rollup — bottom-up tree aggregation (the creator-tree walk,
 # upgraded from reachability to aggregation)
 # ---------------------------------------------------------------------------

@@ -147,6 +147,7 @@ EXTRA = [
     "pagerank_planted",
     "media_caption_luma",
     "bom_cost_rollup",
+    "record_linkage_fs",
 ]
 
 

@@ -183,6 +183,7 @@ EXTRA = [
     "media_caption_luma",
     # (bom_cost_rollup excluded: eager leaf-peel loop, same class as
     # graph_kcore)
+    "record_linkage_fs",
 ]
 
 

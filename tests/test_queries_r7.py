@@ -202,3 +202,38 @@ def test_bom_cost_rollup_root_equals_whole_forest(spark, sf_dir):
         if r["id"] in prices:
             assert r["total_cost_cents"] == round(prices[r["id"]] * 100)
             assert r["n_desc"] == 1
+
+
+# ---------------------------------------------------------------------------
+# Fellegi-Sunter linkage: planted-truth recall + score composition
+# ---------------------------------------------------------------------------
+def test_record_linkage_recovers_every_planted_pair(spark, sf_dir):
+    from beehive_spark.queries.relational import record_linkage_fs
+
+    rows = record_linkage_fs(spark, sf_dir).collect()
+    links = {
+        (r["dirty_id"], r["clean_id"]) for r in rows if r["decision"] == "link"
+    }
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    planted = {
+        (r["c_custkey"] + 10_000_000, r["c_custkey"])
+        for r in cust.filter(F.col("c_custkey") % 10 == 0).collect()
+    }
+    # every planted dirty copy links back to its source (full recall on
+    # truth), with the all-agree score 4000 + 2500 + 800
+    assert planted <= links
+    by_pair = {(r["dirty_id"], r["clean_id"]): r["score_milli"] for r in rows}
+    assert all(by_pair[p] == 7300 for p in planted)
+    # no self-pair is ever classified below link
+    assert all(
+        r["decision"] == "link"
+        for r in rows
+        if r["dirty_id"] - 10_000_000 == r["clean_id"]
+    )
+    # 'possible' pairs are genuine near-misses, never the planted truth
+    possibles = {
+        (r["dirty_id"], r["clean_id"])
+        for r in rows
+        if r["decision"] == "possible"
+    }
+    assert possibles.isdisjoint(planted)
