@@ -93,6 +93,7 @@ _PRIORITY = [
     "media_caption_luma",          # r7 new: cross-modal image-luma x caption join
     "bom_cost_rollup",             # r7 new: bottom-up BOM tree aggregation
     "record_linkage_fs",           # r7 new: Fellegi-Sunter scored linkage
+    "bm25_retrieval",              # r7 new: Okapi BM25 top-k retrieval
     "dedup_semantic",              # r7: assignment rides the persisted ANN index
     # --- newest driver evidence still r02 (executed census, see above)
     "dedup_substring_spans", "funnel_steps", "cohort_retention",

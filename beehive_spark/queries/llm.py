@@ -1080,6 +1080,111 @@ def text_lang_id(spark, sf_dir):
     return scored.select("doc_id", pred.alias("pred_lang"))
 
 
+_BM25_TERMS = ("dup", "spark", "merge")
+
+
+@query(
+    "bm25_retrieval",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id,
+             unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term
+      FROM documents
+    ),
+    dl AS (SELECT doc_id, COUNT(*) AS dl FROM toks GROUP BY doc_id),
+    tf AS (
+      SELECT doc_id, term, COUNT(*) AS tf FROM toks
+      WHERE term IN ('dup', 'spark', 'merge') GROUP BY doc_id, term
+    ),
+    df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+    s AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM documents),
+    t AS (SELECT CAST(SUM(dl) AS BIGINT) AS t FROM dl),
+    scored AS (
+      SELECT tf.doc_id,
+             CAST(ROUND(
+               ln(1.0 + (s.n - df.df + 0.5) / (df.df + 0.5))
+               * ((tf.tf * 2.2)
+                  / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * ((dl.dl * s.n) / t.t))))
+               * 1000000) AS BIGINT) AS c
+      FROM tf JOIN df USING (term) JOIN dl USING (doc_id)
+      CROSS JOIN s CROSS JOIN t
+    )
+    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_terms,
+           CAST(SUM(c) AS BIGINT) AS score_micro
+    FROM scored GROUP BY doc_id
+    ORDER BY score_micro DESC, doc_id LIMIT 25
+    """,
+)
+def bm25_retrieval(spark, sf_dir, k: int = 25):
+    """BM25 top-k document retrieval (Robertson & Walker / Okapi
+    BM25, the standard sparse-retrieval ranker) for a fixed query over
+    the corpus — the retrieval half of a RAG/data-curation stack next
+    to the dense paths (``similarity_*``): per-(doc, term) scores
+    ``idf * tf*(k1+1) / (tf + k1*(1-b+b*dl/avgdl))`` with the
+    RSJ-smoothed idf, k1=1.2, b=0.75.
+
+    Cross-engine determinism: each per-term contribution rounds to
+    integer MICRO-units BEFORE the per-doc sum (the text_perplexity
+    micro-nat pattern — a <=1-ulp ln()/division divergence between the
+    JVM and DuckDB dies at the grid), sums are exact BIGINTs, and the
+    top-k order key is (score_micro, doc_id) — fully discrete.
+    ``dl/avgdl`` is evaluated as ``(dl*N)/T`` so both engines divide
+    the same exact integers once.
+
+    Scale shape: tokens filter to the QUERY TERMS before the tf/df
+    aggregations (posting-list discipline: work scales with matching
+    postings, not corpus token count); doc length aggregates once off
+    the same token scan; N and T ride 1-row broadcasts; the final
+    top-k is TakeOrdered (orderBy+limit), never a global window.
+
+    Reference scope: net-new text-analysis capability (no counterpart
+    in mhawila/beehive); same tokenizer as ``text_token_stats``
+    (TOKEN_RE)."""
+    d = load(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.explode(_tokens(F.col("text"))).alias("term"))
+    dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    tf = (
+        toks.filter(F.col("term").isin(*_BM25_TERMS))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n = d.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    t = dl.agg(F.sum("dl").cast("long").alias("t"))
+    idf = F.log(
+        F.lit(1.0) + (F.col("n") - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
+    )
+    satur = (F.col("tf") * F.lit(2.2)) / (
+        F.col("tf")
+        + F.lit(1.2)
+        * (
+            F.lit(1.0)
+            - F.lit(0.75)
+            + F.lit(0.75) * ((F.col("dl") * F.col("n")) / F.col("t"))
+        )
+    )
+    scored = (
+        tf.join(dfreq, "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(n))
+        .crossJoin(F.broadcast(t))
+        .select(
+            "doc_id",
+            F.round(idf * satur * 1_000_000).cast("long").alias("c"),
+        )
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_terms"),
+            F.sum("c").cast("long").alias("score_micro"),
+        )
+        .orderBy(F.col("score_micro").desc(), "doc_id")
+        .limit(k)
+    )
+
+
+
 @query(
     "text_tfidf_topterms",
     oracle="""

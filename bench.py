@@ -148,6 +148,7 @@ EXTRA = [
     "media_caption_luma",
     "bom_cost_rollup",
     "record_linkage_fs",
+    "bm25_retrieval",
 ]
 
 

@@ -184,6 +184,7 @@ EXTRA = [
     # (bom_cost_rollup excluded: eager leaf-peel loop, same class as
     # graph_kcore)
     "record_linkage_fs",
+    "bm25_retrieval",
 ]
 
 

@@ -237,3 +237,47 @@ def test_record_linkage_recovers_every_planted_pair(spark, sf_dir):
         if r["decision"] == "possible"
     }
     assert possibles.isdisjoint(planted)
+
+
+# ---------------------------------------------------------------------------
+# BM25: brute python twin on the real corpus
+# ---------------------------------------------------------------------------
+def test_bm25_matches_python_scoring(spark, sf_dir):
+    import math
+    import re
+    from collections import Counter
+
+    from beehive_spark.queries.llm import _BM25_TERMS, bm25_retrieval
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    ).collect()
+    tok = lambda s: re.findall(r"[a-z0-9]+", s.lower())  # noqa: E731
+    toks = {r["doc_id"]: tok(r["text"]) for r in docs}
+    n = len(docs)
+    t = sum(len(v) for v in toks.values())
+    df = Counter()
+    tfs = {}
+    for d, ws in toks.items():
+        c = Counter(w for w in ws if w in _BM25_TERMS)
+        if c:
+            tfs[d] = c
+            for w in c:
+                df[w] += 1
+    want = {}
+    for d, c in tfs.items():
+        dl = len(toks[d])
+        score = 0
+        for w, tf in c.items():
+            idf = math.log(1.0 + (n - df[w] + 0.5) / (df[w] + 0.5))
+            sat = (tf * 2.2) / (tf + 1.2 * (1.0 - 0.75 + 0.75 * ((dl * n) / t)))
+            score += round(idf * sat * 1_000_000)
+        want[d] = (len(c), score)
+    top = sorted(want.items(), key=lambda kv: (-kv[1][1], kv[0]))[:25]
+    got = [
+        (r["doc_id"], (r["n_terms"], r["score_micro"]))
+        for r in bm25_retrieval(spark, sf_dir).collect()
+    ]
+    assert got == top and len(got) == min(25, len(want))
+    # the rare term must dominate: the top hit contains 'dup'
+    assert "dup" in toks[got[0][0]]
