@@ -94,6 +94,7 @@ _PRIORITY = [
     "bom_cost_rollup",             # r7 new: bottom-up BOM tree aggregation
     "record_linkage_fs",           # r7 new: Fellegi-Sunter scored linkage
     "bm25_retrieval",              # r7 new: Okapi BM25 top-k retrieval
+    "events_twap",                 # r7 new: exact time-weighted average
     "dedup_semantic",              # r7: assignment rides the persisted ANN index
     # --- newest driver evidence still r02 (executed census, see above)
     "dedup_substring_spans", "funnel_steps", "cohort_retention",

@@ -2865,3 +2865,77 @@ def events_ewma(spark, sf_dir):
         ),
     )
     return l.select("user_id", "n_points", fold.cast("long").alias("ewma_milli"))
+
+
+# ---------------------------------------------------------------------------
+# TWAP — time-weighted average as exact integer interval weighting
+# ---------------------------------------------------------------------------
+@query(
+    "events_twap",
+    oracle="""
+    WITH pts AS (
+      SELECT user_id, epoch_us(ts) AS t,
+             CAST(ROUND(value * 1000) AS BIGINT) AS v
+      FROM events
+    ),
+    agg AS (
+      SELECT user_id, t,
+             MIN(v) AS v
+      FROM pts GROUP BY user_id, t
+    ),
+    iv AS (
+      SELECT user_id, v, t,
+             lead(t) OVER (PARTITION BY user_id ORDER BY t) AS tn
+      FROM agg
+    )
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_intervals,
+           CAST(SUM(tn - t) AS BIGINT) AS span_us,
+           CAST(SUM(v * (tn - t)) // SUM(tn - t) AS BIGINT) AS twap_milli
+    FROM iv WHERE tn IS NOT NULL
+    GROUP BY user_id
+    """,
+)
+def events_twap(spark, sf_dir):
+    """Per-user TIME-WEIGHTED average value (TWAP — the standard
+    execution-quality/metrics-rollup statistic): each observation's
+    value is held until the next one, so the average weights values by
+    HOLD DURATION, not by sample count — the correct summary for
+    irregularly sampled series where a plain mean over-represents
+    bursts.  Values are integer MILLI-units, durations exact BIGINT
+    microseconds, and the final divide is the sign-safe
+    :func:`functions.floor_div`, so the result is bit-identical across
+    engines (same exact-integer discipline as ``events_ewma`` /
+    ``events_resample``, which share the per-(user, ts) MIN
+    pre-aggregation for duplicate-timestamp determinism).
+
+    Scale shape: one shuffle groups each user's points, one lead
+    window computes hold intervals inside the partition, one
+    map-side-combinable agg folds the weighted sums — no self-join,
+    no grid materialization; users with a single observation hold
+    nothing and drop out (zero-span TWAP is undefined).
+
+    Reference scope: net-new temporal capability (the reference is
+    relational-only)."""
+    e = load(spark, sf_dir, "events")
+    pts = e.groupBy(
+        "user_id", F.unix_micros("ts").alias("t")
+    ).agg(F.min(F.round(F.col("value") * 1000).cast("long")).alias("v"))
+    w = Window.partitionBy("user_id").orderBy("t")
+    iv = pts.withColumn("tn", F.lead("t").over(w)).filter(
+        F.col("tn").isNotNull()
+    )
+    return (
+        iv.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_intervals"),
+            F.sum(F.col("tn") - F.col("t")).cast("long").alias("span_us"),
+            F.sum(F.col("v") * (F.col("tn") - F.col("t"))).alias("wsum"),
+        )
+        .select(
+            "user_id",
+            "n_intervals",
+            "span_us",
+            floor_div(F.col("wsum"), F.col("span_us")).alias("twap_milli"),
+        )
+    )

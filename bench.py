@@ -149,6 +149,7 @@ EXTRA = [
     "bom_cost_rollup",
     "record_linkage_fs",
     "bm25_retrieval",
+    "events_twap",
 ]
 
 

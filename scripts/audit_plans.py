@@ -185,6 +185,7 @@ EXTRA = [
     # graph_kcore)
     "record_linkage_fs",
     "bm25_retrieval",
+    "events_twap",
 ]
 
 

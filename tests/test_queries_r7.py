@@ -281,3 +281,37 @@ def test_bm25_matches_python_scoring(spark, sf_dir):
     assert got == top and len(got) == min(25, len(want))
     # the rare term must dominate: the top hit contains 'dup'
     assert "dup" in toks[got[0][0]]
+
+
+# ---------------------------------------------------------------------------
+# TWAP: brute python twin on the real events
+# ---------------------------------------------------------------------------
+def test_events_twap_matches_python_fold(spark, sf_dir):
+    from beehive_spark.queries import load
+    from beehive_spark.queries.core import events_twap
+
+    e = load(spark, sf_dir, "events").select("user_id", "ts", "value").collect()
+    pts = {}
+    for r in e:
+        t = int(r["ts"].timestamp() * 1_000_000)
+        v = round(r["value"] * 1000)
+        key = (r["user_id"], t)
+        pts[key] = min(pts.get(key, v), v)
+    byu = {}
+    for (u, t), v in pts.items():
+        byu.setdefault(u, []).append((t, v))
+    want = {}
+    for u, series in byu.items():
+        series.sort()
+        if len(series) < 2:
+            continue
+        span = series[-1][0] - series[0][0]
+        wsum = sum(
+            v * (series[i + 1][0] - t) for i, (t, v) in enumerate(series[:-1])
+        )
+        want[u] = (len(series) - 1, span, wsum // span)
+    got = {
+        r["user_id"]: (r["n_intervals"], r["span_us"], r["twap_milli"])
+        for r in events_twap(spark, sf_dir).collect()
+    }
+    assert got == want and got
