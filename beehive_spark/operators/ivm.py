@@ -169,6 +169,110 @@ def build_agg(
     return df.groupBy(*list(keys)).agg(*aggs)
 
 
+def build_multiplicity(
+    df: DataFrame, keys: Sequence[str], value_col: str, mult_col: str = "m"
+) -> DataFrame:
+    """The auxiliary state that makes COUNT(DISTINCT) incrementally
+    maintainable: one row per (group, value) with its fact-row
+    multiplicity.  ``incremental_distinct`` maintains this table and
+    derives the distinct-count view's CHANGES from multiplicity
+    zero-crossings — never re-scanning the fact table.
+
+    NULL values are excluded, matching SQL COUNT(DISTINCT) semantics;
+    a group whose rows are all-NULL therefore has no view row (the
+    maintained view carries only counts > 0)."""
+    return (
+        df.filter(F.col(value_col).isNotNull())
+        .groupBy(*list(keys), value_col)
+        .agg(F.count(F.lit(1)).cast("long").alias(mult_col))
+    )
+
+
+def incremental_distinct(
+    mult: DataFrame,
+    counts: DataFrame,
+    retractions: DataFrame,
+    keys: Sequence[str],
+    value_col: str,
+    mult_col: str = "m",
+    count_col: str = "n_distinct",
+) -> tuple[DataFrame, DataFrame]:
+    """Maintain a per-group COUNT(DISTINCT ``value_col``) view from a
+    signed retraction stream via a MULTIPLICITY TABLE — the classic
+    auxiliary-state construction (Gupta & Mumick's view-maintenance
+    taxonomy) for an aggregate that is not self-maintainable: the view
+    alone cannot tell whether a retracted value still has other
+    supporting fact rows, but the (group, value, multiplicity) table
+    can, in O(|delta|).
+
+    Returns ``(new_mult, new_counts)``.  The distinct count changes
+    EXACTLY at multiplicity zero-crossings: a (group, value) whose
+    multiplicity rises from 0 adds one, one that falls to 0 removes
+    one; everything else (duplicate inserts, partial deletes) leaves
+    the view untouched — which is precisely the case a naive count
+    maintenance gets wrong.
+
+    Shape: the delta aggregates the retraction stream once per
+    (group, value); both the multiplicity merge and the count merge
+    follow :func:`incremental_agg`'s broadcast discipline (delta
+    broadcasts for the anti/semi split and the left-outer merge), so
+    NEITHER base artifact ever repartitions and cost scales with the
+    delta, not the corpus.
+    """
+    keys = list(keys)
+    mk = keys + [value_col]
+    # NULL values never count toward DISTINCT (SQL semantics) — drop
+    # their retractions before they can fabricate multiplicity rows
+    delta = (
+        retractions.filter(F.col(value_col).isNotNull())
+        .groupBy(*mk)
+        .agg(F.sum(SIGN).cast("long").alias("_dm"))
+    )
+    bdelta = F.broadcast(delta)
+    untouched_m = mult.join(bdelta.select(*mk), mk, "left_anti")
+    touched_m = mult.join(bdelta.select(*mk), mk, "left_semi")
+    merged = (
+        delta.alias("d")
+        .join(F.broadcast(touched_m.alias("b")), mk, "left_outer")
+        .select(
+            *mk,
+            F.coalesce(F.col(f"b.{mult_col}"), F.lit(0)).alias("_m_old"),
+            (
+                F.coalesce(F.col(f"b.{mult_col}"), F.lit(0)) + F.col("d._dm")
+            ).alias(mult_col),
+        )
+    )
+    new_mult = untouched_m.unionByName(
+        merged.filter(F.col(mult_col) > 0).select(*mk, mult_col)
+    )
+    # distinct-count delta per group = zero-crossings up minus down
+    crossings = merged.groupBy(*keys).agg(
+        F.sum(
+            F.when((F.col("_m_old") <= 0) & (F.col(mult_col) > 0), 1)
+            .when((F.col("_m_old") > 0) & (F.col(mult_col) <= 0), -1)
+            .otherwise(0)
+        )
+        .cast("long")
+        .alias("_dd")
+    ).filter(F.col("_dd") != 0)
+    bcross = F.broadcast(crossings)
+    untouched_c = counts.join(bcross.select(*keys), keys, "left_anti")
+    touched_c = counts.join(bcross.select(*keys), keys, "left_semi")
+    new_counts = (
+        crossings.alias("d")
+        .join(F.broadcast(touched_c.alias("b")), keys, "left_outer")
+        .select(
+            *keys,
+            (
+                F.coalesce(F.col(f"b.{count_col}"), F.lit(0)) + F.col("d._dd")
+            ).alias(count_col),
+        )
+        .filter(F.col(count_col) > 0)
+        .unionByName(untouched_c)
+    )
+    return new_mult, new_counts
+
+
 def incremental_minmax(
     base: DataFrame,
     retractions: DataFrame,

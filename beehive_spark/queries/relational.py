@@ -1611,6 +1611,99 @@ def incremental_agg_orders(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# IVM for COUNT(DISTINCT) — multiplicity-table auxiliary state
+# ---------------------------------------------------------------------------
+@query(
+    "incremental_distinct_orders",
+    oracle="""
+    WITH newsnap AS (
+      SELECT CASE WHEN o_orderkey % 11 = 0 THEN '1-URGENT'
+                  ELSE o_orderpriority END AS o_orderpriority,
+             o_custkey
+      FROM orders WHERE o_orderkey % 97 <> 0
+      UNION ALL
+      SELECT o_orderpriority, o_custkey
+      FROM orders WHERE o_orderkey % 101 = 0
+    )
+    SELECT o_orderpriority,
+           CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_distinct,
+           CAST(COUNT(*) AS BIGINT) AS n_rows
+    FROM newsnap GROUP BY o_orderpriority
+    """,
+)
+def incremental_distinct_orders(spark, sf_dir):
+    """Incremental maintenance of COUNT(DISTINCT customer) per order
+    priority — the aggregate class that is NOT self-maintainable: the
+    view alone cannot tell whether a deleted order was its customer's
+    LAST order in the group.  ``operators.ivm.incremental_distinct``
+    maintains the classic auxiliary MULTIPLICITY table
+    (group, value, #rows) and derives the view's changes from
+    multiplicity zero-crossings in O(|delta|) — completing the IVM
+    family alongside SUM/COUNT (self-maintainable), MAX (targeted
+    evict-rescan) and top-k.
+
+    The CDC scenario stresses exactly the zero-crossing cases:
+    deletes (key%97) remove a customer from a group only when their
+    last order there goes; group-moving updates (key%11 to 1-URGENT)
+    retract membership on one side and may or may not add it on the
+    other; clone inserts (key%101) bump multiplicity WITHOUT changing
+    the view — the case a naive count-maintenance gets wrong.  The
+    oracle recomputes DISTINCT from scratch over the mutated snapshot;
+    ``n_rows`` (the multiplicity sums) gates the aux table itself.
+
+    Scale shape: both maintained artifacts follow the IVM broadcast
+    discipline — the delta aggregates once per (group, value),
+    broadcasts for the anti/semi splits and the left-outer merges, and
+    neither the multiplicity table nor the count view ever
+    repartitions.  The reference re-derives every distinct count by
+    re-scanning the source (orchestrator.js:22-121)."""
+    from beehive_spark.operators.ivm import (
+        build_multiplicity,
+        cdc_to_retractions,
+        incremental_distinct,
+    )
+
+    keys = ["o_orderpriority"]
+    o = load(spark, sf_dir, "orders").select(
+        "o_orderkey", *keys, "o_custkey"
+    )
+    k = F.col("o_orderkey")
+    mult = build_multiplicity(o, keys, "o_custkey")
+    counts = mult.groupBy(*keys).agg(
+        F.count(F.lit(1)).cast("long").alias("n_distinct")
+    )
+    null_s, null_l = F.lit(None).cast("string"), F.lit(None).cast("long")
+    upd = o.filter((k % 97 != 0) & (k % 11 == 0)).select(
+        F.lit("update").alias("change_type"),
+        F.col("o_orderpriority").alias("o_orderpriority_old"),
+        F.lit("1-URGENT").alias("o_orderpriority_new"),
+        F.col("o_custkey").alias("o_custkey_old"),
+        F.col("o_custkey").alias("o_custkey_new"),
+    )
+    dels = o.filter(k % 97 == 0).select(
+        F.lit("delete").alias("change_type"),
+        F.col("o_orderpriority").alias("o_orderpriority_old"),
+        null_s.alias("o_orderpriority_new"),
+        F.col("o_custkey").alias("o_custkey_old"),
+        null_l.alias("o_custkey_new"),
+    )
+    ins = o.filter(k % 101 == 0).select(
+        F.lit("insert").alias("change_type"),
+        null_s.alias("o_orderpriority_old"),
+        F.col("o_orderpriority").alias("o_orderpriority_new"),
+        null_l.alias("o_custkey_old"),
+        F.col("o_custkey").alias("o_custkey_new"),
+    )
+    feed = upd.unionByName(dels).unionByName(ins)
+    retr = cdc_to_retractions(feed, keys=keys, values=["o_custkey"])
+    new_mult, new_counts = incremental_distinct(
+        mult, counts, retr, keys, "o_custkey"
+    )
+    rows = new_mult.groupBy(*keys).agg(F.sum("m").cast("long").alias("n_rows"))
+    return new_counts.join(rows, keys).select(*keys, "n_distinct", "n_rows")
+
+
+# ---------------------------------------------------------------------------
 # IVM for non-self-maintainable aggregates — MAX with targeted rescan
 # ---------------------------------------------------------------------------
 @query(

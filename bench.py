@@ -150,6 +150,7 @@ EXTRA = [
     "record_linkage_fs",
     "bm25_retrieval",
     "events_twap",
+    "incremental_distinct_orders",
 ]
 
 

@@ -154,3 +154,42 @@ def test_topk_any_history_matches_recompute(spark, h):
         (r["g"], r["n_rows"], tuple(r["topk"])) for r in df.collect()
     }
     assert canon(got) == canon(want)
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+@given(history())
+def test_distinct_any_history_matches_recompute(spark, h):
+    from beehive_spark.operators.ivm import (
+        build_multiplicity,
+        incremental_distinct,
+    )
+
+    initial, ops, final = h
+    row_schema = "rid int, g string, v int"
+    init_df = spark.createDataFrame(initial, row_schema)
+    mult = build_multiplicity(init_df, ["g"], "v")
+    counts = mult.groupBy("g").agg(
+        F.count(F.lit(1)).cast("long").alias("n_distinct")
+    )
+    feed = spark.createDataFrame(
+        ops, "change_type string, g_old string, g_new string, v_old int, v_new int"
+    )
+    retr = cdc_to_retractions(feed, keys=["g"], values=["v"])
+    new_mult, new_counts = incremental_distinct(mult, counts, retr, ["g"], "v")
+    final_df = spark.createDataFrame(final, row_schema)
+    want_mult = build_multiplicity(final_df, ["g"], "v")
+    # COUNT(DISTINCT) ignores NULLs; the maintained view carries only
+    # groups with count > 0 (matching the operator's contract)
+    want_counts = (
+        final_df.filter(F.col("v").isNotNull())
+        .groupBy("g")
+        .agg(F.count_distinct("v").cast("long").alias("n_distinct"))
+        .filter(F.col("n_distinct") > 0)
+    )
+    as_set = lambda df: {tuple(r) for r in df.collect()}  # noqa: E731
+    assert as_set(new_mult) == as_set(want_mult)
+    assert as_set(new_counts) == as_set(want_counts)
