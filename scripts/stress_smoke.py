@@ -116,6 +116,16 @@ REGISTRY_CASES = [
     ("media_scene_cuts", "documents"),
     ("media_audio_vad", "documents"),
     ("incremental_join_orders", "orders"),
+    # round-7 additions: tree rollup (height grows ~log of catalog, per
+    # round linear), cross-modal decode join + BM25 (both dominated by
+    # the per-doc decode/tokenize scans, expected ~linear), TWAP (one
+    # window + one agg over events) and COUNT(DISTINCT) IVM (delta is
+    # %-of-table, broadcast discipline keeps bases in place)
+    ("bom_cost_rollup", "part"),
+    ("media_caption_luma", "documents"),
+    ("bm25_retrieval", "documents"),
+    ("events_twap", "events"),
+    ("incremental_distinct_orders", "orders"),
 ]
 
 
@@ -219,6 +229,22 @@ def build_scaled_dir(spark, copies: int) -> str:
             *[c for c in o.columns if c not in ("o_orderkey", "o_custkey")],
         )
         .write.parquet(os.path.join(out, "orders.parquet"))
+    )
+
+    p = spark.read.parquet(os.path.join(SF_DIR, "part.parquet"))
+    # parts remap to a CONTIGUOUS id space (rep * n_parts + id), unlike
+    # the other tables' sparse 10M strides: bom_cost_rollup's planted
+    # 4-ary tree is arithmetic in the id, so contiguity preserves one
+    # deep spanning tree (height grows ~log4 of the catalog) instead of
+    # shattering every replica into parentless roots
+    n_parts_c = p.count()
+    (
+        p.crossJoin(F.broadcast(reps))
+        .select(
+            (F.col("p_partkey") + F.col("__rep") * n_parts_c).alias("p_partkey"),
+            *[c for c in p.columns if c != "p_partkey"],
+        )
+        .write.parquet(os.path.join(out, "part.parquet"))
     )
 
     c = spark.read.parquet(os.path.join(SF_DIR, "customer.parquet"))
