@@ -777,7 +777,14 @@ def tree_rollup(
             if n_edges == 0:
                 finalized.append(t)
                 break
-            parents_d = e.select(F.col("p").alias("id")).distinct()
+            # materialized once per round: BOTH the leaf anti join and
+            # the survivor semi join consume it, and a lazy distinct
+            # would re-run its shuffle for each (r7 review)
+            parents_d = (
+                e.select(F.col("p").alias("id"))
+                .distinct()
+                .localCheckpoint(eager=True)
+            )
             # no remaining child edges -> this node's total is FINAL
             leaves = t.join(parents_d, "id", "left_anti").localCheckpoint(
                 eager=True

@@ -135,16 +135,23 @@ def _evidence_vintage() -> dict[str, int]:
         os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     )
     vint: dict[str, int] = {}
-    for f in sorted(glob.glob(os.path.join(root, "CORRECTNESS_r*.json"))):
-        try:
-            rnd = int(os.path.basename(f).split("_r")[1].split(".")[0])
-            with open(f) as fh:
-                recs = json.load(fh)
-        except Exception:  # pragma: no cover - malformed sidecar file
-            continue
-        if isinstance(recs, dict):
-            for q in recs:
-                vint[q] = max(rnd, vint.get(q, 0))
+    files = sorted(glob.glob(os.path.join(root, "CORRECTNESS_r*.json")))
+    if not files:
+        # the window ordering would silently degrade to registration
+        # order — the exact quiet-bookkeeping-drift failure this
+        # computed census replaced; raise rather than lie (r7 review)
+        raise RuntimeError(
+            f"no CORRECTNESS_r*.json evidence files found under {root}; "
+            "the oracle-window backfill cannot be ordered without them"
+        )
+    for f in files:
+        rnd = int(os.path.basename(f).split("_r")[1].split(".")[0])
+        with open(f) as fh:
+            recs = json.load(fh)  # malformed sidecar: raise, don't skip
+        if not isinstance(recs, dict):
+            raise RuntimeError(f"malformed correctness sidecar: {f}")
+        for q in recs:
+            vint[q] = max(rnd, vint.get(q, 0))
     return vint
 
 

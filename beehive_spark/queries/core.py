@@ -19,7 +19,6 @@ from beehive_spark.operators import (
     remap_fks,
     uuid_collisions,
 )
-from beehive_spark.functions import floor_div
 from beehive_spark.queries import load, query
 
 
@@ -2740,11 +2739,12 @@ def events_resample(spark, sf_dir):
     observation takes its value.
 
     Exactness: values are integer MILLI-units and the interpolation
-    is ``(vp*(tn-g) + vn*(g-tp)) floor-div (tn-tp)`` in BIGINT
-    microseconds via the sign-safe :func:`functions.floor_div`
-    (pmod-adjusted truncation == floor for any value sign), so Spark
-    and DuckDB ``//`` agree bit-for-bit even on a fixture vintage
-    with negative values — no doubles anywhere.
+    is ``(vp*(tn-g) + vn*(g-tp)) div (tn-tp)`` in BIGINT
+    microseconds.  Spark's registered ``div`` and DuckDB's ``//``
+    BOTH truncate toward zero (empirically verified on negatives —
+    see ``functions/__init__.py``), so the parity is bit-exact for
+    ANY value sign, negative fixture vintages included — no doubles
+    anywhere and no non-negativity assumption.
 
     Scale shape: both neighbor lookups are
     :func:`operators.temporal.asof_join` — the union-trick single
@@ -2783,7 +2783,8 @@ def events_resample(spark, sf_dir):
         direction="forward", suffix="_n",
     ).select("user_id", "g", F.col("t_n").alias("tn"), F.col("v_n").alias("vn"))
     j = pv.join(nx, ["user_id", "g"])
-    interp = floor_div(
+    interp = F.call_function(
+        "div",
         F.col("vp") * (F.col("tn") - F.col("g"))
         + F.col("vn") * (F.col("g") - F.col("tp")),
         F.col("tn") - F.col("tp"),
@@ -2831,7 +2832,7 @@ def events_ewma(spark, sf_dir):
     ``list_reduce``, an independent implementation of the fold.
 
     Scale shape: EWMA has an inherent SEQUENTIAL dependency per key —
-    the per-step integer floor is non-associative, so unlike sums it
+    the per-step integer truncation is non-associative, so unlike sums it
     cannot be split map-side without changing the answer.  The
     distributed shape is therefore keys-in-parallel: one shuffle
     groups each user's series, ``array_sort`` orders it (ties broken
@@ -2859,7 +2860,8 @@ def events_ewma(spark, sf_dir):
     fold = F.aggregate(
         F.slice(F.col("vs"), 2, F.size("vs") - 1),
         F.element_at(F.col("vs"), 1),
-        lambda acc, x: floor_div(
+        lambda acc, x: F.call_function(
+            "div",
             F.lit(3).cast("long") * x + F.lit(7).cast("long") * acc,
             F.lit(10).cast("long"),
         ),
@@ -2903,9 +2905,11 @@ def events_twap(spark, sf_dir):
     HOLD DURATION, not by sample count — the correct summary for
     irregularly sampled series where a plain mean over-represents
     bursts.  Values are integer MILLI-units, durations exact BIGINT
-    microseconds, and the final divide is the sign-safe
-    :func:`functions.floor_div`, so the result is bit-identical across
-    engines (same exact-integer discipline as ``events_ewma`` /
+    microseconds, and the final divide is the registered ``div`` —
+    truncating toward zero exactly like the oracle's ``//`` for ANY
+    value sign (see ``functions/__init__.py``) — so the result is
+    bit-identical across engines (same exact-integer discipline as
+    ``events_ewma`` /
     ``events_resample``, which share the per-(user, ts) MIN
     pre-aggregation for duplicate-timestamp determinism).
 
@@ -2936,6 +2940,8 @@ def events_twap(spark, sf_dir):
             "user_id",
             "n_intervals",
             "span_us",
-            floor_div(F.col("wsum"), F.col("span_us")).alias("twap_milli"),
+            F.call_function("div", F.col("wsum"), F.col("span_us")).alias(
+                "twap_milli"
+            ),
         )
     )

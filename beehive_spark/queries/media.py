@@ -933,7 +933,6 @@ def media_caption_luma(spark, sf_dir):
     extends its consolidation joins (person-users.js:83-150) across
     modality boundaries.
     """
-    from beehive_spark.functions import floor_div
     from beehive_spark.functions.multimodal import image_stats, wrap_as_media
 
     docs = load(spark, sf_dir, "documents")
@@ -951,7 +950,9 @@ def media_caption_luma(spark, sf_dir):
         F.col("media_id").alias("doc_id"), "mean_byte"
     ).join(text_side, "doc_id")
     return j.groupBy(
-        floor_div(F.col("mean_byte"), F.lit(32).cast("long")).alias("luma_bucket"),
+        F.call_function("div", F.col("mean_byte"), F.lit(32).cast("long")).alias(
+            "luma_bucket"
+        ),
         "source",
     ).agg(
         F.count(F.lit(1)).alias("n_docs"),

@@ -309,9 +309,40 @@ def test_events_twap_matches_python_fold(spark, sf_dir):
         wsum = sum(
             v * (series[i + 1][0] - t) for i, (t, v) in enumerate(series[:-1])
         )
-        want[u] = (len(series) - 1, span, wsum // span)
+        # TRUNCATING division (Spark div == DuckDB //), not python's
+        # flooring // — differs on negative weighted sums
+        q = abs(wsum) // span if wsum >= 0 else -(abs(wsum) // span)
+        want[u] = (len(series) - 1, span, q)
     got = {
         r["user_id"]: (r["n_intervals"], r["span_us"], r["twap_milli"])
         for r in events_twap(spark, sf_dir).collect()
     }
     assert got == want and got
+
+
+# ---------------------------------------------------------------------------
+# Cross-engine integer-division parity (the r7 review inversion)
+# ---------------------------------------------------------------------------
+def test_spark_div_matches_duckdb_intdiv_on_all_signs(spark):
+    """Spark's registered `div` and DuckDB's `//` BOTH truncate toward
+    zero — pinned here because an advisory once claimed DuckDB floors,
+    and 'fixing' three hash gates to floor semantics would have broken
+    them on the first negative fixture (r7 review finding)."""
+    import duckdb
+
+    cases = [(-7, 10), (-17, 4), (7, 10), (17, 4), (-1, 10), (0, 3), (-20, 7)]
+    df = spark.createDataFrame(cases, "a long, b long")
+    got = {
+        (r["a"], r["b"]): r["q"]
+        for r in df.select(
+            "a", "b", F.call_function("div", F.col("a"), F.col("b")).alias("q")
+        ).collect()
+    }
+    con = duckdb.connect()
+    for a, b in cases:
+        want = con.execute(
+            f"SELECT CAST({a} AS BIGINT) // CAST({b} AS BIGINT)"
+        ).fetchone()[0]
+        assert got[(a, b)] == want, (a, b, got[(a, b)], want)
+    # and NOT python floor semantics on negatives
+    assert got[(-7, 10)] == 0 and (-7) // 10 == -1
