@@ -511,6 +511,24 @@ def main() -> None:
         "(a cluster holds per-executor share constant; one box cannot).",
         "Growth bound = O(wedges); broadcast stays the default whenever",
         "the adjacency fits.",
+        "A table row for this case above ~10x is NOT a new quadratic",
+        "flag: the identical configuration measured 10.7x in the quiet",
+        "same-day attribution run above, and the host shows documented",
+        "storm samples (BASELINE.md 'Host drift ledger') — reconcile a",
+        ">10x row against the wedge-count attribution before reacting.",
+        "",
+        "media_scene_cuts and media_audio_vad are the two codec-bound",
+        "temporal-segmentation legs: per-doc pure-Python decode dominates",
+        "(same class as media_phash_dedup), so cost is linear in document",
+        "count and the ratio stays under 10x; a native codec (Pillow/ffmpeg)",
+        "drops into the same seam and only lowers the constant.",
+        "",
+        "incremental_join_orders scales BOTH history and delta 10x (the",
+        "deltas are %-of-table), yet the ratio stays near-linear because",
+        "every maintenance join broadcasts the delta side — the base tables",
+        "never repartition, which is the delta-join selling point at 100 TB",
+        "(where the delta would NOT grow with history and the ratio would",
+        "approach flat).",
         "",
         "cc_twophase_chain runs connected_components_twophase on a single",
         "chain of 15k vs 150k nodes (ONE component, the adversarial",
