@@ -820,3 +820,91 @@ def tree_rollup(
                 "returning a truncated rollup"
             )
     return reduce(lambda a, b: a.unionByName(b), finalized)
+
+
+def sssp(
+    edges: DataFrame,
+    sources: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    weight: str = "w",
+    id_col: str = "id",
+    max_iter: int = 64,
+) -> DataFrame:
+    """Single-source (or multi-source) WEIGHTED shortest paths by
+    frontier Bellman-Ford relaxation — :func:`bfs_levels` upgraded
+    from hop counts to an additive edge metric (non-negative integer
+    weights; the distributed shape every Pregel/GraphX SSSP uses).
+
+    Returns ``(id, dist)`` with exact BIGINT distances for every node
+    reachable from ``sources`` (distance 0 there).  Per round, only
+    the FRONTIER (nodes whose distance improved last round) re-relaxes
+    its out-edges: one equi-join frontier><edges, one min-combine per
+    destination (map-side combinable), one left-outer merge into the
+    distance frame — node-keyed bounded shuffles over frames bounded
+    by |V|, lineage cut per round with eager ``localCheckpoint``.
+    Rounds are bounded by the longest shortest-path HOP count (tree
+    height / graph diameter), not |V|, because a settled node
+    re-enters the frontier only when a strictly shorter path arrives.
+
+    EXACT-operator contract: exhausting ``max_iter`` with a non-empty
+    frontier RAISES (truncated distances lie); negative weights are
+    rejected up front (Bellman-Ford would need |V| rounds and cycle
+    detection — out of scope for the shortest-path metric this serves).
+
+    Reference parity: the reference walks its creator tree for
+    REACHABILITY (person-users.js:568-601); this adds the weighted
+    metric along those paths, as net-new §2.8 capability.
+    """
+    sess = edges.sparkSession
+    e = edges.select(
+        F.col(src).cast("long").alias("u"),
+        F.col(dst).cast("long").alias("v"),
+        F.col(weight).cast("long").alias("w"),
+    ).localCheckpoint(eager=True)
+    neg = e.filter(F.col("w") < 0).count()
+    if neg:
+        raise ValueError(f"sssp requires non-negative weights ({neg} negative)")
+    dist = (
+        sources.select(F.col(id_col).cast("long").alias("id"))
+        .distinct()
+        .withColumn("dist", F.lit(0).cast("long"))
+        .localCheckpoint(eager=True)
+    )
+    frontier = dist
+    n_nodes = e.count()
+    with _iter_loop_confs(
+        sess, n_nodes // 250_000 if n_nodes <= 50_000_000 else None
+    ):
+        for _ in range(max_iter):
+            cand = (
+                e.join(frontier.select(F.col("id").alias("u"), "dist"), "u")
+                .groupBy(F.col("v").alias("id"))
+                .agg(F.min(F.col("dist") + F.col("w")).alias("nd"))
+            )
+            merged = dist.join(cand, "id", "full_outer").select(
+                "id",
+                F.least(F.col("dist"), F.col("nd")).alias("best"),
+                F.col("dist").alias("old"),
+                F.col("nd"),
+            ).select(
+                "id",
+                F.coalesce("best", "old", "nd").alias("dist"),
+                (
+                    F.col("old").isNull() | (F.col("nd") < F.col("old"))
+                ).alias("_improved"),
+            )
+            frontier = (
+                merged.filter(F.col("_improved"))
+                .select("id", "dist")
+                .localCheckpoint(eager=True)
+            )
+            dist = merged.select("id", "dist").localCheckpoint(eager=True)
+            if frontier.isEmpty():
+                break
+        else:
+            raise RuntimeError(
+                f"sssp frontier still active after {max_iter} rounds — "
+                "raising rather than returning truncated distances"
+            )
+    return dist

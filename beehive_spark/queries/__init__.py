@@ -96,6 +96,7 @@ _PRIORITY = [
     "bm25_retrieval",              # r7 new: Okapi BM25 top-k retrieval
     "events_twap",                 # r7 new: exact time-weighted average
     "incremental_distinct_orders",  # r7 new: COUNT(DISTINCT) IVM
+    "tree_shortest_paths",         # r7 new: weighted SSSP over the part tree
     "dedup_semantic",              # r7: assignment rides the persisted ANN index
     # --- newest driver evidence still r02 (executed census, see above)
     "dedup_substring_spans", "funnel_steps", "cohort_retention",

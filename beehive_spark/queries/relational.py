@@ -2357,6 +2357,57 @@ def pagerank_planted(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# Weighted shortest paths — the creator-tree walk with an additive metric
+# ---------------------------------------------------------------------------
+@query(
+    "tree_shortest_paths",
+    oracle="""
+    WITH RECURSIVE parts AS (
+      SELECT CAST(p_partkey AS BIGINT) AS id FROM part
+    ),
+    up AS (
+      SELECT id AS node, id AS cur, CAST(0 AS BIGINT) AS d FROM parts
+      UNION ALL
+      SELECT node, (cur - 1) // 4, d + 1 + cur % 3 FROM up WHERE cur >= 1
+    )
+    SELECT node AS id, d AS dist FROM up WHERE cur = 0
+    """,
+)
+def tree_shortest_paths(spark, sf_dir):
+    """Weighted shortest-path distances from the assembly root over
+    the same planted 4-ary part tree as ``bom_cost_rollup`` (edge
+    child<-parent weight ``1 + child%3``), via
+    :func:`operators.graph.sssp` — frontier Bellman-Ford relaxation,
+    the reference's creator-tree walk (person-users.js:568-601)
+    upgraded from hop reachability (``hierarchy_bfs``) to an additive
+    edge METRIC.  The oracle walks each node's unique root path with a
+    recursive CTE, accumulating the identical integer weights — an
+    independent evaluation of the same metric, exact BIGINT on both
+    engines.
+
+    Scale shape: per round one frontier><edges equi-join + one
+    min-combine per destination + one left-outer merge, all node-keyed
+    bounded shuffles; rounds = tree height (~log4 n), because only
+    improved nodes re-relax.  RAISES on round-cap exhaustion and on
+    negative weights (exact-operator contract).  Random-graph
+    Dijkstra twin in ``tests/test_queries_r7.py``."""
+    from beehive_spark.operators.graph import sssp
+
+    p = load(spark, sf_dir, "part").select(
+        F.col("p_partkey").cast("long").alias("id")
+    )
+    edges = p.filter(F.col("id") >= 1).select(
+        F.call_function("div", F.col("id") - 1, F.lit(4).cast("long")).alias(
+            "src"
+        ),
+        F.col("id").alias("dst"),
+        (F.lit(1) + F.pmod("id", F.lit(3))).cast("long").alias("w"),
+    )
+    roots = p.filter(F.col("id") == 0)
+    return sssp(edges, roots).select("id", "dist")
+
+
+# ---------------------------------------------------------------------------
 # Fellegi-Sunter record linkage — probabilistic upgrade of the reference's
 # exact-key person consolidation
 # ---------------------------------------------------------------------------

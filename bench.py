@@ -151,6 +151,7 @@ EXTRA = [
     "bm25_retrieval",
     "events_twap",
     "incremental_distinct_orders",
+    "tree_shortest_paths",
 ]
 
 

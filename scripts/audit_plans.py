@@ -187,6 +187,8 @@ EXTRA = [
     "bm25_retrieval",
     "events_twap",
     "incremental_distinct_orders",
+    # (tree_shortest_paths excluded: eager frontier loop, same class as
+    # pagerank/kcore)
 ]
 
 

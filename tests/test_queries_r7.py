@@ -346,3 +346,50 @@ def test_spark_div_matches_duckdb_intdiv_on_all_signs(spark):
         assert got[(a, b)] == want, (a, b, got[(a, b)], want)
     # and NOT python floor semantics on negatives
     assert got[(-7, 10)] == 0 and (-7) // 10 == -1
+
+
+# ---------------------------------------------------------------------------
+# SSSP: random-graph Dijkstra twin + contract guards
+# ---------------------------------------------------------------------------
+def test_sssp_matches_dijkstra_on_random_graph(spark):
+    import heapq
+    import random
+
+    from beehive_spark.operators.graph import sssp
+
+    rng = random.Random(99)
+    n = 200
+    edges = []
+    for _ in range(800):
+        u, v = rng.randrange(n), rng.randrange(n)
+        if u != v:
+            edges.append((u, v, rng.randint(0, 20)))
+    adj = {}
+    for u, v, w in edges:
+        adj.setdefault(u, []).append((v, w))
+    dist = {0: 0}
+    pq = [(0, 0)]
+    while pq:
+        d, u = heapq.heappop(pq)
+        if d > dist.get(u, float("inf")):
+            continue
+        for v, w in adj.get(u, ()):
+            nd = d + w
+            if nd < dist.get(v, float("inf")):
+                dist[v] = nd
+                heapq.heappush(pq, (nd, v))
+    e_df = spark.createDataFrame(edges, "src long, dst long, w long")
+    roots = spark.createDataFrame([(0,)], "id long")
+    got = {r["id"]: r["dist"] for r in sssp(e_df, roots).collect()}
+    assert got == dist and got
+
+
+def test_sssp_rejects_negative_weights(spark):
+    import pytest
+
+    from beehive_spark.operators.graph import sssp
+
+    e_df = spark.createDataFrame([(0, 1, -2)], "src long, dst long, w long")
+    roots = spark.createDataFrame([(0,)], "id long")
+    with pytest.raises(ValueError, match="non-negative"):
+        sssp(e_df, roots)
