@@ -122,6 +122,7 @@ REGISTRY_CASES = [
     # window + one agg over events) and COUNT(DISTINCT) IVM (delta is
     # %-of-table, broadcast discipline keeps bases in place)
     ("bom_cost_rollup", "part"),
+    ("tree_shortest_paths", "part"),
     ("media_caption_luma", "documents"),
     ("bm25_retrieval", "documents"),
     ("events_twap", "events"),
