@@ -189,6 +189,91 @@ def run_ivm_agg_stream(
         q.stop()
 
 
+def run_ivm_distinct_stream(
+    spark: SparkSession,
+    changes: DataFrame,
+    mult_path: str,
+    counts_path: str,
+    checkpoint_dir: str,
+    keys: list[str],
+    value_col: str,
+    mult_col: str = "m",
+    count_col: str = "n_distinct",
+    timeout_sec: int = 120,
+) -> None:
+    """Maintain a per-group COUNT(DISTINCT ``value_col``) VIEW and its
+    multiplicity auxiliary table from a streaming CDC feed — the
+    streaming twin of ``incremental_distinct_orders``, completing the
+    batch/streaming symmetry for the one aggregate class the plain
+    retraction algebra cannot maintain alone (see
+    ``operators.ivm.incremental_distinct``).
+
+    Both artifacts must exist (write them once from a batch backfill:
+    ``build_multiplicity`` + its group count).  Exactly-once across
+    the TWO artifacts on an at-least-once source:
+
+    - the fresh counts view is computed from the PRE-batch
+      multiplicity table and eagerly materialized (localCheckpoint)
+      BEFORE the multiplicity swap invalidates the files its lazy
+      plan would re-read;
+    - the multiplicity table swaps FIRST, the view second, each
+      recording the batch id inside its own staged dir — so the only
+      crash window leaves (mult at N, counts at N-1);
+    - replays resolve per artifact: a batch already folded into BOTH
+      is skipped; the mult-at-N/counts-behind window is repaired by
+      REBUILDING the view from the post-batch multiplicity table
+      (the view is a pure function of the aux table — one grouped
+      count over |distinct values| rows, the recovery-only slow path).
+
+    Same single-checkpoint-lineage caveat as ``run_ivm_agg_stream``.
+    """
+    from pyspark.sql import functions as F
+
+    from beehive_spark.operators.ivm import incremental_distinct
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        m_last = _last_applied(mult_path)
+        c_last = _last_applied(counts_path)
+        if batch_id <= min(m_last, c_last):
+            return  # replayed micro-batch: already folded into both
+        if batch_id <= m_last:
+            # crash window: mult holds this batch, the view does not —
+            # rebuild the view from the aux table it is a function of
+            mult = spark.read.parquet(mult_path)
+            fresh_counts = mult.groupBy(*keys).agg(
+                F.count(F.lit(1)).cast("long").alias(count_col)
+            )
+            _commit_swap(fresh_counts, counts_path, batch_id)
+            return
+        retr = cdc_to_retractions(batch_df, keys=keys, values=[value_col])
+        mult = spark.read.parquet(mult_path)
+        counts = spark.read.parquet(counts_path)
+        new_mult, new_counts = incremental_distinct(
+            mult, counts, retr, keys, value_col,
+            mult_col=mult_col, count_col=count_col,
+        )
+        # the view's lazy plan reads the PRE-batch mult files; pin its
+        # rows before the mult swap replaces them
+        new_counts = new_counts.localCheckpoint(eager=True)
+        _commit_swap(new_mult, mult_path, batch_id)
+        _commit_swap(new_counts, counts_path, batch_id)
+
+    q = (
+        changes.writeStream.outputMode("append")
+        .foreachBatch(sink)
+        .option(
+            "checkpointLocation", os.path.join(checkpoint_dir, "ivm_distinct")
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(timeout_sec)
+    if q.isActive:  # pragma: no cover
+        q.stop()
+
+
 def run_cdc_materialize_stream(
     spark: SparkSession,
     changes: DataFrame,

@@ -638,3 +638,122 @@ def test_stage_and_promote_helpers_roundtrip(spark, tmp_path):
     _promote(staging, table)
     assert [r["x"] for r in spark.read.parquet(table).collect()] == [2]
     assert not os.path.exists(staging)
+
+
+def test_ivm_distinct_stream_maintains_view_and_aux(spark, tmp_path):
+    """Streaming COUNT(DISTINCT) maintenance: the view and its
+    multiplicity aux table must converge to a from-scratch recompute of
+    the final row state across micro-batches that exercise the
+    zero-crossing cases (duplicate insert = view no-op, partial delete
+    = view no-op, last-copy delete = decrement, group move), and a
+    replayed feed must be a no-op."""
+    from beehive_spark.operators.ivm import build_multiplicity
+    from beehive_spark.streaming.materialize import run_ivm_distinct_stream
+
+    feed_dir = tmp_path / "feed"
+    feed_dir.mkdir()
+    schema = (
+        "change_type string, g_old string, g_new string, "
+        "v_old bigint, v_new bigint"
+    )
+    # batch 1: a={10 x2, 20}, b={30} (the duplicate 10 is the
+    # multiplicity case)
+    spark.createDataFrame(
+        [
+            ("insert", None, "a", None, 10),
+            ("insert", None, "a", None, 10),
+            ("insert", None, "a", None, 20),
+            ("insert", None, "b", None, 30),
+        ],
+        schema,
+    ).coalesce(1).write.parquet(str(feed_dir / "f1.parquet"))
+    # batch 2: partial delete (a keeps one 10), group move 30 b->a,
+    # last-copy delete of 20
+    spark.createDataFrame(
+        [
+            ("delete", "a", None, 10, None),
+            ("update", "b", "a", 30, 30),
+            ("delete", "a", None, 20, None),
+        ],
+        schema,
+    ).coalesce(1).write.parquet(str(feed_dir / "f2.parquet"))
+
+    mult_path = str(tmp_path / "mult")
+    counts_path = str(tmp_path / "counts")
+    empty = spark.createDataFrame([], "g string, v bigint")
+    build_multiplicity(empty, ["g"], "v").write.parquet(mult_path)
+    spark.createDataFrame([], "g string, n_distinct bigint").write.parquet(
+        counts_path
+    )
+    changes = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(feed_dir) + "/*/")
+    )
+    run_ivm_distinct_stream(
+        spark, changes, mult_path, counts_path, str(tmp_path / "ck"),
+        keys=["g"], value_col="v",
+    )
+    # final rows: a={10, 30}, b={} -> view a:2; aux a:(10,1),(30,1)
+    view = sorted(tuple(r) for r in spark.read.parquet(counts_path).collect())
+    aux = sorted(tuple(r) for r in spark.read.parquet(mult_path).collect())
+    assert view == [("a", 2)]
+    assert aux == [("a", 10, 1), ("a", 30, 1)]
+
+    # replay under a fresh checkpoint: recorded batch ids make it a no-op
+    changes2 = spark.readStream.schema(schema).parquet(str(feed_dir) + "/*/")
+    run_ivm_distinct_stream(
+        spark, changes2, mult_path, counts_path, str(tmp_path / "ck2"),
+        keys=["g"], value_col="v",
+    )
+    assert sorted(
+        tuple(r) for r in spark.read.parquet(counts_path).collect()
+    ) == view
+    assert sorted(
+        tuple(r) for r in spark.read.parquet(mult_path).collect()
+    ) == aux
+
+
+def test_ivm_distinct_stream_repairs_counts_behind_mult(spark, tmp_path):
+    """The only crash window (mult at N, counts at N-1) must repair by
+    rebuilding the view from the aux table on replay."""
+    from beehive_spark.operators.ivm import build_multiplicity
+    from beehive_spark.streaming.materialize import (
+        _commit_swap,
+        run_ivm_distinct_stream,
+    )
+
+    feed_dir = tmp_path / "feed"
+    feed_dir.mkdir()
+    schema = (
+        "change_type string, g_old string, g_new string, "
+        "v_old bigint, v_new bigint"
+    )
+    spark.createDataFrame(
+        [("insert", None, "a", None, 1), ("insert", None, "b", None, 2)],
+        schema,
+    ).coalesce(1).write.parquet(str(feed_dir / "f1.parquet"))
+
+    mult_path = str(tmp_path / "mult")
+    counts_path = str(tmp_path / "counts")
+    # simulate the crash: mult already holds batch 0's fold...
+    post = spark.createDataFrame([("a", 1, 1), ("b", 2, 1)], "g string, v bigint, m bigint")
+    post.write.parquet(mult_path)
+    _commit_swap(spark.read.parquet(mult_path), mult_path, 0)
+    # ...while the view is still the (stale, unstamped) backfill
+    spark.createDataFrame(
+        [("stale", 99)], "g string, n_distinct bigint"
+    ).write.parquet(counts_path)
+
+    changes = spark.readStream.schema(schema).parquet(str(feed_dir) + "/*/")
+    run_ivm_distinct_stream(
+        spark, changes, mult_path, counts_path, str(tmp_path / "ck"),
+        keys=["g"], value_col="v",
+    )
+    assert sorted(
+        tuple(r) for r in spark.read.parquet(counts_path).collect()
+    ) == [("a", 1), ("b", 1)]
+    # the aux table was not double-folded
+    assert sorted(
+        tuple(r) for r in spark.read.parquet(mult_path).collect()
+    ) == [("a", 1, 1), ("b", 2, 1)]
