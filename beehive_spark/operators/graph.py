@@ -773,10 +773,9 @@ def tree_rollup(
     n_nodes = t.count()
     finalized = []
     with _iter_loop_confs(sess, n_nodes // 250_000 if n_nodes <= 50_000_000 else None):
+        if n_edges == 0:
+            return t
         for _ in range(max_iter):
-            if n_edges == 0:
-                finalized.append(t)
-                break
             # materialized once per round: BOTH the leaf anti join and
             # the survivor semi join consume it, and a lazy distinct
             # would re-run its shuffle for each (r7 review)
@@ -812,6 +811,13 @@ def tree_rollup(
             ).localCheckpoint(eager=True)
             finalized.append(leaves)
             n_edges = e.count()
+            # completion is checked HERE, not at the top of the next
+            # iteration: a forest whose height equals max_iter drains
+            # its last edges in the final round, and the error path
+            # below must never fire with 0 edges remaining (r7 advisory)
+            if n_edges == 0:
+                finalized.append(t)
+                break
         else:
             raise RuntimeError(
                 f"tree_rollup did not resolve within {max_iter} rounds "
@@ -872,7 +878,16 @@ def sssp(
         .localCheckpoint(eager=True)
     )
     frontier = dist
-    n_nodes = e.count()
+    # the small-graph clamp heuristic is keyed on NODE count (as in
+    # tree_rollup) — count the distinct endpoint frame, not |E|
+    # (r7 advisory: e.count() here silently fed edge count to a
+    # threshold tuned for |V|)
+    n_nodes = (
+        e.select(F.col("u").alias("id"))
+        .union(e.select(F.col("v").alias("id")))
+        .distinct()
+        .count()
+    )
     with _iter_loop_confs(
         sess, n_nodes // 250_000 if n_nodes <= 50_000_000 else None
     ):

@@ -167,6 +167,35 @@ def test_tree_rollup_matches_brute_force_on_random_forest(spark):
     assert got == want and len(got) == n
 
 
+def test_tree_rollup_succeeds_when_height_equals_cap(spark):
+    """A chain of height == max_iter drains its last edge in the final
+    round; the completion check must fire inside that round, not at the
+    top of a (nonexistent) next one (r7 advisory off-by-one)."""
+    from beehive_spark.operators.graph import tree_rollup
+
+    # chain 4 -> 3 -> 2 -> 1 -> 0: height (and rounds needed) = 5
+    e_df = spark.createDataFrame(
+        [(i, i - 1, 1) for i in range(1, 6)], "child long, parent long, qty long"
+    )
+    c_df = spark.createDataFrame([(i, 1) for i in range(6)], "id long, cost long")
+    got = {
+        r["id"]: (r["total"], r["n_desc"])
+        for r in tree_rollup(e_df, c_df, max_iter=5).collect()
+    }
+    assert got == {i: (6 - i, 6 - i) for i in range(6)}
+
+
+def test_tree_rollup_handles_edgeless_forest(spark):
+    from beehive_spark.operators.graph import tree_rollup
+
+    e_df = spark.createDataFrame([], "child long, parent long, qty long")
+    c_df = spark.createDataFrame([(1, 5), (2, 7)], "id long, cost long")
+    got = {
+        r["id"]: (r["total"], r["n_desc"]) for r in tree_rollup(e_df, c_df).collect()
+    }
+    assert got == {1: (5, 1), 2: (7, 1)}
+
+
 def test_tree_rollup_raises_on_cycle(spark):
     import pytest
 
@@ -287,6 +316,8 @@ def test_bm25_matches_python_scoring(spark, sf_dir):
 # TWAP: brute python twin on the real events
 # ---------------------------------------------------------------------------
 def test_events_twap_matches_python_fold(spark, sf_dir):
+    import math
+
     from beehive_spark.queries import load
     from beehive_spark.queries.core import events_twap
 
@@ -294,7 +325,11 @@ def test_events_twap_matches_python_fold(spark, sf_dir):
     pts = {}
     for r in e:
         t = int(r["ts"].timestamp() * 1_000_000)
-        v = round(r["value"] * 1000)
+        # half-AWAY-from-zero like F.round / DuckDB ROUND — builtin
+        # round() is half-even and would diverge on exact .5 millis
+        # (r7 advisory; same key rounding as the MMR argmax)
+        mv = r["value"] * 1000
+        v = int(math.copysign(math.floor(abs(mv) + 0.5), mv))
         key = (r["user_id"], t)
         pts[key] = min(pts.get(key, v), v)
     byu = {}
