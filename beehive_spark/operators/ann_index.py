@@ -647,6 +647,7 @@ def build_pq_index(
     ksub: int = 32,
     iters: int = 10,
     sample_cap: int = 8192,
+    books: list | None = None,
 ) -> dict:
     """Train per-subspace codebooks and persist the m-byte PQ codes
     for every corpus vector (``codes.parquet``: vec_id, codes
@@ -655,8 +656,22 @@ def build_pq_index(
     code table is ~32x smaller than the raw vectors.  The raw unit
     vector rides along for exact refine locality (drop ``en`` by
     passing store_vectors=False in a future knob if the corpus table
-    is co-resident)."""
-    books = train_pq_codebooks(emb, m=m, ksub=ksub, iters=iters, sample_cap=sample_cap)
+    is co-resident).
+
+    ``books`` (optional) supplies PRECOMPUTED per-subspace codebooks
+    (``m`` lists of centroids, each dim/m floats), skipping the
+    sampling trainer — the FAISS pattern of attaching an externally
+    trained quantizer.  Encoding, persistence, and probe behavior are
+    identical either way; ``similarity_ann_pq_planted`` uses this to
+    drive the full ADC path through a closed-form grid codebook whose
+    expected output is exact arithmetic."""
+    if books is None:
+        books = train_pq_codebooks(
+            emb, m=m, ksub=ksub, iters=iters, sample_cap=sample_cap
+        )
+    else:
+        if len(books) != m:
+            raise ValueError(f"expected {m} codebooks, got {len(books)}")
     sd = len(books[0][0])
     half_sq = [[sum(x * x for x in c) / 2.0 for c in books[j]] for j in range(m)]
     cbdf = codebook_df(spark, books, extra={"halfsq": half_sq})

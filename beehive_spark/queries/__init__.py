@@ -83,6 +83,9 @@ _loaded = False
 # local scripts/check_oracle.py sweep still verifies ALL registered
 # queries each round.
 _PRIORITY = [
+    # --- new in round 8 (appended as they land)
+    "similarity_ann_pq_planted",   # r8 new: exact-grid ADC-path twin
+    "dedup_semantic_planted",      # r8 new: exact planted SemDeDup pair stage
     # --- changed in round 7 (advisory fixes: sign-safe floor_div in the
     # resample/EWMA folds, half-away argmax rounding, 1-char gram guard,
     # exact integer block div)

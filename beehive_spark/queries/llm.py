@@ -1518,6 +1518,17 @@ def dedup_semantic(
     assigned = spark.read.parquet(os.path.join(idx, "assignments.parquet")).select(
         F.col("centroid_id").cast("int").alias("cluster_id"), "vec_id", "en"
     )
+    return _cluster_pair_dedup(assigned, threshold)
+
+
+def _cluster_pair_dedup(assigned, threshold: float):
+    """The SemDeDup cluster-pair stage, shared by :func:`dedup_semantic`
+    (index-trained assignment) and :func:`dedup_semantic_planted`
+    (closed-form assignment): equi self-join on ``cluster_id``, exact
+    unit-vector cosine, threshold, then one survivor row per dropped
+    vector.  ``assigned`` carries ``(cluster_id, vec_id, en)`` with
+    ``en`` unit-normalized; multi-assigned pairs dedupe through the
+    MIN/MAX aggregates."""
     a = assigned.select(
         F.col("cluster_id"), F.col("vec_id").alias("keep_id"), F.col("en").alias("ei")
     )
@@ -1542,6 +1553,119 @@ def dedup_semantic(
         )
         .select("drop_id", "keep_id", "cluster_id", "max_cosine")
     )
+
+
+# ---------------------------------------------------------------------------
+# SemDeDup on a PLANTED clustering — the hash-green twin of the pair stage
+# ---------------------------------------------------------------------------
+@query(
+    "dedup_semantic_planted",
+    oracle="""
+    WITH base AS (
+      SELECT CAST(c_custkey AS BIGINT) AS id,
+             CAST(c_custkey // 15 AS BIGINT) AS b,
+             CAST(c_custkey % 15 AS INTEGER) AS p
+      FROM customer
+    ),
+    comp AS (
+      SELECT id, b,
+        CASE WHEN p <= 6 THEN
+               (CASE p % 3 WHEN 0 THEN 4.0 WHEN 1 THEN 4.0 ELSE 2.0 END)
+             WHEN p <= 13 THEN
+               -(CASE (p - 7) % 3 WHEN 0 THEN 4.0 WHEN 1 THEN 4.0 ELSE 2.0 END)
+             ELSE 4.0 END AS x1,
+        CASE WHEN p <= 6 THEN
+               (CASE p % 3 WHEN 0 THEN 4.0 WHEN 1 THEN 2.0 ELSE 4.0 END)
+             WHEN p <= 13 THEN
+               -(CASE (p - 7) % 3 WHEN 0 THEN 4.0 WHEN 1 THEN 2.0 ELSE 4.0 END)
+             ELSE -4.0 END AS x2,
+        CASE WHEN p <= 6 THEN
+               (CASE p % 3 WHEN 0 THEN 2.0 WHEN 1 THEN 4.0 ELSE 4.0 END)
+             WHEN p <= 13 THEN
+               -(CASE (p - 7) % 3 WHEN 0 THEN 2.0 WHEN 1 THEN 4.0 ELSE 4.0 END)
+             ELSE 2.0 END AS x3
+      FROM base
+    ),
+    u AS (
+      SELECT id, b, x1 / 6.0 AS u1, x2 / 6.0 AS u2, x3 / 6.0 AS u3 FROM comp
+    ),
+    pr AS (
+      SELECT a.id AS keep_id, d.id AS drop_id, a.b AS cluster_id,
+             a.u1 * d.u1 + a.u2 * d.u2 + a.u3 * d.u3 AS sim
+      FROM u a JOIN u d ON a.b = d.b AND a.id < d.id
+    )
+    SELECT drop_id, MIN(keep_id) AS keep_id, MIN(cluster_id) AS cluster_id,
+           ROUND(MAX(sim), 4) AS max_cosine
+    FROM pr WHERE sim >= 0.45
+    GROUP BY drop_id
+    """,
+)
+def dedup_semantic_planted(spark, sf_dir, threshold: float = 0.45):
+    """:func:`_cluster_pair_dedup` — the SemDeDup pair/threshold/
+    survivor stage shared with :func:`dedup_semantic` — driven by a
+    PLANTED clustering whose drops, keepers, and cosines are exact
+    arithmetic in the customer id (r7 verdict ask #2: the same
+    planted-topology move that gave k-core and PageRank hash-green
+    twins, applied to the five-rounds-rows-only SemDeDup slot).
+
+    The plant: customer ids split into 15-wide blocks (cluster_id =
+    id//15 — the closed-form stand-in for the trained assignment);
+    within a block, positions 0-6 take one of three integer vectors
+    on the radius-6 sphere — (4,4,2), (4,2,4), (2,4,4) by p%3 —
+    positions 7-13 their negations, and position 14 the mixed-sign
+    (4,-4,2).  Every norm is EXACTLY 6.0 (perfect-square norm², so
+    sqrt is exact), all within-group cosines are 32/36 or 1.0 (>=
+    0.45: dropped), group-vs-negated-group cosines are negative, and
+    the position-14 single's largest magnitude cosine is 16/36 ~
+    0.444 (< 0.45: kept) — so the survivor set is closed-form: every
+    block drops positions 1-6 (keeper p=0) and 8-13 (keeper p=7).
+    Both engines evaluate the identical normalize-then-dot sequence
+    on identical integer inputs, so the compared doubles are
+    bit-equal; thresholds and the 4-decimal round sit >= 0.005 from
+    every attained value.  LOAD-BEARING data assumptions (asserted in
+    tests/test_queries_r6.py): custkeys 0-based contiguous, counts
+    divisible by 15 at every shipped SF.
+
+    Scale shape: identical to :func:`dedup_semantic`'s pair stage —
+    one equi self-join on cluster id (sum-over-clusters |c|^2 work,
+    never n^2), assignment a pure projection."""
+    c = load(spark, sf_dir, "customer").select(
+        F.col("c_custkey").cast("long").alias("id")
+    )
+    x = c.select(
+        "id",
+        F.call_function("div", F.col("id"), F.lit(15).cast("long")).alias("b"),
+        F.pmod("id", F.lit(15)).cast("int").alias("p"),
+    )
+    d_a = F.pmod("p", F.lit(3))
+    d_b = F.pmod(F.col("p") - 7, F.lit(3))
+
+    def _tri(d, c0, c1, c2):
+        return (
+            F.when(d == 0, F.lit(float(c0)))
+            .when(d == 1, F.lit(float(c1)))
+            .otherwise(F.lit(float(c2)))
+        )
+
+    def _comp(a0, a1, a2, s14):
+        return (
+            F.when(F.col("p") <= 6, _tri(d_a, a0, a1, a2))
+            .when(F.col("p") <= 13, -_tri(d_b, a0, a1, a2))
+            .otherwise(F.lit(float(s14)))
+        )
+
+    vec = F.array(_comp(4, 4, 2, 4), _comp(4, 2, 4, -4), _comp(2, 4, 4, 2))
+    nrm = F.sqrt(F.aggregate(F.col("ed"), F.lit(0.0), lambda a, v: a + v * v))
+    assigned = (
+        x.withColumn("ed", vec)
+        .withColumn("nrm", nrm)
+        .select(
+            F.col("b").alias("cluster_id"),
+            F.col("id").alias("vec_id"),
+            F.transform("ed", lambda v: v / F.col("nrm")).alias("en"),
+        )
+    )
+    return _cluster_pair_dedup(assigned, threshold)
 
 
 # ---------------------------------------------------------------------------
@@ -1664,6 +1788,120 @@ def similarity_ann_pq(
         .withColumn("rn", F.row_number().over(w_top))
         .filter(F.col("rn") <= k)
         .select("query_id", "neighbor_id", F.round("sim", 4).alias("cosine"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# PQ on a PLANTED grid codebook — the hash-green twin of the ADC path
+# ---------------------------------------------------------------------------
+# 4 subspaces x 4 centroids at (+-2,0),(0,+-2): every centroid norm^2 is
+# 4, every planted vector norm^2 is 16 (norm EXACTLY 4.0), so encode,
+# ADC tables, lookups, and the exact refine are all dyadic-exact doubles
+# — no ulp anywhere, ties are exact and break on neighbor_id identically
+# in both engines.
+_PQ_GRID_BOOKS = [
+    [[2.0, 0.0], [0.0, 2.0], [-2.0, 0.0], [0.0, -2.0]] for _ in range(4)
+]
+
+
+def _pq_planted_oracle() -> str:
+    """Closed-form oracle: subspace dot D(a,b) = 4 if a==b, -4 if the
+    codes are diametric ((a-b) % 4 == 2), else 0 (the centroids sit at
+    90-degree steps on the radius-2 circle); cosine = sum(D)/16."""
+    dterm = (
+        "(CASE WHEN q.d{j} = c.d{j} THEN 4 "
+        "WHEN (q.d{j} - c.d{j} + 4) % 4 = 2 THEN -4 ELSE 0 END)"
+    )
+    sd = " + ".join(dterm.format(j=j) for j in range(4))
+    return f"""
+    WITH ids AS (SELECT CAST(vec_id AS BIGINT) AS id FROM embeddings),
+    dg AS (
+      SELECT id,
+             CAST(id % 4 AS INTEGER) AS d0,
+             CAST((id // 4) % 4 AS INTEGER) AS d1,
+             CAST((id // 16) % 4 AS INTEGER) AS d2,
+             CAST((id // 64) % 4 AS INTEGER) AS d3
+      FROM ids),
+    q AS (SELECT * FROM dg WHERE id < 10),
+    c AS (SELECT * FROM dg WHERE id >= 10),
+    pairs AS (
+      SELECT q.id AS query_id, c.id AS neighbor_id, {sd} AS sd
+      FROM q CROSS JOIN c),
+    r AS (
+      SELECT query_id, neighbor_id, sd,
+             ROW_NUMBER() OVER (
+               PARTITION BY query_id ORDER BY sd DESC, neighbor_id) AS rn
+      FROM pairs)
+    SELECT query_id, neighbor_id,
+           ROUND(CAST(sd AS DOUBLE) / 16.0, 4) AS cosine
+    FROM r WHERE rn <= 5
+    """
+
+
+@query("similarity_ann_pq_planted", oracle=_pq_planted_oracle())
+def similarity_ann_pq_planted(spark, sf_dir, refine: int = 64, k: int = 5):
+    """The persisted-PQ ADC path (``operators.ann_index``: encode →
+    codes.parquet → lookup-table probe → exact refine) driven by a
+    PLANTED grid codebook whose expected top-k is pure arithmetic in
+    the vector id — the driver-hash twin of :func:`similarity_ann_pq`
+    (r7 verdict ask #2; the planted-topology move from k-core /
+    PageRank applied to the quantization path, which had been
+    rows-only for five rounds).
+
+    The plant: vector ``i``'s subspace-``j`` code is digit ``j`` of
+    ``i`` base 4, and its subspace component is that code's centroid
+    — so every corpus/query vector lies EXACTLY on the codebook grid.
+    Encoding must recover the digits (self-similarity 1 beats 0/-1
+    with no ties), ADC equals sum-of-subspace-dots exactly, and the
+    exact refine equals ADC/4 — one monotone ordering end to end, so
+    the final top-5 is the global (sum(D) DESC, id) head regardless
+    of the refine cutoff.  All arithmetic on both engines is
+    dyadic-exact (components in {0, +-2}, norms exactly 4.0, unit
+    components in {0, +-0.5}), so equal scores are BIT-equal and the
+    id tie-break fires identically — no float margin anywhere.
+
+    This goes through the REAL artifact lifecycle: first run builds
+    ``pq_planted``-tagged codes.parquet/books.parquet via
+    :func:`build_pq_index` (with the supplied codebook — the FAISS
+    external-quantizer pattern), later runs probe straight off disk
+    (:func:`probe_pq_index`), exactly like ``similarity_ann_pq``'s
+    production path at 100 TB."""
+    from beehive_spark.operators.ann_index import (
+        META_NAME,
+        build_pq_index,
+        probe_pq_index,
+    )
+
+    ids = load(spark, sf_dir, "embeddings").select(
+        F.col("vec_id").cast("long").alias("vec_id")
+    )
+    comps = []
+    for j in range(4):
+        d = F.pmod(
+            F.call_function("div", F.col("vec_id"), F.lit(4**j).cast("long")),
+            F.lit(4),
+        )
+        comps.append(
+            F.when(d == 0, F.lit(2.0)).when(d == 2, F.lit(-2.0)).otherwise(F.lit(0.0))
+        )
+        comps.append(
+            F.when(d == 1, F.lit(2.0)).when(d == 3, F.lit(-2.0)).otherwise(F.lit(0.0))
+        )
+    planted = ids.select(
+        "vec_id", F.array(*comps).cast("array<double>").alias("embedding")
+    )
+    idx = _ann_index_dir(sf_dir, "pq_planted")
+    if not os.path.exists(os.path.join(idx, META_NAME)):
+        build_pq_index(
+            spark,
+            planted.filter(F.col("vec_id") >= 10),
+            idx,
+            m=4,
+            ksub=4,
+            books=_PQ_GRID_BOOKS,
+        )
+    return probe_pq_index(
+        spark, idx, planted.filter(F.col("vec_id") < 10), refine=refine, k=k
     )
 
 

@@ -57,8 +57,10 @@ HEADLINE = [
 EXTRA = [
     "dedup_embedding_bucketed",
     "dedup_semantic",
+    "dedup_semantic_planted",
     "similarity_ann_ivf",
     "similarity_ann_pq",
+    "similarity_ann_pq_planted",
     "dedup_incremental",
     "dedup_containment",
     "quality_filter",
@@ -209,6 +211,26 @@ def main() -> None:
                 if name not in extra or elapsed < extra[name]:
                     extra[name] = elapsed
 
+    # sweep tier (BEEHIVE_BENCH_SWEEP=1): one single-pass timing for
+    # every registered query with NO entry in the headline or extras
+    # tiers, so each of the ~177 registered queries has at least one
+    # wall-time record per round (r7 verdict #3: 69 cheap one-plan
+    # queries had never been benched in any round).  Single-pass by
+    # design — this tier exists for coverage, not regression gating;
+    # a storm-inflated sample here costs nothing downstream because
+    # bench_diff only gates the headline + extras tiers.
+    sweep: dict[str, float] = {}
+    if os.environ.get("BEEHIVE_BENCH_SWEEP", "0") == "1":
+        measured = set(HEADLINE) | set(EXTRA)
+        spark.catalog.clearCache()
+        for name in qs:
+            if name in measured:
+                continue
+            fn = qs[name]
+            t0 = time.time()
+            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            sweep[name] = round(time.time() - t0, 3)
+
     # The driver tail-captures bench output and parses the FINAL JSON
     # line; round 3's single line (headline + ~60 extras) outgrew that
     # buffer and the round recorded no bench at all (BENCH_r03.json
@@ -250,6 +272,18 @@ def main() -> None:
                 json.dump(extra_line, fh, indent=1)
             with open(os.path.join(here, "BENCH_EXTRA_HISTORY.jsonl"), "a") as fh:
                 fh.write(json.dumps(extra_line) + "\n")
+        except OSError:  # pragma: no cover - read-only checkout
+            pass
+    if sweep:
+        sweep_line = {"metric": "sweep_queries", "unit": "sec", "sf": sf_num,
+                      "runs_per_query": 1, "agg": "single",
+                      "headline_value": out["value"], "run_id": run_id,
+                      "queries": sweep}
+        print(json.dumps(sweep_line))
+        here = os.path.dirname(os.path.abspath(__file__))
+        try:
+            with open(os.path.join(here, "BENCH_EXTRA_HISTORY.jsonl"), "a") as fh:
+                fh.write(json.dumps(sweep_line) + "\n")
         except OSError:  # pragma: no cover - read-only checkout
             pass
     print(json.dumps(out))

@@ -77,7 +77,9 @@ EXTRA = [
     "dedup_containment",
     "boilerplate_ngrams",
     "dedup_semantic",
+    "dedup_semantic_planted",
     "similarity_ann_pq",
+    "similarity_ann_pq_planted",
     "mixture_reweight",
     # round-2 second batch (pagerank_hierarchy and r4's
     # pagerank_copurchase excluded: iterative loops run eagerly — the

@@ -38,6 +38,11 @@ def _extras_for(d: dict, base_dir: str) -> dict | None:
         return None
 
     def _matches(rec: dict) -> bool:
+        # the single-pass coverage sweep shares its run's id but is
+        # not a gateable tier (1 sample, storm-exposed) — never let it
+        # shadow the extras record for the same run
+        if rec.get("metric") == "sweep_queries":
+            return False
         if run_id is not None or rec.get("run_id") is not None:
             return rec.get("run_id") == run_id and run_id is not None
         return rec.get("headline_value") == value

@@ -1,0 +1,122 @@
+"""Round-8 additions: exact planted twins for the two rows-only slots
+(PQ/ADC path, SemDeDup pair stage) plus their contract guards.
+
+Each driver-gated query gets an in-test pin against an INDEPENDENT
+brute-force python twin on the real sf0.001 ids — the twins recompute
+the plants from scratch (digits / sphere points), not through any of
+the Spark helpers, so a bug in the plant construction itself would
+also show."""
+
+import itertools
+
+from pyspark.sql import functions as F
+
+
+# ---------------------------------------------------------------------------
+# similarity_ann_pq_planted: digit-arithmetic twin
+# ---------------------------------------------------------------------------
+_CENTS = [(2, 0), (0, 2), (-2, 0), (0, -2)]
+
+
+def _digits(i):
+    return [(i // 4**j) % 4 for j in range(4)]
+
+
+def _grid_vec(i):
+    v = []
+    for d in _digits(i):
+        v.extend(_CENTS[d])
+    return v
+
+
+def test_similarity_ann_pq_planted_matches_digit_arithmetic(spark, sf_dir):
+    from beehive_spark.queries import load
+    from beehive_spark.queries.llm import similarity_ann_pq_planted
+
+    ids = [r["vec_id"] for r in load(spark, sf_dir, "embeddings").select("vec_id").collect()]
+    queries = sorted(i for i in ids if i < 10)
+    corpus = sorted(i for i in ids if i >= 10)
+    want = []
+    for q in queries:
+        qv = _grid_vec(q)
+        scored = sorted(
+            (
+                (-sum(a * b for a, b in zip(qv, _grid_vec(c))), c)
+                for c in corpus
+            ),
+        )[:5]
+        want.extend((q, c, round(-negdot / 16.0, 4)) for negdot, c in scored)
+    got = sorted(
+        (r["query_id"], r["neighbor_id"], r["cosine"])
+        for r in similarity_ann_pq_planted(spark, sf_dir).collect()
+    )
+    assert got == sorted(want) and len(got) == 5 * len(queries)
+
+
+def test_pq_planted_codes_roundtrip_exactly(spark, sf_dir):
+    """The persisted code table must recover every vector's base-4
+    digits exactly — the encode-argmax half of the ADC path, checked
+    directly against integer arithmetic."""
+    import os
+
+    from beehive_spark.queries import load
+    from beehive_spark.queries.llm import _ann_index_dir, similarity_ann_pq_planted
+
+    similarity_ann_pq_planted(spark, sf_dir).count()  # ensure index exists
+    idx = _ann_index_dir(sf_dir, "pq_planted")
+    codes = {
+        r["vec_id"]: list(r["codes"])
+        for r in spark.read.parquet(os.path.join(idx, "codes.parquet")).collect()
+    }
+    assert codes and all(codes[i] == _digits(i) for i in codes)
+    assert all(i >= 10 for i in codes)  # queries are not in the corpus
+
+
+# ---------------------------------------------------------------------------
+# dedup_semantic_planted: sphere-point twin
+# ---------------------------------------------------------------------------
+_TRI = [(4, 4, 2), (4, 2, 4), (2, 4, 4)]
+
+
+def _sphere_vec(p):
+    if p <= 6:
+        return _TRI[p % 3]
+    if p <= 13:
+        return tuple(-x for x in _TRI[(p - 7) % 3])
+    return (4, -4, 2)
+
+
+def test_dedup_semantic_planted_matches_brute(spark, sf_dir):
+    from beehive_spark.queries import load
+    from beehive_spark.queries.llm import dedup_semantic_planted
+
+    ids = [
+        r["id"]
+        for r in load(spark, sf_dir, "customer")
+        .select(F.col("c_custkey").alias("id"))
+        .collect()
+    ]
+    byblock = {}
+    for i in sorted(ids):
+        byblock.setdefault(i // 15, []).append(i)
+    want = {}
+    for b, members in byblock.items():
+        for a, d in itertools.combinations(members, 2):
+            va = [x / 6.0 for x in _sphere_vec(a % 15)]
+            vd = [x / 6.0 for x in _sphere_vec(d % 15)]
+            sim = sum(x * y for x, y in zip(va, vd))
+            if sim >= 0.45:
+                keep, cl, mx = want.get(d, (a, b, sim))
+                want[d] = (min(keep, a), b, max(mx, sim))
+    want = {d: (k, c, round(m, 4)) for d, (k, c, m) in want.items()}
+    got = {
+        r["drop_id"]: (r["keep_id"], r["cluster_id"], r["max_cosine"])
+        for r in dedup_semantic_planted(spark, sf_dir).collect()
+    }
+    assert got == want
+    # the closed-form survivor set: positions 1-6 and 8-13 drop, with
+    # keepers at positions 0 and 7 — nothing else
+    for d, (k, c, _) in got.items():
+        p = d % 15
+        assert (1 <= p <= 6 and k == d - p) or (8 <= p <= 13 and k == d - p + 7)
+    assert len(got) == 12 * len(byblock)
