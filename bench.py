@@ -150,6 +150,7 @@ EXTRA = [
     "media_caption_luma",
     "bom_cost_rollup",
     "record_linkage_fs",
+    "record_linkage_blocked",
     "bm25_retrieval",
     "events_twap",
     "incremental_distinct_orders",

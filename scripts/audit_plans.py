@@ -186,12 +186,108 @@ EXTRA = [
     # (bom_cost_rollup excluded: eager leaf-peel loop, same class as
     # graph_kcore)
     "record_linkage_fs",
+    "record_linkage_blocked",
     "bm25_retrieval",
     "events_twap",
     "incremental_distinct_orders",
     # (tree_shortest_paths excluded: eager frontier loop, same class as
     # pagerank/kcore)
 ]
+
+
+# Iterative/loop-family queries (r7 verdict ask #4): their registered
+# functions run the loop EAGERLY (per-round localCheckpoint actions),
+# so the returned frame's plan shows only the final projection and the
+# per-round work was invisible to this audit.  audit_iterative captures
+# the physical plan of EVERY eagerly-materialized intermediate — each
+# localCheckpoint'ed loop-body frame and each artifact parquet write —
+# during one real execution, then aggregates the same scale markers
+# over those captured plans.  "max shuffles/frame" is the invariant
+# that matters: a loop whose per-round frame plan gains shuffles with
+# round number (lineage re-execution) or carries a cartesian product
+# is the scale regression this table exists to flag.
+ITERATIVE = [
+    "pagerank_planted",
+    "pagerank_copurchase",
+    "connected_components_twophase",
+    "graph_kcore_planted",
+    "graph_kcore",
+    "graph_triangles",
+    "bom_cost_rollup",
+    "tree_shortest_paths",
+    "ann_index_build",
+    "dedup_clusters",
+]
+
+
+def audit_iterative(spark, fn) -> dict:
+    """Run ``fn`` once while capturing the executed-plan string of
+    every eager localCheckpoint and every parquet artifact write, then
+    fold the per-capture audit stats.  The monkeypatch is scoped to
+    the one call and restored in ``finally``."""
+    import pyspark.sql.readwriter as rw
+    # pyspark 4: pyspark.sql.DataFrame is the facade; live frames are
+    # pyspark.sql.classic.dataframe.DataFrame, whose OWN
+    # localCheckpoint shadows a patch on the facade class
+    from pyspark.sql.classic.dataframe import DataFrame
+
+    captured: list[str] = []
+    orig_lc = DataFrame.localCheckpoint
+    orig_pq = rw.DataFrameWriter.parquet
+
+    def patched_lc(self, eager=True):
+        try:
+            captured.append(self._jdf.queryExecution().executedPlan().toString())
+        except Exception:
+            pass
+        return orig_lc(self, eager)
+
+    def patched_pq(self, path, *a, **kw):
+        try:
+            captured.append(
+                self._df._jdf.queryExecution().executedPlan().toString()
+            )
+        except Exception:
+            pass
+        return orig_pq(self, path, *a, **kw)
+
+    DataFrame.localCheckpoint = patched_lc
+    rw.DataFrameWriter.parquet = patched_pq
+    try:
+        df = fn()
+        final_plan = df._jdf.queryExecution().executedPlan().toString()
+    finally:
+        DataFrame.localCheckpoint = orig_lc
+        rw.DataFrameWriter.parquet = orig_pq
+
+    def _stats(plan: str) -> dict:
+        return {
+            "shuffles": len(
+                re.findall(
+                    r"\bExchange (?:hashpartitioning|rangepartitioning"
+                    r"|SinglePartition)",
+                    plan,
+                )
+            ),
+            "broadcasts": plan.count("BroadcastExchange"),
+            "scans": len(re.findall(r"FileScan parquet|Scan parquet", plan)),
+            "pushed": plan.count("PushedFilters: [")
+            - plan.count("PushedFilters: []"),
+            "cartesian": plan.count("CartesianProduct"),
+        }
+
+    per = [_stats(p) for p in captured]
+    fin = _stats(final_plan)
+    return {
+        "captured_frames": len(per),
+        "max_shuffles_per_frame": max((s["shuffles"] for s in per), default=0),
+        "total_broadcasts": sum(s["broadcasts"] for s in per),
+        "frames_with_scans": sum(1 for s in per if s["scans"]),
+        "scans_pushed": f"{sum(s['pushed'] for s in per)}"
+        f"/{sum(s['scans'] for s in per)}",
+        "cartesian": sum(s["cartesian"] for s in per) + fin["cartesian"],
+        "final_shuffles": fin["shuffles"],
+    }
 
 
 def main() -> None:
@@ -230,6 +326,34 @@ def main() -> None:
             f"| {joins} | {a['shuffle_exchanges']} | {a['broadcast_exchanges']} "
             f"| {a['codegen_stages']} |"
         )
+    lines += [
+        "",
+        "## Iterative / loop-family queries (captured loop-body plans)",
+        "",
+        "These queries execute their loops EAGERLY (per-round",
+        "localCheckpoint actions), so the table above could only show",
+        "their final projection.  Each row below aggregates the audit",
+        "over every eagerly-materialized intermediate captured during",
+        "one real execution — the per-round loop-body frames and any",
+        "artifact writes.  The scale invariants: `max shuf/frame` must",
+        "stay SMALL AND CONSTANT (a loop body is a bounded number of",
+        "node-keyed shuffles, independent of round number — growth here",
+        "means lineage re-execution), and `cartesian` must be 0.",
+        "",
+        "| query | captured frames | max shuf/frame | broadcasts "
+        "| scans pushed | cartesian | final shuffles |",
+        "|---|---|---|---|---|---|---|",
+    ]
+    for name in ITERATIVE:
+        a = audit_iterative(spark, lambda name=name: qs[name](spark, SF_DIR))
+        lines.append(
+            f"| {name} | {a['captured_frames']} "
+            f"| {a['max_shuffles_per_frame']} | {a['total_broadcasts']} "
+            f"| {a['scans_pushed']} | {a['cartesian']} "
+            f"| {a['final_shuffles']} |"
+        )
+        spark.catalog.clearCache()
+
     out = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "PLANS.md")
     with open(out, "w") as f:
         f.write("\n".join(lines) + "\n")

@@ -127,6 +127,10 @@ REGISTRY_CASES = [
     ("bm25_retrieval", "documents"),
     ("events_twap", "events"),
     ("incremental_distinct_orders", "orders"),
+    # round-8: multi-pass staggered-band blocking — the linkage
+    # candidate generator whose pair count must stay ~linear at 10x
+    # (the nation-blocked variant's grows ~n^2; counts measured below)
+    ("record_linkage_blocked", "customer"),
 ]
 
 
@@ -444,6 +448,39 @@ def main() -> None:
                 lambda c=copies: cc_chain_case(c),
             )
 
+    # --- linkage blocking candidate counts (r7 verdict ask #5): the
+    # claim behind record_linkage_blocked is that candidate pairs stay
+    # ~linear in n under staggered-band blocking while nation blocking
+    # grows ~n^2 — counted here at both scales, not asserted.
+    def _cand_counts(sf):
+        from beehive_spark.queries.relational import _linkage_frames
+
+        clean, dirty = _linkage_frames(spark, sf)
+        nation = dirty.join(clean, dirty["d_nat"] == clean["nat"]).count()
+
+        def band(col, shift):
+            return F.call_function(
+                "div", F.col(col) + F.lit(shift).cast("long"),
+                F.lit(100).cast("long"),
+            )
+
+        parts = []
+        for shift in (0, 50):
+            d = dirty.withColumn("blk", band("d_cents", shift))
+            cl = clean.withColumn("blk", band("cents", shift))
+            parts.append(
+                d.join(
+                    cl, (d["d_nat"] == cl["nat"]) & (d["blk"] == cl["blk"])
+                ).select("d_id", "id")
+            )
+        banded = (
+            parts[0].unionByName(parts[1]).dropDuplicates(["d_id", "id"]).count()
+        )
+        return nation, banded
+
+    nat1, band1 = _cand_counts(SF_DIR)
+    nat10, band10 = _cand_counts(scaled_dir)
+
     lines = [
         "# STRESS — scaling smoke (1x vs 10x rows, local[32])",
         "",
@@ -535,6 +572,16 @@ def main() -> None:
         "chain of 15k vs 150k nodes (ONE component, the adversarial",
         "topology): per-round cost is linear in the edge set and round",
         "count grows O(log^2 n), so the ratio stays near-linear.",
+        "",
+        "record_linkage_blocked candidate counts (measured this regen,",
+        "same corpora as the table row): staggered-band blocking",
+        f"{band1:,} -> {band10:,} pairs at 10x rows"
+        f" ({round(band10 / band1, 1)}x = ~linear),",
+        f"nation blocking {nat1:,} -> {nat10:,}"
+        f" ({round(nat10 / nat1, 1)}x = ~n^2).",
+        "Blocking recall for true pairs is exact by the stagger bound",
+        "(perturbation <= 3 cents < half the 50-cent grid offset), so",
+        "the linear candidate set loses nothing the scorer would link.",
     ]
     out = os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "STRESS.md"

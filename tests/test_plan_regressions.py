@@ -147,3 +147,36 @@ def test_runtime_bloom_filter_prunes_fact_side(spark, sf_dir):
     finally:
         for k, v in saved.items():
             spark.conf.set(k, v)
+
+
+def test_loop_body_plans_bounded_and_cartesian_free(spark, sf_dir):
+    """Loop-family queries execute eagerly, so their scale invariants
+    live in the PER-ROUND checkpointed frames, not the returned plan.
+    Capture them with scripts/audit_plans.audit_iterative (the PLANS.md
+    generator) and pin: no cartesian product anywhere, and a SMALL
+    bound on shuffles per loop-body frame — growth there means lineage
+    re-execution, the 100x-at-scale regression class."""
+    import importlib.util
+    import os
+
+    spec = importlib.util.spec_from_file_location(
+        "audit_plans_mod",
+        os.path.join(os.path.dirname(__file__), "..", "scripts", "audit_plans.py"),
+    )
+    ap = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(ap)
+    qs = all_queries()
+    # loose upper bounds (AQE on/off and SF shift exact counts by 1-2);
+    # the regression class this catches is a loop body whose shuffle
+    # count grows with the data or round number, i.e. >> these bounds
+    bounds = {
+        "pagerank_planted": 7,
+        "bom_cost_rollup": 6,
+        "graph_kcore_planted": 7,
+        "tree_shortest_paths": 7,
+    }
+    for name, max_shuf in bounds.items():
+        a = ap.audit_iterative(spark, lambda name=name: qs[name](spark, sf_dir))
+        assert a["captured_frames"] > 0, name
+        assert a["cartesian"] == 0, (name, a)
+        assert a["max_shuffles_per_frame"] <= max_shuf, (name, a)

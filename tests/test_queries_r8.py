@@ -120,3 +120,31 @@ def test_dedup_semantic_planted_matches_brute(spark, sf_dir):
         p = d % 15
         assert (1 <= p <= 6 and k == d - p) or (8 <= p <= 13 and k == d - p + 7)
     assert len(got) == 12 * len(byblock)
+
+
+# ---------------------------------------------------------------------------
+# record_linkage_blocked: exact true-pair recall vs the unblocked scorer
+# ---------------------------------------------------------------------------
+def test_record_linkage_blocked_keeps_every_link(spark, sf_dir):
+    """The stagger bound guarantees every true link survives blocking
+    with an IDENTICAL score; the blocked output must also be a subset
+    of the unblocked scored candidates (blocking only removes pairs,
+    never invents or rescores them)."""
+    from beehive_spark.queries.relational import (
+        record_linkage_blocked,
+        record_linkage_fs,
+    )
+
+    fs = {
+        (r["dirty_id"], r["clean_id"]): (r["score_milli"], r["decision"])
+        for r in record_linkage_fs(spark, sf_dir).collect()
+    }
+    bl = {
+        (r["dirty_id"], r["clean_id"]): (r["score_milli"], r["decision"])
+        for r in record_linkage_blocked(spark, sf_dir).collect()
+    }
+    links = {k: v for k, v in fs.items() if v[1] == "link"}
+    assert links and all(bl.get(k) == v for k, v in links.items())
+    assert set(bl) <= set(fs)
+    n_dirty = sum(1 for (d, c) in links if d - 10_000_000 == c)
+    assert n_dirty == len(links)  # every link is a true planted pair
