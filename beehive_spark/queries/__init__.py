@@ -87,6 +87,8 @@ _PRIORITY = [
     "similarity_ann_pq_planted",   # r8 new: exact-grid ADC-path twin
     "dedup_semantic_planted",      # r8 new: exact planted SemDeDup pair stage
     "record_linkage_blocked",      # r8 new: staggered-band multi-pass blocking
+    "pmi_collocations",            # r8 new: PMI multi-word-expression mining
+    "events_ohlc_bars",            # r8 new: OHLC bars per type-hour bucket
     # --- changed in round 7 (advisory fixes: sign-safe floor_div in the
     # resample/EWMA folds, half-away argmax rounding, 1-char gram guard,
     # exact integer block div)

@@ -2945,3 +2945,76 @@ def events_twap(spark, sf_dir):
             ),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# OHLC bars — open/high/low/close per type-hour bucket
+# ---------------------------------------------------------------------------
+@query(
+    "events_ohlc_bars",
+    oracle="""
+    WITH r AS (
+      SELECT event_type, date_trunc('hour', ts) AS bucket, value,
+             row_number() OVER (
+               PARTITION BY event_type, date_trunc('hour', ts)
+               ORDER BY ts, event_id) AS rn_a,
+             row_number() OVER (
+               PARTITION BY event_type, date_trunc('hour', ts)
+               ORDER BY ts DESC, event_id DESC) AS rn_d
+      FROM events
+    )
+    SELECT event_type, bucket,
+           MAX(CASE WHEN rn_a = 1 THEN value END) AS open,
+           MAX(value) AS high,
+           MIN(value) AS low,
+           MAX(CASE WHEN rn_d = 1 THEN value END) AS close,
+           CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM r GROUP BY event_type, bucket
+    """,
+)
+def events_ohlc_bars(spark, sf_dir):
+    """OHLC candle bars per (event_type, hour): the first/last value
+    by (ts, event_id) plus the extrema and event count — the standard
+    downsampling summary for irregular telemetry/market series (the
+    complement of ``events_resample``'s last-observation grid: bars
+    keep intra-bucket extremes that resampling discards).
+
+    Exactness: open/close are SELECTED values (row_number over the
+    total (ts, event_id) order — deterministic under timestamp ties),
+    high/low are min/max of raw doubles; no arithmetic touches any
+    value, so both engines hash identical bits.
+
+    Scale shape: one shuffle on the (type, hour) bucket key; both
+    window passes and the final aggregate share that partitioning
+    (Spark plans ONE Exchange — asc and desc orders are two sorts
+    within the same partition, and buckets are bounded by
+    |types| x |hours|, so no partition outgrows an executor).  At
+    100 TB the bucket key is the natural layout partition too —
+    the window never sees more than one bucket."""
+    e = load(spark, sf_dir, "events")
+    bucket = F.date_trunc("hour", F.col("ts"))
+    w = Window.partitionBy("event_type", "bucket")
+    r = e.select(
+        "event_type",
+        bucket.alias("bucket"),
+        "value",
+        "ts",
+        "event_id",
+    ).select(
+        "event_type",
+        "bucket",
+        "value",
+        F.row_number()
+        .over(w.orderBy("ts", "event_id"))
+        .alias("rn_a"),
+        F.row_number()
+        .over(w.orderBy(F.col("ts").desc(), F.col("event_id").desc()))
+        .alias("rn_d"),
+    )
+    return r.groupBy("event_type", "bucket").agg(
+        F.max(F.when(F.col("rn_a") == 1, F.col("value"))).alias("open"),
+        F.max("value").alias("high"),
+        F.min("value").alias("low"),
+        F.max(F.when(F.col("rn_d") == 1, F.col("value"))).alias("close"),
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+    )

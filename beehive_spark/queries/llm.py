@@ -1185,6 +1185,100 @@ def bm25_retrieval(spark, sf_dir, k: int = 25):
 
 
 
+# ---------------------------------------------------------------------------
+# PMI collocations — multi-word-expression mining over the corpus
+# ---------------------------------------------------------------------------
+@query(
+    "pmi_collocations",
+    oracle="""
+    WITH toks AS (
+      SELECT regexp_extract_all(lower(text), '[a-z0-9]+') AS t FROM documents
+    ),
+    pairs AS (
+      SELECT t[i] AS w1, t[i + 1] AS w2
+      FROM toks, unnest(range(1, len(t))) AS u(i)
+    ),
+    pc AS (SELECT w1, w2, COUNT(*) AS n11 FROM pairs GROUP BY w1, w2),
+    l AS (SELECT w1, SUM(n11) AS nl FROM pc GROUP BY w1),
+    r AS (SELECT w2, SUM(n11) AS nr FROM pc GROUP BY w2),
+    n AS (SELECT SUM(n11) AS nt FROM pc),
+    s AS (
+      SELECT pc.w1, pc.w2, pc.n11,
+             CAST(ROUND(ln(CAST(pc.n11 * n.nt AS DOUBLE)
+                           / CAST(l.nl * r.nr AS DOUBLE)) * 1000000)
+                  AS BIGINT) AS pmi_micro
+      FROM pc JOIN l ON l.w1 = pc.w1 JOIN r ON r.w2 = pc.w2 CROSS JOIN n
+      WHERE pc.n11 >= 5
+    )
+    SELECT w1, w2, CAST(n11 AS BIGINT) AS n_pair, pmi_micro
+    FROM s ORDER BY pmi_micro DESC, w1, w2 LIMIT 50
+    """,
+)
+def pmi_collocations(spark, sf_dir, min_count: int = 5, k: int = 50):
+    """Top-k bigram collocations by pointwise mutual information —
+    the classic multi-word-expression miner (Church & Hanks 1990):
+    PMI(w1,w2) = ln( P(w1,w2) / (P(w1) P(w2)) ), evaluated on exact
+    bigram counts as ln((n11 * N) / (nl * nr)), with a minimum pair
+    count so rare-pair noise (PMI's documented failure mode) never
+    tops the list.  A corpus-QA report: boilerplate phrases and
+    templated text surface as high-PMI high-count pairs.
+
+    Exactness: counts are BIGINT end to end; the single ln argument
+    is a ratio of exactly-representable integer products (bounded by
+    N^2 < 2^53 at any shipped SF), evaluated by the identical
+    expression in both engines, and the score is rounded to
+    MICRO-units before the top-k order — the BM25 grid trick, so
+    cross-libm ln drift (sub-ulp) dies at the 1e-6 grid and ties
+    break on the exact (pmi_micro, w1, w2) key identically.
+
+    Scale shape: one token explode -> one (w1,w2) count (map-side
+    combined); marginals are aggregates of the PAIR COUNT frame
+    (vocabulary-sized, never a second corpus pass) and join back
+    broadcast; the grand total rides a 1-row broadcast cross join;
+    top-k via orderBy().limit() — TakeOrdered, never a global window.
+    At 100 TB marginals are |vocab| rows (~1e6) — still broadcast
+    range; if a corpus outgrows that, the same plan runs with the
+    two joins shuffled on the word key."""
+    d = load(spark, sf_dir, "documents")
+    toks = d.select(_tokens(F.col("text")).alias("t"))
+    pairs = toks.select(
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.greatest(F.size("t") - 1, F.lit(0))),
+                lambda i: F.struct(
+                    F.element_at("t", i).alias("w1"),
+                    F.element_at("t", i + 1).alias("w2"),
+                ),
+            )
+        ).alias("p")
+    ).select("p.w1", "p.w2")
+    pc = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("n11"))
+    left = pc.groupBy("w1").agg(F.sum("n11").alias("nl"))
+    right = pc.groupBy("w2").agg(F.sum("n11").alias("nr"))
+    tot = pc.agg(F.sum("n11").alias("nt"))
+    pmi_micro = F.round(
+        F.log(
+            (F.col("n11") * F.col("nt")).cast("double")
+            / (F.col("nl") * F.col("nr")).cast("double")
+        )
+        * 1_000_000
+    ).cast("long")
+    return (
+        pc.filter(F.col("n11") >= min_count)
+        .join(F.broadcast(left), "w1")
+        .join(F.broadcast(right), "w2")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "w1",
+            "w2",
+            F.col("n11").cast("long").alias("n_pair"),
+            pmi_micro.alias("pmi_micro"),
+        )
+        .orderBy(F.col("pmi_micro").desc(), "w1", "w2")
+        .limit(k)
+    )
+
+
 @query(
     "text_tfidf_topterms",
     oracle="""

@@ -151,6 +151,8 @@ EXTRA = [
     "bom_cost_rollup",
     "record_linkage_fs",
     "record_linkage_blocked",
+    "pmi_collocations",
+    "events_ohlc_bars",
     "bm25_retrieval",
     "events_twap",
     "incremental_distinct_orders",

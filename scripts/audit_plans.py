@@ -187,6 +187,8 @@ EXTRA = [
     # graph_kcore)
     "record_linkage_fs",
     "record_linkage_blocked",
+    "pmi_collocations",
+    "events_ohlc_bars",
     "bm25_retrieval",
     "events_twap",
     "incremental_distinct_orders",

@@ -148,3 +148,74 @@ def test_record_linkage_blocked_keeps_every_link(spark, sf_dir):
     assert set(bl) <= set(fs)
     n_dirty = sum(1 for (d, c) in links if d - 10_000_000 == c)
     assert n_dirty == len(links)  # every link is a true planted pair
+
+
+# ---------------------------------------------------------------------------
+# pmi_collocations: python counting twin
+# ---------------------------------------------------------------------------
+def test_pmi_collocations_matches_python_counts(spark, sf_dir):
+    import math
+    import re
+    from collections import Counter
+
+    from beehive_spark.queries import load
+    from beehive_spark.queries.llm import pmi_collocations
+
+    texts = [
+        r["text"] for r in load(spark, sf_dir, "documents").select("text").collect()
+    ]
+    pc, nl, nr = Counter(), Counter(), Counter()
+    for t in texts:
+        w = re.findall(r"[a-z0-9]+", t.lower())
+        for a, b in zip(w, w[1:]):
+            pc[(a, b)] += 1
+            nl[a] += 1
+            nr[b] += 1
+    nt = sum(pc.values())
+    scored = []
+    for (a, b), n11 in pc.items():
+        if n11 >= 5:
+            pmi = math.log((n11 * nt) / (nl[a] * nr[b]))
+            # half-away micro rounding, matching F.round/DuckDB ROUND
+            mv = pmi * 1_000_000
+            pm = int(math.copysign(math.floor(abs(mv) + 0.5), mv))
+            scored.append((-pm, a, b, n11))
+    scored.sort()
+    want = [(a, b, n11, -negpm) for negpm, a, b, n11 in scored[:50]]
+    got = [
+        (r["w1"], r["w2"], r["n_pair"], r["pmi_micro"])
+        for r in pmi_collocations(spark, sf_dir).collect()
+    ]
+    assert got == want and len(got) == 50
+
+
+# ---------------------------------------------------------------------------
+# events_ohlc_bars: python fold twin
+# ---------------------------------------------------------------------------
+def test_events_ohlc_bars_matches_python_fold(spark, sf_dir):
+    from beehive_spark.queries import load
+    from beehive_spark.queries.core import events_ohlc_bars
+
+    rows = (
+        load(spark, sf_dir, "events")
+        .select("event_type", "ts", "event_id", "value")
+        .collect()
+    )
+    buckets = {}
+    for r in rows:
+        b = r["ts"].replace(minute=0, second=0, microsecond=0)
+        buckets.setdefault((r["event_type"], b), []).append(
+            (r["ts"], r["event_id"], r["value"])
+        )
+    want = {}
+    for k, evs in buckets.items():
+        evs.sort()
+        vals = [v for _, _, v in evs]
+        want[k] = (evs[0][2], max(vals), min(vals), evs[-1][2], len(evs))
+    got = {
+        (r["event_type"], r["bucket"]): (
+            r["open"], r["high"], r["low"], r["close"], r["n_events"],
+        )
+        for r in events_ohlc_bars(spark, sf_dir).collect()
+    }
+    assert got == want and got
