@@ -69,19 +69,19 @@ _loaded = False
 # Registry order is the driver's ORACLE-VERIFICATION order, and the driver
 # differentially checks the FIRST 50 registered queries per round.  The
 # window rotates each round so the cross-round union covers every
-# registered query (169/169 after r06, 154/154 oracle-bearing
-# hash-green).  The round-7 window leads with (a) everything round 7
-# changes or adds, then (b) the SEVEN entries whose newest driver
-# evidence was still r02 — census EXECUTED over CORRECTNESS_r01..r06
-# this round (the r6 note's claim of an r03 floor was wrong: the r5
-# verdict's named-nine list undercounted the r02 cohort), then (c) the
-# full 21-entry r03-vintage cohort (oracle-bearing first, then the
-# three rows-only).  Everything past this explicit head backfills
-# OLDEST-EVIDENCE-FIRST, COMPUTED from the committed CORRECTNESS_r*.json
-# files (see _evidence_vintage) — the static per-round fill chain this
-# replaced is exactly how the r6 census drifted from reality.  The
-# local scripts/check_oracle.py sweep still verifies ALL registered
-# queries each round.
+# registered query (177/177 after r07, 162/162 oracle-bearing
+# hash-green).  The round-8 head is (a) the five r8-new queries, then
+# (b) everything round-8 CODE changes touch (the tree_rollup cap fix
+# and sssp heuristic re-key in operators/graph.py; the
+# _cluster_pair_dedup and _linkage_frames/_fs_emit refactors).
+# Everything past this explicit head backfills OLDEST-EVIDENCE-FIRST,
+# COMPUTED from the committed CORRECTNESS_r*.json files (see
+# _evidence_vintage) — after CORRECTNESS_r07 that queue leads with the
+# 37-entry r04-vintage cohort (uuid_collision_semi, count_by_group,
+# order_limit_first, q1/q3/q5, ...), so this window raises the
+# evidence floor to r05 (r7 verdict ask #1) without hand-listing
+# anything.  The local scripts/check_oracle.py sweep still verifies
+# ALL registered queries each round.
 _PRIORITY = [
     # --- new in round 8 (appended as they land)
     "similarity_ann_pq_planted",   # r8 new: exact-grid ADC-path twin
@@ -89,42 +89,16 @@ _PRIORITY = [
     "record_linkage_blocked",      # r8 new: staggered-band multi-pass blocking
     "pmi_collocations",            # r8 new: PMI multi-word-expression mining
     "events_ohlc_bars",            # r8 new: OHLC bars per type-hour bucket
-    # --- changed in round 7 (advisory fixes: sign-safe floor_div in the
-    # resample/EWMA folds, half-away argmax rounding, 1-char gram guard,
-    # exact integer block div)
-    "events_resample", "events_ewma", "embedding_mmr_rerank",
-    "qgram_editdist_join", "graph_kcore_planted",
-    # --- new in round 7 (appended as they land)
-    "pagerank_planted",            # r7 new: planted star-forest PR, fixed 8 rounds
-    "media_caption_luma",          # r7 new: cross-modal image-luma x caption join
-    "bom_cost_rollup",             # r7 new: bottom-up BOM tree aggregation
-    "record_linkage_fs",           # r7 new: Fellegi-Sunter scored linkage
-    "bm25_retrieval",              # r7 new: Okapi BM25 top-k retrieval
-    "events_twap",                 # r7 new: exact time-weighted average
-    "incremental_distinct_orders",  # r7 new: COUNT(DISTINCT) IVM
-    "tree_shortest_paths",         # r7 new: weighted SSSP over the part tree
-    "dedup_semantic",              # r7: assignment rides the persisted ANN index
-    # --- newest driver evidence still r02 (executed census, see above)
-    "dedup_substring_spans", "funnel_steps", "cohort_retention",
-    "scd2_customer_history", "snapshot_diff", "sample_weighted",
-    "events_anomaly",
-    # --- the complete r03-vintage cohort (executed census), oracle-bearing
-    "q4_order_priority", "q6_revenue_forecast", "q7_volume_shipping",
-    "q8_market_share", "bigram_next_word", "dataset_interleave",
-    "dataset_split_manifest", "doc_prefix_clusters", "events_dwell_time",
-    "events_gap_fill", "fuzzy_join_names", "media_video_frames",
-    "orders_rfm_segments", "orders_seasonality", "point_in_time_state",
-    "revenue_concentration", "stddev_prices_exact", "user_ltv_cohort",
-    # --- r03-vintage rows-only (weaker driver signal, stalest evidence;
-    # exactness pinned in tests/test_{semantic_pq,sketches}.py;
-    # dedup_semantic moved up with the r7 changes)
-    "similarity_ann_pq", "sketch_uniques_rollup",
+    # --- changed in round 8 (advisory fixes in operators/graph.py;
+    # shared-stage refactors feeding dedup_semantic and both linkage
+    # queries)
+    "bom_cost_rollup", "tree_shortest_paths", "dedup_semantic",
+    "record_linkage_fs",
 ]
-# ROUND-8 NOTE: after CORRECTNESS_r07 the evidence floor should be r04
-# — verify by EXECUTING a census over all seven CORRECTNESS files
-# before believing it (the r6 note failed exactly this way; the
-# computed backfill below now does it automatically).  Lead the next
-# head with whatever round 8 changes; the backfill self-rotates.
+# ROUND-9 NOTE: after CORRECTNESS_r08 the computed backfill queue
+# should lead with whatever r04/r05-vintage entries the r8 window did
+# not reach — do NOT transcribe a list; the backfill computes it.
+# Lead the next head with whatever round 9 changes.
 
 
 def _evidence_vintage() -> dict[str, int]:
