@@ -670,8 +670,25 @@ def build_pq_index(
             emb, m=m, ksub=ksub, iters=iters, sample_cap=sample_cap
         )
     else:
+        # a shape-mismatched external codebook would not error — the
+        # encode's zip_with against wrong-length centroids yields NULL
+        # sims and garbage codes PERSIST silently (r8 review); validate
+        # every dimension that the encode relies on before writing
         if len(books) != m:
             raise ValueError(f"expected {m} codebooks, got {len(books)}")
+        sd0 = len(books[0][0]) if books[0] else 0
+        for j, bk in enumerate(books):
+            if not bk or any(len(c) != sd0 for c in bk):
+                raise ValueError(
+                    f"codebook {j} is empty or ragged (expected {sd0}-dim "
+                    "centroids in every subspace)"
+                )
+        row = emb.select(F.size(F.col("embedding")).alias("d")).first()
+        if row is not None and row["d"] != m * sd0:
+            raise ValueError(
+                f"codebooks cover {m}x{sd0}={m * sd0} dims but the "
+                f"embedding column is {row['d']}-dimensional"
+            )
     sd = len(books[0][0])
     half_sq = [[sum(x * x for x in c) / 2.0 for c in books[j]] for j in range(m)]
     cbdf = codebook_df(spark, books, extra={"halfsq": half_sq})

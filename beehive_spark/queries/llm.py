@@ -1241,13 +1241,20 @@ def pmi_collocations(spark, sf_dir, min_count: int = 5, k: int = 50):
     two joins shuffled on the word key."""
     d = load(spark, sf_dir, "documents")
     toks = d.select(_tokens(F.col("text")).alias("t"))
+    # the size >= 2 guard is load-bearing (the _shingles pattern):
+    # F.sequence(1, size-1) DESCENDS to [1, 0] on 0/1-token docs and
+    # element_at(t, 0) then errors — explode(NULL) drops them instead,
+    # matching the oracle's empty range(1, len(t)) (r8 review)
     pairs = toks.select(
         F.explode(
-            F.transform(
-                F.sequence(F.lit(1), F.greatest(F.size("t") - 1, F.lit(0))),
-                lambda i: F.struct(
-                    F.element_at("t", i).alias("w1"),
-                    F.element_at("t", i + 1).alias("w2"),
+            F.when(
+                F.size("t") >= 2,
+                F.transform(
+                    F.sequence(F.lit(1), F.size("t") - 1),
+                    lambda i: F.struct(
+                        F.element_at("t", i).alias("w1"),
+                        F.element_at("t", i + 1).alias("w2"),
+                    ),
                 ),
             )
         ).alias("p")

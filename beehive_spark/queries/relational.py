@@ -2606,6 +2606,16 @@ def record_linkage_blocked(spark, sf_dir):
     Scoring/classification is the SAME `_fs_emit` plan as the
     unblocked variant — blocking strategies swap independently."""
     clean, dirty = _linkage_frames(spark, sf_dir)
+    return _fs_emit(_linkage_banded_candidates(clean, dirty))
+
+
+def _linkage_banded_candidates(clean, dirty):
+    """The staggered-band candidate generator shared by
+    :func:`record_linkage_blocked` and the STRESS.md candidate-count
+    attribution (``scripts/stress_smoke.py``) — one implementation so
+    the measured counts can never drift from the shipped blocking
+    scheme (r8 review).  Two equi-join passes on (nation, 1-dollar
+    band), grids staggered by 50 cents, union, pair-deduped."""
     band = lambda col, shift: F.call_function(  # noqa: E731
         "div", F.col(col) + F.lit(shift).cast("long"), F.lit(100).cast("long")
     )
@@ -2618,8 +2628,7 @@ def record_linkage_blocked(spark, sf_dir):
                 "d_id", "d_name", "d_cents", "d_seg", "id", "name", "cents", "seg"
             )
         )
-    cands = passes[0].unionByName(passes[1]).dropDuplicates(["d_id", "id"])
-    return _fs_emit(cands)
+    return passes[0].unionByName(passes[1]).dropDuplicates(["d_id", "id"])
 
 
 # ---------------------------------------------------------------------------

@@ -453,29 +453,17 @@ def main() -> None:
     # ~linear in n under staggered-band blocking while nation blocking
     # grows ~n^2 — counted here at both scales, not asserted.
     def _cand_counts(sf):
-        from beehive_spark.queries.relational import _linkage_frames
+        # candidate generation is the QUERY's own helper, not a local
+        # re-implementation, so these counts cannot drift from the
+        # shipped blocking scheme (r8 review)
+        from beehive_spark.queries.relational import (
+            _linkage_banded_candidates,
+            _linkage_frames,
+        )
 
         clean, dirty = _linkage_frames(spark, sf)
         nation = dirty.join(clean, dirty["d_nat"] == clean["nat"]).count()
-
-        def band(col, shift):
-            return F.call_function(
-                "div", F.col(col) + F.lit(shift).cast("long"),
-                F.lit(100).cast("long"),
-            )
-
-        parts = []
-        for shift in (0, 50):
-            d = dirty.withColumn("blk", band("d_cents", shift))
-            cl = clean.withColumn("blk", band("cents", shift))
-            parts.append(
-                d.join(
-                    cl, (d["d_nat"] == cl["nat"]) & (d["blk"] == cl["blk"])
-                ).select("d_id", "id")
-            )
-        banded = (
-            parts[0].unionByName(parts[1]).dropDuplicates(["d_id", "id"]).count()
-        )
+        banded = _linkage_banded_candidates(clean, dirty).count()
         return nation, banded
 
     nat1, band1 = _cand_counts(SF_DIR)

@@ -176,9 +176,15 @@ def test_pmi_collocations_matches_python_counts(spark, sf_dir):
     for (a, b), n11 in pc.items():
         if n11 >= 5:
             pmi = math.log((n11 * nt) / (nl[a] * nr[b]))
-            # half-away micro rounding, matching F.round/DuckDB ROUND
+            # match F.round's exact semantics (BigDecimal.valueOf =
+            # shortest decimal repr, then HALF_UP): floor(abs+0.5)
+            # misrounds doubles one ulp below a .5 boundary (r8 review)
+            from decimal import ROUND_HALF_UP, Decimal
+
             mv = pmi * 1_000_000
-            pm = int(math.copysign(math.floor(abs(mv) + 0.5), mv))
+            pm = int(
+                Decimal(repr(mv)).quantize(Decimal(1), rounding=ROUND_HALF_UP)
+            )
             scored.append((-pm, a, b, n11))
     scored.sort()
     want = [(a, b, n11, -negpm) for negpm, a, b, n11 in scored[:50]]
