@@ -2597,14 +2597,20 @@ def record_linkage_blocked(spark, sf_dir):
     surfaces) are out of blocking scope BY DESIGN — that recall
     contract is the blocking tradeoff, stated rather than hidden.
 
-    Scale shape: two equi-joins on (nat, band) + one distinct, each
-    block a few rows at any corpus size because band count grows
-    with the balance domain — measured candidates: 152 banded vs
-    9,312 nation-blocked at sf0.01, 1,596 vs 902,008 at sf0.1
-    (565x fewer; banded grew 10.5x for 10x rows = ~linear, nation
-    grew 97x = ~n²; STRESS.md row).
-    Scoring/classification is the SAME `_fs_emit` plan as the
-    unblocked variant — blocking strategies swap independently."""
+    Scale shape: two equi-joins on (nat, band) + one distinct.
+    Measured candidates: 152 banded vs 9,312 nation-blocked at
+    sf0.01, 1,596 vs 902,008 at sf0.1 (565x fewer; banded grew
+    10.5x for 10x rows, nation grew 97x).  Honestly stated
+    asymptotics: with a FIXED band domain, banded candidates are
+    n * occupancy with occupancy = n / #blocks (~275k blocks here)
+    — effectively linear while blocks outnumber customers, and the
+    band width is the knob when they stop to (the stagger guarantee
+    needs only width > 2x the perturbation bound, so width can
+    shrink 10x before recall is at risk); nation blocking is the
+    n^2/25 baseline at every size.  STRESS.md carries the measured
+    counts per regen.  Scoring/classification is the SAME `_fs_emit`
+    plan as the unblocked variant — blocking strategies swap
+    independently."""
     clean, dirty = _linkage_frames(spark, sf_dir)
     return _fs_emit(_linkage_banded_candidates(clean, dirty))
 

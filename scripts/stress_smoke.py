@@ -263,7 +263,14 @@ def build_scaled_dir(spark, copies: int) -> str:
             # two-char prefix: cross-replica distance 2 > match radius 1
             F.concat(repchar, repchar, F.lit("-"), F.col("c_name")).alias("c_name"),
             "c_nationkey",
-            "c_acctbal",
+            # spread replica balances across the band domain (+$101.01
+            # per replica) — verbatim copies would stack all 10 replicas
+            # into the SAME (nation, band) blocks, growing banded
+            # linkage candidates 100x by corpus construction rather
+            # than by blocking behavior (same principle as the name
+            # prefixes: a real 10x corpus has NEW customers with new
+            # balances, and the measurement isolates the engine)
+            (F.col("c_acctbal") + F.col("__rep") * 101.01).alias("c_acctbal"),
             "c_mktsegment",
         )
         .write.parquet(os.path.join(out, "customer.parquet"))
@@ -564,12 +571,22 @@ def main() -> None:
         "record_linkage_blocked candidate counts (measured this regen,",
         "same corpora as the table row): staggered-band blocking",
         f"{band1:,} -> {band10:,} pairs at 10x rows"
-        f" ({round(band10 / band1, 1)}x = ~linear),",
+        f" ({round(band10 / band1, 1)}x),",
         f"nation blocking {nat1:,} -> {nat10:,}"
-        f" ({round(nat10 / nat1, 1)}x = ~n^2).",
+        f" ({round(nat10 / nat1, 1)}x).",
+        "Replica balances are spread across the band domain (see",
+        "build_scaled_dir) because a verbatim-copy corpus would stack",
+        "all replicas into identical blocks and measure corpus",
+        "pathology, not blocking.  With a fixed band domain the banded",
+        "count is ~n * occupancy where occupancy = n / #blocks — near",
+        "1x-per-10x while blocks outnumber customers (the shipped SFs),",
+        "degrading gracefully toward n^2/275k beyond ~275k customers;",
+        "the band width is the knob (halving it doubles #blocks while",
+        "the stagger guarantee needs only width > 2 x the 3-cent",
+        "perturbation).  Nation blocking is the n^2/25 baseline.",
         "Blocking recall for true pairs is exact by the stagger bound",
         "(perturbation <= 3 cents < half the 50-cent grid offset), so",
-        "the linear candidate set loses nothing the scorer would link.",
+        "the candidate set loses nothing the scorer would link.",
     ]
     out = os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "STRESS.md"

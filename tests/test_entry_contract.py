@@ -61,3 +61,19 @@ def test_all_queries_run_at_smallest_sf(spark):
         except Exception as e:  # pragma: no cover - report which broke
             failures[name] = repr(e)[:200]
     assert not failures, failures
+
+
+def test_bench_tiers_are_registered_and_disjoint():
+    """Every bench tier name must be a registered query (a typo'd tier
+    entry would KeyError mid-bench and lose the round's record), the
+    tiers must not overlap, and EXTRA must be duplicate-free (a dupe
+    silently re-times one query and inflates the sweep-coverage
+    census the close-commit message reports)."""
+    import bench
+
+    qs = set(entrymod.queries())
+    assert set(bench.HEADLINE) <= qs
+    assert set(bench.EXTRA) <= qs
+    assert not set(bench.HEADLINE) & set(bench.EXTRA)
+    assert len(bench.EXTRA) == len(set(bench.EXTRA))
+    assert len(bench.HEADLINE) == len(set(bench.HEADLINE))
