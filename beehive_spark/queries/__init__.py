@@ -89,6 +89,7 @@ _PRIORITY = [
     "record_linkage_blocked",      # r8 new: staggered-band multi-pass blocking
     "pmi_collocations",            # r8 new: PMI multi-word-expression mining
     "events_ohlc_bars",            # r8 new: OHLC bars per type-hour bucket
+    "table_checksum_buckets",      # r8 new: content-level reconciliation
     # --- changed in round 8 (advisory fixes in operators/graph.py;
     # shared-stage refactors feeding dedup_semantic and both linkage
     # queries)

@@ -2934,3 +2934,73 @@ def incremental_join_orders(spark, sf_dir):
         )
         .filter(F.col("n_orders") > 0)
     )
+
+
+# ---------------------------------------------------------------------------
+# Bucketed content checksums — reconciliation beyond row counts
+# ---------------------------------------------------------------------------
+@query(
+    "table_checksum_buckets",
+    oracle="""
+    WITH h AS (
+      SELECT ('0x' || substr(md5(
+               concat_ws('|',
+                 CAST(o_orderkey AS VARCHAR),
+                 CAST(o_custkey AS VARCHAR),
+                 o_orderstatus,
+                 CAST(CAST(ROUND(o_totalprice * 100) AS BIGINT) AS VARCHAR),
+                 strftime(o_orderdate, '%Y-%m-%d'),
+                 o_orderpriority)), 1, 15))::UBIGINT AS rh
+      FROM orders
+    )
+    SELECT CAST(rh % 256 AS INTEGER) AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(bit_xor(rh) AS BIGINT) AS xor_fp,
+           CAST(SUM(rh % 1000000007) AS BIGINT) AS sum_fp
+    FROM h GROUP BY 1
+    """,
+)
+def table_checksum_buckets(spark, sf_dir):
+    """Per-bucket CONTENT checksums of the orders table — the
+    reconciliation gate one level deeper than the reference's row
+    counts (integrity-checks.js / `operators.checks.reconcile_counts`,
+    A3): row counts prove nothing about corruption, truncated strings,
+    or a botched FK rewrite that kept cardinality.  Each row folds to
+    a 60-bit md5-prefix hash of its canonical string (dates
+    normalized, money in exact cents — the same canonical forms the
+    merge writes), buckets by hash, and emits per-bucket (count,
+    XOR fingerprint, modular-sum fingerprint).  Comparing the two
+    256-row frames from source and destination localizes ANY content
+    difference to its buckets; only mismatched buckets are then
+    re-scanned row-by-row — the anti-entropy / Merkle-level pattern
+    (Dynamo-style replica sync) at table granularity.
+
+    Exactness: md5 is bit-identical across engines (the established
+    sampling-grid trick), XOR is order-independent and exact, and the
+    modular sum stays far under 2^63 (bucket_rows x 1e9 — at 1.5e11
+    total rows it is still < 6e17), so both fingerprints hash-gate.
+
+    Scale shape: one scan, one map-side-combinable aggregation to 256
+    rows, no joins; the compare step is a 256-row broadcast diff.
+    Bucket count is a knob — at 100 TB use ~1e5 buckets so a single
+    corrupt row re-scans 1e-5 of the table."""
+    o = load(spark, sf_dir, "orders")
+    canon = F.concat_ws(
+        "|",
+        F.col("o_orderkey").cast("string"),
+        F.col("o_custkey").cast("string"),
+        F.col("o_orderstatus"),
+        F.round(F.col("o_totalprice") * 100).cast("long").cast("string"),
+        F.date_format("o_orderdate", "yyyy-MM-dd"),
+        F.col("o_orderpriority"),
+    )
+    rh = F.conv(F.substring(F.md5(canon), 1, 15), 16, 10).cast("long")
+    return (
+        o.select(rh.alias("rh"))
+        .groupBy(F.pmod("rh", F.lit(256)).cast("int").alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.bit_xor("rh").cast("long").alias("xor_fp"),
+            F.sum(F.pmod("rh", F.lit(1_000_000_007))).cast("long").alias("sum_fp"),
+        )
+    )

@@ -153,6 +153,7 @@ EXTRA = [
     "record_linkage_blocked",
     "pmi_collocations",
     "events_ohlc_bars",
+    "table_checksum_buckets",
     "bm25_retrieval",
     "events_twap",
     "incremental_distinct_orders",

@@ -225,3 +225,75 @@ def test_events_ohlc_bars_matches_python_fold(spark, sf_dir):
         for r in events_ohlc_bars(spark, sf_dir).collect()
     }
     assert got == want and got
+
+
+# ---------------------------------------------------------------------------
+# table_checksum_buckets: python md5 twin + corruption-detection contract
+# ---------------------------------------------------------------------------
+def _order_row_hash(r):
+    import hashlib
+
+    cents = int(
+        __import__("decimal").Decimal(repr(r["o_totalprice"] * 100)).quantize(
+            __import__("decimal").Decimal(1),
+            rounding=__import__("decimal").ROUND_HALF_UP,
+        )
+    )
+    s = "|".join(
+        [
+            str(r["o_orderkey"]),
+            str(r["o_custkey"]),
+            r["o_orderstatus"],
+            str(cents),
+            r["o_orderdate"].strftime("%Y-%m-%d"),
+            r["o_orderpriority"],
+        ]
+    )
+    return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+
+def test_table_checksum_buckets_matches_python_md5(spark, sf_dir):
+    from beehive_spark.queries import load
+    from beehive_spark.queries.relational import table_checksum_buckets
+
+    rows = load(spark, sf_dir, "orders").collect()
+    want = {}
+    for r in rows:
+        h = _order_row_hash(r)
+        b = h % 256
+        n, x, s = want.get(b, (0, 0, 0))
+        want[b] = (n + 1, x ^ h, s + h % 1_000_000_007)
+    got = {
+        r["bucket"]: (r["n_rows"], r["xor_fp"], r["sum_fp"])
+        for r in table_checksum_buckets(spark, sf_dir).collect()
+    }
+    assert got == want and got
+
+
+def test_table_checksum_buckets_localizes_a_single_corrupt_row(spark, sf_dir):
+    """The reconciliation contract: corrupting ONE row's content (same
+    cardinality) must flip exactly the fingerprints of that row's
+    bucket — the diff a count-only reconciliation cannot see."""
+    from beehive_spark.queries import load
+    from beehive_spark.queries.relational import table_checksum_buckets
+
+    base = {
+        r["bucket"]: (r["n_rows"], r["xor_fp"], r["sum_fp"])
+        for r in table_checksum_buckets(spark, sf_dir).collect()
+    }
+    victim = load(spark, sf_dir, "orders").first()
+    old_h = _order_row_hash(victim)
+    new_h = _order_row_hash(
+        type(victim)(**{**victim.asDict(), "o_orderstatus": "Z"})
+    )
+    b_old, b_new = old_h % 256, new_h % 256
+    # recompute expected fingerprints after the in-place corruption
+    want = dict(base)
+    n, x, s = want[b_old]
+    want[b_old] = (n - 1, x ^ old_h, s - old_h % 1_000_000_007)
+    n, x, s = want.get(b_new, (0, 0, 0))
+    want[b_new] = (n + 1, x ^ new_h, s + new_h % 1_000_000_007)
+    changed = {b for b in set(base) | set(want) if base.get(b) != want.get(b)}
+    assert changed <= {b_old, b_new} and changed
+    # every untouched bucket's fingerprint is stable
+    assert all(base[b] == want[b] for b in base if b not in changed)
