@@ -512,3 +512,79 @@ def delta_join(
         *on, *a_cols, *b_cols, (F.col(sa) * F.col(sb)).alias(SIGN)
     )
     return t1.unionByName(t2).unionByName(t3).select(*out)
+
+
+# ---------------------------------------------------------------------------
+# Content-checksum view maintenance — XOR/modular-sum fingerprints
+# ---------------------------------------------------------------------------
+def build_checksum(
+    df: DataFrame,
+    hash_col: str = "rh",
+    bucket_col: str = "bucket",
+    n_buckets: int = 256,
+    mod: int = 1_000_000_007,
+) -> DataFrame:
+    """The batch-backfill form of the per-bucket content fingerprint
+    (``bucket, n_rows, xor_fp, sum_fp``) that :func:`incremental_checksum`
+    maintains — one map-side-combinable aggregation over a row-hash
+    column (see ``queries.relational.table_checksum_buckets`` for the
+    canonicalization that produces it)."""
+    return (
+        df.groupBy(
+            F.pmod(hash_col, F.lit(n_buckets)).cast("int").alias(bucket_col)
+        ).agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.bit_xor(hash_col).cast("long").alias("xor_fp"),
+            F.sum(F.pmod(hash_col, F.lit(mod))).cast("long").alias("sum_fp"),
+        )
+    )
+
+
+def incremental_checksum(
+    base: DataFrame,
+    retractions: DataFrame,
+    hash_col: str = "rh",
+    sign_col: str = "_sign",
+    bucket_col: str = "bucket",
+    n_buckets: int = 256,
+    mod: int = 1_000_000_007,
+) -> DataFrame:
+    """Maintain the per-bucket content fingerprint view from a signed
+    retraction stream in O(|delta|) — the anti-entropy table
+    (:func:`build_checksum`) never re-reads its fact table because
+    every fingerprint component is a GROUP under its own operation:
+    counts and modular sums under signed addition, and XOR under XOR
+    itself (x ^ x = 0, so retracting a row is the same operation as
+    inserting it — the sign column only matters for the additive
+    parts).
+
+    ``retractions``: one row per inserted (+1) / retracted (-1) row
+    VERSION with its row hash — an update contributes its old hash at
+    -1 and its new hash at +1.  The delta aggregates to at most
+    ``n_buckets`` rows and broadcasts into the base; buckets whose
+    count reaches zero drop from the view (matching the recompute,
+    which only emits non-empty buckets)."""
+    d = (
+        retractions.groupBy(
+            F.pmod(hash_col, F.lit(n_buckets)).cast("int").alias(bucket_col)
+        ).agg(
+            F.sum(sign_col).cast("long").alias("_dn"),
+            F.bit_xor(hash_col).cast("long").alias("_dx"),
+            F.sum(F.col(sign_col) * F.pmod(hash_col, F.lit(mod)))
+            .cast("long")
+            .alias("_ds"),
+        )
+    )
+    z = F.lit(0).cast("long")
+    return (
+        base.join(F.broadcast(d), bucket_col, "full_outer")
+        .select(
+            bucket_col,
+            (F.coalesce("n_rows", z) + F.coalesce("_dn", z)).alias("n_rows"),
+            F.coalesce("xor_fp", z)
+            .bitwiseXOR(F.coalesce("_dx", z))
+            .alias("xor_fp"),
+            (F.coalesce("sum_fp", z) + F.coalesce("_ds", z)).alias("sum_fp"),
+        )
+        .filter(F.col("n_rows") > 0)
+    )

@@ -2984,23 +2984,123 @@ def table_checksum_buckets(spark, sf_dir):
     rows, no joins; the compare step is a 256-row broadcast diff.
     Bucket count is a knob — at 100 TB use ~1e5 buckets so a single
     corrupt row re-scans 1e-5 of the table."""
+    from beehive_spark.operators.ivm import build_checksum
+
     o = load(spark, sf_dir, "orders")
+    return build_checksum(o.select(_orders_row_hash().alias("rh")))
+
+
+def _orders_row_hash(status="o_orderstatus", cents=None, priority="o_orderpriority"):
+    """60-bit md5-prefix hash of an orders row's canonical string —
+    shared by :func:`table_checksum_buckets` (batch) and
+    :func:`incremental_checksum_orders` (which hashes OLD and NEW row
+    versions with mutated status/cents/priority expressions).  Money
+    in exact cents, dates normalized — the canonical forms the merge
+    writes."""
+    cents = (
+        F.round(F.col("o_totalprice") * 100).cast("long") if cents is None else cents
+    )
     canon = F.concat_ws(
         "|",
         F.col("o_orderkey").cast("string"),
         F.col("o_custkey").cast("string"),
-        F.col("o_orderstatus"),
-        F.round(F.col("o_totalprice") * 100).cast("long").cast("string"),
+        F.col(status) if isinstance(status, str) else status,
+        cents.cast("string"),
         F.date_format("o_orderdate", "yyyy-MM-dd"),
-        F.col("o_orderpriority"),
+        F.col(priority) if isinstance(priority, str) else priority,
     )
-    rh = F.conv(F.substring(F.md5(canon), 1, 15), 16, 10).cast("long")
-    return (
-        o.select(rh.alias("rh"))
-        .groupBy(F.pmod("rh", F.lit(256)).cast("int").alias("bucket"))
-        .agg(
-            F.count(F.lit(1)).cast("long").alias("n_rows"),
-            F.bit_xor("rh").cast("long").alias("xor_fp"),
-            F.sum(F.pmod("rh", F.lit(1_000_000_007))).cast("long").alias("sum_fp"),
+    return F.conv(F.substring(F.md5(canon), 1, 15), 16, 10).cast("long")
+
+
+# ---------------------------------------------------------------------------
+# IVM for the content checksum — fingerprints maintained from the delta
+# ---------------------------------------------------------------------------
+@query(
+    "incremental_checksum_orders",
+    oracle="""
+    WITH newsnap AS (
+      SELECT o_orderkey, o_custkey, o_orderstatus,
+             CAST(ROUND(o_totalprice * 100) AS BIGINT)
+               + CASE WHEN o_orderkey % 5 = 0 THEN 1000 ELSE 0 END AS cents,
+             o_orderdate,
+             CASE WHEN o_orderkey % 11 = 0 THEN '1-URGENT'
+                  ELSE o_orderpriority END AS o_orderpriority
+      FROM orders WHERE o_orderkey % 97 <> 0
+      UNION ALL
+      SELECT o_orderkey, o_custkey, o_orderstatus,
+             CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents,
+             o_orderdate, o_orderpriority
+      FROM orders WHERE o_orderkey % 101 = 0
+    ),
+    h AS (
+      SELECT ('0x' || substr(md5(
+               concat_ws('|',
+                 CAST(o_orderkey AS VARCHAR),
+                 CAST(o_custkey AS VARCHAR),
+                 o_orderstatus,
+                 CAST(cents AS VARCHAR),
+                 strftime(o_orderdate, '%Y-%m-%d'),
+                 o_orderpriority)), 1, 15))::UBIGINT AS rh
+      FROM newsnap
+    )
+    SELECT CAST(rh % 256 AS INTEGER) AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(bit_xor(rh) AS BIGINT) AS xor_fp,
+           CAST(SUM(rh % 1000000007) AS BIGINT) AS sum_fp
+    FROM h GROUP BY 1
+    """,
+)
+def incremental_checksum_orders(spark, sf_dir):
+    """The anti-entropy checksum table maintained INCREMENTALLY from
+    the same CDC scenario as ``incremental_agg_orders`` (deletes
+    key%97, +10.00 price updates key%5, re-prioritizations key%11,
+    clone inserts key%101): every fingerprint component is a group
+    under its own operation — counts and modular sums under signed
+    addition, XOR under XOR itself — so the maintained table equals
+    the from-scratch recompute over the mutated snapshot BIT FOR BIT
+    (``operators.ivm.incremental_checksum``; the oracle performs that
+    recompute independently).  An update contributes its OLD row hash
+    at -1 and its NEW row hash at +1; the clone inserts exercise the
+    XOR parity subtlety (x ^ x = 0 — a duplicated row vanishes from
+    xor_fp, which is exactly why n_rows and sum_fp ride alongside).
+
+    At 100 TB this closes the reconciliation loop cheaply: the merge
+    maintains destination fingerprints from its own write feed in
+    O(|delta|), and a periodic ``table_checksum_buckets`` recompute
+    over the source compares 256 rows to prove the copies identical —
+    no full-table diff ever runs unless a bucket disagrees."""
+    from beehive_spark.operators.ivm import build_checksum, incremental_checksum
+
+    o = load(spark, sf_dir, "orders")
+    k = F.col("o_orderkey")
+    base = build_checksum(o.select(_orders_row_hash().alias("rh")))
+    cents_old = F.round(F.col("o_totalprice") * 100).cast("long")
+    cents_new = cents_old + F.when(k % 5 == 0, 1000).otherwise(0)
+    prio_new = F.when(k % 11 == 0, F.lit("1-URGENT")).otherwise(
+        F.col("o_orderpriority")
+    )
+    touched = (k % 97 != 0) & ((k % 5 == 0) | (k % 11 == 0))
+    retr = (
+        # updates: old version out, new version in
+        o.filter(touched)
+        .select(_orders_row_hash().alias("rh"), F.lit(-1).alias("_sign"))
+        .unionByName(
+            o.filter(touched).select(
+                _orders_row_hash(cents=cents_new, priority=prio_new).alias("rh"),
+                F.lit(1).alias("_sign"),
+            )
+        )
+        # deletes
+        .unionByName(
+            o.filter(k % 97 == 0).select(
+                _orders_row_hash().alias("rh"), F.lit(-1).alias("_sign")
+            )
+        )
+        # clone inserts
+        .unionByName(
+            o.filter(k % 101 == 0).select(
+                _orders_row_hash().alias("rh"), F.lit(1).alias("_sign")
+            )
         )
     )
+    return incremental_checksum(base, retr)

@@ -154,6 +154,7 @@ EXTRA = [
     "pmi_collocations",
     "events_ohlc_bars",
     "table_checksum_buckets",
+    "incremental_checksum_orders",
     "bm25_retrieval",
     "events_twap",
     "incremental_distinct_orders",

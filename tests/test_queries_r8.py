@@ -297,3 +297,59 @@ def test_table_checksum_buckets_localizes_a_single_corrupt_row(spark, sf_dir):
     assert changed <= {b_old, b_new} and changed
     # every untouched bucket's fingerprint is stable
     assert all(base[b] == want[b] for b in base if b not in changed)
+
+
+def test_incremental_checksum_random_history_equals_recompute(spark):
+    """Property-style pin for operators.ivm.incremental_checksum: a
+    random multi-round CDC history (inserts incl. exact clones,
+    deletes, value updates) maintained incrementally must equal
+    build_checksum recomputed from the surviving multiset after EVERY
+    round — including the XOR parity case (clone insert then delete)."""
+    import random
+
+    from pyspark.sql import functions as F2
+
+    from beehive_spark.operators.ivm import build_checksum, incremental_checksum
+
+    rng = random.Random(88)
+    rows = [rng.randrange(1, 2**59) for _ in range(300)]
+
+    def frame(hs, sign=None):
+        data = [(h,) if sign is None else (h, sign) for h in hs]
+        schema = "rh long" if sign is None else "rh long, _sign int"
+        return spark.createDataFrame(data, schema)
+
+    live = list(rows)
+    view = build_checksum(frame(live), n_buckets=16)
+    for _ in range(4):
+        retr = []
+        # deletes
+        for _ in range(20):
+            h = live.pop(rng.randrange(len(live)))
+            retr.append((h, -1))
+        # clone inserts (xor parity) + fresh inserts
+        for _ in range(10):
+            h = rng.choice(live)
+            live.append(h)
+            retr.append((h, 1))
+        for _ in range(15):
+            h = rng.randrange(1, 2**59)
+            live.append(h)
+            retr.append((h, 1))
+        # updates: old out, new in
+        for _ in range(10):
+            i = rng.randrange(len(live))
+            old, new = live[i], rng.randrange(1, 2**59)
+            live[i] = new
+            retr.extend([(old, -1), (new, 1)])
+        rdf = spark.createDataFrame(retr, "rh long, _sign int")
+        view = incremental_checksum(view, rdf, n_buckets=16).localCheckpoint()
+        want = {
+            r["bucket"]: (r["n_rows"], r["xor_fp"], r["sum_fp"])
+            for r in build_checksum(frame(live), n_buckets=16).collect()
+        }
+        got = {
+            r["bucket"]: (r["n_rows"], r["xor_fp"], r["sum_fp"])
+            for r in view.collect()
+        }
+        assert got == want
