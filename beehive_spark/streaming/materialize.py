@@ -517,3 +517,65 @@ def run_ivm_join_agg_stream(
     q.awaitTermination(timeout_sec)
     if q.isActive:  # pragma: no cover
         q.stop()
+
+
+def run_ivm_checksum_stream(
+    spark: SparkSession,
+    changes: DataFrame,
+    table_path: str,
+    checkpoint_dir: str,
+    hash_col: str = "rh",
+    sign_col: str = "_sign",
+    n_buckets: int = 256,
+    timeout_sec: int = 120,
+) -> None:
+    """Maintain the per-bucket content-fingerprint table
+    (``operators.ivm.build_checksum`` shape: bucket, n_rows, xor_fp,
+    sum_fp) from a streaming feed of SIGNED ROW-HASH VERSIONS — the
+    writer emits each applied row version's canonical hash with +1
+    (inserted version) or -1 (retracted version); an update is two
+    rows.  Fold is ``operators.ivm.incremental_checksum``: every
+    component is a group under its own operation, so a micro-batch
+    costs one <=n_buckets-row broadcast merge regardless of history.
+
+    Exactly-once is the SIMPLEST of the materialize family because
+    the view is fully self-maintaining (no auxiliary artifact): one
+    staged write commits data and batch id together (`_commit_swap`),
+    and a replayed micro-batch short-circuits on the recorded id.
+    The table must exist (write the initial ``build_checksum`` once
+    from the batch backfill).
+
+    This closes the merge reconciliation loop in streaming form: the
+    destination's fingerprints stay current with the write feed in
+    O(|delta|), and comparing 256 rows against a source-side
+    ``table_checksum_buckets`` recompute proves the copies identical
+    without ever diffing full tables."""
+    from beehive_spark.operators.ivm import incremental_checksum
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        if batch_id <= _last_applied(table_path):
+            return  # replayed micro-batch: already folded in
+        base = spark.read.parquet(table_path)
+        fresh = incremental_checksum(
+            base,
+            batch_df,
+            hash_col=hash_col,
+            sign_col=sign_col,
+            n_buckets=n_buckets,
+        )
+        _commit_swap(fresh, table_path, batch_id)
+
+    q = (
+        changes.writeStream.outputMode("append")
+        .foreachBatch(sink)
+        .option(
+            "checkpointLocation", os.path.join(checkpoint_dir, "ivm_checksum")
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(timeout_sec)
+    if q.isActive:  # pragma: no cover
+        q.stop()

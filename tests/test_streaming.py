@@ -757,3 +757,54 @@ def test_ivm_distinct_stream_repairs_counts_behind_mult(spark, tmp_path):
     assert sorted(
         tuple(r) for r in spark.read.parquet(mult_path).collect()
     ) == [("a", 1, 1), ("b", 2, 1)]
+
+
+def test_ivm_checksum_stream_converges_and_replays_noop(spark, tmp_path):
+    """Streaming fingerprint maintenance: after micro-batches with
+    inserts (incl. an exact clone — the XOR parity case), an update,
+    and a delete, the table must equal build_checksum recomputed from
+    the surviving multiset; a replayed feed must be a no-op."""
+    from beehive_spark.operators.ivm import build_checksum
+    from beehive_spark.streaming.materialize import run_ivm_checksum_stream
+
+    feed_dir = tmp_path / "feed"
+    feed_dir.mkdir()
+    schema = "rh bigint, _sign int"
+    h = [11, 22, 33, 44, 55]
+    # batch 1: five inserts plus an exact clone of h[0]
+    spark.createDataFrame(
+        [(x, 1) for x in h] + [(h[0], 1)], schema
+    ).coalesce(1).write.parquet(str(feed_dir / "f1.parquet"))
+    # batch 2: delete the clone (XOR parity round-trip), update 22->99
+    spark.createDataFrame(
+        [(h[0], -1), (22, -1), (99, 1)], schema
+    ).coalesce(1).write.parquet(str(feed_dir / "f2.parquet"))
+
+    table = str(tmp_path / "cksum")
+    spark.createDataFrame(
+        [], "bucket int, n_rows bigint, xor_fp bigint, sum_fp bigint"
+    ).write.parquet(table)
+    changes = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(feed_dir) + "/*/")
+    )
+    run_ivm_checksum_stream(
+        spark, changes, table, str(tmp_path / "ckpt"), n_buckets=8
+    )
+    final = [11, 33, 44, 55, 99]
+    want = sorted(
+        tuple(r)
+        for r in build_checksum(
+            spark.createDataFrame([(x,) for x in final], "rh bigint"),
+            n_buckets=8,
+        ).collect()
+    )
+    got = sorted(tuple(r) for r in spark.read.parquet(table).collect())
+    assert got == want
+
+    changes2 = spark.readStream.schema(schema).parquet(str(feed_dir) + "/*/")
+    run_ivm_checksum_stream(
+        spark, changes2, table, str(tmp_path / "ckpt2"), n_buckets=8
+    )
+    assert sorted(tuple(r) for r in spark.read.parquet(table).collect()) == want
