@@ -561,9 +561,11 @@ def incremental_checksum(
     ``retractions``: one row per inserted (+1) / retracted (-1) row
     VERSION with its row hash — an update contributes its old hash at
     -1 and its new hash at +1.  The delta aggregates to at most
-    ``n_buckets`` rows and broadcasts into the base; buckets whose
-    count reaches zero drop from the view (matching the recompute,
-    which only emits non-empty buckets)."""
+    ``n_buckets`` rows before the merge, so the full-outer join (which
+    Spark plans as a sort-merge — broadcast hints do not apply to
+    full-outer) touches two <= n_buckets-row frames regardless of fact
+    or delta size; buckets whose count reaches zero drop from the view
+    (matching the recompute, which only emits non-empty buckets)."""
     d = (
         retractions.groupBy(
             F.pmod(hash_col, F.lit(n_buckets)).cast("int").alias(bucket_col)
