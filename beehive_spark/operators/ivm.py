@@ -579,7 +579,7 @@ def incremental_checksum(
     )
     z = F.lit(0).cast("long")
     return (
-        base.join(F.broadcast(d), bucket_col, "full_outer")
+        base.join(d, bucket_col, "full_outer")
         .select(
             bucket_col,
             (F.coalesce("n_rows", z) + F.coalesce("_dn", z)).alias("n_rows"),

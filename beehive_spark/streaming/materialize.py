@@ -527,6 +527,7 @@ def run_ivm_checksum_stream(
     hash_col: str = "rh",
     sign_col: str = "_sign",
     n_buckets: int = 256,
+    mod: int = 1_000_000_007,
     timeout_sec: int = 120,
 ) -> None:
     """Maintain the per-bucket content-fingerprint table
@@ -558,12 +559,16 @@ def run_ivm_checksum_stream(
         if batch_id <= _last_applied(table_path):
             return  # replayed micro-batch: already folded in
         base = spark.read.parquet(table_path)
+        # mod plumbs through like n_buckets: a table backfilled with a
+        # non-default modulus maintained under the default would fold
+        # wrong residues into sum_fp with no error (r8 review)
         fresh = incremental_checksum(
             base,
             batch_df,
             hash_col=hash_col,
             sign_col=sign_col,
             n_buckets=n_buckets,
+            mod=mod,
         )
         _commit_swap(fresh, table_path, batch_id)
 

@@ -471,10 +471,16 @@ def main() -> None:
         clean, dirty = _linkage_frames(spark, sf)
         nation = dirty.join(clean, dirty["d_nat"] == clean["nat"]).count()
         banded = _linkage_banded_candidates(clean, dirty).count()
-        return nation, banded
+        return nation, banded, clean.count()
 
-    nat1, band1 = _cand_counts(SF_DIR)
-    nat10, band10 = _cand_counts(scaled_dir)
+    nat1, band1, n1 = _cand_counts(SF_DIR)
+    nat10, band10, n10 = _cand_counts(scaled_dir)
+    # two-term model: the true-pair floor (n/10 guaranteed matches)
+    # plus the collision term (n/10 dirty rows x n/#blocks occupancy;
+    # ~275k (nation, 1-dollar band) blocks)
+    _N_BLOCKS = 25 * 11_000
+    pred1 = n1 // 10 + (n1 // 10) * n1 // _N_BLOCKS
+    pred10 = n10 // 10 + (n10 // 10) * n10 // _N_BLOCKS
 
     lines = [
         "# STRESS — scaling smoke (1x vs 10x rows, local[32])",
@@ -577,13 +583,15 @@ def main() -> None:
         "Replica balances are spread across the band domain (see",
         "build_scaled_dir) because a verbatim-copy corpus would stack",
         "all replicas into identical blocks and measure corpus",
-        "pathology, not blocking.  With a fixed band domain the banded",
-        "count is ~n * occupancy where occupancy = n / #blocks — near",
-        "1x-per-10x while blocks outnumber customers (the shipped SFs),",
-        "degrading gracefully toward n^2/275k beyond ~275k customers;",
-        "the band width is the knob (halving it doubles #blocks while",
-        "the stagger guarantee needs only width > 2 x the 3-cent",
-        "perturbation).  Nation blocking is the n^2/25 baseline.",
+        "pathology, not blocking.  Two-term model: candidates ~",
+        "true-pair floor (n/10 guaranteed matches) + collision term",
+        "(n/10 x n/#blocks, ~275k (nation, band) blocks) — predicted",
+        f"{pred1:,} at 1x and {pred10:,} at 10x vs measured {band1:,} /",
+        f"{band10:,}.  Growth sits between linear and quadratic exactly",
+        "as the occupancy term predicts; the band width is the knob",
+        "that adds blocks when occupancy nears 1 (the stagger",
+        "guarantee needs only width > 2 x the 3-cent perturbation).",
+        "Nation blocking is the n^2/25 baseline at every size.",
         "Blocking recall for true pairs is exact by the stagger bound",
         "(perturbation <= 3 cents < half the 50-cent grid offset), so",
         "the candidate set loses nothing the scorer would link.",

@@ -271,32 +271,45 @@ def test_table_checksum_buckets_matches_python_md5(spark, sf_dir):
 
 
 def test_table_checksum_buckets_localizes_a_single_corrupt_row(spark, sf_dir):
-    """The reconciliation contract: corrupting ONE row's content (same
-    cardinality) must flip exactly the fingerprints of that row's
-    bucket — the diff a count-only reconciliation cannot see."""
+    """The reconciliation contract, EXECUTED: run the same fingerprint
+    computation over a copy of orders with ONE row's content mutated
+    (same cardinality) and diff the two Spark-computed frames — the
+    change must surface, and only in the corrupt row's old/new
+    buckets.  (The first version of this test hand-adjusted the
+    expected dict and could never fail — r8 review.)"""
+    from beehive_spark.operators.ivm import build_checksum
     from beehive_spark.queries import load
-    from beehive_spark.queries.relational import table_checksum_buckets
+    from beehive_spark.queries.relational import (
+        _orders_row_hash,
+        table_checksum_buckets,
+    )
 
     base = {
         r["bucket"]: (r["n_rows"], r["xor_fp"], r["sum_fp"])
         for r in table_checksum_buckets(spark, sf_dir).collect()
     }
-    victim = load(spark, sf_dir, "orders").first()
-    old_h = _order_row_hash(victim)
-    new_h = _order_row_hash(
-        type(victim)(**{**victim.asDict(), "o_orderstatus": "Z"})
+    o = load(spark, sf_dir, "orders")
+    victim_key = o.first()["o_orderkey"]
+    corrupt = o.withColumn(
+        "o_orderstatus",
+        F.when(F.col("o_orderkey") == victim_key, F.lit("Z")).otherwise(
+            F.col("o_orderstatus")
+        ),
     )
-    b_old, b_new = old_h % 256, new_h % 256
-    # recompute expected fingerprints after the in-place corruption
-    want = dict(base)
-    n, x, s = want[b_old]
-    want[b_old] = (n - 1, x ^ old_h, s - old_h % 1_000_000_007)
-    n, x, s = want.get(b_new, (0, 0, 0))
-    want[b_new] = (n + 1, x ^ new_h, s + new_h % 1_000_000_007)
-    changed = {b for b in set(base) | set(want) if base.get(b) != want.get(b)}
-    assert changed <= {b_old, b_new} and changed
-    # every untouched bucket's fingerprint is stable
-    assert all(base[b] == want[b] for b in base if b not in changed)
+    got = {
+        r["bucket"]: (r["n_rows"], r["xor_fp"], r["sum_fp"])
+        for r in build_checksum(corrupt.select(_orders_row_hash().alias("rh"))).collect()
+    }
+    victim = o.filter(F.col("o_orderkey") == victim_key).first()
+    b_old = _order_row_hash(victim) % 256
+    b_new = (
+        _order_row_hash(type(victim)(**{**victim.asDict(), "o_orderstatus": "Z"}))
+        % 256
+    )
+    changed = {b for b in set(base) | set(got) if base.get(b) != got.get(b)}
+    assert changed and changed <= {b_old, b_new}
+    # total row count is conserved — the diff counts cannot see
+    assert sum(v[0] for v in got.values()) == sum(v[0] for v in base.values())
 
 
 def test_incremental_checksum_random_history_equals_recompute(spark):
