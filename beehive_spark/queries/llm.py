@@ -1785,8 +1785,19 @@ def similarity_ann_pq(
     and each candidate's approximate dot is m table lookups summed —
     all JVM array expressions, no Python in the scoring loop.  The top
     ``refine`` ADC candidates per query are then re-ranked by exact
-    cosine (join back to the full vectors by id) to emit true-cosine
-    top-``k``.
+    cosine to emit true-cosine top-``k``.
+
+    Training + encoding ride the PERSISTED PQ index lifecycle (r8:
+    the same artifact-amortization move the r6 verdict asked of
+    dedup_semantic): the first execution per corpus builds a
+    ``pq``-tagged codes/books artifact (``build_pq_index`` — shared
+    trainer, shared encode expressions), and every later execution is
+    a pure ``probe_pq_index`` off disk — zero k-means, zero corpus
+    encoding.  Row-identity with the from-scratch inline evaluation
+    is pinned in ``tests/test_ann_index.py`` against
+    :func:`_similarity_pq_inline` (kept as the independent twin).
+    The artifact is corpus-fingerprint-keyed (``_ann_index_dir``), so
+    a regenerated corpus rebuilds.
 
     Determinism: codebooks from `_train_pq_codebooks` (hash-sampled,
     fixed init/iters).  Measured recall@5 vs brute force (m=8,
@@ -1794,8 +1805,41 @@ def similarity_ann_pq(
     sf0.1; refine=96 measured 0.90/0.94/0.80 at sf0.001/0.01/0.1 —
     the refine count, a per-query CONSTANT, is the recall knob as the
     corpus grows.  Pinned >= 0.9 at the test SF in
-    tests/test_semantic_pq.py; ADC error on this near-isotropic
-    synthetic corpus is absorbed by the exact refine."""
+    tests/test_semantic_pq.py (now exercising the artifact path);
+    ADC error on this near-isotropic synthetic corpus is absorbed by
+    the exact refine."""
+    from beehive_spark.operators.ann_index import (
+        META_NAME,
+        build_pq_index,
+        probe_pq_index,
+    )
+
+    e = load(spark, sf_dir, "embeddings")
+    idx = _ann_index_dir(sf_dir, f"pq_m{m}_k{ksub}")
+    if not os.path.exists(os.path.join(idx, META_NAME)):
+        build_pq_index(
+            spark,
+            e.select("vec_id", "embedding").filter(F.col("vec_id") >= 10),
+            idx,
+            m=m,
+            ksub=ksub,
+        )
+    return probe_pq_index(
+        spark,
+        idx,
+        e.select("vec_id", "embedding").filter(F.col("vec_id") < 10),
+        refine=refine,
+        k=k,
+    )
+
+
+def _similarity_pq_inline(
+    spark, sf_dir, m: int = 8, ksub: int = 32, refine: int = 256, k: int = 5
+):
+    """The from-scratch inline PQ evaluation (train + encode + ADC +
+    refine in one plan, no artifact) — retained UNREGISTERED as the
+    independent twin that ``tests/test_ann_index.py`` pins the
+    persisted path of :func:`similarity_ann_pq` against."""
     e = load(spark, sf_dir, "embeddings")
     norm = lambda c: F.sqrt(F.aggregate(c, F.lit(0.0), lambda a, x: a + x * x))  # noqa: E731
     emb = (

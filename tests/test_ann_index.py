@@ -138,7 +138,11 @@ def test_build_swap_is_atomic_over_existing_index(spark, sf_dir, tmp_path):
 
 
 def test_pq_index_build_probe_matches_in_query(spark, sf_dir, tmp_path):
-    from beehive_spark.queries.llm import similarity_ann_pq
+    """The persisted PQ path must be row-identical to the from-scratch
+    inline evaluation — the independence pin behind the registered
+    similarity_ann_pq riding the artifact (r8); the inline twin is
+    kept UNREGISTERED in queries.llm exactly for this comparison."""
+    from beehive_spark.queries.llm import _similarity_pq_inline, similarity_ann_pq
 
     idx = str(tmp_path / "pq")
     meta = build_pq_index(spark, _corpus(spark, sf_dir), idx, m=8, ksub=32)
@@ -155,11 +159,19 @@ def test_pq_index_build_probe_matches_in_query(spark, sf_dir, tmp_path):
     )
     want = sorted(
         tuple(r)
-        for r in similarity_ann_pq(
+        for r in _similarity_pq_inline(
             spark, sf_dir, m=8, ksub=32, refine=96, k=5
         ).collect()
     )
     assert got == want and len(got) > 0
+    # the registered query (artifact-riding) agrees with both
+    reg = sorted(
+        tuple(r)
+        for r in similarity_ann_pq(
+            spark, sf_dir, m=8, ksub=32, refine=96, k=5
+        ).collect()
+    )
+    assert reg == want
 
 
 def test_registered_build_and_probe_queries(spark, sf_dir):
