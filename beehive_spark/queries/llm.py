@@ -442,6 +442,13 @@ def dedup_simhash(spark, sf_dir):
     expressions; pairs within hamming distance <= 3 reported via
     4-block LSH (a pair within distance 3 must agree exactly on >= 1
     of 4 16-bit blocks — pigeonhole, no recall loss).
+
+    The signature frame is eagerly localCheckpoint'ed (16 bytes/doc)
+    before the block self-join: without it each join SIDE re-evaluates
+    the full tokenize->shingle->64-bit-fold lineage — the same
+    self-join recompute face media_phash_dedup hit in r6.  Measured at
+    sf0.1: 10.2s -> ~2.5s (the sweep tier's first catch — this query
+    had never been benched before r8).
     """
     d = load(spark, sf_dir, "documents")
     toks = d.select("doc_id", _tokens(F.col("text")).alias("w"))
@@ -468,7 +475,9 @@ def dedup_simhash(spark, sf_dir):
             F.col(f"b{bit}") > 0, F.shiftleft(F.lit(1).cast("long"), bit)
         ).otherwise(F.lit(0).cast("long"))
         sim = term if sim is None else sim.bitwiseOR(term)
-    sigs = with_bits.select("doc_id", sim.alias("simhash"))
+    sigs = with_bits.select("doc_id", sim.alias("simhash")).localCheckpoint(
+        eager=True
+    )
     blocks = sigs.select(
         "doc_id",
         "simhash",
