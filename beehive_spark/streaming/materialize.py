@@ -584,3 +584,109 @@ def run_ivm_checksum_stream(
     q.awaitTermination(timeout_sec)
     if q.isActive:  # pragma: no cover
         q.stop()
+
+
+def run_ohlc_stream(
+    spark: SparkSession,
+    events: DataFrame,
+    table_path: str,
+    checkpoint_dir: str,
+    timeout_sec: int = 120,
+) -> None:
+    """Maintain OHLC bars per (event_type, hour bucket) from a raw
+    event stream — the streaming twin of
+    ``queries.core.events_ohlc_bars``.  Bars are a MERGEABLE MONOID:
+    open/close are min/max by the total (ts, event_id) order, high/low
+    are extrema, n_events a count — so each micro-batch folds to one
+    partial bar per touched bucket and merges into the table with a
+    <=|buckets|-row full-outer join; raw events are never kept.
+
+    The table carries the merge state (open_ts/open_id and
+    close_ts/close_id ride along so later, earlier-timestamped data —
+    late arrivals included — can still win the open or lose the
+    close); project the standard (event_type, bucket, open, high,
+    low, close, n_events) off it for consumers.  Exactly-once via the
+    family's staged write committing data + batch id together; replays
+    short-circuit on the recorded id.  The table must exist (write an
+    empty frame or a batch backfill first)."""
+    from pyspark.sql import functions as F
+
+    state_cols = [
+        "event_type", "bucket",
+        "open_ts", "open_id", "open",
+        "close_ts", "close_id", "close",
+        "high", "low", "n_events",
+    ]
+
+    def partial(df: DataFrame) -> DataFrame:
+        b = df.select(
+            "event_type",
+            F.date_trunc("hour", F.col("ts")).alias("bucket"),
+            "ts", "event_id", "value",
+        )
+        o = F.struct("ts", "event_id", "value")
+        return b.groupBy("event_type", "bucket").agg(
+            F.min(o).alias("_o"),
+            F.max(o).alias("_c"),
+            F.max("value").alias("high"),
+            F.min("value").alias("low"),
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+        ).select(
+            "event_type", "bucket",
+            F.col("_o.ts").alias("open_ts"),
+            F.col("_o.event_id").alias("open_id"),
+            F.col("_o.value").alias("open"),
+            F.col("_c.ts").alias("close_ts"),
+            F.col("_c.event_id").alias("close_id"),
+            F.col("_c.value").alias("close"),
+            "high", "low", "n_events",
+        )
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        if batch_id <= _last_applied(table_path):
+            return  # replayed micro-batch: already folded in
+        d = partial(batch_df)
+        t = spark.read.parquet(table_path)
+        tt, dd = t.alias("t"), d.alias("d")
+        on = ["event_type", "bucket"]
+        j = tt.join(dd, on, "full_outer")
+        # struct comparison gives the lexicographic (ts, id) order
+        t_open = F.struct(F.col("t.open_ts"), F.col("t.open_id"))
+        d_open = F.struct(F.col("d.open_ts"), F.col("d.open_id"))
+        t_close = F.struct(F.col("t.close_ts"), F.col("t.close_id"))
+        d_close = F.struct(F.col("d.close_ts"), F.col("d.close_id"))
+        open_from_t = F.col("d.open_ts").isNull() | (
+            F.col("t.open_ts").isNotNull() & (t_open <= d_open)
+        )
+        close_from_t = F.col("d.close_ts").isNull() | (
+            F.col("t.close_ts").isNotNull() & (t_close >= d_close)
+        )
+        fresh = j.select(
+            *on,
+            F.when(open_from_t, F.col("t.open_ts")).otherwise(F.col("d.open_ts")).alias("open_ts"),
+            F.when(open_from_t, F.col("t.open_id")).otherwise(F.col("d.open_id")).alias("open_id"),
+            F.when(open_from_t, F.col("t.open")).otherwise(F.col("d.open")).alias("open"),
+            F.when(close_from_t, F.col("t.close_ts")).otherwise(F.col("d.close_ts")).alias("close_ts"),
+            F.when(close_from_t, F.col("t.close_id")).otherwise(F.col("d.close_id")).alias("close_id"),
+            F.when(close_from_t, F.col("t.close")).otherwise(F.col("d.close")).alias("close"),
+            F.greatest(F.col("t.high"), F.col("d.high")).alias("high"),
+            F.least(F.col("t.low"), F.col("d.low")).alias("low"),
+            (
+                F.coalesce(F.col("t.n_events"), F.lit(0).cast("long"))
+                + F.coalesce(F.col("d.n_events"), F.lit(0).cast("long"))
+            ).alias("n_events"),
+        ).select(*state_cols)
+        _commit_swap(fresh, table_path, batch_id)
+
+    q = (
+        events.writeStream.outputMode("append")
+        .foreachBatch(sink)
+        .option("checkpointLocation", os.path.join(checkpoint_dir, "ohlc"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(timeout_sec)
+    if q.isActive:  # pragma: no cover
+        q.stop()

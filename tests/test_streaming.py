@@ -808,3 +808,66 @@ def test_ivm_checksum_stream_converges_and_replays_noop(spark, tmp_path):
         spark, changes2, table, str(tmp_path / "ckpt2"), n_buckets=8
     )
     assert sorted(tuple(r) for r in spark.read.parquet(table).collect()) == want
+
+
+def test_ohlc_stream_merges_bars_and_handles_late_data(spark, tmp_path):
+    """Streaming OHLC: micro-batches that split a bucket's events —
+    including a LATE batch carrying the bucket's true earliest event —
+    must converge to the batch OHLC of the union; replay is a no-op."""
+    import datetime as dt
+
+    from beehive_spark.streaming.materialize import run_ohlc_stream
+
+    feed_dir = tmp_path / "feed"
+    feed_dir.mkdir()
+    schema = "event_type string, ts timestamp, event_id bigint, value double"
+    t0 = dt.datetime(2024, 1, 1, 10, 0, 0)
+
+    def ev(minute, eid, val, typ="click"):
+        return (typ, t0.replace(minute=minute), eid, val)
+
+    # batch 1: mid-hour events
+    spark.createDataFrame(
+        [ev(30, 3, 5.0), ev(40, 4, 9.0), ev(50, 5, 2.0)], schema
+    ).coalesce(1).write.parquet(str(feed_dir / "f1.parquet"))
+    # batch 2: LATE data — earlier ts than anything in batch 1 (new
+    # open), plus a later close and a second bucket
+    spark.createDataFrame(
+        [ev(10, 1, 7.0), ev(55, 9, 4.0), ev(5, 2, 1.0, typ="view")], schema
+    ).coalesce(1).write.parquet(str(feed_dir / "f2.parquet"))
+
+    table = str(tmp_path / "ohlc")
+    spark.createDataFrame(
+        [],
+        "event_type string, bucket timestamp, open_ts timestamp, "
+        "open_id bigint, open double, close_ts timestamp, close_id bigint, "
+        "close double, high double, low double, n_events bigint",
+    ).write.parquet(table)
+    changes = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(feed_dir) + "/*/")
+    )
+    run_ohlc_stream(spark, changes, table, str(tmp_path / "ckpt"))
+    got = {
+        (r["event_type"], r["bucket"]): (
+            r["open"], r["high"], r["low"], r["close"], r["n_events"],
+        )
+        for r in spark.read.parquet(table).collect()
+    }
+    want = {
+        ("click", t0): (7.0, 9.0, 2.0, 4.0, 5),  # late open won; close 55'
+        ("view", t0): (1.0, 1.0, 1.0, 1.0, 1),
+    }
+    assert got == want
+
+    # replay under a fresh checkpoint: recorded batch id makes it a no-op
+    changes2 = spark.readStream.schema(schema).parquet(str(feed_dir) + "/*/")
+    run_ohlc_stream(spark, changes2, table, str(tmp_path / "ckpt2"))
+    got2 = {
+        (r["event_type"], r["bucket"]): (
+            r["open"], r["high"], r["low"], r["close"], r["n_events"],
+        )
+        for r in spark.read.parquet(table).collect()
+    }
+    assert got2 == want
