@@ -131,6 +131,14 @@ REGISTRY_CASES = [
     # candidate generator whose pair count must stay ~linear at 10x
     # (the nation-blocked variant's grows ~n^2; counts measured below)
     ("record_linkage_blocked", "customer"),
+    # round-8 second batch: PMI (one token scan + vocab-sized
+    # marginals), OHLC (one bucket-key shuffle), and both checksum
+    # legs (one scan to 256 rows; the IVM leg's delta is %-of-table
+    # so it scales with the feed, never with history)
+    ("pmi_collocations", "documents"),
+    ("events_ohlc_bars", "events"),
+    ("table_checksum_buckets", "orders"),
+    ("incremental_checksum_orders", "orders"),
 ]
 
 
