@@ -91,6 +91,7 @@ _PRIORITY = [
     "events_ohlc_bars",            # r8 new: OHLC bars per type-hour bucket
     "table_checksum_buckets",      # r8 new: content-level reconciliation
     "incremental_checksum_orders",  # r8 new: fingerprint IVM (XOR group)
+    "incremental_histogram_orders",  # r8 new: binned-p95 view maintenance
     # --- changed in round 8 (advisory fixes in operators/graph.py;
     # shared-stage refactors feeding dedup_semantic and both linkage
     # queries)

@@ -3104,3 +3104,129 @@ def incremental_checksum_orders(spark, sf_dir):
         )
     )
     return incremental_checksum(base, retr)
+
+
+# ---------------------------------------------------------------------------
+# IVM for binned quantiles — histograms are counts on composite keys
+# ---------------------------------------------------------------------------
+@query(
+    "incremental_histogram_orders",
+    oracle="""
+    WITH newsnap AS (
+      SELECT CASE WHEN o_orderkey % 11 = 0 THEN '1-URGENT'
+                  ELSE o_orderpriority END AS pr,
+             CAST(ROUND(o_totalprice * 100) AS BIGINT)
+               + CASE WHEN o_orderkey % 5 = 0 THEN 1000 ELSE 0 END AS cents
+      FROM orders WHERE o_orderkey % 97 <> 0
+      UNION ALL
+      SELECT o_orderpriority,
+             CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+      FROM orders WHERE o_orderkey % 101 = 0
+    ),
+    h AS (
+      SELECT pr, cents // 65536 AS bin, COUNT(*) AS n
+      FROM newsnap GROUP BY 1, 2
+    ),
+    c AS (
+      SELECT pr, bin, n,
+             SUM(n) OVER (PARTITION BY pr ORDER BY bin) AS cum,
+             SUM(n) OVER (PARTITION BY pr) AS n_rows
+      FROM h
+    )
+    SELECT pr AS o_orderpriority,
+           CAST(n_rows AS BIGINT) AS n_rows,
+           CAST(MIN(bin) * 65536 AS BIGINT) AS p95_lo_cents
+    FROM c WHERE cum >= (95 * n_rows + 99) // 100
+    GROUP BY 1, 2
+    """,
+)
+def incremental_histogram_orders(spark, sf_dir):
+    """Binned-quantile view maintenance: a per-priority price
+    HISTOGRAM (fixed $655.36 power-of-two bins — IEEE/integer-exact,
+    the ``events_histogram_rollup`` trick) is maintained under the
+    standard CDC scenario by the EXISTING retraction algebra — a
+    histogram is just a COUNT view keyed by (group, bin), so
+    ``cdc_to_retractions`` + ``incremental_agg`` maintain it in
+    O(|delta|) with zero new operator code (a price update whose bin
+    shifts retracts the old bin and inserts the new one, exactly like
+    a group move).  The p95 is then DERIVED from the maintained bins:
+    cumulative counts over the ~|groups| x |bins| frame (hundreds of
+    rows at any corpus size) pick the first bin crossing
+    ceil(0.95 n), reported as its exact lower bound.
+
+    This is the quantile answer at 100 TB: the fact table is read once
+    at backfill; every refresh costs the delta, and the quantile
+    recomputation is a calendar-sized window — COUNT(DISTINCT)-style
+    re-scans never happen.  Bin width bounds the quantile error
+    (p95 is exact to its bin); halve the width for 2x resolution at
+    2x view rows.  The oracle recomputes the binned p95 from the
+    mutated snapshot from scratch — integer arithmetic end to end
+    (truncating div on non-negative cents), so the gate is hash-exact.
+    """
+    from beehive_spark.operators.ivm import (
+        build_agg,
+        cdc_to_retractions,
+        incremental_agg,
+    )
+
+    width = 65536
+    keys = ["o_orderpriority", "bin"]
+    o = load(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    k = F.col("o_orderkey")
+    bin_of = lambda c: F.call_function(  # noqa: E731
+        "div", c, F.lit(width).cast("long")
+    )
+    base = build_agg(
+        o.withColumn("bin", bin_of(F.col("cents"))), keys, {}, count_col="n"
+    )
+    cents_new = F.col("cents") + F.when(k % 5 == 0, 1000).otherwise(0)
+    prio_new = F.when(k % 11 == 0, F.lit("1-URGENT")).otherwise(
+        F.col("o_orderpriority")
+    )
+    null_s, null_l = F.lit(None).cast("string"), F.lit(None).cast("long")
+    touched = (k % 97 != 0) & ((k % 5 == 0) | (k % 11 == 0))
+    upd = o.filter(touched).select(
+        F.lit("update").alias("change_type"),
+        F.col("o_orderpriority").alias("o_orderpriority_old"),
+        prio_new.alias("o_orderpriority_new"),
+        bin_of(F.col("cents")).alias("bin_old"),
+        bin_of(cents_new).alias("bin_new"),
+    )
+    dels = o.filter(k % 97 == 0).select(
+        F.lit("delete").alias("change_type"),
+        F.col("o_orderpriority").alias("o_orderpriority_old"),
+        null_s.alias("o_orderpriority_new"),
+        bin_of(F.col("cents")).alias("bin_old"),
+        null_l.alias("bin_new"),
+    )
+    ins = o.filter(k % 101 == 0).select(
+        F.lit("insert").alias("change_type"),
+        null_s.alias("o_orderpriority_old"),
+        F.col("o_orderpriority").alias("o_orderpriority_new"),
+        null_l.alias("bin_old"),
+        bin_of(F.col("cents")).alias("bin_new"),
+    )
+    feed = upd.unionByName(dels).unionByName(ins)
+    retr = cdc_to_retractions(feed, keys=keys, values=[])
+    hist = incremental_agg(base, retr, keys, {}, count_col="n")
+    w_cum = (
+        Window.partitionBy("o_orderpriority")
+        .orderBy("bin")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    w_all = Window.partitionBy("o_orderpriority")
+    c = hist.withColumn("cum", F.sum("n").over(w_cum)).withColumn(
+        "n_rows", F.sum("n").over(w_all)
+    )
+    idx = F.call_function(
+        "div", F.col("n_rows") * 95 + 99, F.lit(100).cast("long")
+    )
+    return (
+        c.filter(F.col("cum") >= idx)
+        .groupBy("o_orderpriority", F.col("n_rows").cast("long").alias("n_rows"))
+        .agg((F.min("bin") * width).cast("long").alias("p95_lo_cents"))
+    )

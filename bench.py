@@ -155,6 +155,7 @@ EXTRA = [
     "events_ohlc_bars",
     "table_checksum_buckets",
     "incremental_checksum_orders",
+    "incremental_histogram_orders",
     "bm25_retrieval",
     "events_twap",
     "incremental_distinct_orders",

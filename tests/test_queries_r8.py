@@ -366,3 +366,43 @@ def test_incremental_checksum_random_history_equals_recompute(spark):
             for r in view.collect()
         }
         assert got == want
+
+
+# ---------------------------------------------------------------------------
+# incremental_histogram_orders: python recompute twin over the mutated snapshot
+# ---------------------------------------------------------------------------
+def test_incremental_histogram_matches_python_recompute(spark, sf_dir):
+    from collections import Counter
+
+    from beehive_spark.queries import load
+    from beehive_spark.queries.relational import incremental_histogram_orders
+
+    rows = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_totalprice"
+    ).collect()
+    snap = []
+    for r in rows:
+        k = r["o_orderkey"]
+        cents = round(r["o_totalprice"] * 100)
+        if k % 97 != 0:
+            pr = "1-URGENT" if k % 11 == 0 else r["o_orderpriority"]
+            snap.append((pr, cents + (1000 if k % 5 == 0 else 0)))
+        if k % 101 == 0:
+            snap.append((r["o_orderpriority"], cents))
+    hist = Counter((pr, c // 65536) for pr, c in snap)
+    want = {}
+    for pr in {p for p, _ in hist}:
+        bins = sorted((b, n) for (p, b), n in hist.items() if p == pr)
+        total = sum(n for _, n in bins)
+        idx = (95 * total + 99) // 100
+        cum = 0
+        for b, n in bins:
+            cum += n
+            if cum >= idx:
+                want[pr] = (total, b * 65536)
+                break
+    got = {
+        r["o_orderpriority"]: (r["n_rows"], r["p95_lo_cents"])
+        for r in incremental_histogram_orders(spark, sf_dir).collect()
+    }
+    assert got == want and got
