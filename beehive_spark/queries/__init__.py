@@ -86,6 +86,9 @@ _PRIORITY = [
     # --- new in round 8 (appended as they land)
     "similarity_ann_pq_planted",   # r8 new: exact-grid ADC-path twin
     "dedup_semantic_planted",      # r8 new: exact planted SemDeDup pair stage
+    "dedup_minhash_lsh_planted",   # r8 new: hash-independent LSH recall twin
+    "dedup_simhash_planted",       # r8 new: hash-independent SimHash twin
+    "similarity_ann_ivf_planted",  # r8 new: training-independent IVF twin
     "record_linkage_blocked",      # r8 new: staggered-band multi-pass blocking
     "pmi_collocations",            # r8 new: PMI multi-word-expression mining
     "events_ohlc_bars",            # r8 new: OHLC bars per type-hour bucket

@@ -370,7 +370,16 @@ def dedup_minhash_lsh(spark, sf_dir):
     recompute the 32-permutation signature pipeline (3.8s -> 2.0s at
     sf0.1).
     """
-    d = load(spark, sf_dir, "documents")
+    return _minhash_lsh_pairs(load(spark, sf_dir, "documents"))
+
+
+def _minhash_lsh_pairs(d):
+    """The full MinHash->LSH->exact-verify pipeline over a
+    ``(doc_id, text)`` frame — shared verbatim by
+    :func:`dedup_minhash_lsh` (real corpus, rows-only driver check)
+    and :func:`dedup_minhash_lsh_planted` (closed-form corpus, driver
+    hash gate), so the hash-green evidence covers the code the real
+    query runs."""
     toks = d.select("doc_id", _tokens(F.col("text")).alias("w"))
     # non-distinct is fine here: min() ignores duplicates, and the
     # exact-verification stage re-applies array_distinct itself
@@ -432,6 +441,61 @@ def dedup_minhash_lsh(spark, sf_dir):
     )
 
 
+@query(
+    "dedup_minhash_lsh_planted",
+    oracle="""
+    WITH d AS (SELECT CAST(doc_id AS BIGINT) AS id FROM documents)
+    SELECT a.id AS doc_i, b.id AS doc_j, CAST(1.0 AS DOUBLE) AS jaccard
+    FROM d a JOIN d b ON a.id // 4 = b.id // 4 AND a.id < b.id
+    """,
+)
+def dedup_minhash_lsh_planted(spark, sf_dir):
+    """:func:`_minhash_lsh_pairs` — the EXACT pipeline
+    :func:`dedup_minhash_lsh` runs (tokenize -> 32-perm signatures ->
+    8x4 banded buckets -> candidate self-join -> exact-Jaccard
+    verify) — driven by a PLANTED corpus whose output is closed-form
+    INDEPENDENT of every hash value (r8: the planted-topology move
+    from k-core/PageRank/PQ/SemDeDup applied to the six-rounds
+    rows-only MinHash slot).
+
+    The plant: doc ids split into 4-wide groups (g = doc_id // 4);
+    every doc's text is the same six group-keyed tokens
+    ``w{g}x0 .. w{g}x5``.  Within a group the token arrays are
+    IDENTICAL, so the 4 shingle hashes, all 32 permuted minima, and
+    all 8 band keys are identical — banding has recall 1.0 on equal
+    signatures by construction, so every within-group pair is a
+    candidate no matter what xxhash64 returns, and exact verification
+    computes jaccard = 4/4 = 1.0 (dyadic, survives the 4-decimal
+    round bit-equal in both engines).  Across groups every token
+    embeds g, so shingle sets are DISJOINT: any accidental band-key
+    collision yields jaccard 0 < 0.5 and is filtered.  Expected
+    output is therefore pure id arithmetic — all C(4,2)=6 pairs per
+    group at 1.0 — which the oracle states as a self-join on
+    ``id // 4``.  LOAD-BEARING data assumptions (asserted in
+    tests/test_queries_r8b.py): doc_ids 0-based contiguous, count
+    divisible by 4 at every shipped SF.
+
+    What a red gate here would catch: a broken permutation (sigs no
+    longer equal for equal sets), a band-slot indexing bug, a
+    candidate-join orientation/dup bug, or a verification-join key
+    mix-up — each diverges from the closed form."""
+    d = load(spark, sf_dir, "documents")
+    g = F.call_function(
+        "div", F.col("doc_id").cast("long"), F.lit(4).cast("long")
+    )
+    text = F.concat_ws(
+        " ",
+        *[
+            F.concat(F.lit("w"), g.cast("string"), F.lit(f"x{k}"))
+            for k in range(6)
+        ],
+    )
+    planted = d.select(
+        F.col("doc_id").cast("long").alias("doc_id"), text.alias("text")
+    )
+    return _minhash_lsh_pairs(planted)
+
+
 # ---------------------------------------------------------------------------
 # SimHash fingerprints
 # ---------------------------------------------------------------------------
@@ -450,7 +514,15 @@ def dedup_simhash(spark, sf_dir):
     sf0.1: 10.2s -> ~2.5s (the sweep tier's first catch — this query
     had never been benched before r8).
     """
-    d = load(spark, sf_dir, "documents")
+    return _simhash_pairs(load(spark, sf_dir, "documents"))
+
+
+def _simhash_pairs(d):
+    """The full SimHash->block-LSH->hamming-verify pipeline over a
+    ``(doc_id, text)`` frame — shared verbatim by
+    :func:`dedup_simhash` (real corpus, rows-only driver check) and
+    :func:`dedup_simhash_planted` (closed-form corpus, driver hash
+    gate)."""
     toks = d.select("doc_id", _tokens(F.col("text")).alias("w"))
     # distinctness matters here — duplicate shingles would bias the
     # per-bit +-1 sums, unlike MinHash where min() ignores them
@@ -513,6 +585,56 @@ def dedup_simhash(spark, sf_dir):
         .distinct()
         .filter(F.col("hamming") <= 3)
     )
+
+
+@query(
+    "dedup_simhash_planted",
+    oracle="""
+    WITH d AS (SELECT CAST(doc_id AS BIGINT) AS id FROM documents)
+    SELECT a.id AS doc_i, b.id AS doc_j, CAST(0 AS BIGINT) AS hamming
+    FROM d a JOIN d b ON a.id // 4 = b.id // 4 AND a.id < b.id
+    """,
+)
+def dedup_simhash_planted(spark, sf_dir):
+    """:func:`_simhash_pairs` — the EXACT pipeline
+    :func:`dedup_simhash` runs (tokenize -> 64 per-bit +-1 sums ->
+    sign fold -> 4x16-bit block buckets -> hamming <= 3 verify) —
+    driven by the same 4-wide identical-text plant as
+    :func:`dedup_minhash_lsh_planted`, making the output closed-form
+    INDEPENDENT of every hash value.
+
+    Within a group the texts are identical, so the 64-bit signatures
+    are identical: all 4 blocks collide, every within-group pair is a
+    candidate, and hamming is EXACTLY 0 — no appeal to the pigeonhole
+    recall argument is needed for equal signatures.  Across groups the
+    shingle sets are disjoint, so signatures are independent 64-bit
+    folds; a cross-group pair enters the output only if two
+    independent signatures land within hamming 3 of each other
+    (<= sum_{i<=3} C(64,i) / 2^64 ~ 2^-46 per pair — and the corpus,
+    tokenizer, and xxhash64 seed are all FIXED, so the check is
+    deterministic: tests/test_queries_r8b.py asserts the closed form
+    exactly at every shipped SF, and the driver gate re-proves it at
+    sf0.01 forever after).  Expected output: all 6 pairs per 4-wide
+    group at hamming 0, which the oracle states as id arithmetic.
+
+    What a red gate here would catch: a bit-extraction bug (bit 63's
+    sign handling), a block shift/mask bug, a join orientation bug,
+    or a broken bit_count — each diverges from the closed form."""
+    d = load(spark, sf_dir, "documents")
+    g = F.call_function(
+        "div", F.col("doc_id").cast("long"), F.lit(4).cast("long")
+    )
+    text = F.concat_ws(
+        " ",
+        *[
+            F.concat(F.lit("w"), g.cast("string"), F.lit(f"x{k}"))
+            for k in range(6)
+        ],
+    )
+    planted = d.select(
+        F.col("doc_id").cast("long").alias("doc_id"), text.alias("text")
+    )
+    return _simhash_pairs(planted)
 
 
 # ---------------------------------------------------------------------------
@@ -1507,26 +1629,42 @@ def similarity_ann_ivf(spark, sf_dir, nprobe: int = 6, k: int = 16, replicas: in
     here; on real embedding corpora with cluster structure the same
     settings probe a far smaller fraction."""
     e = load(spark, sf_dir, "embeddings")
+    return _ivf_search(
+        spark,
+        e.select("vec_id", F.col("embedding").cast("array<double>").alias("ed")),
+        e.select("vec_id", "embedding").filter(F.col("vec_id") >= 10),
+        query_pred=F.col("vec_id") < 10,
+        nprobe=nprobe,
+        k=k,
+        replicas=replicas,
+    )
+
+
+def _ivf_search(spark, vecs, train_vecs, query_pred, nprobe, k, replicas):
+    """The full IVF train->assign->probe->exact-rerank pipeline —
+    shared verbatim by :func:`similarity_ann_ivf` (real corpus,
+    rows-only driver check) and :func:`similarity_ann_ivf_planted`
+    (closed-form corpus, driver hash gate).
+
+    ``vecs`` is ``(vec_id, ed: array<double>)``; ``train_vecs`` is the
+    raw ``(vec_id, embedding)`` frame the codebook trains on (kept
+    separate so the real query feeds the trainer the exact column it
+    always has); ``query_pred`` is a boolean expression over ``vec_id``
+    marking query rows — its complement is the corpus."""
     norm = lambda col: F.sqrt(F.aggregate(col, F.lit(0.0), lambda a, x: a + x * x))  # noqa: E731
     # norm in its own projection so it is computed once per row, not
     # once per array element inside the transform lambda
-    emb = (
-        e.select("vec_id", F.col("embedding").cast("array<double>").alias("ed"))
-        .withColumn("nrm", norm(F.col("ed")))
-        .select(
-            "vec_id",
-            F.transform("ed", lambda x: x / F.col("nrm")).alias("en"),
-        )
+    emb = vecs.withColumn("nrm", norm(F.col("ed"))).select(
+        "vec_id",
+        F.transform("ed", lambda x: x / F.col("nrm")).alias("en"),
     )
-    cents = _train_ivf_codebook(
-        e.select("vec_id", "embedding").filter(F.col("vec_id") >= 10), k=k
-    )
+    cents = _train_ivf_codebook(train_vecs, k=k)
     embc = emb.crossJoin(F.broadcast(_codebook_df(spark, cents)))
     sims = _codebook_sims()
     # corpus side: each vector joins its top-`replicas` lists (IVF
     # multi-assignment) — one projection + explode, no shuffle
     lists = (
-        embc.filter(F.col("vec_id") >= 10)
+        embc.filter(~query_pred)
         .select(
             F.col("vec_id").alias("neighbor_id"),
             F.col("en").alias("ce"),
@@ -1536,7 +1674,7 @@ def similarity_ann_ivf(spark, sf_dir, nprobe: int = 6, k: int = 16, replicas: in
     )
     # query side: top-nprobe centroids — sort the k-struct array, slice, explode
     probes = (
-        embc.filter(F.col("vec_id") < 10)
+        embc.filter(query_pred)
         .select(
             F.col("vec_id").alias("query_id"),
             F.col("en").alias("qe"),
@@ -1558,6 +1696,84 @@ def similarity_ann_ivf(spark, sf_dir, nprobe: int = 6, k: int = 16, replicas: in
         .withColumn("rn", F.row_number().over(w_top))
         .filter(F.col("rn") <= 5)
         .select("query_id", "neighbor_id", F.round("sim", 4).alias("cosine"))
+    )
+
+
+@query(
+    "similarity_ann_ivf_planted",
+    oracle="""
+    WITH v AS (SELECT CAST(vec_id AS BIGINT) AS id FROM embeddings),
+    q AS (SELECT id FROM v WHERE id % 20 = 0),
+    n AS (
+      SELECT q.id AS query_id, c.id AS neighbor_id,
+             ROW_NUMBER() OVER (
+               PARTITION BY q.id ORDER BY c.id) AS rn
+      FROM q JOIN v c ON c.id // 20 = q.id // 20 AND c.id <> q.id)
+    SELECT query_id, neighbor_id, CAST(1.0 AS DOUBLE) AS cosine
+    FROM n WHERE rn <= 5
+    """,
+)
+def similarity_ann_ivf_planted(spark, sf_dir):
+    """:func:`_ivf_search` — the EXACT pipeline
+    :func:`similarity_ann_ivf` runs (spherical k-means training,
+    top-``replicas`` multi-assignment, top-``nprobe`` probe, exact
+    cosine re-rank) — driven by a PLANTED corpus whose top-k is
+    closed-form NO MATTER WHAT THE TRAINER LEARNS (r8: the planted
+    twin for the six-rounds rows-only IVF slot).
+
+    The plant: vec ids split into 20-wide groups (g = vec_id // 20);
+    every vector in a group is the IDENTICAL 16-dim point whose
+    component i is +2 if bit i of g is set else -2 (norm^2 = 64, norm
+    EXACTLY 8, unit components EXACTLY +-0.25 — all dyadic, so the
+    within-group cosine is EXACTLY 16 x 0.0625 = 1.0 and every
+    cross-group cosine is (16-2*hamming(g,g'))/16 <= 0.875).  The
+    group minimum (vec_id % 20 == 0) is the query; the other 19 are
+    corpus.
+
+    Why training cannot matter: a query and its group-mates carry the
+    SAME vector, hence the SAME centroid-similarity array, hence the
+    SAME sorted centroid order — so the corpus side's top-3 assignment
+    lists are a PREFIX of the query's top-6 probe lists whatever the
+    centroids are, every group-mate is always a candidate, and the
+    exact re-rank puts all 19 (cosine 1.0, strictly above every
+    cross-group candidate) first, tie-broken by neighbor_id.  Top-5 is
+    therefore pure id arithmetic: the 5 smallest group-mates.
+    LOAD-BEARING data assumptions (asserted in
+    tests/test_queries_r8b.py): vec_ids 0-based contiguous, count
+    divisible by 20 at every shipped SF, and group count <= 2^16 (16
+    sign bits).
+
+    What a red gate here would catch: a probe/assignment slice
+    mismatch (nprobe < replicas prefix break), a candidate-join key
+    bug, a dropDuplicates regression, re-rank tie-break drift, or a
+    normalization bug — each diverges from the closed form."""
+    e = load(spark, sf_dir, "embeddings").select(
+        F.col("vec_id").cast("long").alias("vec_id")
+    )
+    g = F.call_function(
+        "div", F.col("vec_id"), F.lit(20).cast("long")
+    )
+    vec = F.array(
+        *[
+            F.when(
+                F.shiftrightunsigned(g, i).bitwiseAND(F.lit(1)) == 1,
+                F.lit(2.0),
+            ).otherwise(F.lit(-2.0))
+            for i in range(16)
+        ]
+    )
+    planted = e.select("vec_id", vec.alias("ed"))
+    query_pred = F.pmod("vec_id", F.lit(20)) == 0
+    return _ivf_search(
+        spark,
+        planted,
+        planted.filter(~query_pred).select(
+            "vec_id", F.col("ed").alias("embedding")
+        ),
+        query_pred=query_pred,
+        nprobe=6,
+        k=16,
+        replicas=3,
     )
 
 
