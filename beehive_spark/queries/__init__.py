@@ -89,6 +89,9 @@ _PRIORITY = [
     "dedup_minhash_lsh_planted",   # r8 new: hash-independent LSH recall twin
     "dedup_simhash_planted",       # r8 new: hash-independent SimHash twin
     "similarity_ann_ivf_planted",  # r8 new: training-independent IVF twin
+    "association_rules",           # r8 new: apriori-pruned directed rules
+    "equidepth_histogram",         # r8 new: ntile bucket boundaries
+    "event_trigram_lm",            # r8 new: 2nd-order Markov transitions
     "record_linkage_blocked",      # r8 new: staggered-band multi-pass blocking
     "pmi_collocations",            # r8 new: PMI multi-word-expression mining
     "events_ohlc_bars",            # r8 new: OHLC bars per type-hour bucket

@@ -1110,6 +1110,69 @@ def event_transitions(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# Second-order Markov model — event-type trigram transition table
+# ---------------------------------------------------------------------------
+@query(
+    "event_trigram_lm",
+    oracle="""
+    WITH o AS (
+      SELECT event_type AS t1,
+             LEAD(event_type, 1) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id) AS t2,
+             LEAD(event_type, 2) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id) AS t3
+      FROM events),
+    tri AS (
+      SELECT t1, t2, t3, COUNT(*) AS n FROM o
+      WHERE t3 IS NOT NULL GROUP BY 1, 2, 3)
+    SELECT t1, t2, t3, CAST(n AS BIGINT) AS n,
+           CAST((n * 1000000) // SUM(n) OVER (PARTITION BY t1, t2)
+                AS BIGINT) AS p_ppm
+    FROM tri
+    """,
+)
+def event_trigram_lm(spark, sf_dir):
+    """Second-order Markov transition table of user behavior: the
+    trigram upgrade of :func:`event_transitions` — consecutive
+    event-type TRIPLES per user (two ``lead``s over the per-user time
+    order, event_id tiebreak) counted exactly, with the conditional
+    next-action probability p(t3 | t1, t2) as integer
+    parts-per-million over the context total.  Sequence-mining /
+    next-action-prediction baseline; the context-conditioned
+    distribution is what a behavioral LM backs off to.
+
+    Exactness: counts are exact BIGINTs; the only division is the
+    final ppm floor division (engine parity pinned) — the same
+    exact-count-then-divide shape as ``event_transitions`` but with
+    the house ppm discipline instead of a rounded double.
+
+    Scale shape: ONE per-user window exchange serves both leads
+    (identical window spec), then a map-side-combinable count on
+    |types|^3 keys and a |types|^2-partition window for the context
+    totals — both bounded by the type vocabulary, not the event
+    count."""
+    e = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    o = e.select(
+        F.col("event_type").alias("t1"),
+        F.lead("event_type", 1).over(w).alias("t2"),
+        F.lead("event_type", 2).over(w).alias("t3"),
+    ).filter(F.col("t3").isNotNull())
+    tri = o.groupBy("t1", "t2", "t3").agg(F.count(F.lit(1)).alias("n"))
+    wt = Window.partitionBy("t1", "t2")
+    return (
+        tri.withColumn("ctx_total", F.sum("n").over(wt))
+        .select(
+            "t1",
+            "t2",
+            "t3",
+            F.col("n").cast("long").alias("n"),
+            F.expr("(n * 1000000) DIV ctx_total").alias("p_ppm"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # Session co-occurrence — event-type pairs with support and lift
 # ---------------------------------------------------------------------------
 @query(

@@ -1249,6 +1249,189 @@ def copurchase_recommendations(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# Association rules — apriori-pruned directed rules with confidence + lift
+# ---------------------------------------------------------------------------
+@query(
+    "association_rules",
+    oracle="""
+    WITH lp AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+    ic AS (SELECT p, COUNT(*) AS cnt FROM lp GROUP BY 1 HAVING COUNT(*) >= 2),
+    fi AS (SELECT lp.o, lp.p, ic.cnt FROM lp JOIN ic USING (p)),
+    pc AS (
+      SELECT a.p AS pa, b.p AS pb, a.cnt AS ca, b.cnt AS cb,
+             COUNT(*) AS n_pair
+      FROM fi a JOIN fi b ON a.o = b.o AND a.p < b.p
+      GROUP BY 1, 2, 3, 4 HAVING COUNT(*) >= 2),
+    tot AS (SELECT COUNT(DISTINCT o) AS n FROM lp),
+    dir AS (
+      SELECT pa AS antecedent, pb AS consequent, n_pair,
+             ca AS c_ante, cb AS c_cons FROM pc
+      UNION ALL
+      SELECT pb, pa, n_pair, cb, ca FROM pc)
+    SELECT antecedent, consequent, CAST(n_pair AS BIGINT) AS support_cnt,
+           CAST((n_pair * 1000000) // c_ante AS BIGINT) AS conf_ppm,
+           CAST((n_pair * n * 1000000) // (c_ante * c_cons) AS BIGINT)
+             AS lift_ppm
+    FROM dir CROSS JOIN tot
+    """,
+)
+def association_rules(spark, sf_dir, min_support: int = 2):
+    """Directed association rules over order baskets (Agrawal &
+    Srikant, VLDB 1994): every part pair co-purchased in >=
+    ``min_support`` orders emits two rules A=>B and B=>A with exact
+    support, confidence = n(A,B)/n(A), and lift =
+    n(A,B)*N/(n(A)*n(B)).  Confidence is the piece
+    :func:`copurchase_recommendations` (pure lift ranking) doesn't
+    expose, and the APRIORI prune is the piece that makes the pair
+    stage scale: items below ``min_support`` cannot participate in a
+    frequent pair (anti-monotonicity), so they are dropped BEFORE the
+    per-basket fan-out — on a 100 TB basket log the long tail of
+    one-off items never reaches the self-join.
+
+    Exactness: the house integer-ppm discipline — confidence and lift
+    stay BIGINT parts-per-million via floor division on exact counts
+    (engine parity pinned by
+    test_spark_div_matches_duckdb_intdiv_on_all_signs; everything here
+    is positive anyway), so the hash cannot drift on float division.
+
+    Scale shape: baskets collapse once per order and within-basket
+    pairs enumerate as a JVM array expression (the
+    :func:`copurchase_pairs` shape — C(basket,2) fan-out per order,
+    no order-keyed self-join, never |parts|^2); the pruned item-count
+    frame is slim and persisted, joining back twice by direction as
+    broadcasts; the basket total is a 1-row broadcast crossJoin; the
+    directed doubling is ONE explode projection (a fwd/rev UNION
+    would recompute the whole pair pipeline per branch — observed as
+    8 lineitem scans vs 3)."""
+    li = load(spark, sf_dir, "lineitem")
+    items = li.select(
+        F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")
+    ).distinct()
+    icnt = (
+        items.groupBy("p")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .filter(F.col("cnt") >= min_support)
+        .persist()  # slim (item, count); consumed by prune + both rule sides
+    )
+    baskets = (
+        items.join(icnt.select("p"), "p")
+        .groupBy("o")
+        .agg(F.sort_array(F.collect_set("p")).alias("parts"))
+        .filter(F.size("parts") >= 2)
+    )
+    pair_arr = F.flatten(
+        F.transform(
+            F.col("parts"),
+            lambda a, i: F.transform(
+                F.slice(F.col("parts"), i + 2, F.size(F.col("parts"))),
+                lambda b: F.struct(a.alias("pa"), b.alias("pb")),
+            ),
+        )
+    )
+    pairs = (
+        baskets.select(F.explode(pair_arr).alias("pr"))
+        .groupBy(F.col("pr.pa").alias("pa"), F.col("pr.pb").alias("pb"))
+        .agg(F.count(F.lit(1)).alias("n_pair"))
+        .filter(F.col("n_pair") >= min_support)
+    )
+    tot = items.agg(F.countDistinct("o").alias("n"))
+    both = pairs.select(
+        "n_pair",
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("pa").alias("antecedent"),
+                    F.col("pb").alias("consequent"),
+                ),
+                F.struct(
+                    F.col("pb").alias("antecedent"),
+                    F.col("pa").alias("consequent"),
+                ),
+            )
+        ).alias("r"),
+    ).select("r.*", "n_pair")
+    return (
+        both.join(
+            F.broadcast(
+                icnt.select(F.col("p").alias("antecedent"), F.col("cnt").alias("c_ante"))
+            ),
+            "antecedent",
+        )
+        .join(
+            F.broadcast(
+                icnt.select(F.col("p").alias("consequent"), F.col("cnt").alias("c_cons"))
+            ),
+            "consequent",
+        )
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "antecedent",
+            "consequent",
+            F.col("n_pair").cast("long").alias("support_cnt"),
+            F.expr("(n_pair * 1000000) DIV c_ante").alias("conf_ppm"),
+            F.expr("(n_pair * n * 1000000) DIV (c_ante * c_cons)").alias(
+                "lift_ppm"
+            ),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Equi-depth histograms — ntile bucket boundaries per group
+# ---------------------------------------------------------------------------
+@query(
+    "equidepth_histogram",
+    oracle="""
+    WITH t AS (
+      SELECT p_brand, p_retailprice,
+             NTILE(8) OVER (
+               PARTITION BY p_brand ORDER BY p_retailprice, p_partkey
+             ) AS bucket
+      FROM part)
+    SELECT p_brand AS brand, CAST(bucket AS INTEGER) AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_parts,
+           MIN(p_retailprice) AS lo_price,
+           MAX(p_retailprice) AS hi_price
+    FROM t GROUP BY 1, 2
+    """,
+)
+def equidepth_histogram(spark, sf_dir, buckets: int = 8):
+    """Per-brand equi-depth price histograms via NTILE: every brand's
+    parts split into ``buckets`` equal-count ranks (sizes differ by at
+    most one), each bucket reporting its count and exact [lo, hi]
+    price boundary — the optimizer-statistics / data-profiling
+    primitive (equi-depth histograms are what ANALYZE builds), and the
+    quantile-band feature-binning step of a training pipeline.
+
+    Determinism: NTILE needs a TOTAL order to be well-defined across
+    engines; duplicate (brand, price) rows exist in the corpus, so the
+    window orders by (price, partkey).  Spark and DuckDB both deal the
+    remainder r = n mod k to the FIRST r buckets (SQL-standard NTILE),
+    and lo/hi are min/max of stored doubles — no arithmetic anywhere,
+    so every compared value is bit-exact.
+
+    Scale shape: one hash exchange on brand + in-partition sort (a
+    brand's parts fit an executor by construction at any SF — the
+    usual dimension-grain window), then a map-side-combinable agg on
+    (brand, bucket).  No driver action, no global sort."""
+    p = load(spark, sf_dir, "part")
+    w = Window.partitionBy("p_brand").orderBy("p_retailprice", "p_partkey")
+    return (
+        p.select(
+            "p_brand",
+            "p_retailprice",
+            F.ntile(buckets).over(w).alias("bucket"),
+        )
+        .groupBy(F.col("p_brand").alias("brand"), "bucket")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_parts"),
+            F.min("p_retailprice").alias("lo_price"),
+            F.max("p_retailprice").alias("hi_price"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # Fuzzy entity matching — edit-distance join via deletion-neighborhood keys
 # ---------------------------------------------------------------------------
 @query(
