@@ -92,6 +92,9 @@ _PRIORITY = [
     "association_rules",           # r8 new: apriori-pruned directed rules
     "equidepth_histogram",         # r8 new: ntile bucket boundaries
     "event_trigram_lm",            # r8 new: 2nd-order Markov transitions
+    "negative_sampling",           # r8 new: hash-slot corruption sampling
+    "feature_minmax_scaled",       # r8 new: order-free exact normalization
+    "k_anonymity_audit",           # r8 new: quasi-identifier risk gate
     "record_linkage_blocked",      # r8 new: staggered-band multi-pass blocking
     "pmi_collocations",            # r8 new: PMI multi-word-expression mining
     "events_ohlc_bars",            # r8 new: OHLC bars per type-hour bucket

@@ -1583,3 +1583,198 @@ def doc_prefix_clusters(spark, sf_dir, k: int = 8, min_docs: int = 2):
         )
         .filter(F.col("n_docs") >= min_docs)
     )
+
+
+# ---------------------------------------------------------------------------
+# Negative sampling — deterministic hash-slot draws, linear in |users| * k
+# ---------------------------------------------------------------------------
+@query(
+    "negative_sampling",
+    oracle="""
+    WITH np AS (SELECT COUNT(*) AS n_parts FROM part),
+    slots AS (
+      SELECT c.c_custkey, g.i FROM customer c
+      CROSS JOIN generate_series(0, 19) AS g(i)),
+    draw AS (
+      SELECT c_custkey, i,
+             CAST(('0x' || substr(
+                     md5(c_custkey || ':' || i), 1, 8))::UBIGINT
+                  % n_parts AS BIGINT) AS partkey
+      FROM slots CROSS JOIN np),
+    pos AS (
+      SELECT DISTINCT o.o_custkey AS c, l.l_partkey AS p
+      FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey),
+    neg AS (
+      SELECT d.c_custkey, d.partkey, MIN(d.i) AS first_slot
+      FROM draw d
+      WHERE NOT EXISTS (
+        SELECT 1 FROM pos WHERE pos.c = d.c_custkey AND pos.p = d.partkey)
+      GROUP BY 1, 2),
+    r AS (
+      SELECT c_custkey, partkey, first_slot,
+             ROW_NUMBER() OVER (
+               PARTITION BY c_custkey ORDER BY first_slot) AS rk
+      FROM neg)
+    SELECT c_custkey AS custkey, partkey AS neg_partkey,
+           CAST(rk AS INT) AS rk
+    FROM r WHERE rk <= 5
+    """,
+)
+def negative_sampling(spark, sf_dir, k: int = 5, oversample: int = 4):
+    """Deterministic negative sampling for implicit-feedback training
+    pairs: each customer draws ``k * oversample`` pseudo-random part
+    ids from hash slots — partkey = md5(custkey ':' slot) mod
+    |parts| — drops any that the customer actually purchased
+    (anti-join against the positives), collapses repeat draws to
+    their first slot, and keeps the first ``k`` survivors in slot
+    order.  The standard corruption-sampling step of two-tower /
+    matrix-factorization training (Rendle et al., BPR 2009), made
+    reproducible: the same (customer, slot) always draws the same
+    part on any cluster, any partitioning, any engine.
+
+    THE SCALE POINT: negatives come from |customers| * k*oversample
+    generated slot rows (a projection over a per-row ``sequence``
+    explode) — the naive candidate enumeration is |customers| x
+    |parts| (a cross join that cannot run at catalog scale), this is
+    linear with a constant oversample factor.  The part-count rides
+    in as a 1-row broadcast; the positives anti-join is an equi
+    shuffle on (custkey, partkey); the final keep-k is a per-customer
+    window over <= k*oversample rows.  md5 (not xxhash64) because both
+    engines implement it identically — the sampling-parity pattern of
+    ``stratified_sample``.
+
+    Undersupply is possible by construction (a customer whose 20
+    draws all collide or hit positives emits < k rows) and identical
+    in both engines; at the shipped SFs every customer fills all 5
+    (asserted in tests/test_queries_r8d.py)."""
+    c = load(spark, sf_dir, "customer").select("c_custkey")
+    np_ = load(spark, sf_dir, "part").agg(F.count(F.lit(1)).alias("n_parts"))
+    slots = c.select(
+        "c_custkey",
+        F.explode(F.sequence(F.lit(0), F.lit(k * oversample - 1))).alias("i"),
+    )
+    h = F.conv(
+        F.substring(
+            F.md5(
+                F.concat(
+                    F.col("c_custkey").cast("string"),
+                    F.lit(":"),
+                    F.col("i").cast("string"),
+                )
+            ),
+            1,
+            8,
+        ),
+        16,
+        10,
+    ).cast("long")
+    draw = slots.crossJoin(F.broadcast(np_)).select(
+        "c_custkey", "i", F.pmod(h, F.col("n_parts")).alias("partkey")
+    )
+    o = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem")
+    pos = (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .select(F.col("o_custkey").alias("c_custkey"), F.col("l_partkey").alias("partkey"))
+        .distinct()
+    )
+    neg = (
+        draw.join(pos, ["c_custkey", "partkey"], "left_anti")
+        .groupBy("c_custkey", "partkey")
+        .agg(F.min("i").alias("first_slot"))
+    )
+    w = Window.partitionBy("c_custkey").orderBy("first_slot")
+    return (
+        neg.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select(
+            F.col("c_custkey").alias("custkey"),
+            F.col("partkey").alias("neg_partkey"),
+            "rk",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Min-max feature scaling — order-free exact normalization per group
+# ---------------------------------------------------------------------------
+@query(
+    "feature_minmax_scaled",
+    oracle="""
+    WITH b AS (
+      SELECT p_brand, MIN(p_retailprice) AS lo, MAX(p_retailprice) AS hi
+      FROM part GROUP BY 1)
+    SELECT p.p_partkey, p.p_brand AS brand,
+           ROUND((p.p_retailprice - b.lo) / (b.hi - b.lo), 6) AS price_scaled
+    FROM part p JOIN b ON p.p_brand = b.p_brand
+    """,
+)
+def feature_minmax_scaled(spark, sf_dir):
+    """Per-brand min-max price scaling to [0, 1] — the feature-prep
+    normalization step of a training pipeline, done with ORDER-FREE
+    exactness: min/max are selections (no arithmetic, no aggregation-
+    order sensitivity, unlike a mean/stddev z-score over doubles), and
+    the per-row rescale is one subtraction and one division evaluated
+    identically from identical stored doubles in both engines, so the
+    rounded values are bit-equal.  Groups where hi == lo would divide
+    by zero; the corpus has none (every brand spans prices — asserted
+    in tests/test_queries_r8d.py), and real pipelines gate constant
+    features out before scaling.
+
+    Scale shape: one map-side-combinable (brand, min, max) aggregate
+    over the dimension grain, broadcast back onto the fact row — the
+    stats frame is |brands| rows, so the rescale adds ZERO shuffle to
+    the scan."""
+    p = load(spark, sf_dir, "part")
+    b = p.groupBy("p_brand").agg(
+        F.min("p_retailprice").alias("lo"), F.max("p_retailprice").alias("hi")
+    )
+    return (
+        p.join(F.broadcast(b), "p_brand")
+        .select(
+            "p_partkey",
+            F.col("p_brand").alias("brand"),
+            F.round(
+                (F.col("p_retailprice") - F.col("lo"))
+                / (F.col("hi") - F.col("lo")),
+                6,
+            ).alias("price_scaled"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# k-anonymity audit — quasi-identifier group sizes and re-id risk flags
+# ---------------------------------------------------------------------------
+@query(
+    "k_anonymity_audit",
+    oracle="""
+    SELECT CAST(c_nationkey AS INTEGER) AS nationkey,
+           c_mktsegment AS segment,
+           CAST(COUNT(*) AS BIGINT) AS group_size,
+           COUNT(*) < 6 AS at_risk
+    FROM customer GROUP BY 1, 2
+    """,
+)
+def k_anonymity_audit(spark, sf_dir, k: int = 6):
+    """k-anonymity audit over the (nation, market-segment)
+    quasi-identifier pair: every equivalence class's size, flagged
+    ``at_risk`` when fewer than ``k`` customers share the
+    combination — records in such classes are re-identifiable by the
+    quasi-identifiers alone (Sweeney 2002).  The release gate a
+    governance pipeline runs before publishing joined or
+    pseudonymized data; composes with ``pii_scrub`` (field-level
+    redaction) by covering the LINKAGE risk redaction cannot see.
+
+    Scale shape: one map-side-combinable aggregate on the
+    quasi-identifier key — group count is bounded by the attribute
+    domain product (|nations| x |segments|), not the customer count;
+    no window, no join."""
+    c = load(spark, sf_dir, "customer")
+    return c.groupBy(
+        F.col("c_nationkey").alias("nationkey"),
+        F.col("c_mktsegment").alias("segment"),
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("group_size"),
+        (F.count(F.lit(1)) < k).alias("at_risk"),
+    )
