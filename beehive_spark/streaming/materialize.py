@@ -690,3 +690,101 @@ def run_ohlc_stream(
     q.awaitTermination(timeout_sec)
     if q.isActive:  # pragma: no cover
         q.stop()
+
+
+def run_mg_summary_stream(
+    spark: SparkSession,
+    events: DataFrame,
+    table_path: str,
+    checkpoint_dir: str,
+    item_col: str = "event_type",
+    phi: float = 0.125,
+    timeout_sec: int = 120,
+) -> None:
+    """Maintain a Misra-Gries heavy-hitter SUMMARY from a raw event
+    stream — the streaming half of ``operators.freq.frequent_items``
+    (whose batch candidate pass uses the same mergeable rule, Agarwal
+    et al. PODS'12).  Each micro-batch's exact item counts are added
+    into the stored summary (full-outer merge on item), and when the
+    summary outgrows ``cap = 4k`` counters (k = ceil(1/phi), the
+    batch operator's amortized-prune setting) the (k+1)-th largest
+    count is subtracted from all and non-positives drop — every prune
+    removes >= (k+1) x threshold of mass, so the per-item undercount
+    stays <= N/(k+1) over ANY batching and every item with true count
+    > phi*N is guaranteed present.  The summary is bounded state:
+    never more than ``cap`` rows live regardless of stream
+    cardinality — the reason to sketch at all; exact streaming counts
+    (``run_ivm_agg_stream``) would hold vocabulary-sized state.
+
+    Table schema: ``(item string, cnt long, n_total long)`` where
+    ``cnt`` is the MG lower bound and ``n_total`` (replicated, also on
+    the always-present NULL-item sentinel row that keeps the artifact
+    non-empty) is the total events folded.  Items must be non-null.
+    Consumers report candidates with ``cnt + n_total/(k+1)`` as the
+    upper bound, or re-count candidates exactly as the batch
+    operator's second pass does.
+
+    Exactly-once exactly as the family: staged write commits data +
+    batch id in one rename, replays short-circuit on the recorded id.
+    The table must exist (write the sentinel-only frame first).
+
+    Scale shape per micro-batch: one map-side-combined batch count,
+    one <= (cap + batch-vocab)-row merge join, and a k+1-row driver
+    ``limit`` to find the prune threshold — never a vocabulary-sized
+    window or shuffle of the base."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    k = math.ceil(1.0 / phi)
+    cap = 4 * k
+    schema = "item string, cnt long, n_total long"
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        if batch_id <= _last_applied(table_path):
+            return  # replayed micro-batch: already folded in
+        batch_n = batch_df.count()
+        bc = (
+            batch_df.select(F.col(item_col).cast("string").alias("item"))
+            .filter(F.col("item").isNotNull())
+            .groupBy("item")
+            .agg(F.count(F.lit(1)).cast("long").alias("b_cnt"))
+        )
+        t = spark.read.parquet(table_path)
+        n_total = (t.agg(F.max("n_total")).collect()[0][0] or 0) + batch_n
+        stored = t.filter(F.col("item").isNotNull()).select("item", "cnt")
+        merged = (
+            stored.join(bc, "item", "full_outer")
+            .select(
+                "item",
+                (
+                    F.coalesce(F.col("cnt"), F.lit(0).cast("long"))
+                    + F.coalesce(F.col("b_cnt"), F.lit(0).cast("long"))
+                ).alias("cnt"),
+            )
+            .localCheckpoint(eager=True)  # consumed by count, limit, filter
+        )
+        if merged.count() > cap:
+            top = merged.orderBy(F.col("cnt").desc(), "item").limit(k + 1).collect()
+            thr = top[-1]["cnt"] if len(top) == k + 1 else 0
+            merged = merged.select(
+                "item", (F.col("cnt") - F.lit(thr)).alias("cnt")
+            ).filter(F.col("cnt") > 0)
+        sentinel = spark.createDataFrame([(None, 0, n_total)], schema)
+        fresh = sentinel.unionByName(
+            merged.withColumn("n_total", F.lit(n_total).cast("long"))
+        )
+        _commit_swap(fresh, table_path, batch_id)
+
+    q = (
+        events.writeStream.outputMode("append")
+        .foreachBatch(sink)
+        .option("checkpointLocation", os.path.join(checkpoint_dir, "mg"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(timeout_sec)
+    if q.isActive:  # pragma: no cover
+        q.stop()

@@ -871,3 +871,73 @@ def test_ohlc_stream_merges_bars_and_handles_late_data(spark, tmp_path):
         for r in spark.read.parquet(table).collect()
     }
     assert got2 == want
+
+
+def test_mg_summary_stream_matches_python_twin_and_guarantee(spark, tmp_path):
+    """Streaming Misra-Gries: three micro-batches over a vocabulary
+    wide enough to force two prunes must leave EXACTLY the summary the
+    reference python fold produces, keep bounded state, retain every
+    true phi-heavy item, and no-op on replay."""
+    from beehive_spark.streaming.materialize import run_mg_summary_stream
+
+    feed_dir = tmp_path / "feed"
+    feed_dir.mkdir()
+    batches = [
+        ["hh"] * 20 + [f"a{i}" for i in range(20)],
+        ["hh"] * 10 + [f"b{i}" for i in range(20)],
+        ["x"] * 5 + ["hh"] * 2 + [f"c{i}" for i in range(10)],
+    ]
+    for n, items in enumerate(batches):
+        spark.createDataFrame(
+            [(it,) for it in items], "event_type string"
+        ).coalesce(1).write.parquet(str(feed_dir / f"f{n}.parquet"))
+
+    k, cap = 4, 16  # phi = 0.25
+    table = str(tmp_path / "mg")
+    spark.createDataFrame(
+        [(None, 0, 0)], "item string, cnt long, n_total long"
+    ).write.parquet(table)
+    changes = (
+        spark.readStream.schema("event_type string")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(feed_dir) + "/*/")
+    )
+    run_mg_summary_stream(
+        spark, changes, table, str(tmp_path / "ckpt"), phi=0.25
+    )
+
+    # independent python fold of the same rule over the same batching
+    s, n_total = {}, 0
+    for items in batches:
+        n_total += len(items)
+        for it in items:
+            s[it] = s.get(it, 0) + 1
+        if len(s) > cap:
+            thr = sorted(s.values(), reverse=True)[k]
+            s = {i: c - thr for i, c in s.items() if c - thr > 0}
+
+    rows = spark.read.parquet(table).collect()
+    assert all(r["n_total"] == n_total for r in rows)
+    got = {r["item"]: r["cnt"] for r in rows if r["item"] is not None}
+    assert got == s
+    assert len(got) <= cap  # bounded state
+    # pigeonhole guarantee: every item with true count > N/(k+1) is
+    # present, with an MG lower bound no larger than the true count
+    true = {}
+    for items in batches:
+        for it in items:
+            true[it] = true.get(it, 0) + 1
+    for it, c in true.items():
+        if c > n_total / (k + 1):
+            assert it in got and got[it] <= c
+
+    # replay under a fresh checkpoint: recorded batch id makes it a no-op
+    changes2 = spark.readStream.schema("event_type string").parquet(
+        str(feed_dir) + "/*/"
+    )
+    run_mg_summary_stream(
+        spark, changes2, table, str(tmp_path / "ckpt2"), phi=0.25
+    )
+    rows2 = spark.read.parquet(table).collect()
+    assert {r["item"]: r["cnt"] for r in rows2 if r["item"] is not None} == s
+    assert all(r["n_total"] == n_total for r in rows2)
