@@ -89,6 +89,7 @@ _PRIORITY = [
     "dedup_minhash_lsh_planted",   # r8 new: hash-independent LSH recall twin
     "dedup_simhash_planted",       # r8 new: hash-independent SimHash twin
     "similarity_ann_ivf_planted",  # r8 new: training-independent IVF twin
+    "similarity_ann_lsh_planted",  # r8 new: hyperplane-independent LSH twin
     "association_rules",           # r8 new: apriori-pruned directed rules
     "equidepth_histogram",         # r8 new: ntile bucket boundaries
     "event_trigram_lm",            # r8 new: 2nd-order Markov transitions

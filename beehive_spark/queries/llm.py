@@ -1524,7 +1524,19 @@ def similarity_ann_lsh(spark, sf_dir):
     the embedding payload joins back by id afterwards.  Recall tunes
     with planes/bands exactly like MinHash banding."""
     e = load(spark, sf_dir, "embeddings")
-    emb = e.select("vec_id", F.col("embedding").cast("array<double>").alias("e"))
+    return _lsh_search(
+        e.select("vec_id", F.col("embedding").cast("array<double>").alias("e")),
+        query_pred=F.col("vec_id") < 10,
+    )
+
+
+def _lsh_search(emb, query_pred):
+    """The full sign-LSH band/bucket/exact-rerank pipeline over a
+    ``(vec_id, e: array<double>)`` frame — shared verbatim by
+    :func:`similarity_ann_lsh` (real corpus, rows-only driver check)
+    and :func:`similarity_ann_lsh_planted` (closed-form corpus, driver
+    hash gate).  ``query_pred`` is a boolean expression over
+    ``vec_id``; its complement is the corpus."""
     planes = _planes()
 
     def sig(col):
@@ -1557,10 +1569,10 @@ def similarity_ann_lsh(spark, sf_dir):
             )
         ).alias("bk"),
     ).select("vec_id", "e", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
-    q = banded.filter(F.col("vec_id") < 10).select(
+    q = banded.filter(query_pred).select(
         F.col("vec_id").alias("query_id"), F.col("e").alias("qe"), "band", "key"
     )
-    c = banded.filter(F.col("vec_id") >= 10).select(
+    c = banded.filter(~query_pred).select(
         F.col("vec_id").alias("neighbor_id"), F.col("e").alias("ce"), "band", "key"
     )
     cands = (
@@ -1579,6 +1591,62 @@ def similarity_ann_lsh(spark, sf_dir):
         .withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= 5)
         .select("query_id", "neighbor_id", F.round("sim", 4).alias("cosine"))
+    )
+
+
+@query(
+    "similarity_ann_lsh_planted",
+    oracle="""
+    WITH v AS (SELECT CAST(vec_id AS BIGINT) AS id FROM embeddings),
+    q AS (SELECT id FROM v WHERE id % 20 = 0),
+    n AS (
+      SELECT q.id AS query_id, c.id AS neighbor_id,
+             ROW_NUMBER() OVER (
+               PARTITION BY q.id ORDER BY c.id) AS rn
+      FROM q JOIN v c ON c.id // 20 = q.id // 20 AND c.id <> q.id)
+    SELECT query_id, neighbor_id, CAST(1.0 AS DOUBLE) AS cosine
+    FROM n WHERE rn <= 5
+    """,
+)
+def similarity_ann_lsh_planted(spark, sf_dir):
+    """:func:`_lsh_search` — the EXACT pipeline
+    :func:`similarity_ann_lsh` runs (12 sign-projections, 4 rotated
+    3-bit band buckets, candidate equi-join, exact cosine re-rank) —
+    driven by the identical-vector group plant of
+    :func:`similarity_ann_ivf_planted`, lifted to the LSH input
+    dimension: vec ids split into 20-wide groups, every member of
+    group g carrying the IDENTICAL 64-dim point whose component i is
+    +2 if bit (i mod 16) of g is set else -2 (norm EXACTLY 16, unit
+    components +-0.125 dyadic, within-group cosine EXACTLY
+    256/(16*16) = 1.0, cross-group <= (64-8)/64 = 0.875).
+
+    Why the hashing cannot matter: a query and its group-mates carry
+    the SAME vector, hence the SAME 12 sign bits, hence the SAME four
+    band keys — every group-mate shares all four of the query's
+    buckets whatever the hyperplanes are, so all 19 are always
+    candidates and the exact re-rank puts them (cosine 1.0, strictly
+    above every cross-group bucket-collision candidate) first,
+    tie-broken by neighbor_id: top-5 = the 5 smallest group-mates.
+    3-bit band keys collide constantly across groups — the plant
+    PROVES those collisions are harmless because the re-rank, not the
+    bucket, decides the output.  Same load-bearing data assumptions
+    as the IVF twin (asserted in tests/test_queries_r8b.py)."""
+    e = load(spark, sf_dir, "embeddings").select(
+        F.col("vec_id").cast("long").alias("vec_id")
+    )
+    g = F.call_function("div", F.col("vec_id"), F.lit(20).cast("long"))
+    vec = F.array(
+        *[
+            F.when(
+                F.shiftrightunsigned(g, i % 16).bitwiseAND(F.lit(1)) == 1,
+                F.lit(2.0),
+            ).otherwise(F.lit(-2.0))
+            for i in range(64)
+        ]
+    )
+    return _lsh_search(
+        e.select("vec_id", vec.alias("e")),
+        query_pred=F.pmod("vec_id", F.lit(20)) == 0,
     )
 
 

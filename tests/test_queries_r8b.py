@@ -103,6 +103,26 @@ def test_similarity_ann_ivf_planted_matches_id_arithmetic(spark, sf_dir):
     assert got == want and len(got) == 5 * (len(ids) // 20)
 
 
+def test_similarity_ann_lsh_planted_matches_id_arithmetic(spark, sf_dir):
+    from beehive_spark.queries import load
+    from beehive_spark.queries.llm import similarity_ann_lsh_planted
+
+    ids = [
+        r["vec_id"]
+        for r in load(spark, sf_dir, "embeddings").select("vec_id").collect()
+    ]
+    want = sorted(
+        (20 * g, 20 * g + s, 1.0)
+        for g in range(len(ids) // 20)
+        for s in range(1, 6)
+    )
+    got = sorted(
+        (r["query_id"], r["neighbor_id"], r["cosine"])
+        for r in similarity_ann_lsh_planted(spark, sf_dir).collect()
+    )
+    assert got == want and len(got) == 5 * (len(ids) // 20)
+
+
 def test_refactored_hosts_still_produce(spark, sf_dir):
     """The three planted twins landed via shared-pipeline refactors of
     their host queries (_minhash_lsh_pairs / _simhash_pairs /
@@ -124,3 +144,11 @@ def test_refactored_hosts_still_produce(spark, sf_dir):
         per_q.setdefault(r["query_id"], []).append(r["cosine"])
     assert set(per_q) == set(range(10))
     assert all(len(v) == 5 for v in per_q.values())
+    from beehive_spark.queries.llm import similarity_ann_lsh
+
+    lsh = similarity_ann_lsh(spark, sf_dir).collect()
+    per_q = {}
+    for r in lsh:
+        per_q.setdefault(r["query_id"], []).append(r["cosine"])
+    assert set(per_q) <= set(range(10))
+    assert all(len(v) <= 5 for v in per_q.values())
