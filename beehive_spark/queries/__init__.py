@@ -96,6 +96,7 @@ _PRIORITY = [
     "negative_sampling",           # r8 new: hash-slot corruption sampling
     "feature_minmax_scaled",       # r8 new: order-free exact normalization
     "k_anonymity_audit",           # r8 new: quasi-identifier risk gate
+    "events_holt",                 # r8 new: exact (level, trend) fold
     "record_linkage_blocked",      # r8 new: staggered-band multi-pass blocking
     "pmi_collocations",            # r8 new: PMI multi-word-expression mining
     "events_ohlc_bars",            # r8 new: OHLC bars per type-hour bucket

@@ -2933,6 +2933,111 @@ def events_ewma(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# Holt double exponential smoothing — exact integer (level, trend) fold
+# ---------------------------------------------------------------------------
+@query(
+    "events_holt",
+    oracle="""
+    WITH pts AS (
+      SELECT user_id, epoch_us(ts) AS t,
+             CAST(ROUND(value * 1000) AS BIGINT) AS v
+      FROM events
+    ),
+    l AS (
+      SELECT user_id, list(v ORDER BY t, v) AS vs,
+             CAST(COUNT(*) AS BIGINT) AS n_points
+      FROM pts GROUP BY user_id
+    ),
+    f AS (
+      SELECT user_id, n_points,
+             list_reduce(
+               list_transform(vs, v -> [v, v, CAST(0 AS BIGINT)]),
+               (acc, x) -> [
+                 x[1],
+                 (3 * x[1] + 7 * (acc[2] + acc[3])) // 10,
+                 (2 * ((3 * x[1] + 7 * (acc[2] + acc[3])) // 10 - acc[2])
+                  + 8 * acc[3]) // 10
+               ]) AS s
+      FROM l
+    )
+    SELECT user_id, n_points,
+           CAST(s[2] AS BIGINT) AS level_milli,
+           CAST(s[3] AS BIGINT) AS trend_milli,
+           CAST(s[2] + s[3] AS BIGINT) AS forecast_milli
+    FROM f
+    """,
+)
+def events_holt(spark, sf_dir):
+    """Per-user Holt double exponential smoothing (level + trend,
+    alpha = 0.3, beta = 0.2) — the forecasting upgrade of
+    :func:`events_ewma`: the same exact integer milli-unit recurrence
+    discipline, but the fold state is the PAIR
+    ``l_i = (3*v_i + 7*(l+b)) div 10``,
+    ``b_i = (2*(l_i - l) + 8*b) div 10``, seeded (l, b) = (v_1, 0),
+    and the one-step-ahead forecast is ``l + b``.  Per-step integer
+    truncation makes the result bit-identical on any engine.
+
+    ENGINE FINDING (the r7 division-parity lesson applied forward —
+    test the engines before trusting a construct): DuckDB 1.0.0's
+    ``list_reduce`` MISCOMPUTES this recurrence when the accumulator
+    is a STRUCT (struct_pack state returned trend 0 where the python
+    fold and step-by-step composition give 1, reproduced this
+    session); the LIST-accumulator form folds correctly and matches
+    the python twin, so both the oracle and this docstring pin the
+    state as a 3-element BIGINT list ``[v, l, b]``.
+
+    Scale shape: identical to events_ewma — the truncated fold is
+    sequential PER KEY by construction, so the distributed shape is
+    keys-in-parallel: one shuffle groups each user's series,
+    array_sort orders it (ties by value, deterministic), one JVM
+    ``aggregate`` lambda folds it; memory bounds at the longest single
+    series.  The (level, trend) pair is also exactly the per-key state
+    a Structured Streaming ``applyInPandasWithState`` forecaster would
+    carry."""
+    e = load(spark, sf_dir, "events")
+    pts = e.select(
+        "user_id",
+        F.unix_micros("ts").alias("t"),
+        F.round(F.col("value") * 1000).cast("long").alias("v"),
+    )
+    grouped = pts.groupBy("user_id").agg(
+        F.collect_list(F.struct("t", "v")).alias("ps"),
+        F.count(F.lit(1)).alias("n_points"),
+    )
+    vs = F.transform(F.array_sort("ps"), lambda s: s["v"])
+    grouped = grouped.withColumn("vs", vs)
+
+    def _step(acc, x):
+        ten = F.lit(10).cast("long")
+        nl = F.call_function(
+            "div",
+            F.lit(3).cast("long") * x
+            + F.lit(7).cast("long") * (F.element_at(acc, 1) + F.element_at(acc, 2)),
+            ten,
+        )
+        nb = F.call_function(
+            "div",
+            F.lit(2).cast("long") * (nl - F.element_at(acc, 1))
+            + F.lit(8).cast("long") * F.element_at(acc, 2),
+            ten,
+        )
+        return F.array(nl, nb)
+
+    fold = F.aggregate(
+        F.slice(F.col("vs"), 2, F.size("vs") - 1),
+        F.array(F.element_at(F.col("vs"), 1), F.lit(0).cast("long")),
+        _step,
+    )
+    return grouped.select(
+        "user_id",
+        "n_points",
+        F.element_at(fold, 1).alias("level_milli"),
+        F.element_at(fold, 2).alias("trend_milli"),
+        (F.element_at(fold, 1) + F.element_at(fold, 2)).alias("forecast_milli"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # TWAP — time-weighted average as exact integer interval weighting
 # ---------------------------------------------------------------------------
 @query(

@@ -160,6 +160,18 @@ EXTRA = [
     "events_twap",
     "incremental_distinct_orders",
     "tree_shortest_paths",
+    # round-8 session-2 additions
+    "dedup_minhash_lsh_planted",
+    "dedup_simhash_planted",
+    "similarity_ann_ivf_planted",
+    "similarity_ann_lsh_planted",
+    "association_rules",
+    "equidepth_histogram",
+    "event_trigram_lm",
+    "negative_sampling",
+    "feature_minmax_scaled",
+    "k_anonymity_audit",
+    "events_holt",
 ]
 
 

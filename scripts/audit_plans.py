@@ -197,6 +197,21 @@ EXTRA = [
     "incremental_distinct_orders",
     # (tree_shortest_paths excluded: eager frontier loop, same class as
     # pagerank/kcore)
+    # round-8 session-2 additions (dedup_simhash_planted excluded: the
+    # shared _simhash_pairs pipeline eagerly localCheckpoints its
+    # signature frame at plan-build time, same class as
+    # media_phash_dedup; similarity_ann_ivf_planted excluded: the
+    # shared _ivf_search trains its codebook eagerly at plan-build,
+    # same class as similarity_ann_ivf/ann_index_build)
+    "dedup_minhash_lsh_planted",
+    "similarity_ann_lsh_planted",
+    "association_rules",
+    "equidepth_histogram",
+    "event_trigram_lm",
+    "negative_sampling",
+    "feature_minmax_scaled",
+    "k_anonymity_audit",
+    "events_holt",
 ]
 
 

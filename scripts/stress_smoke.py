@@ -139,6 +139,19 @@ REGISTRY_CASES = [
     ("events_ohlc_bars", "events"),
     ("table_checksum_buckets", "orders"),
     ("incremental_checksum_orders", "orders"),
+    # round-8 third batch: association rules (apriori-pruned basket
+    # fan-out — pair cardinality grows with order history, the prune
+    # and per-basket enumeration keep it linear), negative sampling
+    # (|customers| * k generated slots — the linearity claim IS the
+    # operator's reason to exist), trigram LM (one per-user window +
+    # vocab-bounded aggs), equi-depth histogram (brand-partitioned
+    # window over the 10x part dim).  The planted twins are
+    # correctness artifacts pinned to the shipped corpus shape and are
+    # deliberately not stressed.
+    ("association_rules", "lineitem"),
+    ("negative_sampling", "customer"),
+    ("event_trigram_lm", "events"),
+    ("equidepth_histogram", "part"),
 ]
 
 

@@ -142,3 +142,45 @@ def test_event_trigram_lm_matches_python_twin(spark, sf_dir):
         by_ctx.setdefault((t1, t2), []).append(p)
     for ps in by_ctx.values():
         assert 1000000 - len(ps) < sum(ps) <= 1000000
+
+
+def test_events_holt_matches_python_twin(spark, sf_dir):
+    """Holt (level, trend) integer fold — independent python fold over
+    the same (t, v)-ordered milli series, including the seed and the
+    one-step forecast."""
+    from beehive_spark.queries.core import events_holt
+
+    rows = duckdb.sql(
+        f"SELECT user_id, epoch_us(ts) AS t, "
+        f"CAST(ROUND(value * 1000) AS BIGINT) AS v "
+        f"FROM '{sf_dir}/events.parquet' ORDER BY user_id, t, v"
+    ).fetchall()
+    series = {}
+    for u, _, v in rows:
+        series.setdefault(u, []).append(v)
+
+    def intdiv(a, b):  # truncating, matching Spark div / DuckDB //
+        q = abs(a) // b
+        return q if a >= 0 else -q
+
+    want = []
+    for u, vs in series.items():
+        l, b = vs[0], 0
+        for x in vs[1:]:
+            nl = intdiv(3 * x + 7 * (l + b), 10)
+            nb = intdiv(2 * (nl - l) + 8 * b, 10)
+            l, b = nl, nb
+        want.append((u, len(vs), l, b, l + b))
+    got = sorted(
+        (
+            r["user_id"],
+            r["n_points"],
+            r["level_milli"],
+            r["trend_milli"],
+            r["forecast_milli"],
+        )
+        for r in events_holt(spark, sf_dir).collect()
+    )
+    assert got == sorted(want) and got
+    # trend must be non-trivial somewhere or the fold is vacuous
+    assert any(t != 0 for *_, t, _f in got)
