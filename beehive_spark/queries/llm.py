@@ -441,6 +441,45 @@ def _minhash_lsh_pairs(d):
     )
 
 
+def _planted_group_text(d, width: int = 4, n_tokens: int = 6):
+    """The identical-text group plant SHARED by the MinHash and
+    SimHash planted twins (one definition so the two cannot drift):
+    doc ids split into ``width``-wide groups (g = doc_id // width),
+    every doc's text the same ``n_tokens`` group-keyed tokens
+    ``w{g}x0 .. w{g}x{n-1}`` — identical token arrays within a group,
+    disjoint shingle sets across groups."""
+    g = F.call_function(
+        "div", F.col("doc_id").cast("long"), F.lit(width).cast("long")
+    )
+    text = F.concat_ws(
+        " ",
+        *[
+            F.concat(F.lit("w"), g.cast("string"), F.lit(f"x{k}"))
+            for k in range(n_tokens)
+        ],
+    )
+    return d.select(
+        F.col("doc_id").cast("long").alias("doc_id"), text.alias("text")
+    )
+
+
+def _planted_sign_vec(g, dim: int):
+    """The identical-vector group plant SHARED by the IVF and sign-LSH
+    planted twins: component i is +2 if bit (i mod 16) of the group id
+    is set else -2 — norm^2 = 4*dim, so for dim a perfect-square
+    multiple of 4 the norm is exact, unit components are dyadic, and
+    the within-group cosine is EXACTLY 1.0."""
+    return F.array(
+        *[
+            F.when(
+                F.shiftrightunsigned(g, i % 16).bitwiseAND(F.lit(1)) == 1,
+                F.lit(2.0),
+            ).otherwise(F.lit(-2.0))
+            for i in range(dim)
+        ]
+    )
+
+
 @query(
     "dedup_minhash_lsh_planted",
     oracle="""
@@ -479,21 +518,9 @@ def dedup_minhash_lsh_planted(spark, sf_dir):
     longer equal for equal sets), a band-slot indexing bug, a
     candidate-join orientation/dup bug, or a verification-join key
     mix-up — each diverges from the closed form."""
-    d = load(spark, sf_dir, "documents")
-    g = F.call_function(
-        "div", F.col("doc_id").cast("long"), F.lit(4).cast("long")
+    return _minhash_lsh_pairs(
+        _planted_group_text(load(spark, sf_dir, "documents"))
     )
-    text = F.concat_ws(
-        " ",
-        *[
-            F.concat(F.lit("w"), g.cast("string"), F.lit(f"x{k}"))
-            for k in range(6)
-        ],
-    )
-    planted = d.select(
-        F.col("doc_id").cast("long").alias("doc_id"), text.alias("text")
-    )
-    return _minhash_lsh_pairs(planted)
 
 
 # ---------------------------------------------------------------------------
@@ -620,21 +647,9 @@ def dedup_simhash_planted(spark, sf_dir):
     What a red gate here would catch: a bit-extraction bug (bit 63's
     sign handling), a block shift/mask bug, a join orientation bug,
     or a broken bit_count — each diverges from the closed form."""
-    d = load(spark, sf_dir, "documents")
-    g = F.call_function(
-        "div", F.col("doc_id").cast("long"), F.lit(4).cast("long")
+    return _simhash_pairs(
+        _planted_group_text(load(spark, sf_dir, "documents"))
     )
-    text = F.concat_ws(
-        " ",
-        *[
-            F.concat(F.lit("w"), g.cast("string"), F.lit(f"x{k}"))
-            for k in range(6)
-        ],
-    )
-    planted = d.select(
-        F.col("doc_id").cast("long").alias("doc_id"), text.alias("text")
-    )
-    return _simhash_pairs(planted)
 
 
 # ---------------------------------------------------------------------------
@@ -1635,17 +1650,8 @@ def similarity_ann_lsh_planted(spark, sf_dir):
         F.col("vec_id").cast("long").alias("vec_id")
     )
     g = F.call_function("div", F.col("vec_id"), F.lit(20).cast("long"))
-    vec = F.array(
-        *[
-            F.when(
-                F.shiftrightunsigned(g, i % 16).bitwiseAND(F.lit(1)) == 1,
-                F.lit(2.0),
-            ).otherwise(F.lit(-2.0))
-            for i in range(64)
-        ]
-    )
     return _lsh_search(
-        e.select("vec_id", vec.alias("e")),
+        e.select("vec_id", _planted_sign_vec(g, 64).alias("e")),
         query_pred=F.pmod("vec_id", F.lit(20)) == 0,
     )
 
@@ -1821,16 +1827,7 @@ def similarity_ann_ivf_planted(spark, sf_dir):
     g = F.call_function(
         "div", F.col("vec_id"), F.lit(20).cast("long")
     )
-    vec = F.array(
-        *[
-            F.when(
-                F.shiftrightunsigned(g, i).bitwiseAND(F.lit(1)) == 1,
-                F.lit(2.0),
-            ).otherwise(F.lit(-2.0))
-            for i in range(16)
-        ]
-    )
-    planted = e.select("vec_id", vec.alias("ed"))
+    planted = e.select("vec_id", _planted_sign_vec(g, 16).alias("ed"))
     query_pred = F.pmod("vec_id", F.lit(20)) == 0
     return _ivf_search(
         spark,

@@ -1159,7 +1159,8 @@ def graph_triangles(spark, sf_dir):
     tot AS (SELECT COUNT(DISTINCT l_orderkey) AS n FROM lineitem),
     j AS (
       SELECT s.u, s.v, s.c,
-             (s.c * tot.n * 1000000) // (pu.cnt * pv.cnt) AS lift_ppm
+             CAST((CAST(s.c AS HUGEINT) * tot.n * 1000000)
+                  // (pu.cnt * pv.cnt) AS BIGINT) AS lift_ppm
       FROM sym s
       CROSS JOIN tot
       JOIN po pu ON pu.id = s.u
@@ -1229,7 +1230,12 @@ def copurchase_recommendations(spark, sf_dir):
             "u",
             "v",
             "c",
-            F.expr("(c * n * 1000000) DIV (cu * cv)").alias("lift_ppm"),
+            # widened like association_rules: the triple product
+            # outgrows BIGINT at large order histories
+            F.expr(
+                "CAST((CAST(c AS DECIMAL(38,0)) * n * 1000000)"
+                " DIV (cu * cv) AS BIGINT)"
+            ).alias("lift_ppm"),
         )
     )
     w = Window.partitionBy("u").orderBy(
@@ -1270,8 +1276,8 @@ def copurchase_recommendations(spark, sf_dir):
       SELECT pb, pa, n_pair, cb, ca FROM pc)
     SELECT antecedent, consequent, CAST(n_pair AS BIGINT) AS support_cnt,
            CAST((n_pair * 1000000) // c_ante AS BIGINT) AS conf_ppm,
-           CAST((n_pair * n * 1000000) // (c_ante * c_cons) AS BIGINT)
-             AS lift_ppm
+           CAST((CAST(n_pair AS HUGEINT) * n * 1000000)
+                // (c_ante * c_cons) AS BIGINT) AS lift_ppm
     FROM dir CROSS JOIN tot
     """,
 )
@@ -1369,9 +1375,14 @@ def association_rules(spark, sf_dir, min_support: int = 2):
             "consequent",
             F.col("n_pair").cast("long").alias("support_cnt"),
             F.expr("(n_pair * 1000000) DIV c_ante").alias("conf_ppm"),
-            F.expr("(n_pair * n * 1000000) DIV (c_ante * c_cons)").alias(
-                "lift_ppm"
-            ),
+            # the triple product outgrows BIGINT long before the
+            # operator's claimed scale (n_pair*n alone passes 2^63 at
+            # ~1.5M-order corpora with hot pairs): widen to
+            # DECIMAL(38,0) / HUGEINT on both sides, divide, narrow
+            F.expr(
+                "CAST((CAST(n_pair AS DECIMAL(38,0)) * n * 1000000)"
+                " DIV (c_ante * c_cons) AS BIGINT)"
+            ).alias("lift_ppm"),
         )
     )
 

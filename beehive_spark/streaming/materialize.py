@@ -741,11 +741,13 @@ def run_mg_summary_stream(
     schema = "item string, cnt long, n_total long"
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
-        if batch_df.isEmpty():
+        # unlike the sibling sinks this one needs the row count anyway,
+        # so the count doubles as the emptiness check (one action)
+        batch_n = batch_df.count()
+        if batch_n == 0:
             return
         if batch_id <= _last_applied(table_path):
             return  # replayed micro-batch: already folded in
-        batch_n = batch_df.count()
         bc = (
             batch_df.select(F.col(item_col).cast("string").alias("item"))
             .filter(F.col("item").isNotNull())
