@@ -107,6 +107,8 @@ _PRIORITY = [
     "table_checksum_buckets",      # r8 new: content-level reconciliation
     "incremental_checksum_orders",  # r8 new: fingerprint IVM (XOR group)
     "incremental_histogram_orders",  # r8 new: binned-p95 view maintenance
+    "events_rolling_median",       # r8 new: exact trailing-frame order stat
+    "events_cusum_changepoint",    # r8 new: integer CUSUM drift monitor
     # --- changed in round 8 (advisory fixes in operators/graph.py;
     # shared-stage refactors feeding dedup_semantic and both linkage
     # queries)

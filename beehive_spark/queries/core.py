@@ -3186,3 +3186,212 @@ def events_ohlc_bars(spark, sf_dir):
         F.max(F.when(F.col("rn_d") == 1, F.col("value"))).alias("close"),
         F.count(F.lit(1)).cast("long").alias("n_events"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Rolling median — exact order statistic over a trailing row frame
+# ---------------------------------------------------------------------------
+@query(
+    "events_rolling_median",
+    oracle="""
+    WITH pts AS (
+      SELECT event_id, user_id, epoch_us(ts) AS t,
+             CAST(ROUND(value * 1000) AS BIGINT) AS v
+      FROM events
+    ),
+    w AS (
+      SELECT event_id, user_id, v,
+             list(v) OVER (PARTITION BY user_id ORDER BY t, event_id
+                           ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS win
+      FROM pts
+    )
+    SELECT event_id, user_id,
+           CAST(len(win) AS BIGINT) AS n_window,
+           CAST(list_sort(win)[CAST((len(win) + 1) // 2 AS BIGINT)]
+                AS BIGINT) AS med_milli
+    FROM w
+    """,
+)
+def events_rolling_median(spark, sf_dir):
+    """Per-user rolling MEDIAN of the last 5 observations — the
+    robust-smoothing twin of the rolling mean (``events_sliding_agg``):
+    a median filter kills single-point spikes that drag any
+    mean-family smoother, which is why it is the standard pre-step
+    before thresholding noisy metrics.  Median here is the LOWER
+    median (element ceil(n/2) of the sorted window) so every output
+    is a SELECTED value — an exact integer milli-unit, never an
+    average of two middles — making the result bit-identical across
+    engines with no float arithmetic at all.
+
+    Scale shape: one shuffle partitions by user; the trailing
+    5-row frame is a bounded ``collect_list`` window (state = 5
+    BIGINTs per row, sorted per-row JVM-side by ``sort_array``) —
+    cost is O(rows * w log w) with w=5, no self-join, no explode.
+    At 100 TB the window never crosses partitions (frames are
+    per-user), so the plan is scan -> one Exchange on user ->
+    one in-partition sort -> map.  A w-row frame is exactly the
+    shape Structured Streaming's bounded per-key state would carry.
+
+    Reference scope: net-new temporal capability (mhawila/beehive has
+    no window analytics — SURVEY.md §2.4)."""
+    e = load(spark, sf_dir, "events")
+    pts = e.select(
+        "event_id",
+        "user_id",
+        F.unix_micros("ts").alias("t"),
+        F.round(F.col("value") * 1000).cast("long").alias("v"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("t", "event_id")
+        .rowsBetween(-4, 0)
+    )
+    r = pts.select(
+        "event_id",
+        "user_id",
+        F.sort_array(F.collect_list("v").over(w)).alias("win"),
+    )
+    idx = ((F.size("win") + F.lit(1)) / F.lit(2)).cast("int")
+    return r.select(
+        "event_id",
+        "user_id",
+        F.size("win").cast("long").alias("n_window"),
+        F.element_at("win", idx).cast("long").alias("med_milli"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# CUSUM changepoint detection — exact integer one-sided drift monitor
+# ---------------------------------------------------------------------------
+@query(
+    "events_cusum_changepoint",
+    oracle="""
+    WITH pts AS (
+      SELECT user_id, epoch_us(ts) AS t,
+             CAST(ROUND(value * 1000) AS BIGINT) AS v
+      FROM events
+    ),
+    l AS (
+      SELECT user_id, list(v ORDER BY t, v) AS vs,
+             CAST(COUNT(*) AS BIGINT) AS n_points,
+             CAST(SUM(v) AS BIGINT) AS sv
+      FROM pts GROUP BY user_id
+    ),
+    m AS (SELECT user_id, vs, n_points, sv // n_points AS mean_m FROM l),
+    f AS (
+      -- list_reduce seeds with the FIRST element (no explicit init),
+      -- so the transform emits the AFTER-FIRST-STEP state inline:
+      -- slot 1 carries the raw value (the only slot later steps read
+      -- from x), slots 2..6 carry [S, maxS, n_alarms, first_idx, idx]
+      -- already advanced past element 1 — the events_holt seeding
+      -- trick extended to a wider state
+      SELECT user_id, n_points, mean_m,
+             list_reduce(
+               list_transform(vs, v -> [v,
+                 greatest(CAST(0 AS BIGINT), v - mean_m - 25000),
+                 greatest(CAST(0 AS BIGINT), v - mean_m - 25000),
+                 CASE WHEN greatest(CAST(0 AS BIGINT), v - mean_m - 25000)
+                           > 150000 THEN 1 ELSE 0 END,
+                 CASE WHEN greatest(CAST(0 AS BIGINT), v - mean_m - 25000)
+                           > 150000 THEN 1 ELSE 0 END,
+                 CAST(1 AS BIGINT)]),
+               (acc, x) -> [
+                 x[1],
+                 greatest(CAST(0 AS BIGINT),
+                          acc[2] + x[1] - mean_m - 25000),
+                 greatest(acc[3],
+                          greatest(CAST(0 AS BIGINT),
+                                   acc[2] + x[1] - mean_m - 25000)),
+                 acc[4] + CASE WHEN greatest(CAST(0 AS BIGINT),
+                                   acc[2] + x[1] - mean_m - 25000)
+                                   > 150000 THEN 1 ELSE 0 END,
+                 CASE WHEN acc[5] > 0 THEN acc[5]
+                      WHEN greatest(CAST(0 AS BIGINT),
+                            acc[2] + x[1] - mean_m - 25000) > 150000
+                      THEN acc[6] + 1 ELSE 0 END,
+                 acc[6] + 1
+               ]) AS s
+      FROM m
+    )
+    SELECT user_id, n_points,
+           CAST(s[3] AS BIGINT) AS max_cusum_milli,
+           CAST(s[4] AS BIGINT) AS n_alarms,
+           CAST(s[5] AS BIGINT) AS first_alarm_idx
+    FROM f
+    """,
+)
+def events_cusum_changepoint(spark, sf_dir):
+    """Per-user one-sided CUSUM drift detector (Page 1954) — the
+    classic changepoint monitor: ``S_i = max(0, S_{i-1} + (v_i -
+    mean - slack))`` accumulates only sustained upward deviation;
+    an alarm fires whenever S crosses the decision threshold h.
+    Slack = 25000 milli (~0.5 sigma of the events value
+    distribution), h = 150000 milli (~3 sigma): single spikes drain
+    back to zero, level shifts integrate and alarm.  The per-user
+    reference level is the series' own truncated-mean
+    (``sv div n``), so the monitor is self-calibrating per key.
+
+    Exactness: values are integer milli-units, the reference mean is
+    a truncating BIGINT ``div`` (bit-identical to the oracle's
+    ``//`` per the engine-verified parity note in
+    ``functions/__init__``), and the fold state is a 5-element
+    BIGINT list ``[S, maxS, n_alarms, first_idx, idx]`` folded with
+    the SAME per-step integer recurrence in both engines — the
+    ``events_holt`` discipline, including its engine finding that
+    DuckDB list_reduce needs a LIST (not struct) accumulator.
+
+    Scale shape: identical to events_holt — the recurrence is
+    sequential PER KEY, so the distributed shape is
+    keys-in-parallel: one shuffle groups each user's series, one
+    array_sort orders it (ties by value, deterministic), one JVM
+    ``aggregate`` lambda folds it; memory bounds at the longest
+    single series, and the (S, maxS, counts) tuple is exactly the
+    bounded per-key state of a streaming monitor.
+
+    Reference scope: net-new temporal capability (no counterpart in
+    mhawila/beehive)."""
+    e = load(spark, sf_dir, "events")
+    pts = e.select(
+        "user_id",
+        F.unix_micros("ts").alias("t"),
+        F.round(F.col("value") * 1000).cast("long").alias("v"),
+    )
+    grouped = pts.groupBy("user_id").agg(
+        F.collect_list(F.struct("t", "v")).alias("ps"),
+        F.count(F.lit(1)).cast("long").alias("n_points"),
+        F.sum("v").cast("long").alias("sv"),
+    )
+    grouped = grouped.select(
+        "user_id",
+        "n_points",
+        F.transform(F.array_sort("ps"), lambda s: s["v"]).alias("vs"),
+        F.call_function("div", F.col("sv"), F.col("n_points")).alias("mean_m"),
+    )
+    zero = F.lit(0).cast("long")
+    slack = F.lit(25000).cast("long")
+    h = F.lit(150000).cast("long")
+
+    def _step(acc, x):
+        s_new = F.greatest(zero, F.element_at(acc, 1) + x - F.col("mean_m") - slack)
+        idx_new = F.element_at(acc, 5) + F.lit(1).cast("long")
+        return F.array(
+            s_new,
+            F.greatest(F.element_at(acc, 2), s_new),
+            F.element_at(acc, 3)
+            + F.when(s_new > h, F.lit(1).cast("long")).otherwise(zero),
+            F.when(F.element_at(acc, 4) > 0, F.element_at(acc, 4))
+            .when(s_new > h, idx_new)
+            .otherwise(zero),
+            idx_new,
+        )
+
+    fold = F.aggregate(
+        F.col("vs"), F.array(zero, zero, zero, zero, zero), _step
+    )
+    return grouped.select(
+        "user_id",
+        "n_points",
+        F.element_at(fold, 2).alias("max_cusum_milli"),
+        F.element_at(fold, 3).alias("n_alarms"),
+        F.element_at(fold, 4).alias("first_alarm_idx"),
+    )
