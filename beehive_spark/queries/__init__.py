@@ -109,6 +109,9 @@ _PRIORITY = [
     "incremental_histogram_orders",  # r8 new: binned-p95 view maintenance
     "events_rolling_median",       # r8 new: exact trailing-frame order stat
     "events_cusum_changepoint",    # r8 new: integer CUSUM drift monitor
+    "feature_correlations",        # r8 new: one-pass exact-moment Pearson
+    "decision_stump_gini",         # r8 new: histogram split finding
+    "kmeans_planted",              # r8 new: exact planted Lloyd gate
     # --- changed in round 8 (advisory fixes in operators/graph.py;
     # shared-stage refactors feeding dedup_semantic and both linkage
     # queries)
@@ -164,6 +167,7 @@ def _ensure_loaded() -> None:
         from beehive_spark.queries import curation  # noqa: F401
         from beehive_spark.queries import llm  # noqa: F401
         from beehive_spark.queries import media  # noqa: F401
+        from beehive_spark.queries import ml  # noqa: F401
         from beehive_spark.queries import relational  # noqa: F401
         from beehive_spark.queries import tpch  # noqa: F401
 

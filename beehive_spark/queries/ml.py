@@ -1,0 +1,448 @@
+"""ML-adjacent analytics: single-pass feature statistics, histogram
+split finding, and distributed Lloyd k-means with a planted hash-green
+gate.
+
+These are the feature-engineering / model-prep operators a large-scale
+training-data pipeline runs next to the curation suite
+(``queries/curation.py``): a correlation matrix to drop redundant
+features, a decision-stump scan to rank split candidates, and the
+k-means machinery that backs clustering-based curation (the same
+assign/update algebra the ANN index trainer uses, here exposed as a
+query with an exact planted oracle).
+
+Reference scope: all net-new capability — mhawila/beehive has no
+aggregation beyond COUNT(*) (SURVEY.md §2.4).
+
+Cross-engine exactness follows the repo discipline: integer units in,
+exact BIGINT sums, any double arithmetic evaluated by the IDENTICAL
+expression on identical integers in both engines, and micro-unit
+rounding before anything ordered or hashed.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+from pyspark.sql import Window
+
+from beehive_spark.queries import load, query
+
+# ---------------------------------------------------------------------------
+# Correlation matrix — one-pass exact-moment Pearson over lineitem
+# ---------------------------------------------------------------------------
+
+_CORR_PAIRS = [
+    ("quantity", "price"),
+    ("quantity", "discount"),
+    ("quantity", "tax"),
+    ("price", "discount"),
+    ("price", "tax"),
+    ("discount", "tax"),
+]
+
+
+@query(
+    "feature_correlations",
+    oracle="""
+    WITH u AS (
+      SELECT CAST(ROUND(l_quantity) AS BIGINT) AS q,
+             CAST(ROUND(l_extendedprice) AS BIGINT) AS p,
+             CAST(ROUND(l_discount * 1000) AS BIGINT) AS d,
+             CAST(ROUND(l_tax * 1000) AS BIGINT) AS t
+      FROM lineitem
+    ),
+    s AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             SUM(q) AS sq, SUM(p) AS sp, SUM(d) AS sd, SUM(t) AS st,
+             SUM(q*q) AS sqq, SUM(p*p) AS spp,
+             SUM(d*d) AS sdd, SUM(t*t) AS stt,
+             SUM(q*p) AS sqp, SUM(q*d) AS sqd, SUM(q*t) AS sqt,
+             SUM(p*d) AS spd, SUM(p*t) AS spt, SUM(d*t) AS sdt
+      FROM u
+    ),
+    pairs AS (
+      SELECT 'quantity' AS x_col, 'price' AS y_col,
+             sq AS sx, sp AS sy, sqq AS sxx, spp AS syy, sqp AS sxy, n FROM s
+      UNION ALL SELECT 'quantity', 'discount', sq, sd, sqq, sdd, sqd, n FROM s
+      UNION ALL SELECT 'quantity', 'tax', sq, st, sqq, stt, sqt, n FROM s
+      UNION ALL SELECT 'price', 'discount', sp, sd, spp, sdd, spd, n FROM s
+      UNION ALL SELECT 'price', 'tax', sp, st, spp, stt, spt, n FROM s
+      UNION ALL SELECT 'discount', 'tax', sd, st, sdd, stt, sdt, n FROM s
+    )
+    SELECT x_col, y_col, n,
+           CAST(ROUND(
+             (CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+             / (SQRT(CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+                * SQRT(CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy))
+             * 1000000) AS BIGINT) AS corr_micro
+    FROM pairs
+    """,
+)
+def feature_correlations(spark, sf_dir):
+    """Pearson correlation matrix over lineitem's numeric features
+    (quantity, extendedprice, discount, tax) from ONE pass of exact
+    integer moments — the feature-redundancy screen a training
+    pipeline runs before model fitting.
+
+    Exactness: features quantize to integer units (quantity and
+    price to whole units, rates to milli), all 14 moments
+    (sums, squares, cross-products) accumulate as exact BIGINTs
+    (largest, n*p^2 as a double product, stays < 2^63 through
+    sf ~ 50 — headroom noted, overflow would be loud under ANSI
+    mode), and the textbook moment form
+    ``(n*Sxy - Sx*Sy) / (sqrt(n*Sxx - Sx^2) * sqrt(n*Syy - Sy^2))``
+    is evaluated by the IDENTICAL double expression on identical
+    integers in both engines — bit-equal inputs, bit-equal ops,
+    bit-equal result — then micro-rounded (the BM25 grid).
+
+    Scale shape: a single map-side-combinable aggregate — zero
+    shuffled rows beyond one partial-agg exchange of a 15-number
+    state; the 6-pair expansion is a 1-row explode.  This is the
+    canonical one-pass sufficient-statistics pattern: at 100 TB the
+    job is one scan, and adding features grows the state
+    quadratically (d^2 moments) but the data movement not at all."""
+    li = load(spark, sf_dir, "lineitem")
+    u = li.select(
+        F.round("l_quantity").cast("long").alias("q"),
+        F.round("l_extendedprice").cast("long").alias("p"),
+        F.round(F.col("l_discount") * 1000).cast("long").alias("d"),
+        F.round(F.col("l_tax") * 1000).cast("long").alias("t"),
+    )
+    cols = {"quantity": "q", "price": "p", "discount": "d", "tax": "t"}
+    aggs = [F.count(F.lit(1)).cast("long").alias("n")]
+    for name, c in cols.items():
+        aggs.append(F.sum(c).alias(f"s_{name}"))
+        aggs.append(F.sum(F.col(c) * F.col(c)).alias(f"s_{name}_{name}"))
+    for x, y in _CORR_PAIRS:
+        aggs.append(
+            F.sum(F.col(cols[x]) * F.col(cols[y])).alias(f"s_{x}_{y}")
+        )
+    s = u.agg(*aggs)
+    rows = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(x).alias("x_col"),
+                    F.lit(y).alias("y_col"),
+                    F.col(f"s_{x}").alias("sx"),
+                    F.col(f"s_{y}").alias("sy"),
+                    F.col(f"s_{x}_{x}").alias("sxx"),
+                    F.col(f"s_{y}_{y}").alias("syy"),
+                    F.col(f"s_{x}_{y}").alias("sxy"),
+                )
+                for x, y in _CORR_PAIRS
+            ]
+        )
+    ).alias("r")
+    e = s.select("n", rows).select("n", "r.*")
+    nd = F.col("n").cast("double")
+    num = nd * F.col("sxy") - F.col("sx").cast("double") * F.col("sy")
+    den = F.sqrt(nd * F.col("sxx") - F.col("sx").cast("double") * F.col("sx")) * F.sqrt(
+        nd * F.col("syy") - F.col("sy").cast("double") * F.col("sy")
+    )
+    return e.select(
+        "x_col",
+        "y_col",
+        "n",
+        F.round(num / den * 1_000_000).cast("long").alias("corr_micro"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Decision stump — histogram-based best-split scan (Gini impurity)
+# ---------------------------------------------------------------------------
+@query(
+    "decision_stump_gini",
+    oracle="""
+    WITH f AS (
+      SELECT 'quantity' AS feature,
+             CAST(ROUND(l_quantity * 1000) AS BIGINT) AS v,
+             CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS y
+      FROM lineitem
+      UNION ALL
+      SELECT 'discount', CAST(ROUND(l_discount * 1000) AS BIGINT),
+             CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END
+      FROM lineitem
+    ),
+    h AS (
+      SELECT feature, v, CAST(COUNT(*) AS BIGINT) AS cnt,
+             CAST(SUM(y) AS BIGINT) AS pos
+      FROM f GROUP BY feature, v
+    ),
+    c AS (
+      SELECT feature, v,
+             SUM(cnt) OVER (PARTITION BY feature ORDER BY v) AS n_l,
+             SUM(pos) OVER (PARTITION BY feature ORDER BY v) AS pos_l,
+             SUM(cnt) OVER (PARTITION BY feature) AS n,
+             SUM(pos) OVER (PARTITION BY feature) AS pos
+      FROM h
+    )
+    SELECT feature, v AS threshold_milli,
+           CAST(n_l AS BIGINT) AS n_left,
+           CAST(n - n_l AS BIGINT) AS n_right,
+           CAST(pos_l AS BIGINT) AS pos_left,
+           CAST(pos - pos_l AS BIGINT) AS pos_right,
+           CAST(ROUND(
+             (CAST(n_l AS DOUBLE)
+                * (1.0 - (CAST(pos_l AS DOUBLE) / n_l)
+                         * (CAST(pos_l AS DOUBLE) / n_l)
+                       - (CAST(n_l - pos_l AS DOUBLE) / n_l)
+                         * (CAST(n_l - pos_l AS DOUBLE) / n_l))
+              + CAST(n - n_l AS DOUBLE)
+                * (1.0 - (CAST(pos - pos_l AS DOUBLE) / (n - n_l))
+                         * (CAST(pos - pos_l AS DOUBLE) / (n - n_l))
+                       - (CAST((n - n_l) - (pos - pos_l) AS DOUBLE) / (n - n_l))
+                         * (CAST((n - n_l) - (pos - pos_l) AS DOUBLE) / (n - n_l))))
+             / n * 1000000) AS BIGINT) AS gini_micro
+    FROM c WHERE n_l < n
+    """,
+)
+def decision_stump_gini(spark, sf_dir):
+    """Best-split scan for a decision stump predicting returns
+    (label = ``l_returnflag = 'R'``): for every candidate threshold t
+    of every feature, the Gini impurity of the split
+    ``feature <= t`` — exactly the histogram-based split finding
+    inside every gradient-boosting trainer (LightGBM/XGBoost hist
+    mode), expressed relationally.
+
+    The shape IS the 100 TB story: one map-side-combinable
+    ``(feature, bin) -> (count, positives)`` histogram aggregation
+    touches the data — everything after runs on the BIN table
+    (|features| x |distinct values|, here ~61 rows): cumulative
+    window sums give every left/right split's class counts in one
+    in-partition pass (no per-threshold re-scan, no self-join), and
+    the weighted Gini is closed-form in those exact counts.  Adding
+    candidate thresholds costs nothing at scan time.
+
+    Exactness: class counts are exact BIGINTs; the impurity
+    ``(n_l*g_l + n_r*g_r)/n`` is evaluated by the identical double
+    expression on identical integers in both engines and rounded to
+    MICRO-units, so ranking by (gini_micro, feature, threshold) is
+    discrete.  Degenerate right-empty candidates (t = max value) are
+    excluded; every remaining row is emitted — the full candidate
+    table, not just the argmin, so the oracle hash pins the whole
+    impurity curve."""
+    li = load(spark, sf_dir, "lineitem")
+    y = F.when(F.col("l_returnflag") == "R", 1).otherwise(0)
+    f = li.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("quantity").alias("feature"),
+                    F.round(F.col("l_quantity") * 1000)
+                    .cast("long")
+                    .alias("v"),
+                ),
+                F.struct(
+                    F.lit("discount").alias("feature"),
+                    F.round(F.col("l_discount") * 1000)
+                    .cast("long")
+                    .alias("v"),
+                ),
+            )
+        ).alias("x"),
+        y.alias("y"),
+    ).select("x.feature", "x.v", "y")
+    h = f.groupBy("feature", "v").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt"),
+        F.sum("y").cast("long").alias("pos"),
+    )
+    w_cum = Window.partitionBy("feature").orderBy("v")
+    w_all = Window.partitionBy("feature")
+    c = h.select(
+        "feature",
+        "v",
+        F.sum("cnt").over(w_cum).alias("n_l"),
+        F.sum("pos").over(w_cum).alias("pos_l"),
+        F.sum("cnt").over(w_all).alias("n"),
+        F.sum("pos").over(w_all).alias("pos"),
+    ).filter(F.col("n_l") < F.col("n"))
+
+    def _gini(p, n):
+        pr = p.cast("double") / n
+        qr = (n - p).cast("double") / n
+        return F.lit(1.0) - pr * pr - qr * qr
+
+    n_l, pos_l = F.col("n_l"), F.col("pos_l")
+    n_r, pos_r = F.col("n") - n_l, F.col("pos") - pos_l
+    weighted = (
+        n_l.cast("double") * _gini(pos_l, n_l)
+        + n_r.cast("double") * _gini(pos_r, n_r)
+    ) / F.col("n")
+    return c.select(
+        "feature",
+        F.col("v").alias("threshold_milli"),
+        n_l.cast("long").alias("n_left"),
+        n_r.cast("long").alias("n_right"),
+        pos_l.cast("long").alias("pos_left"),
+        pos_r.cast("long").alias("pos_right"),
+        F.round(weighted * 1_000_000).cast("long").alias("gini_micro"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# k-means (Lloyd) — distributed assign/update with a planted exact gate
+# ---------------------------------------------------------------------------
+@query(
+    "kmeans_planted",
+    oracle="""
+    WITH pts AS (
+      SELECT CAST(c_custkey AS BIGINT) AS id,
+             c_custkey % 3 AS c,
+             (c_custkey // 3) % 7 - 3 AS o1,
+             (c_custkey // 3) % 5 - 2 AS o2
+      FROM customer
+    ),
+    p AS (
+      SELECT id,
+        CAST(CASE c WHEN 0 THEN 0 WHEN 1 THEN 1000000 ELSE 150000 END
+             + o1 * 1000 AS BIGINT) AS x,
+        CAST(CASE c WHEN 0 THEN 0 WHEN 1 THEN 200000 ELSE 1000000 END
+             + o2 * 1500 AS BIGINT) AS y
+      FROM pts
+    ),
+    c0 AS (
+      SELECT * FROM (VALUES
+        (0, CAST(300000 AS DOUBLE), CAST(300000 AS DOUBLE)),
+        (1, CAST(800000 AS DOUBLE), CAST(200000 AS DOUBLE)),
+        (2, CAST(200000 AS DOUBLE), CAST(800000 AS DOUBLE))) AS t(cid, cx, cy)
+    ),
+    a1 AS (
+      SELECT id, x, y, cid, ROW_NUMBER() OVER (
+        PARTITION BY id
+        ORDER BY (x - cx) * (x - cx) + (y - cy) * (y - cy), cid) AS rn
+      FROM p CROSS JOIN c0
+    ),
+    c1 AS (
+      SELECT cid, SUM(x) AS sx, SUM(y) AS sy, CAST(COUNT(*) AS BIGINT) AS n
+      FROM a1 WHERE rn = 1 GROUP BY cid
+    ),
+    a2 AS (
+      SELECT p.id, p.x, p.y, c1.cid, ROW_NUMBER() OVER (
+        PARTITION BY p.id
+        ORDER BY (p.x - CAST(c1.sx AS DOUBLE) / c1.n)
+                   * (p.x - CAST(c1.sx AS DOUBLE) / c1.n)
+               + (p.y - CAST(c1.sy AS DOUBLE) / c1.n)
+                   * (p.y - CAST(c1.sy AS DOUBLE) / c1.n), c1.cid) AS rn
+      FROM p CROSS JOIN c1
+    ),
+    c2 AS (
+      SELECT cid, SUM(x) AS sx, SUM(y) AS sy, CAST(COUNT(*) AS BIGINT) AS n
+      FROM a2 WHERE rn = 1 GROUP BY cid
+    ),
+    a3 AS (
+      SELECT p.id, p.x, p.y, c2.cid, ROW_NUMBER() OVER (
+        PARTITION BY p.id
+        ORDER BY (p.x - CAST(c2.sx AS DOUBLE) / c2.n)
+                   * (p.x - CAST(c2.sx AS DOUBLE) / c2.n)
+               + (p.y - CAST(c2.sy AS DOUBLE) / c2.n)
+                   * (p.y - CAST(c2.sy AS DOUBLE) / c2.n), c2.cid) AS rn
+      FROM p CROSS JOIN c2
+    ),
+    c3 AS (
+      SELECT cid, SUM(x) AS sx, SUM(y) AS sy, CAST(COUNT(*) AS BIGINT) AS n
+      FROM a3 WHERE rn = 1 GROUP BY cid
+    )
+    SELECT cid AS cluster_id, n AS n_points,
+           CAST(sx // n AS BIGINT) AS cx_milli,
+           CAST(sy // n AS BIGINT) AS cy_milli
+    FROM c3
+    """,
+)
+def kmeans_planted(spark, sf_dir, iters: int = 3):
+    """Three Lloyd iterations of distributed k-means on PLANTED
+    integer-milli 2-D points — the hash-green gate for the
+    assign/update algebra that clustering-based curation and the ANN
+    index trainer both rest on (the planted-topology move of
+    dedup_semantic_planted / pagerank_planted applied to k-means).
+
+    The plant: customer ids map to three clusters (id % 3) centered
+    at (0,0), (1000,200), (150,1000) (unit = 1.0 = 1000 milli) with
+    deterministic sub-7-unit jitter (id-derived, exact integers).
+    Initial centroids sit at (300,300), (800,200), (200,800): every
+    point's nearest init is already its planted center's basin
+    (margins >= 4e11 milli^2 vs jitter perturbation <= 1.2e10, a
+    30x separation, so no FP flip is possible), assignments are
+    planted-exact from iteration 1 and centroids converge to the
+    exact integer cluster means — closed-form and idempotent across
+    iterations 2 and 3, which the oracle replays verbatim.
+
+    Exactness: coordinates are exact BIGINT milli; per-iteration
+    centroids enter the distance as the identical ``sum/n`` double
+    in both engines; argmin ties (unreachable by construction) break
+    on cid; final centroids report as truncating-div integers.
+
+    Scale shape: the canonical distributed Lloyd — per iteration ONE
+    broadcast of k centroids against the point frame, ONE
+    row_number window per point (bounded k rows each), ONE
+    map-side-combinable (sum, sum, count) update; points never
+    shuffle between iterations beyond the per-id window and the
+    k-row centroid frame is the only driver-visible state.  At
+    100 TB with large k the same plan swaps the crossJoin for a
+    coarse-quantizer pre-filter (the IVF trick) — machinery already
+    in ``operators/ann_index.py``."""
+    cust = load(spark, sf_dir, "customer").select(
+        F.col("c_custkey").cast("long").alias("id")
+    )
+    three = F.lit(3).cast("long")
+    base = cust.select(
+        "id",
+        F.pmod("id", three).alias("c"),
+        (
+            F.pmod(F.call_function("div", F.col("id"), three), F.lit(7).cast("long"))
+            - 3
+        ).alias("o1"),
+        (
+            F.pmod(F.call_function("div", F.col("id"), three), F.lit(5).cast("long"))
+            - 2
+        ).alias("o2"),
+    )
+    cx0 = (
+        F.when(F.col("c") == 0, 0).when(F.col("c") == 1, 1000000).otherwise(150000)
+    )
+    cy0 = (
+        F.when(F.col("c") == 0, 0).when(F.col("c") == 1, 200000).otherwise(1000000)
+    )
+    p = base.select(
+        "id",
+        (cx0 + F.col("o1") * 1000).cast("long").alias("x"),
+        (cy0 + F.col("o2") * 1500).cast("long").alias("y"),
+    )
+    cents = spark.range(3).select(
+        F.col("id").cast("int").alias("cid"),
+        F.when(F.col("id") == 0, 300000.0)
+        .when(F.col("id") == 1, 800000.0)
+        .otherwise(200000.0)
+        .alias("cx"),
+        F.when(F.col("id") == 0, 300000.0)
+        .when(F.col("id") == 1, 200000.0)
+        .otherwise(800000.0)
+        .alias("cy"),
+    )
+    stats = None
+    for _ in range(iters):
+        j = p.crossJoin(F.broadcast(cents))
+        d2 = (F.col("x") - F.col("cx")) * (F.col("x") - F.col("cx")) + (
+            F.col("y") - F.col("cy")
+        ) * (F.col("y") - F.col("cy"))
+        w = Window.partitionBy("id").orderBy(d2, F.col("cid"))
+        assigned = (
+            j.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("id", "x", "y", "cid")
+        )
+        stats = assigned.groupBy("cid").agg(
+            F.sum("x").alias("sx"),
+            F.sum("y").alias("sy"),
+            F.count(F.lit(1)).cast("long").alias("n"),
+        )
+        cents = stats.select(
+            "cid",
+            (F.col("sx").cast("double") / F.col("n")).alias("cx"),
+            (F.col("sy").cast("double") / F.col("n")).alias("cy"),
+        )
+    return stats.select(
+        F.col("cid").alias("cluster_id"),
+        F.col("n").alias("n_points"),
+        F.call_function("div", F.col("sx"), F.col("n")).alias("cx_milli"),
+        F.call_function("div", F.col("sy"), F.col("n")).alias("cy_milli"),
+    )
