@@ -112,6 +112,7 @@ _PRIORITY = [
     "feature_correlations",        # r8 new: one-pass exact-moment Pearson
     "decision_stump_gini",         # r8 new: histogram split finding
     "kmeans_planted",              # r8 new: exact planted Lloyd gate
+    "retrieval_rrf_fusion",        # r8 new: hybrid sparse+dense RRF
     # --- changed in round 8 (advisory fixes in operators/graph.py;
     # shared-stage refactors feeding dedup_semantic and both linkage
     # queries)

@@ -3539,3 +3539,159 @@ def ngram_lm_score(spark, sf_dir):
             F.round(-F.col("s") / 1_000_000.0 / F.col("n_bigrams"), 4).alias("xent"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Hybrid retrieval — reciprocal rank fusion of BM25 and dense cosine
+# ---------------------------------------------------------------------------
+@query(
+    "retrieval_rrf_fusion",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id,
+             unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term
+      FROM documents
+    ),
+    dl AS (SELECT doc_id, COUNT(*) AS dl FROM toks GROUP BY doc_id),
+    tf AS (
+      SELECT doc_id, term, COUNT(*) AS tf FROM toks
+      WHERE term IN ('dup', 'spark', 'merge') GROUP BY doc_id, term
+    ),
+    df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+    s AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM documents),
+    t AS (SELECT CAST(SUM(dl) AS BIGINT) AS t FROM dl),
+    scored AS (
+      SELECT tf.doc_id,
+             CAST(ROUND(
+               ln(1.0 + (s.n - df.df + 0.5) / (df.df + 0.5))
+               * ((tf.tf * 2.2)
+                  / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * ((dl.dl * s.n) / t.t))))
+               * 1000000) AS BIGINT) AS c
+      FROM tf JOIN df USING (term) JOIN dl USING (doc_id)
+      CROSS JOIN s CROSS JOIN t
+    ),
+    bm AS (
+      SELECT doc_id, CAST(SUM(c) AS BIGINT) AS score_micro
+      FROM scored GROUP BY doc_id
+      ORDER BY score_micro DESC, doc_id LIMIT 25
+    ),
+    sparse AS (
+      SELECT doc_id,
+             CAST(ROW_NUMBER() OVER (ORDER BY score_micro DESC, doc_id)
+                  AS BIGINT) AS rank_sparse
+      FROM bm
+    ),
+    qv AS (
+      SELECT CAST(embedding AS DOUBLE[]) AS e FROM embeddings WHERE vec_id = 0
+    ),
+    cv AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+      FROM embeddings WHERE vec_id >= 1
+    ),
+    dsc AS (
+      SELECT cv.vec_id AS doc_id,
+             list_dot_product(qv.e, cv.e)
+               / (SQRT(list_dot_product(qv.e, qv.e))
+                  * SQRT(list_dot_product(cv.e, cv.e))) AS sim
+      FROM cv CROSS JOIN qv
+    ),
+    dense AS (
+      SELECT doc_id,
+             CAST(ROW_NUMBER() OVER (ORDER BY sim DESC, doc_id)
+                  AS BIGINT) AS rank_dense
+      FROM dsc ORDER BY sim DESC, doc_id LIMIT 25
+    ),
+    fused AS (
+      SELECT COALESCE(sp.doc_id, de.doc_id) AS doc_id,
+             sp.rank_sparse, de.rank_dense,
+             COALESCE(1000000 // (60 + sp.rank_sparse), 0)
+               + COALESCE(1000000 // (60 + de.rank_dense), 0) AS rrf_micro
+      FROM sparse sp FULL OUTER JOIN dense de ON sp.doc_id = de.doc_id
+    )
+    SELECT doc_id, rank_sparse, rank_dense,
+           CAST(rrf_micro AS BIGINT) AS rrf_micro
+    FROM fused ORDER BY rrf_micro DESC, doc_id LIMIT 10
+    """,
+)
+def retrieval_rrf_fusion(spark, sf_dir, k_list: int = 25, k_out: int = 10):
+    """Hybrid retrieval via Reciprocal Rank Fusion (Cormack, Clarke &
+    Buettcher 2009): the sparse BM25 list (:func:`bm25_retrieval`,
+    reused verbatim — fusion COMPOSES registered queries) and a dense
+    cosine list (query = embedding 0, the :func:`similarity_cosine_topk`
+    scoring expression) merge by ``score(d) = sum over lists of
+    1/(60 + rank_list(d))`` — the standard two-tower RAG retrieval
+    layout where neither scorer's scale has to be calibrated because
+    only RANKS fuse.
+
+    Exactness: ranks are discrete (the BM25 list orders on the
+    micro-grid score; the dense list orders on the same unrounded
+    sim doubles the hash-green ``similarity_cosine_topk`` gate
+    already proves identical across engines, ties on id), and each
+    RRF contribution is the truncating integer ``1000000 div
+    (60 + rank)`` — so the fused score is an exact BIGINT and the
+    final top-10 orders on the discrete (rrf_micro, doc_id) key.
+    Documents missing from one list contribute 0 from it (the
+    rank column stays NULL in the output — faithful RRF, no
+    pseudo-rank imputation).
+
+    Scale shape: each side is already TakeOrdered top-k, so fusion
+    joins two k-row frames — a broadcast join of bounded lists no
+    matter the corpus size; the corpus-scale work lives in the
+    composed queries (posting-list BM25, broadcast-query dense scan),
+    each audited on its own.
+
+    Reference scope: net-new retrieval capability (no counterpart in
+    mhawila/beehive)."""
+    from beehive_spark.queries import llm as _llm
+
+    bm = _llm.bm25_retrieval(spark, sf_dir, k=k_list)
+    ws = Window.orderBy(F.col("score_micro").desc(), "doc_id")
+    sparse = bm.select(
+        "doc_id", F.row_number().over(ws).cast("long").alias("rank_sparse")
+    )
+    emb = load(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("e")
+    )
+    norm = lambda c: F.sqrt(  # noqa: E731
+        F.aggregate(c, F.lit(0.0), lambda acc, x: acc + x * x)
+    )
+    q = (
+        emb.filter(F.col("vec_id") == 0)
+        .select(F.col("e").alias("qe"))
+        .withColumn("qn", norm(F.col("qe")))
+    )
+    c = emb.filter(F.col("vec_id") >= 1).select(
+        F.col("vec_id").alias("doc_id"), F.col("e").alias("ce")
+    ).withColumn("cn", norm(F.col("ce")))
+    dot = F.aggregate(
+        F.zip_with("qe", "ce", lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .withColumn("sim", dot / (F.col("qn") * F.col("cn")))
+        .orderBy(F.col("sim").desc(), "doc_id")
+        .limit(k_list)
+    )
+    wd = Window.orderBy(F.col("sim").desc(), "doc_id")
+    dense = scored.select(
+        "doc_id", F.row_number().over(wd).cast("long").alias("rank_dense")
+    )
+    fused = sparse.join(dense, "doc_id", "full_outer")
+    contrib = lambda r: F.coalesce(  # noqa: E731
+        F.call_function(
+            "div", F.lit(1_000_000).cast("long"), F.lit(60).cast("long") + F.col(r)
+        ),
+        F.lit(0).cast("long"),
+    )
+    return (
+        fused.select(
+            "doc_id",
+            "rank_sparse",
+            "rank_dense",
+            (contrib("rank_sparse") + contrib("rank_dense")).alias("rrf_micro"),
+        )
+        .orderBy(F.col("rrf_micro").desc(), "doc_id")
+        .limit(k_out)
+    )
