@@ -2,6 +2,7 @@ from beehive_spark.streaming.events import (
     correlate_streams,
     dedup_event_stream,
     enrich_stream,
+    holt_forecast_stream,
     read_event_stream,
     run_stream_to_memory,
     run_topk_foreachbatch,
@@ -16,6 +17,7 @@ __all__ = [
     "correlate_streams",
     "dedup_event_stream",
     "enrich_stream",
+    "holt_forecast_stream",
     "read_event_stream",
     "run_stream_to_memory",
     "run_topk_foreachbatch",

@@ -482,3 +482,97 @@ def run_cdc_apply_stream(
     q.awaitTermination(timeout_sec)
     if q.isActive:  # pragma: no cover
         q.stop()
+
+
+def holt_forecast_stream(events: DataFrame) -> DataFrame:
+    """Streaming Holt double-exponential forecaster — the stateful
+    twin of ``queries/core.py::events_holt``: per user the state is
+    exactly the (level, trend) BIGINT-milli pair that query's batch
+    fold produces, advanced per event by the identical integer
+    recurrence ``l' = (3*v + 7*(l+b)) div 10``,
+    ``b' = (2*(l'-l) + 8*b) div 10`` (alpha=0.3, beta=0.2, per-step
+    truncating division toward zero), seeded (v1, 0).
+
+    Because the recurrence is order-dependent, each micro-batch's
+    rows are folded in (event-time, value) order — the same total
+    per-key order the batch query uses — so on a time-ordered source
+    (files arriving in event-time order, the normal ingest layout)
+    the final state per user is BIT-IDENTICAL to the batch fold,
+    which the equivalence test pins.  Out-of-order arrival WITHIN a
+    micro-batch is absorbed by the in-batch sort; late data across
+    batches would need the same reprocessing any incremental
+    forecaster needs (state is not invertible) — documented, not
+    hidden.
+
+    Emits one row per (user, micro-batch): the running point count,
+    the current (level, trend), and the one-step forecast
+    ``level + trend``.  State is two BIGINTs + a count per user —
+    bounded by key cardinality, sharded by the state store exactly
+    like ``running_user_stats``."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    out_schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType()),
+            T.StructField("batch_points", T.LongType()),
+            T.StructField("n_points", T.LongType()),
+            T.StructField("level_milli", T.LongType()),
+            T.StructField("trend_milli", T.LongType()),
+            T.StructField("forecast_milli", T.LongType()),
+        ]
+    )
+    state_schema = T.StructType(
+        [
+            T.StructField("n_points", T.LongType()),
+            T.StructField("level_milli", T.LongType()),
+            T.StructField("trend_milli", T.LongType()),
+        ]
+    )
+
+    def _tdiv(a: int, b: int) -> int:
+        # truncate toward zero (Spark div / DuckDB //); python // floors
+        q = abs(a) // b
+        return q if a >= 0 else -q
+
+    def update(key, pdfs, state):
+        import math
+
+        (user_id,) = key
+        n, level, trend = state.get if state.exists else (0, 0, 0)
+        frames = [pdf for pdf in pdfs if len(pdf)]
+        batch = 0
+        if frames:
+            pdf = pd.concat(frames, ignore_index=True)
+            t_us = pdf["ts"].astype("int64") // 1000
+            v = pdf["value"].astype(float)
+            milli = [
+                int(math.copysign(math.floor(abs(x * 1000) + 0.5), x))
+                for x in v
+            ]
+            for _, vm in sorted(zip(t_us, milli)):
+                if n == 0:
+                    level, trend = vm, 0
+                else:
+                    nl = _tdiv(3 * vm + 7 * (level + trend), 10)
+                    trend = _tdiv(2 * (nl - level) + 8 * trend, 10)
+                    level = nl
+                n += 1
+                batch += 1
+        state.update((n, level, trend))
+        yield pd.DataFrame(
+            [
+                {
+                    "user_id": user_id,
+                    "batch_points": batch,
+                    "n_points": n,
+                    "level_milli": level,
+                    "trend_milli": trend,
+                    "forecast_milli": level + trend,
+                }
+            ]
+        )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        update, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
+    )
