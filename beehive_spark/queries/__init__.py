@@ -113,6 +113,8 @@ _PRIORITY = [
     "decision_stump_gini",         # r8 new: histogram split finding
     "kmeans_planted",              # r8 new: exact planted Lloyd gate
     "retrieval_rrf_fusion",        # r8 new: hybrid sparse+dense RRF
+    "incremental_corr_orders",     # r8 new: moment-state correlation IVM
+    "label_propagation_planted",   # r8 new: clamped-seed LPA, planted
     # --- changed in round 8 (advisory fixes in operators/graph.py;
     # shared-stage refactors feeding dedup_semantic and both linkage
     # queries)

@@ -3424,3 +3424,284 @@ def incremental_histogram_orders(spark, sf_dir):
         .groupBy("o_orderpriority", F.col("n_rows").cast("long").alias("n_rows"))
         .agg((F.min("bin") * width).cast("long").alias("p95_lo_cents"))
     )
+
+
+# ---------------------------------------------------------------------------
+# IVM for Pearson correlation — linear moment state, nonlinear view
+# ---------------------------------------------------------------------------
+@query(
+    "incremental_corr_orders",
+    oracle="""
+    WITH newsnap AS (
+      SELECT o_orderstatus,
+             CAST(ROUND(o_totalprice) AS BIGINT)
+               + CASE WHEN o_orderkey % 5 = 0 THEN 10 ELSE 0 END AS p,
+             CAST(datediff('day', DATE '1970-01-01',
+                           CAST(o_orderdate AS DATE)) AS BIGINT)
+               + CASE WHEN o_orderkey % 13 = 0 THEN 7 ELSE 0 END AS d
+      FROM orders WHERE o_orderkey % 97 <> 0
+      UNION ALL
+      SELECT o_orderstatus, CAST(ROUND(o_totalprice) AS BIGINT),
+             CAST(datediff('day', DATE '1970-01-01',
+                           CAST(o_orderdate AS DATE)) AS BIGINT)
+      FROM orders WHERE o_orderkey % 101 = 0
+    ),
+    s AS (
+      SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n_rows,
+             SUM(p) AS sp, SUM(d) AS sd,
+             SUM(p * p) AS spp, SUM(d * d) AS sdd, SUM(p * d) AS spd
+      FROM newsnap GROUP BY o_orderstatus
+    )
+    SELECT o_orderstatus, n_rows,
+           CAST(ROUND(
+             (CAST(n_rows AS DOUBLE) * spd - CAST(sp AS DOUBLE) * sd)
+             / (SQRT(CAST(n_rows AS DOUBLE) * spp - CAST(sp AS DOUBLE) * sp)
+                * SQRT(CAST(n_rows AS DOUBLE) * sdd - CAST(sd AS DOUBLE) * sd))
+             * 1000000) AS BIGINT) AS corr_micro
+    FROM s
+    """,
+)
+def incremental_corr_orders(spark, sf_dir):
+    """Incrementally-maintained Pearson correlation (price vs order
+    date, per order status): the maintained STATE is the five
+    second-order moments plus the row count — all LINEAR in the row
+    multiset, so the existing :func:`operators.ivm.incremental_agg`
+    maintains them from the same CDC scenario as
+    ``incremental_agg_orders`` (deletes key%97, +10-dollar price
+    updates key%5, 7-day date shifts key%13, inserts key%101) with
+    retractions subtracting each row's p, d, p^2, d^2, p*d
+    contributions — and the nonlinear correlation is a pure
+    PROJECTION of that state.  This is the general recipe: any
+    statistic algebraic in moments (variance, covariance, corr, OLS
+    slope/intercept, R^2) becomes incrementally maintainable with
+    ZERO new maintenance machinery; only the view projection differs.
+
+    Exactness: p is whole dollars, d whole days (exact BIGINTs;
+    n*p^2-scale products stay < 2^63 through sf ~ 25 — headroom
+    noted), moments accumulate exactly in any order, and the final
+    corr evaluates the identical double expression on identical
+    integers in both engines, micro-rounded (the
+    ``feature_correlations`` discipline).  The oracle recomputes from
+    the mutated snapshot, proving delta-maintenance == recompute.
+
+    Scale shape: inherited from ``incremental_agg`` — the delta
+    aggregates once over touched groups, the base moment table never
+    repartitions (broadcast semi/anti split + broadcast merge), cost
+    scales with the delta, not history.  The moment table is
+    |groups| x 13 numbers — the cheapest possible auxiliary state for
+    a maintained correlation matrix."""
+    from beehive_spark.operators.ivm import (
+        build_agg,
+        cdc_to_retractions,
+        incremental_agg,
+    )
+
+    keys = ["o_orderstatus"]
+    o = load(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.round("o_totalprice").cast("long").alias("p"),
+        F.datediff(F.to_date("o_orderdate"), F.lit("1970-01-01"))
+        .cast("long")
+        .alias("d"),
+    )
+    k = F.col("o_orderkey")
+
+    def _moments(df):
+        return df.withColumn("pp", F.col("p") * F.col("p")).withColumn(
+            "dd", F.col("d") * F.col("d")
+        ).withColumn("pd", F.col("p") * F.col("d"))
+
+    sums = {"sp": "p", "sd": "d", "spp": "pp", "sdd": "dd", "spd": "pd"}
+    base = build_agg(_moments(o), keys, sums, count_col="n_rows")
+    null_s, null_l = F.lit(None).cast("string"), F.lit(None).cast("long")
+    upd = o.filter((k % 97 != 0) & ((k % 5 == 0) | (k % 13 == 0))).select(
+        F.lit("update").alias("change_type"),
+        F.col("o_orderstatus"),
+        F.col("p").alias("p_old"),
+        (F.col("p") + F.when(k % 5 == 0, 10).otherwise(0)).alias("p_new"),
+        F.col("d").alias("d_old"),
+        (F.col("d") + F.when(k % 13 == 0, 7).otherwise(0)).alias("d_new"),
+    )
+    dels = o.filter(k % 97 == 0).select(
+        F.lit("delete").alias("change_type"),
+        F.col("o_orderstatus"),
+        F.col("p").alias("p_old"),
+        null_l.alias("p_new"),
+        F.col("d").alias("d_old"),
+        null_l.alias("d_new"),
+    )
+    ins = o.filter(k % 101 == 0).select(
+        F.lit("insert").alias("change_type"),
+        F.col("o_orderstatus"),
+        null_l.alias("p_old"),
+        F.col("p").alias("p_new"),
+        null_l.alias("d_old"),
+        F.col("d").alias("d_new"),
+    )
+    feed = upd.unionByName(dels).unionByName(ins)
+    # retractions carry (sign, key, p, d); each signed row's moment
+    # contributions derive IN the stream, so a retraction subtracts
+    # exactly what the original row added
+    retr = _moments(cdc_to_retractions(feed, keys=keys, values=["p", "d"]))
+    fresh = incremental_agg(base, retr, keys, sums, count_col="n_rows")
+    nd = F.col("n_rows").cast("double")
+    num = nd * F.col("spd") - F.col("sp").cast("double") * F.col("sd")
+    den = F.sqrt(nd * F.col("spp") - F.col("sp").cast("double") * F.col("sp")) * F.sqrt(
+        nd * F.col("sdd") - F.col("sd").cast("double") * F.col("sd")
+    )
+    return fresh.select(
+        "o_orderstatus",
+        "n_rows",
+        F.round(num / den * 1_000_000).cast("long").alias("corr_micro"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Semi-supervised label propagation — planted communities, clamped seeds
+# ---------------------------------------------------------------------------
+def _lpa_oracle(rounds: int) -> str:
+    """Chained-CTE oracle for ``label_propagation_planted`` — one
+    (votes, best, labels) triple per synchronous round, generated like
+    ``_pr_star_oracle`` so the round count stays a single constant."""
+    parts = [
+        """
+    WITH nodes AS (SELECT CAST(c_custkey AS BIGINT) AS id FROM customer),
+    mx AS (SELECT MAX(id) AS m FROM nodes),
+    edges AS (
+      SELECT a.id AS src, b.id AS dst FROM nodes a JOIN nodes b
+        ON a.id // 10 = b.id // 10 AND a.id <> b.id
+      UNION ALL
+      SELECT n.id, n.id + 10 FROM nodes n CROSS JOIN mx
+        WHERE n.id % 10 = 5 AND n.id + 10 <= mx.m
+      UNION ALL
+      SELECT n.id + 10, n.id FROM nodes n CROSS JOIN mx
+        WHERE n.id % 10 = 5 AND n.id + 10 <= mx.m
+    ),
+    l0 AS (SELECT id, CASE WHEN id % 10 = 0 THEN id END AS lbl FROM nodes)"""
+    ]
+    for r in range(1, rounds + 1):
+        parts.append(
+            f""",
+    v{r} AS (
+      SELECT e.src, l.lbl, COUNT(*) AS c
+      FROM edges e JOIN l{r - 1} l ON l.id = e.dst
+      WHERE l.lbl IS NOT NULL GROUP BY e.src, l.lbl
+    ),
+    b{r} AS (
+      SELECT src, lbl FROM (
+        SELECT src, lbl, ROW_NUMBER() OVER (
+          PARTITION BY src ORDER BY c DESC, lbl) AS rn
+        FROM v{r}) WHERE rn = 1
+    ),
+    l{r} AS (
+      SELECT n.id,
+             CASE WHEN n.id % 10 = 0 THEN n.id
+                  ELSE COALESCE(b.lbl, p.lbl) END AS lbl
+      FROM nodes n
+      LEFT JOIN b{r} b ON b.src = n.id
+      JOIN l{r - 1} p ON p.id = n.id
+    )"""
+        )
+    parts.append(
+        f"""
+    SELECT id AS node_id, CAST(lbl AS BIGINT) AS label,
+           id % 10 = 0 AS is_seed
+    FROM l{rounds}"""
+    )
+    return "".join(parts)
+
+
+_LPA_ROUNDS = 3
+
+
+@query("label_propagation_planted", oracle=_lpa_oracle(_LPA_ROUNDS))
+def label_propagation_planted(spark, sf_dir, rounds: int = _LPA_ROUNDS):
+    """Semi-supervised label propagation (Zhu & Ghahramani 2002 made
+    discrete; the community flavor of Raghavan et al.'s LPA) on a
+    PLANTED community graph: customer ids form 10-node cliques
+    (block = id div 10) chained by single bridge edges between block
+    MIDDLES (id % 10 = 5 -- the middle placement is load-bearing:
+    bridging extremes would let min-label ties leak labels across
+    blocks, the documented LPA chain-collapse pathology).  One seed
+    per block (id % 10 = 0) starts labeled with its own id and stays
+    CLAMPED; each synchronous round every unlabeled-or-free node
+    adopts its neighbors' most frequent non-null label, ties broken
+    by smallest label.
+
+    Planted convergence is closed-form: round 1 gives every clique
+    mate of a seed exactly one labeled neighbor (the seed), later
+    rounds are 9-votes-to-1 majorities against the bridge, so after
+    round 2 every node of block b carries label 10*b, fixed-point —
+    no tie is ever attained (margins are integer vote counts), so
+    both engines' ROW_NUMBER argmax picks identically and the result
+    hash-gates exactly.  LOAD-BEARING data assumptions (asserted in
+    tests/test_queries_r6.py): custkeys 0-based contiguous.
+
+    Scale shape: per round ONE join of the edge frame against the
+    label frame (node-keyed, bounded by |E|), one map-side-combinable
+    (node, label) vote count, one per-node argmax window over <=
+    degree rows, one broadcast-free label rebuild keyed on node —
+    the pagerank_planted shuffle discipline; rounds are a fixed
+    constant, frames never grow.  Votes shuffle O(|E|) per round at
+    any scale; the label frame stays |V| rows."""
+    nodes = load(spark, sf_dir, "customer").select(
+        F.col("c_custkey").cast("long").alias("id")
+    )
+    ten = F.lit(10).cast("long")
+    a = nodes.select(
+        F.col("id").alias("src"),
+        F.call_function("div", F.col("id"), ten).alias("blk"),
+    )
+    b = nodes.select(
+        F.col("id").alias("dst"),
+        F.call_function("div", F.col("id"), ten).alias("blk"),
+    )
+    clique = a.join(b, "blk").filter(F.col("src") != F.col("dst")).select(
+        "src", "dst"
+    )
+    mx = nodes.agg(F.max("id").alias("m"))
+    mid = nodes.filter(F.pmod("id", ten) == 5).crossJoin(F.broadcast(mx)).filter(
+        F.col("id") + 10 <= F.col("m")
+    )
+    bridges = mid.select(
+        F.col("id").alias("src"), (F.col("id") + 10).alias("dst")
+    ).unionByName(
+        mid.select((F.col("id") + 10).alias("src"), F.col("id").alias("dst"))
+    )
+    edges = clique.unionByName(bridges)
+    seed = F.pmod("id", ten) == 0
+    labels = nodes.select(
+        "id", F.when(seed, F.col("id")).alias("lbl")
+    )
+    w = Window.partitionBy("src").orderBy(F.col("c").desc(), F.col("lbl"))
+    for _ in range(rounds):
+        votes = (
+            edges.join(
+                labels.filter(F.col("lbl").isNotNull()).withColumnRenamed(
+                    "id", "dst"
+                ),
+                "dst",
+            )
+            .groupBy("src", "lbl")
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+        best = (
+            votes.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select(F.col("src").alias("id"), F.col("lbl").alias("vlbl"))
+        )
+        labels = (
+            labels.join(best, "id", "left")
+            .select(
+                "id",
+                F.when(seed, F.col("id"))
+                .otherwise(F.coalesce("vlbl", "lbl"))
+                .alias("lbl"),
+            )
+        )
+    return labels.select(
+        F.col("id").alias("node_id"),
+        F.col("lbl").cast("long").alias("label"),
+        seed.alias("is_seed"),
+    )
