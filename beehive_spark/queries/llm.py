@@ -3678,7 +3678,21 @@ def retrieval_rrf_fusion(spark, sf_dir, k_list: int = 25, k_out: int = 10):
     dense = scored.select(
         "doc_id", F.row_number().over(wd).cast("long").alias("rank_dense")
     )
-    fused = sparse.join(dense, "doc_id", "full_outer")
+    # outer-merge via union + one k-row groupBy rather than a
+    # FULL OUTER join: Spark cannot broadcast a full outer, so the
+    # join form sort-merges two already-tiny lists; the union form
+    # keeps the whole fusion in one combinable aggregate
+    fused = (
+        sparse.withColumn("rank_dense", F.lit(None).cast("long"))
+        .unionByName(
+            dense.withColumn("rank_sparse", F.lit(None).cast("long"))
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.max("rank_sparse").alias("rank_sparse"),
+            F.max("rank_dense").alias("rank_dense"),
+        )
+    )
     contrib = lambda r: F.coalesce(  # noqa: E731
         F.call_function(
             "div", F.lit(1_000_000).cast("long"), F.lit(60).cast("long") + F.col(r)

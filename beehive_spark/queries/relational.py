@@ -3644,7 +3644,11 @@ def label_propagation_planted(spark, sf_dir, rounds: int = _LPA_ROUNDS):
     degree rows, one broadcast-free label rebuild keyed on node —
     the pagerank_planted shuffle discipline; rounds are a fixed
     constant, frames never grow.  Votes shuffle O(|E|) per round at
-    any scale; the label frame stays |V| rows."""
+    any scale; the label frame stays |V| rows.  The edge frame and
+    each round's labels are ``localCheckpoint``-ed: labels feed BOTH
+    the vote join and the rebuild, so an unbroken lineage would
+    double per round (2^rounds plan replay — the iterative-algorithm
+    trap the graph operators document)."""
     nodes = load(spark, sf_dir, "customer").select(
         F.col("c_custkey").cast("long").alias("id")
     )
@@ -3669,13 +3673,14 @@ def label_propagation_planted(spark, sf_dir, rounds: int = _LPA_ROUNDS):
     ).unionByName(
         mid.select((F.col("id") + 10).alias("src"), F.col("id").alias("dst"))
     )
-    edges = clique.unionByName(bridges)
+    edges = clique.unionByName(bridges).localCheckpoint(eager=True)
     seed = F.pmod("id", ten) == 0
     labels = nodes.select(
         "id", F.when(seed, F.col("id")).alias("lbl")
     )
     w = Window.partitionBy("src").orderBy(F.col("c").desc(), F.col("lbl"))
     for _ in range(rounds):
+        labels = labels.localCheckpoint(eager=True)
         votes = (
             edges.join(
                 labels.filter(F.col("lbl").isNotNull()).withColumnRenamed(

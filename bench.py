@@ -172,6 +172,15 @@ EXTRA = [
     "feature_minmax_scaled",
     "k_anonymity_audit",
     "events_holt",
+    # round-8 session-3 additions
+    "events_rolling_median",
+    "events_cusum_changepoint",
+    "feature_correlations",
+    "decision_stump_gini",
+    "kmeans_planted",
+    "retrieval_rrf_fusion",
+    "incremental_corr_orders",
+    "label_propagation_planted",
 ]
 
 

@@ -212,6 +212,19 @@ EXTRA = [
     "feature_minmax_scaled",
     "k_anonymity_audit",
     "events_holt",
+    # round-8 session-3 additions (kmeans_planted is a fixed-round
+    # DECLARATIVE loop — no eager action inside, so the final plan
+    # nests all 3 rounds and audits statically here;
+    # label_propagation_planted localCheckpoints per round and goes to
+    # ITERATIVE; retrieval_rrf_fusion composes two TakeOrdered
+    # subplans in one static plan)
+    "events_rolling_median",
+    "events_cusum_changepoint",
+    "feature_correlations",
+    "decision_stump_gini",
+    "retrieval_rrf_fusion",
+    "incremental_corr_orders",
+    "kmeans_planted",
 ]
 
 
@@ -227,6 +240,7 @@ EXTRA = [
 # round number (lineage re-execution) or carries a cartesian product
 # is the scale regression this table exists to flag.
 ITERATIVE = [
+    "label_propagation_planted",
     "pagerank_planted",
     "pagerank_copurchase",
     "connected_components_twophase",

@@ -152,6 +152,23 @@ REGISTRY_CASES = [
     ("negative_sampling", "customer"),
     ("event_trigram_lm", "events"),
     ("equidepth_histogram", "part"),
+    # round-8 fourth batch: rolling median / CUSUM (one user-keyed
+    # shuffle each, per-key state bounded — 10x events = 10x keys at
+    # the same series lengths), the one-pass moment aggregates (a
+    # single partial-agg exchange of a constant-width state: the
+    # flattest scaling in the suite), histogram split finding (scan ->
+    # |bins| rows), RRF fusion (two composed top-k scans), correlation
+    # IVM (delta %-of-table like the other IVM legs), and planted
+    # k-means / LPA (fixed-round loops over 10x customers: per-round
+    # work is one broadcast-or-edge join + one combinable agg).
+    ("events_rolling_median", "events"),
+    ("events_cusum_changepoint", "events"),
+    ("feature_correlations", "lineitem"),
+    ("decision_stump_gini", "lineitem"),
+    ("retrieval_rrf_fusion", "documents"),
+    ("incremental_corr_orders", "orders"),
+    ("kmeans_planted", "customer"),
+    ("label_propagation_planted", "customer"),
 ]
 
 
