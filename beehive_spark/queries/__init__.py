@@ -115,6 +115,8 @@ _PRIORITY = [
     "retrieval_rrf_fusion",        # r8 new: hybrid sparse+dense RRF
     "incremental_corr_orders",     # r8 new: moment-state correlation IVM
     "label_propagation_planted",   # r8 new: clamped-seed LPA, planted
+    "text_keyphrases",             # r8 new: RAKE stopword-run phrases
+    "orders_pareto_abc",           # r8 new: integer-exact ABC classes
     # --- changed in round 8 (advisory fixes in operators/graph.py;
     # shared-stage refactors feeding dedup_semantic and both linkage
     # queries)

@@ -3395,3 +3395,81 @@ def events_cusum_changepoint(spark, sf_dir):
         F.element_at(fold, 3).alias("n_alarms"),
         F.element_at(fold, 4).alias("first_alarm_idx"),
     )
+
+
+# ---------------------------------------------------------------------------
+# ABC / Pareto classification — cumulative-share revenue classes
+# ---------------------------------------------------------------------------
+@query(
+    "orders_pareto_abc",
+    oracle="""
+    WITH rev AS (
+      SELECT o_custkey,
+             CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS cents
+      FROM orders GROUP BY o_custkey
+    ),
+    tot AS (SELECT CAST(SUM(cents) AS BIGINT) AS t FROM rev),
+    cum AS (
+      SELECT o_custkey, cents,
+             SUM(cents) OVER (ORDER BY cents DESC, o_custkey) AS c,
+             t
+      FROM rev CROSS JOIN tot
+    ),
+    cls AS (
+      SELECT CASE WHEN c * 100 <= t * 80 THEN 'A'
+                  WHEN c * 100 <= t * 95 THEN 'B'
+                  ELSE 'C' END AS abc_class,
+             cents
+      FROM cum
+    )
+    SELECT abc_class,
+           CAST(COUNT(*) AS BIGINT) AS n_customers,
+           CAST(SUM(cents) AS BIGINT) AS cents
+    FROM cls GROUP BY abc_class
+    """,
+)
+def orders_pareto_abc(spark, sf_dir):
+    """ABC / Pareto inventory classification of customers by revenue:
+    rank customers by total order value, take the running cumulative
+    share, and bucket A (first 80% of revenue), B (to 95%), C (tail)
+    — the standard concentration report behind "20% of customers
+    drive 80% of revenue" decisions, and the classification twin of
+    ``revenue_concentration``.
+
+    Exactness: money is exact integer cents; the class boundaries
+    compare ``cum * 100 <= total * K`` as pure BIGINT
+    cross-multiplications — NO division, no floats, so the class of
+    every customer (including the straddling boundary rows) is
+    engine-independent by construction.  The running order is the
+    discrete (cents DESC, custkey) key.
+
+    Scale shape: the facts aggregate once (map-side combinable) down
+    to the |customers| frame; the ONE global sort — unavoidable for
+    a cumulative share — runs over that aggregate, not the fact
+    table (range-partitioned sort of |customers| rows), and the
+    grand total rides a 1-row broadcast.  Final output is 3 rows."""
+    o = load(spark, sf_dir, "orders")
+    rev = o.groupBy("o_custkey").agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+        .cast("long")
+        .alias("cents")
+    )
+    tot = rev.agg(F.sum("cents").cast("long").alias("t"))
+    w = Window.orderBy(F.col("cents").desc(), "o_custkey").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    cum = rev.crossJoin(F.broadcast(tot)).withColumn(
+        "c", F.sum("cents").over(w)
+    )
+    cls = cum.select(
+        F.when(F.col("c") * 100 <= F.col("t") * 80, "A")
+        .when(F.col("c") * 100 <= F.col("t") * 95, "B")
+        .otherwise("C")
+        .alias("abc_class"),
+        "cents",
+    )
+    return cls.groupBy("abc_class").agg(
+        F.count(F.lit(1)).cast("long").alias("n_customers"),
+        F.sum("cents").cast("long").alias("cents"),
+    )

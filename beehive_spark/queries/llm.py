@@ -3709,3 +3709,139 @@ def retrieval_rrf_fusion(spark, sf_dir, k_list: int = 25, k_out: int = 10):
         .orderBy(F.col("rrf_micro").desc(), "doc_id")
         .limit(k_out)
     )
+
+
+# ---------------------------------------------------------------------------
+# RAKE keyphrases — stopword-delimited phrase scoring
+# ---------------------------------------------------------------------------
+_RAKE_STOPS = ("a", "the", "and", "of", "to", "in", "is", "on")
+
+
+@query(
+    "text_keyphrases",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t
+      FROM documents
+    ),
+    pos AS (
+      SELECT doc_id, i, t[i] AS w
+      FROM toks, unnest(range(1, len(t) + 1)) AS u(i)
+    ),
+    flag AS (
+      SELECT doc_id, i, w,
+             CASE WHEN w IN ('a','the','and','of','to','in','is','on')
+                  THEN 1 ELSE 0 END AS s
+      FROM pos
+    ),
+    isl AS (
+      SELECT *, SUM(s) OVER (PARTITION BY doc_id ORDER BY i) AS g
+      FROM flag
+    ),
+    wip AS (SELECT doc_id, g, i, w FROM isl WHERE s = 0),
+    phr AS (
+      SELECT doc_id, g, CAST(COUNT(*) AS BIGINT) AS plen,
+             string_agg(w, ' ' ORDER BY i) AS phrase
+      FROM wip GROUP BY doc_id, g
+    ),
+    kept AS (SELECT * FROM phr WHERE plen <= 4),
+    member AS (
+      SELECT w.doc_id, w.g, w.w, k.plen
+      FROM wip w JOIN kept k ON k.doc_id = w.doc_id AND k.g = w.g
+    ),
+    wscore AS (
+      SELECT w, (SUM(plen - 1) * 1000000) // COUNT(*) AS ws
+      FROM member GROUP BY w
+    ),
+    inst AS (
+      SELECT m.doc_id, m.g, SUM(s.ws) AS iscore
+      FROM member m JOIN wscore s ON s.w = m.w
+      GROUP BY m.doc_id, m.g
+    )
+    SELECT k.phrase, CAST(COUNT(*) AS BIGINT) AS n_occurrences,
+           CAST(MIN(i.iscore) AS BIGINT) AS score_micro
+    FROM kept k JOIN inst i ON i.doc_id = k.doc_id AND i.g = k.g
+    GROUP BY k.phrase
+    ORDER BY score_micro DESC, phrase LIMIT 30
+    """,
+)
+def text_keyphrases(spark, sf_dir, max_len: int = 4, k: int = 30):
+    """RAKE keyphrase extraction (Rose et al. 2010): candidate phrases
+    are maximal stopword-delimited token runs (gaps-and-islands over
+    token positions — the dedup_substring_spans window trick applied
+    to stopword boundaries), each scored by the sum of its member
+    words' degree/frequency ratios.  Definitions pinned exactly:
+    ``deg(w)`` = sum over kept phrase INSTANCES containing w of
+    (len - 1), ``freq(w)`` = instance count, word score =
+    ``(deg * 1e6) div freq`` (truncating integer micro-units), phrase
+    score = sum of member word scores with multiplicity.  Runs longer
+    than ``max_len`` are dropped before scoring (boilerplate guard) —
+    on this corpus that keeps ~27% of runs, documented not hidden.
+
+    Exactness: every quantity is an exact BIGINT (counts, truncating
+    div, sums) — no floats anywhere; the top-k orders on the discrete
+    (score_micro, phrase) key.
+
+    Scale shape: one token explode with per-doc positions, one
+    running-sum window PER DOCUMENT (partition-local, never global),
+    one (word) aggregate over phrase members (vocab-sized), one
+    broadcast-range join back, and a TakeOrdered top-k.  Identical
+    partitioning discipline to doc_winnowing_fingerprints — nothing
+    touches more than one document's tokens outside the vocab-keyed
+    aggregates."""
+    d = load(spark, sf_dir, "documents")
+    toks = d.select("doc_id", _tokens(F.col("text")).alias("t")).filter(
+        F.size("t") >= 1
+    )
+    pos = toks.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("t")),
+                lambda i: F.struct(
+                    i.cast("long").alias("i"),
+                    F.element_at(F.col("t"), i).alias("w"),
+                ),
+            )
+        ).alias("x"),
+    ).select("doc_id", "x.i", "x.w")
+    flag = pos.withColumn(
+        "s", F.when(F.col("w").isin(*_RAKE_STOPS), 1).otherwise(0)
+    )
+    w_doc = Window.partitionBy("doc_id").orderBy("i")
+    isl = flag.withColumn("g", F.sum("s").over(w_doc))
+    wip = isl.filter(F.col("s") == 0).select("doc_id", "g", "i", "w")
+    phr = wip.groupBy("doc_id", "g").agg(
+        F.count(F.lit(1)).cast("long").alias("plen"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("i", "w"))),
+                lambda x: x["w"],
+            ),
+            " ",
+        ).alias("phrase"),
+    )
+    kept = phr.filter(F.col("plen") <= max_len)
+    member = wip.join(kept.select("doc_id", "g", "plen"), ["doc_id", "g"])
+    wscore = member.groupBy("w").agg(
+        F.call_function(
+            "div",
+            (F.sum(F.col("plen") - 1) * F.lit(1_000_000)).cast("long"),
+            F.count(F.lit(1)).cast("long"),
+        ).alias("ws")
+    )
+    inst = (
+        member.join(wscore, "w")
+        .groupBy("doc_id", "g")
+        .agg(F.sum("ws").cast("long").alias("iscore"))
+    )
+    return (
+        kept.join(inst, ["doc_id", "g"])
+        .groupBy("phrase")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_occurrences"),
+            F.min("iscore").cast("long").alias("score_micro"),
+        )
+        .orderBy(F.col("score_micro").desc(), "phrase")
+        .limit(k)
+    )

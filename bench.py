@@ -181,6 +181,8 @@ EXTRA = [
     "retrieval_rrf_fusion",
     "incremental_corr_orders",
     "label_propagation_planted",
+    "text_keyphrases",
+    "orders_pareto_abc",
 ]
 
 

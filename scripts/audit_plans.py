@@ -225,6 +225,8 @@ EXTRA = [
     "retrieval_rrf_fusion",
     "incremental_corr_orders",
     "kmeans_planted",
+    "text_keyphrases",
+    "orders_pareto_abc",
 ]
 
 

@@ -169,6 +169,10 @@ REGISTRY_CASES = [
     ("incremental_corr_orders", "orders"),
     ("kmeans_planted", "customer"),
     ("label_propagation_planted", "customer"),
+    # RAKE (token scan + per-doc windows + vocab-keyed aggs) and ABC
+    # (fact agg down to |customers|, then one aggregate-sized sort)
+    ("text_keyphrases", "documents"),
+    ("orders_pareto_abc", "orders"),
 ]
 
 

@@ -1,0 +1,81 @@
+"""Round-8 additions, batch 9: RAKE keyphrases and Pareto ABC —
+python twins built from scratch off the parquet."""
+
+import math
+import re
+
+import duckdb
+
+_TOKEN = re.compile(r"[a-z0-9]+")
+_STOPS = {"a", "the", "and", "of", "to", "in", "is", "on"}
+
+
+def test_text_keyphrases_matches_python_twin(spark, sf_dir):
+    from beehive_spark.queries.llm import text_keyphrases
+
+    docs = duckdb.sql(
+        f"SELECT doc_id, text FROM '{sf_dir}/documents.parquet'"
+    ).fetchall()
+    instances = []  # list of tuples(phrase words)
+    for _, text in docs:
+        run = []
+        for w in _TOKEN.findall(text.lower()) + ["the"]:  # sentinel flush
+            if w in _STOPS:
+                if run and len(run) <= 4:
+                    instances.append(tuple(run))
+                run = []
+            else:
+                run.append(w)
+    freq, deg = {}, {}
+    for p in instances:
+        for w in p:
+            freq[w] = freq.get(w, 0) + 1
+            deg[w] = deg.get(w, 0) + len(p) - 1
+    ws = {w: (deg[w] * 1_000_000) // freq[w] for w in freq}
+    agg = {}
+    for p in instances:
+        s = sum(ws[w] for w in p)
+        n, _ = agg.get(p, (0, s))
+        agg[p] = (n + 1, s)
+    ranked = sorted(
+        ((" ".join(p), n, s) for p, (n, s) in agg.items()),
+        key=lambda t: (-t[2], t[0]),
+    )[:30]
+    want = {p: (n, s) for p, n, s in ranked}
+    got = {
+        r["phrase"]: (r["n_occurrences"], r["score_micro"])
+        for r in text_keyphrases(spark, sf_dir).collect()
+    }
+    assert got == want
+
+
+def test_pareto_abc_matches_python_twin(spark, sf_dir):
+    from beehive_spark.queries.core import orders_pareto_abc
+
+    rows = duckdb.sql(
+        f"SELECT o_custkey, o_totalprice FROM '{sf_dir}/orders.parquet'"
+    ).fetchall()
+    rev = {}
+    for c, tp in rows:
+        cents = int(math.copysign(math.floor(abs(tp * 100) + 0.5), tp))
+        rev[c] = rev.get(c, 0) + cents
+    total = sum(rev.values())
+    cum = 0
+    want = {}
+    for c, cents in sorted(rev.items(), key=lambda kv: (-kv[1], kv[0])):
+        cum += cents
+        cls = "A" if cum * 100 <= total * 80 else (
+            "B" if cum * 100 <= total * 95 else "C"
+        )
+        n, s = want.get(cls, (0, 0))
+        want[cls] = (n + 1, s + cents)
+    got = {
+        r["abc_class"]: (r["n_customers"], r["cents"])
+        for r in orders_pareto_abc(spark, sf_dir).collect()
+    }
+    assert got == want
+    # Pareto sanity: the A class is a minority of customers holding
+    # the large-majority revenue share
+    n_total = sum(v[0] for v in got.values())
+    assert got["A"][0] < n_total
+    assert got["A"][1] * 100 <= total * 80
