@@ -576,3 +576,95 @@ def holt_forecast_stream(events: DataFrame) -> DataFrame:
     return events.groupBy("user_id").applyInPandasWithState(
         update, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
     )
+
+
+def cusum_monitor_stream(
+    events: DataFrame,
+    reference_milli: int,
+    slack_milli: int = 25000,
+    threshold_milli: int = 150000,
+) -> DataFrame:
+    """Streaming one-sided CUSUM drift monitor — the stateful twin of
+    ``queries/core.py::events_cusum_changepoint`` with one honest
+    difference: the batch query self-calibrates its reference level
+    from the full series (a two-pass statistic no single-pass monitor
+    can know), so the streaming form takes the reference as an
+    explicit parameter — exactly how production CUSUM is deployed
+    (reference fixed from a calibration window, monitor runs
+    forward).  With the same reference the per-event recurrence
+    ``S = max(0, S + v - reference - slack)`` and the alarm/peak/
+    first-index bookkeeping are the identical integer fold, which the
+    equivalence test pins against a python replay.
+
+    State per user is five BIGINTs ``(n, S, maxS, n_alarms,
+    first_alarm_idx)`` — bounded by key cardinality; each micro-batch
+    folds its rows in (event-time, value) order (the batch query's
+    total per-key order), emitting one monitoring row per (user,
+    batch)."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    out_schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType()),
+            T.StructField("batch_points", T.LongType()),
+            T.StructField("n_points", T.LongType()),
+            T.StructField("cusum_milli", T.LongType()),
+            T.StructField("max_cusum_milli", T.LongType()),
+            T.StructField("n_alarms", T.LongType()),
+            T.StructField("first_alarm_idx", T.LongType()),
+        ]
+    )
+    state_schema = T.StructType(
+        [
+            T.StructField("n_points", T.LongType()),
+            T.StructField("s", T.LongType()),
+            T.StructField("max_s", T.LongType()),
+            T.StructField("n_alarms", T.LongType()),
+            T.StructField("first_alarm_idx", T.LongType()),
+        ]
+    )
+
+    def update(key, pdfs, state):
+        import math
+
+        (user_id,) = key
+        n, s, max_s, alarms, first = (
+            state.get if state.exists else (0, 0, 0, 0, 0)
+        )
+        frames = [pdf for pdf in pdfs if len(pdf)]
+        batch = 0
+        if frames:
+            pdf = pd.concat(frames, ignore_index=True)
+            t_us = pdf["ts"].astype("int64") // 1000
+            milli = [
+                int(math.copysign(math.floor(abs(x * 1000) + 0.5), x))
+                for x in pdf["value"].astype(float)
+            ]
+            for _, vm in sorted(zip(t_us, milli)):
+                n += 1
+                batch += 1
+                s = max(0, s + vm - reference_milli - slack_milli)
+                max_s = max(max_s, s)
+                if s > threshold_milli:
+                    alarms += 1
+                    if first == 0:
+                        first = n
+        state.update((n, s, max_s, alarms, first))
+        yield pd.DataFrame(
+            [
+                {
+                    "user_id": user_id,
+                    "batch_points": batch,
+                    "n_points": n,
+                    "cusum_milli": s,
+                    "max_cusum_milli": max_s,
+                    "n_alarms": alarms,
+                    "first_alarm_idx": first,
+                }
+            ]
+        )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        update, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
+    )
