@@ -3445,22 +3445,50 @@ def orders_pareto_abc(spark, sf_dir):
     discrete (cents DESC, custkey) key.
 
     Scale shape: the facts aggregate once (map-side combinable) down
-    to the |customers| frame; the ONE global sort — unavoidable for
-    a cumulative share — runs over that aggregate, not the fact
-    table (range-partitioned sort of |customers| rows), and the
-    grand total rides a 1-row broadcast.  Final output is 3 rows."""
+    to the |customers| frame, and the global cumulative sum over it
+    runs as the TWO-LEVEL Blelloch scan (the interval_concurrency
+    pattern): customers bucket by a cents band (any monotone function
+    of the sort key keeps buckets contiguous in the cents-desc
+    order), running sums stay partition-local per bucket, and only
+    the <= 257 bucket TOTALS cross a global window before
+    broadcasting back as prefix offsets — no single partition ever
+    holds the customer frame.  The grand total and the band ride
+    1-row broadcasts.  Final output is 3 rows."""
     o = load(spark, sf_dir, "orders")
     rev = o.groupBy("o_custkey").agg(
         F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
         .cast("long")
         .alias("cents")
     )
-    tot = rev.agg(F.sum("cents").cast("long").alias("t"))
-    w = Window.orderBy(F.col("cents").desc(), "o_custkey").rowsBetween(
-        Window.unboundedPreceding, 0
+    tot = rev.agg(
+        F.sum("cents").cast("long").alias("t"),
+        F.greatest(
+            F.lit(1).cast("long"),
+            F.call_function(
+                "div", F.max("cents").cast("long"), F.lit(256).cast("long")
+            ),
+        ).alias("band"),
     )
-    cum = rev.crossJoin(F.broadcast(tot)).withColumn(
-        "c", F.sum("cents").over(w)
+    bucketed = rev.crossJoin(F.broadcast(tot)).withColumn(
+        "bkt", F.call_function("div", F.col("cents"), F.col("band"))
+    )
+    w_local = (
+        Window.partitionBy("bkt")
+        .orderBy(F.col("cents").desc(), "o_custkey")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    local = bucketed.withColumn("lc", F.sum("cents").over(w_local))
+    # prefix offsets: total cents of all STRICTLY HIGHER buckets —
+    # a <= 257-row frame, the only thing that crosses a global window
+    btot = bucketed.groupBy("bkt").agg(F.sum("cents").alias("bc"))
+    w_b = Window.orderBy(F.col("bkt").desc()).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offs = btot.select(
+        "bkt", F.coalesce(F.sum("bc").over(w_b), F.lit(0)).alias("off")
+    )
+    cum = local.join(F.broadcast(offs), "bkt").withColumn(
+        "c", F.col("lc") + F.col("off")
     )
     cls = cum.select(
         F.when(F.col("c") * 100 <= F.col("t") * 80, "A")

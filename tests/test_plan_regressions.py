@@ -180,3 +180,41 @@ def test_loop_body_plans_bounded_and_cartesian_free(spark, sf_dir):
         assert a["captured_frames"] > 0, name
         assert a["cartesian"] == 0, (name, a)
         assert a["max_shuffles_per_frame"] <= max_shuf, (name, a)
+
+
+def test_one_pass_moment_and_fold_queries_single_shuffle(spark, sf_dir):
+    """The round-8 single-pass shapes must stay single-pass: the
+    correlation matrix moves one combinable 15-number state (one
+    exchange, no join), and both per-user folds shuffle once on the
+    key.  A second exchange here means the sufficient-statistics /
+    keys-in-parallel shape regressed."""
+    qs = all_queries()
+    for name in ("feature_correlations", "events_cusum_changepoint",
+                 "events_rolling_median"):
+        plan = _plan(qs[name](spark, sf_dir))
+        assert _shuffles(plan) <= 1, (name, plan)
+        assert "Join" not in plan, name
+        assert "CartesianProduct" not in plan, name
+
+
+def test_decision_stump_prices_all_splits_from_bin_table(spark, sf_dir):
+    """Histogram split finding: one scan-side histogram exchange plus
+    the bin-table window exchange — never a per-threshold re-scan or
+    self-join of the fact table."""
+    plan = _plan(all_queries()["decision_stump_gini"](spark, sf_dir))
+    assert len(re.findall(r"Scan parquet|FileScan parquet", plan)) == 1
+    assert _shuffles(plan) <= 2, plan
+    assert "Join" not in plan
+
+
+def test_pareto_abc_two_level_scan_no_global_customer_window(spark, sf_dir):
+    """The cumulative share must run as the two-level Blelloch scan:
+    the customer frame only ever crosses bucket-partitioned
+    exchanges; SinglePartition appears solely for the <= 257-row
+    bucket-offset window and 1-row totals, and the per-customer
+    running sum window is partitioned by bkt."""
+    plan = _plan(all_queries()["orders_pareto_abc"](spark, sf_dir))
+    assert "hashpartitioning(bkt" in plan, plan
+    # tolerate the tiny frames' single-partition exchanges, bound them
+    assert plan.count("Exchange SinglePartition") <= 3, plan
+    assert "CartesianProduct" not in plan
