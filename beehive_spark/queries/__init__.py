@@ -120,6 +120,7 @@ _PRIORITY = [
     "label_propagation_planted",   # r8 new: clamped-seed LPA, planted
     "text_keyphrases",             # r8 new: RAKE stopword-run phrases
     "orders_pareto_abc",           # r8 new: integer-exact ABC classes
+    "lineitem_exact_quantiles",    # r8 new: two-pass exact selection
     # --- changed in round 8 (advisory fixes in operators/graph.py;
     # shared-stage refactors feeding dedup_semantic and both linkage
     # queries)

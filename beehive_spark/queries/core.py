@@ -3501,3 +3501,105 @@ def orders_pareto_abc(spark, sf_dir):
         F.count(F.lit(1)).cast("long").alias("n_customers"),
         F.sum("cents").cast("long").alias("cents"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Exact quantiles by two-pass selection — no global sort, ever
+# ---------------------------------------------------------------------------
+@query(
+    "lineitem_exact_quantiles",
+    oracle="""
+    WITH u AS (
+      SELECT CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS cents
+      FROM lineitem
+    ),
+    n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM u),
+    ranks AS (
+      SELECT 'p25' AS quantile, (n + 3) // 4 AS rank, n FROM n
+      UNION ALL SELECT 'p50', (n + 1) // 2, n FROM n
+      UNION ALL SELECT 'p75', (3 * n + 1) // 4, n FROM n
+    ),
+    ordered AS (
+      SELECT cents, ROW_NUMBER() OVER (ORDER BY cents) AS rn FROM u
+    )
+    SELECT r.quantile, r.n AS n_rows, r.rank,
+           o.cents AS value_cents
+    FROM ranks r JOIN ordered o ON o.rn = r.rank
+    """,
+)
+def lineitem_exact_quantiles(spark, sf_dir, n_buckets: int = 4096):
+    """EXACT p25/p50/p75 of lineitem price by two-pass distributed
+    selection — the classic answer to "exact quantiles without a
+    global sort": pass 1 histograms the column into ``n_buckets``
+    value bands (one map-side-combinable count), the driver walks the
+    <= 4096-row prefix to locate each rank's band, and pass 2 counts
+    raw values ONLY inside the <= 3 located bands (band width =
+    range/4096 distinct values, bounded regardless of row count) and
+    selects the exact order statistic from their prefix.  Rank k is
+    the k-th smallest with ``k = ceil(q*n)`` (lower quantile — a
+    SELECTED value, the events_rolling_median convention).
+
+    The oracle sorts (ROW_NUMBER over the full column) — the honest
+    from-first-principles definition; agreement proves the selection
+    algebra.  At 100 TB the contrast IS the point: the oracle's shape
+    costs a full range-partitioned sort of the fact table, this plan
+    costs two combinable aggregations and moves 4096 + O(band)
+    numbers to the driver — both passes independent of n beyond the
+    scans.  (percentile/ntile approximations trade exactness for one
+    pass; this trades one extra scan for exactness.)
+
+    Driver state is bounded by construction: the histogram collect is
+    <= n_buckets rows and the refinement collect <= 3 * band distinct
+    values — both documented constants, never O(n)."""
+    li = load(spark, sf_dir, "lineitem")
+    u = li.select(
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("cents")
+    )
+    lo_hi = u.agg(
+        F.min("cents").alias("lo"),
+        F.max("cents").alias("hi"),
+        F.count(F.lit(1)).cast("long").alias("n"),
+    ).first()
+    lo, hi, n = lo_hi["lo"], lo_hi["hi"], lo_hi["n"]
+    band = max(1, (hi - lo) // n_buckets + 1)
+    ranks = {
+        "p25": (n + 3) // 4,
+        "p50": (n + 1) // 2,
+        "p75": (3 * n + 1) // 4,
+    }
+    hist = (
+        u.groupBy(((F.col("cents") - lo) / band).cast("long").alias("b"))
+        .agg(F.count(F.lit(1)).alias("c"))
+        .collect()
+    )
+    counts = {int(r["b"]): r["c"] for r in hist}
+    targets = {}  # quantile -> (bucket, rank_within_prefix_before_bucket)
+    for q, k in ranks.items():
+        acc = 0
+        for b in sorted(counts):
+            if acc + counts[b] >= k:
+                targets[q] = (b, k - acc)
+                break
+            acc += counts[b]
+    need = sorted({b for b, _ in targets.values()})
+    fine = (
+        u.withColumn("b", ((F.col("cents") - lo) / band).cast("long"))
+        .filter(F.col("b").isin(need))
+        .groupBy("b", "cents")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .collect()
+    )
+    by_bucket: dict[int, list] = {}
+    for r in fine:
+        by_bucket.setdefault(int(r["b"]), []).append((r["cents"], r["c"]))
+    rows = []
+    for q, (b, within) in targets.items():
+        acc = 0
+        for v, c in sorted(by_bucket[b]):
+            acc += c
+            if acc >= within:
+                rows.append((q, n, ranks[q], v))
+                break
+    return spark.createDataFrame(
+        rows, "quantile string, n_rows long, rank long, value_cents long"
+    )

@@ -183,6 +183,7 @@ EXTRA = [
     "label_propagation_planted",
     "text_keyphrases",
     "orders_pareto_abc",
+    "lineitem_exact_quantiles",
 ]
 
 

@@ -173,6 +173,9 @@ REGISTRY_CASES = [
     # (fact agg down to |customers|, then one aggregate-sized sort)
     ("text_keyphrases", "documents"),
     ("orders_pareto_abc", "orders"),
+    # two-pass exact selection: both passes are combinable aggs; the
+    # driver state stays at 4096 + O(band) rows at ANY scale
+    ("lineitem_exact_quantiles", "lineitem"),
 ]
 
 

@@ -79,3 +79,44 @@ def test_pareto_abc_matches_python_twin(spark, sf_dir):
     n_total = sum(v[0] for v in got.values())
     assert got["A"][0] < n_total
     assert got["A"][1] * 100 <= total * 80
+
+
+def test_exact_quantiles_match_full_sort_twin(spark, sf_dir):
+    from beehive_spark.queries.core import lineitem_exact_quantiles
+
+    vals = sorted(
+        int(math.copysign(math.floor(abs(v * 100) + 0.5), v))
+        for (v,) in duckdb.sql(
+            f"SELECT l_extendedprice FROM '{sf_dir}/lineitem.parquet'"
+        ).fetchall()
+    )
+    n = len(vals)
+    want = {
+        "p25": (n, (n + 3) // 4, vals[(n + 3) // 4 - 1]),
+        "p50": (n, (n + 1) // 2, vals[(n + 1) // 2 - 1]),
+        "p75": (n, (3 * n + 1) // 4, vals[(3 * n + 1) // 4 - 1]),
+    }
+    got = {
+        r["quantile"]: (r["n_rows"], r["rank"], r["value_cents"])
+        for r in lineitem_exact_quantiles(spark, sf_dir).collect()
+    }
+    assert got == want
+
+
+def test_exact_quantiles_selection_is_bucket_exact_at_tiny_bucket_count(
+    spark, sf_dir
+):
+    """With n_buckets=2 the bands are huge and the refinement pass does
+    almost all the work — the selection must stay exact (guards the
+    prefix arithmetic at the bucket boundary)."""
+    from beehive_spark.queries.core import lineitem_exact_quantiles
+
+    a = {
+        r["quantile"]: r["value_cents"]
+        for r in lineitem_exact_quantiles(spark, sf_dir).collect()
+    }
+    b = {
+        r["quantile"]: r["value_cents"]
+        for r in lineitem_exact_quantiles(spark, sf_dir, n_buckets=2).collect()
+    }
+    assert a == b
