@@ -227,6 +227,10 @@ EXTRA = [
     "kmeans_planted",
     "text_keyphrases",
     "orders_pareto_abc",
+    # (lineitem_exact_quantiles excluded: the two-pass selection runs
+    # eagerly at plan-build time — histogram collect + refinement
+    # collect are the algorithm; its two captured passes are plain
+    # combinable aggregations, same class as heavy_hitters_shingles)
 ]
 
 
