@@ -3603,3 +3603,139 @@ def lineitem_exact_quantiles(spark, sf_dir, n_buckets: int = 4096):
     return spark.createDataFrame(
         rows, "quantile string, n_rows long, rank long, value_cents long"
     )
+
+
+# ---------------------------------------------------------------------------
+# Forecast backtesting — rolling one-step Holt MAE on a held-out suffix
+# ---------------------------------------------------------------------------
+@query(
+    "events_holt_backtest",
+    oracle="""
+    WITH pts AS (
+      SELECT user_id, epoch_us(ts) AS t,
+             CAST(ROUND(value * 1000) AS BIGINT) AS v
+      FROM events
+    ),
+    l AS (
+      SELECT user_id, list(v ORDER BY t, v) AS vs,
+             CAST(COUNT(*) AS BIGINT) AS n_points
+      FROM pts GROUP BY user_id
+    ),
+    m AS (
+      SELECT user_id, vs, n_points,
+             greatest(CAST(1 AS BIGINT), (4 * n_points) // 5) AS n_train
+      FROM l
+    ),
+    f AS (
+      -- list_reduce seeds with the first element; the transform emits
+      -- the after-first-step state [x, l, b, err, idx] (the
+      -- events_cusum_changepoint seeding trick)
+      SELECT user_id, n_points, n_train,
+             list_reduce(
+               list_transform(vs, v -> [v, v, CAST(0 AS BIGINT),
+                                        CAST(0 AS BIGINT),
+                                        CAST(1 AS BIGINT)]),
+               (acc, x) -> [
+                 x[1],
+                 (3 * x[1] + 7 * (acc[2] + acc[3])) // 10,
+                 (2 * ((3 * x[1] + 7 * (acc[2] + acc[3])) // 10 - acc[2])
+                  + 8 * acc[3]) // 10,
+                 acc[4] + CASE WHEN acc[5] + 1 > n_train
+                               THEN abs(x[1] - (acc[2] + acc[3]))
+                               ELSE 0 END,
+                 acc[5] + 1
+               ]) AS s
+      FROM m
+    )
+    SELECT user_id, n_points,
+           CAST(n_points - n_train AS BIGINT) AS n_test,
+           CAST(s[4] // (n_points - n_train) AS BIGINT) AS mae_milli
+    FROM f WHERE n_points > n_train
+    """,
+)
+def events_holt_backtest(spark, sf_dir):
+    """Walk-forward backtest of the Holt forecaster: the first 80% of
+    each user's series trains the (level, trend) state, and every
+    held-out point is scored by the ROLLING one-step-ahead forecast
+    error ``|v - (l + b)|`` with the state updated after each test
+    point — the standard time-series evaluation protocol (train
+    window grows, never shuffles the future into the past).  Output
+    is per-user test MAE in exact milli-units.
+
+    This closes the forecasting loop: ``events_holt`` fits,
+    ``holt_forecast_stream`` serves, this query EVALUATES — all three
+    share the bit-identical integer recurrence, so a backtest MAE
+    measured here is exactly the error the streaming forecaster would
+    have produced on the same data.
+
+    Exactness: the fold state is a BIGINT list [l, b, err_sum, idx]
+    advanced by the events_holt recurrence; the error accumulates
+    absolute integer differences only past the train cutoff
+    (``greatest(1, (4n) div 5)``), and MAE is a final truncating
+    division — every engine computes identical integers at every
+    step.  The oracle seeds list_reduce with the after-first-step
+    state (the CUSUM transform trick).
+
+    Scale shape: identical to events_holt — one shuffle groups each
+    user's series, one JVM fold; keys in parallel, memory bounded by
+    the longest single series."""
+    e = load(spark, sf_dir, "events")
+    pts = e.select(
+        "user_id",
+        F.unix_micros("ts").alias("t"),
+        F.round(F.col("value") * 1000).cast("long").alias("v"),
+    )
+    grouped = pts.groupBy("user_id").agg(
+        F.collect_list(F.struct("t", "v")).alias("ps"),
+        F.count(F.lit(1)).cast("long").alias("n_points"),
+    )
+    grouped = grouped.select(
+        "user_id",
+        "n_points",
+        F.transform(F.array_sort("ps"), lambda s: s["v"]).alias("vs"),
+        F.greatest(
+            F.lit(1).cast("long"),
+            F.call_function(
+                "div", F.lit(4).cast("long") * F.col("n_points"),
+                F.lit(5).cast("long"),
+            ),
+        ).alias("n_train"),
+    )
+    zero = F.lit(0).cast("long")
+    ten = F.lit(10).cast("long")
+
+    def _step(acc, x):
+        l, b = F.element_at(acc, 1), F.element_at(acc, 2)
+        idx_new = F.element_at(acc, 4) + F.lit(1).cast("long")
+        err_new = F.element_at(acc, 3) + F.when(
+            idx_new > F.col("n_train"), F.abs(x - (l + b))
+        ).otherwise(zero)
+        nl = F.call_function(
+            "div", F.lit(3).cast("long") * x + F.lit(7).cast("long") * (l + b), ten
+        )
+        nb = F.call_function(
+            "div",
+            F.lit(2).cast("long") * (nl - l) + F.lit(8).cast("long") * b,
+            ten,
+        )
+        return F.array(nl, nb, err_new, idx_new)
+
+    fold = F.aggregate(
+        F.slice(F.col("vs"), 2, F.size("vs") - 1),
+        F.array(
+            F.element_at(F.col("vs"), 1), zero, zero, F.lit(1).cast("long")
+        ),
+        _step,
+    )
+    n_test = F.col("n_points") - F.col("n_train")
+    return (
+        grouped.select(
+            "user_id",
+            "n_points",
+            n_test.alias("n_test"),
+            F.call_function("div", F.element_at(fold, 3), n_test).alias(
+                "mae_milli"
+            ),
+        )
+        .filter(F.col("n_test") > 0)
+    )

@@ -184,6 +184,7 @@ EXTRA = [
     "text_keyphrases",
     "orders_pareto_abc",
     "lineitem_exact_quantiles",
+    "events_holt_backtest",
 ]
 
 

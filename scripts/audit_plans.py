@@ -231,6 +231,7 @@ EXTRA = [
     # eagerly at plan-build time — histogram collect + refinement
     # collect are the algorithm; its two captured passes are plain
     # combinable aggregations, same class as heavy_hitters_shingles)
+    "events_holt_backtest",
 ]
 
 

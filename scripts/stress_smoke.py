@@ -176,6 +176,7 @@ REGISTRY_CASES = [
     # two-pass exact selection: both passes are combinable aggs; the
     # driver state stays at 4096 + O(band) rows at ANY scale
     ("lineitem_exact_quantiles", "lineitem"),
+    ("events_holt_backtest", "events"),
 ]
 
 

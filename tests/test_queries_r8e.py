@@ -132,3 +132,34 @@ def test_cusum_level_shift_alarms_single_spike_does_not(spark):
     # user 2's shift (mean lands between the two levels) accumulates
     assert out[2]["n_alarms"] > 0
     assert out[2]["first_alarm_idx"] > 20
+
+
+def test_holt_backtest_matches_python_twin(spark, sf_dir):
+    from beehive_spark.queries.core import events_holt_backtest
+
+    def tdiv(a, b):
+        q = abs(a) // b
+        return q if a >= 0 else -q
+
+    by_user = _series(sf_dir)
+    want = {}
+    for u, pts in by_user.items():
+        vs = [v for _, v in pts]
+        n = len(vs)
+        n_train = max(1, (4 * n) // 5)
+        if n - n_train <= 0:
+            continue
+        level, trend, err = vs[0], 0, 0
+        for i, v in enumerate(vs[1:], start=2):
+            if i > n_train:
+                err += abs(v - (level + trend))
+            nl = tdiv(3 * v + 7 * (level + trend), 10)
+            trend = tdiv(2 * (nl - level) + 8 * trend, 10)
+            level = nl
+        want[u] = (n, n - n_train, err // (n - n_train))
+    got = {
+        r["user_id"]: (r["n_points"], r["n_test"], r["mae_milli"])
+        for r in events_holt_backtest(spark, sf_dir).collect()
+    }
+    assert got == want
+    assert len(got) > 0
