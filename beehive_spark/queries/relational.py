@@ -3710,3 +3710,106 @@ def label_propagation_planted(spark, sf_dir, rounds: int = _LPA_ROUNDS):
         F.col("lbl").cast("long").alias("label"),
         seed.alias("is_seed"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Entity resolution end-to-end — block, score, cluster, survive
+# ---------------------------------------------------------------------------
+@query(
+    "entity_resolution_pipeline",
+    oracle="""
+    WITH RECURSIVE clean AS (
+      SELECT c_custkey AS id, c_name AS name, c_nationkey AS nat,
+             CAST(ROUND(c_acctbal * 100) AS BIGINT) AS cents,
+             c_mktsegment AS seg
+      FROM customer
+    ),
+    dirty AS (
+      SELECT id + 10000000 AS d_id,
+             substr(name, 1, 9 + id % 9) || 'X'
+               || substr(name, 11 + id % 9, 30) AS d_name,
+             nat AS d_nat, cents + id % 7 - 3 AS d_cents, seg AS d_seg
+      FROM clean WHERE id % 10 = 0
+    ),
+    cands AS (
+      SELECT DISTINCT d.d_id, d.d_name, d.d_cents, d.d_seg,
+                      c.id, c.name, c.cents, c.seg
+      FROM dirty d JOIN clean c
+        ON d.d_nat = c.nat
+       AND (d.d_cents // 100 = c.cents // 100
+            OR (d.d_cents + 50) // 100 = (c.cents + 50) // 100)
+    ),
+    scored AS (
+      SELECT d_id, id AS clean_id,
+             CAST(CASE WHEN levenshtein(d_name, name) <= 1
+                       THEN 4000 ELSE -1500 END
+                + CASE WHEN abs(d_cents - cents) <= 5
+                       THEN 2500 ELSE -1000 END
+                + CASE WHEN d_seg = seg THEN 800 ELSE -1200 END
+               AS BIGINT) AS score_milli
+      FROM cands
+    ),
+    links AS (SELECT d_id, clean_id FROM scored WHERE score_milli >= 5000),
+    edges AS (SELECT d_id AS a, clean_id AS b FROM links
+              UNION SELECT clean_id, d_id FROM links),
+    reach(n, m) AS (
+      SELECT a, a FROM edges
+      UNION
+      SELECT r.n, e.b FROM reach r JOIN edges e ON r.m = e.a
+    ),
+    lab AS (SELECT n, MIN(m) AS cluster_id FROM reach GROUP BY n)
+    SELECT CAST(cluster_id AS BIGINT) AS cluster_id,
+           CAST(MIN(CASE WHEN n < 10000000 THEN n END) AS BIGINT)
+             AS survivor_id,
+           CAST(COUNT(*) AS BIGINT) AS n_members,
+           CAST(SUM(CASE WHEN n >= 10000000 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_dirty
+    FROM lab GROUP BY cluster_id
+    """,
+)
+def entity_resolution_pipeline(spark, sf_dir):
+    """Entity resolution END-TO-END in one query — the integration of
+    the family's three stages, each already hash-gated on its own:
+    staggered-band blocking + Fellegi-Sunter scoring
+    (:func:`record_linkage_blocked`'s `_linkage_banded_candidates` +
+    `_fs_emit`, reused verbatim), connected components over the
+    confident links (`operators.graph.connected_components` — the
+    dedup_clusters machinery), and survivorship (keep the lowest-id
+    CLEAN record per cluster, count the absorbed dirty duplicates).
+    This is the query a user actually runs: records in, golden
+    records out — and it proves the stages COMPOSE in one lineage
+    rather than through intermediate tables.
+
+    Exactness: scoring is integer milli-log-odds (hash-gated
+    upstream), the cluster label is the minimum reachable node id
+    (order-free), and survivorship reduces to MIN/COUNT aggregates —
+    no floats anywhere; the oracle replays blocking + scoring and
+    resolves reachability with a recursive CTE.
+
+    Scale shape: candidates stay ~linear by the staggered-band bound
+    (STRESS.md measures the count), scoring is whole-stage codegen,
+    CC shuffles only the (id, label) frame against the persisted
+    edge list with per-round localCheckpoint, and survivorship is
+    one combinable aggregate per cluster.  Links are a small
+    fraction of records, so the CC input is delta-sized, not
+    corpus-sized."""
+    from beehive_spark.operators.graph import connected_components
+
+    clean, dirty = _linkage_frames(spark, sf_dir)
+    links = _fs_emit(_linkage_banded_candidates(clean, dirty)).filter(
+        F.col("decision") == "link"
+    )
+    comp = connected_components(
+        links.select(
+            F.col("dirty_id").alias("src"), F.col("clean_id").alias("dst")
+        )
+    )
+    return comp.groupBy(F.col("component").alias("cluster_id")).agg(
+        F.min(F.when(F.col("id") < 10_000_000, F.col("id")))
+        .cast("long")
+        .alias("survivor_id"),
+        F.count(F.lit(1)).cast("long").alias("n_members"),
+        F.sum(F.when(F.col("id") >= 10_000_000, 1).otherwise(0))
+        .cast("long")
+        .alias("n_dirty"),
+    )

@@ -185,6 +185,7 @@ EXTRA = [
     "orders_pareto_abc",
     "lineitem_exact_quantiles",
     "events_holt_backtest",
+    "entity_resolution_pipeline",
 ]
 
 

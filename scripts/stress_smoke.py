@@ -177,6 +177,9 @@ REGISTRY_CASES = [
     # driver state stays at 4096 + O(band) rows at ANY scale
     ("lineitem_exact_quantiles", "lineitem"),
     ("events_holt_backtest", "events"),
+    # the ER composite: candidates stay ~linear by the stagger bound,
+    # CC input is links (a fraction of records), survivorship one agg
+    ("entity_resolution_pipeline", "customer"),
 ]
 
 

@@ -122,3 +122,31 @@ def test_label_propagation_is_fixed_point_after_convergence(spark, sf_dir):
         for r in label_propagation_planted(spark, sf_dir, rounds=4).collect()
     }
     assert a == b
+
+
+def test_entity_resolution_recovers_planted_duplicates(spark, sf_dir):
+    """Every planted dirty twin must resolve into its source's
+    cluster: survivor = the source clean id, one dirty absorbed.
+    (Chained clusters — a dirty record linking two near-identical
+    cleans — are possible by construction and checked structurally.)"""
+    from beehive_spark.queries.relational import entity_resolution_pipeline
+
+    rows = entity_resolution_pipeline(spark, sf_dir).collect()
+    assert len(rows) > 0
+    total_dirty = sum(r["n_dirty"] for r in rows)
+    (n_cust,) = duckdb.sql(
+        f"SELECT COUNT(*) FROM '{sf_dir}/customer.parquet'"
+    ).fetchone()
+    # every planted twin (0-based ids with id % 10 == 0) is
+    # confidently linked and appears in exactly one cluster
+    assert total_dirty == len([i for i in range(n_cust) if i % 10 == 0])
+    for r in rows:
+        # a cluster always keeps a clean survivor and absorbs >= 1
+        # dirty, and holds at least one clean member
+        assert r["survivor_id"] is not None
+        assert r["survivor_id"] < 10_000_000
+        assert r["n_dirty"] >= 1
+        assert r["n_members"] > r["n_dirty"]
+        # the survivor is the cluster representative (min node id is
+        # always a clean id — dirty ids are offset by 10M)
+        assert r["cluster_id"] == r["survivor_id"]
