@@ -16,8 +16,11 @@ value-independent, so replicas measure engine scaling directly).
 Near-linear scaling indicates no driver-side or quadratic chokepoint;
 broadcast dims stay constant-size, as they would at cluster scale.
 
-Run:  PYTHONPATH=/root/repo python scripts/stress_smoke.py
-Writes STRESS.md.
+Run:  PYTHONPATH=/root/repo BEEHIVE_DRIVER_MEM=24g python scripts/stress_smoke.py
+Writes STRESS.md.  The full case list (59 cases x 2 scales in one JVM)
+exceeds the 8g default heap near the end of the run — cumulative
+localCheckpoint RDD retention across cases, observed r8 — so regens
+run at 24g; per-case memory is far below that.
 """
 
 from __future__ import annotations
