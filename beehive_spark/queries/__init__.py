@@ -70,14 +70,14 @@ _loaded = False
 # differentially checks the FIRST 50 registered queries per round.  The
 # window rotates each round so the cross-round union covers every
 # registered query (177/177 after r07, 162/162 oracle-bearing
-# hash-green).  The round-8 head is (a) the thirty-three r8-new queries
+# hash-green).  The round-8 head is (a) the thirty-four r8-new queries
 # (six planted hash-gate twins, blocking/PMI/OHLC/checksum/histogram,
 # association rules, equi-depth histogram, trigram LM, negative
 # sampling, min-max scaling, k-anonymity, Holt; session 3: rolling
 # median, CUSUM, correlation matrix, Gini stump, planted k-means, RRF
 # fusion, correlation IVM, planted LPA, RAKE keyphrases, Pareto ABC,
 # two-pass exact quantile selection, Holt walk-forward backtest, the
-# entity-resolution composite),
+# entity-resolution composite, the temperature mixing plan),
 # then (b) everything round-8 CODE changes touch (the tree_rollup cap
 # fix and sssp heuristic re-key in operators/graph.py; the
 # _cluster_pair_dedup, _linkage_frames/_fs_emit, _minhash_lsh_pairs/
@@ -125,6 +125,7 @@ _PRIORITY = [
     "lineitem_exact_quantiles",    # r8 new: two-pass exact selection
     "events_holt_backtest",        # r8 new: walk-forward forecast MAE
     "entity_resolution_pipeline",  # r8 new: block-score-cluster-survive
+    "mixture_temperature_schedule",  # r8 new: alpha-scaled mixing plan
     # --- changed in round 8 (advisory fixes in operators/graph.py;
     # shared-stage refactors feeding dedup_semantic and both linkage
     # queries)

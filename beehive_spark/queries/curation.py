@@ -1778,3 +1778,79 @@ def k_anonymity_audit(spark, sf_dir, k: int = 6):
         F.count(F.lit(1)).cast("long").alias("group_size"),
         (F.count(F.lit(1)) < k).alias("at_risk"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Temperature-scaled mixture + epoch schedule — the data-mixing planner
+# ---------------------------------------------------------------------------
+@query(
+    "mixture_temperature_schedule",
+    oracle="""
+    WITH s AS (
+      SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(n_chars) AS BIGINT) AS n_chars
+      FROM documents GROUP BY source
+    ),
+    p AS (
+      SELECT source, n_docs, n_chars,
+             CAST(ROUND(pow(CAST(n_chars AS DOUBLE), 0.7) * 1000000)
+                  AS BIGINT) AS p_micro
+      FROM s
+    ),
+    t AS (SELECT CAST(SUM(p_micro) AS BIGINT) AS total FROM p)
+    SELECT source, n_docs, n_chars,
+           (p_micro * 1000000) // t.total AS weight_ppm,
+           ((p_micro * 1000000) // t.total) * 1000000000 // 1000000
+             AS quota_chars,
+           (((p_micro * 1000000) // t.total) * 1000000000 // 1000000)
+             * 1000 // n_chars AS epochs_milli
+    FROM p CROSS JOIN t
+    """,
+)
+def mixture_temperature_schedule(spark, sf_dir, alpha: float = 0.7):
+    """Temperature-scaled data-mixing plan (the multilingual/multi-
+    source sampling move of Devlin et al./XLM-R, standard in LLM
+    pretraining): source weights ``w_s = n_s^alpha / sum n_t^alpha``
+    with alpha = 0.7 — flatter than natural frequency, so small
+    sources up-sample — then, for a 1e9-char training budget, each
+    source's char quota and the implied EPOCH COUNT over its corpus
+    (quota / corpus size; epochs > 1 means that source repeats —
+    the signal data-mixing reviews look for).
+
+    Exactness: the only transcendental (``n^0.7``) rounds to an
+    integer MICRO-unit grid PER SOURCE before any arithmetic (the
+    text_perplexity per-term discipline — cross-libm pow drift is
+    sub-ulp and dies at the grid, and the total is then an exact
+    BIGINT sum in any order); weights, quotas, and epoch counts are
+    pure truncating integer divisions from there, bit-identical on
+    any engine.
+
+    Scale shape: one map-side-combinable per-source aggregate (the
+    mixture_stats shuffle), a |sources|-row frame after — the 1-row
+    total rides a broadcast; everything downstream of the first agg
+    is constant-size regardless of corpus scale."""
+    d = load(spark, sf_dir, "documents")
+    s = d.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("n_chars"),
+    )
+    p = s.withColumn(
+        "p_micro",
+        F.round(F.pow(F.col("n_chars").cast("double"), F.lit(alpha)) * 1_000_000)
+        .cast("long"),
+    )
+    t = p.agg(F.sum("p_micro").cast("long").alias("total"))
+    mil = F.lit(1_000_000).cast("long")
+    w = F.call_function("div", F.col("p_micro") * mil, F.col("total"))
+    quota = F.call_function("div", w * F.lit(1_000_000_000).cast("long"), mil)
+    epochs = F.call_function(
+        "div", quota * F.lit(1000).cast("long"), F.col("n_chars")
+    )
+    return p.crossJoin(F.broadcast(t)).select(
+        "source",
+        "n_docs",
+        "n_chars",
+        w.alias("weight_ppm"),
+        quota.alias("quota_chars"),
+        epochs.alias("epochs_milli"),
+    )

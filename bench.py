@@ -186,6 +186,7 @@ EXTRA = [
     "lineitem_exact_quantiles",
     "events_holt_backtest",
     "entity_resolution_pipeline",
+    "mixture_temperature_schedule",
 ]
 
 

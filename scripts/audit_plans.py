@@ -232,6 +232,7 @@ EXTRA = [
     # collect are the algorithm; its two captured passes are plain
     # combinable aggregations, same class as heavy_hitters_shingles)
     "events_holt_backtest",
+    "mixture_temperature_schedule",
 ]
 
 

@@ -120,3 +120,39 @@ def test_exact_quantiles_selection_is_bucket_exact_at_tiny_bucket_count(
         for r in lineitem_exact_quantiles(spark, sf_dir, n_buckets=2).collect()
     }
     assert a == b
+
+
+def test_mixture_temperature_matches_python_twin(spark, sf_dir):
+    from beehive_spark.queries.curation import mixture_temperature_schedule
+
+    rows = duckdb.sql(
+        f"SELECT source, COUNT(*), SUM(n_chars) "
+        f"FROM '{sf_dir}/documents.parquet' GROUP BY source"
+    ).fetchall()
+    p = {
+        src: (nd, nc, int(math.floor(abs((nc ** 0.7) * 1e6) + 0.5)))
+        for src, nd, nc in rows
+    }
+    total = sum(v[2] for v in p.values())
+    want = {}
+    for src, (nd, nc, pm) in p.items():
+        w = (pm * 1_000_000) // total
+        quota = (w * 1_000_000_000) // 1_000_000
+        want[src] = (nd, nc, w, quota, (quota * 1000) // nc)
+    got = {
+        r["source"]: (
+            r["n_docs"],
+            r["n_chars"],
+            r["weight_ppm"],
+            r["quota_chars"],
+            r["epochs_milli"],
+        )
+        for r in mixture_temperature_schedule(spark, sf_dir).collect()
+    }
+    assert got == want
+    # temperature flattening: the smallest source's weight share must
+    # exceed its natural char share (alpha < 1 up-samples the tail)
+    nchars = {s: v[1] for s, v in want.items()}
+    tot_c = sum(nchars.values())
+    s_min = min(nchars, key=nchars.get)
+    assert want[s_min][2] / 1e6 > nchars[s_min] / tot_c
