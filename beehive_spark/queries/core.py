@@ -3517,7 +3517,7 @@ def orders_pareto_abc(spark, sf_dir):
     ranks AS (
       SELECT 'p25' AS quantile, (n + 3) // 4 AS rank, n FROM n
       UNION ALL SELECT 'p50', (n + 1) // 2, n FROM n
-      UNION ALL SELECT 'p75', (3 * n + 1) // 4, n FROM n
+      UNION ALL SELECT 'p75', (3 * n + 3) // 4, n FROM n
     ),
     ordered AS (
       SELECT cents, ROW_NUMBER() OVER (ORDER BY cents) AS rn FROM u
@@ -3561,11 +3561,14 @@ def lineitem_exact_quantiles(spark, sf_dir, n_buckets: int = 4096):
         F.count(F.lit(1)).cast("long").alias("n"),
     ).first()
     lo, hi, n = lo_hi["lo"], lo_hi["hi"], lo_hi["n"]
+    schema = "quantile string, n_rows long, rank long, value_cents long"
+    if not n or lo is None:  # empty input: empty frame, like the other queries
+        return spark.createDataFrame([], schema)
     band = max(1, (hi - lo) // n_buckets + 1)
     ranks = {
         "p25": (n + 3) // 4,
         "p50": (n + 1) // 2,
-        "p75": (3 * n + 1) // 4,
+        "p75": (3 * n + 3) // 4,
     }
     hist = (
         u.groupBy(((F.col("cents") - lo) / band).cast("long").alias("b"))
@@ -3600,9 +3603,7 @@ def lineitem_exact_quantiles(spark, sf_dir, n_buckets: int = 4096):
             if acc >= within:
                 rows.append((q, n, ranks[q], v))
                 break
-    return spark.createDataFrame(
-        rows, "quantile string, n_rows long, rank long, value_cents long"
-    )
+    return spark.createDataFrame(rows, schema)
 
 
 # ---------------------------------------------------------------------------
@@ -3728,14 +3729,11 @@ def events_holt_backtest(spark, sf_dir):
         _step,
     )
     n_test = F.col("n_points") - F.col("n_train")
-    return (
-        grouped.select(
-            "user_id",
-            "n_points",
-            n_test.alias("n_test"),
-            F.call_function("div", F.element_at(fold, 3), n_test).alias(
-                "mae_milli"
-            ),
-        )
-        .filter(F.col("n_test") > 0)
+    # filter BEFORE the dividing projection: under ANSI mode a
+    # single-point series (n_test = 0) must never reach div()
+    return grouped.filter(n_test > 0).select(
+        "user_id",
+        "n_points",
+        n_test.alias("n_test"),
+        F.call_function("div", F.element_at(fold, 3), n_test).alias("mae_milli"),
     )

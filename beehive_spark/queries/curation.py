@@ -1783,9 +1783,14 @@ def k_anonymity_audit(spark, sf_dir, k: int = 6):
 # ---------------------------------------------------------------------------
 # Temperature-scaled mixture + epoch schedule — the data-mixing planner
 # ---------------------------------------------------------------------------
+# oracle generated from the same constant as the Spark default so the
+# registered SQL can never drift (ADVICE r8)
+_MIX_ALPHA = 0.7
+
+
 @query(
     "mixture_temperature_schedule",
-    oracle="""
+    oracle=f"""
     WITH s AS (
       SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
              CAST(SUM(n_chars) AS BIGINT) AS n_chars
@@ -1793,7 +1798,7 @@ def k_anonymity_audit(spark, sf_dir, k: int = 6):
     ),
     p AS (
       SELECT source, n_docs, n_chars,
-             CAST(ROUND(pow(CAST(n_chars AS DOUBLE), 0.7) * 1000000)
+             CAST(ROUND(pow(CAST(n_chars AS DOUBLE), {_MIX_ALPHA}) * 1000000)
                   AS BIGINT) AS p_micro
       FROM s
     ),
@@ -1807,7 +1812,7 @@ def k_anonymity_audit(spark, sf_dir, k: int = 6):
     FROM p CROSS JOIN t
     """,
 )
-def mixture_temperature_schedule(spark, sf_dir, alpha: float = 0.7):
+def mixture_temperature_schedule(spark, sf_dir, alpha: float = _MIX_ALPHA):
     """Temperature-scaled data-mixing plan (the multilingual/multi-
     source sampling move of Devlin et al./XLM-R, standard in LLM
     pretraining): source weights ``w_s = n_s^alpha / sum n_t^alpha``

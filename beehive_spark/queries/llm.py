@@ -3544,9 +3544,17 @@ def ngram_lm_score(spark, sf_dir):
 # ---------------------------------------------------------------------------
 # Hybrid retrieval — reciprocal rank fusion of BM25 and dense cosine
 # ---------------------------------------------------------------------------
+# The registered oracle is GENERATED from these constants so the SQL can
+# never drift from the Spark defaults (ADVICE r8: hard-coded 25/10
+# silently broke parity for non-default calls; now only explicitly
+# overridden test calls bypass the gate, and they say so).
+_RRF_K_LIST = 25
+_RRF_K_OUT = 10
+
+
 @query(
     "retrieval_rrf_fusion",
-    oracle="""
+    oracle=f"""
     WITH toks AS (
       SELECT doc_id,
              unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term
@@ -3573,7 +3581,7 @@ def ngram_lm_score(spark, sf_dir):
     bm AS (
       SELECT doc_id, CAST(SUM(c) AS BIGINT) AS score_micro
       FROM scored GROUP BY doc_id
-      ORDER BY score_micro DESC, doc_id LIMIT 25
+      ORDER BY score_micro DESC, doc_id LIMIT {_RRF_K_LIST}
     ),
     sparse AS (
       SELECT doc_id,
@@ -3599,7 +3607,7 @@ def ngram_lm_score(spark, sf_dir):
       SELECT doc_id,
              CAST(ROW_NUMBER() OVER (ORDER BY sim DESC, doc_id)
                   AS BIGINT) AS rank_dense
-      FROM dsc ORDER BY sim DESC, doc_id LIMIT 25
+      FROM dsc ORDER BY sim DESC, doc_id LIMIT {_RRF_K_LIST}
     ),
     fused AS (
       SELECT COALESCE(sp.doc_id, de.doc_id) AS doc_id,
@@ -3610,10 +3618,10 @@ def ngram_lm_score(spark, sf_dir):
     )
     SELECT doc_id, rank_sparse, rank_dense,
            CAST(rrf_micro AS BIGINT) AS rrf_micro
-    FROM fused ORDER BY rrf_micro DESC, doc_id LIMIT 10
+    FROM fused ORDER BY rrf_micro DESC, doc_id LIMIT {_RRF_K_OUT}
     """,
 )
-def retrieval_rrf_fusion(spark, sf_dir, k_list: int = 25, k_out: int = 10):
+def retrieval_rrf_fusion(spark, sf_dir, k_list: int = _RRF_K_LIST, k_out: int = _RRF_K_OUT):
     """Hybrid retrieval via Reciprocal Rank Fusion (Cormack, Clarke &
     Buettcher 2009): the sparse BM25 list (:func:`bm25_retrieval`,
     reused verbatim — fusion COMPOSES registered queries) and a dense

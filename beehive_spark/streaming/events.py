@@ -544,7 +544,7 @@ def holt_forecast_stream(events: DataFrame) -> DataFrame:
         batch = 0
         if frames:
             pdf = pd.concat(frames, ignore_index=True)
-            t_us = pdf["ts"].astype("int64") // 1000
+            t_us = pdf["ts"].astype("datetime64[us]").astype("int64")
             v = pdf["value"].astype(float)
             milli = [
                 int(math.copysign(math.floor(abs(x * 1000) + 0.5), x))
@@ -636,7 +636,7 @@ def cusum_monitor_stream(
         batch = 0
         if frames:
             pdf = pd.concat(frames, ignore_index=True)
-            t_us = pdf["ts"].astype("int64") // 1000
+            t_us = pdf["ts"].astype("datetime64[us]").astype("int64")
             milli = [
                 int(math.copysign(math.floor(abs(x * 1000) + 0.5), x))
                 for x in pdf["value"].astype(float)

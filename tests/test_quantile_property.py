@@ -21,7 +21,7 @@ def _want(prices):
     return {
         "p25": (n, (n + 3) // 4, vals[(n + 3) // 4 - 1]),
         "p50": (n, (n + 1) // 2, vals[(n + 1) // 2 - 1]),
-        "p75": (n, (3 * n + 1) // 4, vals[(3 * n + 1) // 4 - 1]),
+        "p75": (n, (3 * n + 3) // 4, vals[(3 * n + 3) // 4 - 1]),
     }
 
 

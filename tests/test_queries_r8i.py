@@ -94,7 +94,7 @@ def test_exact_quantiles_match_full_sort_twin(spark, sf_dir):
     want = {
         "p25": (n, (n + 3) // 4, vals[(n + 3) // 4 - 1]),
         "p50": (n, (n + 1) // 2, vals[(n + 1) // 2 - 1]),
-        "p75": (n, (3 * n + 1) // 4, vals[(3 * n + 1) // 4 - 1]),
+        "p75": (n, (3 * n + 3) // 4, vals[(3 * n + 3) // 4 - 1]),
     }
     got = {
         r["quantile"]: (r["n_rows"], r["rank"], r["value_cents"])
