@@ -92,50 +92,19 @@ _loaded = False
 # anything.  The local scripts/check_oracle.py sweep still verifies
 # ALL registered queries each round.
 _PRIORITY = [
-    # --- new in round 8 (appended as they land)
-    "similarity_ann_pq_planted",   # r8 new: exact-grid ADC-path twin
-    "dedup_semantic_planted",      # r8 new: exact planted SemDeDup pair stage
-    "dedup_minhash_lsh_planted",   # r8 new: hash-independent LSH recall twin
-    "dedup_simhash_planted",       # r8 new: hash-independent SimHash twin
-    "similarity_ann_ivf_planted",  # r8 new: training-independent IVF twin
-    "similarity_ann_lsh_planted",  # r8 new: hyperplane-independent LSH twin
-    "association_rules",           # r8 new: apriori-pruned directed rules
-    "equidepth_histogram",         # r8 new: ntile bucket boundaries
-    "event_trigram_lm",            # r8 new: 2nd-order Markov transitions
-    "negative_sampling",           # r8 new: hash-slot corruption sampling
-    "feature_minmax_scaled",       # r8 new: order-free exact normalization
-    "k_anonymity_audit",           # r8 new: quasi-identifier risk gate
-    "events_holt",                 # r8 new: exact (level, trend) fold
-    "record_linkage_blocked",      # r8 new: staggered-band multi-pass blocking
-    "pmi_collocations",            # r8 new: PMI multi-word-expression mining
-    "events_ohlc_bars",            # r8 new: OHLC bars per type-hour bucket
-    "table_checksum_buckets",      # r8 new: content-level reconciliation
-    "incremental_checksum_orders",  # r8 new: fingerprint IVM (XOR group)
-    "incremental_histogram_orders",  # r8 new: binned-p95 view maintenance
-    "events_rolling_median",       # r8 new: exact trailing-frame order stat
-    "events_cusum_changepoint",    # r8 new: integer CUSUM drift monitor
-    "feature_correlations",        # r8 new: one-pass exact-moment Pearson
-    "decision_stump_gini",         # r8 new: histogram split finding
-    "kmeans_planted",              # r8 new: exact planted Lloyd gate
-    "retrieval_rrf_fusion",        # r8 new: hybrid sparse+dense RRF
-    "incremental_corr_orders",     # r8 new: moment-state correlation IVM
-    "label_propagation_planted",   # r8 new: clamped-seed LPA, planted
-    "text_keyphrases",             # r8 new: RAKE stopword-run phrases
-    "orders_pareto_abc",           # r8 new: integer-exact ABC classes
-    "lineitem_exact_quantiles",    # r8 new: two-pass exact selection
-    "events_holt_backtest",        # r8 new: walk-forward forecast MAE
-    "entity_resolution_pipeline",  # r8 new: block-score-cluster-survive
-    "mixture_temperature_schedule",  # r8 new: alpha-scaled mixing plan
-    # --- changed in round 8 (advisory fixes in operators/graph.py;
-    # shared-stage refactors feeding dedup_semantic and both linkage
-    # queries)
-    "bom_cost_rollup", "tree_shortest_paths", "dedup_semantic",
-    "record_linkage_fs",
+    # --- changed in round 9 (the lineitem_exact_quantiles p75 rank
+    # convention CHANGED — its r8-green hash is stale; the other three
+    # got ANSI-div / oracle-constant fixes that must re-verify)
+    "lineitem_exact_quantiles",
+    "events_holt_backtest",
+    "retrieval_rrf_fusion",
+    "mixture_temperature_schedule",
+    # --- new in round 9 (appended as they land)
 ]
-# ROUND-9 NOTE: after CORRECTNESS_r08 the computed backfill queue
-# should lead with whatever r04/r05-vintage entries the r8 window did
-# not reach — do NOT transcribe a list; the backfill computes it.
-# Lead the next head with whatever round 9 changes.
+# The round-9 head is deliberately SHORT (r8 verdict ask #1): ≥35 of
+# the driver's 50 window slots must go to the computed oldest-first
+# backfill so the 24-query r04-vintage cohort clears this round.  New
+# r9 queries append above but the head must stay ≤ 15 names.
 
 
 def _evidence_vintage() -> dict[str, int]:
@@ -188,15 +157,18 @@ def _ensure_loaded() -> None:
         ordered = {n: _REGISTRY[n] for n in _PRIORITY if n in _REGISTRY}
         # slots the explicit head leaves open backfill OLDEST driver
         # evidence first (never-verified entries FIRST as a safety net
-        # for a head the author forgot to extend); within a vintage,
-        # oracle-bearing entries outrank rows-only ones (stronger
-        # driver signal per slot), then registration order for a
-        # deterministic window
+        # for a head the author forgot to extend).  Rows-only queries
+        # (oracle=None) sort LAST GLOBALLY, not merely within their
+        # vintage: a window slot spent on a known-`no_oracle` entry is
+        # wasted evidence while stale oracled queries queue behind it
+        # (r8 verdict: dedup_semantic burned three slots this way) —
+        # their driver evidence is their planted hash-green twins.
+        # Then registration order for a deterministic window.
         vint = _evidence_vintage()
         reg_pos = {n: i for i, n in enumerate(_REGISTRY)}
         rest = [n for n in _REGISTRY if n not in ordered]
         rest.sort(
-            key=lambda n: (vint.get(n, -1), _REGISTRY[n][1] is None, reg_pos[n])
+            key=lambda n: (_REGISTRY[n][1] is None, vint.get(n, -1), reg_pos[n])
         )
         for n in rest:
             ordered[n] = _REGISTRY[n]
