@@ -54,29 +54,30 @@ def _scrub(col):
     return F.regexp_replace(t, r"\d{4,}", "[NUM]")
 
 
-def curate_corpus(
+def curation_fate(
     spark: SparkSession,
     sf_dir: str,
-    out_dir: str,
-    n_shards: int = 8,
     survivorship: str = "min_id",
-) -> dict:
-    """Run the full curation pipeline over ``{sf_dir}/documents`` and
-    write curated, scrubbed, sharded parquet under ``out_dir`` plus a
-    per-document audit report.  Returns the stage-count summary.
+) -> DataFrame:
+    """The pipeline's decision lineage WITHOUT the write: one row per
+    input document with its FIRST-FAILING-STAGE fate
+    (``quality:<reasons>`` | ``exact_dup`` | ``near_dup`` | ``kept``)
+    and, for the two dup fates, the canonical survivor it collapsed
+    into (``dup_of``, NULL otherwise).  ``curate_corpus`` derives its
+    audit report and its survivor set from this frame, and the
+    registered ``curation_pipeline`` query exposes the same lineage to
+    the driver's differential gate — so the STAGE COMPOSITION (not
+    just each stage alone) is oracle-verified.
 
-    Drop attribution is FIRST-FAILING-STAGE (quality, then exact dup,
-    then near-dup), so counts partition the input exactly:
-    ``kept + dropped_quality + dropped_exact_dup + dropped_near_dup
-    == n_input``.  Every decision is deterministic (content hashes,
-    canonical policies with doc_id tiebreaks), so re-running over the
-    same input reproduces the same corpus bit-for-bit — the property
-    that makes ablations and incremental rebuilds trustworthy.
+    Attribution partitions the input exactly: exact dedup only sees
+    quality survivors, near-dup collapse only sees exact survivors,
+    so ``kept + quality:* + exact_dup + near_dup == n_input``.
 
-    ``survivorship`` picks the near-dup canonical: ``"min_id"``
-    (default, first-seen wins — the reference's keep-the-destination
-    behavior) or ``"longest"`` (keep the most complete copy, the
-    `dedup_survivorship` policy)."""
+    Scale shape: the gate is a scan-speed projection; the fingerprint
+    dedup groups 16-byte hashes; near-dup reuses the banded-candidate
+    + min-label-CC shape audited in PLANS.md; the fate assembly is
+    two left joins of slim (doc_id, dup_of) drop lists against the
+    (doc_id,)-keyed gate frame."""
     if survivorship not in ("min_id", "longest"):
         raise ValueError(f"unknown survivorship policy: {survivorship}")
     docs = load(spark, sf_dir, "documents")
@@ -98,8 +99,10 @@ def curate_corpus(
     )
 
     # stage 3: near-dup collapse — within each connected component of
-    # near-dup pairs, keep the smallest doc_id still alive
-    survivors2 = survivors1.join(exact_dropped.select("doc_id"), "doc_id", "left_anti")
+    # near-dup pairs, keep the smallest (or longest) doc still alive
+    survivors2 = survivors1.join(
+        exact_dropped.select("doc_id"), "doc_id", "left_anti"
+    )
     clusters = dedup_clusters(spark, sf_dir).select("doc_id", "cluster_id")
     alive_clusters = clusters.join(survivors2, "doc_id")
     if survivorship == "longest":
@@ -126,8 +129,59 @@ def curate_corpus(
         .select("doc_id", F.col("keep_id").alias("dup_of"))
     )
 
+    # fate: one row per input doc, first-failing-stage attribution
+    e = exact_dropped.select("doc_id", F.col("dup_of").alias("dup_e"))
+    n = near_dropped.select("doc_id", F.col("dup_of").alias("dup_n"))
+    return (
+        q.join(e, "doc_id", "left")
+        .join(n, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.when(
+                ~F.col("keep"),
+                F.concat(F.lit("quality:"), F.col("fail_reasons")),
+            )
+            .when(F.col("dup_e").isNotNull(), F.lit("exact_dup"))
+            .when(F.col("dup_n").isNotNull(), F.lit("near_dup"))
+            .otherwise(F.lit("kept"))
+            .alias("fate"),
+            F.coalesce("dup_e", "dup_n").cast("long").alias("dup_of"),
+        )
+    )
+
+
+def curate_corpus(
+    spark: SparkSession,
+    sf_dir: str,
+    out_dir: str,
+    n_shards: int = 8,
+    survivorship: str = "min_id",
+) -> dict:
+    """Run the full curation pipeline over ``{sf_dir}/documents`` and
+    write curated, scrubbed, sharded parquet under ``out_dir`` plus a
+    per-document audit report.  Returns the stage-count summary.
+
+    Drop attribution is FIRST-FAILING-STAGE (quality, then exact dup,
+    then near-dup), so counts partition the input exactly:
+    ``kept + dropped_quality + dropped_exact_dup + dropped_near_dup
+    == n_input``.  Every decision is deterministic (content hashes,
+    canonical policies with doc_id tiebreaks), so re-running over the
+    same input reproduces the same corpus bit-for-bit — the property
+    that makes ablations and incremental rebuilds trustworthy.
+
+    ``survivorship`` picks the near-dup canonical: ``"min_id"``
+    (default, first-seen wins — the reference's keep-the-destination
+    behavior) or ``"longest"`` (keep the most complete copy, the
+    `dedup_survivorship` policy)."""
+    docs = load(spark, sf_dir, "documents")
+
+    # stages 1-3 + attribution live in curation_fate (also the
+    # driver-registered `curation_pipeline` query, so the composed
+    # lineage is oracle-verified, not just each stage alone)
+    fate = curation_fate(spark, sf_dir, survivorship)
+
     # stage 4+5: scrub surviving text, export deterministic shards
-    survivors = survivors2.join(near_dropped.select("doc_id"), "doc_id", "left_anti")
+    survivors = fate.filter(F.col("fate") == "kept").select("doc_id")
     curated = docs.join(survivors, "doc_id").select(
         "doc_id", _scrub(F.col("text")).alias("text"), "lang", "source"
     )
@@ -135,19 +189,6 @@ def curate_corpus(
         curated, os.path.join(out_dir, "shards"), key_col="doc_id", n_shards=n_shards
     )
 
-    # audit report: one row per input doc with its fate
-    fate = (
-        q.join(exact_dropped.withColumn("f2", F.lit("exact_dup")), "doc_id", "left")
-        .join(near_dropped.withColumn("f3", F.lit("near_dup")), "doc_id", "left")
-        .select(
-            "doc_id",
-            F.when(~F.col("keep"), F.concat(F.lit("quality:"), F.col("fail_reasons")))
-            .when(F.col("f2").isNotNull(), F.col("f2"))
-            .when(F.col("f3").isNotNull(), F.col("f3"))
-            .otherwise(F.lit("kept"))
-            .alias("fate"),
-        )
-    )
     fate.write.mode("overwrite").parquet(os.path.join(out_dir, "report"))
 
     report = spark.read.parquet(os.path.join(out_dir, "report"))

@@ -100,6 +100,7 @@ _PRIORITY = [
     "retrieval_rrf_fusion",
     "mixture_temperature_schedule",
     # --- new in round 9 (appended as they land)
+    "curation_pipeline",   # r9 new: composed curate_corpus fate lineage
 ]
 # The round-9 head is deliberately SHORT (r8 verdict ask #1): ≥35 of
 # the driver's 50 window slots must go to the computed oldest-first

@@ -1859,3 +1859,122 @@ def mixture_temperature_schedule(spark, sf_dir, alpha: float = _MIX_ALPHA):
         quota.alias("quota_chars"),
         epochs.alias("epochs_milli"),
     )
+
+
+# ---------------------------------------------------------------------------
+# End-to-end curation pipeline fate report — the composed lineage, gated
+# ---------------------------------------------------------------------------
+@query(
+    "curation_pipeline",
+    oracle="""
+    WITH RECURSIVE t AS (
+      SELECT doc_id, text,
+             regexp_extract_all(lower(text), '[a-z0-9]+') AS w
+      FROM documents
+    ),
+    sig AS (
+      SELECT doc_id, text,
+             CAST(len(w) AS BIGINT) AS n_tokens,
+             CAST(len(list_filter(w, x -> list_contains(
+               ['the','a','and','of','to'], x))) AS DOUBLE)
+               / GREATEST(len(w), 1) AS stop_r,
+             CAST(len(list_distinct(w)) AS DOUBLE)
+               / GREATEST(len(w), 1) AS dist_r
+      FROM t
+    ),
+    q AS (
+      SELECT doc_id, text,
+             (n_tokens >= 25 AND stop_r >= 0.02 AND dist_r >= 0.35) AS keep,
+             COALESCE(array_to_string(list_filter([
+               CASE WHEN n_tokens < 25 THEN 'too_short' END,
+               CASE WHEN stop_r < 0.02 THEN 'low_stopword' END,
+               CASE WHEN dist_r < 0.35 THEN 'repetitive' END
+             ], x -> x IS NOT NULL), ','), '') AS fail_reasons
+      FROM sig
+    ),
+    fp AS (
+      SELECT doc_id,
+             md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS fp
+      FROM q WHERE keep
+    ),
+    ce AS (SELECT fp, MIN(doc_id) AS keep_id FROM fp GROUP BY fp),
+    exact_drop AS (
+      SELECT f.doc_id, ce.keep_id AS dup_of
+      FROM fp f JOIN ce USING (fp) WHERE f.doc_id <> ce.keep_id
+    ),
+    s2 AS (
+      SELECT doc_id FROM fp
+      WHERE doc_id NOT IN (SELECT doc_id FROM exact_drop)
+    ),
+    -- near-dup clusters (dedup_clusters oracle verbatim), then keep
+    -- only still-alive members before electing the canonical
+    sh AS (
+      SELECT doc_id,
+             unnest(list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                                   for i in range(1, len(w) - 1)])) AS s
+      FROM t WHERE len(w) >= 3
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+    common AS (
+      SELECT a.doc_id AS i, b.doc_id AS j, COUNT(*) AS c
+      FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    pairs AS (
+      SELECT i, j
+      FROM common
+      JOIN sizes si ON si.doc_id = i
+      JOIN sizes sj ON sj.doc_id = j
+      WHERE CAST(c AS DOUBLE) / (si.sz + sj.sz - c) >= 0.5
+    ),
+    edges AS (SELECT i AS a, j AS b FROM pairs
+              UNION SELECT j, i FROM pairs),
+    reach(n, m) AS (
+      SELECT a, a FROM edges
+      UNION
+      SELECT r.n, e.b FROM reach r JOIN edges e ON r.m = e.a
+    ),
+    lab AS (SELECT n AS doc_id, MIN(m) AS cluster_id FROM reach GROUP BY n),
+    alive AS (SELECT l.doc_id, l.cluster_id FROM lab l JOIN s2 USING (doc_id)),
+    cn AS (
+      SELECT cluster_id, MIN(doc_id) AS keep_id FROM alive GROUP BY cluster_id
+    ),
+    near_drop AS (
+      SELECT a.doc_id, cn.keep_id AS dup_of
+      FROM alive a JOIN cn USING (cluster_id) WHERE a.doc_id <> cn.keep_id
+    )
+    SELECT q.doc_id,
+           CASE WHEN NOT q.keep THEN 'quality:' || q.fail_reasons
+                WHEN e.doc_id IS NOT NULL THEN 'exact_dup'
+                WHEN n.doc_id IS NOT NULL THEN 'near_dup'
+                ELSE 'kept' END AS fate,
+           CAST(COALESCE(e.dup_of, n.dup_of) AS BIGINT) AS dup_of
+    FROM q
+    LEFT JOIN exact_drop e ON q.doc_id = e.doc_id
+    LEFT JOIN near_drop n ON q.doc_id = n.doc_id
+    """,
+)
+def curation_pipeline(spark, sf_dir):
+    """The full curation pipeline's per-document fate report — the
+    COMPOSED quality -> exact-dedup -> near-dup-collapse lineage of
+    :func:`beehive_spark.pipeline.curate.curate_corpus`, exposed to
+    the driver's differential gate.  Every stage is individually
+    oracle-verified (`quality_filter`, `dedup_exact`'s fingerprint
+    rule, `dedup_clusters`); this entry verifies the JOIN LOGIC
+    BETWEEN stages: first-failing-stage attribution, dedup scoped to
+    prior-stage survivors, canonical election among alive cluster
+    members only.
+
+    Output: ``(doc_id, fate, dup_of)`` with fate one of
+    ``quality:<reasons>`` / ``exact_dup`` / ``near_dup`` / ``kept``
+    and dup_of the canonical survivor for the two dup fates.  The
+    fates partition the input exactly — the e2e test pins
+    count conservation, the oracle pins every row.
+
+    Reference scope: the reference's whole program is a fixed
+    gates -> movers -> checks pipeline (orchestrator.js:67-92); this
+    is that orchestration idea over the curation domain, driver-gated
+    end-to-end."""
+    from beehive_spark.pipeline.curate import curation_fate
+
+    return curation_fate(spark, sf_dir)
