@@ -1,13 +1,18 @@
-"""Measure ANN top-5 recall (IVF and PQ) vs the brute-force baseline.
+"""Measure ANN top-5 recall (IVF, PQ, sign-LSH) vs the brute-force
+baseline, and emit the STRESS.md RECALL table.
 
 Recall@5 = |ANN top-5 ∩ exact top-5| / 5, averaged over the 10 query
-vectors.  Run at both oracle scales:
+vectors.  The planted twins prove each pipeline is BIT-correct; this
+measures whether the approximations are GOOD on the real corpus — a
+codebook / nprobe / plane regression moves these numbers while every
+hash gate stays green.  Run at both oracle scales:
 
     PYTHONPATH=/root/repo python scripts/measure_ivf_recall.py
 
-The measured numbers are quoted in the similarity_ann_ivf and
-similarity_ann_pq docstrings; re-run this after touching codebook
-training, probe logic, or PQ encoding.
+Paste the emitted block into STRESS.md §RECALL after touching codebook
+training, probe logic, PQ encoding, or the LSH planes;
+tests/test_ann_recall.py pins per-method floors at sf0.01 so a silent
+quality regression fails the suite, not just the table.
 """
 
 import os
@@ -18,8 +23,15 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from beehive_spark.session import get_spark
 from beehive_spark.queries.llm import (
     similarity_ann_ivf,
+    similarity_ann_lsh,
     similarity_ann_pq,
     similarity_cosine_topk,
+)
+
+METHODS = (
+    ("ivf", similarity_ann_ivf),
+    ("pq", similarity_ann_pq),
+    ("lsh", similarity_ann_lsh),
 )
 
 
@@ -37,17 +49,34 @@ def recall_at(spark, sf_dir, ann_fn=similarity_ann_ivf, **kw):
 
 
 def main():
+    import json
+
     spark = get_spark()
+    rows = []
+    sidecar: dict[str, dict[str, dict[str, float]]] = {}
     for sf in ("sf0.01", "sf0.1"):
         sf_dir = f"/root/testdata/{sf}"
         if not os.path.isdir(sf_dir):
             continue
-        for name, fn in (("ivf", similarity_ann_ivf), ("pq", similarity_ann_pq)):
+        for name, fn in METHODS:
             rec, per_q = recall_at(spark, sf_dir, ann_fn=fn)
+            rows.append((sf, name, rec, min(per_q)))
+            sidecar.setdefault(sf, {})[name] = {
+                "mean": round(rec, 3), "worst": round(min(per_q), 2),
+            }
             print(
                 f"{sf} {name}: recall@5 = {rec:.3f}"
                 f"  per-query = {[round(r, 2) for r in per_q]}"
             )
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    with open(os.path.join(root, "RECALL.json"), "w") as f:
+        json.dump(sidecar, f, indent=2)
+    print(f"wrote {os.path.join(root, 'RECALL.json')}")
+    print("\n--- STRESS.md RECALL block ---\n")
+    print("| sf | method | recall@5 (mean over 10 queries) | worst query |")
+    print("|---|---|---|---|")
+    for sf, name, rec, worst in rows:
+        print(f"| {sf} | similarity_ann_{name} | {rec:.3f} | {worst:.2f} |")
     spark.stop()
 
 

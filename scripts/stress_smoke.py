@@ -648,9 +648,44 @@ def main() -> None:
         "(perturbation <= 3 cents < half the 50-cent grid offset), so",
         "the candidate set loses nothing the scorer would link.",
     ]
-    out = os.path.join(
-        os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "STRESS.md"
-    )
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    recall_path = os.path.join(root, "RECALL.json")
+    if os.path.exists(recall_path):
+        import json
+
+        with open(recall_path) as f:
+            rec = json.load(f)
+        lines += [
+            "",
+            "## ANN recall (vs exact similarity_cosine_topk)",
+            "",
+            "Measured by `scripts/measure_ivf_recall.py` (which writes",
+            "`RECALL.json`; re-run it after touching codebook training,",
+            "probe logic, PQ encoding, or the LSH planes).  The planted",
+            "twins prove each pipeline is BIT-correct; this measures",
+            "whether the approximations are GOOD on the real corpus —",
+            "the dimension hash gates cannot see.  Floors pinned in",
+            "tests/test_ann_recall.py.",
+            "",
+            "| sf | method | recall@5 (mean over 10 queries) | worst query |",
+            "|---|---|---|---|",
+        ]
+        for sf in sorted(rec):
+            for m in ("ivf", "pq", "lsh"):
+                if m in rec[sf]:
+                    lines.append(
+                        f"| {sf} | similarity_ann_{m} |"
+                        f" {rec[sf][m]['mean']:.3f} | {rec[sf][m]['worst']:.2f} |"
+                    )
+        lines += [
+            "",
+            "LSH sits lower by design: 12 hyperplanes / 4 bands is the",
+            "cheap candidate generator (one equi-join, no training);",
+            "IVF/PQ are the quality path and hold >= 0.96 at both",
+            "scales.  Recall tunes with planes/bands (LSH) and",
+            "nprobe/replicas (IVF) without code changes.",
+        ]
+    out = os.path.join(root, "STRESS.md")
     with open(out, "w") as f:
         f.write("\n".join(lines) + "\n")
     print(f"wrote {out}")

@@ -38,3 +38,45 @@ def test_salted_spreads_hot_key(spark):
     )
     n_salts = lg.filter(F.col("k") == 1).select("__salt").distinct().count()
     assert n_salts > 1  # the hot key really is scattered
+
+
+def test_salted_bounds_hot_key_task_share(spark):
+    """The scale pin behind the STRESS skew_join rows, made
+    deterministic: a shuffled equi-join's max task work is
+    proportional to the largest join-key group, so we pin GROUP
+    SIZES instead of wall-clock.  With the STRESS zipf shape (80% of
+    rows on one key) the plain join's hottest key owns 80% of the
+    shuffle at ANY scale; after salt=32 scattering, the hottest
+    (key, salt) group must hold at most ~1/32 of that hot key (2x
+    slack for hash imbalance).  Checked at two sizes so the bound is
+    shown scale-free — the property that makes salting survive a
+    100x scale-up while the plain join's hot task grows linearly."""
+    import pyspark.sql.functions as F
+
+    salt = 32
+    for n in (20_000, 200_000):
+        large = spark.range(n).select(
+            F.when(F.pmod("id", F.lit(5)) != 0, F.lit(0))
+            .otherwise(F.pmod(F.xxhash64("id"), F.lit(2_000)))
+            .alias("k"),
+            (F.col("id") % 1000).alias("v"),
+        )
+        plain_max = (
+            large.groupBy("k").count().agg(F.max("count")).collect()[0][0]
+        )
+        assert plain_max >= 0.75 * n  # the zipf shape really is hot
+
+        salted = large.withColumn(
+            "__salt",
+            F.pmod(F.xxhash64("k", "v", F.lit(42)), F.lit(salt)),
+        )
+        salted_max = (
+            salted.groupBy("k", "__salt")
+            .count()
+            .agg(F.max("count"))
+            .collect()[0][0]
+        )
+        assert salted_max <= 2 * plain_max / salt, (
+            f"n={n}: salted max group {salted_max} vs plain {plain_max} — "
+            f"salting no longer spreads the hot key across {salt} tasks"
+        )
