@@ -27,16 +27,27 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 
-def encode_wav(samples: list[int], rate: int = 16000) -> bytes:
+def encode_wav(samples, rate: int = 16000) -> bytes:
     """Mono 16-bit PCM WAV from integer samples (each clamped to
-    int16)."""
+    int16).  Accepts a list or a numpy array; the array path clamps
+    and packs vectorized — the difference is ~8x wall-clock when a
+    synthesis stage renders thousands of clips per Arrow batch
+    (STRESS attribution of media_audio_vad, r9), the bytes produced
+    are identical."""
+    import numpy as np
+
     buf = io.BytesIO()
     with wave.open(buf, "wb") as w:
         w.setnchannels(1)
         w.setsampwidth(2)
         w.setframerate(rate)
-        clamped = [max(-32768, min(32767, s)) for s in samples]
-        w.writeframes(struct.pack(f"<{len(clamped)}h", *clamped))
+        if isinstance(samples, np.ndarray):
+            w.writeframes(
+                np.clip(samples, -32768, 32767).astype("<i2").tobytes()
+            )
+        else:
+            clamped = [max(-32768, min(32767, s)) for s in samples]
+            w.writeframes(struct.pack(f"<{len(clamped)}h", *clamped))
     return buf.getvalue()
 
 
@@ -58,6 +69,28 @@ def decode_wav(data: bytes) -> tuple[int, list[int]]:
     except (wave.Error, EOFError, struct.error) as e:
         raise NotImplementedError(f"not a PCM WAV stream ({e})") from e
     return rate, list(struct.unpack(f"<{len(raw) // 2}h", raw))
+
+
+def decode_wav_np(data: bytes):
+    """(frame_rate, int64 numpy array) — the same stdlib ``wave``
+    header parse and error contract as :func:`decode_wav`, with
+    vectorized sample extraction (``np.frombuffer`` on the PCM block
+    instead of per-sample ``struct.unpack``) for Arrow hot paths that
+    immediately reduce with numpy anyway."""
+    import numpy as np
+
+    try:
+        with wave.open(io.BytesIO(data), "rb") as w:
+            if w.getsampwidth() != 2 or w.getnchannels() != 1:
+                raise NotImplementedError(
+                    "only mono 16-bit PCM WAV is handled without an "
+                    "external audio library"
+                )
+            rate = w.getframerate()
+            raw = w.readframes(w.getnframes())
+    except (wave.Error, EOFError, struct.error) as e:
+        raise NotImplementedError(f"not a PCM WAV stream ({e})") from e
+    return rate, np.frombuffer(raw, dtype="<i2").astype(np.int64)
 
 
 _AUDIO_FEATURE_SCHEMA = T.StructType(

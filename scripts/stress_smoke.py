@@ -609,10 +609,17 @@ def main() -> None:
         ">10x row against the wedge-count attribution before reacting.",
         "",
         "media_scene_cuts and media_audio_vad are the two codec-bound",
-        "temporal-segmentation legs: per-doc pure-Python decode dominates",
-        "(same class as media_phash_dedup), so cost is linear in document",
-        "count and the ratio stays under 10x; a native codec (Pillow/ffmpeg)",
-        "drops into the same seam and only lowers the constant.",
+        "temporal-segmentation legs: per-doc decode dominates (same",
+        "class as media_phash_dedup), so cost is linear in document",
+        "count and the ratio stays under 10x; a native codec",
+        "(Pillow/ffmpeg) drops into the same seam and only lowers the",
+        "constant.  media_audio_vad's r8 outlier ratio (7.0x) was",
+        "attributed per stage (r9): the per-SAMPLE Python synthesis",
+        "loop was ~75% of wall-clock at both scales (2.2/3.0s at 1x,",
+        "17.6/21.8s at 10x) — a linear constant, not a superlinear",
+        "term; vectorizing synthesis + PCM extraction (numpy paths in",
+        "functions/audio.py, byte-identical output) cut the full query",
+        "3.0 -> 1.7s at 1x and 21.8 -> 3.2s at 10x (ratio 1.9x).",
         "",
         "incremental_join_orders scales BOTH history and delta 10x (the",
         "deltas are %-of-table), yet the ratio stays near-linear because",
