@@ -508,7 +508,16 @@ def holt_forecast_stream(events: DataFrame) -> DataFrame:
     the current (level, trend), and the one-step forecast
     ``level + trend``.  State is two BIGINTs + a count per user —
     bounded by key cardinality, sharded by the state store exactly
-    like ``running_user_stats``."""
+    like ``running_user_stats``.
+
+    Crash window: the state store commits atomically with each
+    micro-batch's offset in the streaming checkpoint, so recovered
+    state CONTINUES the fold bit-identically (pinned by
+    tests/test_streaming_holt.py::
+    test_holt_stream_resumes_state_across_restart).  Emitted rows are
+    at-least-once on non-transactional sinks (a replayed batch
+    re-emits); pair with the family's staged-swap foreachBatch sinks
+    for end-to-end exactly-once."""
     import pandas as pd
     from pyspark.sql.streaming.state import GroupStateTimeout
 
@@ -600,7 +609,13 @@ def cusum_monitor_stream(
     first_alarm_idx)`` — bounded by key cardinality; each micro-batch
     folds its rows in (event-time, value) order (the batch query's
     total per-key order), emitting one monitoring row per (user,
-    batch)."""
+    batch).
+
+    Crash window: same contract as ``holt_forecast_stream`` — state
+    commits atomically with the batch offset and restart continues
+    the integer fold (tests/test_streaming_cusum.py::
+    test_cusum_stream_resumes_state_across_restart); emitted rows are
+    at-least-once on non-transactional sinks."""
     import pandas as pd
     from pyspark.sql.streaming.state import GroupStateTimeout
 

@@ -608,7 +608,14 @@ def run_ohlc_stream(
     low, close, n_events) off it for consumers.  Exactly-once via the
     family's staged write committing data + batch id together; replays
     short-circuit on the recorded id.  The table must exist (write an
-    empty frame or a batch backfill first)."""
+    empty frame or a batch backfill first).
+
+    Crash window: SINGLE-ARTIFACT — one ``_commit_swap`` per batch, so
+    the only window is "table swap landed, checkpoint commit marker
+    did not"; on restart Spark replays the same batch and the
+    ``_last_applied`` guard skips the re-fold
+    (tests/test_streaming.py::
+    test_ohlc_stream_survives_commit_vs_checkpoint_crash)."""
     from pyspark.sql import functions as F
 
     state_cols = [
@@ -727,6 +734,10 @@ def run_mg_summary_stream(
     Exactly-once exactly as the family: staged write commits data +
     batch id in one rename, replays short-circuit on the recorded id.
     The table must exist (write the sentinel-only frame first).
+    Crash window: single-artifact like the ohlc maintainer — the only
+    window (swap landed, checkpoint marker lost) repairs by the id
+    guard on replay (tests/test_streaming.py::
+    test_mg_summary_stream_survives_commit_vs_checkpoint_crash).
 
     Scale shape per micro-batch: one map-side-combined batch count,
     one <= (cap + batch-vocab)-row merge join, and a k+1-row driver

@@ -941,3 +941,126 @@ def test_mg_summary_stream_matches_python_twin_and_guarantee(spark, tmp_path):
     rows2 = spark.read.parquet(table).collect()
     assert {r["item"]: r["cnt"] for r in rows2 if r["item"] is not None} == s
     assert all(r["n_total"] == n_total for r in rows2)
+
+
+def test_ohlc_stream_survives_commit_vs_checkpoint_crash(spark, tmp_path):
+    """The single-artifact crash window, killed in the middle: the
+    table swap (data + batch id in one rename) lands but the streaming
+    checkpoint's commit marker does not.  On restart Spark replays the
+    same batch id with the same files; the _last_applied guard must
+    skip the re-fold (no double-counted bars) while later, genuinely
+    new batches still fold."""
+    import datetime as dt
+    import os as _os
+    import shutil
+
+    from beehive_spark.streaming.materialize import run_ohlc_stream
+
+    feed_dir = tmp_path / "feed"
+    feed_dir.mkdir()
+    schema = "event_type string, ts timestamp, event_id bigint, value double"
+    t0 = dt.datetime(2024, 1, 1, 10, 0, 0)
+    spark.createDataFrame(
+        [("click", t0.replace(minute=30), 3, 5.0)], schema
+    ).coalesce(1).write.parquet(str(feed_dir / "f1.parquet"))
+
+    table = str(tmp_path / "ohlc")
+    spark.createDataFrame(
+        [],
+        "event_type string, bucket timestamp, open_ts timestamp, "
+        "open_id bigint, open double, close_ts timestamp, close_id bigint, "
+        "close double, high double, low double, n_events bigint",
+    ).write.parquet(table)
+
+    ckpt = str(tmp_path / "ckpt")
+
+    def run(ck):
+        changes = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(str(feed_dir) + "/*/")
+        )
+        run_ohlc_stream(spark, changes, table, ck)
+
+    run(ckpt)  # batch 0 folds f1; table committed at batch id 0
+
+    # simulate the crash between the two artifacts: the table rename
+    # happened, the last checkpoint commit marker did not.  A real
+    # crash kills the JVM, so the restart is modeled as a NEW
+    # checkpoint path holding the pre-crash state minus that marker
+    # (deleting in place would trip Spark 4's same-JVM external-
+    # modification guard, which reads as a concurrent writer).
+    ckpt2 = str(tmp_path / "ckpt_after_crash")
+    shutil.copytree(ckpt, ckpt2)
+    commits = _os.path.join(ckpt2, "ohlc", "commits")
+    last = max(
+        (f for f in _os.listdir(commits) if f.isdigit()), key=int
+    )
+    _os.remove(_os.path.join(commits, last))
+    _os.remove(_os.path.join(commits, f".{last}.crc"))  # checksum sidecar
+    # new data arrives before the restart
+    spark.createDataFrame(
+        [("click", t0.replace(minute=50), 5, 9.0)], schema
+    ).coalesce(1).write.parquet(str(feed_dir / "f2.parquet"))
+
+    run(ckpt2)  # replays batch 0 (skipped by the id guard), folds batch 1
+
+    rows = spark.read.parquet(table).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    # a double-fold of f1 would read n_events=3; losing f2 would be 1
+    assert (r["open"], r["close"], r["high"], r["low"], r["n_events"]) == (
+        5.0, 9.0, 9.0, 5.0, 2,
+    )
+
+
+def test_mg_summary_stream_survives_commit_vs_checkpoint_crash(spark, tmp_path):
+    """Same kill-between-artifacts window for the Misra-Gries
+    maintainer: summary swap committed, checkpoint commit marker lost.
+    The replayed batch must not re-add its counts (n_total and cnt
+    would inflate); the post-crash batch must still fold."""
+    import os as _os
+    import shutil
+
+    from beehive_spark.streaming.materialize import run_mg_summary_stream
+
+    feed_dir = tmp_path / "feed"
+    feed_dir.mkdir()
+    spark.createDataFrame(
+        [("hh",)] * 6 + [("aa",)], "event_type string"
+    ).coalesce(1).write.parquet(str(feed_dir / "f1.parquet"))
+
+    table = str(tmp_path / "mg")
+    spark.createDataFrame(
+        [(None, 0, 0)], "item string, cnt long, n_total long"
+    ).write.parquet(table)
+    ckpt = str(tmp_path / "ckpt")
+
+    def run(ck):
+        changes = (
+            spark.readStream.schema("event_type string")
+            .option("maxFilesPerTrigger", "1")
+            .parquet(str(feed_dir) + "/*/")
+        )
+        run_mg_summary_stream(spark, changes, table, ck, phi=0.25)
+
+    run(ckpt)
+    # crash window: summary swap landed, commit marker lost (restart
+    # modeled from a copied checkpoint — see the ohlc twin above)
+    ckpt2 = str(tmp_path / "ckpt_after_crash")
+    shutil.copytree(ckpt, ckpt2)
+    commits = _os.path.join(ckpt2, "mg", "commits")
+    last = max(
+        (f for f in _os.listdir(commits) if f.isdigit()), key=int
+    )
+    _os.remove(_os.path.join(commits, last))
+    _os.remove(_os.path.join(commits, f".{last}.crc"))  # checksum sidecar
+    spark.createDataFrame(
+        [("hh",)] * 2 + [("bb",)], "event_type string"
+    ).coalesce(1).write.parquet(str(feed_dir / "f2.parquet"))
+    run(ckpt2)
+
+    rows = spark.read.parquet(table).collect()
+    assert all(r["n_total"] == 10 for r in rows)  # 7 + 3, folded once each
+    got = {r["item"]: r["cnt"] for r in rows if r["item"] is not None}
+    assert got == {"hh": 8, "aa": 1, "bb": 1}
