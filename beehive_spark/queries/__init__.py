@@ -101,6 +101,12 @@ _PRIORITY = [
     "mixture_temperature_schedule",
     # --- new in round 9 (appended as they land)
     "curation_pipeline",   # r9 new: composed curate_corpus fate lineage
+    "feature_target_encoding",      # r9 new: leave-one-out category mean
+    "feature_woe_iv",               # r9 new: WoE + IV screen
+    "time_series_split_purged",     # r9 new: embargoed chrono split
+    "retention_cohorts",            # r9 new: cohort/offset matrix
+    "link_prediction_adamic_adar",  # r9 new: degree-damped link score
+    "text_ngram_novelty",           # r9 new: crawl diminishing-returns
 ]
 # The round-9 head is deliberately SHORT (r8 verdict ask #1): ≥35 of
 # the driver's 50 window slots must go to the computed oldest-first

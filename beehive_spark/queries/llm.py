@@ -3853,3 +3853,75 @@ def text_keyphrases(spark, sf_dir, max_len: int = 4, k: int = 30):
         .orderBy(F.col("score_micro").desc(), "phrase")
         .limit(k)
     )
+
+
+# ---------------------------------------------------------------------------
+# Crawl novelty — per-document fraction of never-before-seen shingles
+# ---------------------------------------------------------------------------
+@query(
+    "text_ngram_novelty",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS w
+      FROM documents
+    ),
+    sh AS (
+      SELECT doc_id,
+             unnest(list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                                   for i in range(1, len(w) - 1)])) AS s
+      FROM t WHERE len(w) >= 3
+    ),
+    first_seen AS (SELECT s, MIN(doc_id) AS fd FROM sh GROUP BY s)
+    SELECT sh.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_shingles,
+           CAST(SUM(CASE WHEN f.fd = sh.doc_id THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_new,
+           CAST((1000000 * SUM(CASE WHEN f.fd = sh.doc_id THEN 1 ELSE 0 END))
+                // COUNT(*) AS BIGINT) AS novelty_micro
+    FROM sh JOIN first_seen f USING (s)
+    GROUP BY sh.doc_id
+    """,
+)
+def text_ngram_novelty(spark, sf_dir):
+    """Per-document novelty curve in crawl order: the fraction of a
+    document's distinct 3-gram shingles that no EARLIER document
+    (smaller doc_id — ingestion order) ever produced.  This is the
+    curation dashboard's diminishing-returns metric: when a source's
+    novelty collapses toward zero, further crawling it buys no new
+    training signal (the corpus-level dedup ROI view that
+    per-pair dedup queries cannot give).
+
+    Exactness: pure set arithmetic — a shingle is new iff this doc_id
+    IS the min doc_id over the corpus for that shingle; the ratio is
+    a truncating ``div`` on exact counts.
+
+    Scale shape: shingles shuffle once to find each one's first-seen
+    doc (map-side-combinable MIN), then once more keyed by doc for
+    the per-doc counts — both linear in total shingle volume, the
+    dedup_ngram_jaccard scan shape without its pair fan-out.  The
+    min-per-shingle frame is the same artifact an incremental crawl
+    would persist and merge new batches into."""
+    d = load(spark, sf_dir, "documents")
+    sh = d.select(
+        "doc_id", F.explode(_shingles(_tokens(F.col("text")))).alias("s")
+    )
+    first_seen = sh.groupBy("s").agg(F.min("doc_id").alias("fd"))
+    mil = F.lit(1_000_000).cast("long")
+    return (
+        sh.join(first_seen, "s")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_shingles"),
+            F.sum(
+                F.when(F.col("fd") == F.col("doc_id"), 1).otherwise(0)
+            ).cast("long").alias("n_new"),
+        )
+        .select(
+            "doc_id",
+            "n_shingles",
+            "n_new",
+            F.call_function(
+                "div", mil * F.col("n_new"), F.col("n_shingles")
+            ).alias("novelty_micro"),
+        )
+    )

@@ -446,3 +446,226 @@ def kmeans_planted(spark, sf_dir, iters: int = 3):
         F.call_function("div", F.col("sx"), F.col("n")).alias("cx_milli"),
         F.call_function("div", F.col("sy"), F.col("n")).alias("cy_milli"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Target encoding — leave-one-out category -> label-mean features
+# ---------------------------------------------------------------------------
+@query(
+    "feature_target_encoding",
+    oracle="""
+    WITH c AS (
+      SELECT c_custkey, c_mktsegment AS segment,
+             CASE WHEN c_acctbal > 0 THEN 1 ELSE 0 END AS label
+      FROM customer
+    ),
+    s AS (
+      SELECT segment, CAST(SUM(label) AS BIGINT) AS pos,
+             CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM c GROUP BY segment
+    )
+    SELECT c.c_custkey, c.segment, CAST(c.label AS BIGINT) AS label,
+           CAST((1000000 * (s.pos - c.label)) // (s.cnt - 1) AS BIGINT)
+             AS enc_micro
+    FROM c JOIN s USING (segment)
+    WHERE s.cnt > 1
+    """,
+)
+def feature_target_encoding(spark, sf_dir):
+    """Leave-one-out target encoding: each categorical value becomes
+    the mean label of the OTHER rows sharing it —
+    ``(sum(label) - own) / (count - 1)`` — the standard high-cardinality
+    category feature that, unlike a plain group mean, does not leak the
+    row's own label into its feature (Micci-Barreca, SIGKDD Expl. 2001).
+    Label here is the derived ``c_acctbal > 0`` flag; singleton
+    categories are dropped (their LOO mean is undefined).
+
+    Exactness: the encoding is the truncating integer
+    ``(1e6 * (pos - own)) div (cnt - 1)`` over exact counts — identical
+    BIGINTs in both engines, no doubles anywhere.
+
+    Scale shape: one map-side-combinable per-category aggregate (a
+    |categories|-row frame that broadcasts), then a scan-speed join
+    back — the fact table never reshuffles, which is what makes LOO
+    encoding free at 100 TB next to the fit it replaces."""
+    c = load(spark, sf_dir, "customer").select(
+        "c_custkey",
+        F.col("c_mktsegment").alias("segment"),
+        F.when(F.col("c_acctbal") > 0, F.lit(1))
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("label"),
+    )
+    s = c.groupBy("segment").agg(
+        F.sum("label").cast("long").alias("pos"),
+        F.count(F.lit(1)).cast("long").alias("cnt"),
+    )
+    mil = F.lit(1_000_000).cast("long")
+    return (
+        c.join(F.broadcast(s.filter(F.col("cnt") > 1)), "segment")
+        .select(
+            "c_custkey",
+            "segment",
+            "label",
+            F.call_function(
+                "div", mil * (F.col("pos") - F.col("label")), F.col("cnt") - 1
+            ).alias("enc_micro"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Weight of evidence + information value — the credit-scoring screen
+# ---------------------------------------------------------------------------
+@query(
+    "feature_woe_iv",
+    oracle="""
+    WITH c AS (
+      SELECT c_mktsegment AS segment,
+             CASE WHEN c_acctbal > 0 THEN 1 ELSE 0 END AS label
+      FROM customer
+    ),
+    s AS (
+      SELECT segment,
+             CAST(SUM(label) AS BIGINT) AS n_good,
+             CAST(COUNT(*) - SUM(label) AS BIGINT) AS n_bad
+      FROM c GROUP BY segment
+    ),
+    t AS (
+      SELECT CAST(SUM(n_good) AS BIGINT) AS tg,
+             CAST(SUM(n_bad) AS BIGINT) AS tb
+      FROM s
+    )
+    SELECT s.segment, s.n_good, s.n_bad,
+           CAST(ROUND(ln(
+             (CAST(s.n_good AS DOUBLE) * t.tb)
+             / (CAST(s.n_bad AS DOUBLE) * t.tg)) * 1000000) AS BIGINT)
+             AS woe_micro,
+           CAST(ROUND(
+             (CAST(s.n_good AS DOUBLE) / t.tg
+              - CAST(s.n_bad AS DOUBLE) / t.tb)
+             * ln((CAST(s.n_good AS DOUBLE) * t.tb)
+                  / (CAST(s.n_bad AS DOUBLE) * t.tg))
+             * 1000000) AS BIGINT) AS iv_contrib_micro
+    FROM s CROSS JOIN t
+    WHERE s.n_good > 0 AND s.n_bad > 0
+    """,
+)
+def feature_woe_iv(spark, sf_dir):
+    """Weight of evidence and information value per category — the
+    classic screening statistic for categorical predictors (Siddiqi,
+    *Credit Risk Scorecards*): ``WoE = ln((good_share)/(bad_share))``
+    per bin, ``IV = sum (good_share - bad_share) * WoE``.  Emitted per
+    segment with its IV contribution; zero-good/zero-bad bins are
+    excluded (their WoE is infinite — real pipelines smooth or merge
+    them, a policy choice left upstream).
+
+    Exactness: counts are exact BIGINTs; the two transcendental
+    outputs evaluate the IDENTICAL double expression on those
+    integers in both engines and round to micro before hashing
+    (the BM25/PMI discipline).
+
+    Scale shape: one per-category combinable aggregate, one 1-row
+    total broadcast on a crossJoin — nothing touches the fact table
+    twice."""
+    c = load(spark, sf_dir, "customer").select(
+        F.col("c_mktsegment").alias("segment"),
+        F.when(F.col("c_acctbal") > 0, F.lit(1))
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("label"),
+    )
+    s = c.groupBy("segment").agg(
+        F.sum("label").cast("long").alias("n_good"),
+        (F.count(F.lit(1)) - F.sum("label")).cast("long").alias("n_bad"),
+    )
+    t = s.agg(
+        F.sum("n_good").cast("long").alias("tg"),
+        F.sum("n_bad").cast("long").alias("tb"),
+    )
+    ratio = (F.col("n_good").cast("double") * F.col("tb")) / (
+        F.col("n_bad").cast("double") * F.col("tg")
+    )
+    woe = F.log(ratio)
+    share_gap = (
+        F.col("n_good").cast("double") / F.col("tg")
+        - F.col("n_bad").cast("double") / F.col("tb")
+    )
+    return (
+        s.crossJoin(F.broadcast(t))
+        .filter((F.col("n_good") > 0) & (F.col("n_bad") > 0))
+        .select(
+            "segment",
+            "n_good",
+            "n_bad",
+            F.round(woe * 1_000_000).cast("long").alias("woe_micro"),
+            F.round(share_gap * woe * 1_000_000)
+            .cast("long")
+            .alias("iv_contrib_micro"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Purged chronological split — leakage-safe train/val assignment
+# ---------------------------------------------------------------------------
+@query(
+    "time_series_split_purged",
+    oracle="""
+    WITH r AS (
+      SELECT event_id, user_id,
+             ROW_NUMBER() OVER (
+               PARTITION BY user_id ORDER BY ts, event_id) AS rn,
+             COUNT(*) OVER (PARTITION BY user_id) AS n
+      FROM events
+    )
+    SELECT event_id, user_id,
+           CASE WHEN rn <= (7 * n) // 10 THEN 'train'
+                WHEN rn <= (7 * n) // 10 + GREATEST(1, n // 20)
+                  THEN 'purged'
+                ELSE 'val' END AS fold
+    FROM r
+    """,
+)
+def time_series_split_purged(spark, sf_dir):
+    """Leakage-safe chronological split with an embargo: per user the
+    first 70% of events (by event time) train, the next
+    ``max(1, 5%)`` are PURGED (the embargo that keeps
+    overlapping-horizon labels out of both sides — de Prado,
+    *Advances in Financial ML* ch.7), the rest validate.  This is the
+    split a forecasting/recommendation pipeline must use instead of a
+    random split, and emitting it as a materialized (event, fold)
+    table makes the assignment auditable and reproducible.
+
+    Exactness: pure integer rank arithmetic over the total
+    (ts, event_id) per-user order — no doubles, identical in both
+    engines.
+
+    Scale shape: one user-partitioned window (rank + count) — a
+    single shuffle by user, the same shape every per-user query in
+    the suite holds; folds then appear as a predicate-pushdown-
+    friendly string column for downstream readers."""
+    e = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wc = Window.partitionBy("user_id")
+    r = e.select(
+        "event_id",
+        "user_id",
+        F.row_number().over(w).cast("long").alias("rn"),
+        F.count(F.lit(1)).over(wc).cast("long").alias("n"),
+    )
+    n_train = F.call_function(
+        "div", F.lit(7).cast("long") * F.col("n"), F.lit(10).cast("long")
+    )
+    n_purge = F.greatest(
+        F.lit(1).cast("long"),
+        F.call_function("div", F.col("n"), F.lit(20).cast("long")),
+    )
+    return r.select(
+        "event_id",
+        "user_id",
+        F.when(F.col("rn") <= n_train, F.lit("train"))
+        .when(F.col("rn") <= n_train + n_purge, F.lit("purged"))
+        .otherwise(F.lit("val"))
+        .alias("fold"),
+    )

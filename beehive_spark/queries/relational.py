@@ -3813,3 +3813,78 @@ def entity_resolution_pipeline(spark, sf_dir):
         .cast("long")
         .alias("n_dirty"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Link prediction — Adamic-Adar over the order-part bipartite graph
+# ---------------------------------------------------------------------------
+@query(
+    "link_prediction_adamic_adar",
+    oracle="""
+    WITH d AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    sz AS (SELECT l_orderkey, CAST(COUNT(*) AS BIGINT) AS n
+           FROM d GROUP BY 1),
+    p AS (
+      SELECT a.l_orderkey, a.l_partkey AS pa, b.l_partkey AS pb
+      FROM d a JOIN d b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    ),
+    sc AS (
+      SELECT pa, pb,
+             CAST(COUNT(*) AS BIGINT) AS n_shared,
+             CAST(SUM(CAST(ROUND(1000000 / ln(n)) AS BIGINT)) AS BIGINT)
+               AS aa_micro
+      FROM p JOIN sz USING (l_orderkey)
+      WHERE n >= 2
+      GROUP BY pa, pb
+    )
+    SELECT pa, pb, n_shared, aa_micro
+    FROM sc ORDER BY aa_micro DESC, pa, pb LIMIT 50
+    """,
+)
+def link_prediction_adamic_adar(spark, sf_dir):
+    """Adamic-Adar link prediction over the order-part bipartite
+    graph: a candidate part pair's score is the sum over shared
+    orders of ``1 / ln(basket_size)`` — common neighbors weighted so
+    that co-occurring inside a SMALL basket says more than inside a
+    huge one (Adamic & Adar, Social Networks 2003; the degree-damped
+    cousin of ``copurchase_recommendations``' raw counts).  Emits the
+    top-50 predicted links.
+
+    Exactness: each shared order contributes the micro-rounded
+    integer ``round(1e6 / ln(n))`` — identical doubles on identical
+    BIGINT basket sizes in both engines, summed exactly; the top-k
+    orders on the discrete (aa_micro, pa, pb) key.
+
+    Scale shape: the copurchase discipline — baskets collapse per
+    order (one shuffle), pairs enumerate WITHIN baskets (fan-out
+    C(basket,2), bounded by order size, never |parts|^2), the score
+    aggregate shuffles on the canonical pair key, and TakeOrdered
+    keeps k rows per partition.  A hub part appears in many baskets
+    but never fans out against the whole catalog."""
+    li = load(spark, sf_dir, "lineitem")
+    baskets = li.groupBy("l_orderkey").agg(
+        F.sort_array(F.collect_set("l_partkey")).alias("parts")
+    ).filter(F.size("parts") >= 2)
+    wt = F.round(
+        F.lit(1_000_000.0) / F.log(F.size("parts").cast("double"))
+    ).cast("long")
+    pair_arr = F.flatten(
+        F.transform(
+            F.col("parts"),
+            lambda a, i: F.transform(
+                F.slice(F.col("parts"), i + 2, F.size(F.col("parts"))),
+                lambda b: F.struct(a.alias("pa"), b.alias("pb")),
+            ),
+        )
+    )
+    return (
+        baskets.select(wt.alias("wt"), F.explode(pair_arr).alias("p"))
+        .groupBy(F.col("p.pa").alias("pa"), F.col("p.pb").alias("pb"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_shared"),
+            F.sum("wt").cast("long").alias("aa_micro"),
+        )
+        .orderBy(F.col("aa_micro").desc(), "pa", "pb")
+        .limit(50)
+    )

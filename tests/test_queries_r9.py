@@ -1,0 +1,190 @@
+"""Property pins for the round-9 queries — invariants the oracle gate
+cannot express (the gate proves cross-engine equality; these prove the
+SEMANTICS are the ones the docstrings claim)."""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_retention_offset_zero_is_cohort_size(spark):
+    """Every user is active in their own cohort week, so the offset-0
+    cell must equal the cohort's size, offsets are non-negative, and
+    no later cell exceeds offset 0 (retention can only decay below
+    its base)."""
+    from beehive_spark.queries.core import retention_cohorts
+    from beehive_spark.queries import load
+
+    rows = retention_cohorts(spark, SF).collect()
+    base = {
+        r["cohort_week"]: r["n_users"] for r in rows if r["week_offset"] == 0
+    }
+    e = load(spark, SF, "events")
+    want = {
+        r["cohort_week"]: r["n"]
+        for r in e.groupBy("user_id")
+        .agg(F.date_trunc("week", F.min("ts")).alias("cohort_week"))
+        .groupBy("cohort_week")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert base == want
+    for r in rows:
+        assert r["week_offset"] >= 0
+        assert r["n_users"] <= base[r["cohort_week"]]
+
+
+def test_purged_split_partitions_and_orders(spark):
+    """Folds partition each user's events exactly; every train event
+    precedes every purged event precedes every val event in the
+    (ts, event_id) order; the purge gap is max(1, n//20)."""
+    from beehive_spark.queries import load
+    from beehive_spark.queries.ml import time_series_split_purged
+
+    out = time_series_split_purged(spark, SF)
+    e = load(spark, SF, "events")
+    assert out.count() == e.count()
+    joined = out.join(e.select("event_id", "ts"), "event_id")
+    per_user = {}
+    for r in joined.collect():
+        per_user.setdefault(r["user_id"], []).append(
+            (r["ts"], r["event_id"], r["fold"])
+        )
+    order = {"train": 0, "purged": 1, "val": 2}
+    for u, evs in per_user.items():
+        evs.sort()
+        n = len(evs)
+        folds = [f for _, _, f in evs]
+        assert folds == sorted(folds, key=order.__getitem__), f"user {u}"
+        assert folds.count("train") == (7 * n) // 10
+        if n > (7 * n) // 10:  # any events past the train cut
+            want_purge = min(max(1, n // 20), n - (7 * n) // 10)
+            assert folds.count("purged") == want_purge
+
+
+def test_target_encoding_excludes_own_label(spark):
+    """The LOO property, brute-forced: each row's encoding equals the
+    mean label of the OTHER members of its segment (micro-truncated),
+    never the plain group mean when the two differ."""
+    from beehive_spark.queries import load
+    from beehive_spark.queries.ml import feature_target_encoding
+
+    got = {
+        r["c_custkey"]: (r["segment"], r["label"], r["enc_micro"])
+        for r in feature_target_encoding(spark, SF).collect()
+    }
+    rows = load(spark, SF, "customer").collect()
+    seg_stats = {}
+    for r in rows:
+        lbl = 1 if r["c_acctbal"] > 0 else 0
+        s = seg_stats.setdefault(r["c_mktsegment"], [0, 0])
+        s[0] += lbl
+        s[1] += 1
+    checked_diff = 0
+    for r in rows:
+        seg = r["c_mktsegment"]
+        pos, cnt = seg_stats[seg]
+        if cnt <= 1:
+            assert r["c_custkey"] not in got
+            continue
+        lbl = 1 if r["c_acctbal"] > 0 else 0
+        want = (1_000_000 * (pos - lbl)) // (cnt - 1)
+        assert got[r["c_custkey"]] == (seg, lbl, want)
+        if (1_000_000 * pos) // cnt != want:
+            checked_diff += 1
+    assert checked_diff > 0  # LOO genuinely differed from the group mean
+
+
+def test_woe_iv_matches_python(spark):
+    """WoE/IV against a from-scratch python fold; IV contributions are
+    non-negative only when shares diverge in WoE's direction (they
+    always are: (g-b) and ln(g/b) share a sign)."""
+    from beehive_spark.queries import load
+    from beehive_spark.queries.ml import feature_woe_iv
+
+    rows = load(spark, SF, "customer").collect()
+    stats = {}
+    for r in rows:
+        lbl = 1 if r["c_acctbal"] > 0 else 0
+        s = stats.setdefault(r["c_mktsegment"], [0, 0])
+        s[lbl == 0] += 1  # s[0]=good, s[1]=bad
+    tg = sum(v[0] for v in stats.values())
+    tb = sum(v[1] for v in stats.values())
+    got = {r["segment"]: r for r in feature_woe_iv(spark, SF).collect()}
+    for seg, (g, b) in stats.items():
+        if g == 0 or b == 0:
+            assert seg not in got
+            continue
+        woe = math.log((g * tb) / (b * tg))
+        r = got[seg]
+        assert (r["n_good"], r["n_bad"]) == (g, b)
+        assert r["woe_micro"] == round(woe * 1_000_000)
+        assert r["iv_contrib_micro"] == round(
+            (g / tg - b / tb) * woe * 1_000_000
+        )
+        assert r["iv_contrib_micro"] >= 0
+
+
+def test_adamic_adar_small_basket_outweighs_large(spark):
+    """The Adamic-Adar damping property on a planted corpus: one
+    shared 2-item basket must outscore many shared 20-item baskets
+    when the raw co-occurrence count says otherwise."""
+    from beehive_spark.queries.relational import (
+        link_prediction_adamic_adar,
+    )
+
+    # reuse the query's algebra through its registered entry by
+    # building a planted lineitem in a temp dir
+    import os
+    import tempfile
+
+    tmp = tempfile.mkdtemp()
+    rows = []
+    # pair (1,2): one tight basket of 2 -> 1e6/ln2 ~ 1_442_695
+    rows += [(1000, 1), (1000, 2)]
+    # pair (10,11): three sprawling baskets of 20 -> 3e6/ln20 ~ 1_001_4xx
+    for o in (2000, 2001, 2002):
+        rows += [(o, 10), (o, 11)] + [(o, 100 + o % 100 * 50 + k) for k in range(18)]
+    df = spark.createDataFrame(rows, "l_orderkey long, l_partkey long")
+    df.write.parquet(os.path.join(tmp, "lineitem.parquet"))
+    out = {
+        (r["pa"], r["pb"]): (r["n_shared"], r["aa_micro"])
+        for r in link_prediction_adamic_adar(spark, tmp).collect()
+    }
+    n12, s12 = out[(1, 2)]
+    n10, s10 = out[(10, 11)]
+    assert n12 == 1 and n10 == 3  # raw counts favor the sprawling pair
+    assert s12 == round(1_000_000 / math.log(2))
+    assert s10 == 3 * round(1_000_000 / math.log(20))
+    assert s12 > s10  # ...but AA damping flips the ranking
+
+
+def test_novelty_first_doc_is_fully_novel_and_clone_is_not(spark):
+    """On a planted corpus: the first document is 100% novel, an exact
+    clone later is 0% novel, and a half-overlap lands exactly at its
+    set-arithmetic fraction."""
+    import os
+    import tempfile
+
+    from beehive_spark.queries.llm import text_ngram_novelty
+
+    tmp = tempfile.mkdtemp()
+    a = "alpha beta gamma delta epsilon zeta"          # 4 shingles
+    b = a                                              # clone: 0 new
+    c = "gamma delta epsilon zeta eta theta iota"      # 5 shingles, 3 new
+    df = spark.createDataFrame(
+        [(0, a, "en", "s", len(a)), (1, b, "en", "s", len(b)),
+         (2, c, "en", "s", len(c))],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    df.write.parquet(os.path.join(tmp, "documents.parquet"))
+    got = {
+        r["doc_id"]: (r["n_shingles"], r["n_new"], r["novelty_micro"])
+        for r in text_ngram_novelty(spark, tmp).collect()
+    }
+    assert got[0] == (4, 4, 1_000_000)
+    assert got[1] == (4, 0, 0)
+    assert got[2] == (5, 3, 600_000)
