@@ -3799,3 +3799,100 @@ def retention_cohorts(spark, sf_dir):
         .groupBy("cohort_week", "week_offset")
         .agg(F.count(F.lit(1)).cast("long").alias("n_users"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Windowed funnel — greedy earliest chain with a per-step deadline
+# ---------------------------------------------------------------------------
+@query(
+    "events_funnel_windowed",
+    oracle="""
+    WITH t1 AS (
+      SELECT user_id, MIN(ts) AS t_view
+      FROM events WHERE event_type = 'view' GROUP BY user_id
+    ),
+    t2 AS (
+      SELECT e.user_id, MIN(e.ts) AS t_click
+      FROM events e JOIN t1 USING (user_id)
+      WHERE e.event_type = 'click'
+        AND e.ts > t1.t_view AND e.ts <= t1.t_view + INTERVAL 24 HOUR
+      GROUP BY e.user_id
+    ),
+    t3 AS (
+      SELECT e.user_id, MIN(e.ts) AS t_purchase
+      FROM events e JOIN t2 USING (user_id)
+      WHERE e.event_type = 'purchase'
+        AND e.ts > t2.t_click AND e.ts <= t2.t_click + INTERVAL 24 HOUR
+      GROUP BY e.user_id
+    )
+    SELECT t1.user_id,
+           CAST(1 + (t2.user_id IS NOT NULL)::INT
+                  + (t3.user_id IS NOT NULL)::INT AS BIGINT)
+             AS steps_completed,
+           t1.t_view, t2.t_click, t3.t_purchase
+    FROM t1
+    LEFT JOIN t2 ON t1.user_id = t2.user_id
+    LEFT JOIN t3 ON t2.user_id = t3.user_id
+    """,
+)
+def events_funnel_windowed(spark, sf_dir):
+    """Windowed funnel (view -> click -> purchase, each step within
+    24 h of the previous): the greedy earliest-chain semantics of
+    ClickHouse's ``windowFunnel`` — step k's timestamp is the EARLIEST
+    qualifying event after step k-1's, and the deadline restarts at
+    each completed step.  Greedy-earliest is the documented industry
+    semantics (not maximal reachability: a user whose only converting
+    chain starts at a LATER view counts as stalled — deterministic and
+    cheap, which is why the engines that popularized funnels chose
+    it).  Complements ``funnel_steps``, which sequences strictly but
+    never expires.
+
+    Exactness: pure MIN over microsecond timestamps with interval
+    arithmetic — no doubles anywhere.
+
+    Scale shape: three cascaded user-keyed conditional aggregates,
+    each a combinable MIN joined back by user key — the same single
+    partitioning reused, no windows over the raw stream, no per-user
+    arrays."""
+    e = load(spark, sf_dir, "events")
+    day = F.expr("INTERVAL 24 HOURS")
+    t1 = (
+        e.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_view"))
+    )
+    t2 = (
+        e.join(t1, "user_id")
+        .filter(
+            (F.col("event_type") == "click")
+            & (F.col("ts") > F.col("t_view"))
+            & (F.col("ts") <= F.col("t_view") + day)
+        )
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_click"))
+    )
+    t3 = (
+        e.join(t2, "user_id")
+        .filter(
+            (F.col("event_type") == "purchase")
+            & (F.col("ts") > F.col("t_click"))
+            & (F.col("ts") <= F.col("t_click") + day)
+        )
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_purchase"))
+    )
+    return (
+        t1.join(t2, "user_id", "left")
+        .join(t3, "user_id", "left")
+        .select(
+            "user_id",
+            (
+                F.lit(1)
+                + F.col("t_click").isNotNull().cast("int")
+                + F.col("t_purchase").isNotNull().cast("int")
+            ).cast("long").alias("steps_completed"),
+            "t_view",
+            "t_click",
+            "t_purchase",
+        )
+    )

@@ -3925,3 +3925,88 @@ def text_ngram_novelty(spark, sf_dir):
             ).alias("novelty_micro"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Int8 embedding quantization — the ANN bandwidth/memory scale lever
+# ---------------------------------------------------------------------------
+@query(
+    "embedding_quantize_int8",
+    oracle="""
+    WITH v AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+    ),
+    x AS (
+      SELECT vec_id, u.i AS dim, u.x AS x
+      FROM (
+        SELECT vec_id,
+               unnest([{'i': i, 'x': e[i]}
+                       for i in range(1, len(e) + 1)]) AS u
+        FROM v
+      )
+    ),
+    st AS (SELECT dim, MIN(x) AS mn, MAX(x) AS mx FROM x GROUP BY dim),
+    q AS (
+      SELECT x.vec_id, x.dim, x.x, st.mn, st.mx,
+             CASE WHEN st.mx = st.mn THEN 0
+                  ELSE CAST(ROUND((x.x - st.mn) * 255 / (st.mx - st.mn))
+                            AS BIGINT) END AS qv
+      FROM x JOIN st USING (dim)
+    ),
+    e AS (
+      SELECT vec_id, qv,
+             CAST(ROUND(ABS(
+               x - (mn + CAST(qv AS DOUBLE) * (mx - mn) / 255)
+             ) * 1000000) AS BIGINT) AS err
+      FROM q
+    )
+    SELECT vec_id,
+           CAST(COUNT(*) AS BIGINT) AS n_dims,
+           CAST(SUM(qv) AS BIGINT) AS q_sum,
+           CAST(SUM(err) AS BIGINT) AS recon_err_micro
+    FROM e GROUP BY vec_id
+    """,
+)
+def embedding_quantize_int8(spark, sf_dir):
+    """Per-dimension min-max int8 quantization of the embedding
+    corpus with exact reconstruction-error accounting — the standard
+    4x memory/bandwidth lever for ANN at scale (a 100 TB float32
+    embedding store becomes 25 TB of uint8 codes + a 2-row-per-dim
+    calibration table; IVF/PQ probes then scan codes and refine on
+    floats).  Emits per-vector code sum and total dequantization
+    error so a calibration regression is visible corpus-wide.
+
+    Exactness: the float32 payload widens to identical doubles in
+    both engines; code = ``round((x - min_d) * 255 / (max_d -
+    min_d))`` and the per-value dequantization error micro-round are
+    the IDENTICAL double expression on both sides, summed as exact
+    BIGINTs.  Degenerate (constant) dimensions quantize to code 0
+    with zero error.
+
+    Scale shape: one posexplode scan -> a 64-row per-dimension
+    min/max aggregate (map-side combinable) that BROADCASTS back to
+    the exploded values -> one vec-keyed sum.  The corpus shuffles
+    only on vec_id; the calibration table is dimension-sized
+    regardless of corpus rows."""
+    v = load(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("e")
+    )
+    ex = v.select("vec_id", F.posexplode("e").alias("dim", "x"))
+    st = ex.groupBy("dim").agg(F.min("x").alias("mn"), F.max("x").alias("mx"))
+    j = ex.join(F.broadcast(st), "dim")
+    qv = F.when(F.col("mx") == F.col("mn"), F.lit(0).cast("long")).otherwise(
+        F.round(
+            (F.col("x") - F.col("mn")) * 255 / (F.col("mx") - F.col("mn"))
+        ).cast("long")
+    )
+    deq = F.col("mn") + qv.cast("double") * (F.col("mx") - F.col("mn")) / 255
+    err = F.round(F.abs(F.col("x") - deq) * 1_000_000).cast("long")
+    return (
+        j.select("vec_id", qv.alias("qv"), err.alias("err"))
+        .groupBy("vec_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_dims"),
+            F.sum("qv").cast("long").alias("q_sum"),
+            F.sum("err").cast("long").alias("recon_err_micro"),
+        )
+    )

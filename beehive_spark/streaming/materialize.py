@@ -801,3 +801,116 @@ def run_mg_summary_stream(
     q.awaitTermination(timeout_sec)
     if q.isActive:  # pragma: no cover
         q.stop()
+
+
+def run_novelty_stream(
+    spark: SparkSession,
+    docs: DataFrame,
+    store_path: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    timeout_sec: int = 120,
+) -> None:
+    """Maintain the first-seen shingle STORE and an append-structured
+    per-document novelty log from a streaming document feed — the
+    streaming twin of ``queries.llm.text_ngram_novelty`` (the crawl
+    diminishing-returns metric), and the first maintainer in the
+    family whose state is a TEXT artifact rather than a relational
+    aggregate.
+
+    Artifacts:
+
+    - ``store_path``: ``(s string, fd bigint)`` — min doc_id ever seen
+      per 3-gram shingle; the table an incremental crawl persists.
+      Must exist (write an empty or backfilled frame first).  The
+      store is maintained with a nulls-safe MIN merge, so it is
+      correct under ANY arrival order.
+    - ``out_dir/batch=<id>/``: per-document ``(doc_id, n_shingles,
+      n_new, novelty_micro)`` rows for the docs of that micro-batch.
+
+    Per-document rows equal the batch query's answer when the feed is
+    doc_id-ordered across micro-batches (the crawl-log layout, same
+    contract as ``holt_forecast_stream``'s time-ordered source);
+    out-of-order backfills keep the STORE exact but can overstate an
+    already-emitted document's novelty — append logs cannot retract,
+    so order the feed (documented, not hidden).
+
+    Exactly-once across the two artifacts: the out partition is an
+    IDEMPOTENT overwrite keyed by batch id and writes FIRST; the
+    store swap (``_commit_swap``, data + batch id in one rename)
+    commits SECOND.  A crash between them replays the batch: the out
+    dir rewrites deterministically to identical content, then the
+    store folds once.  A replay after the store swap short-circuits
+    on the recorded id, and the out dir for that batch already
+    exists by the write ordering.  (Kill-between-artifacts test:
+    tests/test_streaming_novelty.py.)
+
+    Scale shape per micro-batch: shingles shuffle once for the
+    in-batch MIN, join the store by shingle key (both sides slim:
+    key + one long), one doc-keyed count — all linear in batch
+    shingle volume; the store never rewrites more than its own size
+    and at crawl scale becomes a bucketed-by-shingle table so the
+    merge join is co-located."""
+    from pyspark.sql import functions as F
+
+    from beehive_spark.queries.llm import _shingles, _tokens
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        if batch_id <= _last_applied(store_path):
+            return  # replayed micro-batch: already folded (out dir exists)
+        sh = batch_df.select(
+            "doc_id", F.explode(_shingles(_tokens(F.col("text")))).alias("s")
+        )
+        bmin = sh.groupBy("s").agg(F.min("doc_id").alias("bfd"))
+        store = spark.read.parquet(store_path)
+        merged = bmin.join(store, "s", "left")
+        # a shingle is new for doc d iff d is its global first sighting
+        gfirst = F.least(F.coalesce("fd", "bfd"), F.col("bfd"))
+        per_doc = (
+            sh.join(
+                merged.select("s", gfirst.alias("gf")), "s"
+            )
+            .groupBy("doc_id")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_shingles"),
+                F.sum(
+                    F.when(F.col("gf") == F.col("doc_id"), 1).otherwise(0)
+                ).cast("long").alias("n_new"),
+            )
+            .select(
+                "doc_id",
+                "n_shingles",
+                "n_new",
+                F.call_function(
+                    "div",
+                    F.lit(1_000_000).cast("long") * F.col("n_new"),
+                    F.col("n_shingles"),
+                ).alias("novelty_micro"),
+            )
+        )
+        # artifact 1 FIRST: idempotent per-batch overwrite
+        per_doc.write.mode("overwrite").parquet(
+            os.path.join(out_dir, f"batch={batch_id}")
+        )
+        # artifact 2: nulls-safe MIN merge, committed with the batch id
+        new_store = (
+            store.join(bmin, "s", "full_outer")
+            .select("s", F.least(F.coalesce("fd", "bfd"),
+                                 F.coalesce("bfd", "fd")).alias("fd"))
+        )
+        _commit_swap(new_store, store_path, batch_id)
+
+    q = (
+        docs.writeStream.outputMode("append")
+        .foreachBatch(sink)
+        .option(
+            "checkpointLocation", os.path.join(checkpoint_dir, "novelty")
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(timeout_sec)
+    if q.isActive:  # pragma: no cover
+        q.stop()
