@@ -69,28 +69,18 @@ _loaded = False
 # Registry order is the driver's ORACLE-VERIFICATION order, and the driver
 # differentially checks the FIRST 50 registered queries per round.  The
 # window rotates each round so the cross-round union covers every
-# registered query (177/177 after r07, 162/162 oracle-bearing
-# hash-green).  The round-8 head is (a) the thirty-four r8-new queries
-# (six planted hash-gate twins, blocking/PMI/OHLC/checksum/histogram,
-# association rules, equi-depth histogram, trigram LM, negative
-# sampling, min-max scaling, k-anonymity, Holt; session 3: rolling
-# median, CUSUM, correlation matrix, Gini stump, planted k-means, RRF
-# fusion, correlation IVM, planted LPA, RAKE keyphrases, Pareto ABC,
-# two-pass exact quantile selection, Holt walk-forward backtest, the
-# entity-resolution composite, the temperature mixing plan),
-# then (b) everything round-8 CODE changes touch (the tree_rollup cap
-# fix and sssp heuristic re-key in operators/graph.py; the
-# _cluster_pair_dedup, _linkage_frames/_fs_emit, _minhash_lsh_pairs/
-# _simhash_pairs/_ivf_search/_lsh_search refactors; the widened
-# lift_ppm products).
-# Everything past this explicit head backfills OLDEST-EVIDENCE-FIRST,
-# COMPUTED from the committed CORRECTNESS_r*.json files (see
-# _evidence_vintage) — after CORRECTNESS_r07 that queue leads with the
-# 37-entry r04-vintage cohort (uuid_collision_semi, count_by_group,
-# order_limit_first, q1/q3/q5, ...), so this window raises the
-# evidence floor to r05 (r7 verdict ask #1) without hand-listing
-# anything.  The local scripts/check_oracle.py sweep still verifies
-# ALL registered queries each round.
+# registered query (210/210 after r08, 195/195 oracle-bearing
+# hash-green).  The round-9 head is deliberately SHORT (r8 verdict ask
+# #1): the four queries whose code or oracle round 9 changed, then the
+# r9-new registrations.  Everything past the head backfills
+# OLDEST-EVIDENCE-FIRST, COMPUTED from the committed
+# CORRECTNESS_r*.json files (see _evidence_vintage), with rows-only
+# (no-oracle) entries LAST GLOBALLY so no window slot returns
+# `no_oracle` while stale oracled queries queue (r8 verdict finding
+# #2) — after CORRECTNESS_r08 the backfill clears the entire 21-query
+# r04-vintage oracled cohort plus the oldest r05 entries.  The local
+# scripts/check_oracle.py sweep still verifies ALL registered queries
+# each round.
 _PRIORITY = [
     # --- changed in round 9 (the lineitem_exact_quantiles p75 rank
     # convention CHANGED — its r8-green hash is stale; the other three
@@ -104,7 +94,6 @@ _PRIORITY = [
     "feature_target_encoding",      # r9 new: leave-one-out category mean
     "feature_woe_iv",               # r9 new: WoE + IV screen
     "time_series_split_purged",     # r9 new: embargoed chrono split
-    "retention_cohorts",            # r9 new: cohort/offset matrix
     "link_prediction_adamic_adar",  # r9 new: degree-damped link score
     "text_ngram_novelty",           # r9 new: crawl diminishing-returns
     "events_funnel_windowed",       # r9 new: per-step-deadline funnel

@@ -3740,68 +3740,6 @@ def events_holt_backtest(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
-# Retention cohorts — the product-analytics cohort/offset matrix
-# ---------------------------------------------------------------------------
-@query(
-    "retention_cohorts",
-    oracle="""
-    WITH fu AS (
-      SELECT user_id,
-             CAST(date_trunc('week', MIN(ts)) AS TIMESTAMP) AS cohort_week
-      FROM events GROUP BY user_id
-    ),
-    act AS (
-      SELECT DISTINCT user_id,
-             CAST(date_trunc('week', ts) AS TIMESTAMP) AS active_week
-      FROM events
-    )
-    SELECT f.cohort_week,
-           CAST(date_diff('day', f.cohort_week, a.active_week) // 7
-                AS BIGINT) AS week_offset,
-           CAST(COUNT(*) AS BIGINT) AS n_users
-    FROM act a JOIN fu f USING (user_id)
-    GROUP BY 1, 2
-    """,
-)
-def retention_cohorts(spark, sf_dir):
-    """Weekly retention cohort matrix — THE product-analytics query:
-    users are assigned to the week of their first event (the cohort),
-    and each (cohort_week, week_offset) cell counts how many of that
-    cohort were active offset weeks later.  Offset 0 is the cohort
-    size; reading a row left-to-right is the retention curve.
-
-    Exactness: week buckets come from ``date_trunc('week', ...)``
-    (ISO Monday in both engines) and the offset is exact integer day
-    arithmetic divided by 7 (always a multiple — both ends are
-    Monday-truncated).
-
-    Scale shape: one user-keyed aggregate for cohorts, one
-    (user, week) distinct, then a join keyed by user — the cohort
-    frame is |users|-slim and the final matrix is
-    |weeks| x |offsets| tiny.  No window over the full event table,
-    no driver state."""
-    e = load(spark, sf_dir, "events")
-    fu = e.groupBy("user_id").agg(
-        F.date_trunc("week", F.min("ts")).alias("cohort_week")
-    )
-    act = e.select(
-        "user_id", F.date_trunc("week", "ts").alias("active_week")
-    ).distinct()
-    days = F.datediff(F.col("active_week"), F.col("cohort_week")).cast("long")
-    return (
-        act.join(fu, "user_id")
-        .select(
-            "cohort_week",
-            F.call_function("div", days, F.lit(7).cast("long")).alias(
-                "week_offset"
-            ),
-        )
-        .groupBy("cohort_week", "week_offset")
-        .agg(F.count(F.lit(1)).cast("long").alias("n_users"))
-    )
-
-
-# ---------------------------------------------------------------------------
 # Windowed funnel — greedy earliest chain with a per-step deadline
 # ---------------------------------------------------------------------------
 @query(

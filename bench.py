@@ -187,6 +187,15 @@ EXTRA = [
     "events_holt_backtest",
     "entity_resolution_pipeline",
     "mixture_temperature_schedule",
+    # round-9 additions
+    "curation_pipeline",
+    "feature_target_encoding",
+    "feature_woe_iv",
+    "time_series_split_purged",
+    "link_prediction_adamic_adar",
+    "text_ngram_novelty",
+    "events_funnel_windowed",
+    "embedding_quantize_int8",
 ]
 
 

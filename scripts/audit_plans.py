@@ -233,6 +233,15 @@ EXTRA = [
     # combinable aggregations, same class as heavy_hitters_shingles)
     "events_holt_backtest",
     "mixture_temperature_schedule",
+    # round-9 additions (curation_pipeline goes to ITERATIVE: its
+    # near-dup stage runs the CC loop eagerly like dedup_clusters)
+    "feature_target_encoding",
+    "feature_woe_iv",
+    "time_series_split_purged",
+    "link_prediction_adamic_adar",
+    "text_ngram_novelty",
+    "events_funnel_windowed",
+    "embedding_quantize_int8",
 ]
 
 
@@ -248,6 +257,7 @@ EXTRA = [
 # round number (lineage re-execution) or carries a cartesian product
 # is the scale regression this table exists to flag.
 ITERATIVE = [
+    "curation_pipeline",
     "label_propagation_planted",
     "pagerank_planted",
     "pagerank_copurchase",

@@ -183,6 +183,20 @@ REGISTRY_CASES = [
     # the ER composite: candidates stay ~linear by the stagger bound,
     # CC input is links (a fraction of records), survivorship one agg
     ("entity_resolution_pipeline", "customer"),
+    # round-9 additions: the composed curation lineage (its two dedup
+    # stages are the only shuffling steps), novelty (shingle-keyed MIN
+    # + doc-keyed count, the jaccard scan without pair fan-out),
+    # Adamic-Adar (within-basket fan-out like copurchase), the
+    # greedy-chain funnel (three cascaded user-keyed MINs), int8
+    # quantization (explode + dim-sized broadcast + vec-keyed sum),
+    # and LOO target encoding (category-sized broadcast, flattest
+    # possible curve)
+    ("curation_pipeline", "documents"),
+    ("text_ngram_novelty", "documents"),
+    ("link_prediction_adamic_adar", "lineitem"),
+    ("events_funnel_windowed", "events"),
+    ("embedding_quantize_int8", "embeddings"),
+    ("feature_target_encoding", "customer"),
 ]
 
 

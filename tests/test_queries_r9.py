@@ -10,33 +10,6 @@ from pyspark.sql import functions as F
 SF = "/root/testdata/sf0.001"
 
 
-def test_retention_offset_zero_is_cohort_size(spark):
-    """Every user is active in their own cohort week, so the offset-0
-    cell must equal the cohort's size, offsets are non-negative, and
-    no later cell exceeds offset 0 (retention can only decay below
-    its base)."""
-    from beehive_spark.queries.core import retention_cohorts
-    from beehive_spark.queries import load
-
-    rows = retention_cohorts(spark, SF).collect()
-    base = {
-        r["cohort_week"]: r["n_users"] for r in rows if r["week_offset"] == 0
-    }
-    e = load(spark, SF, "events")
-    want = {
-        r["cohort_week"]: r["n"]
-        for r in e.groupBy("user_id")
-        .agg(F.date_trunc("week", F.min("ts")).alias("cohort_week"))
-        .groupBy("cohort_week")
-        .agg(F.count(F.lit(1)).alias("n"))
-        .collect()
-    }
-    assert base == want
-    for r in rows:
-        assert r["week_offset"] >= 0
-        assert r["n_users"] <= base[r["cohort_week"]]
-
-
 def test_purged_split_partitions_and_orders(spark):
     """Folds partition each user's events exactly; every train event
     precedes every purged event precedes every val event in the
