@@ -3834,3 +3834,72 @@ def events_funnel_windowed(spark, sf_dir):
             "t_purchase",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Sequential pattern mining — existential subsequence support (SPADE-style)
+# ---------------------------------------------------------------------------
+@query(
+    "sequence_mining_triples",
+    oracle="""
+    WITH a1 AS (
+      SELECT user_id, event_type AS a, MIN(ts) AS ta
+      FROM events GROUP BY 1, 2
+    ),
+    ab AS (
+      SELECT f.user_id, f.a, e.event_type AS b, MIN(e.ts) AS tb
+      FROM a1 f JOIN events e
+        ON e.user_id = f.user_id AND e.ts > f.ta
+      GROUP BY 1, 2, 3
+    ),
+    abc AS (
+      SELECT DISTINCT p.user_id, p.a, p.b, e.event_type AS c
+      FROM ab p JOIN events e
+        ON e.user_id = p.user_id AND e.ts > p.tb
+    )
+    SELECT a, b, c, CAST(COUNT(*) AS BIGINT) AS support
+    FROM abc GROUP BY a, b, c
+    """,
+)
+def sequence_mining_triples(spark, sf_dir):
+    """Sequential pattern mining, length-3 existential support: pattern
+    ``a -> b -> c`` is supported by a user iff some events of those
+    types occur in that order (NOT necessarily adjacent — the
+    subsequence semantics of SPADE/PrefixSpan, which the adjacency
+    views ``event_transitions`` / ``event_trigram_lm`` cannot express;
+    a user whose sequence is view, error, click, error, purchase
+    supports view -> click -> purchase).  Support counts users, the
+    sequence-mining convention.
+
+    Correctness by the greedy-prefix lemma: a subsequence embedding
+    exists iff the greedy one does (taking the EARLIEST occurrence of
+    each prefix step never forecloses a later step), so two cascaded
+    per-(user, prefix) MINs and one existence join decide all
+    |types|^3 patterns exactly — no per-user sequence scan.
+
+    Scale shape: the prefix frames are |users| x |types| and
+    |users| x |types|^2 slim rows; each extension is one equi-join
+    back to the events table on the user key followed by a combinable
+    MIN/DISTINCT — three reuses of the same user-keyed partitioning.
+    The type vocabulary bounds the fan-out (restrict to the top-K
+    types first when mining a wide vocabulary, exactly as SPADE
+    prunes by 1-pattern support)."""
+    e = load(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    a1 = e.groupBy("user_id", F.col("event_type").alias("a")).agg(
+        F.min("ts").alias("ta")
+    )
+    ab = (
+        a1.join(e, "user_id")
+        .filter(F.col("ts") > F.col("ta"))
+        .groupBy("user_id", "a", F.col("event_type").alias("b"))
+        .agg(F.min("ts").alias("tb"))
+    )
+    abc = (
+        ab.join(e, "user_id")
+        .filter(F.col("ts") > F.col("tb"))
+        .select("user_id", "a", "b", F.col("event_type").alias("c"))
+        .distinct()
+    )
+    return abc.groupBy("a", "b", "c").agg(
+        F.count(F.lit(1)).cast("long").alias("support")
+    )

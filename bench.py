@@ -196,6 +196,7 @@ EXTRA = [
     "text_ngram_novelty",
     "events_funnel_windowed",
     "embedding_quantize_int8",
+    "sequence_mining_triples",
 ]
 
 

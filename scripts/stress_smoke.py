@@ -197,6 +197,9 @@ REGISTRY_CASES = [
     ("events_funnel_windowed", "events"),
     ("embedding_quantize_int8", "embeddings"),
     ("feature_target_encoding", "customer"),
+    # subsequence support: two prefix MINs + one existence join, all
+    # reusing the user-keyed partitioning; fan-out bounded by |types|^3
+    ("sequence_mining_triples", "events"),
 ]
 
 

@@ -218,3 +218,27 @@ def test_pareto_abc_two_level_scan_no_global_customer_window(spark, sf_dir):
     # tolerate the tiny frames' single-partition exchanges, bound them
     assert plan.count("Exchange SinglePartition") <= 3, plan
     assert "CartesianProduct" not in plan
+
+
+def test_r9_feature_prep_plans(spark, sf_dir):
+    """Round-9 shapes: LOO target encoding broadcasts the category
+    stats (the fact never reshuffles); int8 quantization broadcasts
+    the dimension calibration table; the windowed funnel and
+    Adamic-Adar never degenerate to cartesians."""
+    qs = all_queries()
+    plan = _plan(qs["feature_target_encoding"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+    plan = _plan(qs["embedding_quantize_int8"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan  # the 64-row per-dim stats
+    assert "CartesianProduct" not in plan
+    # one shuffle for the dim stats agg, one for the vec-keyed sum;
+    # AQE may add bookkeeping reads but never more exchanges
+    assert _shuffles(plan) <= 3
+
+    for name in ("events_funnel_windowed", "link_prediction_adamic_adar",
+                 "sequence_mining_triples", "text_ngram_novelty"):
+        plan = _plan(qs[name](spark, sf_dir))
+        assert "CartesianProduct" not in plan, name
+        assert "BroadcastNestedLoopJoin" not in plan, name

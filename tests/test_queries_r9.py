@@ -161,3 +161,36 @@ def test_novelty_first_doc_is_fully_novel_and_clone_is_not(spark):
     assert got[0] == (4, 4, 1_000_000)
     assert got[1] == (4, 0, 0)
     assert got[2] == (5, 3, 600_000)
+
+
+def test_sequence_mining_finds_gapped_not_reversed(spark):
+    """The subsequence semantics, planted: a pattern embedded with
+    gaps (other types interleaved) IS supported; the reversed pattern
+    with no valid ordering is NOT; adjacency-only logic would miss the
+    gapped one."""
+    import datetime as dt
+    import os
+    import tempfile
+
+    from beehive_spark.queries.core import sequence_mining_triples
+
+    tmp = tempfile.mkdtemp()
+    t0 = dt.datetime(2024, 1, 1)
+    seq = ["view", "error", "click", "error", "purchase"]  # gapped v->c->p
+    rows = [
+        (i, t0 + dt.timedelta(minutes=i), 1, typ, 0.0, "{}")
+        for i, typ in enumerate(seq)
+    ]
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    ).write.parquet(os.path.join(tmp, "events.parquet"))
+    got = {
+        (r["a"], r["b"], r["c"]): r["support"]
+        for r in sequence_mining_triples(spark, tmp).collect()
+    }
+    assert got[("view", "click", "purchase")] == 1  # gapped embedding found
+    assert ("purchase", "click", "view") not in got  # no reversed embedding
+    assert got[("view", "error", "error")] == 1  # repeated type handled
+    assert ("purchase", "purchase", "purchase") not in got  # needs 3 occurrences
