@@ -3895,33 +3895,54 @@ def text_ngram_novelty(spark, sf_dir):
     IS the min doc_id over the corpus for that shingle; the ratio is
     a truncating ``div`` on exact counts.
 
-    Scale shape: shingles shuffle once to find each one's first-seen
-    doc (map-side-combinable MIN), then once more keyed by doc for
-    the per-doc counts — both linear in total shingle volume, the
-    dedup_ngram_jaccard scan shape without its pair fan-out.  The
-    min-per-shingle frame is the same artifact an incremental crawl
-    would persist and merge new batches into."""
+    Scale shape: the shingle STRINGS shuffle exactly once (the
+    map-side-combinable MIN that finds each shingle's first doc);
+    everything else is doc-keyed and slim — per-doc totals are a pure
+    projection (``size`` of the distinct-shingle array, no shuffle at
+    all), and per-doc new counts come from re-keying the |shingles|
+    min table by its OWN fd column (n_new(d) = how many shingles have
+    fd = d), a long-keyed combinable count.  The first cut joined the
+    full string table back to the min table — a second and third
+    string-payload shuffle that measured 23s vs 1.9s for this shape
+    at sf0.1.  The min-per-shingle frame is the same artifact an
+    incremental crawl persists and merges new batches into
+    (run_novelty_stream's store).  Shingles travel as xxhash64 of the
+    three token slots (``_ngram_hashes`` — the dedup_ngram_jaccard
+    fast path: no concat string is ever built, and the shuffle key is
+    8 bytes instead of a phrase; collision odds ~2^-64 per distinct
+    pair, the repo-accepted string-equivalence).  The token array
+    materializes in its own projection FIRST (the jaccard idiom):
+    inlining ``_tokens`` into the n-gram lambda makes Catalyst
+    re-evaluate the regex extraction per n-gram slot — measured 30s
+    vs 4s for this query at sf0.1 — and CollapseProject rightly
+    refuses to merge a non-cheap multiply-referenced alias, so the
+    two-step select is both the readable and the fast form."""
     d = load(spark, sf_dir, "documents")
-    sh = d.select(
-        "doc_id", F.explode(_shingles(_tokens(F.col("text")))).alias("s")
+    toks = d.select("doc_id", _tokens(F.col("text")).alias("w")).filter(
+        F.size("w") >= 3
     )
-    first_seen = sh.groupBy("s").agg(F.min("doc_id").alias("fd"))
+    hashes = _ngram_hashes(F.col("w"))
+    totals = toks.select(
+        "doc_id", F.size(hashes).cast("long").alias("n_shingles")
+    )
+    new_counts = (
+        toks.select("doc_id", F.explode(hashes).alias("h"))
+        .groupBy("h")
+        .agg(F.min("doc_id").alias("fd"))
+        .groupBy(F.col("fd").alias("doc_id"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_new"))
+    )
     mil = F.lit(1_000_000).cast("long")
     return (
-        sh.join(first_seen, "s")
-        .groupBy("doc_id")
-        .agg(
-            F.count(F.lit(1)).cast("long").alias("n_shingles"),
-            F.sum(
-                F.when(F.col("fd") == F.col("doc_id"), 1).otherwise(0)
-            ).cast("long").alias("n_new"),
-        )
+        totals.join(new_counts, "doc_id", "left")
         .select(
             "doc_id",
             "n_shingles",
-            "n_new",
+            F.coalesce("n_new", F.lit(0).cast("long")).alias("n_new"),
             F.call_function(
-                "div", mil * F.col("n_new"), F.col("n_shingles")
+                "div",
+                mil * F.coalesce("n_new", F.lit(0).cast("long")),
+                F.col("n_shingles"),
             ).alias("novelty_micro"),
         )
     )

@@ -860,9 +860,12 @@ def run_novelty_stream(
             return
         if batch_id <= _last_applied(store_path):
             return  # replayed micro-batch: already folded (out dir exists)
+        # token array materializes first (the text_ngram_novelty /
+        # jaccard idiom: inlining the regex into the shingle lambda
+        # re-evaluates it per n-gram slot)
         sh = batch_df.select(
-            "doc_id", F.explode(_shingles(_tokens(F.col("text")))).alias("s")
-        )
+            "doc_id", _tokens(F.col("text")).alias("w")
+        ).select("doc_id", F.explode(_shingles(F.col("w"))).alias("s"))
         bmin = sh.groupBy("s").agg(F.min("doc_id").alias("bfd"))
         store = spark.read.parquet(store_path)
         merged = bmin.join(store, "s", "left")
