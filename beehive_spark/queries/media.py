@@ -154,14 +154,22 @@ def synth_wav_media(docs):
     from beehive_spark.functions.audio import encode_wav
 
     def render(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import numpy as np
+
+        # one max-length square wave, sliced and scaled per doc — the
+        # per-sample Python loop was the stage's whole cost (the
+        # media_audio_vad r9 attribution; bytes identical)
+        n_max = 800 + 99 * 16
+        base = np.where((np.arange(n_max) // 8) % 2 == 0, 1, -1).astype(
+            np.int64
+        )
         for pdf in batches:
             ids, payloads = [], []
             for doc_id in pdf["doc_id"]:
                 n = 800 + (int(doc_id) % 100) * 16
                 a = 1000 + (int(doc_id) % 50) * 100
-                samples = [a if (i // 8) % 2 == 0 else -a for i in range(n)]
                 ids.append(int(doc_id))
-                payloads.append(encode_wav(samples, rate=16000))
+                payloads.append(encode_wav(base[:n] * a, rate=16000))
             yield pd.DataFrame({"media_id": ids, "payload": payloads})
 
     return docs.select("doc_id").mapInPandas(render, schema=_WAV_SCHEMA)
@@ -231,14 +239,24 @@ def synth_video_media(docs):
     from beehive_spark.functions.png import encode_png
 
     def render(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        # only 256 distinct solid frames exist; encoding each once and
+        # reusing the bytes cuts the synthesis from |docs|*6 PNG
+        # encodes to <= 256 (bytes identical — PNG encoding is a pure
+        # function of the pixels)
+        png_cache: dict[int, bytes] = {}
+
+        def solid(v: int) -> bytes:
+            if v not in png_cache:
+                png_cache[v] = encode_png(np.full((8, 8, 3), v, dtype=np.uint8))
+            return png_cache[v]
+
         for pdf in batches:
             ids, payloads = [], []
             for doc_id in pdf["doc_id"]:
-                frames = []
-                for f in range(_FRAME_N):
-                    v = (int(doc_id) * 7 + f * 13) % 256
-                    px = np.full((8, 8, 3), v, dtype=np.uint8)
-                    frames.append(encode_png(px))
+                frames = [
+                    solid((int(doc_id) * 7 + f * 13) % 256)
+                    for f in range(_FRAME_N)
+                ]
                 ids.append(int(doc_id))
                 payloads.append(encode_mpng(frames))
             yield pd.DataFrame({"media_id": ids, "payload": payloads})
