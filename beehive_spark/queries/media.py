@@ -645,6 +645,18 @@ def synth_scene_video_media(docs):
     from beehive_spark.functions.png import encode_png
 
     def render(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        # <= 255 distinct solid frames exist (v in 1..255); encode each
+        # once per task instead of |docs| * 8 times (the
+        # synth_video_media memoization — bytes identical)
+        png_cache: dict[int, bytes] = {}
+
+        def solid(v: int) -> bytes:
+            if v not in png_cache:
+                png_cache[v] = encode_png(
+                    np.full((8, 8, 3), v, dtype=np.uint8)
+                )
+            return png_cache[v]
+
         for pdf in batches:
             ids, payloads = [], []
             for doc_id in pdf["doc_id"]:
@@ -653,9 +665,7 @@ def synth_scene_video_media(docs):
                 frames = []
                 for f in range(_SC_FRAMES):
                     s = (1 if f >= c1 else 0) + (1 if f >= 6 else 0)
-                    v = 1 + (d * 53 + s * 71) % 254 + (f % 2)
-                    px = np.full((8, 8, 3), v, dtype=np.uint8)
-                    frames.append(encode_png(px))
+                    frames.append(solid(1 + (d * 53 + s * 71) % 254 + (f % 2)))
                 ids.append(d)
                 payloads.append(encode_mpng(frames))
             yield pd.DataFrame({"media_id": ids, "payload": payloads})
