@@ -3888,3 +3888,59 @@ def link_prediction_adamic_adar(spark, sf_dir):
         .orderBy(F.col("aa_micro").desc(), "pa", "pb")
         .limit(50)
     )
+
+
+# ---------------------------------------------------------------------------
+# Salted join under the differential gate — skew mitigation, same answer
+# ---------------------------------------------------------------------------
+@query(
+    "skew_salted_join_agg",
+    oracle="""
+    SELECT p.p_brand,
+           CAST(COUNT(*) AS BIGINT) AS n_lines,
+           CAST(SUM(CAST(ROUND(l.l_extendedprice * 100) AS BIGINT))
+                AS BIGINT) AS revenue_cents
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    GROUP BY p.p_brand
+    """,
+)
+def skew_salted_join_agg(spark, sf_dir):
+    """The salted join (``operators/skew.py``) registered under the
+    differential gate: brand revenue via ``salted_join`` with the
+    broadcast threshold DISABLED (forcing the shuffled path salting
+    exists for), oracled by the plain SQL join — which IS the point:
+    salting is a physical-placement change only, so the gate proves
+    the rewrite preserves semantics bit-for-bit while the STRESS
+    skew_join rows prove it spreads the hot key (plain 5.5x vs salted
+    2.8x at 10x on the planted zipf corpus; the deterministic
+    max-group pin lives in tests/test_skew.py).
+
+    Scale shape: the large side scatters each key over 32 sub-keys by
+    full-row hash, the |parts|-slim small side replicates 32x, and
+    the join key becomes (partkey, salt) — one hot part fills 32
+    tasks instead of one; the aggregate re-collapses by brand."""
+    from beehive_spark.operators.skew import salted_join
+
+    li = load(spark, sf_dir, "lineitem").select(
+        F.col("l_partkey").alias("pk"),
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("cents"),
+    )
+    p = load(spark, sf_dir, "part").select(
+        F.col("p_partkey").alias("pk"), "p_brand"
+    )
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", None)
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = salted_join(li, p, "pk", salt=32)
+        out = joined.groupBy("p_brand").agg(
+            F.count(F.lit(1)).cast("long").alias("n_lines"),
+            F.sum("cents").cast("long").alias("revenue_cents"),
+        )
+        # materialize the plan under the disabled threshold so the
+        # restored conf cannot turn the replicated side into a
+        # broadcast after the fact
+        out = out.localCheckpoint(eager=True)
+    finally:
+        if old is not None:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    return out

@@ -917,3 +917,80 @@ def run_novelty_stream(
     q.awaitTermination(timeout_sec)
     if q.isActive:  # pragma: no cover
         q.stop()
+
+
+def run_hll_stream(
+    spark: SparkSession,
+    events: DataFrame,
+    table_path: str,
+    checkpoint_dir: str,
+    key_col: str = "event_type",
+    value_col: str = "user_id",
+    timeout_sec: int = 120,
+) -> None:
+    """Maintain per-key mergeable HLL distinct-count sketches from a
+    raw event stream — the streaming half of ``sketch_uniques_rollup``
+    (Apache DataSketches via Spark's hll_* family), completing the
+    sketch story: the batch query proves persist-and-rollup, this
+    maintainer proves the same kilobyte state absorbs an unbounded
+    stream with bounded work per batch.
+
+    Table schema: ``(<key>, sk binary, n_events bigint)``.  Each
+    micro-batch folds to one sketch per touched key
+    (``hll_sketch_agg``) and merges into the stored binary with
+    ``hll_union`` (a full-outer join over |keys| rows); raw values are
+    never kept — state per key is a ~KB register array no matter how
+    many distinct values passed, THE reason a 100 TB pipeline sketches
+    instead of COUNT(DISTINCT)ing (whose exact-IVM twin,
+    ``run_ivm_distinct_stream``, must carry the full multiset).
+
+    Exactly-once as the family: single artifact, staged write commits
+    data + batch id in one rename, replays short-circuit on the
+    recorded id (and sketch union is idempotent over a replayed batch
+    anyway — belt and suspenders).  The table must exist (write an
+    empty frame first).  The union register state is a deterministic
+    function of the input value SET, so the streamed estimate equals
+    the one-shot batch estimate exactly (pinned in
+    tests/test_streaming_hll.py)."""
+    from pyspark.sql import functions as F
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        if batch_id <= _last_applied(table_path):
+            return  # replayed micro-batch: already folded in
+        b = (
+            batch_df.filter(F.col(value_col).isNotNull())
+            .groupBy(F.col(key_col).alias("k"))
+            .agg(
+                F.hll_sketch_agg(value_col).alias("b_sk"),
+                F.count(F.lit(1)).cast("long").alias("b_n"),
+            )
+        )
+        t = spark.read.parquet(table_path)
+        fresh = (
+            t.join(b, t[key_col] == b["k"], "full_outer")
+            .select(
+                F.coalesce(t[key_col], b["k"]).alias(key_col),
+                F.when(t["sk"].isNull(), b["b_sk"])
+                .when(b["b_sk"].isNull(), t["sk"])
+                .otherwise(F.hll_union(t["sk"], b["b_sk"]))
+                .alias("sk"),
+                (
+                    F.coalesce(t["n_events"], F.lit(0).cast("long"))
+                    + F.coalesce(b["b_n"], F.lit(0).cast("long"))
+                ).alias("n_events"),
+            )
+        )
+        _commit_swap(fresh, table_path, batch_id)
+
+    q = (
+        events.writeStream.outputMode("append")
+        .foreachBatch(sink)
+        .option("checkpointLocation", os.path.join(checkpoint_dir, "hll"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(timeout_sec)
+    if q.isActive:  # pragma: no cover
+        q.stop()

@@ -197,6 +197,7 @@ EXTRA = [
     "events_funnel_windowed",
     "embedding_quantize_int8",
     "sequence_mining_triples",
+    "skew_salted_join_agg",
 ]
 
 

@@ -194,3 +194,35 @@ def test_sequence_mining_finds_gapped_not_reversed(spark):
     assert ("purchase", "click", "view") not in got  # no reversed embedding
     assert got[("view", "error", "error")] == 1  # repeated type handled
     assert ("purchase", "purchase", "purchase") not in got  # needs 3 occurrences
+
+
+def test_int8_quantization_error_bound(spark):
+    """Information-theoretic bound, checked per vector: min-max int8
+    dequantization error per value is at most half a quantization
+    step, so recon_err_micro <= sum over dims of
+    ceil((mx_d - mn_d) * 1e6 / 510) + 1 micro slack per dim."""
+    import math
+
+    from pyspark.sql import functions as F
+    from beehive_spark.queries import load
+    from beehive_spark.queries.llm import embedding_quantize_int8
+
+    v = load(spark, SF, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("e")
+    )
+    st = (
+        v.select(F.posexplode("e").alias("dim", "x"))
+        .groupBy("dim")
+        .agg(F.min("x").alias("mn"), F.max("x").alias("mx"))
+        .collect()
+    )
+    budget = sum(
+        math.ceil((r["mx"] - r["mn"]) * 1_000_000 / 510) + 1 for r in st
+    )
+    out = embedding_quantize_int8(spark, SF).collect()
+    assert out
+    for r in out:
+        assert r["recon_err_micro"] <= budget, (
+            f"vec {r['vec_id']}: {r['recon_err_micro']} > {budget}"
+        )
+        assert 0 <= r["q_sum"] <= 255 * r["n_dims"]
