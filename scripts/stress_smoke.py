@@ -645,6 +645,13 @@ def main() -> None:
         "(where the delta would NOT grow with history and the ratio would",
         "approach flat).",
         "",
+        "sequence_mining_triples' near-linear-but-high ratio is the",
+        "model, not a flag: 10x events = 10x users at the same series",
+        "lengths, so both prefix frames (|users| x |types|^k) and the",
+        "two events-side extension joins scale exactly 10x — the ratio",
+        "reads high only because the 1x run is too short to amortize",
+        "fixed overhead.",
+        "",
         "cc_twophase_chain runs connected_components_twophase on a single",
         "chain of 15k vs 150k nodes (ONE component, the adversarial",
         "topology): per-round cost is linear in the edge set and round",
