@@ -80,3 +80,39 @@ def test_salted_bounds_hot_key_task_share(spark):
             f"n={n}: salted max group {salted_max} vs plain {plain_max} — "
             f"salting no longer spreads the hot key across {salt} tasks"
         )
+
+
+def test_salted_join_equivalence_randomized(spark):
+    """Property check over randomized (but seeded) frames: for inner
+    and left joins, salted_join's full result multiset equals the
+    plain join's — including duplicate keys on BOTH sides (each large
+    row must match every small row with its key exactly once per
+    replica pairing) and keys present on only one side."""
+    import random
+
+    rnd = random.Random(7)
+    for trial in range(3):
+        large = spark.createDataFrame(
+            [
+                (rnd.randint(0, 6), rnd.randint(0, 99))
+                for _ in range(rnd.randint(30, 80))
+            ],
+            ["k", "payload"],
+        )
+        small = spark.createDataFrame(
+            [
+                (rnd.randint(0, 8), f"v{rnd.randint(0, 3)}")
+                for _ in range(rnd.randint(2, 12))
+            ],
+            ["k", "label"],
+        )
+        for how in ("inner", "left"):
+            got = sorted(
+                map(tuple, salted_join(large, small, "k", salt=4, how=how)
+                    .select("k", "payload", "label").collect())
+            )
+            want = sorted(
+                map(tuple, large.join(small, "k", how)
+                    .select("k", "payload", "label").collect())
+            )
+            assert got == want, f"trial {trial} how={how}"
