@@ -100,6 +100,7 @@ _PRIORITY = [
     "embedding_quantize_int8",      # r9 new: min-max int8 + recon error
     "sequence_mining_triples",      # r9 new: SPADE-style subsequence support
     "skew_salted_join_agg",         # r9 new: salting gated semantics-preserving
+    "ab_test_conversion",           # r9 new: two-proportion z-test readout
 ]
 # The round-9 head is deliberately SHORT (r8 verdict ask #1): ≥35 of
 # the driver's 50 window slots must go to the computed oldest-first

@@ -3903,3 +3903,113 @@ def sequence_mining_triples(spark, sf_dir):
     return abc.groupBy("a", "b", "c").agg(
         F.count(F.lit(1)).cast("long").alias("support")
     )
+
+
+# ---------------------------------------------------------------------------
+# A/B experiment analysis — two-proportion z-test on exact counts
+# ---------------------------------------------------------------------------
+@query(
+    "ab_test_conversion",
+    oracle="""
+    WITH u AS (
+      SELECT user_id, CAST(user_id % 2 AS BIGINT) AS variant,
+             CASE WHEN SUM(CASE WHEN event_type = 'purchase'
+                               THEN 1 ELSE 0 END) >= 14
+                  THEN 1 ELSE 0 END AS converted
+      FROM events GROUP BY user_id
+    ),
+    v AS (
+      SELECT variant, CAST(COUNT(*) AS BIGINT) AS n_users,
+             CAST(SUM(converted) AS BIGINT) AS n_converted
+      FROM u GROUP BY variant
+    ),
+    w AS (
+      SELECT
+        MAX(CASE WHEN variant = 0 THEN n_users END) AS n_a,
+        MAX(CASE WHEN variant = 0 THEN n_converted END) AS c_a,
+        MAX(CASE WHEN variant = 1 THEN n_users END) AS n_b,
+        MAX(CASE WHEN variant = 1 THEN n_converted END) AS c_b
+      FROM v
+    )
+    SELECT n_a, c_a, n_b, c_b,
+           CAST((1000000 * c_a) // n_a AS BIGINT) AS rate_a_ppm,
+           CAST((1000000 * c_b) // n_b AS BIGINT) AS rate_b_ppm,
+           CASE WHEN c_a + c_b = 0 OR c_a + c_b = n_a + n_b THEN NULL
+                ELSE CAST(ROUND(
+             (CAST(c_b AS DOUBLE) / n_b - CAST(c_a AS DOUBLE) / n_a)
+             / SQRT(
+                 (CAST(c_a + c_b AS DOUBLE) / (n_a + n_b))
+                 * (1 - CAST(c_a + c_b AS DOUBLE) / (n_a + n_b))
+                 * (1.0 / n_a + 1.0 / n_b)
+               ) * 1000) AS BIGINT) END AS z_milli
+    FROM w
+    """,
+)
+def ab_test_conversion(spark, sf_dir):
+    """A/B experiment readout with a pooled two-proportion z-test —
+    the statistical-inference leg the analytics suite lacked: users
+    split into variants by ``user_id % 2`` (the deterministic stand-in
+    for an assignment column), conversion = at least one purchase
+    event count at or above the corpus-median 14 (a flat has-any-
+    purchase flag converts every synthetic user — zero variance, no
+    test), and the one-row report carries exact per-variant counts,
+    ppm conversion rates, and the pooled z statistic
+    ``(p_b - p_a) / sqrt(p(1-p)(1/n_a + 1/n_b))`` in milli-units —
+    the number an experimentation platform thresholds at ±1.96.
+
+    Exactness: counts and ppm rates are exact integers; the z
+    statistic is the identical double expression on those integers in
+    both engines, micro... milli-rounded before hashing (the
+    feature_woe_iv discipline).
+
+    Scale shape: one user-keyed conditional MAX (map-side
+    combinable), a 2-row variant aggregate, and a 1-row pivot — the
+    fact table is touched once; at 100 TB the entire readout after
+    the first aggregate moves four longs."""
+    e = load(spark, sf_dir, "events")
+    u = e.groupBy("user_id").agg(
+        F.when(
+            F.sum(
+                F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+            ) >= 14,
+            1,
+        ).otherwise(0).alias("converted")
+    ).select(
+        (F.col("user_id") % 2).cast("long").alias("variant"), "converted"
+    )
+    v = u.groupBy("variant").agg(
+        F.count(F.lit(1)).cast("long").alias("n_users"),
+        F.sum("converted").cast("long").alias("n_converted"),
+    )
+    w = v.agg(
+        F.max(F.when(F.col("variant") == 0, F.col("n_users"))).alias("n_a"),
+        F.max(F.when(F.col("variant") == 0, F.col("n_converted"))).alias("c_a"),
+        F.max(F.when(F.col("variant") == 1, F.col("n_users"))).alias("n_b"),
+        F.max(F.when(F.col("variant") == 1, F.col("n_converted"))).alias("c_b"),
+    )
+    mil = F.lit(1_000_000).cast("long")
+    p_pool = (F.col("c_a") + F.col("c_b")).cast("double") / (
+        F.col("n_a") + F.col("n_b")
+    )
+    z = (
+        F.col("c_b").cast("double") / F.col("n_b")
+        - F.col("c_a").cast("double") / F.col("n_a")
+    ) / F.sqrt(
+        p_pool * (1 - p_pool)
+        * (1.0 / F.col("n_a") + 1.0 / F.col("n_b"))
+    )
+    degenerate = (F.col("c_a") + F.col("c_b") == 0) | (
+        F.col("c_a") + F.col("c_b") == F.col("n_a") + F.col("n_b")
+    )
+    return w.select(
+        "n_a", "c_a", "n_b", "c_b",
+        F.call_function("div", mil * F.col("c_a"), F.col("n_a")).alias(
+            "rate_a_ppm"
+        ),
+        F.call_function("div", mil * F.col("c_b"), F.col("n_b")).alias(
+            "rate_b_ppm"
+        ),
+        # all-convert / none-convert corpora have no sampling variance:
+        # z is undefined, not infinite (and ANSI must never see the 0)
+        F.when(~degenerate, F.round(z * 1000).cast("long")).alias("z_milli"),
+    )

@@ -198,6 +198,7 @@ EXTRA = [
     "embedding_quantize_int8",
     "sequence_mining_triples",
     "skew_salted_join_agg",
+    "ab_test_conversion",
 ]
 
 

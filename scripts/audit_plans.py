@@ -243,6 +243,7 @@ EXTRA = [
     "events_funnel_windowed",
     "embedding_quantize_int8",
     "sequence_mining_triples",
+    "ab_test_conversion",
 ]
 
 

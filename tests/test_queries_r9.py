@@ -226,3 +226,54 @@ def test_int8_quantization_error_bound(spark):
             f"vec {r['vec_id']}: {r['recon_err_micro']} > {budget}"
         )
         assert 0 <= r["q_sum"] <= 255 * r["n_dims"]
+
+
+def test_ab_test_z_sign_and_degenerate_guard(spark):
+    """Planted experiments: more conversions in variant B gives z > 0,
+    swapping the variants flips the sign exactly, and an all-convert
+    corpus reports NULL z (no sampling variance) instead of raising."""
+    import datetime as dt
+    import os
+    import tempfile
+
+    from beehive_spark.queries.core import ab_test_conversion
+
+    t0 = dt.datetime(2024, 1, 1)
+    schema = (
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string"
+    )
+
+    def corpus(b_heavy, all_convert=False):
+        rows, eid = [], 0
+        for u in range(40):
+            # converted iff >= 14 purchases
+            n = 20 if (
+                all_convert
+                or (u % 2 == (1 if b_heavy else 0) and u < 30)
+                or u >= 36
+            ) else 3
+            for i in range(n):
+                rows.append(
+                    (eid, t0 + dt.timedelta(minutes=eid), u, "purchase",
+                     1.0, "{}")
+                )
+                eid += 1
+        return rows
+
+    def run(rows):
+        tmp = tempfile.mkdtemp()
+        spark.createDataFrame(rows, schema).write.parquet(
+            os.path.join(tmp, "events.parquet")
+        )
+        return ab_test_conversion(spark, tmp).collect()[0]
+
+    rb = run(corpus(b_heavy=True))
+    ra = run(corpus(b_heavy=False))
+    assert rb["z_milli"] > 0 and ra["z_milli"] < 0
+    assert rb["z_milli"] == -ra["z_milli"]  # the design is symmetric
+    assert (rb["c_a"], rb["c_b"]) == (ra["c_b"], ra["c_a"])
+
+    rz = run(corpus(b_heavy=True, all_convert=True))
+    assert rz["z_milli"] is None  # degenerate: no variance, no z
+    assert rz["rate_a_ppm"] == rz["rate_b_ppm"] == 1_000_000
