@@ -42,6 +42,15 @@ def encode_wav(samples, rate: int = 16000) -> bytes:
         w.setsampwidth(2)
         w.setframerate(rate)
         if isinstance(samples, np.ndarray):
+            if samples.dtype.kind not in ("i", "u"):
+                # the list path rejects floats (struct.pack 'h' raises);
+                # the vectorized path must enforce the same
+                # integer-samples contract instead of silently
+                # truncating toward zero (r9 advisory)
+                raise TypeError(
+                    "encode_wav expects integer samples; got dtype "
+                    f"{samples.dtype} — round/cast explicitly first"
+                )
             w.writeframes(
                 np.clip(samples, -32768, 32767).astype("<i2").tobytes()
             )

@@ -3908,13 +3908,22 @@ def sequence_mining_triples(spark, sf_dir):
 # ---------------------------------------------------------------------------
 # A/B experiment analysis — two-proportion z-test on exact counts
 # ---------------------------------------------------------------------------
+# conversion = purchase-event count at or above the corpus median; ONE
+# constant rendered into both the oracle f-string and the Spark
+# expression (the _MIX_ALPHA/_RRF_K_LIST discipline — r9 advisory:
+# the literal was duplicated on both sides, the drift class f32bf06
+# fixed elsewhere; tests/test_oracle_constants.py sweeps for new
+# instances of the class)
+_AB_CONV_MIN = 14
+
+
 @query(
     "ab_test_conversion",
-    oracle="""
+    oracle=f"""
     WITH u AS (
       SELECT user_id, CAST(user_id % 2 AS BIGINT) AS variant,
              CASE WHEN SUM(CASE WHEN event_type = 'purchase'
-                               THEN 1 ELSE 0 END) >= 14
+                               THEN 1 ELSE 0 END) >= {_AB_CONV_MIN}
                   THEN 1 ELSE 0 END AS converted
       FROM events GROUP BY user_id
     ),
@@ -3949,8 +3958,8 @@ def ab_test_conversion(spark, sf_dir):
     """A/B experiment readout with a pooled two-proportion z-test —
     the statistical-inference leg the analytics suite lacked: users
     split into variants by ``user_id % 2`` (the deterministic stand-in
-    for an assignment column), conversion = at least one purchase
-    event count at or above the corpus-median 14 (a flat has-any-
+    for an assignment column), conversion = a purchase-event count at
+    or above the corpus-median ``_AB_CONV_MIN`` (a flat has-any-
     purchase flag converts every synthetic user — zero variance, no
     test), and the one-row report carries exact per-variant counts,
     ppm conversion rates, and the pooled z statistic
@@ -3971,7 +3980,7 @@ def ab_test_conversion(spark, sf_dir):
         F.when(
             F.sum(
                 F.when(F.col("event_type") == "purchase", 1).otherwise(0)
-            ) >= 14,
+            ) >= _AB_CONV_MIN,
             1,
         ).otherwise(0).alias("converted")
     ).select(

@@ -3943,4 +3943,10 @@ def skew_salted_join_agg(spark, sf_dir):
     finally:
         if old is not None:
             spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        else:
+            # a session that never set the key explicitly would
+            # otherwise keep -1 forever (broadcasts silently disabled
+            # for every later query); unset restores the default —
+            # the scripts/stress_smoke.py pattern
+            spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
     return out

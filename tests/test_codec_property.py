@@ -50,3 +50,23 @@ def test_codecs_reject_junk_instead_of_garbling(junk):
     if not junk.startswith(b"RIFF"):
         with pytest.raises(NotImplementedError):
             decode_wav(junk)
+
+
+@settings(max_examples=20, deadline=None)
+@given(
+    samples=st.lists(st.integers(-40000, 40000), min_size=1, max_size=200),
+    rate=st.sampled_from([8000, 16000]),
+)
+def test_wav_ndarray_path_bytes_identical_and_rejects_floats(samples, rate):
+    """The vectorized ndarray fast path must produce byte-identical
+    WAV output to the list path on integer input, and REJECT float
+    arrays (the list path raises struct.error on floats; silently
+    truncating toward zero would diverge — r9 advisory)."""
+    import pytest
+
+    clamped = [max(-32768, min(32767, s)) for s in samples]
+    assert encode_wav(
+        np.asarray(samples, dtype=np.int64), rate=rate
+    ) == encode_wav(clamped, rate=rate)
+    with pytest.raises(TypeError):
+        encode_wav(np.asarray(samples, dtype=np.float64), rate=rate)
