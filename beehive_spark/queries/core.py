@@ -3839,6 +3839,25 @@ def events_funnel_windowed(spark, sf_dir):
 # ---------------------------------------------------------------------------
 # Sequential pattern mining — existential subsequence support (SPADE-style)
 # ---------------------------------------------------------------------------
+def _seq_prefix_frames(e):
+    """The two greedy-prefix frames of :func:`sequence_mining_triples`
+    — ``a1`` (|users| x |types| earliest-occurrence rows) and ``ab``
+    (|users| x |types|^2) — exposed so the STRESS attribution can
+    COUNT the same frames the query joins (never a local
+    re-implementation that could drift; the record_linkage candidate
+    discipline)."""
+    a1 = e.groupBy("user_id", F.col("event_type").alias("a")).agg(
+        F.min("ts").alias("ta")
+    )
+    ab = (
+        a1.join(e, "user_id")
+        .filter(F.col("ts") > F.col("ta"))
+        .groupBy("user_id", "a", F.col("event_type").alias("b"))
+        .agg(F.min("ts").alias("tb"))
+    )
+    return a1, ab
+
+
 @query(
     "sequence_mining_triples",
     oracle="""
@@ -3885,15 +3904,7 @@ def sequence_mining_triples(spark, sf_dir):
     types first when mining a wide vocabulary, exactly as SPADE
     prunes by 1-pattern support)."""
     e = load(spark, sf_dir, "events").select("user_id", "event_type", "ts")
-    a1 = e.groupBy("user_id", F.col("event_type").alias("a")).agg(
-        F.min("ts").alias("ta")
-    )
-    ab = (
-        a1.join(e, "user_id")
-        .filter(F.col("ts") > F.col("ta"))
-        .groupBy("user_id", "a", F.col("event_type").alias("b"))
-        .agg(F.min("ts").alias("tb"))
-    )
+    a1, ab = _seq_prefix_frames(e)
     abc = (
         ab.join(e, "user_id")
         .filter(F.col("ts") > F.col("tb"))

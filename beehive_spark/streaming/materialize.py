@@ -814,60 +814,88 @@ def run_novelty_stream(
     """Maintain the first-seen shingle STORE and an append-structured
     per-document novelty log from a streaming document feed — the
     streaming twin of ``queries.llm.text_ngram_novelty`` (the crawl
-    diminishing-returns metric), and the first maintainer in the
-    family whose state is a TEXT artifact rather than a relational
-    aggregate.
+    diminishing-returns metric), and the one maintainer in the family
+    whose state is corpus-sized rather than key-bounded — which is
+    exactly why it is the one whose state is BUCKETED.
 
     Artifacts:
 
-    - ``store_path``: ``(s string, fd bigint)`` — min doc_id ever seen
-      per 3-gram shingle; the table an incremental crawl persists.
-      Must exist (write an empty or backfilled frame first).  The
-      store is maintained with a nulls-safe MIN merge, so it is
-      correct under ANY arrival order.
+    - ``store_path``: a hash-bucketed ``(s string, fd bigint)`` store
+      (``streaming.shingle_store``) — min doc_id ever seen per 3-gram
+      shingle.  Must be created with ``init_shingle_store`` first.  A
+      micro-batch reads and rewrites ONLY the buckets its shingles
+      hash into (<= min(batch distinct shingles, n_buckets)); the rest
+      of the corpus-sized state is untouched bytes — per-batch I/O is
+      proportional to the batch, not to history (r9 verdict: the
+      whole-store ``_commit_swap`` this replaces was the streaming
+      family's one O(store)-per-batch scale-killer).  The store is
+      maintained with a nulls-safe MIN merge, so it is exact under
+      ANY arrival order.
     - ``out_dir/batch=<id>/``: per-document ``(doc_id, n_shingles,
       n_new, novelty_micro)`` rows for the docs of that micro-batch.
+    - ``out_dir/corrections/batch=<id>/``: ``(doc_id, n_new_delta)``
+      RETRACTION rows (the ``operators.ivm`` signed-delta idiom) for
+      previously-emitted documents whose credit an out-of-order batch
+      transferred away: when a late document with a SMALLER doc_id
+      claims a shingle, the prior first-seen holder is debited -1 per
+      lost shingle here, and the late document is credited through
+      the normal per-doc path.  A consumer folding
+      ``n_new + sum(n_new_delta)`` per doc therefore converges to the
+      batch query's answer under ANY feed order (pinned in
+      tests/test_streaming_novelty.py); in-order feeds produce empty
+      correction partitions and the log alone is already exact.
 
-    Per-document rows equal the batch query's answer when the feed is
-    doc_id-ordered across micro-batches (the crawl-log layout, same
-    contract as ``holt_forecast_stream``'s time-ordered source);
-    out-of-order backfills keep the STORE exact but can overstate an
-    already-emitted document's novelty — append logs cannot retract,
-    so order the feed (documented, not hidden).
-
-    Exactly-once across the two artifacts: the out partition is an
-    IDEMPOTENT overwrite keyed by batch id and writes FIRST; the
-    store swap (``_commit_swap``, data + batch id in one rename)
-    commits SECOND.  A crash between them replays the batch: the out
-    dir rewrites deterministically to identical content, then the
-    store folds once.  A replay after the store swap short-circuits
-    on the recorded id, and the out dir for that batch already
-    exists by the write ordering.  (Kill-between-artifacts test:
-    tests/test_streaming_novelty.py.)
+    Exactly-once across the artifacts: the out and corrections
+    partitions are IDEMPOTENT overwrites keyed by batch id and write
+    FIRST; the store commit (versioned bucket dirs + one atomic
+    manifest rename carrying the batch id) lands SECOND.  A crash
+    between them replays the batch: both log partitions rewrite
+    deterministically to identical content (the pre-commit manifest
+    still exposes the pre-batch store), then the buckets fold once.
+    A replay after the manifest rename short-circuits on the recorded
+    id.  (Kill-between-artifacts test: tests/test_streaming_novelty.py.)
 
     Scale shape per micro-batch: shingles shuffle once for the
-    in-batch MIN, join the store by shingle key (both sides slim:
-    key + one long), one doc-keyed count — all linear in batch
-    shingle volume; the store never rewrites more than its own size
-    and at crawl scale becomes a bucketed-by-shingle table so the
-    merge join is co-located."""
+    in-batch MIN (xxhash64 keys, the jaccard idiom), equi-join the
+    TOUCHED buckets only (both sides slim: key + one long), one
+    doc-keyed count; the bucket rewrite is a partitionBy write of the
+    touched fraction.  On a cluster the same layout is a bucketed
+    lake table, making the merge join co-located by construction."""
     from pyspark.sql import functions as F
 
     from beehive_spark.queries.llm import _shingles, _tokens
+    from beehive_spark.streaming.shingle_store import (
+        bucket_of,
+        commit_buckets,
+        gc_store,
+        read_buckets,
+        read_manifest,
+    )
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
-        if batch_id <= _last_applied(store_path):
-            return  # replayed micro-batch: already folded (out dir exists)
+        manifest = read_manifest(store_path)
+        if batch_id <= manifest["batch_id"]:
+            return  # replayed micro-batch: already folded (out dirs exist)
+        gc_store(store_path, manifest)  # prior batch's superseded dirs
+        n_buckets = manifest["n_buckets"]
         # token array materializes first (the text_ngram_novelty /
         # jaccard idiom: inlining the regex into the shingle lambda
         # re-evaluates it per n-gram slot)
         sh = batch_df.select(
             "doc_id", _tokens(F.col("text")).alias("w")
         ).select("doc_id", F.explode(_shingles(F.col("w"))).alias("s"))
-        bmin = sh.groupBy("s").agg(F.min("doc_id").alias("bfd"))
-        store = spark.read.parquet(store_path)
+        bmin = (
+            sh.groupBy("s")
+            .agg(F.min("doc_id").alias("bfd"))
+            .withColumn("bk", bucket_of(F.col("s"), n_buckets))
+            .localCheckpoint(eager=True)  # consumed 4x below
+        )
+        touched = sorted(
+            r["bk"] for r in bmin.select("bk").distinct().collect()
+        )  # bounded by n_buckets
+        store = read_buckets(spark, store_path, manifest, touched)
         merged = bmin.join(store, "s", "left")
         # a shingle is new for doc d iff d is its global first sighting
         gfirst = F.least(F.coalesce("fd", "bfd"), F.col("bfd"))
@@ -897,13 +925,30 @@ def run_novelty_stream(
         per_doc.write.mode("overwrite").parquet(
             os.path.join(out_dir, f"batch={batch_id}")
         )
-        # artifact 2: nulls-safe MIN merge, committed with the batch id
-        new_store = (
-            store.join(bmin, "s", "full_outer")
-            .select("s", F.least(F.coalesce("fd", "bfd"),
-                                 F.coalesce("bfd", "fd")).alias("fd"))
+        # artifact 2: retractions for credit an out-of-order batch
+        # transferred away from already-emitted docs (bfd < fd: the
+        # stored holder loses the shingle to the earlier-id newcomer)
+        corrections = (
+            merged.filter(F.col("fd").isNotNull() & (F.col("bfd") < F.col("fd")))
+            .groupBy(F.col("fd").alias("doc_id"))
+            .agg((-F.count(F.lit(1))).cast("long").alias("n_new_delta"))
         )
-        _commit_swap(new_store, store_path, batch_id)
+        corrections.write.mode("overwrite").parquet(
+            os.path.join(out_dir, "corrections", f"batch={batch_id}")
+        )
+        # artifact 3: fold ONLY the touched buckets (nulls-safe MIN),
+        # commit point = one atomic manifest rename with the batch id
+        fresh = (
+            store.join(bmin.drop("bk"), "s", "full_outer")
+            .select(
+                "s",
+                F.least(
+                    F.coalesce("fd", "bfd"), F.coalesce("bfd", "fd")
+                ).alias("fd"),
+            )
+            .withColumn("bk", bucket_of(F.col("s"), n_buckets))
+        )
+        commit_buckets(fresh, store_path, manifest, batch_id)
 
     q = (
         docs.writeStream.outputMode("append")

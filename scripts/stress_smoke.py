@@ -524,6 +524,93 @@ def main() -> None:
                 lambda c=copies: cc_chain_case(c),
             )
 
+    # --- bucketed novelty-store fold (r9 verdict ask #1): per-batch
+    # maintenance cost vs STORE size.  Build the first-seen-shingle
+    # store from 1x vs 10x documents — n_buckets scales WITH the store
+    # (64 -> 640, i.e. fixed target bucket size, the standard bucketed
+    # lake-table sizing) — then fold identical one-doc micro-batches.
+    # The fold reads/rewrites only the <= |batch shingles| buckets the
+    # batch hashes into, and each bucket's size is held constant by
+    # the sizing rule, so fold cost must stay ~FLAT while the store
+    # grows 10x (the whole-store _commit_swap this replaced was
+    # O(store) per batch by construction).
+    DOC_SCHEMA = (
+        "doc_id long, text string, lang string, source string, n_chars long"
+    )
+
+    def novelty_store_setup(sf: str, n_buckets: int, tag: str):
+        from beehive_spark.queries.llm import _shingles, _tokens
+        from beehive_spark.streaming.shingle_store import init_shingle_store
+
+        work = os.path.join(tempfile.gettempdir(), f"novelty_stress_{tag}")
+        shutil.rmtree(work, ignore_errors=True)
+        store = os.path.join(work, "store")
+        docs = spark.read.parquet(os.path.join(sf, "documents.parquet"))
+        backfill = (
+            docs.select("doc_id", _tokens(F.col("text")).alias("w"))
+            .select("doc_id", F.explode(_shingles(F.col("w"))).alias("s"))
+            .groupBy("s")
+            .agg(F.min("doc_id").alias("fd"))
+        )
+        init_shingle_store(spark, store, n_buckets=n_buckets, backfill=backfill)
+        return work, store
+
+    def novelty_fold(work: str, store: str, i: int):
+        from beehive_spark.streaming.materialize import run_novelty_stream
+
+        text = " ".join(f"w{i}x{j} q{j % 19} z{j % 7}" for j in range(20))
+        df = spark.createDataFrame(
+            [(50_000_000 + i, text, "en", "stress", len(text))], DOC_SCHEMA
+        )
+        src = os.path.join(work, "src")
+        df.coalesce(1).write.mode("append").parquet(src)
+        stream = spark.readStream.schema(DOC_SCHEMA).parquet(src)
+        run_novelty_stream(
+            spark,
+            stream,
+            store,
+            os.path.join(work, "out"),
+            os.path.join(work, "ck"),
+            timeout_sec=600,
+        )
+
+    novelty_stats = {}
+    for copies, sf, n_buckets in ((1, SF_DIR, 64), (COPIES, scaled_dir, 640)):
+        work, store = novelty_store_setup(sf, n_buckets, f"c{copies}")
+        from beehive_spark.streaming.shingle_store import (
+            read_manifest,
+            read_store,
+        )
+
+        store_rows = read_store(spark, store).count()
+        # two folds (stream batch 0 and 1 under one checkpoint), best-of
+        for i in range(2):
+            record(
+                ("novelty_store_fold", copies),
+                lambda w=work, s=store, j=i: novelty_fold(w, s, j),
+            )
+        m = read_manifest(store)
+        touched = sum(
+            1 for d in m["buckets"].values() if not d.endswith("-vinit")
+        )
+        novelty_stats[copies] = (store_rows, n_buckets, touched)
+        shutil.rmtree(work, ignore_errors=True)
+
+    # --- sequence-mining frame counts (r9 verdict ask #5): the 8.0x
+    # row's attribution gets measured units — count the SAME prefix
+    # frames the query joins (its own helper, never a local
+    # re-implementation) at both scales.
+    def _seq_counts(sf):
+        from beehive_spark.queries import load as _load
+        from beehive_spark.queries.core import _seq_prefix_frames
+
+        e = _load(spark, sf, "events").select("user_id", "event_type", "ts")
+        a1, ab = _seq_prefix_frames(e)
+        return e.count(), a1.count(), ab.count()
+
+    seq1 = _seq_counts(SF_DIR)
+    seq10 = _seq_counts(scaled_dir)
+
     # --- linkage blocking candidate counts (r7 verdict ask #5): the
     # claim behind record_linkage_blocked is that candidate pairs stay
     # ~linear in n under staggered-band blocking while nation blocking
@@ -575,6 +662,7 @@ def main() -> None:
         + [
             "skew_join_plain", "skew_join_salted", "graph_triangles",
             "graph_triangles_shuffle", "cc_twophase_chain",
+            "novelty_store_fold",
         ]
     ):
         t1, t10 = results[(name, 1)], results[(name, COPIES)]
@@ -646,11 +734,37 @@ def main() -> None:
         "approach flat).",
         "",
         "sequence_mining_triples' near-linear-but-high ratio is the",
-        "model, not a flag: 10x events = 10x users at the same series",
-        "lengths, so both prefix frames (|users| x |types|^k) and the",
-        "two events-side extension joins scale exactly 10x — the ratio",
-        "reads high only because the 1x run is too short to amortize",
-        "fixed overhead.",
+        "model, MEASURED this regen with the query's own frame helper",
+        "(_seq_prefix_frames — the wedge-count discipline): events",
+        f"{seq1[0]:,} -> {seq10[0]:,} rows"
+        f" ({round(seq10[0] / seq1[0], 1)}x), a1 prefix frame",
+        f"{seq1[1]:,} -> {seq10[1]:,} ({round(seq10[1] / seq1[1], 1)}x),",
+        f"ab prefix frame {seq1[2]:,} -> {seq10[2]:,}"
+        f" ({round(seq10[2] / seq1[2], 1)}x).",
+        "Every joined frame grows ~10x (10x events = 10x users at the",
+        "same series lengths), so the work is near-linear and the",
+        "table ratio reads high only because the 1x run is too short",
+        "to amortize fixed overhead; a ratio tracking the frame-count",
+        "ratio within noise is the pass condition.",
+        "",
+        "novelty_store_fold is the BUCKETED first-seen-shingle store",
+        "(streaming/shingle_store.py) folding the SAME one-document",
+        "micro-batch into a store backfilled from 1x vs 10x documents:",
+        f"{novelty_stats[1][0]:,} -> {novelty_stats[COPIES][0]:,} stored",
+        f"shingles, n_buckets {novelty_stats[1][1]} ->",
+        f"{novelty_stats[COPIES][1]} (scaled with the store = fixed",
+        "target bucket size, the standard bucketed-table sizing; at",
+        "cluster scale the knob is the lake table's bucket count).",
+        f"Each fold touched {novelty_stats[1][2]} /",
+        f"{novelty_stats[COPIES][2]} bucket directories across its two",
+        "batches (<= the batch's distinct shingles, pinned in",
+        "tests/test_streaming_novelty.py) — the rest of the store is",
+        "untouched bytes, so per-batch cost tracks touched-bucket",
+        "bytes, NOT store size; the ~flat table row is the direct",
+        "measurement of that.  The r9 whole-store _commit_swap this",
+        "replaced rewrote every stored shingle each batch — O(store)",
+        "I/O per micro-batch — and its cost would have scaled with the",
+        "left column by construction.",
         "",
         "cc_twophase_chain runs connected_components_twophase on a single",
         "chain of 15k vs 150k nodes (ONE component, the adversarial",
