@@ -82,30 +82,25 @@ _loaded = False
 # scripts/check_oracle.py sweep still verifies ALL registered queries
 # each round.
 _PRIORITY = [
-    # --- changed in round 9 (the lineitem_exact_quantiles p75 rank
-    # convention CHANGED — its r8-green hash is stale; the other three
-    # got ANSI-div / oracle-constant fixes that must re-verify)
-    "lineitem_exact_quantiles",
-    "events_holt_backtest",
-    "retrieval_rrf_fusion",
-    "mixture_temperature_schedule",
-    # --- new in round 9 (appended as they land)
-    "curation_pipeline",   # r9 new: composed curate_corpus fate lineage
-    "feature_target_encoding",      # r9 new: leave-one-out category mean
-    "feature_woe_iv",               # r9 new: WoE + IV screen
-    "time_series_split_purged",     # r9 new: embargoed chrono split
-    "link_prediction_adamic_adar",  # r9 new: degree-damped link score
-    "text_ngram_novelty",           # r9 new: crawl diminishing-returns
-    "events_funnel_windowed",       # r9 new: per-step-deadline funnel
-    "embedding_quantize_int8",      # r9 new: min-max int8 + recon error
-    "sequence_mining_triples",      # r9 new: SPADE-style subsequence support
-    "skew_salted_join_agg",         # r9 new: salting gated semantics-preserving
-    "ab_test_conversion",           # r9 new: two-proportion z-test readout
+    # --- changed in round 10 (code or oracle touched; must re-verify)
+    "ab_test_conversion",       # oracle now rendered from _AB_CONV_MIN
+    "sequence_mining_triples",  # prefix frames hoisted to _seq_prefix_frames
+    "skew_salted_join_agg",     # conf restore unsets instead of leaking -1
+    "bm25_retrieval",           # scorer hoisted to _bm25_doc_scores
+    "similarity_ann_lsh_planted",  # _lsh_search gained multi-probe
+    # --- new in round 10 (appended as they land)
+    "attribution_linear_multitouch",  # r10 new: fractional-credit MTA
+    "conversion_cuped",               # r10 new: CUPED-adjusted A/B readout
+    "survival_kaplan_meier",          # r10 new: product-limit churn curve
+    "model_calibration_ece",          # r10 new: reliability bins + ECE
+    "text_zipf_slope",                # r10 new: token-spectrum OLS fit
+    "retrieval_ndcg",                 # r10 new: NDCG@10 of shipped BM25
 ]
-# The round-9 head is deliberately SHORT (r8 verdict ask #1): ≥35 of
-# the driver's 50 window slots must go to the computed oldest-first
-# backfill so the 24-query r04-vintage cohort clears this round.  New
-# r9 queries append above but the head must stay ≤ 15 names.
+# The head stays SHORT (<= 15 names, pinned by
+# tests/test_window_policy.py): >= 35 of the driver's 50 window slots
+# go to the computed oldest-evidence-first backfill, which after
+# CORRECTNESS_r09 clears the remaining r05-vintage oracled cohort
+# (24 queries) this round.
 
 
 def _evidence_vintage() -> dict[str, int]:

@@ -4033,3 +4033,285 @@ def ab_test_conversion(spark, sf_dir):
         # z is undefined, not infinite (and ANSI must never see the 0)
         F.when(~degenerate, F.round(z * 1000).cast("long")).alias("z_milli"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Multi-touch attribution — linear credit over preceding touches
+# ---------------------------------------------------------------------------
+@query(
+    "attribution_linear_multitouch",
+    oracle="""
+    WITH pre AS (
+      SELECT user_id, event_type, value,
+             COALESCE(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+               0) AS k_click,
+             COALESCE(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+               0) AS k_view
+      FROM events
+    ),
+    p AS (
+      SELECT k_click, k_view, k_click + k_view AS k,
+             CAST(ROUND(value * 100) AS BIGINT) AS cents
+      FROM pre WHERE event_type = 'purchase'
+    ),
+    a AS (
+      SELECT
+        SUM(CASE WHEN k > 0 THEN CAST(k_click AS DOUBLE) / k
+                 ELSE 0 END) AS conv_click,
+        SUM(CASE WHEN k > 0 THEN CAST(k_view AS DOUBLE) / k
+                 ELSE 0 END) AS conv_view,
+        CAST(SUM(CASE WHEN k = 0 THEN 1 ELSE 0 END) AS BIGINT) AS conv_none,
+        SUM(CASE WHEN k > 0 THEN CAST(k_click AS DOUBLE) / k * cents
+                 ELSE 0 END) AS rev_click,
+        SUM(CASE WHEN k > 0 THEN CAST(k_view AS DOUBLE) / k * cents
+                 ELSE 0 END) AS rev_view,
+        CAST(SUM(CASE WHEN k = 0 THEN cents ELSE 0 END) AS BIGINT) AS rev_none
+      FROM p
+    )
+    SELECT 'click' AS channel,
+           CAST(ROUND(conv_click * 1000000) AS BIGINT) AS conv_credit_micro,
+           CAST(ROUND(rev_click) AS BIGINT) AS rev_credit_cents FROM a
+    UNION ALL
+    SELECT 'view', CAST(ROUND(conv_view * 1000000) AS BIGINT),
+           CAST(ROUND(rev_view) AS BIGINT) FROM a
+    UNION ALL
+    SELECT 'none', conv_none * 1000000, rev_none FROM a
+    """,
+)
+def attribution_linear_multitouch(spark, sf_dir):
+    """Linear multi-touch attribution: every purchase splits one unit
+    of conversion credit (and its revenue) EQUALLY across all of the
+    user's preceding click/view touches — the fractional-credit
+    counterpart to :func:`session_attribution`'s winner-takes-all
+    last-touch model, and with it the two canonical attribution
+    models a marketing warehouse ships.  Purchases with no prior
+    touch credit the 'none' channel in full.
+
+    No purchase-x-touch pair join: per purchase the only facts needed
+    are the RUNNING per-channel touch counts at that point (two
+    conditional window sums over the user's (ts, event_id) order), so
+    the whole model is one user-partitioned window pass plus a global
+    combinable aggregate — the same single-shuffle shape as the
+    last-touch query, and the reason this scales to 100 TB while the
+    naive "join each conversion to its path" explodes on power users.
+
+    Exactness: 'none' rows are pure integers; fractional credits are
+    the identical double expression both sides, summed then rounded
+    (micro for conversions, whole cents for revenue — magnitudes keep
+    fp error orders below the rounding grain)."""
+    e = load(spark, sf_dir, "events").select(
+        "user_id", "event_type", "ts", "event_id", "value"
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+
+    def pre_count(et):
+        return F.coalesce(
+            F.sum(
+                F.when(F.col("event_type") == et, 1).otherwise(0)
+            ).over(w),
+            F.lit(0),
+        )
+
+    p = (
+        e.select(
+            "event_type",
+            "value",
+            pre_count("click").alias("k_click"),
+            pre_count("view").alias("k_view"),
+        )
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            "k_click",
+            "k_view",
+            (F.col("k_click") + F.col("k_view")).alias("k"),
+            F.round(F.col("value") * 100).cast("long").alias("cents"),
+        )
+    )
+    frac = lambda c: F.when(  # noqa: E731
+        F.col("k") > 0, F.col(c).cast("double") / F.col("k")
+    ).otherwise(F.lit(0.0))
+    a = p.agg(
+        F.sum(frac("k_click")).alias("conv_click"),
+        F.sum(frac("k_view")).alias("conv_view"),
+        F.sum(F.when(F.col("k") == 0, 1).otherwise(0))
+        .cast("long")
+        .alias("conv_none"),
+        F.sum(frac("k_click") * F.col("cents")).alias("rev_click"),
+        F.sum(frac("k_view") * F.col("cents")).alias("rev_view"),
+        F.sum(F.when(F.col("k") == 0, F.col("cents")).otherwise(0))
+        .cast("long")
+        .alias("rev_none"),
+    )
+    row = lambda ch, conv, rev: a.select(  # noqa: E731
+        F.lit(ch).alias("channel"),
+        conv.alias("conv_credit_micro"),
+        rev.alias("rev_credit_cents"),
+    )
+    return (
+        row(
+            "click",
+            F.round(F.col("conv_click") * 1_000_000).cast("long"),
+            F.round(F.col("rev_click")).cast("long"),
+        )
+        .unionByName(
+            row(
+                "view",
+                F.round(F.col("conv_view") * 1_000_000).cast("long"),
+                F.round(F.col("rev_view")).cast("long"),
+            )
+        )
+        .unionByName(
+            row("none", F.col("conv_none") * 1_000_000, F.col("rev_none"))
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# CUPED variance reduction — covariate-adjusted experiment readout
+# ---------------------------------------------------------------------------
+@query(
+    "conversion_cuped",
+    oracle="""
+    WITH cut AS (
+      SELECT MIN(epoch_us(ts))
+             + (MAX(epoch_us(ts)) - MIN(epoch_us(ts))) // 2 AS mid
+      FROM events
+    ),
+    u AS (
+      SELECT user_id, CAST(user_id % 2 AS BIGINT) AS variant,
+             CAST(SUM(CASE WHEN event_type = 'purchase'
+                            AND epoch_us(ts) <= cut.mid
+                           THEN 1 ELSE 0 END) AS BIGINT) AS x,
+             CAST(SUM(CASE WHEN event_type = 'purchase'
+                            AND epoch_us(ts) > cut.mid
+                           THEN 1 ELSE 0 END) AS BIGINT) AS y
+      FROM events, cut GROUP BY user_id, cut.mid
+    ),
+    g AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+             CAST(SUM(x * x) AS BIGINT) AS sxx,
+             CAST(SUM(x * y) AS BIGINT) AS sxy
+      FROM u
+    ),
+    th AS (
+      SELECT n, sx,
+             CASE WHEN n * sxx - sx * sx = 0 THEN 0.0
+                  ELSE CAST(n * sxy - sx * sy AS DOUBLE)
+                       / (n * sxx - sx * sx) END AS theta
+      FROM g
+    )
+    SELECT variant,
+           CAST(COUNT(*) AS BIGINT) AS n_users,
+           CAST(SUM(x) AS BIGINT) AS sum_x,
+           CAST(SUM(y) AS BIGINT) AS sum_y,
+           CAST(ROUND(CAST(SUM(y) AS DOUBLE) / COUNT(*) * 1000)
+                AS BIGINT) AS mean_y_milli,
+           CAST(ROUND(
+             (CAST(SUM(y) AS DOUBLE) / COUNT(*)
+              - th.theta * (CAST(SUM(x) AS DOUBLE) / COUNT(*)
+                            - CAST(th.sx AS DOUBLE) / th.n)) * 1000)
+                AS BIGINT) AS mean_y_cuped_milli,
+           CAST(ROUND(th.theta * 1000000) AS BIGINT) AS theta_micro
+    FROM u, th GROUP BY variant, th.theta, th.sx, th.n
+    """,
+)
+def conversion_cuped(spark, sf_dir):
+    """CUPED covariate adjustment for the A/B readout (Deng, Xu,
+    Kohavi & Walker, WSDM'13) — the variance-reduction step every
+    experimentation platform applies before the z-test: the
+    experiment-period metric ``y`` (per-user purchase count in the
+    second half of the time range) is adjusted by the PRE-period
+    covariate ``x`` (purchase count in the first half),
+    ``y_adj = y - theta (x - mean x)`` with
+    ``theta = cov(x, y) / var(x)`` pooled across variants.  Because
+    randomization makes x independent of assignment, the adjusted
+    per-variant means are unbiased for the same lift while the
+    correlated component of the variance is removed.
+
+    Exactness: theta and both means derive ENTIRELY from integer
+    sums (n, sum x, sum y, sum x^2, sum xy) — the one double division
+    is the identical expression both sides, so milli/micro rounding
+    is deterministic, no summation-order exposure at all.
+
+    Scale shape: one 1-row MIN/MAX broadcast for the period cut, one
+    user-keyed combinable aggregate, a 1-row moment frame broadcast
+    back — the fact table is scanned once; at 100 TB the readout
+    after the first aggregate moves five longs."""
+    e = load(spark, sf_dir, "events")
+    cut = e.agg(
+        (
+            F.min(F.unix_micros("ts"))
+            + F.floor(
+                (
+                    F.max(F.unix_micros("ts")) - F.min(F.unix_micros("ts"))
+                ) / 2
+            )
+        ).alias("mid")
+    )
+    us = F.unix_micros("ts")
+    is_p = F.col("event_type") == "purchase"
+    u = (
+        e.crossJoin(F.broadcast(cut))
+        .groupBy("user_id", "mid")
+        .agg(
+            F.sum(F.when(is_p & (us <= F.col("mid")), 1).otherwise(0))
+            .cast("long")
+            .alias("x"),
+            F.sum(F.when(is_p & (us > F.col("mid")), 1).otherwise(0))
+            .cast("long")
+            .alias("y"),
+        )
+        .select(
+            (F.col("user_id") % 2).cast("long").alias("variant"), "x", "y"
+        )
+    )
+    g = u.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
+    )
+    denom = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    th = g.select(
+        "n",
+        "sx",
+        F.when(denom == 0, F.lit(0.0))
+        .otherwise(
+            (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast(
+                "double"
+            )
+            / denom
+        )
+        .alias("theta"),
+    )
+    v = u.groupBy("variant").agg(
+        F.count(F.lit(1)).cast("long").alias("n_users"),
+        F.sum("x").cast("long").alias("sum_x"),
+        F.sum("y").cast("long").alias("sum_y"),
+    )
+    mean_y = F.col("sum_y").cast("double") / F.col("n_users")
+    mean_x = F.col("sum_x").cast("double") / F.col("n_users")
+    grand_x = F.col("sx").cast("double") / F.col("n")
+    return v.crossJoin(F.broadcast(th)).select(
+        "variant",
+        "n_users",
+        "sum_x",
+        "sum_y",
+        F.round(mean_y * 1000).cast("long").alias("mean_y_milli"),
+        F.round(
+            (mean_y - F.col("theta") * (mean_x - grand_x)) * 1000
+        )
+        .cast("long")
+        .alias("mean_y_cuped_milli"),
+        F.round(F.col("theta") * 1_000_000).cast("long").alias("theta_micro"),
+    )

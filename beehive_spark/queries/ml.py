@@ -669,3 +669,232 @@ def time_series_split_purged(spark, sf_dir):
         .otherwise(F.lit("val"))
         .alias("fold"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Survival analysis — Kaplan-Meier product-limit estimator
+# ---------------------------------------------------------------------------
+_US_PER_HOUR = 3_600_000_000
+# a user whose last activity is within this gap of corpus end is
+# CENSORED (still alive at observation cutoff), not churned; one
+# constant rendered into both the oracle f-string and the Spark
+# expression (tests/test_oracle_constants.py discipline).  The
+# synthetic corpus spans ~30 days with dense activity, so lifetimes
+# tick in HOURS and a 24h quiet gap is the churn rule (a yearly
+# corpus would use days/weeks — same algebra, one constant).
+_KM_CENSOR_GAP_US = 24 * _US_PER_HOUR
+
+
+@query(
+    "survival_kaplan_meier",
+    oracle=f"""
+    WITH u AS (
+      SELECT user_id, MIN(epoch_us(ts)) AS first_us,
+             MAX(epoch_us(ts)) AS last_us
+      FROM events GROUP BY user_id
+    ),
+    c AS (SELECT MAX(epoch_us(ts)) AS corpus_end FROM events),
+    d AS (
+      SELECT (last_us - first_us) // {_US_PER_HOUR} AS t,
+             CASE WHEN last_us < c.corpus_end - {_KM_CENSOR_GAP_US}
+                  THEN 1 ELSE 0 END AS churned
+      FROM u, c
+    ),
+    ev AS (
+      SELECT t, CAST(SUM(churned) AS BIGINT) AS n_churned,
+             CAST(COUNT(*) AS BIGINT) AS ends
+      FROM d GROUP BY t
+    ),
+    tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM d),
+    km AS (
+      SELECT t, n_churned,
+             CAST(tot.n - COALESCE(SUM(ends) OVER (
+               ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING
+               AND 1 PRECEDING), 0) AS BIGINT) AS n_risk
+      FROM ev, tot
+    ),
+    s AS (
+      SELECT t, n_churned, n_risk,
+             SUM(CASE WHEN n_churned < n_risk
+                      THEN ln(1.0 - CAST(n_churned AS DOUBLE) / n_risk)
+                      ELSE 0.0 END) OVER (ORDER BY t) AS sumln,
+             SUM(CASE WHEN n_churned = n_risk THEN 1 ELSE 0 END)
+               OVER (ORDER BY t) AS n_zero
+      FROM km
+    )
+    SELECT t AS t_hours, n_risk, n_churned,
+           CASE WHEN n_zero > 0 THEN CAST(0 AS BIGINT)
+                ELSE CAST(ROUND(exp(sumln) * 1000000) AS BIGINT)
+           END AS surv_micro
+    FROM s WHERE n_churned > 0
+    """,
+)
+def survival_kaplan_meier(spark, sf_dir):
+    """Kaplan-Meier product-limit survival curve over user lifetimes
+    with right-censoring (Kaplan & Meier 1958) — the churn/retention
+    estimator a subscription or engagement warehouse runs daily.
+    Subject = user; lifetime = whole hours between first and last
+    event; a user still active within ``_KM_CENSOR_GAP_US`` of corpus
+    end is CENSORED (alive at cutoff), everyone else churned at their
+    last activity.  ``S(t) = prod_(t' <= t) (1 - d_t'/n_t')`` with
+    ``n_t`` = users whose lifetime reaches t (at risk), ``d_t`` =
+    churns at exactly t; rows emitted at churn times, the KM
+    convention.  Censored users leave the risk set without an event —
+    EXACTLY the bias naive "churn rate per day" rollups get wrong.
+
+    Exactness: the product is ``exp(sum ln(1 - d/n))`` over the
+    ordered event-time window — each ln term derives from two
+    BIGINTs, cumulative window sums are sequentially evaluated in
+    both engines, micro-rounded; a saturated step (d = n, survival
+    hits exactly 0) is handled by a zero-count flag rather than
+    ln(0), which Spark nulls and ANSI engines -inf.
+
+    Scale shape: one user-keyed combinable aggregate (the only
+    fact-table pass), a distinct-duration frame bounded by the
+    observation span in lifetime ticks (a few hundred rows however
+    large the corpus), and single-partition windows over that frame —
+    the classic giant-input/tiny-state survival shape."""
+    e = load(spark, sf_dir, "events")
+    us = F.unix_micros("ts")
+    u = e.groupBy("user_id").agg(
+        F.min(us).alias("first_us"), F.max(us).alias("last_us")
+    )
+    c = e.agg(F.max(us).alias("corpus_end"))
+    d = u.crossJoin(F.broadcast(c)).select(
+        F.floor(
+            (F.col("last_us") - F.col("first_us")) / _US_PER_HOUR
+        ).alias("t"),
+        F.when(
+            F.col("last_us") < F.col("corpus_end") - _KM_CENSOR_GAP_US, 1
+        )
+        .otherwise(0)
+        .alias("churned"),
+    )
+    ev = d.groupBy("t").agg(
+        F.sum("churned").cast("long").alias("n_churned"),
+        F.count(F.lit(1)).cast("long").alias("ends"),
+    )
+    tot = d.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    w_prev = Window.orderBy("t").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    w_cum = Window.orderBy("t")
+    km = ev.crossJoin(F.broadcast(tot)).withColumn(
+        "n_risk",
+        F.col("n") - F.coalesce(F.sum("ends").over(w_prev), F.lit(0)),
+    )
+    ratio = F.col("n_churned").cast("double") / F.col("n_risk")
+    s = km.select(
+        "t",
+        "n_churned",
+        "n_risk",
+        F.sum(
+            F.when(
+                F.col("n_churned") < F.col("n_risk"), F.log(1.0 - ratio)
+            ).otherwise(F.lit(0.0))
+        )
+        .over(w_cum)
+        .alias("sumln"),
+        F.sum(
+            F.when(F.col("n_churned") == F.col("n_risk"), 1).otherwise(0)
+        )
+        .over(w_cum)
+        .alias("n_zero"),
+    )
+    return s.filter(F.col("n_churned") > 0).select(
+        F.col("t").alias("t_hours"),
+        "n_risk",
+        "n_churned",
+        F.when(F.col("n_zero") > 0, F.lit(0).cast("long"))
+        .otherwise(F.round(F.exp("sumln") * 1_000_000).cast("long"))
+        .alias("surv_micro"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Model evaluation — calibration reliability bins + expected calibration error
+# ---------------------------------------------------------------------------
+@query(
+    "model_calibration_ece",
+    oracle="""
+    WITH s AS (
+      SELECT o_orderkey % 1000 AS score_milli,
+             CASE WHEN (CAST(ROUND(o_totalprice * 100) AS BIGINT) % 1000)
+                       < (o_orderkey % 1000)
+                  THEN 1 ELSE 0 END AS label
+      FROM orders
+    ),
+    b AS (
+      SELECT (score_milli * 10) // 1000 AS bin,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(score_milli) AS BIGINT) AS sum_s,
+             CAST(SUM(label) AS BIGINT) AS n_pos
+      FROM s GROUP BY 1
+    ),
+    t AS (SELECT CAST(SUM(n) AS BIGINT) AS total FROM b)
+    SELECT bin, n,
+           CAST(ROUND(CAST(sum_s AS DOUBLE) / n * 1000) AS BIGINT)
+             AS conf_micro,
+           CAST(ROUND(CAST(n_pos AS DOUBLE) / n * 1000000) AS BIGINT)
+             AS acc_micro,
+           CAST(ROUND(
+             CAST(n AS DOUBLE) / t.total
+             * ABS(CAST(n_pos AS DOUBLE) / n
+                   - CAST(sum_s AS DOUBLE) / n / 1000)
+             * 1000000) AS BIGINT) AS ece_contrib_micro
+    FROM b, t
+    """,
+)
+def model_calibration_ece(spark, sf_dir):
+    """Reliability diagram bins + expected calibration error (Guo et
+    al., ICML'17) — the standard post-training check that a model's
+    CONFIDENCE matches its ACCURACY, run here over a deterministic
+    synthetic scorer so the binning/ECE algebra is hash-gated: score
+    = ``o_orderkey % 1000`` milli-units, outcome = whether an
+    independent key-derived residue falls under the score (making the
+    scorer approximately calibrated BY CONSTRUCTION, with binomial
+    noise the bins expose).  Ten equal-width bins emit n, mean
+    confidence, empirical accuracy, and the bin's weighted
+    ``|acc - conf|`` contribution; ECE = sum of the last column.
+
+    Exactness: everything derives from integer sums per bin (counts,
+    summed milli-scores, positives); the double divisions are
+    identical both sides and micro-rounded.
+
+    Scale shape: one scan, one 10-group combinable aggregate, a 1-row
+    total broadcast back — eval cost is scan-bound at any corpus
+    size, the property that lets an eval suite ride the same pass as
+    ingest QC."""
+    o = load(spark, sf_dir, "orders").select(
+        (F.col("o_orderkey") % 1000).alias("score_milli"),
+        F.when(
+            (F.round(F.col("o_totalprice") * 100).cast("long") % 1000)
+            < (F.col("o_orderkey") % 1000),
+            1,
+        )
+        .otherwise(0)
+        .alias("label"),
+    )
+    b = o.groupBy(
+        F.floor(F.col("score_milli") * 10 / 1000).cast("long").alias("bin")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("score_milli").cast("long").alias("sum_s"),
+        F.sum("label").cast("long").alias("n_pos"),
+    )
+    t = b.agg(F.sum("n").cast("long").alias("total"))
+    conf = F.col("sum_s").cast("double") / F.col("n") / 1000
+    acc = F.col("n_pos").cast("double") / F.col("n")
+    return b.crossJoin(F.broadcast(t)).select(
+        "bin",
+        "n",
+        F.round(conf * 1_000_000).cast("long").alias("conf_micro"),
+        F.round(acc * 1_000_000).cast("long").alias("acc_micro"),
+        F.round(
+            F.col("n").cast("double") / F.col("total")
+            * F.abs(acc - conf)
+            * 1_000_000
+        )
+        .cast("long")
+        .alias("ece_contrib_micro"),
+    )

@@ -199,6 +199,13 @@ EXTRA = [
     "sequence_mining_triples",
     "skew_salted_join_agg",
     "ab_test_conversion",
+    # round-10 additions
+    "attribution_linear_multitouch",
+    "conversion_cuped",
+    "survival_kaplan_meier",
+    "model_calibration_ece",
+    "text_zipf_slope",
+    "retrieval_ndcg",
 ]
 
 

@@ -244,6 +244,13 @@ EXTRA = [
     "embedding_quantize_int8",
     "sequence_mining_triples",
     "ab_test_conversion",
+    # round-10 additions (all static declarative plans)
+    "attribution_linear_multitouch",
+    "conversion_cuped",
+    "survival_kaplan_meier",
+    "model_calibration_ece",
+    "text_zipf_slope",
+    "retrieval_ndcg",
 ]
 
 

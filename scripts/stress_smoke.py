@@ -200,6 +200,12 @@ REGISTRY_CASES = [
     # subsequence support: two prefix MINs + one existence join, all
     # reusing the user-keyed partitioning; fan-out bounded by |types|^3
     ("sequence_mining_triples", "events"),
+    # round-10 additions: the two fact-table-wide r10 queries (the
+    # window-pass attribution model and the token-spectrum fit); the
+    # rest of the r10 family is 1-row/10-row readouts off combinable
+    # aggregates
+    ("attribution_linear_multitouch", "events"),
+    ("text_zipf_slope", "documents"),
 ]
 
 

@@ -50,9 +50,6 @@ _LEGACY: set[tuple[str, float]] = {
     ('array_funcs_suite', 200.0),
     ('assign_ids_window', 5000.0),
     ('bigram_next_word', 20.0),
-    ('bm25_retrieval', 0.75),
-    ('bm25_retrieval', 1.2),
-    ('bm25_retrieval', 2.2),
     ('bm25_retrieval', 25.0),
     ('bpe_top_merges', 20.0),
     ('corpus_drift', 40.0),
