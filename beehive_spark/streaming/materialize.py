@@ -1039,3 +1039,141 @@ def run_hll_stream(
     q.awaitTermination(timeout_sec)
     if q.isActive:  # pragma: no cover
         q.stop()
+
+
+def run_dedup_stream(
+    spark: SparkSession,
+    docs: DataFrame,
+    store_path: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    timeout_sec: int = 120,
+) -> None:
+    """Maintain the corpus FINGERPRINT store (normalized-text md5 ->
+    canonical first doc_id) and an idempotent per-batch dedup-verdict
+    log from a streaming document feed — the streaming twin of
+    ``queries.curation.dedup_incremental``, whose docstring promises
+    exactly this layout for the steady state ("that fingerprint store
+    ... lives as its own bucketed table, bucketed BY fp"); and the
+    SECOND maintainer riding ``streaming.shingle_store``, which is a
+    generic bucketed (key -> MIN long) primitive, not a
+    novelty-specific one.
+
+    Artifacts:
+
+    - ``store_path``: bucketed shingle_store with key = the SAME
+      normalization-fingerprint ``dedup_incremental``/``dedup_exact``
+      use (md5 of whitespace-collapsed trimmed lowercase), value =
+      min doc_id ever seen — exact under ANY arrival order.  Create
+      with ``init_shingle_store`` (optionally backfilled from the
+      batch corpus scan).
+    - ``out_dir/batch=<id>/``: ``(doc_id, is_new, dup_of)`` — the
+      min-canonical convention: a doc is new iff it is the earliest
+      sighting of its fingerprint so far (within-batch duplicates
+      point at the batch minimum, matching the batch queries' global
+      MIN(doc_id) canonical when the feed is id-ordered).
+    - ``out_dir/corrections/batch=<id>/``: ``(old_canonical,
+      new_canonical)`` rows when an out-of-order batch delivers a
+      SMALLER doc_id for a known fingerprint — the prior canonical is
+      retroactively a duplicate of the newcomer, and consumers remap
+      their dup_of pointers through these records (the CDC-correction
+      idiom; in-order feeds emit none, pinned in
+      tests/test_streaming_dedup.py).
+
+    Exactly-once and crash behavior are the novelty maintainer's,
+    through the same code path: verdict + correction partitions are
+    idempotent per-batch overwrites written FIRST; the store's atomic
+    manifest rename carrying the batch id commits SECOND; replays
+    short-circuit on the recorded id.
+
+    Scale shape per micro-batch: one md5 projection, one fp-keyed MIN
+    (16-byte keys), an equi-join against the TOUCHED buckets only,
+    one bucketed partitionBy rewrite of those buckets.  Per-batch I/O
+    tracks the batch, not corpus history — the property that makes
+    continuous crawl dedup viable at 100 TB."""
+    from pyspark.sql import functions as F
+
+    from beehive_spark.streaming.shingle_store import (
+        bucket_of,
+        commit_buckets,
+        gc_store,
+        read_buckets,
+        read_manifest,
+    )
+
+    fp_expr = F.md5(
+        F.regexp_replace(F.trim(F.lower(F.col("text"))), r"\s+", " ")
+    )
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        manifest = read_manifest(store_path)
+        if batch_id <= manifest["batch_id"]:
+            return  # replayed micro-batch (out dirs already exist)
+        gc_store(store_path, manifest)
+        n_buckets = manifest["n_buckets"]
+        b = batch_df.select("doc_id", fp_expr.alias("s"))
+        bmin = (
+            b.groupBy("s")
+            .agg(F.min("doc_id").alias("bfd"))
+            .withColumn("bk", bucket_of(F.col("s"), n_buckets))
+            .localCheckpoint(eager=True)  # consumed 3x below
+        )
+        touched = sorted(
+            r["bk"] for r in bmin.select("bk").distinct().collect()
+        )
+        store = read_buckets(spark, store_path, manifest, touched)
+        merged = bmin.join(store, "s", "left")
+        gfirst = F.least(F.coalesce("fd", "bfd"), F.col("bfd"))
+        verdicts = (
+            b.join(merged.select("s", gfirst.alias("gf")), "s")
+            .select(
+                "doc_id",
+                (F.col("gf") == F.col("doc_id")).alias("is_new"),
+                F.when(
+                    F.col("gf") == F.col("doc_id"), F.lit(None).cast("long")
+                )
+                .otherwise(F.col("gf"))
+                .alias("dup_of"),
+            )
+        )
+        verdicts.write.mode("overwrite").parquet(
+            os.path.join(out_dir, f"batch={batch_id}")
+        )
+        corrections = (
+            merged.filter(
+                F.col("fd").isNotNull() & (F.col("bfd") < F.col("fd"))
+            )
+            .select(
+                F.col("fd").alias("old_canonical"),
+                F.col("bfd").alias("new_canonical"),
+            )
+        )
+        corrections.write.mode("overwrite").parquet(
+            os.path.join(out_dir, "corrections", f"batch={batch_id}")
+        )
+        fresh = (
+            store.join(bmin.drop("bk"), "s", "full_outer")
+            .select(
+                "s",
+                F.least(
+                    F.coalesce("fd", "bfd"), F.coalesce("bfd", "fd")
+                ).alias("fd"),
+            )
+            .withColumn("bk", bucket_of(F.col("s"), n_buckets))
+        )
+        commit_buckets(fresh, store_path, manifest, batch_id)
+
+    q = (
+        docs.writeStream.outputMode("append")
+        .foreachBatch(sink)
+        .option(
+            "checkpointLocation", os.path.join(checkpoint_dir, "dedup")
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(timeout_sec)
+    if q.isActive:  # pragma: no cover
+        q.stop()
