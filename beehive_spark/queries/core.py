@@ -4150,26 +4150,21 @@ def attribution_linear_multitouch(spark, sf_dir):
         .cast("long")
         .alias("rev_none"),
     )
-    row = lambda ch, conv, rev: a.select(  # noqa: E731
-        F.lit(ch).alias("channel"),
-        conv.alias("conv_credit_micro"),
-        rev.alias("rev_credit_cents"),
-    )
-    return (
-        row(
-            "click",
-            F.round(F.col("conv_click") * 1_000_000).cast("long"),
-            F.round(F.col("rev_click")).cast("long"),
-        )
-        .unionByName(
-            row(
-                "view",
-                F.round(F.col("conv_view") * 1_000_000).cast("long"),
-                F.round(F.col("rev_view")).cast("long"),
-            )
-        )
-        .unionByName(
-            row("none", F.col("conv_none") * 1_000_000, F.col("rev_none"))
+    # pivot the 1-row aggregate to 3 channel rows with stack, NOT a
+    # 3-way union of selects — a union re-executes the whole
+    # window+agg pipeline once per branch (6 exchanges vs 2; caught
+    # by test_plan_regressions.py::test_r10_analytics_plans)
+    return a.select(
+        F.round(F.col("conv_click") * 1_000_000).cast("long").alias("cc"),
+        F.round(F.col("rev_click")).cast("long").alias("rc"),
+        F.round(F.col("conv_view") * 1_000_000).cast("long").alias("cv"),
+        F.round(F.col("rev_view")).cast("long").alias("rv"),
+        (F.col("conv_none") * 1_000_000).alias("cn"),
+        F.col("rev_none").alias("rn"),
+    ).select(
+        F.expr(
+            "stack(3, 'click', cc, rc, 'view', cv, rv, 'none', cn, rn)"
+            " AS (channel, conv_credit_micro, rev_credit_cents)"
         )
     )
 

