@@ -69,10 +69,9 @@ _loaded = False
 # Registry order is the driver's ORACLE-VERIFICATION order, and the driver
 # differentially checks the FIRST 50 registered queries per round.  The
 # window rotates each round so the cross-round union covers every
-# registered query (210/210 after r08, 195/195 oracle-bearing
-# hash-green).  The round-9 head is deliberately SHORT (r8 verdict ask
-# #1): the four queries whose code or oracle round 9 changed, then the
-# r9-new registrations.  Everything past the head backfills
+# registered query (221/221 after r09, 206/206 oracle-bearing
+# hash-green).  The head lists only what the CURRENT round changed or
+# added.  Everything past the head backfills
 # OLDEST-EVIDENCE-FIRST, COMPUTED from the committed
 # CORRECTNESS_r*.json files (see _evidence_vintage), with rows-only
 # (no-oracle) entries LAST GLOBALLY so no window slot returns
@@ -95,6 +94,8 @@ _PRIORITY = [
     "model_calibration_ece",          # r10 new: reliability bins + ECE
     "text_zipf_slope",                # r10 new: token-spectrum OLS fit
     "retrieval_ndcg",                 # r10 new: NDCG@10 of shipped BM25
+    "graph_degree_assortativity",     # r10 new: Newman mixing coefficient
+    "text_burstiness",                # r10 new: Fano-factor token scatter
 ]
 # The head stays SHORT (<= 15 names, pinned by
 # tests/test_window_policy.py): >= 35 of the driver's 50 window slots

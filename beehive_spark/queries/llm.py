@@ -4335,3 +4335,84 @@ def text_zipf_slope(spark, sf_dir):
         .cast("long")
         .alias("intercept_micro"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Corpus statistics — per-token burstiness (Fano factor of doc counts)
+# ---------------------------------------------------------------------------
+_BURST_TOP = 50
+
+
+@query(
+    "text_burstiness",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id,
+             unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term
+      FROM documents
+    ),
+    n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents),
+    tc AS (
+      SELECT term, doc_id, CAST(COUNT(*) AS BIGINT) AS c
+      FROM toks GROUP BY term, doc_id
+    ),
+    agg AS (
+      SELECT term, CAST(COUNT(*) AS BIGINT) AS df,
+             CAST(SUM(c) AS BIGINT) AS total,
+             CAST(SUM(c * c) AS BIGINT) AS sumsq
+      FROM tc GROUP BY term
+    ),
+    top AS (
+      SELECT * FROM agg ORDER BY df DESC, term LIMIT {_BURST_TOP}
+    )
+    SELECT term, df, total,
+           CAST(ROUND(
+             ((CAST(sumsq AS DOUBLE) / n.n_docs)
+              - (CAST(total AS DOUBLE) / n.n_docs)
+                * (CAST(total AS DOUBLE) / n.n_docs))
+             / (CAST(total AS DOUBLE) / n.n_docs)
+             * 1000000) AS BIGINT) AS fano_micro
+    FROM top, n
+    """,
+)
+def text_burstiness(spark, sf_dir):
+    """Per-token burstiness for the ``_BURST_TOP`` highest-df tokens:
+    the Fano factor (variance-to-mean ratio, zeros included) of a
+    token's per-document count (Church & Gale 1995) — 1.0 means
+    Poisson scatter; content words in natural text are BURSTY (a doc
+    that mentions a topic word mentions it repeatedly, Fano >> 1)
+    while function words sit near 1.  Next to ``text_zipf_slope``
+    this is the second spectrum fingerprint curation teams trend:
+    template/boilerplate floods crush burstiness toward uniformity
+    while spam inflates it.
+
+    Exactness: df, totals and sums of squares are exact BIGINTs over
+    per-(term, doc) counts (absent docs contribute exact zeros
+    through the N-normalized moments, no zero-row materialization);
+    the Fano expression is the identical double form both sides,
+    micro-rounded.
+
+    Scale shape: one token explode feeding a (term, doc) combinable
+    count, a term-keyed moment aggregate, a TakeOrdered df head, and
+    a 1-row corpus-size broadcast — never a docs-x-vocab frame."""
+    d = load(spark, sf_dir, "documents")
+    n = d.agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+    tc = (
+        d.select("doc_id", F.explode(_tokens(F.col("text"))).alias("term"))
+        .groupBy("term", "doc_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    agg = tc.groupBy("term").agg(
+        F.count(F.lit(1)).cast("long").alias("df"),
+        F.sum("c").cast("long").alias("total"),
+        F.sum(F.col("c") * F.col("c")).cast("long").alias("sumsq"),
+    )
+    top = agg.orderBy(F.col("df").desc(), "term").limit(_BURST_TOP)
+    mean = F.col("total").cast("double") / F.col("n_docs")
+    var = F.col("sumsq").cast("double") / F.col("n_docs") - mean * mean
+    return top.crossJoin(F.broadcast(n)).select(
+        "term",
+        "df",
+        "total",
+        F.round(var / mean * 1_000_000).cast("long").alias("fano_micro"),
+    )

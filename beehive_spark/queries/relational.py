@@ -3950,3 +3950,110 @@ def skew_salted_join_agg(spark, sf_dir):
             # the scripts/stress_smoke.py pattern
             spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
     return out
+
+
+# ---------------------------------------------------------------------------
+# Graph statistics — degree assortativity of the co-purchase graph
+# ---------------------------------------------------------------------------
+@query(
+    "graph_degree_assortativity",
+    oracle="""
+    WITH bl AS (
+      SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
+    ),
+    e AS (
+      SELECT DISTINCT a.p AS pa, b.p AS pb
+      FROM bl a JOIN bl b ON a.o = b.o AND a.p < b.p
+    ),
+    deg AS (
+      SELECT node, CAST(COUNT(*) AS BIGINT) AS d FROM (
+        SELECT pa AS node FROM e UNION ALL SELECT pb FROM e
+      ) GROUP BY node
+    ),
+    sym AS (
+      SELECT da.d AS dx, db.d AS dy
+      FROM e JOIN deg da ON e.pa = da.node JOIN deg db ON e.pb = db.node
+      UNION ALL
+      SELECT db.d, da.d
+      FROM e JOIN deg da ON e.pa = da.node JOIN deg db ON e.pb = db.node
+    ),
+    m AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS m,
+             CAST(SUM(dx) AS BIGINT) AS sx,
+             CAST(SUM(dx * dx) AS BIGINT) AS sxx,
+             CAST(SUM(dx * dy) AS BIGINT) AS sxy
+      FROM sym
+    )
+    SELECT CAST((SELECT COUNT(*) FROM deg) AS BIGINT) AS n_nodes,
+           CAST((SELECT COUNT(*) FROM e) AS BIGINT) AS n_edges,
+           CASE WHEN CAST(m AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx = 0
+                THEN NULL
+                ELSE CAST(ROUND(
+                  (CAST(m AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sx)
+                  / (CAST(m AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+                  * 1000000) AS BIGINT) END AS assortativity_micro
+    FROM m
+    """,
+)
+def graph_degree_assortativity(spark, sf_dir):
+    """Degree assortativity coefficient of the co-purchase graph
+    (Newman 2002): the Pearson correlation of endpoint degrees over
+    the symmetrized edge list — THE one-number mixing diagnostic
+    (retail/co-occurrence graphs are typically disassortative: hub
+    products attach to long-tail products; a positive value flags a
+    core-periphery flip).  On the symmetrized list x and y share all
+    moments, so ``r = (m*sxy - sx^2) / (m*sxx - sx^2)`` — degenerate
+    (all degrees equal) reports NULL, not a division blow-up.
+
+    Exactness: every moment is an exact BIGINT; the closing products
+    are evaluated in DOUBLE with the same cast placement both sides
+    (the exact-integer operands make the IEEE roundings identical),
+    then micro-rounded.
+
+    Scale shape: edges enumerate WITHIN baskets via the shared
+    :func:`copurchase_pairs` expression (C(basket,2) fan-out, never
+    |parts|^2), degrees are one combinable count, and the two
+    degree joins are part-keyed equi-joins on the slim (pa, pb)
+    list — the same discipline as link_prediction_adamic_adar."""
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    e = copurchase_pairs(li).distinct()
+    deg = (
+        e.select(F.col("pa").alias("node"))
+        .unionAll(e.select(F.col("pb").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("long").alias("d"))
+    )
+    joined = (
+        e.join(deg.withColumnRenamed("node", "pa").withColumnRenamed("d", "da"), "pa")
+        .join(deg.withColumnRenamed("node", "pb").withColumnRenamed("d", "db"), "pb")
+        .select("da", "db")
+    )
+    sym = joined.select(
+        F.col("da").alias("dx"), F.col("db").alias("dy")
+    ).unionAll(joined.select(F.col("db").alias("dx"), F.col("da").alias("dy")))
+    m = sym.agg(
+        F.count(F.lit(1)).cast("long").alias("m"),
+        F.sum("dx").cast("long").alias("sx"),
+        F.sum(F.col("dx") * F.col("dx")).cast("long").alias("sxx"),
+        F.sum(F.col("dx") * F.col("dy")).cast("long").alias("sxy"),
+    )
+    nn = deg.agg(F.count(F.lit(1)).cast("long").alias("n_nodes"))
+    ne = e.agg(F.count(F.lit(1)).cast("long").alias("n_edges"))
+    md = F.col("m").cast("double")
+    sxd = F.col("sx").cast("double")
+    denom = md * F.col("sxx") - sxd * F.col("sx")
+    return (
+        nn.crossJoin(F.broadcast(ne))
+        .crossJoin(F.broadcast(m))
+        .select(
+            "n_nodes",
+            "n_edges",
+            F.when(denom == 0, F.lit(None).cast("long"))
+            .otherwise(
+                F.round(
+                    (md * F.col("sxy") - sxd * F.col("sx")) / denom * 1_000_000
+                ).cast("long")
+            )
+            .alias("assortativity_micro"),
+        )
+    )

@@ -206,6 +206,8 @@ EXTRA = [
     "model_calibration_ece",
     "text_zipf_slope",
     "retrieval_ndcg",
+    "graph_degree_assortativity",
+    "text_burstiness",
 ]
 
 

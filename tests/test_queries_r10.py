@@ -246,3 +246,71 @@ def test_retrieval_ndcg_matches_bruteforce(spark):
         abs(r["ndcg_micro"] - round(want_dcg / want_idcg * 1_000_000)) <= 1
     )
     assert 0 < r["ndcg_micro"] <= 1_000_000
+
+
+def test_assortativity_matches_networkx_free_bruteforce(spark):
+    """Newman r recomputed from the collected edge list in Python;
+    coefficient bounded in [-1, 1]."""
+    from beehive_spark.queries.relational import (
+        copurchase_pairs,
+        graph_degree_assortativity,
+    )
+    from beehive_spark.queries import load
+
+    li = load(spark, SF, "lineitem").select("l_orderkey", "l_partkey")
+    edges = {
+        (r["pa"], r["pb"])
+        for r in copurchase_pairs(li).distinct().collect()
+    }
+    deg = {}
+    for a, b in edges:
+        deg[a] = deg.get(a, 0) + 1
+        deg[b] = deg.get(b, 0) + 1
+    xs = []
+    for a, b in edges:
+        xs.append((deg[a], deg[b]))
+        xs.append((deg[b], deg[a]))
+    m = len(xs)
+    sx = sum(x for x, _ in xs)
+    sxx = sum(x * x for x, _ in xs)
+    sxy = sum(x * y for x, y in xs)
+    want = (m * sxy - sx * sx) / (m * sxx - sx * sx)
+    r = graph_degree_assortativity(spark, SF).collect()[0]
+    assert r["n_nodes"] == len(deg)
+    assert r["n_edges"] == len(edges)
+    assert abs(r["assortativity_micro"] - round(want * 1_000_000)) <= 1
+    assert -1_000_000 <= r["assortativity_micro"] <= 1_000_000
+
+
+def test_burstiness_matches_bruteforce(spark):
+    """Fano factors recomputed from raw per-doc counts; the head is
+    the df-ordered top and every factor is positive."""
+    from collections import Counter
+
+    from beehive_spark.queries import load
+    from beehive_spark.queries.llm import _BURST_TOP, text_burstiness
+    import re as _re
+
+    docs = load(spark, SF, "documents").select("doc_id", "text").collect()
+    n_docs = len(docs)
+    per_term = {}
+    for r in docs:
+        for t, c in Counter(
+            _re.findall(r"[a-z0-9]+", r["text"].lower())
+        ).items():
+            df, tot, sq = per_term.get(t, (0, 0, 0))
+            per_term[t] = (df + 1, tot + c, sq + c * c)
+    top = sorted(per_term.items(), key=lambda kv: (-kv[1][0], kv[0]))[
+        :_BURST_TOP
+    ]
+    got = {
+        r["term"]: (r["df"], r["total"], r["fano_micro"])
+        for r in text_burstiness(spark, SF).collect()
+    }
+    assert set(got) == {t for t, _ in top}
+    for t, (df, tot, sq) in top:
+        mean = tot / n_docs
+        fano = (sq / n_docs - mean * mean) / mean
+        assert got[t][0] == df and got[t][1] == tot
+        assert abs(got[t][2] - round(fano * 1_000_000)) <= 1
+        assert got[t][2] > 0
