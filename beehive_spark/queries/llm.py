@@ -1654,9 +1654,10 @@ def _planes(dim: int = 64, n: int = _N_PLANES):
 # LEAST-CONFIDENT band bits (Lv et al., "Multi-Probe LSH", VLDB'07 —
 # the bit most likely to disagree with a true neighbor's is the one
 # whose hyperplane the query sits closest to).  2 lifted recall@5
-# mean 0.68 -> 0.96 and worst 0.4 -> 0.8 at sf0.01 (RECALL.json,
-# measured r10) for ~1.65x the candidate volume; the corpus/index side
-# is UNCHANGED — probing multiplies only the broadcast query rows.
+# mean 0.68 -> 0.96 / worst 0.4 -> 0.8 at sf0.01 and mean
+# 0.74 -> 0.88 / worst 0.4 -> 0.6 at sf0.1 (RECALL.json, measured
+# r10) for ~1.65x the candidate volume; the corpus/index side is
+# UNCHANGED — probing multiplies only the broadcast query rows.
 _LSH_PROBES = 2
 
 
