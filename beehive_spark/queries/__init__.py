@@ -96,6 +96,8 @@ _PRIORITY = [
     "retrieval_ndcg",                 # r10 new: NDCG@10 of shipped BM25
     "graph_degree_assortativity",     # r10 new: Newman mixing coefficient
     "text_burstiness",                # r10 new: Fano-factor token scatter
+    "user_path_signatures",           # r10 new: top early-journey paths
+    "feature_quantile_normalize",     # r10 new: cross-feature QN map
 ]
 # The head stays SHORT (<= 15 names, pinned by
 # tests/test_window_policy.py): >= 35 of the driver's 50 window slots

@@ -4310,3 +4310,76 @@ def conversion_cuped(spark, sf_dir):
         .alias("mean_y_cuped_milli"),
         F.round(F.col("theta") * 1_000_000).cast("long").alias("theta_micro"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Path analysis — top early-journey signatures
+# ---------------------------------------------------------------------------
+_PATH_LEN = 5
+_PATH_TOP = 20
+
+
+@query(
+    "user_path_signatures",
+    oracle=f"""
+    WITH r AS (
+      SELECT user_id, event_type,
+             ROW_NUMBER() OVER (
+               PARTITION BY user_id ORDER BY ts, event_id) AS rn
+      FROM events
+    ),
+    p AS (
+      SELECT user_id,
+             STRING_AGG(event_type, '>' ORDER BY rn) AS path
+      FROM r WHERE rn <= {_PATH_LEN} GROUP BY user_id
+    )
+    SELECT path, CAST(COUNT(*) AS BIGINT) AS n_users
+    FROM p GROUP BY path
+    ORDER BY n_users DESC, path LIMIT {_PATH_TOP}
+    """,
+)
+def user_path_signatures(spark, sf_dir):
+    """Top early-journey path signatures: each user's first
+    ``_PATH_LEN`` events (by event time) concatenated into an ordered
+    type path, then the ``_PATH_TOP`` most common signatures — the
+    "what do new users actually do first" table product analytics
+    builds Sankeys from, and the categorical companion to
+    ``sequence_mining_triples``'s existential patterns (this is
+    literal-prefix frequency; that is order-embedding support).
+
+    Exactness: the path string is assembled in the total
+    (ts, event_id) order on both sides, counts are integers, and the
+    head order key (n_users DESC, path) is fully discrete.
+
+    Scale shape: one user-window pass marks the first K events, one
+    user-keyed ordered aggregation builds K-bounded strings, one
+    combinable count per signature, TakeOrdered head — the signature
+    domain is |types|^K at worst but concentration makes the count
+    frame tiny in practice; nothing joins."""
+    e = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    first_k = (
+        e.select(
+            "user_id",
+            "event_type",
+            F.row_number().over(w).alias("rn"),
+        )
+        .filter(F.col("rn") <= _PATH_LEN)
+    )
+    paths = first_k.groupBy("user_id").agg(
+        F.concat_ws(
+            ">",
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct("rn", "event_type"))
+                ),
+                lambda s: s["event_type"],
+            ),
+        ).alias("path")
+    )
+    return (
+        paths.groupBy("path")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_users"))
+        .orderBy(F.col("n_users").desc(), "path")
+        .limit(_PATH_TOP)
+    )

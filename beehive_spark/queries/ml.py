@@ -898,3 +898,124 @@ def model_calibration_ece(spark, sf_dir):
         .cast("long")
         .alias("ece_contrib_micro"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Feature prep — cross-feature quantile-normalization map
+# ---------------------------------------------------------------------------
+_QN_BUCKETS = 100
+
+
+@query(
+    "feature_quantile_normalize",
+    oracle=f"""
+    WITH f AS (
+      SELECT 'quantity' AS feature,
+             CAST(l_quantity AS BIGINT) * 100 AS v_cents,
+             l_orderkey AS k1, l_linenumber AS k2 FROM lineitem
+      UNION ALL
+      SELECT 'extendedprice', CAST(ROUND(l_extendedprice * 100) AS BIGINT),
+             l_orderkey, l_linenumber FROM lineitem
+      UNION ALL
+      SELECT 'discount', CAST(ROUND(l_discount * 10000) AS BIGINT),
+             l_orderkey, l_linenumber FROM lineitem
+    ),
+    b AS (
+      SELECT feature, v_cents,
+             NTILE({_QN_BUCKETS}) OVER (
+               PARTITION BY feature ORDER BY v_cents, k1, k2) AS bucket
+      FROM f
+    ),
+    m AS (
+      SELECT feature, bucket, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(v_cents) AS BIGINT) AS sum_cents
+      FROM b GROUP BY feature, bucket
+    ),
+    t AS (
+      SELECT bucket,
+             SUM(CAST(sum_cents AS DOUBLE) / n) / COUNT(*) AS target
+      FROM m GROUP BY bucket
+    )
+    SELECT m.feature, m.bucket, m.n,
+           CAST(ROUND(CAST(m.sum_cents AS DOUBLE) / m.n * 10) AS BIGINT)
+             AS mean_milli,
+           CAST(ROUND(t.target * 10) AS BIGINT) AS target_milli
+    FROM m JOIN t USING (bucket)
+    """,
+)
+def feature_quantile_normalize(spark, sf_dir):
+    """Quantile-normalization map across three lineitem features
+    (Bolstad et al. 2003 — the cross-sample calibration genomics and
+    feature-store pipelines apply before mixing scales): each feature
+    is ranked into ``_QN_BUCKETS`` equal-count buckets
+    (deterministic NTILE with a total order), and a bucket's TARGET
+    value is the cross-feature mean of the per-feature bucket means —
+    emit the per-(feature, bucket) mapping table (count, own mean,
+    shared target), which IS the transform a serving layer applies by
+    range lookup.
+
+    Exactness: values enter as exact integer cents/basis-points, so
+    bucket sums are BIGINTs; the two double divisions are identical
+    both sides, milli-rounded; NTILE over (value, orderkey,
+    linenumber) is a total order so bucket assignment is
+    cross-engine deterministic.
+
+    Scale shape: one union scan, one per-feature sort exchange for
+    the rank pass (the same cost class as ntile/percentile windows —
+    at cluster scale range-partitioned sort, never a single
+    partition... the |features| partitions each sort their own
+    range), then a buckets-sized (300-row) moment frame and a
+    bucket-keyed self-aggregate.  The emitted MAP is constant-size
+    regardless of corpus rows."""
+    li = load(spark, sf_dir, "lineitem")
+    f = (
+        li.select(
+            F.lit("quantity").alias("feature"),
+            (F.col("l_quantity").cast("long") * 100).alias("v_cents"),
+            F.col("l_orderkey").alias("k1"),
+            F.col("l_linenumber").alias("k2"),
+        )
+        .unionByName(
+            li.select(
+                F.lit("extendedprice").alias("feature"),
+                F.round(F.col("l_extendedprice") * 100)
+                .cast("long")
+                .alias("v_cents"),
+                F.col("l_orderkey").alias("k1"),
+                F.col("l_linenumber").alias("k2"),
+            )
+        )
+        .unionByName(
+            li.select(
+                F.lit("discount").alias("feature"),
+                F.round(F.col("l_discount") * 10000)
+                .cast("long")
+                .alias("v_cents"),
+                F.col("l_orderkey").alias("k1"),
+                F.col("l_linenumber").alias("k2"),
+            )
+        )
+    )
+    w = Window.partitionBy("feature").orderBy("v_cents", "k1", "k2")
+    b = f.select(
+        "feature", "v_cents", F.ntile(_QN_BUCKETS).over(w).alias("bucket")
+    )
+    m = b.groupBy("feature", "bucket").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("v_cents").cast("long").alias("sum_cents"),
+    )
+    t = m.groupBy("bucket").agg(
+        (
+            F.sum(F.col("sum_cents").cast("double") / F.col("n"))
+            / F.count(F.lit(1))
+        ).alias("target")
+    )
+    return m.join(t, "bucket").select(
+        "feature",
+        "bucket",
+        "n",
+        F.round(F.col("sum_cents").cast("double") / F.col("n") * 10)
+        .cast("long")
+        .alias("mean_milli"),
+        F.round(F.col("target") * 10).cast("long").alias("target_milli"),
+    )

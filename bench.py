@@ -208,6 +208,8 @@ EXTRA = [
     "retrieval_ndcg",
     "graph_degree_assortativity",
     "text_burstiness",
+    "user_path_signatures",
+    "feature_quantile_normalize",
 ]
 
 

@@ -314,3 +314,63 @@ def test_burstiness_matches_bruteforce(spark):
         assert got[t][0] == df and got[t][1] == tot
         assert abs(got[t][2] - round(fano * 1_000_000)) <= 1
         assert got[t][2] > 0
+
+
+def test_path_signatures_matches_bruteforce(spark):
+    from collections import Counter
+
+    from beehive_spark.queries import load
+    from beehive_spark.queries.core import (
+        _PATH_LEN,
+        _PATH_TOP,
+        user_path_signatures,
+    )
+
+    rows = (
+        load(spark, SF, "events")
+        .select("user_id", "event_type", "ts", "event_id")
+        .collect()
+    )
+    per_user = {}
+    for r in rows:
+        per_user.setdefault(r["user_id"], []).append(r)
+    paths = Counter()
+    for evs in per_user.values():
+        evs.sort(key=lambda r: (r["ts"], r["event_id"]))
+        paths[">".join(r["event_type"] for r in evs[:_PATH_LEN])] += 1
+    want = sorted(paths.items(), key=lambda kv: (-kv[1], kv[0]))[:_PATH_TOP]
+    got = [
+        (r["path"], r["n_users"])
+        for r in user_path_signatures(spark, SF).collect()
+    ]
+    assert got == want
+
+
+def test_quantile_normalize_map_properties(spark):
+    """Equal-count buckets per feature; per-bucket target is the
+    cross-feature mean of bucket means; feature means are monotone in
+    the bucket index (rank buckets sort values)."""
+    from beehive_spark.queries.ml import (
+        _QN_BUCKETS,
+        feature_quantile_normalize,
+    )
+
+    rows = feature_quantile_normalize(spark, SF).collect()
+    by_feat = {}
+    by_bucket = {}
+    for r in rows:
+        by_feat.setdefault(r["feature"], []).append(r)
+        by_bucket.setdefault(r["bucket"], []).append(r)
+    assert set(by_feat) == {"quantity", "extendedprice", "discount"}
+    for feat, rs in by_feat.items():
+        assert len(rs) == _QN_BUCKETS
+        # NTILE balance: bucket sizes differ by at most 1
+        sizes = {r["n"] for r in rs}
+        assert max(sizes) - min(sizes) <= 1, feat
+        # monotone means over the bucket index
+        means = [r["mean_milli"] for r in sorted(rs, key=lambda r: r["bucket"])]
+        assert means == sorted(means), feat
+    for b, rs in by_bucket.items():
+        target = sum(r["mean_milli"] for r in rs) / len(rs)
+        for r in rs:
+            assert abs(r["target_milli"] - target) <= 2, b
