@@ -968,33 +968,40 @@ def feature_quantile_normalize(spark, sf_dir):
     bucket-keyed self-aggregate.  The emitted MAP is constant-size
     regardless of corpus rows."""
     li = load(spark, sf_dir, "lineitem")
-    f = (
-        li.select(
-            F.lit("quantity").alias("feature"),
-            (F.col("l_quantity").cast("long") * 100).alias("v_cents"),
-            F.col("l_orderkey").alias("k1"),
-            F.col("l_linenumber").alias("k2"),
-        )
-        .unionByName(
-            li.select(
-                F.lit("extendedprice").alias("feature"),
-                F.round(F.col("l_extendedprice") * 100)
-                .cast("long")
-                .alias("v_cents"),
-                F.col("l_orderkey").alias("k1"),
-                F.col("l_linenumber").alias("k2"),
+    # ONE lineitem scan: the three feature columns explode in-row to
+    # (feature, v_cents) structs — a 3-leg union would re-scan the
+    # fact table per feature (the oracle's UNION ALL states the
+    # SEMANTICS; the plan should not pay it)
+    f = li.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("quantity").alias("feature"),
+                    (F.col("l_quantity").cast("long") * 100).alias(
+                        "v_cents"
+                    ),
+                ),
+                F.struct(
+                    F.lit("extendedprice").alias("feature"),
+                    F.round(F.col("l_extendedprice") * 100)
+                    .cast("long")
+                    .alias("v_cents"),
+                ),
+                F.struct(
+                    F.lit("discount").alias("feature"),
+                    F.round(F.col("l_discount") * 10000)
+                    .cast("long")
+                    .alias("v_cents"),
+                ),
             )
-        )
-        .unionByName(
-            li.select(
-                F.lit("discount").alias("feature"),
-                F.round(F.col("l_discount") * 10000)
-                .cast("long")
-                .alias("v_cents"),
-                F.col("l_orderkey").alias("k1"),
-                F.col("l_linenumber").alias("k2"),
-            )
-        )
+        ).alias("fv"),
+        F.col("l_orderkey").alias("k1"),
+        F.col("l_linenumber").alias("k2"),
+    ).select(
+        F.col("fv.feature").alias("feature"),
+        F.col("fv.v_cents").alias("v_cents"),
+        "k1",
+        "k2",
     )
     w = Window.partitionBy("feature").orderBy("v_cents", "k1", "k2")
     b = f.select(
@@ -1004,18 +1011,15 @@ def feature_quantile_normalize(spark, sf_dir):
         F.count(F.lit(1)).cast("long").alias("n"),
         F.sum("v_cents").cast("long").alias("sum_cents"),
     )
-    t = m.groupBy("bucket").agg(
-        (
-            F.sum(F.col("sum_cents").cast("double") / F.col("n"))
-            / F.count(F.lit(1))
-        ).alias("target")
-    )
-    return m.join(t, "bucket").select(
+    # cross-feature target per bucket as a WINDOW over the 300-row
+    # moment frame, not a groupBy + self-join — the self-join
+    # re-executes m's lineage and doubles the fact-table scan
+    mean = F.col("sum_cents").cast("double") / F.col("n")
+    target = F.avg(mean).over(Window.partitionBy("bucket"))
+    return m.select(
         "feature",
         "bucket",
         "n",
-        F.round(F.col("sum_cents").cast("double") / F.col("n") * 10)
-        .cast("long")
-        .alias("mean_milli"),
-        F.round(F.col("target") * 10).cast("long").alias("target_milli"),
+        F.round(mean * 10).cast("long").alias("mean_milli"),
+        F.round(target * 10).cast("long").alias("target_milli"),
     )
