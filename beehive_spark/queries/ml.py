@@ -956,19 +956,34 @@ def feature_quantile_normalize(spark, sf_dir):
 
     Exactness: values enter as exact integer cents/basis-points, so
     bucket sums are BIGINTs; the two double divisions are identical
-    both sides, milli-rounded; NTILE over (value, orderkey,
-    linenumber) is a total order so bucket assignment is
-    cross-engine deterministic.
+    both sides, milli-rounded.  The oracle's NTILE tie-break on
+    (orderkey, linenumber) is a total order, but the AGGREGATED
+    output is tie-break-INVARIANT: rows straddling a bucket boundary
+    all carry the identical v_cents (only equal values can tie), so
+    per-bucket counts are fixed by the NTILE size rule and per-bucket
+    sums are fixed by value — which concrete rows land where cannot
+    change either.  That invariance is what lets the plan drop the
+    rank pass entirely.
 
-    Scale shape: one union scan, one per-feature sort exchange for
-    the rank pass (the same cost class as ntile/percentile windows —
-    at cluster scale range-partitioned sort, never a single
-    partition... the |features| partitions each sort their own
-    range), then a buckets-sized (300-row) moment frame and a
-    bucket-keyed self-aggregate.  The emitted MAP is constant-size
-    regardless of corpus rows."""
+    Scale shape (the ``lineitem_exact_quantiles`` two-pass selection,
+    generalized to all ``_QN_BUCKETS - 1`` boundary ranks per
+    feature): pass 1 is one union scan + a map-side-combinable
+    (feature, band) histogram (<= 3 x 4096 rows to the driver); the
+    driver walks each feature's band prefix to place the 99 NTILE
+    boundary ranks (SQL remainder rule: bucket i holds q+1 rows for
+    i <= n mod B, else q); pass 2 re-scans ONLY the boundary bands
+    and aggregates per exact value (collect bounded by
+    value-domain/4096 per band — a domain constant, independent of
+    row count); exact BIGINT prefix sums at the boundaries then yield
+    every bucket's (n, sum) by subtraction.  No sort, no window over
+    a 3-value partition key (the previous NTILE-window plan put a
+    third of the fact table in ONE task at any scale — a window
+    PARTITION is hash-distributed, not range-split).  The emitted MAP
+    is constant-size regardless of corpus rows; the 300-row moment
+    frame computes the cross-feature target with the same window
+    expression as before so rounding is bit-identical."""
     li = load(spark, sf_dir, "lineitem")
-    # ONE lineitem scan: the three feature columns explode in-row to
+    # ONE scan per pass: the three feature columns explode in-row to
     # (feature, v_cents) structs — a 3-leg union would re-scan the
     # fact table per feature (the oracle's UNION ALL states the
     # SEMANTICS; the plan should not pay it)
@@ -994,26 +1009,145 @@ def feature_quantile_normalize(spark, sf_dir):
                     .alias("v_cents"),
                 ),
             )
-        ).alias("fv"),
-        F.col("l_orderkey").alias("k1"),
-        F.col("l_linenumber").alias("k2"),
+        ).alias("fv")
     ).select(
         F.col("fv.feature").alias("feature"),
         F.col("fv.v_cents").alias("v_cents"),
-        "k1",
-        "k2",
     )
-    w = Window.partitionBy("feature").orderBy("v_cents", "k1", "k2")
-    b = f.select(
-        "feature", "v_cents", F.ntile(_QN_BUCKETS).over(w).alias("bucket")
+    n_bands = 4096
+    stats = {
+        r["feature"]: (r["lo"], r["hi"])
+        for r in f.groupBy("feature")
+        .agg(F.min("v_cents").alias("lo"), F.max("v_cents").alias("hi"))
+        .collect()
+    }
+    out_schema = (
+        "feature string, bucket int, n long, sum_cents long"
     )
-    m = b.groupBy("feature", "bucket").agg(
-        F.count(F.lit(1)).cast("long").alias("n"),
-        F.sum("v_cents").cast("long").alias("sum_cents"),
-    )
+    if not stats:
+        m = spark.createDataFrame([], out_schema)
+    else:
+        width = {
+            feat: max(1, (hi - lo) // n_bands + 1)
+            for feat, (lo, hi) in stats.items()
+        }
+        # per-feature band id as ONE expression (3-way CASE on the
+        # feature tag — stays inside whole-stage codegen)
+        band_expr = None
+        for feat, (lo, _hi) in stats.items():
+            leg = ((F.col("v_cents") - F.lit(lo)) / F.lit(width[feat])).cast(
+                "long"
+            )
+            band_expr = (
+                F.when(F.col("feature") == feat, leg)
+                if band_expr is None
+                else band_expr.when(F.col("feature") == feat, leg)
+            )
+        hist = (
+            f.groupBy("feature", band_expr.alias("b"))
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("c"),
+                F.sum("v_cents").cast("long").alias("s"),
+            )
+            .collect()
+        )
+        bands: dict[str, list] = {}
+        for r in hist:
+            bands.setdefault(r["feature"], []).append(
+                (int(r["b"]), r["c"], r["s"])
+            )
+        for feat in bands:
+            bands[feat].sort()
+        # place each feature's NTILE boundary ranks in a band
+        # (SQL remainder rule: cum_i = i*q + min(i, rem))
+        need: dict[str, set] = {}
+        ranks: dict[str, list] = {}
+        totals: dict[str, tuple] = {}
+        for feat, bl in bands.items():
+            n = sum(c for _, c, _ in bl)
+            totals[feat] = (n, sum(s for _, _, s in bl))
+            q, rem = divmod(n, _QN_BUCKETS)
+            cuts = [
+                i * q + min(i, rem) for i in range(1, _QN_BUCKETS)
+            ]
+            ranks[feat] = cuts
+            acc = 0
+            it = iter(bl)
+            cur = next(it, None)
+            hit = set()
+            for r in cuts:
+                while cur is not None and acc + cur[1] < r:
+                    acc += cur[1]
+                    cur = next(it, None)
+                if cur is not None and r > 0:
+                    hit.add(cur[0])
+            need[feat] = hit
+        # pass 2: exact per-value counts ONLY inside boundary bands
+        need_filter = None
+        for feat, hit in need.items():
+            leg = (F.col("feature") == feat) & band_expr.isin(
+                sorted(hit)
+            )
+            need_filter = leg if need_filter is None else need_filter | leg
+        fine = (
+            f.filter(need_filter)
+            .groupBy("feature", band_expr.alias("b"), "v_cents")
+            .agg(F.count(F.lit(1)).cast("long").alias("c"))
+            .collect()
+        )
+        vals: dict[tuple, list] = {}
+        for r in fine:
+            vals.setdefault((r["feature"], int(r["b"])), []).append(
+                (r["v_cents"], r["c"])
+            )
+        for k in vals:
+            vals[k].sort()
+
+        def prefix_sum(feat: str, r: int) -> int:
+            """Exact BIGINT sum of the r smallest v_cents of feat."""
+            n, total = totals[feat]
+            if r <= 0:
+                return 0
+            if r >= n:
+                return total
+            acc_c, acc_s = 0, 0
+            for b, c, s in bands[feat]:
+                if acc_c + c < r:
+                    acc_c += c
+                    acc_s += s
+                    continue
+                within = r - acc_c
+                wc, ws = 0, 0
+                for v, cv in vals[(feat, b)]:
+                    if wc + cv <= within:
+                        wc += cv
+                        ws += v * cv
+                    else:
+                        ws += (within - wc) * v
+                        break
+                return acc_s + ws
+            return total
+
+        rows = []
+        for feat, cuts in ranks.items():
+            n, total = totals[feat]
+            edges = [0] + cuts + [n]
+            for i in range(_QN_BUCKETS):
+                lo_r, hi_r = edges[i], edges[i + 1]
+                if hi_r == lo_r:  # n < B: NTILE emits no empty buckets
+                    continue
+                rows.append(
+                    (
+                        feat,
+                        i + 1,
+                        hi_r - lo_r,
+                        prefix_sum(feat, hi_r) - prefix_sum(feat, lo_r),
+                    )
+                )
+        m = spark.createDataFrame(rows, out_schema)
     # cross-feature target per bucket as a WINDOW over the 300-row
-    # moment frame, not a groupBy + self-join — the self-join
-    # re-executes m's lineage and doubles the fact-table scan
+    # moment frame — identical expression (and rounding) to the
+    # oracle's t-CTE join
     mean = F.col("sum_cents").cast("double") / F.col("n")
     target = F.avg(mean).over(Window.partitionBy("bucket"))
     return m.select(

@@ -206,6 +206,12 @@ REGISTRY_CASES = [
     # aggregates
     ("attribution_linear_multitouch", "events"),
     ("text_zipf_slope", "documents"),
+    # round-11: the banded-selection rewrite of the quantile-normalize
+    # map — both passes are combinable (feature, band[, value]) aggs,
+    # so the curve should track the scan like lineitem_exact_quantiles
+    # (the r10 NTILE-window plan it replaces put a third of the fact
+    # table in ONE task at any scale)
+    ("feature_quantile_normalize", "lineitem"),
 ]
 
 

@@ -276,3 +276,21 @@ def test_r10_analytics_plans(spark, sf_dir):
         plan = _plan(qs[name](spark, sf_dir))
         assert "CartesianProduct" not in plan, name
         assert "SortMergeJoin" not in plan, name
+
+
+def test_quantile_normalize_no_feature_partition_window(spark, sf_dir):
+    """The r10 verdict's one scale-killer: NTILE over
+    Window.partitionBy(feature) hash-distributes by a 3-value key, so
+    one task sorts a third of the fact table at ANY scale.  The r11
+    two-pass banded-selection rewrite must keep every fact-table pass
+    a combinable aggregation: the returned plan may window only over
+    the 300-row moment frame (a LocalTableScan), never carry an ntile,
+    and never range-sort the exploded fact rows."""
+    plan = _plan(all_queries()["feature_quantile_normalize"](spark, sf_dir))
+    assert "ntile" not in plan.lower()
+    # the only window partitions the bucket key of the local moment frame
+    assert "hashpartitioning(feature" not in plan
+    assert "rangepartitioning" not in plan
+    # moments arrive driver-computed (createDataFrame), no FileScan
+    assert "Scan ExistingRDD" in plan or "LocalTableScan" in plan
+    assert "FileScan" not in plan
