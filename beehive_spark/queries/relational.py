@@ -4012,48 +4012,56 @@ def graph_degree_assortativity(spark, sf_dir):
 
     Scale shape: edges enumerate WITHIN baskets via the shared
     :func:`copurchase_pairs` expression (C(basket,2) fan-out, never
-    |parts|^2), degrees are one combinable count, and the two
-    degree joins are part-keyed equi-joins on the slim (pa, pb)
-    list — the same discipline as link_prediction_adamic_adar."""
+    |parts|^2).  The r11 trim: three of the four symmetrized-list
+    moments collapse onto DEGREE moments — node n's degree sits in
+    exactly d(n) endpoint slots, so m = sum(d), sx = sum(d^2),
+    sxx = sum(d^3), and n_edges = sum(d) DIV 2 — leaving only the
+    cross-moment sxy = 2 * sum(da*db) on the part-keyed degree
+    joins.  The slim (pa, pb) list and the (node, d) frame are
+    persisted so the edge enumeration and the degree shuffle each
+    run ONCE (the r10 plan re-executed e's lineage four times),
+    and no sym union ever materializes."""
     li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    e = copurchase_pairs(li).distinct()
+    e = copurchase_pairs(li).distinct().persist()
     deg = (
         e.select(F.col("pa").alias("node"))
         .unionAll(e.select(F.col("pb").alias("node")))
         .groupBy("node")
         .agg(F.count(F.lit(1)).cast("long").alias("d"))
+        .persist()
     )
-    joined = (
-        e.join(deg.withColumnRenamed("node", "pa").withColumnRenamed("d", "da"), "pa")
-        .join(deg.withColumnRenamed("node", "pb").withColumnRenamed("d", "db"), "pb")
-        .select("da", "db")
+    degm = deg.agg(
+        F.count(F.lit(1)).cast("long").alias("n_nodes"),
+        F.sum("d").cast("long").alias("m"),
+        F.sum(F.col("d") * F.col("d")).cast("long").alias("sx"),
+        F.sum(F.col("d") * F.col("d") * F.col("d")).cast("long").alias("sxx"),
     )
-    sym = joined.select(
-        F.col("da").alias("dx"), F.col("db").alias("dy")
-    ).unionAll(joined.select(F.col("db").alias("dx"), F.col("da").alias("dy")))
-    m = sym.agg(
-        F.count(F.lit(1)).cast("long").alias("m"),
-        F.sum("dx").cast("long").alias("sx"),
-        F.sum(F.col("dx") * F.col("dx")).cast("long").alias("sxx"),
-        F.sum(F.col("dx") * F.col("dy")).cast("long").alias("sxy"),
+    xy = (
+        e.join(
+            deg.withColumnRenamed("node", "pa").withColumnRenamed("d", "da"),
+            "pa",
+        )
+        .join(
+            deg.withColumnRenamed("node", "pb").withColumnRenamed("d", "db"),
+            "pb",
+        )
+        .agg(
+            (F.lit(2) * F.sum(F.col("da") * F.col("db")))
+            .cast("long")
+            .alias("sxy")
+        )
     )
-    nn = deg.agg(F.count(F.lit(1)).cast("long").alias("n_nodes"))
-    ne = e.agg(F.count(F.lit(1)).cast("long").alias("n_edges"))
     md = F.col("m").cast("double")
     sxd = F.col("sx").cast("double")
     denom = md * F.col("sxx") - sxd * F.col("sx")
-    return (
-        nn.crossJoin(F.broadcast(ne))
-        .crossJoin(F.broadcast(m))
-        .select(
-            "n_nodes",
-            "n_edges",
-            F.when(denom == 0, F.lit(None).cast("long"))
-            .otherwise(
-                F.round(
-                    (md * F.col("sxy") - sxd * F.col("sx")) / denom * 1_000_000
-                ).cast("long")
-            )
-            .alias("assortativity_micro"),
+    return degm.crossJoin(F.broadcast(xy)).select(
+        "n_nodes",
+        F.expr("m DIV 2").cast("long").alias("n_edges"),
+        F.when(denom == 0, F.lit(None).cast("long"))
+        .otherwise(
+            F.round(
+                (md * F.col("sxy") - sxd * F.col("sx")) / denom * 1_000_000
+            ).cast("long")
         )
+        .alias("assortativity_micro"),
     )
