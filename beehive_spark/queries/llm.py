@@ -1634,7 +1634,7 @@ def text_tfidf_topterms(spark, sf_dir, k: int = 3):
 # ---------------------------------------------------------------------------
 # Approximate nearest neighbors: random-hyperplane LSH buckets
 # ---------------------------------------------------------------------------
-_N_PLANES = 12  # 4096 buckets
+_N_PLANES = 15  # 5 disjoint 3-bit band views (was 12/4 through r10)
 
 
 def _planes(dim: int = 64, n: int = _N_PLANES):
@@ -1653,20 +1653,29 @@ def _planes(dim: int = 64, n: int = _N_PLANES):
 # bucket plus the (_LSH_PROBES - 1) single-bit flips of the query's
 # LEAST-CONFIDENT band bits (Lv et al., "Multi-Probe LSH", VLDB'07 —
 # the bit most likely to disagree with a true neighbor's is the one
-# whose hyperplane the query sits closest to).  2 lifted recall@5
-# mean 0.68 -> 0.96 / worst 0.4 -> 0.8 at sf0.01 and mean
-# 0.74 -> 0.88 / worst 0.4 -> 0.6 at sf0.1 (RECALL.json, measured
-# r10) for ~1.65x the candidate volume; the corpus/index side is
-# UNCHANGED — probing multiplies only the broadcast query rows.
-_LSH_PROBES = 2
+# whose hyperplane the query sits closest to).  r10 measured probes
+# 1 -> 2 lifting sf0.1 recall@5 mean 0.74 -> 0.88 / worst 0.4 -> 0.6;
+# the r11 grid over (probes, bands) on the same harness measured
+# probes=3 + bands=5 reaching mean 1.00 / worst 1.00 at sf0.1 and
+# sf0.01 (RECALL.json) — probes=3 alone fixed the mean (0.96) but not
+# the worst query (0.6), the 5th band alone fixed the worst (0.8) but
+# not the mean, and only the pair clears the >= 0.8 floor everywhere.
+# Cost: query-side entries 8 -> 15 per query (broadcast side only),
+# corpus-side bucket entries 4 -> 5 per vector.
+_LSH_PROBES = 3
+
+# Rotated 3-bit band views over the plane bits: band b reads bits
+# (3b .. 3b+2) mod _N_PLANES, so n_bands * 3 <= _N_PLANES keeps the
+# bands bit-disjoint.
+_LSH_BANDS = 5
 
 
 @query("similarity_ann_lsh")  # approximate -> rows-only driver check
 def similarity_ann_lsh(spark, sf_dir):
-    """ANN via sign-random-projection LSH: 12 hyperplanes -> 4096
-    buckets; candidates = corpus vectors sharing ANY of the query's
-    probed buckets in ANY of 4 rotated band views (3 planes per band)
-    — an equi-join on (band, key), never a cross join.  The query side
+    """ANN via sign-random-projection LSH: ``_N_PLANES`` hyperplanes;
+    candidates = corpus vectors sharing ANY of the query's probed
+    buckets in ANY of ``_LSH_BANDS`` rotated band views (3 planes per
+    band) — an equi-join on (band, key), never a cross join.  The query side
     is MULTI-PROBE (``_LSH_PROBES`` keys per band: exact + the
     least-confident bit flips), which buys back the recall banding
     alone loses on near-hyperplane queries without touching the
@@ -1682,18 +1691,25 @@ def similarity_ann_lsh(spark, sf_dir):
     )
 
 
-def _lsh_search(emb, query_pred, probes: int = _LSH_PROBES):
+def _lsh_search(
+    emb,
+    query_pred,
+    probes: int = _LSH_PROBES,
+    n_planes: int = _N_PLANES,
+    n_bands: int = _LSH_BANDS,
+):
     """The full sign-LSH band/bucket/exact-rerank pipeline over a
     ``(vec_id, e: array<double>)`` frame — shared verbatim by
     :func:`similarity_ann_lsh` (real corpus, rows-only driver check)
     and :func:`similarity_ann_lsh_planted` (closed-form corpus, driver
-    hash gate; the plant is probe-count-invariant because group-mates
-    share the EXACT key, which is always probe 0).  ``query_pred`` is
-    a boolean expression over ``vec_id``; its complement is the
-    corpus.  ``probes`` keys per band are generated for the query
-    side only: the exact key, then single-bit flips in ascending
-    |dot| (hyperplane-distance) order."""
-    planes = _planes()
+    hash gate; the plant is probe/band/plane-count-invariant because
+    group-mates share the EXACT keys, and the exact key is always
+    probe 0 of every band).  ``query_pred`` is a boolean expression
+    over ``vec_id``; its complement is the corpus.  ``probes`` keys
+    per band are generated for the query side only: the exact key,
+    then single-bit flips in ascending |dot| (hyperplane-distance)
+    order."""
+    planes = _planes(n=n_planes)
 
     def dot_exprs(col):
         out = []
@@ -1711,7 +1727,7 @@ def _lsh_search(emb, query_pred, probes: int = _LSH_PROBES):
     def band_key(bits, b, flip=None):
         parts = []
         for i in range(3):
-            bit = bits[(b * 3 + i) % _N_PLANES]
+            bit = bits[(b * 3 + i) % n_planes]
             if flip == i:
                 bit = F.lit(1) - bit
             parts.append(bit.cast("string"))
@@ -1734,14 +1750,13 @@ def _lsh_search(emb, query_pred, probes: int = _LSH_PROBES):
                             F.lit(b).alias("band"),
                             band_key(cbits, b).alias("key"),
                         )
-                        for b in range(4)
+                        for b in range(n_bands)
                     ]
                 )
             ).alias("bk"),
         )
         .select(
             F.col("vec_id").alias("neighbor_id"),
-            F.col("e").alias("ce"),
             F.col("bk.band").alias("band"),
             F.col("bk.key").alias("key"),
         )
@@ -1757,11 +1772,11 @@ def _lsh_search(emb, query_pred, probes: int = _LSH_PROBES):
     )
     qbits = [
         F.when(F.col(f"d{j}") >= 0, F.lit(1)).otherwise(F.lit(0))
-        for j in range(_N_PLANES)
+        for j in range(n_planes)
     ]
     entries = []
-    for b in range(4):
-        a = [F.abs(F.col(f"d{(b * 3 + i) % _N_PLANES}")) for i in range(3)]
+    for b in range(n_bands):
+        a = [F.abs(F.col(f"d{(b * 3 + i) % n_planes}")) for i in range(3)]
         keys = [band_key(qbits, b)]
         flip = [band_key(qbits, b, flip=i) for i in range(3)]
         if probes >= 2:  # least-confident bit
@@ -1787,18 +1802,34 @@ def _lsh_search(emb, query_pred, probes: int = _LSH_PROBES):
         ]
     q = qdots.select(
         F.col("vec_id").alias("query_id"),
-        F.col("e").alias("qe"),
         F.explode(F.array(*entries)).alias("bk"),
     ).select(
         "query_id",
-        "qe",
         F.col("bk.band").alias("band"),
         F.col("bk.key").alias("key"),
     )
-    cands = (
+    # the bucket join moves ONLY (band, key, id) triples — a pair that
+    # collides in many band/probe buckets dedupes as an 16-byte row,
+    # not as a duplicated embedding payload; both payloads join back
+    # by id AFTER the distinct (the corpus side as a vec_id equi-join,
+    # the query side as a tiny broadcast)
+    pairs = (
         c.join(F.broadcast(q), ["band", "key"])
-        .select("query_id", "neighbor_id", "qe", "ce")
+        .select("query_id", "neighbor_id")
         .distinct()
+    )
+    cands = pairs.join(
+        emb.filter(~query_pred).select(
+            F.col("vec_id").alias("neighbor_id"), F.col("e").alias("ce")
+        ),
+        "neighbor_id",
+    ).join(
+        F.broadcast(
+            emb.filter(query_pred).select(
+                F.col("vec_id").alias("query_id"), F.col("e").alias("qe")
+            )
+        ),
+        "query_id",
     )
     norm = lambda col: F.sqrt(F.aggregate(col, F.lit(0.0), lambda a, x: a + x * x))  # noqa: E731
     dot = F.aggregate(
@@ -1830,8 +1861,9 @@ def _lsh_search(emb, query_pred, probes: int = _LSH_PROBES):
 )
 def similarity_ann_lsh_planted(spark, sf_dir):
     """:func:`_lsh_search` — the EXACT pipeline
-    :func:`similarity_ann_lsh` runs (12 sign-projections, 4 rotated
-    3-bit band buckets, candidate equi-join, exact cosine re-rank) —
+    :func:`similarity_ann_lsh` runs (``_N_PLANES`` sign-projections,
+    ``_LSH_BANDS`` rotated 3-bit band buckets, candidate equi-join,
+    exact cosine re-rank) —
     driven by the identical-vector group plant of
     :func:`similarity_ann_ivf_planted`, lifted to the LSH input
     dimension: vec ids split into 20-wide groups, every member of
@@ -1841,8 +1873,8 @@ def similarity_ann_lsh_planted(spark, sf_dir):
     256/(16*16) = 1.0, cross-group <= (64-8)/64 = 0.875).
 
     Why the hashing cannot matter: a query and its group-mates carry
-    the SAME vector, hence the SAME 12 sign bits, hence the SAME four
-    band keys — every group-mate shares all four of the query's
+    the SAME vector, hence the SAME sign bits, hence the SAME band
+    keys — every group-mate shares every one of the query's exact
     buckets whatever the hyperplanes are, so all 19 are always
     candidates and the exact re-rank puts them (cosine 1.0, strictly
     above every cross-group bucket-collision candidate) first,

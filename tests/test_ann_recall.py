@@ -46,7 +46,7 @@ def _recall(spark, ann_fn):
     [
         (similarity_ann_ivf, 0.85),   # measured 0.96
         (similarity_ann_pq, 0.90),    # measured 1.00
-        (similarity_ann_lsh, 0.85),   # measured 0.96 (multi-probe, r10)
+        (similarity_ann_lsh, 0.90),   # measured 1.00 (3 probes, 5 bands, r11)
     ],
     ids=["ivf", "pq", "lsh"],
 )
