@@ -810,6 +810,7 @@ def run_novelty_stream(
     out_dir: str,
     checkpoint_dir: str,
     timeout_sec: int = 120,
+    split_threshold_bytes: int | None = None,
 ) -> None:
     """Maintain the first-seen shingle STORE and an append-structured
     per-document novelty log from a streaming document feed — the
@@ -845,6 +846,25 @@ def run_novelty_stream(
       tests/test_streaming_novelty.py); in-order feeds produce empty
       correction partitions and the log alone is already exact.
 
+      Backfilled-store caveat: when the store was created with
+      ``init_shingle_store(backfill=...)``, correction records can
+      debit doc_ids that exist ONLY in the backfill and therefore
+      have no base row in this stream log.  Convergence then means
+      folding the backfill-era BATCH results alongside the stream
+      log: ``batch_n_new + stream corrections`` for backfill docs,
+      ``n_new + sum(n_new_delta)`` for streamed docs.  A consumer
+      reading the stream log alone sees correct rows for every
+      streamed doc but negative-only correction rows for backfill
+      holders — by design, not data loss.
+
+    Growth: pass ``split_threshold_bytes`` to let the fold double the
+    store's bucket count whenever the average live bucket exceeds it
+    (``shingle_store.maybe_split_store`` — O(store) per doubling,
+    amortized O(1) per fold); ``None`` keeps the fixed-B contract, in
+    which case size n_buckets at init for the expected corpus (the
+    STRESS novelty_store_fold row holds fold cost flat by scaling
+    n_buckets with the store).
+
     Exactly-once across the artifacts: the out and corrections
     partitions are IDEMPOTENT overwrites keyed by batch id and write
     FIRST; the store commit (versioned bucket dirs + one atomic
@@ -868,6 +888,7 @@ def run_novelty_stream(
         bucket_of,
         commit_buckets,
         gc_store,
+        maybe_split_store,
         read_buckets,
         read_manifest,
     )
@@ -879,6 +900,10 @@ def run_novelty_stream(
         if batch_id <= manifest["batch_id"]:
             return  # replayed micro-batch: already folded (out dirs exist)
         gc_store(store_path, manifest)  # prior batch's superseded dirs
+        if split_threshold_bytes is not None:
+            manifest = maybe_split_store(
+                spark, store_path, manifest, split_threshold_bytes
+            )
         n_buckets = manifest["n_buckets"]
         # token array materializes first (the text_ngram_novelty /
         # jaccard idiom: inlining the regex into the shingle lambda
@@ -1048,6 +1073,7 @@ def run_dedup_stream(
     out_dir: str,
     checkpoint_dir: str,
     timeout_sec: int = 120,
+    split_threshold_bytes: int | None = None,
 ) -> None:
     """Maintain the corpus FINGERPRINT store (normalized-text md5 ->
     canonical first doc_id) and an idempotent per-batch dedup-verdict
@@ -1080,6 +1106,23 @@ def run_dedup_stream(
       idiom; in-order feeds emit none, pinned in
       tests/test_streaming_dedup.py).
 
+      Backfilled-store caveat (same as ``run_novelty_stream``): with
+      a backfilled store, corrections can name an ``old_canonical``
+      that exists only in the backfill and has no verdict row in this
+      log — converging on the full corpus means folding the
+      backfill-era batch answer alongside the stream log.
+
+    NULL text gets the sentinel fingerprint ``"null"`` (6 chars —
+    disjoint from every 32-hex md5), so every input doc receives a
+    verdict row and all NULL-text docs dedup into one group, matching
+    the batch queries' GROUP BY NULL semantics (md5(NULL) is NULL and
+    the fp equi-join would otherwise silently drop those docs from
+    the log).
+
+    Growth: ``split_threshold_bytes`` as in ``run_novelty_stream`` —
+    average-live-bucket-size-triggered bucket doubling, or the
+    documented fixed-B sizing contract when ``None``.
+
     Exactly-once and crash behavior are the novelty maintainer's,
     through the same code path: verdict + correction partitions are
     idempotent per-batch overwrites written FIRST; the store's atomic
@@ -1097,12 +1140,16 @@ def run_dedup_stream(
         bucket_of,
         commit_buckets,
         gc_store,
+        maybe_split_store,
         read_buckets,
         read_manifest,
     )
 
-    fp_expr = F.md5(
-        F.regexp_replace(F.trim(F.lower(F.col("text"))), r"\s+", " ")
+    fp_expr = F.coalesce(
+        F.md5(
+            F.regexp_replace(F.trim(F.lower(F.col("text"))), r"\s+", " ")
+        ),
+        F.lit("null"),
     )
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
@@ -1112,6 +1159,10 @@ def run_dedup_stream(
         if batch_id <= manifest["batch_id"]:
             return  # replayed micro-batch (out dirs already exist)
         gc_store(store_path, manifest)
+        if split_threshold_bytes is not None:
+            manifest = maybe_split_store(
+                spark, store_path, manifest, split_threshold_bytes
+            )
         n_buckets = manifest["n_buckets"]
         b = batch_df.select("doc_id", fp_expr.alias("s"))
         bmin = (

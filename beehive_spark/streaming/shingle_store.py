@@ -59,7 +59,11 @@ from pyspark.sql import functions as F
 
 MANIFEST = "_store_manifest.json"
 STORE_SCHEMA = "s string, fd long"
-_BUCKET_DIR = re.compile(r"^b\d{5}-v(\d+|init)$")
+# bucket index is %05d-formatted but NOT capped at 5 digits (the %d
+# formatter grows past 99999 naturally), so the GC pattern must accept
+# any width; split versions carry an s<n_buckets> suffix so a split
+# can never collide with a batch version of the same id
+_BUCKET_DIR = re.compile(r"^b\d+-v(\d+|init)(s\d+)?$")
 
 
 def bucket_of(col, n_buckets: int):
@@ -172,6 +176,108 @@ def gc_store(path: str, manifest: dict) -> None:
             _BUCKET_DIR.match(d) and d not in live
         ):
             shutil.rmtree(full, ignore_errors=True)
+
+
+def store_live_bytes(path: str, manifest: dict) -> int:
+    """Total on-disk bytes of the LIVE bucket directories (superseded
+    versions excluded) — the writer-side size signal for
+    :func:`maybe_split_store`.  A directory listing, never a scan."""
+    total = 0
+    for d in manifest["buckets"].values():
+        full = os.path.join(path, d)
+        for root, _dirs, files in os.walk(full):
+            for fn in files:
+                try:
+                    total += os.path.getsize(os.path.join(root, fn))
+                except OSError:  # pragma: no cover - racing GC
+                    pass
+    return total
+
+
+def split_store(spark: SparkSession, path: str, manifest: dict) -> dict:
+    """Double ``n_buckets`` by re-hashing every live row into
+    ``2 * B`` fresh bucket directories and committing the new layout
+    with ONE atomic manifest rename (``batch_id`` unchanged — a split
+    is maintenance between folds, not a batch).
+
+    Crash contract (same discipline as :func:`commit_buckets`): the
+    new directories are written under deterministic names
+    ``b<bucket>-v<batch_id>s<new_B>`` beside the live ones; the s
+    suffix keeps them disjoint from every batch-version name of the
+    SAME batch id, so a crash anywhere before the manifest rename
+    leaves the old layout fully live (debris is swept by the next
+    fold's :func:`gc_store`) and a replayed split rewrites the same
+    names.  Because ``bucket_of`` is recomputed under the new modulus
+    for every row, no key can land in a stale bucket — readers only
+    ever see (manifest, layout) pairs that agree.
+
+    Cost: one read + one bucketed rewrite of the FULL store —
+    O(store), but triggered only when the store has doubled since the
+    last split, so the amortized cost per fold stays proportional to
+    the data that arrived (the dynamic-array argument; linear-hashing
+    per-bucket splits would smooth the spike at the price of a
+    two-level routing function, a trade this layout does not need
+    until a single rewrite stops fitting a maintenance window)."""
+    new_b = manifest["n_buckets"] * 2
+    batch_id = manifest["batch_id"]
+    # a fresh/backfill-only store sits at batch_id -1; reuse the init
+    # label ("-1" would escape the GC pattern and leak forever)
+    label = "init" if batch_id < 0 else str(batch_id)
+    stage = os.path.join(path, f"_stage-split{label}s{new_b}")
+    shutil.rmtree(stage, ignore_errors=True)
+    (
+        read_store(spark, path)
+        .withColumn("bk", bucket_of(F.col("s"), new_b))
+        .write.mode("overwrite")
+        .partitionBy("bk")
+        .parquet(stage)
+    )
+    new_buckets: dict[str, str] = {}
+    for sub in os.listdir(stage):
+        if not sub.startswith("bk="):
+            continue
+        b = int(sub.split("=", 1)[1])
+        name = f"b{b:05d}-v{label}s{new_b}"
+        target = os.path.join(path, name)
+        shutil.rmtree(target, ignore_errors=True)  # crashed prior attempt
+        os.replace(os.path.join(stage, sub), target)
+        new_buckets[str(b)] = name
+    shutil.rmtree(stage, ignore_errors=True)
+    new_manifest = {
+        "batch_id": batch_id,
+        "n_buckets": new_b,
+        "buckets": new_buckets,
+    }
+    _write_manifest(path, new_manifest)
+    return new_manifest
+
+
+def maybe_split_store(
+    spark: SparkSession,
+    path: str,
+    manifest: dict,
+    threshold_bytes: int,
+) -> dict:
+    """Writer-side growth policy: double the bucket count while the
+    average LIVE bucket size exceeds ``threshold_bytes``.  Called by
+    the store maintainers at fold start (after GC, before the batch
+    fold) so per-bucket I/O stays bounded as the store grows; returns
+    the (possibly new) manifest the fold should use.  At most ONE
+    doubling per fold (the linear-hashing pacing): per-file format
+    overhead puts a floor under avg-bucket-bytes, so looping until
+    under-threshold could never terminate for a threshold below that
+    floor, and one doubling per fold already tracks any sane feed's
+    growth rate.  Idempotent under replay: a re-entered fold
+    re-measures the already-split layout and (normally) finds it
+    under threshold; at worst it doubles once more, which changes no
+    row, only the layout."""
+    if (
+        manifest["buckets"]
+        and store_live_bytes(path, manifest) / manifest["n_buckets"]
+        > threshold_bytes
+    ):
+        manifest = split_store(spark, path, manifest)
+    return manifest
 
 
 def commit_buckets(

@@ -161,3 +161,75 @@ def test_manifest_rename_is_the_single_commit_point(spark, tmp_path):
         json.dump(m_pre, f)
     assert _store_dict(spark, path) == dict(rows)
     assert store_batch_id(path) == -1
+
+
+def test_split_doubles_buckets_preserves_content_and_routing(
+    spark, tmp_path
+):
+    from beehive_spark.streaming.shingle_store import (
+        maybe_split_store,
+        split_store,
+    )
+
+    path = str(tmp_path / "store")
+    rows = [(f"sh{i}", i) for i in range(200)]
+    init_shingle_store(spark, path, n_buckets=4, backfill=_df(spark, rows))
+    before = _store_dict(spark, path)
+    m0 = read_manifest(path)
+    m1 = split_store(spark, path, m0)
+    # layout doubled, content identical, batch id untouched
+    assert m1["n_buckets"] == 8
+    assert m1["batch_id"] == m0["batch_id"]
+    assert read_manifest(path) == m1
+    assert _store_dict(spark, path) == before == dict(rows)
+    # split dirs carry the s-suffix (never collide with batch names)
+    assert all(d.endswith("s8") for d in m1["buckets"].values())
+    # every surviving row sits in its NEW-modulus hash bucket
+    for b in (int(k) for k in m1["buckets"]):
+        got = read_buckets(spark, path, m1, [b]).withColumn(
+            "bk", bucket_of(F.col("s"), 8)
+        )
+        assert all(r["bk"] == b for r in got.collect())
+    # the old 4-bucket dirs are unreferenced -> GC sweeps them
+    gc_store(path, m1)
+    live = {d for d in os.listdir(path) if d.startswith("b")}
+    assert live == set(m1["buckets"].values())
+    # policy wrapper: huge threshold is a no-op, small one doubles once
+    m2 = maybe_split_store(spark, path, m1, threshold_bytes=1 << 40)
+    assert m2["n_buckets"] == 8
+    m3 = maybe_split_store(spark, path, m2, threshold_bytes=1)
+    assert m3["n_buckets"] == 16
+    assert _store_dict(spark, path) == dict(rows)
+
+
+def test_crashed_split_is_invisible_and_replay_heals(spark, tmp_path):
+    """Debris from a split that died before the manifest rename (stage
+    dir + orphan s-suffixed version dirs) must leave the old layout
+    fully live, be swept by GC, and not confuse a re-run split."""
+    import shutil
+
+    from beehive_spark.streaming.shingle_store import split_store
+
+    path = str(tmp_path / "store")
+    rows = [(f"sh{i}", i) for i in range(60)]
+    init_shingle_store(spark, path, n_buckets=4, backfill=_df(spark, rows))
+    m0 = read_manifest(path)
+    # simulate the crash window: run the split's writes, then restore
+    # the pre-split manifest (commit never happened)
+    manifest_bytes = open(os.path.join(path, MANIFEST), "rb").read()
+    split_store(spark, path, dict(m0))
+    with open(os.path.join(path, MANIFEST), "wb") as f:
+        f.write(manifest_bytes)
+    os.makedirs(os.path.join(path, "_stage-split0s8"), exist_ok=True)
+    # old layout still fully live
+    assert read_manifest(path) == m0
+    assert _store_dict(spark, path) == dict(rows)
+    # fold-start GC sweeps the orphans, replayed split converges
+    gc_store(path, m0)
+    assert not any(
+        d.endswith("s8") or d.startswith("_stage-")
+        for d in os.listdir(path)
+    )
+    m1 = split_store(spark, path, m0)
+    assert m1["n_buckets"] == 8
+    assert _store_dict(spark, path) == dict(rows)

@@ -172,3 +172,72 @@ def test_dedup_stream_out_of_order_hands_off_canonical(spark, tmp_path):
         is_new, dup_of = got[doc]
         target = resolve(doc) if dup_of is None else resolve(dup_of)
         assert target == canon[fp], (doc, got[doc], target)
+
+
+def test_dedup_stream_splits_store_and_stays_exact(spark, tmp_path):
+    """With a growth threshold the fold doubles the bucket count as
+    the store fills (r11: size-triggered splits), and the verdicts /
+    final store are BIT-identical to the fixed-B run — the split is
+    pure layout."""
+    from beehive_spark.streaming.materialize import run_dedup_stream
+    from beehive_spark.streaming.shingle_store import read_manifest
+
+    rows = _corpus_rows(spark)
+    fps, canon = _canon(rows)
+    src = str(tmp_path / "src")
+    _slices(spark, rows, src)
+    store = str(tmp_path / "store")
+    out = str(tmp_path / "out")
+    init_shingle_store(spark, store, n_buckets=2)
+
+    docs = (
+        spark.readStream.schema(SCHEMA)
+        .option("maxFilesPerTrigger", "1")
+        .option("recursiveFileLookup", "true")
+        .parquet(src)
+    )
+    run_dedup_stream(
+        spark,
+        docs,
+        store,
+        out,
+        str(tmp_path / "ck"),
+        split_threshold_bytes=2048,
+    )
+
+    m = read_manifest(store)
+    assert m["n_buckets"] > 2  # at least one doubling actually fired
+    want = {
+        doc: (canon[fp] == doc, None if canon[fp] == doc else canon[fp])
+        for doc, fp in fps.items()
+    }
+    assert _read_out(spark, out) == want
+    assert {
+        r["s"]: r["fd"] for r in read_store(spark, store).collect()
+    } == {fp: d for fp, d in canon.items()}
+
+
+def test_dedup_stream_null_text_gets_verdict_rows(spark, tmp_path):
+    """NULL-text docs must not vanish from the verdict log (r10
+    advisory: md5(NULL) -> NULL key silently dropped by the fp join);
+    they dedup into ONE sentinel group, min id canonical."""
+    rows = _corpus_rows(spark)[:20] + [
+        (200001, None, "xx", "null-src", 0),
+        (200002, None, "xx", "null-src", 0),
+        (200003, None, "xx", "null-src", 0),
+    ]
+    src = str(tmp_path / "src")
+    _slices(spark, rows, src)
+    store = str(tmp_path / "store")
+    out = str(tmp_path / "out")
+    init_shingle_store(spark, store, n_buckets=4)
+    _run(spark, src, store, out, str(tmp_path / "ck"))
+    got = _read_out(spark, out)
+    assert got[200001] == (True, None)
+    assert got[200002] == (False, 200001)
+    assert got[200003] == (False, 200001)
+    assert len(got) == len(rows)
+    # the sentinel key is stored like any fingerprint
+    assert {
+        r["s"]: r["fd"] for r in read_store(spark, store).collect()
+    }["null"] == 200001
