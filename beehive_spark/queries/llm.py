@@ -1227,11 +1227,16 @@ def text_lang_id(spark, sf_dir):
 
 
 _BM25_TERMS = ("dup", "spark", "merge")
+# Okapi defaults; every oracle that prices BM25 interpolates THESE so
+# the SQL cannot drift from _bm25_doc_scores (r10 advisory: the
+# helper-hoisted k1/b left three oracles hardcoding the same values)
+_BM25_K1 = 1.2
+_BM25_B = 0.75
 
 
 @query(
     "bm25_retrieval",
-    oracle="""
+    oracle=f"""
     WITH toks AS (
       SELECT doc_id,
              unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term
@@ -1249,8 +1254,9 @@ _BM25_TERMS = ("dup", "spark", "merge")
       SELECT tf.doc_id,
              CAST(ROUND(
                ln(1.0 + (s.n - df.df + 0.5) / (df.df + 0.5))
-               * ((tf.tf * 2.2)
-                  / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * ((dl.dl * s.n) / t.t))))
+               * ((tf.tf * {_BM25_K1 + 1.0})
+                  / (tf.tf + {_BM25_K1} * (1.0 - {_BM25_B}
+                     + {_BM25_B} * ((dl.dl * s.n) / t.t))))
                * 1000000) AS BIGINT) AS c
       FROM tf JOIN df USING (term) JOIN dl USING (doc_id)
       CROSS JOIN s CROSS JOIN t
@@ -1313,13 +1319,13 @@ def _bm25_doc_scores(spark, sf_dir):
     idf = F.log(
         F.lit(1.0) + (F.col("n") - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
     )
-    satur = (F.col("tf") * F.lit(2.2)) / (
+    satur = (F.col("tf") * F.lit(_BM25_K1 + 1.0)) / (
         F.col("tf")
-        + F.lit(1.2)
+        + F.lit(_BM25_K1)
         * (
             F.lit(1.0)
-            - F.lit(0.75)
-            + F.lit(0.75) * ((F.col("dl") * F.col("n")) / F.col("t"))
+            - F.lit(_BM25_B)
+            + F.lit(_BM25_B) * ((F.col("dl") * F.col("n")) / F.col("t"))
         )
     )
     scored = (
@@ -1364,8 +1370,9 @@ _NDCG_K = 10
       SELECT tf.doc_id,
              CAST(ROUND(
                ln(1.0 + (s.n - df.df + 0.5) / (df.df + 0.5))
-               * ((tf.tf * 2.2)
-                  / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * ((dl.dl * s.n) / t.t))))
+               * ((tf.tf * {_BM25_K1 + 1.0})
+                  / (tf.tf + {_BM25_K1} * (1.0 - {_BM25_B}
+                     + {_BM25_B} * ((dl.dl * s.n) / t.t))))
                * 1000000) AS BIGINT) AS c
       FROM tf JOIN df USING (term) JOIN dl USING (doc_id)
       CROSS JOIN s CROSS JOIN t
@@ -3809,8 +3816,9 @@ _RRF_K_OUT = 10
       SELECT tf.doc_id,
              CAST(ROUND(
                ln(1.0 + (s.n - df.df + 0.5) / (df.df + 0.5))
-               * ((tf.tf * 2.2)
-                  / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * ((dl.dl * s.n) / t.t))))
+               * ((tf.tf * {_BM25_K1 + 1.0})
+                  / (tf.tf + {_BM25_K1} * (1.0 - {_BM25_B}
+                     + {_BM25_B} * ((dl.dl * s.n) / t.t))))
                * 1000000) AS BIGINT) AS c
       FROM tf JOIN df USING (term) JOIN dl USING (doc_id)
       CROSS JOIN s CROSS JOIN t
