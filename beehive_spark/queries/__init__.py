@@ -81,29 +81,20 @@ _loaded = False
 # scripts/check_oracle.py sweep still verifies ALL registered queries
 # each round.
 _PRIORITY = [
-    # --- changed in round 10 (code or oracle touched; must re-verify)
-    "ab_test_conversion",       # oracle now rendered from _AB_CONV_MIN
-    "sequence_mining_triples",  # prefix frames hoisted to _seq_prefix_frames
-    "skew_salted_join_agg",     # conf restore unsets instead of leaking -1
-    "bm25_retrieval",           # scorer hoisted to _bm25_doc_scores
-    "similarity_ann_lsh_planted",  # _lsh_search gained multi-probe
-    # --- new in round 10 (appended as they land)
-    "attribution_linear_multitouch",  # r10 new: fractional-credit MTA
-    "conversion_cuped",               # r10 new: CUPED-adjusted A/B readout
-    "survival_kaplan_meier",          # r10 new: product-limit churn curve
-    "model_calibration_ece",          # r10 new: reliability bins + ECE
-    "text_zipf_slope",                # r10 new: token-spectrum OLS fit
-    "retrieval_ndcg",                 # r10 new: NDCG@10 of shipped BM25
-    "graph_degree_assortativity",     # r10 new: Newman mixing coefficient
-    "text_burstiness",                # r10 new: Fano-factor token scatter
-    "user_path_signatures",           # r10 new: top early-journey paths
-    "feature_quantile_normalize",     # r10 new: cross-feature QN map
+    # --- changed in round 11 (code or oracle touched; must re-verify)
+    "feature_quantile_normalize",   # r11: banded-selection rewrite
+    "graph_degree_assortativity",   # r11: degree-moment algebra rewrite
+    "similarity_ann_lsh_planted",   # r11: 5 bands / 3 probes / slim join
+    "bm25_retrieval",               # r11: oracle rendered from _BM25_K1/_B
+    "retrieval_ndcg",               # r11: same interpolated pricing oracle
+    "retrieval_rrf_fusion",         # r11: same interpolated pricing oracle
+    # --- new in round 11 (appended as they land)
 ]
 # The head stays SHORT (<= 15 names, pinned by
 # tests/test_window_policy.py): >= 35 of the driver's 50 window slots
-# go to the computed oldest-evidence-first backfill, which after
-# CORRECTNESS_r09 clears the remaining r05-vintage oracled cohort
-# (24 queries) this round.
+# go to the computed oldest-evidence-first backfill, which this round
+# rotates onto the r6-vintage oracled cohort (the oldest remaining
+# evidence after CORRECTNESS_r10 cleared the r4/r5 backlog).
 
 
 def _evidence_vintage() -> dict[str, int]:
