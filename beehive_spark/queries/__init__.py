@@ -89,6 +89,12 @@ _PRIORITY = [
     "retrieval_ndcg",               # r11: same interpolated pricing oracle
     "retrieval_rrf_fusion",         # r11: same interpolated pricing oracle
     # --- new in round 11 (appended as they land)
+    "feature_winsorize_clip",       # r11 new: exact p1/p99 clip map
+    "text_readability",             # r11 new: Flesch reading ease
+    "orders_benford_audit",         # r11 new: first-digit conformance
+    "events_user_entropy",          # r11 new: behavioral diversity
+    "feature_hash_cross",           # r11 new: hashing-trick crosses
+    "supplier_gini",                # r11 new: revenue concentration
 ]
 # The head stays SHORT (<= 15 names, pinned by
 # tests/test_window_policy.py): >= 35 of the driver's 50 window slots

@@ -4383,3 +4383,236 @@ def user_path_signatures(spark, sf_dir):
         .orderBy(F.col("n_users").desc(), "path")
         .limit(_PATH_TOP)
     )
+
+
+# ---------------------------------------------------------------------------
+# Data-quality audit — Benford first-digit conformance of order totals
+# ---------------------------------------------------------------------------
+@query(
+    "orders_benford_audit",
+    oracle="""
+    WITH v AS (
+      SELECT CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+      FROM orders WHERE o_totalprice > 0
+    ),
+    d AS (
+      SELECT CAST(substr(CAST(cents AS VARCHAR), 1, 1) AS INT) AS digit,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM v GROUP BY 1
+    ),
+    t AS (SELECT CAST(SUM(n) AS BIGINT) AS total FROM d)
+    SELECT digit, n,
+           CAST(ROUND(CAST(n AS DOUBLE) / total * 1000000) AS BIGINT)
+             AS observed_micro,
+           CAST(ROUND(log10(1.0 + 1.0 / digit) * 1000000) AS BIGINT)
+             AS expected_micro,
+           CAST(ROUND(
+             (CAST(n AS DOUBLE) - total * log10(1.0 + 1.0 / digit))
+             * (CAST(n AS DOUBLE) - total * log10(1.0 + 1.0 / digit))
+             / (total * log10(1.0 + 1.0 / digit)) * 1000000
+           ) AS BIGINT) AS chi2_micro
+    FROM d CROSS JOIN t
+    """,
+)
+def orders_benford_audit(spark, sf_dir):
+    """Benford's-law first-significant-digit audit of order totals
+    (Benford 1938; Nigrini's forensic-accounting screen): per digit
+    1-9, the observed share vs the Benford expectation
+    ``log10(1 + 1/d)`` and the chi-square contribution — the standard
+    fabricated-data / truncation-artifact detector a warehouse runs
+    over money columns.  (TPC-H totals are sums of uniform prices, so
+    they deviate from Benford — the AUDIT is the operator; the verdict
+    is the user's.)
+
+    Exactness: the first digit comes from the integer-cents DECIMAL
+    STRING (never float log10 of the value — a boundary ULP could
+    flip 999999 vs 1000000's digit); counts are exact BIGINTs; the
+    share/expectation/chi-square doubles are identical expressions on
+    identical integers both sides, micro-rounded.
+
+    Scale shape: one scan with the digit computed in-row, a 9-group
+    combinable aggregate, and a 1-row broadcast total — the flattest
+    plan in the audit family; at 100 TB it is scan-bound and the
+    shuffle moves 9 rows."""
+    o = load(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 0)
+    v = o.select(
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents")
+    )
+    d = (
+        v.select(
+            F.substring(F.col("cents").cast("string"), 1, 1)
+            .cast("int")
+            .alias("digit")
+        )
+        .groupBy("digit")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    t = d.agg(F.sum("n").cast("long").alias("total"))
+    nd = F.col("n").cast("double")
+    exp_p = F.log10(F.lit(1.0) + F.lit(1.0) / F.col("digit"))
+    dev = nd - F.col("total") * exp_p
+    return d.crossJoin(F.broadcast(t)).select(
+        "digit",
+        "n",
+        F.round(nd / F.col("total") * 1_000_000)
+        .cast("long")
+        .alias("observed_micro"),
+        F.round(exp_p * 1_000_000).cast("long").alias("expected_micro"),
+        F.round(dev * dev / (F.col("total") * exp_p) * 1_000_000)
+        .cast("long")
+        .alias("chi2_micro"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Behavioral profile — per-user event-type Shannon entropy
+# ---------------------------------------------------------------------------
+@query(
+    "events_user_entropy",
+    oracle="""
+    WITH ct AS (
+      SELECT user_id, event_type, CAST(COUNT(*) AS BIGINT) AS c
+      FROM events GROUP BY 1, 2
+    ),
+    w AS (
+      SELECT user_id, c,
+             SUM(c) OVER (PARTITION BY user_id) AS n
+      FROM ct
+    )
+    SELECT user_id,
+           CAST(MAX(n) AS BIGINT) AS n_events,
+           CAST(COUNT(*) AS BIGINT) AS n_types,
+           CAST(SUM(CAST(ROUND(
+             -(CAST(c AS DOUBLE) / n) * ln(CAST(c AS DOUBLE) / n)
+             * 1000000) AS BIGINT)) AS BIGINT) AS entropy_micro
+    FROM w GROUP BY user_id
+    """,
+)
+def events_user_entropy(spark, sf_dir):
+    """Per-user Shannon entropy of the event-type distribution in
+    micro-nats — the behavioral-diversity feature (bot screens flag
+    near-zero entropy; exploratory users score near ln(k)) computed
+    with the repo's exact-grid discipline: each type's contribution
+    ``-(c/n) * ln(c/n)`` is evaluated on exact integer (c, n) by the
+    identical double expression in both engines and MICRO-ROUNDED
+    BEFORE the per-user sum (the BM25/perplexity pattern — a <=1-ulp
+    ln() divergence dies at the grid instead of flaking the hash).
+
+    Scale shape: one (user, type) combinable count, a window
+    partitioned by the HIGH-CARDINALITY user key over the already
+    aggregated frame (|users|*|types| rows, never raw events — the
+    window_rank_suite precedent), then a user-keyed sum that reuses
+    the same partitioning.  Per-user state is |event types|, bounded
+    by the domain."""
+    ev = load(spark, sf_dir, "events")
+    ct = ev.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    n = F.sum("c").over(Window.partitionBy("user_id"))
+    w = ct.select("user_id", "c", n.alias("n"))
+    p = F.col("c").cast("double") / F.col("n")
+    contrib = F.round(-p * F.log(p) * 1_000_000).cast("long")
+    return w.groupBy("user_id").agg(
+        F.max("n").cast("long").alias("n_events"),
+        F.count(F.lit(1)).cast("long").alias("n_types"),
+        F.sum(contrib).cast("long").alias("entropy_micro"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Concentration audit — supplier revenue Gini coefficient
+# ---------------------------------------------------------------------------
+@query(
+    "supplier_gini",
+    oracle="""
+    WITH r AS (
+      SELECT l_suppkey AS sk,
+             CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 100)
+                           AS BIGINT)) AS BIGINT) AS cents
+      FROM lineitem GROUP BY 1
+    ),
+    o AS (
+      SELECT sk, cents,
+             ROW_NUMBER() OVER (ORDER BY cents, sk) AS i,
+             COUNT(*) OVER () AS n
+      FROM r
+    ),
+    a AS (
+      SELECT CAST(MAX(n) AS BIGINT) AS n,
+             CAST(SUM(cents) AS BIGINT) AS s0,
+             CAST(SUM(i * cents) AS BIGINT) AS s1,
+             CAST(SUM(CASE WHEN i > n - (n + 9) // 10
+                           THEN cents ELSE 0 END) AS BIGINT) AS top_cents
+      FROM o
+    )
+    SELECT n AS n_suppliers, s0 AS total_cents,
+           CAST(ROUND((2.0 * CAST(s1 AS DOUBLE) / (CAST(n AS DOUBLE) * s0)
+                       - (CAST(n AS DOUBLE) + 1.0) / n) * 1000000)
+                AS BIGINT) AS gini_micro,
+           CAST(ROUND(CAST(top_cents AS DOUBLE) / s0 * 1000000)
+                AS BIGINT) AS top_decile_share_micro
+    FROM a
+    """,
+)
+def supplier_gini(spark, sf_dir):
+    """Gini coefficient of revenue concentration across suppliers via
+    the rank formula ``G = 2*sum(i*x_i)/(n*sum(x)) - (n+1)/n`` over
+    ascending-sorted per-supplier revenue, plus the top-decile revenue
+    share — the one-number supply-chain concentration diagnostic next
+    to :func:`orders_pareto_abc`'s class table.
+
+    Exactness: revenue rounds to integer cents PER ROW before the
+    BIGINT supplier sum (both engines, same expression); the rank
+    weights are exact; the closing Gini/share doubles are identical
+    expressions on identical integers, micro-rounded.
+
+    Scale shape: the fact table collapses to |suppliers| rows with one
+    combinable agg; the rank window then sorts the AGGREGATE frame in
+    a single partition — the orders_pareto_abc precedent: bounded by
+    the supplier dimension, never by fact rows (at 100 TB |suppliers|
+    is millions of slim rows at worst; if that ever dominates, the
+    two-level banded count of pareto_abc is the drop-in fix)."""
+    li = load(spark, sf_dir, "lineitem")
+    rev = li.groupBy(F.col("l_suppkey").alias("sk")).agg(
+        F.sum(
+            F.round(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
+            ).cast("long")
+        )
+        .cast("long")
+        .alias("cents")
+    )
+    w = Window.orderBy("cents", "sk")
+    o = rev.select(
+        "cents",
+        F.row_number().over(w).alias("i"),
+        F.count(F.lit(1)).over(Window.partitionBy()).alias("n"),
+    )
+    a = o.agg(
+        F.max("n").cast("long").alias("n"),
+        F.sum("cents").cast("long").alias("s0"),
+        F.sum(F.col("i") * F.col("cents")).cast("long").alias("s1"),
+        F.sum(
+            F.when(
+                F.col("i") > F.col("n") - F.expr("(n + 9) DIV 10"),
+                F.col("cents"),
+            ).otherwise(F.lit(0))
+        )
+        .cast("long")
+        .alias("top_cents"),
+    )
+    nd = F.col("n").cast("double")
+    gini = (
+        F.lit(2.0) * F.col("s1").cast("double") / (nd * F.col("s0"))
+        - (nd + F.lit(1.0)) / F.col("n")
+    )
+    return a.select(
+        F.col("n").alias("n_suppliers"),
+        F.col("s0").alias("total_cents"),
+        F.round(gini * 1_000_000).cast("long").alias("gini_micro"),
+        F.round(
+            F.col("top_cents").cast("double") / F.col("s0") * 1_000_000
+        )
+        .cast("long")
+        .alias("top_decile_share_micro"),
+    )

@@ -4457,3 +4457,109 @@ def text_burstiness(spark, sf_dir):
         "total",
         F.round(var / mean * 1_000_000).cast("long").alias("fano_micro"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Text analysis — Flesch reading-ease readability profile
+# ---------------------------------------------------------------------------
+# Flesch (1948) coefficients; interpolated into the oracle so the SQL
+# cannot drift from the Spark expression (the BM25 k1/b discipline)
+_FLESCH_BASE = 206.835
+_FLESCH_WPS = 1.015
+_FLESCH_SPW = 84.6
+_SENT_RE = "[.!?]+"
+_SYL_RE = "[aeiouy]+"
+
+
+@query(
+    "text_readability",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id,
+             regexp_extract_all(lower(text), '{TOKEN_RE}') AS toks,
+             GREATEST(CAST(1 AS BIGINT),
+                      CAST(len(regexp_extract_all(text, '{_SENT_RE}'))
+                           AS BIGINT)) AS n_sentences
+      FROM documents
+    ),
+    c AS (
+      SELECT doc_id, n_sentences,
+             CAST(len(toks) AS BIGINT) AS n_words,
+             CAST(COALESCE(list_sum(list_transform(
+               toks,
+               w -> GREATEST(1, len(regexp_extract_all(w, '{_SYL_RE}')))
+             )), 0) AS BIGINT) AS n_syllables
+      FROM t
+    )
+    SELECT doc_id, n_words, n_sentences, n_syllables,
+           CAST(ROUND((
+             {_FLESCH_BASE}
+             - {_FLESCH_WPS} * (CAST(n_words AS DOUBLE) / n_sentences)
+             - {_FLESCH_SPW} * (CAST(n_syllables AS DOUBLE) / n_words)
+           ) * 1000000) AS BIGINT) AS flesch_micro
+    FROM c WHERE n_words > 0
+    """,
+)
+def text_readability(spark, sf_dir):
+    """Flesch reading-ease per document (Flesch 1948 — the standard
+    readability screen next to the C4/Gopher heuristics in
+    ``text_quality_score``): ``206.835 - 1.015*(words/sentences) -
+    84.6*(syllables/word)``, with sentences counted as terminal-
+    punctuation runs (clamped >= 1 so fragments score) and syllables
+    approximated as vowel-group runs per word (clamped >= 1) — the
+    deterministic approximation every readability library uses when
+    no pronunciation dictionary is loaded.  Zero-word docs are
+    excluded (readability of nothing is undefined).
+
+    Exactness: word/sentence/syllable counts are exact integers from
+    the SAME regexes both sides; the two ratios and the affine
+    combination are evaluated by the identical double expression on
+    identical integers, micro-rounded once at the end.
+
+    Scale shape: one scan, all counting in JVM regex expressions
+    (whole-stage codegen, no Python); the token array materializes in
+    its own projection before the per-word syllable transform (the
+    _tokens/CollapseProject lesson), and there is no shuffle at all —
+    a pure map job at any corpus size."""
+    d = load(spark, sf_dir, "documents")
+    t = d.select(
+        "doc_id",
+        _tokens(F.col("text")).alias("toks"),
+        F.greatest(
+            F.lit(1).cast("long"),
+            F.size(
+                F.regexp_extract_all(F.col("text"), F.lit(_SENT_RE), 0)
+            ).cast("long"),
+        ).alias("n_sentences"),
+    )
+    syl = F.transform(
+        F.col("toks"),
+        lambda w: F.greatest(
+            F.lit(1),
+            F.size(F.regexp_extract_all(w, F.lit(_SYL_RE), 0)),
+        ),
+    )
+    c = t.select(
+        "doc_id",
+        "n_sentences",
+        F.size("toks").cast("long").alias("n_words"),
+        F.coalesce(
+            F.aggregate(syl, F.lit(0), lambda a, x: a + x), F.lit(0)
+        )
+        .cast("long")
+        .alias("n_syllables"),
+    ).filter(F.col("n_words") > 0)
+    score = (
+        F.lit(_FLESCH_BASE)
+        - F.lit(_FLESCH_WPS)
+        * (F.col("n_words").cast("double") / F.col("n_sentences"))
+        - F.lit(_FLESCH_SPW)
+        * (F.col("n_syllables").cast("double") / F.col("n_words"))
+    )
+    return c.select(
+        "doc_id",
+        "n_words",
+        "n_sentences",
+        "n_syllables",
+        F.round(score * 1_000_000).cast("long").alias("flesch_micro"),
+    )

@@ -900,6 +900,214 @@ def model_calibration_ece(spark, sf_dir):
     )
 
 
+def _lineitem_feature_frame(spark, sf_dir):
+    """The three lineitem features as ONE exploded
+    ``(feature, v_cents)`` frame — a single scan (the oracles' UNION
+    ALL states the SEMANTICS; the plan should not re-scan the fact
+    table per feature).  Integer units: quantity in hundredths,
+    price in cents, discount in basis points."""
+    li = load(spark, sf_dir, "lineitem")
+    return li.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("quantity").alias("feature"),
+                    (F.col("l_quantity").cast("long") * 100).alias(
+                        "v_cents"
+                    ),
+                ),
+                F.struct(
+                    F.lit("extendedprice").alias("feature"),
+                    F.round(F.col("l_extendedprice") * 100)
+                    .cast("long")
+                    .alias("v_cents"),
+                ),
+                F.struct(
+                    F.lit("discount").alias("feature"),
+                    F.round(F.col("l_discount") * 10000)
+                    .cast("long")
+                    .alias("v_cents"),
+                ),
+            )
+        ).alias("fv")
+    ).select(
+        F.col("fv.feature").alias("feature"),
+        F.col("fv.v_cents").alias("v_cents"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Shared primitive — two-pass banded exact selection over (feature, value)
+# ---------------------------------------------------------------------------
+class _BandedSelection:
+    """Exact order statistics over a ``(feature string, v_cents long)``
+    frame WITHOUT any sort — the ``lineitem_exact_quantiles`` two-pass
+    banded-histogram selection (queries/core.py) packaged as a shared
+    driver-side index, so every rank/threshold consumer
+    (:func:`feature_quantile_normalize`, :func:`feature_winsorize_clip`)
+    prices the same algebra instead of re-deriving it.
+
+    Pass 1 (construction): one combinable (feature, band) aggregation
+    (band = (v - lo) / width, width = range/n_bands) collecting
+    <= |features| * n_bands (count, sum) rows to the driver.  Pass 2
+    (:meth:`refine`): per exact-value counts ONLY inside the bands a
+    consumer's ranks land in — the collect is bounded by
+    value-domain/n_bands per band, a domain constant independent of
+    row count.  Every public method then answers from exact BIGINT
+    driver arithmetic.  No window, no range partition, no task ever
+    holds more than a hash slice of one aggregation."""
+
+    def __init__(self, f, n_bands: int = 4096):
+        self._f = f
+        self._n_bands = n_bands
+        stats = {
+            r["feature"]: (r["lo"], r["hi"])
+            for r in f.groupBy("feature")
+            .agg(F.min("v_cents").alias("lo"), F.max("v_cents").alias("hi"))
+            .collect()
+        }
+        self.stats = stats
+        self.width = {
+            feat: max(1, (hi - lo) // n_bands + 1)
+            for feat, (lo, hi) in stats.items()
+        }
+        # per-feature band id as ONE expression (a |features|-way CASE
+        # on the feature tag — stays inside whole-stage codegen)
+        band_expr = None
+        for feat, (lo, _hi) in stats.items():
+            leg = (
+                (F.col("v_cents") - F.lit(lo)) / F.lit(self.width[feat])
+            ).cast("long")
+            band_expr = (
+                F.when(F.col("feature") == feat, leg)
+                if band_expr is None
+                else band_expr.when(F.col("feature") == feat, leg)
+            )
+        self._band_expr = band_expr
+        self.bands: dict[str, list] = {}
+        self.totals: dict[str, tuple] = {}
+        self._vals: dict[tuple, list] = {}
+        if band_expr is None:
+            return
+        hist = (
+            f.groupBy("feature", band_expr.alias("b"))
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("c"),
+                F.sum("v_cents").cast("long").alias("s"),
+            )
+            .collect()
+        )
+        for r in hist:
+            self.bands.setdefault(r["feature"], []).append(
+                (int(r["b"]), r["c"], r["s"])
+            )
+        for feat, bl in self.bands.items():
+            bl.sort()
+            self.totals[feat] = (
+                sum(c for _, c, _ in bl),
+                sum(s for _, _, s in bl),
+            )
+
+    @property
+    def empty(self) -> bool:
+        return self._band_expr is None
+
+    def band_of_rank(self, feat: str, r: int) -> int | None:
+        """The band holding the r-th smallest value (1-based)."""
+        acc = 0
+        for b, c, _s in self.bands[feat]:
+            if acc + c >= r:
+                return b
+            acc += c
+        return None
+
+    def band_of_value(self, feat: str, v: int) -> int:
+        return (v - self.stats[feat][0]) // self.width[feat]
+
+    def refine(self, need: dict[str, set]) -> None:
+        """Pass 2: exact per-value counts inside the named bands (a
+        second combinable aggregation over the same frame)."""
+        need = {feat: hit for feat, hit in need.items() if hit}
+        if not need:
+            return
+        flt = None
+        for feat, hit in need.items():
+            leg = (F.col("feature") == feat) & self._band_expr.isin(
+                sorted(hit)
+            )
+            flt = leg if flt is None else flt | leg
+        fine = (
+            self._f.filter(flt)
+            .groupBy("feature", self._band_expr.alias("b"), "v_cents")
+            .agg(F.count(F.lit(1)).cast("long").alias("c"))
+            .collect()
+        )
+        for r in fine:
+            self._vals.setdefault((r["feature"], int(r["b"])), []).append(
+                (r["v_cents"], r["c"])
+            )
+        for k in self._vals:
+            self._vals[k].sort()
+
+    def prefix_sum(self, feat: str, r: int) -> int:
+        """Exact BIGINT sum of the r smallest values of ``feat`` (the
+        rank's band must have been :meth:`refine`-d)."""
+        n, total = self.totals[feat]
+        if r <= 0:
+            return 0
+        if r >= n:
+            return total
+        acc_c, acc_s = 0, 0
+        for b, c, s in self.bands[feat]:
+            if acc_c + c < r:
+                acc_c += c
+                acc_s += s
+                continue
+            within = r - acc_c
+            wc, ws = 0, 0
+            for v, cv in self._vals[(feat, b)]:
+                if wc + cv <= within:
+                    wc += cv
+                    ws += v * cv
+                else:
+                    ws += (within - wc) * v
+                    break
+            return acc_s + ws
+        return total
+
+    def value_at(self, feat: str, r: int) -> int:
+        """The r-th smallest value (1-based; lower-quantile selection
+        convention; band must have been refined)."""
+        acc_c = 0
+        for b, c, _s in self.bands[feat]:
+            if acc_c + c < r:
+                acc_c += c
+                continue
+            within = r - acc_c
+            wc = 0
+            for v, cv in self._vals[(feat, b)]:
+                wc += cv
+                if wc >= within:
+                    return v
+            break
+        raise IndexError(f"rank {r} out of range for {feat}")
+
+    def below(self, feat: str, v0: int, inclusive: bool) -> tuple:
+        """Exact ``(count, sum)`` of values < v0 (or <= v0) — v0's band
+        must have been refined."""
+        b0 = self.band_of_value(feat, v0)
+        acc_c, acc_s = 0, 0
+        for b, c, s in self.bands[feat]:
+            if b < b0:
+                acc_c += c
+                acc_s += s
+        for v, cv in self._vals.get((feat, b0), []):
+            if v < v0 or (inclusive and v == v0):
+                acc_c += cv
+                acc_s += v * cv
+        return acc_c, acc_s
+
+
 # ---------------------------------------------------------------------------
 # Feature prep — cross-feature quantile-normalization map
 # ---------------------------------------------------------------------------
@@ -966,8 +1174,9 @@ def feature_quantile_normalize(spark, sf_dir):
     rank pass entirely.
 
     Scale shape (the ``lineitem_exact_quantiles`` two-pass selection,
-    generalized to all ``_QN_BUCKETS - 1`` boundary ranks per
-    feature): pass 1 is one union scan + a map-side-combinable
+    generalized to all ``_QN_BUCKETS - 1`` boundary ranks per feature
+    and shared as :class:`_BandedSelection` with
+    :func:`feature_winsorize_clip`): pass 1 is one union scan + a map-side-combinable
     (feature, band) histogram (<= 3 x 4096 rows to the driver); the
     driver walks each feature's band prefix to place the 99 NTILE
     boundary ranks (SQL remainder rule: bucket i holds q+1 rows for
@@ -982,155 +1191,31 @@ def feature_quantile_normalize(spark, sf_dir):
     is constant-size regardless of corpus rows; the 300-row moment
     frame computes the cross-feature target with the same window
     expression as before so rounding is bit-identical."""
-    li = load(spark, sf_dir, "lineitem")
-    # ONE scan per pass: the three feature columns explode in-row to
-    # (feature, v_cents) structs — a 3-leg union would re-scan the
-    # fact table per feature (the oracle's UNION ALL states the
-    # SEMANTICS; the plan should not pay it)
-    f = li.select(
-        F.explode(
-            F.array(
-                F.struct(
-                    F.lit("quantity").alias("feature"),
-                    (F.col("l_quantity").cast("long") * 100).alias(
-                        "v_cents"
-                    ),
-                ),
-                F.struct(
-                    F.lit("extendedprice").alias("feature"),
-                    F.round(F.col("l_extendedprice") * 100)
-                    .cast("long")
-                    .alias("v_cents"),
-                ),
-                F.struct(
-                    F.lit("discount").alias("feature"),
-                    F.round(F.col("l_discount") * 10000)
-                    .cast("long")
-                    .alias("v_cents"),
-                ),
-            )
-        ).alias("fv")
-    ).select(
-        F.col("fv.feature").alias("feature"),
-        F.col("fv.v_cents").alias("v_cents"),
-    )
-    n_bands = 4096
-    stats = {
-        r["feature"]: (r["lo"], r["hi"])
-        for r in f.groupBy("feature")
-        .agg(F.min("v_cents").alias("lo"), F.max("v_cents").alias("hi"))
-        .collect()
-    }
+    f = _lineitem_feature_frame(spark, sf_dir)
     out_schema = (
         "feature string, bucket int, n long, sum_cents long"
     )
-    if not stats:
+    sel = _BandedSelection(f)
+    if sel.empty:
         m = spark.createDataFrame([], out_schema)
     else:
-        width = {
-            feat: max(1, (hi - lo) // n_bands + 1)
-            for feat, (lo, hi) in stats.items()
-        }
-        # per-feature band id as ONE expression (3-way CASE on the
-        # feature tag — stays inside whole-stage codegen)
-        band_expr = None
-        for feat, (lo, _hi) in stats.items():
-            leg = ((F.col("v_cents") - F.lit(lo)) / F.lit(width[feat])).cast(
-                "long"
-            )
-            band_expr = (
-                F.when(F.col("feature") == feat, leg)
-                if band_expr is None
-                else band_expr.when(F.col("feature") == feat, leg)
-            )
-        hist = (
-            f.groupBy("feature", band_expr.alias("b"))
-            .agg(
-                F.count(F.lit(1)).cast("long").alias("c"),
-                F.sum("v_cents").cast("long").alias("s"),
-            )
-            .collect()
-        )
-        bands: dict[str, list] = {}
-        for r in hist:
-            bands.setdefault(r["feature"], []).append(
-                (int(r["b"]), r["c"], r["s"])
-            )
-        for feat in bands:
-            bands[feat].sort()
         # place each feature's NTILE boundary ranks in a band
         # (SQL remainder rule: cum_i = i*q + min(i, rem))
-        need: dict[str, set] = {}
         ranks: dict[str, list] = {}
-        totals: dict[str, tuple] = {}
-        for feat, bl in bands.items():
-            n = sum(c for _, c, _ in bl)
-            totals[feat] = (n, sum(s for _, _, s in bl))
+        need: dict[str, set] = {}
+        for feat, (n, _total) in sel.totals.items():
             q, rem = divmod(n, _QN_BUCKETS)
-            cuts = [
-                i * q + min(i, rem) for i in range(1, _QN_BUCKETS)
-            ]
+            cuts = [i * q + min(i, rem) for i in range(1, _QN_BUCKETS)]
             ranks[feat] = cuts
-            acc = 0
-            it = iter(bl)
-            cur = next(it, None)
-            hit = set()
-            for r in cuts:
-                while cur is not None and acc + cur[1] < r:
-                    acc += cur[1]
-                    cur = next(it, None)
-                if cur is not None and r > 0:
-                    hit.add(cur[0])
-            need[feat] = hit
-        # pass 2: exact per-value counts ONLY inside boundary bands
-        need_filter = None
-        for feat, hit in need.items():
-            leg = (F.col("feature") == feat) & band_expr.isin(
-                sorted(hit)
-            )
-            need_filter = leg if need_filter is None else need_filter | leg
-        fine = (
-            f.filter(need_filter)
-            .groupBy("feature", band_expr.alias("b"), "v_cents")
-            .agg(F.count(F.lit(1)).cast("long").alias("c"))
-            .collect()
-        )
-        vals: dict[tuple, list] = {}
-        for r in fine:
-            vals.setdefault((r["feature"], int(r["b"])), []).append(
-                (r["v_cents"], r["c"])
-            )
-        for k in vals:
-            vals[k].sort()
-
-        def prefix_sum(feat: str, r: int) -> int:
-            """Exact BIGINT sum of the r smallest v_cents of feat."""
-            n, total = totals[feat]
-            if r <= 0:
-                return 0
-            if r >= n:
-                return total
-            acc_c, acc_s = 0, 0
-            for b, c, s in bands[feat]:
-                if acc_c + c < r:
-                    acc_c += c
-                    acc_s += s
-                    continue
-                within = r - acc_c
-                wc, ws = 0, 0
-                for v, cv in vals[(feat, b)]:
-                    if wc + cv <= within:
-                        wc += cv
-                        ws += v * cv
-                    else:
-                        ws += (within - wc) * v
-                        break
-                return acc_s + ws
-            return total
-
+            need[feat] = {
+                b
+                for r in cuts
+                if r > 0 and (b := sel.band_of_rank(feat, r)) is not None
+            }
+        sel.refine(need)
         rows = []
         for feat, cuts in ranks.items():
-            n, total = totals[feat]
+            n, _total = sel.totals[feat]
             edges = [0] + cuts + [n]
             for i in range(_QN_BUCKETS):
                 lo_r, hi_r = edges[i], edges[i + 1]
@@ -1141,7 +1226,8 @@ def feature_quantile_normalize(spark, sf_dir):
                         feat,
                         i + 1,
                         hi_r - lo_r,
-                        prefix_sum(feat, hi_r) - prefix_sum(feat, lo_r),
+                        sel.prefix_sum(feat, hi_r)
+                        - sel.prefix_sum(feat, lo_r),
                     )
                 )
         m = spark.createDataFrame(rows, out_schema)
@@ -1156,4 +1242,212 @@ def feature_quantile_normalize(spark, sf_dir):
         "n",
         F.round(mean * 10).cast("long").alias("mean_milli"),
         F.round(target * 10).cast("long").alias("target_milli"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Feature prep — exact winsorization clip map (p1/p99)
+# ---------------------------------------------------------------------------
+_WINSOR_PCT = 1  # clip percentile (symmetric: p1 / p99)
+
+
+@query(
+    "feature_winsorize_clip",
+    oracle=f"""
+    WITH f AS (
+      SELECT 'quantity' AS feature,
+             CAST(l_quantity AS BIGINT) * 100 AS v FROM lineitem
+      UNION ALL
+      SELECT 'extendedprice', CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+      FROM lineitem
+      UNION ALL
+      SELECT 'discount', CAST(ROUND(l_discount * 10000) AS BIGINT)
+      FROM lineitem
+    ),
+    o AS (
+      SELECT feature, v,
+             ROW_NUMBER() OVER (PARTITION BY feature ORDER BY v) AS rn
+      FROM f
+    ),
+    n AS (SELECT feature, CAST(COUNT(*) AS BIGINT) AS n
+          FROM f GROUP BY feature),
+    k AS (
+      SELECT feature, n,
+             ({_WINSOR_PCT} * n + 99) // 100 AS k_lo,
+             ((100 - {_WINSOR_PCT}) * n + 99) // 100 AS k_hi
+      FROM n
+    ),
+    b AS (
+      SELECT k.feature, k.n, lo.v AS lo_v, hi.v AS hi_v
+      FROM k
+      JOIN o lo ON lo.feature = k.feature AND lo.rn = k.k_lo
+      JOIN o hi ON hi.feature = k.feature AND hi.rn = k.k_hi
+    ),
+    c AS (
+      SELECT f.feature,
+             CAST(SUM(CASE WHEN f.v < b.lo_v THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_clip_lo,
+             CAST(SUM(CASE WHEN f.v > b.hi_v THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_clip_hi,
+             CAST(SUM(CASE WHEN f.v < b.lo_v THEN b.lo_v
+                           WHEN f.v > b.hi_v THEN b.hi_v
+                           ELSE f.v END) AS BIGINT) AS sum_clip
+      FROM f JOIN b USING (feature) GROUP BY f.feature
+    )
+    SELECT b.feature, b.n, b.lo_v AS lo_cents, b.hi_v AS hi_cents,
+           c.n_clip_lo, c.n_clip_hi,
+           CAST(ROUND(CAST(c.sum_clip AS DOUBLE) / b.n * 10) AS BIGINT)
+             AS mean_clip_milli
+    FROM b JOIN c USING (feature)
+    """,
+)
+def feature_winsorize_clip(spark, sf_dir):
+    """Exact winsorization map for the three lineitem features: the
+    p1/p99 clip bounds (``_WINSOR_PCT``, lower-quantile selection
+    ``k = ceil(q*n)`` — the repo's order-statistic convention), the
+    count clipped at each tail, and the post-clip mean — the
+    outlier-robust scaling a feature store applies before
+    standardization (winsorizing beats dropping when tails carry
+    label signal).
+
+    Exactness: integer units in, the clip bounds are SELECTED values
+    (exact order statistics), tail counts and the clipped sum are
+    exact BIGINT driver arithmetic off the same band/value tables,
+    and the one double division is evaluated by the identical
+    expression both sides, milli-rounded.
+
+    Scale shape: rides :class:`_BandedSelection` — the SAME two
+    combinable aggregation passes :func:`feature_quantile_normalize`
+    prices (pass 1 per-(feature, band) histogram, pass 2 per-value
+    counts inside the <= 2 boundary bands per feature), then pure
+    driver arithmetic: ``sum_clip = lo*|v<lo| + (sum<=hi - sum<lo) +
+    hi*(n - |v<=hi|)``.  The oracle's ROW_NUMBER shape would cost a
+    full per-feature sort at cluster scale; this plan never sorts
+    anything.  The emitted map is |features| rows regardless of
+    corpus size."""
+    f = _lineitem_feature_frame(spark, sf_dir)
+    out_schema = (
+        "feature string, n long, lo_cents long, hi_cents long,"
+        " n_clip_lo long, n_clip_hi long, sum_clip long"
+    )
+    sel = _BandedSelection(f)
+    if sel.empty:
+        m = spark.createDataFrame([], out_schema)
+    else:
+        ks = {}
+        need: dict[str, set] = {}
+        for feat, (n, _total) in sel.totals.items():
+            k_lo = (_WINSOR_PCT * n + 99) // 100
+            k_hi = ((100 - _WINSOR_PCT) * n + 99) // 100
+            ks[feat] = (k_lo, k_hi)
+            need[feat] = {
+                b
+                for r in (k_lo, k_hi)
+                if r > 0 and (b := sel.band_of_rank(feat, r)) is not None
+            }
+        sel.refine(need)
+        rows = []
+        for feat, (k_lo, k_hi) in ks.items():
+            n, _total = sel.totals[feat]
+            lo_v = sel.value_at(feat, k_lo)
+            hi_v = sel.value_at(feat, k_hi)
+            c_lt_lo, s_lt_lo = sel.below(feat, lo_v, inclusive=False)
+            c_le_hi, s_le_hi = sel.below(feat, hi_v, inclusive=True)
+            sum_clip = (
+                lo_v * c_lt_lo
+                + (s_le_hi - s_lt_lo)
+                + hi_v * (n - c_le_hi)
+            )
+            rows.append(
+                (feat, n, lo_v, hi_v, c_lt_lo, n - c_le_hi, sum_clip)
+            )
+        m = spark.createDataFrame(rows, out_schema)
+    return m.select(
+        "feature",
+        "n",
+        "lo_cents",
+        "hi_cents",
+        "n_clip_lo",
+        "n_clip_hi",
+        F.round(F.col("sum_clip").cast("double") / F.col("n") * 10)
+        .cast("long")
+        .alias("mean_clip_milli"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Feature prep — hashing-trick cross-feature buckets
+# ---------------------------------------------------------------------------
+_HASH_CROSS_BUCKETS = 64
+
+
+@query(
+    "feature_hash_cross",
+    oracle=f"""
+    WITH k AS (
+      SELECT CAST(c_nationkey AS VARCHAR) || '|' || c_mktsegment AS ck
+      FROM customer
+    ),
+    h AS (
+      SELECT ck,
+             CAST(('0x' || substr(md5(ck), 1, 8))::UBIGINT
+                  % {_HASH_CROSS_BUCKETS} AS BIGINT) AS bucket,
+             CAST(('0x' || substr(md5('s#' || ck), 1, 8))::UBIGINT % 2
+                  AS BIGINT) * 2 - 1 AS sgn,
+             CAST(COUNT(*) AS BIGINT) AS c
+      FROM k GROUP BY ck
+    )
+    SELECT bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_crosses,
+           CAST(SUM(c) AS BIGINT) AS n_rows,
+           CAST(SUM(sgn * c) AS BIGINT) AS signed_sum
+    FROM h GROUP BY bucket
+    """,
+)
+def feature_hash_cross(spark, sf_dir):
+    """The hashing trick for categorical feature crosses (Weinberger
+    et al. 2009): nation x market-segment crosses hashed into
+    ``_HASH_CROSS_BUCKETS`` buckets with an independent sign hash, so
+    the feature vector is fixed-width no matter how many distinct
+    crosses exist — THE standard way a training pipeline encodes
+    unbounded categorical interactions.  Emits the bucket table a
+    trainer consumes (signed counts) plus the collision diagnostic
+    (distinct crosses per bucket).
+
+    Determinism: md5-derived bucket and sign (the stratified_sample
+    convention — Spark and DuckDB implement md5 identically, xxhash64
+    exists only on one side), all outputs exact BIGINTs; the sign
+    hash salts the key ('s#' prefix) so sign and bucket are
+    independent, the property the trick's unbiasedness proof needs.
+
+    Scale shape: pre-aggregate by (cross key) first — the sign/bucket
+    hashes price ONCE per distinct cross, not per row — then one
+    bucket-keyed combinable agg to the fixed-width table.  At 100 TB
+    both shuffles move |distinct crosses| and |buckets| rows."""
+    c = load(spark, sf_dir, "customer")
+    ck = F.concat_ws(
+        "|", F.col("c_nationkey").cast("string"), F.col("c_mktsegment")
+    )
+    k = c.select(ck.alias("ck"))
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("ck")), 1, 8), 16, 10)
+        .cast("long")
+        % _HASH_CROSS_BUCKETS
+    )
+    sgn = (
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit("s#"), F.col("ck"))), 1, 8),
+            16,
+            10,
+        ).cast("long")
+        % 2
+    ) * 2 - 1
+    h = k.groupBy("ck").agg(F.count(F.lit(1)).cast("long").alias("c"))
+    h = h.select(
+        bucket.alias("bucket"), sgn.alias("sgn"), "c"
+    )
+    return h.groupBy("bucket").agg(
+        F.count(F.lit(1)).cast("long").alias("n_crosses"),
+        F.sum("c").cast("long").alias("n_rows"),
+        F.sum(F.col("sgn") * F.col("c")).cast("long").alias("signed_sum"),
     )

@@ -255,6 +255,13 @@ EXTRA = [
     "text_burstiness",
     "user_path_signatures",
     "feature_quantile_normalize",
+    # round-11 additions
+    "feature_winsorize_clip",
+    "text_readability",
+    "orders_benford_audit",
+    "events_user_entropy",
+    "feature_hash_cross",
+    "supplier_gini",
 ]
 
 

@@ -212,6 +212,17 @@ REGISTRY_CASES = [
     # (the r10 NTILE-window plan it replaces put a third of the fact
     # table in ONE task at any scale)
     ("feature_quantile_normalize", "lineitem"),
+    # winsorize rides the same two banded-selection passes; readability
+    # and entropy are scan-shaped (readability pure map, entropy one
+    # user-keyed agg + aggregate-frame window); benford is a 9-group
+    # agg; hash_cross shuffles |distinct crosses| rows; gini sorts the
+    # supplier AGGREGATE (dim-bounded), all expected ~linear-or-flatter
+    ("feature_winsorize_clip", "lineitem"),
+    ("text_readability", "documents"),
+    ("orders_benford_audit", "orders"),
+    ("events_user_entropy", "events"),
+    ("feature_hash_cross", "customer"),
+    ("supplier_gini", "lineitem"),
 ]
 
 
