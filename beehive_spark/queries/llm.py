@@ -1919,7 +1919,7 @@ from beehive_spark.operators.ann_index import (  # noqa: E402
 
 
 @query("similarity_ann_ivf")  # approximate -> rows-only driver check
-def similarity_ann_ivf(spark, sf_dir, nprobe: int = 6, k: int = 16, replicas: int = 3):
+def similarity_ann_ivf(spark, sf_dir, nprobe: int = 8, k: int = 16, replicas: int = 5):
     """ANN via IVF with a TRAINED coarse quantizer: a spherical k-means
     codebook (`_train_ivf_codebook`, deterministic sample + 10 Lloyd
     iterations), corpus vectors multi-assigned to their top-`replicas`
@@ -1937,13 +1937,18 @@ def similarity_ann_ivf(spark, sf_dir, nprobe: int = 6, k: int = 16, replicas: in
     nprobe/k on genuinely clustered corpora where a vector's top lists
     coincide with its cluster.
 
-    Measured vs similarity_cosine_topk (brute force) at nprobe=6, k=16,
-    replicas=3 (scripts/measure_ivf_recall.py): recall@5 = 0.96 at
-    sf0.01 and 0.96 at sf0.1, scoring ~78% of the corpus per query.
-    The untrained every-97th-vector quantizer this replaced measured
-    0.72 at sf0.1.  The synthetic corpus is near-isotropic (top-1
-    neighbor cosine ~0.4, neighbor labels scattered across clusters —
-    ANN's worst case), which is why high recall needs multi-assignment
+    Measured vs similarity_cosine_topk (brute force,
+    scripts/measure_ivf_recall.py): the r10 defaults (nprobe=6,
+    replicas=3) scored recall@5 mean 0.96 / worst 0.8 at both scales;
+    the r11 grid found the worst query probe-resistant until
+    multi-assignment widened (its true neighbor's top-3 lists all
+    missed the query's probe set), and the shipped nprobe=8 /
+    replicas=5 measures mean 1.00 / worst 1.00 at sf0.01 AND sf0.1
+    for a ~1.67x index and ~half the lists probed.  The untrained
+    every-97th-vector quantizer this all replaced measured 0.72 at
+    sf0.1.  The synthetic corpus is near-isotropic (top-1 neighbor
+    cosine ~0.4, neighbor labels scattered across clusters — ANN's
+    worst case), which is why high recall needs multi-assignment
     here; on real embedding corpora with cluster structure the same
     settings probe a far smaller fraction."""
     e = load(spark, sf_dir, "embeddings")
@@ -2080,9 +2085,9 @@ def similarity_ann_ivf_planted(spark, sf_dir):
             "vec_id", F.col("ed").alias("embedding")
         ),
         query_pred=query_pred,
-        nprobe=6,
+        nprobe=8,
         k=16,
-        replicas=3,
+        replicas=5,
     )
 
 
@@ -2308,7 +2313,7 @@ def dedup_semantic_planted(spark, sf_dir, threshold: float = 0.45):
 # ---------------------------------------------------------------------------
 @query("similarity_ann_pq")  # quantized -> rows-only driver check
 def similarity_ann_pq(
-    spark, sf_dir, m: int = 8, ksub: int = 32, refine: int = 256, k: int = 5
+    spark, sf_dir, m: int = 8, ksub: int = 32, refine: int = 384, k: int = 5
 ):
     """ANN via product quantization with asymmetric distance (ADC) and
     exact refinement — the FAISS ``IVFPQ + refine`` shape minus the
@@ -2335,8 +2340,10 @@ def similarity_ann_pq(
 
     Determinism: codebooks from `_train_pq_codebooks` (hash-sampled,
     fixed init/iters).  Measured recall@5 vs brute force (m=8,
-    ksub=32, refine=256; scripts/measure_ivf_recall.py): 0.98 at
-    sf0.1; refine=96 measured 0.90/0.94/0.80 at sf0.001/0.01/0.1 —
+    ksub=32; scripts/measure_ivf_recall.py): refine=256 measured
+    0.98 mean / 0.80 worst at sf0.1 and refine=384 (the r11 default)
+    1.00/1.00 at both scales; refine=96 measured 0.90/0.94/0.80 at
+    sf0.001/0.01/0.1 —
     the refine count, a per-query CONSTANT, is the recall knob as the
     corpus grows.  Pinned >= 0.9 at the test SF in
     tests/test_semantic_pq.py (now exercising the artifact path);

@@ -44,7 +44,7 @@ def _recall(spark, ann_fn):
 @pytest.mark.parametrize(
     "ann_fn,floor",
     [
-        (similarity_ann_ivf, 0.85),   # measured 0.96
+        (similarity_ann_ivf, 0.90),   # measured 1.00 (nprobe 8, reps 5, r11)
         (similarity_ann_pq, 0.90),    # measured 1.00
         (similarity_ann_lsh, 0.90),   # measured 1.00 (3 probes, 5 bands, r11)
     ],
