@@ -1228,3 +1228,125 @@ def run_dedup_stream(
     q.awaitTermination(timeout_sec)
     if q.isActive:  # pragma: no cover
         q.stop()
+
+
+def run_vocab_stream(
+    spark: SparkSession,
+    docs: DataFrame,
+    store_path: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    timeout_sec: int = 120,
+    split_threshold_bytes: int | None = None,
+) -> None:
+    """Maintain EXACT corpus token counts in the bucketed store and a
+    per-batch vocabulary-growth log from a streaming document feed —
+    the THIRD maintainer riding ``streaming.shingle_store``, and the
+    one that proves the primitive is merge-agnostic: novelty and dedup
+    fold with MIN, this folds with SUM (the store is just a bucketed
+    ``(key string, value long)`` table; the maintainer owns the merge
+    algebra).  The batch-side counterpart is ``text_token_stats``'
+    vocabulary; the growth log is the Heaps'-law curve a crawl team
+    trends to decide when additional data stops buying new vocabulary.
+
+    Artifacts:
+
+    - ``store_path``: bucketed ``(token, count)`` — the exact
+      streaming word count.  SUM is commutative and associative, so
+      the STORE converges to the batch answer under ANY feed order
+      (no correction records needed — the retraction machinery of the
+      MIN maintainers exists precisely because MIN attribution is
+      order-sensitive; counts are not).  Create with
+      ``init_shingle_store``.
+    - ``out_dir/batch=<id>/``: ONE row ``(n_tokens, n_types_batch,
+      n_new_types)`` — batch token mass, distinct types in the batch,
+      and types never seen in any PRIOR batch.  Type-novelty
+      attribution is inherently feed-order-defined (the first batch
+      to carry a type gets the credit); consumers fold
+      ``cumsum(n_new_types)`` for the vocabulary-size curve.
+
+    Exactly-once and crash behavior are the family's: the idempotent
+    per-batch out partition writes FIRST, the store's atomic manifest
+    rename carrying the batch id commits SECOND, replays
+    short-circuit on the recorded id.  ``split_threshold_bytes``
+    enables the size-triggered bucket doubling exactly as in
+    ``run_novelty_stream``.
+
+    Scale shape per micro-batch: one token explode + token-keyed
+    combinable count (xxhash-distributed), an equi-join against the
+    TOUCHED buckets only (both sides slim: token + one long), a
+    1-row stats aggregate, one bucketed rewrite of the touched
+    fraction.  Per-batch I/O tracks the batch, not vocabulary
+    history."""
+    from pyspark.sql import functions as F
+
+    from beehive_spark.queries.llm import _tokens
+    from beehive_spark.streaming.shingle_store import (
+        bucket_of,
+        commit_buckets,
+        gc_store,
+        maybe_split_store,
+        read_buckets,
+        read_manifest,
+    )
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        manifest = read_manifest(store_path)
+        if batch_id <= manifest["batch_id"]:
+            return  # replayed micro-batch (out dir already exists)
+        gc_store(store_path, manifest)
+        if split_threshold_bytes is not None:
+            manifest = maybe_split_store(
+                spark, store_path, manifest, split_threshold_bytes
+            )
+        n_buckets = manifest["n_buckets"]
+        toks = batch_df.select(
+            F.explode(_tokens(F.col("text"))).alias("s")
+        )
+        bc = (
+            toks.groupBy("s")
+            .agg(F.count(F.lit(1)).cast("long").alias("bc"))
+            .withColumn("bk", bucket_of(F.col("s"), n_buckets))
+            .localCheckpoint(eager=True)  # consumed 3x below
+        )
+        touched = sorted(
+            r["bk"] for r in bc.select("bk").distinct().collect()
+        )
+        store = read_buckets(spark, store_path, manifest, touched)
+        merged = bc.join(store, "s", "left")
+        stats = merged.agg(
+            F.sum("bc").cast("long").alias("n_tokens"),
+            F.count(F.lit(1)).cast("long").alias("n_types_batch"),
+            F.sum(F.when(F.col("fd").isNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("n_new_types"),
+        )
+        stats.write.mode("overwrite").parquet(
+            os.path.join(out_dir, f"batch={batch_id}")
+        )
+        fresh = (
+            store.join(bc.drop("bk"), "s", "full_outer")
+            .select(
+                "s",
+                (
+                    F.coalesce("fd", F.lit(0)) + F.coalesce("bc", F.lit(0))
+                ).cast("long").alias("fd"),
+            )
+            .withColumn("bk", bucket_of(F.col("s"), n_buckets))
+        )
+        commit_buckets(fresh, store_path, manifest, batch_id)
+
+    q = (
+        docs.writeStream.outputMode("append")
+        .foreachBatch(sink)
+        .option(
+            "checkpointLocation", os.path.join(checkpoint_dir, "vocab")
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(timeout_sec)
+    if q.isActive:  # pragma: no cover
+        q.stop()
