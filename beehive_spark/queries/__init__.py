@@ -95,6 +95,7 @@ _PRIORITY = [
     "events_user_entropy",          # r11 new: behavioral diversity
     "feature_hash_cross",           # r11 new: hashing-trick crosses
     "supplier_gini",                # r11 new: revenue concentration
+    "l_diversity_audit",            # r11 new: sensitive-attr diversity
 ]
 # The head stays SHORT (<= 15 names, pinned by
 # tests/test_window_policy.py): >= 35 of the driver's 50 window slots

@@ -1978,3 +1978,91 @@ def curation_pipeline(spark, sf_dir):
     from beehive_spark.pipeline.curate import curation_fate
 
     return curation_fate(spark, sf_dir)
+
+
+# ---------------------------------------------------------------------------
+# l-diversity audit — sensitive-attribute diversity within QI groups
+# ---------------------------------------------------------------------------
+# account-balance banding used as the sensitive attribute; interpolated
+# into the oracle so the SQL cannot drift from the Spark CASE
+_LDIV_MID_CENTS = 500000  # 5000.00 in cents
+_LDIV_L = 3
+
+
+@query(
+    "l_diversity_audit",
+    oracle=f"""
+    WITH s AS (
+      SELECT CAST(c_nationkey AS INTEGER) AS nationkey,
+             c_mktsegment AS segment,
+             CASE WHEN CAST(ROUND(c_acctbal * 100) AS BIGINT) < 0
+                    THEN 'debt'
+                  WHEN CAST(ROUND(c_acctbal * 100) AS BIGINT)
+                       < {_LDIV_MID_CENTS} THEN 'mid'
+                  ELSE 'high' END AS sens
+      FROM customer
+    ),
+    ct AS (
+      SELECT nationkey, segment, sens, CAST(COUNT(*) AS BIGINT) AS c
+      FROM s GROUP BY 1, 2, 3
+    ),
+    w AS (
+      SELECT nationkey, segment, c,
+             SUM(c) OVER (PARTITION BY nationkey, segment) AS n
+      FROM ct
+    )
+    SELECT nationkey, segment,
+           CAST(MAX(n) AS BIGINT) AS group_size,
+           CAST(COUNT(*) AS BIGINT) AS distinct_l,
+           CAST(SUM(CAST(ROUND(
+             -(CAST(c AS DOUBLE) / n) * ln(CAST(c AS DOUBLE) / n)
+             * 1000000) AS BIGINT)) AS BIGINT) AS entropy_l_micro,
+           COUNT(*) < {_LDIV_L} AS at_risk
+    FROM w GROUP BY nationkey, segment
+    """,
+)
+def l_diversity_audit(spark, sf_dir):
+    """l-diversity audit over the (nation, market-segment)
+    quasi-identifier pair (Machanavajjhala et al. 2007 — the
+    attribute-disclosure gate k-anonymity cannot provide: a k-large
+    group whose members all share one sensitive value still leaks
+    it): per equivalence class, the DISTINCT count of the sensitive
+    attribute (account-balance band: debt / mid / high), its entropy
+    in micro-nats (entropy l-diversity, the strictest of the paper's
+    three instantiations), and an ``at_risk`` flag for classes below
+    ``_LDIV_L`` distinct values.  Composes with
+    :func:`k_anonymity_audit` (group-SIZE risk) and ``pii_scrub``
+    (field redaction) into the release-gate trio.
+
+    Exactness: banding thresholds compare exact integer cents; per
+    sensitive class the entropy contribution ``-(c/n)*ln(c/n)`` is
+    evaluated on exact integers by the identical double expression
+    both sides and micro-rounded BEFORE the sum (the
+    events_user_entropy grid).
+
+    Scale shape: one (QI, sens) combinable count — bounded by the
+    attribute-domain product, never customer count — then a window
+    over that bounded frame and one QI-keyed fold; no join, no raw-row
+    window."""
+    c = load(spark, sf_dir, "customer")
+    cents = F.round(F.col("c_acctbal") * 100).cast("long")
+    sens = (
+        F.when(cents < 0, "debt")
+        .when(cents < _LDIV_MID_CENTS, "mid")
+        .otherwise("high")
+    )
+    ct = c.groupBy(
+        F.col("c_nationkey").cast("int").alias("nationkey"),
+        F.col("c_mktsegment").alias("segment"),
+        sens.alias("sens"),
+    ).agg(F.count(F.lit(1)).cast("long").alias("c"))
+    n = F.sum("c").over(Window.partitionBy("nationkey", "segment"))
+    w = ct.select("nationkey", "segment", "c", n.alias("n"))
+    p = F.col("c").cast("double") / F.col("n")
+    contrib = F.round(-p * F.log(p) * 1_000_000).cast("long")
+    return w.groupBy("nationkey", "segment").agg(
+        F.max("n").cast("long").alias("group_size"),
+        F.count(F.lit(1)).cast("long").alias("distinct_l"),
+        F.sum(contrib).cast("long").alias("entropy_l_micro"),
+        (F.count(F.lit(1)) < _LDIV_L).alias("at_risk"),
+    )

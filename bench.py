@@ -217,6 +217,7 @@ EXTRA = [
     "events_user_entropy",
     "feature_hash_cross",
     "supplier_gini",
+    "l_diversity_audit",
 ]
 
 

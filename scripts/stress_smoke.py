@@ -223,6 +223,7 @@ REGISTRY_CASES = [
     ("events_user_entropy", "events"),
     ("feature_hash_cross", "customer"),
     ("supplier_gini", "lineitem"),
+    ("l_diversity_audit", "customer"),
 ]
 
 

@@ -238,3 +238,39 @@ def test_supplier_gini_matches_bruteforce(spark):
     assert r["gini_micro"] == round(gini * 1_000_000)
     assert r["top_decile_share_micro"] == round(top / s0 * 1_000_000)
     assert 0 <= r["gini_micro"] <= 1_000_000
+
+
+def test_l_diversity_matches_bruteforce(spark):
+    """Group sizes, distinct-l, entropy and risk flags equal the
+    Python computation over the banded sensitive attribute."""
+    from beehive_spark.queries import load
+    from beehive_spark.queries.curation import (
+        _LDIV_L,
+        _LDIV_MID_CENTS,
+        l_diversity_audit,
+    )
+
+    groups = {}
+    for r in load(spark, SF, "customer").collect():
+        cents = round(r["c_acctbal"] * 100)
+        sens = (
+            "debt" if cents < 0 else "mid" if cents < _LDIV_MID_CENTS
+            else "high"
+        )
+        g = groups.setdefault((r["c_nationkey"], r["c_mktsegment"]), {})
+        g[sens] = g.get(sens, 0) + 1
+    got = {
+        (r["nationkey"], r["segment"]): r
+        for r in l_diversity_audit(spark, SF).collect()
+    }
+    assert set(got) == set(groups)
+    for key, counts in groups.items():
+        n = sum(counts.values())
+        want_h = sum(
+            round(-(c / n) * math.log(c / n) * 1_000_000)
+            for c in counts.values()
+        )
+        r = got[key]
+        assert (r["group_size"], r["distinct_l"]) == (n, len(counts))
+        assert r["entropy_l_micro"] == want_h
+        assert r["at_risk"] == (len(counts) < _LDIV_L)
