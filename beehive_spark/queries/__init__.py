@@ -96,6 +96,8 @@ _PRIORITY = [
     "feature_hash_cross",           # r11 new: hashing-trick crosses
     "supplier_gini",                # r11 new: revenue concentration
     "l_diversity_audit",            # r11 new: sensitive-attr diversity
+    "poisson_bootstrap_ci",         # r11 new: single-pass bootstrap CI
+    "countmin_heavy_keys",          # r11 new: mergeable CM sketch audit
 ]
 # The head stays SHORT (<= 15 names, pinned by
 # tests/test_window_policy.py): >= 35 of the driver's 50 window slots

@@ -4616,3 +4616,300 @@ def supplier_gini(spark, sf_dir):
         .cast("long")
         .alias("top_decile_share_micro"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Uncertainty at scale — single-pass Poisson bootstrap CI for the mean
+# ---------------------------------------------------------------------------
+# Poisson(1) CDF thresholds for the inverse-CDF draw (exp(-1) *
+# cumsum(1/k!), k = 0..7; u past the last threshold maps to 8 — the
+# residual mass there is 1e-5, and the clip biases a replicate weight
+# by < 1e-4 events per million rows).  Module constants so the
+# oracle-constant drift sweep sees ONE definition rendered into both
+# engines' CASE chains.
+_POIS1_CDF = (
+    0.36787944117144233,
+    0.7357588823428847,
+    0.9196986029286058,
+    0.9810118431238463,
+    0.9963401531726563,
+    0.9994058151824183,
+    0.999916758850712,
+    0.9999897508033253,
+)
+_BOOT_B = 64  # bootstrap replicates
+_BOOT_LO_I = 2  # ceil(0.025 * B): 2.5th-percentile order statistic
+_BOOT_HI_I = 63  # ceil(0.975 * B): 97.5th-percentile order statistic
+
+_POIS1_SQL_CASE = "\n".join(
+    f"               WHEN u < {t!r} THEN {k}" for k, t in enumerate(_POIS1_CDF)
+)
+
+
+@query(
+    "poisson_bootstrap_ci",
+    oracle=f"""
+    WITH rep AS (SELECT r FROM range({_BOOT_B}) t(r)),
+    base AS (
+      SELECT CAST(o_orderkey AS VARCHAR) AS k,
+             CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+      FROM orders
+    ),
+    wts AS (
+      SELECT r, cents,
+             CASE
+{_POIS1_SQL_CASE}
+               ELSE 8 END AS w
+      FROM (
+        SELECT rep.r, base.cents,
+               ('0x' || substr(md5(base.k || ':' || CAST(rep.r AS VARCHAR)),
+                               1, 8))::UBIGINT / 4294967296.0 AS u
+        FROM base CROSS JOIN rep
+      )
+    ),
+    reps AS (
+      SELECT r,
+             CAST(SUM(w * cents) AS BIGINT) AS s1,
+             CAST(SUM(w) AS BIGINT) AS s0,
+             CAST(SUM(cents) AS BIGINT) AS tot,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM wts GROUP BY r
+    ),
+    m AS (
+      SELECT tot, n,
+             CAST(ROUND(CAST(s1 AS DOUBLE) / s0 * 1000000) AS BIGINT)
+               AS rep_mean_micro,
+             ROW_NUMBER() OVER (
+               ORDER BY CAST(ROUND(CAST(s1 AS DOUBLE) / s0 * 1000000)
+                             AS BIGINT), r) AS i
+      FROM reps
+    )
+    SELECT CAST(MAX(n) AS BIGINT) AS n_orders,
+           CAST({_BOOT_B} AS BIGINT) AS n_boot,
+           CAST(ROUND(CAST(MAX(tot) AS DOUBLE) / MAX(n) * 1000000)
+                AS BIGINT) AS mean_micro,
+           CAST(MAX(CASE WHEN i = {_BOOT_LO_I} THEN rep_mean_micro END)
+                AS BIGINT) AS ci_lo_micro,
+           CAST(MAX(CASE WHEN i = {_BOOT_HI_I} THEN rep_mean_micro END)
+                AS BIGINT) AS ci_hi_micro
+    FROM m
+    """,
+)
+def poisson_bootstrap_ci(spark, sf_dir):
+    """95% bootstrap CI for the mean order total in micro-cents via the
+    SINGLE-PASS Poisson bootstrap (Chamandy, Muralidharan, Najmi &
+    Naidu 2012, "Estimating Uncertainty for Massive Data Streams"):
+    instead of resampling n rows with replacement B times (B extra
+    shuffles of the fact table), each row independently contributes
+    Poisson(1) copies to each of the ``_BOOT_B`` replicates — the
+    multinomial resample's limit as n grows, and the only bootstrap
+    whose replicate statistics are COMBINABLE aggregates.
+
+    Determinism: the Poisson draw is inverse-CDF over a md5-derived
+    uniform on the 2^-32 grid (the stratified_sample idiom), with the
+    ``_POIS1_CDF`` thresholds rendered from one module constant into
+    both engines' CASE chains.  Replicate means are micro-rounded
+    BEFORE the order-statistic selection (the exact-grid discipline),
+    and the 2.5/97.5 empirical percentiles are ceiling-rank order
+    statistics (i = ceil(q*B)) with (mean, r) tie-break.
+
+    Scale shape: ONE fact scan; the B-fold explode is fused by
+    whole-stage codegen with the partial hash aggregate (Generate ->
+    HashAggregate in one stage), so each task emits <= B rows into the
+    shuffle regardless of input size — the exchange carries B rows per
+    task, never B*n.  The unweighted total/count ride the same
+    aggregate (each row appears exactly once per replicate), so the
+    point estimate costs no second scan.  The final order-statistic
+    pass sorts B = 64 rows."""
+    o = load(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").cast("string").alias("k"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    r = o.select(
+        "k",
+        "cents",
+        F.explode(F.sequence(F.lit(0), F.lit(_BOOT_B - 1))).alias("r"),
+    )
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.col("k"), F.lit(":"), F.col("r").cast("string"))),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("double")
+        / F.lit(4294967296.0)
+    )
+    w = F.lit(8)
+    for k in range(len(_POIS1_CDF) - 1, -1, -1):
+        w = F.when(u < F.lit(_POIS1_CDF[k]), F.lit(k)).otherwise(w)
+    reps = (
+        r.select(F.col("r"), F.col("cents"), w.alias("w"))
+        .groupBy("r")
+        .agg(
+            F.sum(F.col("w").cast("long") * F.col("cents"))
+            .cast("long")
+            .alias("s1"),
+            F.sum("w").cast("long").alias("s0"),
+            F.sum("cents").cast("long").alias("tot"),
+            F.count(F.lit(1)).cast("long").alias("n"),
+        )
+    )
+    rep_mean = (
+        F.round(F.col("s1").cast("double") / F.col("s0") * 1_000_000)
+        .cast("long")
+        .alias("rep_mean_micro")
+    )
+    m = reps.select(
+        "tot",
+        "n",
+        rep_mean,
+        F.row_number()
+        .over(
+            Window.orderBy(
+                F.round(F.col("s1").cast("double") / F.col("s0") * 1_000_000)
+                .cast("long"),
+                F.col("r"),
+            )
+        )
+        .alias("i"),
+    )
+    return m.agg(
+        F.max("n").cast("long").alias("n_orders"),
+        F.lit(_BOOT_B).cast("long").alias("n_boot"),
+        F.round(F.max("tot").cast("double") / F.max("n") * 1_000_000)
+        .cast("long")
+        .alias("mean_micro"),
+        F.max(F.when(F.col("i") == _BOOT_LO_I, F.col("rep_mean_micro")))
+        .cast("long")
+        .alias("ci_lo_micro"),
+        F.max(F.when(F.col("i") == _BOOT_HI_I, F.col("rep_mean_micro")))
+        .cast("long")
+        .alias("ci_hi_micro"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Mergeable frequency sketch — Count-Min estimate audit on heavy keys
+# ---------------------------------------------------------------------------
+_CM_D = 4  # sketch depth (independent hash rows)
+_CM_W = 256  # sketch width (buckets per row)
+_CM_TOPK = 10  # heavy keys audited
+
+
+@query(
+    "countmin_heavy_keys",
+    oracle=f"""
+    WITH counts AS (
+      SELECT l_partkey AS k, CAST(COUNT(*) AS BIGINT) AS c
+      FROM lineitem GROUP BY 1
+    ),
+    cells AS (
+      SELECT d.d,
+             ('0x' || substr(md5(CAST(d.d AS VARCHAR) || ':' ||
+                                 CAST(counts.k AS VARCHAR)), 1, 8))::UBIGINT
+               % {_CM_W} AS bucket,
+             counts.c
+      FROM counts CROSS JOIN (SELECT d FROM range({_CM_D}) t(d)) d
+    ),
+    sketch AS (
+      SELECT d, bucket, CAST(SUM(c) AS BIGINT) AS cell
+      FROM cells GROUP BY 1, 2
+    ),
+    heavy AS (
+      SELECT k, c FROM (
+        SELECT k, c, ROW_NUMBER() OVER (ORDER BY c DESC, k) AS rnk
+        FROM counts
+      ) WHERE rnk <= {_CM_TOPK}
+    ),
+    probes AS (
+      SELECT heavy.k, heavy.c, d.d,
+             ('0x' || substr(md5(CAST(d.d AS VARCHAR) || ':' ||
+                                 CAST(heavy.k AS VARCHAR)), 1, 8))::UBIGINT
+               % {_CM_W} AS bucket
+      FROM heavy CROSS JOIN (SELECT d FROM range({_CM_D}) t(d)) d
+    )
+    SELECT probes.k AS partkey,
+           CAST(MAX(probes.c) AS BIGINT) AS exact_n,
+           CAST(MIN(sketch.cell) AS BIGINT) AS est_n,
+           CAST(MIN(sketch.cell) - MAX(probes.c) AS BIGINT) AS overcount
+    FROM probes
+    JOIN sketch ON sketch.d = probes.d AND sketch.bucket = probes.bucket
+    GROUP BY probes.k
+    """,
+)
+def countmin_heavy_keys(spark, sf_dir):
+    """Count-Min sketch (Cormode & Muthukrishnan 2005) over lineitem
+    part-key frequencies, audited against exact counts on the top-10
+    heavy keys: ``est = min_d sketch[d][h_d(k)]`` never undercounts
+    (every row's count lands in the probed cell plus non-negative
+    collision mass), so ``overcount >= 0`` is a hard invariant and its
+    magnitude is the audit readout — with depth 4 x width 256 the
+    expected overestimate is <= e*N/w per probe at failure
+    probability e^-d.
+
+    The sketch here is what replaces exact per-key counting when the
+    KEY DOMAIN itself no longer fits a shuffle (billions of distinct
+    n-grams/URLs): it is a fixed d*w integer grid whose cells are
+    plain SUMs — partial-aggregated map-side, merged across days or
+    partitions by cell-wise addition, the same mergeability contract
+    as the repo's Misra-Gries (operators/freq.py) and HLL maintainers,
+    trading the MG top-K-only view for any-key point queries.
+
+    Determinism: bucket = md5("d:k") 32-bit prefix mod w, rendered
+    from the shared ``_CM_D``/``_CM_W`` module constants into both
+    engines.  Scale shape: one combinable (key, count) aggregate off
+    the scan, the sketch a 4x-explode of the KEY AGGREGATE (never the
+    raw rows) into a 4*256-cell grid, the probe a broadcast join of
+    40 probe cells against the tiny sketch; the heavy-key pick
+    compiles to TakeOrderedAndProject (per-partition top-10 merged on
+    the driver — no global sort even with billions of distinct keys).
+    No stage touches more than |distinct keys| rows."""
+    li = load(spark, sf_dir, "lineitem")
+    counts = li.groupBy(F.col("l_partkey").alias("k")).agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+
+    def bucket(dcol, kcol):
+        return F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        dcol.cast("string"), F.lit(":"), kcol.cast("string")
+                    )
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long") % _CM_W
+
+    d = F.explode(F.sequence(F.lit(0), F.lit(_CM_D - 1))).alias("d")
+    cells = counts.select("k", "c", d).select(
+        "d", bucket(F.col("d"), F.col("k")).alias("bucket"), "c"
+    )
+    sketch = cells.groupBy("d", "bucket").agg(
+        F.sum("c").cast("long").alias("cell")
+    )
+    heavy = counts.orderBy(F.desc("c"), F.asc("k")).limit(_CM_TOPK)
+    probes = heavy.select("k", "c", d).select(
+        "k", "c", "d", bucket(F.col("d"), F.col("k")).alias("bucket")
+    )
+    est = (
+        F.broadcast(probes)
+        .join(sketch, ["d", "bucket"])
+        .groupBy("k")
+        .agg(
+            F.max("c").cast("long").alias("exact_n"),
+            F.min("cell").cast("long").alias("est_n"),
+        )
+    )
+    return est.select(
+        F.col("k").alias("partkey"),
+        "exact_n",
+        "est_n",
+        (F.col("est_n") - F.col("exact_n")).cast("long").alias("overcount"),
+    )

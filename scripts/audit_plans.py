@@ -263,6 +263,8 @@ EXTRA = [
     "feature_hash_cross",
     "supplier_gini",
     "l_diversity_audit",
+    "poisson_bootstrap_ci",
+    "countmin_heavy_keys",
 ]
 
 

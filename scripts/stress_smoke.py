@@ -224,6 +224,11 @@ REGISTRY_CASES = [
     ("feature_hash_cross", "customer"),
     ("supplier_gini", "lineitem"),
     ("l_diversity_audit", "customer"),
+    # bootstrap: one scan + a 64-fold explode fused into the partial
+    # agg (B rows per task into the exchange); countmin: sketch built
+    # from the (key, count) AGGREGATE — both should track their scans
+    ("poisson_bootstrap_ci", "orders"),
+    ("countmin_heavy_keys", "lineitem"),
 ]
 
 

@@ -274,3 +274,94 @@ def test_l_diversity_matches_bruteforce(spark):
         assert (r["group_size"], r["distinct_l"]) == (n, len(counts))
         assert r["entropy_l_micro"] == want_h
         assert r["at_risk"] == (len(counts) < _LDIV_L)
+
+
+def _md5_u32(s: str) -> int:
+    import hashlib
+
+    return int(hashlib.md5(s.encode()).hexdigest()[:8], 16)
+
+
+def test_poisson_bootstrap_matches_bruteforce(spark):
+    """The whole readout — replicate weights, micro-rounded replicate
+    means, ceiling-rank order statistics — equals a hashlib/Python
+    recomputation from the raw parquet, and the 95% CI brackets the
+    point mean on this data."""
+    from beehive_spark.queries import load
+    from beehive_spark.queries.core import (
+        _BOOT_B,
+        _BOOT_HI_I,
+        _BOOT_LO_I,
+        _POIS1_CDF,
+        poisson_bootstrap_ci,
+    )
+
+    rows = load(spark, SF, "orders").select(
+        "o_orderkey", "o_totalprice"
+    ).collect()
+    cents = {
+        str(r["o_orderkey"]): int(round(r["o_totalprice"] * 100))
+        for r in rows
+    }
+
+    def pois_w(u: float) -> int:
+        for k, t in enumerate(_POIS1_CDF):
+            if u < t:
+                return k
+        return len(_POIS1_CDF)
+
+    means = []
+    for r in range(_BOOT_B):
+        s1 = s0 = 0
+        for k, c in cents.items():
+            u = _md5_u32(f"{k}:{r}") / 4294967296.0
+            w = pois_w(u)
+            s1 += w * c
+            s0 += w
+        means.append((round(s1 / s0 * 1_000_000), r))
+    means.sort()
+    tot = sum(cents.values())
+    n = len(cents)
+    got = poisson_bootstrap_ci(spark, SF).collect()[0]
+    assert got["n_orders"] == n
+    assert got["n_boot"] == _BOOT_B
+    assert got["mean_micro"] == round(tot / n * 1_000_000)
+    assert got["ci_lo_micro"] == means[_BOOT_LO_I - 1][0]
+    assert got["ci_hi_micro"] == means[_BOOT_HI_I - 1][0]
+    assert got["ci_lo_micro"] <= got["mean_micro"] <= got["ci_hi_micro"]
+
+
+def test_countmin_never_undercounts_and_bruteforce(spark):
+    """CM's one-sided guarantee (est >= exact, always) plus exact
+    equality of every probed estimate with a Python dict sketch built
+    from the same md5 bucketing."""
+    from collections import Counter
+
+    from beehive_spark.queries import load
+    from beehive_spark.queries.core import (
+        _CM_D,
+        _CM_TOPK,
+        _CM_W,
+        countmin_heavy_keys,
+    )
+
+    counts = Counter(
+        r["l_partkey"]
+        for r in load(spark, SF, "lineitem").select("l_partkey").collect()
+    )
+    sketch = Counter()
+    for k, c in counts.items():
+        for d in range(_CM_D):
+            sketch[(d, _md5_u32(f"{d}:{k}") % _CM_W)] += c
+    heavy = sorted(counts.items(), key=lambda kc: (-kc[1], kc[0]))[:_CM_TOPK]
+    expect = {
+        k: min(sketch[(d, _md5_u32(f"{d}:{k}") % _CM_W)] for d in range(_CM_D))
+        for k, _ in heavy
+    }
+    got = countmin_heavy_keys(spark, SF).collect()
+    assert len(got) == _CM_TOPK
+    for r in got:
+        assert r["overcount"] >= 0
+        assert r["est_n"] == r["exact_n"] + r["overcount"]
+        assert r["exact_n"] == counts[r["partkey"]]
+        assert r["est_n"] == expect[r["partkey"]]
