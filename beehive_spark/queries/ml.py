@@ -1451,3 +1451,108 @@ def feature_hash_cross(spark, sf_dir):
         F.sum("c").cast("long").alias("n_rows"),
         F.sum(F.col("sgn") * F.col("c")).cast("long").alias("signed_sum"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Ranking evaluation — tie-corrected ROC-AUC from per-score aggregates
+# ---------------------------------------------------------------------------
+@query(
+    "roc_auc_eval",
+    oracle="""
+    WITH s AS (
+      SELECT o_orderkey % 1000 AS score,
+             CASE WHEN (CAST(ROUND(o_totalprice * 100) AS BIGINT) % 1000)
+                       < (o_orderkey % 1000)
+                  THEN 1 ELSE 0 END AS label
+      FROM orders
+    ),
+    g AS (
+      SELECT score,
+             CAST(SUM(label) AS BIGINT) AS n_pos,
+             CAST(COUNT(*) - SUM(label) AS BIGINT) AS n_neg
+      FROM s GROUP BY 1
+    ),
+    w AS (
+      SELECT n_pos, n_neg,
+             COALESCE(SUM(n_neg) OVER (
+               ORDER BY score
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS below
+      FROM g
+    )
+    SELECT CAST(SUM(n_pos) AS BIGINT) AS n_pos,
+           CAST(SUM(n_neg) AS BIGINT) AS n_neg,
+           CAST(COUNT(*) AS BIGINT) AS n_scores,
+           CAST(ROUND(CAST(SUM(n_pos * (2 * below + n_neg)) AS DOUBLE)
+                      / (2.0 * SUM(n_pos) * SUM(n_neg)) * 1000000)
+                AS BIGINT) AS auc_micro,
+           CAST(ROUND((CAST(SUM(n_pos * (2 * below + n_neg)) AS DOUBLE)
+                       / (CAST(SUM(n_pos) AS DOUBLE) * SUM(n_neg)) - 1)
+                      * 1000000) AS BIGINT) AS gini_micro
+    FROM w
+    """,
+)
+def roc_auc_eval(spark, sf_dir):
+    """Tie-corrected ROC-AUC (Mann-Whitney U with 0.5 credit for
+    score ties — Hanley & McNeil 1982) of the repo's deterministic
+    calibrated scorer (the ``model_calibration_ece`` construction:
+    score = key residue in 0..999, outcome = an independent
+    price-derived residue under the score — positives' score density
+    rises linearly while negatives' falls, so the true AUC is 5/6 by
+    construction and the readout is hash-gated).
+
+    The pair-counting identity makes AUC a SCAN-SHAPED statistic:
+    AUC = sum_s n_pos(s) * (N_neg_below(s) + n_neg(s)/2) / (P*N)
+    needs only the per-score (n_pos, n_neg) AGGREGATE — never the
+    O(P*N) pair materialization and never a global rank over raw
+    rows.  Kept exact as the integer 2U = sum n_pos*(2*below + n_neg)
+    with the single double division micro-rounded at the end; gini =
+    2*AUC - 1 rides the same integers.
+
+    Scale shape: one scan into a combinable per-score aggregate
+    (|distinct scores| = score-grid cells, 1000 here — bounded by the
+    model's output quantization, NOT the corpus), one ordered prefix
+    sum over that tiny frame, one final 1-row fold.  The eval costs
+    the same pass whether the scored corpus is 150k rows or 100 TB."""
+    o = load(spark, sf_dir, "orders").select(
+        (F.col("o_orderkey") % 1000).alias("score"),
+        F.when(
+            (F.round(F.col("o_totalprice") * 100).cast("long") % 1000)
+            < (F.col("o_orderkey") % 1000),
+            1,
+        )
+        .otherwise(0)
+        .alias("label"),
+    )
+    g = o.groupBy("score").agg(
+        F.sum("label").cast("long").alias("n_pos"),
+        (F.count(F.lit(1)) - F.sum("label")).cast("long").alias("n_neg"),
+    )
+    below = F.coalesce(
+        F.sum("n_neg").over(
+            Window.orderBy("score").rowsBetween(Window.unboundedPreceding, -1)
+        ),
+        F.lit(0),
+    )
+    w = g.select("n_pos", "n_neg", below.alias("below"))
+    u2 = F.sum(
+        F.col("n_pos") * (F.lit(2) * F.col("below") + F.col("n_neg"))
+    ).cast("long")
+    np_ = F.sum("n_pos").cast("long")
+    nn_ = F.sum("n_neg").cast("long")
+    return w.agg(
+        np_.alias("n_pos"),
+        nn_.alias("n_neg"),
+        F.count(F.lit(1)).cast("long").alias("n_scores"),
+        F.round(
+            u2.cast("double") / (F.lit(2.0) * np_ * nn_) * 1_000_000
+        )
+        .cast("long")
+        .alias("auc_micro"),
+        F.round(
+            (u2.cast("double") / (np_.cast("double") * nn_) - F.lit(1))
+            * 1_000_000
+        )
+        .cast("long")
+        .alias("gini_micro"),
+    )

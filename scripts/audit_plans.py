@@ -265,6 +265,7 @@ EXTRA = [
     "l_diversity_audit",
     "poisson_bootstrap_ci",
     "countmin_heavy_keys",
+    "roc_auc_eval",
 ]
 
 

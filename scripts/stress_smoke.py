@@ -229,6 +229,9 @@ REGISTRY_CASES = [
     # from the (key, count) AGGREGATE — both should track their scans
     ("poisson_bootstrap_ci", "orders"),
     ("countmin_heavy_keys", "lineitem"),
+    # auc: one combinable per-score agg (1000 cells), prefix sum over
+    # the cell frame only — should be flat-to-scan
+    ("roc_auc_eval", "orders"),
 ]
 
 

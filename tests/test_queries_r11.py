@@ -365,3 +365,47 @@ def test_countmin_never_undercounts_and_bruteforce(spark):
         assert r["est_n"] == r["exact_n"] + r["overcount"]
         assert r["exact_n"] == counts[r["partkey"]]
         assert r["est_n"] == expect[r["partkey"]]
+
+
+def test_roc_auc_matches_pair_counting(spark):
+    """AUC from the per-score-aggregate identity equals literal
+    O(P*N) pair counting (1 per correctly ordered pair, 0.5 per tie)
+    on the sf0.001 orders, and sits near the calibrated scorer's
+    theoretical 5/6 (positives' score density rises linearly,
+    negatives' falls: P(S+ > S-) = (5/24)/(1/4))."""
+    from beehive_spark.queries import load
+    from beehive_spark.queries.ml import roc_auc_eval
+
+    rows = load(spark, SF, "orders").select(
+        "o_orderkey", "o_totalprice"
+    ).collect()
+    scored = [
+        (
+            int(r["o_orderkey"]) % 1000,
+            1
+            if (int(round(r["o_totalprice"] * 100)) % 1000)
+            < (int(r["o_orderkey"]) % 1000)
+            else 0,
+        )
+        for r in rows
+    ]
+    pos = [s for s, l in scored if l == 1]
+    neg = [s for s, l in scored if l == 0]
+    u2 = 0  # 2 * Mann-Whitney U, exact integer
+    for p in pos:
+        for q in neg:
+            if p > q:
+                u2 += 2
+            elif p == q:
+                u2 += 1
+    got = roc_auc_eval(spark, SF).collect()[0]
+    assert got["n_pos"] == len(pos)
+    assert got["n_neg"] == len(neg)
+    assert got["n_scores"] == len(set(s for s, _ in scored))
+    assert got["auc_micro"] == round(
+        u2 / (2.0 * len(pos) * len(neg)) * 1_000_000
+    )
+    assert got["gini_micro"] == round(
+        (u2 / (float(len(pos)) * len(neg)) - 1) * 1_000_000
+    )
+    assert 750_000 < got["auc_micro"] < 900_000
