@@ -4871,6 +4871,12 @@ def countmin_heavy_keys(spark, sf_dir):
     counts = li.groupBy(F.col("l_partkey").alias("k")).agg(
         F.count(F.lit(1)).cast("long").alias("c")
     )
+    # both the sketch and the heavy-key pick consume this slim
+    # (key, count) aggregate — persist it so the fact table is scanned
+    # once, not once per branch (the qgram/assortativity idiom; the
+    # cached frame is |distinct keys| x 16 bytes, the price any
+    # two-consumer plan pays)
+    counts = counts.persist()
 
     def bucket(dcol, kcol):
         return F.conv(

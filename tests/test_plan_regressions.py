@@ -294,3 +294,36 @@ def test_quantile_normalize_no_feature_partition_window(spark, sf_dir):
     # moments arrive driver-computed (createDataFrame), no FileScan
     assert "Scan ExistingRDD" in plan or "LocalTableScan" in plan
     assert "FileScan" not in plan
+
+
+def test_r11_sketch_plans(spark, sf_dir):
+    """Round-11 sketch/uncertainty shapes.  Bootstrap: ONE fact scan,
+    the 64-fold explode fused with the partial aggregate (a Generate
+    feeding the r-keyed exchange — never an exchange of exploded raw
+    rows), and only the r-agg plus the 64-row window's SinglePartition
+    may shuffle.  Count-Min: the heavy pick is TakeOrderedAndProject
+    (per-partition top-K, no global sort), the probe joins broadcast,
+    and the persisted (key, count) aggregate means one fact scan
+    feeds both branches.  AUC: one scan, the prefix-sum window runs
+    over the per-score aggregate only."""
+    qs = all_queries()
+
+    plan = _plan(qs["poisson_bootstrap_ci"](spark, sf_dir))
+    assert plan.count("FileScan") == 1
+    assert "Generate explode" in plan
+    assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan
+    assert _shuffles(plan) <= 2
+
+    plan = _plan(qs["countmin_heavy_keys"](spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan  # heavy pick, no global sort
+    assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan  # probe-vs-sketch join
+    # persisted counts: the fact scan appears once; the second branch
+    # reads InMemoryTableScan
+    assert plan.count("FileScan") <= 1 or "InMemoryTableScan" in plan
+
+    plan = _plan(qs["roc_auc_eval"](spark, sf_dir))
+    assert plan.count("FileScan") == 1
+    assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan
+    # per-score agg exchange + the bounded window's SinglePartition
+    assert _shuffles(plan) <= 2
