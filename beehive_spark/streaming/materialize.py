@@ -1350,3 +1350,150 @@ def run_vocab_stream(
     q.awaitTermination(timeout_sec)
     if q.isActive:  # pragma: no cover
         q.stop()
+
+
+def run_countmin_stream(
+    spark: SparkSession,
+    docs: DataFrame,
+    store_path: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    timeout_sec: int = 120,
+) -> None:
+    """Maintain a Count-Min token-frequency sketch (Cormode &
+    Muthukrishnan 2005) from a streaming document feed — the FOURTH
+    maintainer riding ``streaming.shingle_store`` and the streaming
+    twin of ``queries.core.countmin_heavy_keys`` (same ``_CM_D`` x
+    ``_CM_W`` grid, same md5 "d:key" cell hash, so a batch-built and
+    a stream-built sketch over the same corpus are cell-identical).
+
+    This is the maintainer for when even ``run_vocab_stream``'s exact
+    (token, count) store outgrows its budget: the state here is the
+    CONSTANT-cardinality cell grid — at most ``_CM_D * _CM_W`` store
+    keys ``"d:bucket"`` regardless of corpus or vocabulary size, the
+    first rider whose store cannot grow.  (Consequently there is no
+    ``split_threshold_bytes``: bucket doubling exists for corpus-sized
+    stores; this one is bounded by construction.)  Point queries read
+    the tiny store and take ``min`` over the d probed cells:
+    estimate >= true count always, overshoot <= e*N/w with
+    probability 1 - e^-d.
+
+    Artifacts:
+
+    - ``store_path``: bucketed ``(cell "d:bucket", count)``.  Cell
+      increments fold with SUM — commutative, so the store converges
+      to the batch sketch under ANY feed order with no correction
+      records (the vocab-maintainer argument verbatim).  Create with
+      ``init_shingle_store`` (a handful of buckets suffices for
+      <= _CM_D*_CM_W keys).
+    - ``out_dir/batch=<id>/``: ONE row ``(n_tokens, n_cells_touched)``
+      — batch token mass and how many grid cells it incremented
+      (saturation of the touched-cell fraction is the operational
+      signal that w is undersized for the stream's key diversity).
+
+    Exactly-once and crash behavior are the family's: idempotent
+    per-batch out partition FIRST, the store's atomic manifest rename
+    carrying the batch id SECOND, replays short-circuit on the
+    recorded id.
+
+    Scale shape per micro-batch: one token explode into a token-keyed
+    combinable count, a _CM_D-fold explode of that AGGREGATE into
+    cell increments (<= _CM_D * _CM_W rows after the cell re-agg, no
+    matter the batch), a join against the touched store buckets, one
+    bucketed rewrite.  Fold cost is bounded by the GRID, not the
+    corpus — the defining property of a sketch maintainer."""
+    from pyspark.sql import functions as F
+
+    from beehive_spark.queries.core import _CM_D, _CM_W
+    from beehive_spark.queries.llm import _tokens
+    from beehive_spark.streaming.shingle_store import (
+        bucket_of,
+        commit_buckets,
+        gc_store,
+        read_buckets,
+        read_manifest,
+    )
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        manifest = read_manifest(store_path)
+        if batch_id <= manifest["batch_id"]:
+            return  # replayed micro-batch (out dir already exists)
+        gc_store(store_path, manifest)
+        n_buckets = manifest["n_buckets"]
+        toks = batch_df.select(
+            F.explode(_tokens(F.col("text"))).alias("t")
+        )
+        tc = toks.groupBy("t").agg(
+            F.count(F.lit(1)).cast("long").alias("bc")
+        )
+        cm_cell = F.concat(
+            F.col("d").cast("string"),
+            F.lit(":"),
+            (
+                F.conv(
+                    F.substring(
+                        F.md5(
+                            F.concat(
+                                F.col("d").cast("string"),
+                                F.lit(":"),
+                                F.col("t"),
+                            )
+                        ),
+                        1,
+                        8,
+                    ),
+                    16,
+                    10,
+                ).cast("long")
+                % _CM_W
+            ).cast("string"),
+        )
+        cells = (
+            tc.select(
+                "t",
+                "bc",
+                F.explode(F.sequence(F.lit(0), F.lit(_CM_D - 1))).alias("d"),
+            )
+            .select(cm_cell.alias("s"), F.col("bc"))
+            .groupBy("s")
+            .agg(F.sum("bc").cast("long").alias("bc"))
+            .withColumn("bk", bucket_of(F.col("s"), n_buckets))
+            .localCheckpoint(eager=True)  # consumed 3x below
+        )
+        touched = sorted(
+            r["bk"] for r in cells.select("bk").distinct().collect()
+        )
+        store = read_buckets(spark, store_path, manifest, touched)
+        stats = cells.agg(
+            (F.sum("bc") / F.lit(_CM_D)).cast("long").alias("n_tokens"),
+            F.count(F.lit(1)).cast("long").alias("n_cells_touched"),
+        )
+        stats.write.mode("overwrite").parquet(
+            os.path.join(out_dir, f"batch={batch_id}")
+        )
+        fresh = (
+            store.join(cells.drop("bk"), "s", "full_outer")
+            .select(
+                "s",
+                (
+                    F.coalesce("fd", F.lit(0)) + F.coalesce("bc", F.lit(0))
+                ).cast("long").alias("fd"),
+            )
+            .withColumn("bk", bucket_of(F.col("s"), n_buckets))
+        )
+        commit_buckets(fresh, store_path, manifest, batch_id)
+
+    q = (
+        docs.writeStream.outputMode("append")
+        .foreachBatch(sink)
+        .option(
+            "checkpointLocation", os.path.join(checkpoint_dir, "countmin")
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(timeout_sec)
+    if q.isActive:  # pragma: no cover
+        q.stop()
