@@ -4713,11 +4713,14 @@ def poisson_bootstrap_ci(spark, sf_dir):
     and the 2.5/97.5 empirical percentiles are ceiling-rank order
     statistics (i = ceil(q*B)) with (mean, r) tie-break.
 
-    Scale shape: ONE fact scan; the B-fold explode is fused by
-    whole-stage codegen with the partial hash aggregate (Generate ->
-    HashAggregate in one stage), so each task emits <= B rows into the
-    shuffle regardless of input size — the exchange carries B rows per
-    task, never B*n.  The unweighted total/count ride the same
+    Scale shape: ONE fact scan, a slim-row repartition so the fan-out
+    stage's parallelism is the cluster's (not the scan's file count),
+    then the B-fold explode fused by whole-stage codegen with the
+    partial hash aggregate (Generate -> HashAggregate in one stage),
+    so each task emits <= B rows into the replicate exchange
+    regardless of input size — never B*n.  The uniform draw is
+    materialized in its own projection so the 8-arm CASE chain never
+    re-evaluates the md5.  The unweighted total/count ride the same
     aggregate (each row appears exactly once per replicate), so the
     point estimate costs no second scan.  The final order-statistic
     pass sorts B = 64 rows."""
@@ -4725,11 +4728,22 @@ def poisson_bootstrap_ci(spark, sf_dir):
         F.col("o_orderkey").cast("string").alias("k"),
         F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
     )
+    # spread the SLIM base before the B-fold fan-out: the replicate
+    # stage does B md5s per input row, so its parallelism must come
+    # from the cluster, not from however many files the scan happened
+    # to split into (a single-file 1x input otherwise runs the whole
+    # 64x stage in one task); the exchange moves ~24 bytes/row, noise
+    # next to the work it unlocks
+    o = o.repartition(F.col("k"))
     r = o.select(
         "k",
         "cents",
         F.explode(F.sequence(F.lit(0), F.lit(_BOOT_B - 1))).alias("r"),
     )
+    # materialize u ONCE per (row, replicate): inlining it into the
+    # 8-arm CASE chain re-evaluates conv(md5(..)) per arm wherever
+    # codegen's subexpression elimination doesn't reach (the _tokens
+    # per-element lambda lesson, measured ~2x here)
     u = (
         F.conv(
             F.substring(
@@ -4742,11 +4756,12 @@ def poisson_bootstrap_ci(spark, sf_dir):
         ).cast("double")
         / F.lit(4294967296.0)
     )
+    ru = r.select("r", "cents", u.alias("u"))
     w = F.lit(8)
     for k in range(len(_POIS1_CDF) - 1, -1, -1):
-        w = F.when(u < F.lit(_POIS1_CDF[k]), F.lit(k)).otherwise(w)
+        w = F.when(F.col("u") < F.lit(_POIS1_CDF[k]), F.lit(k)).otherwise(w)
     reps = (
-        r.select(F.col("r"), F.col("cents"), w.alias("w"))
+        ru.select(F.col("r"), F.col("cents"), w.alias("w"))
         .groupBy("r")
         .agg(
             F.sum(F.col("w").cast("long") * F.col("cents"))

@@ -312,7 +312,9 @@ def test_r11_sketch_plans(spark, sf_dir):
     assert plan.count("FileScan") == 1
     assert "Generate explode" in plan
     assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan
-    assert _shuffles(plan) <= 2
+    # base repartition + r-agg exchange + the 64-row window's
+    # SinglePartition
+    assert _shuffles(plan) <= 3
 
     plan = _plan(qs["countmin_heavy_keys"](spark, sf_dir))
     assert "TakeOrderedAndProject" in plan  # heavy pick, no global sort
