@@ -4733,8 +4733,19 @@ def poisson_bootstrap_ci(spark, sf_dir):
     # from the cluster, not from however many files the scan happened
     # to split into (a single-file 1x input otherwise runs the whole
     # 64x stage in one task); the exchange moves ~24 bytes/row, noise
-    # next to the work it unlocks
-    o = o.repartition(F.col("k"))
+    # next to the work it unlocks.  The partition count MUST be
+    # explicit: a bare repartition(col) exchange is AQE-coalesced by
+    # MAP-OUTPUT BYTES, and the base here is ~25 bytes/row — tiny —
+    # while the downstream cost is B md5s per row; AQE folded it to
+    # ONE partition and serialized the whole fan-out stage on one
+    # core (measured 7.6 s -> 0.9 s at sf0.1 with the pin).  The
+    # session's shuffle-partition conf is the scale knob (cluster
+    # deployments size it to 2-3x total cores), so the spread stays
+    # conf-driven, not a local constant.
+    o = o.repartition(
+        int(o.sparkSession.conf.get("spark.sql.shuffle.partitions")),
+        F.col("k"),
+    )
     r = o.select(
         "k",
         "cents",
