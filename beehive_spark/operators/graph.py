@@ -147,12 +147,21 @@ def connected_components(
                 F.col(dst).cast("long").alias("a"), F.col(src).cast("long").alias("b")
             )
         )
-        .distinct()
-        # persisted hash-partitioned AND sorted on the per-round join
+        # repartition BEFORE the dedup aggregate: hash(b) clusters
+        # (a, b), so distinct's HashAggregate reuses this exchange and
+        # edge ingest pays ONE shuffle of the 2|E| rows, not two
+        # (distinct-then-repartition re-exchanged the whole frame).
+        # The explicit count also pins the exchange against AQE's
+        # bytes-based coalescing (the poisson_bootstrap_ci lesson).
+        # Persisted hash-partitioned AND sorted on the per-round join
         # key, so each round's sort-merge join neither re-exchanges nor
         # re-sorts the edge side — only the (id, label) frame moves
-        # (same edge-stationary shape as `pagerank`'s link table)
-        .repartition("b")
+        # (same edge-stationary shape as `pagerank`'s link table).
+        .repartition(
+            int(edges.sparkSession.conf.get("spark.sql.shuffle.partitions")),
+            "b",
+        )
+        .dropDuplicates()
         .sortWithinPartitions("b")
         .persist()
     )
@@ -415,13 +424,26 @@ def pagerank(
     to stationary-distribution scoring).
     """
     sess = edges.sparkSession
-    e = edges.select(
-        F.col(src).cast("long").alias("src"), F.col(dst).cast("long").alias("dst")
-    ).distinct()
-    # static, reused every round — persisted hash-partitioned AND
-    # sorted on the join key under the SESSION conf (the big-frame
-    # choice: this is the 2|E|-row side)
-    links = e.repartition("src").sortWithinPartitions("src").persist()
+    # repartition BEFORE the dedup aggregate: hash(src) clusters
+    # (src, dst), so distinct's HashAggregate reuses this exchange and
+    # edge ingest pays ONE shuffle of the edge rows, not two; the
+    # explicit count pins it against AQE byte-coalescing.  Static,
+    # reused every round — persisted hash-partitioned AND sorted on
+    # the join key under the SESSION conf (the big-frame choice: this
+    # is the 2|E|-row side); the src partitioning also makes the
+    # out-degree aggregate below exchange-free.
+    links = (
+        edges.select(
+            F.col(src).cast("long").alias("src"),
+            F.col(dst).cast("long").alias("dst"),
+        )
+        .repartition(
+            int(sess.conf.get("spark.sql.shuffle.partitions")), "src"
+        )
+        .dropDuplicates()
+        .sortWithinPartitions("src")
+        .persist()
+    )
     outdeg = links.groupBy(F.col("src").alias("id")).agg(
         F.count(F.lit(1)).alias("deg")
     )
