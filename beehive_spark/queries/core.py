@@ -3603,7 +3603,9 @@ def lineitem_exact_quantiles(spark, sf_dir, n_buckets: int = 4096):
             if acc >= within:
                 rows.append((q, n, ranks[q], v))
                 break
-    return spark.createDataFrame(rows, schema)
+    return spark.createDataFrame(
+        spark.sparkContext.parallelize(rows, 1), schema
+    )
 
 
 # ---------------------------------------------------------------------------

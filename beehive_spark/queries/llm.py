@@ -1909,8 +1909,8 @@ def similarity_ann_lsh_planted(spark, sf_dir):
 # paths below and the index artifacts provably share one
 # implementation.
 from beehive_spark.operators.ann_index import (  # noqa: E402
+    assign_topr_lists as _assign_topr_lists,
     codebook_df as _codebook_df,
-    codebook_sims as _codebook_sims,
     normalized_sample as _normalized_sample,
     pq_subspace_sims as _pq_subspace_sims,
     train_ivf_codebook as _train_ivf_codebook,
@@ -1974,36 +1974,26 @@ def _ivf_search(spark, vecs, train_vecs, query_pred, nprobe, k, replicas):
     separate so the real query feeds the trainer the exact column it
     always has); ``query_pred`` is a boolean expression over ``vec_id``
     marking query rows — its complement is the corpus."""
-    norm = lambda col: F.sqrt(F.aggregate(col, F.lit(0.0), lambda a, x: a + x * x))  # noqa: E731
-    # norm in its own projection so it is computed once per row, not
-    # once per array element inside the transform lambda
-    emb = vecs.withColumn("nrm", norm(F.col("ed"))).select(
-        "vec_id",
-        F.transform("ed", lambda x: x / F.col("nrm")).alias("en"),
-    )
     cents = _train_ivf_codebook(train_vecs, k=k)
-    embc = emb.crossJoin(F.broadcast(_codebook_df(spark, cents)))
-    sims = _codebook_sims()
     # corpus side: each vector joins its top-`replicas` lists (IVF
-    # multi-assignment) — one projection + explode, no shuffle
-    lists = (
-        embc.filter(~query_pred)
-        .select(
-            F.col("vec_id").alias("neighbor_id"),
-            F.col("en").alias("ce"),
-            F.explode(F.slice(F.reverse(F.array_sort(sims)), 1, replicas)).alias("a"),
-        )
-        .select(F.col("a")["cid"].alias("centroid_id"), "neighbor_id", "ce")
+    # multi-assignment); query side: its top-`nprobe` probe lists.
+    # Both assignments run through the Arrow+numpy helper (bit-exact
+    # with the former codebook_sims HOF pipeline — interpreted HOF
+    # evaluation measured ~300x the per-row cost of the same math as
+    # numpy array ops; see operators.ann_index.assign_topr_lists)
+    lists = _assign_topr_lists(
+        vecs.filter(~query_pred), cents, replicas, vec_col="ed"
+    ).select(
+        "centroid_id",
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("en").alias("ce"),
     )
-    # query side: top-nprobe centroids — sort the k-struct array, slice, explode
-    probes = (
-        embc.filter(query_pred)
-        .select(
-            F.col("vec_id").alias("query_id"),
-            F.col("en").alias("qe"),
-            F.explode(F.slice(F.reverse(F.array_sort(sims)), 1, nprobe)).alias("p"),
-        )
-        .select("query_id", "qe", F.col("p")["cid"].alias("centroid_id"))
+    probes = _assign_topr_lists(
+        vecs.filter(query_pred), cents, nprobe, vec_col="ed"
+    ).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("en").alias("qe"),
+        "centroid_id",
     )
     cands = lists.join(F.broadcast(probes), "centroid_id").dropDuplicates(
         ["query_id", "neighbor_id"]
@@ -3595,7 +3585,9 @@ def embedding_mmr_rerank(spark, sf_dir):
             (len(picked) + 1, chosen["vec_id"], chosen["rel"], score, chosen)
         )
     out = spark.createDataFrame(
-        [(r, v, rel, mmr) for r, v, rel, mmr, _ in picked],
+        spark.sparkContext.parallelize(
+            [(r, v, rel, mmr) for r, v, rel, mmr, _ in picked], 1
+        ),
         schema=T.StructType(
             [
                 T.StructField("rank", T.IntegerType(), False),

@@ -1230,7 +1230,9 @@ def feature_quantile_normalize(spark, sf_dir):
                         - sel.prefix_sum(feat, lo_r),
                     )
                 )
-        m = spark.createDataFrame(rows, out_schema)
+        m = spark.createDataFrame(
+            spark.sparkContext.parallelize(rows, 1), out_schema
+        )
     # cross-feature target per bucket as a WINDOW over the 300-row
     # moment frame — identical expression (and rounding) to the
     # oracle's t-CTE join
@@ -1361,7 +1363,9 @@ def feature_winsorize_clip(spark, sf_dir):
             rows.append(
                 (feat, n, lo_v, hi_v, c_lt_lo, n - c_le_hi, sum_clip)
             )
-        m = spark.createDataFrame(rows, out_schema)
+        m = spark.createDataFrame(
+            spark.sparkContext.parallelize(rows, 1), out_schema
+        )
     return m.select(
         "feature",
         "n",
