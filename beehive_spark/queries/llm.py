@@ -1698,6 +1698,54 @@ def similarity_ann_lsh(spark, sf_dir):
     )
 
 
+def _plane_dots(emb, planes, id_col: str = "vec_id", vec_col: str = "e"):
+    """``(vec_id, d0..d{n-1})`` hyperplane dot products in ONE
+    ``mapInArrow`` stage — the Arrow re-expression of n_planes
+    ``aggregate(zip_with(e, <64 literals>), 0.0, +)`` folds (guide
+    §4.2: interpreted HOF evaluation plus a ~1000-literal expression
+    tree per side; the numpy loop below is the same math at array
+    speed).  BIT-EXACT with the fold: dots accumulate SEQUENTIALLY
+    over the dimension axis (one vectorized add per dimension),
+    reproducing the left fold's IEEE rounding — never ``np.dot``,
+    whose pairwise/SIMD summation rounds differently.  Only the id and
+    vector columns cross the boundary."""
+    import numpy as np
+
+    P = np.asarray(planes, dtype=np.float64)  # (n_planes, dim)
+    n_p, dim = P.shape
+    names = [id_col] + [f"d{j}" for j in range(n_p)]
+    schema = f"{id_col} bigint, " + ", ".join(f"d{j} double" for j in range(n_p))
+
+    def dots(batches):
+        import pyarrow as pa
+
+        for b in batches:
+            m = b.num_rows
+            if m == 0:
+                continue
+            ids = b.column(0).to_numpy(zero_copy_only=False).astype(np.int64)
+            lst = b.column(1)
+            lengths = lst.value_lengths().to_numpy(zero_copy_only=False)
+            if not (lengths == dim).all():
+                raise ValueError(
+                    f"_plane_dots: expected {dim}-dim vectors, got "
+                    f"lengths {set(lengths.tolist())}"
+                )
+            X = np.asarray(lst.flatten(), dtype=np.float64).reshape(m, dim)
+            D = np.zeros((m, n_p))
+            for d in range(dim):
+                D = D + X[:, d][:, None] * P[:, d][None, :]
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(ids, pa.int64())]
+                + [pa.array(D[:, j], pa.float64()) for j in range(n_p)],
+                names=names,
+            )
+
+    return emb.select(
+        F.col(id_col).cast("long").alias(id_col), F.col(vec_col)
+    ).mapInArrow(dots, schema)
+
+
 def _lsh_search(
     emb,
     query_pred,
@@ -1718,19 +1766,6 @@ def _lsh_search(
     order."""
     planes = _planes(n=n_planes)
 
-    def dot_exprs(col):
-        out = []
-        for p in planes:
-            arr = F.array(*[F.lit(x) for x in p])
-            out.append(
-                F.aggregate(
-                    F.zip_with(col, arr, lambda a, b: a * b),
-                    F.lit(0.0),
-                    lambda acc, x: acc + x,
-                )
-            )
-        return out
-
     def band_key(bits, b, flip=None):
         parts = []
         for i in range(3):
@@ -1740,16 +1775,18 @@ def _lsh_search(
             parts.append(bit.cast("string"))
         return F.concat_ws("", *parts)
 
-    # corpus side: exact keys only (each dot feeds exactly one band
-    # bit, so inline expressions are evaluated once per row)
+    # both sides' plane dots run through the Arrow+numpy stage
+    # (bit-exact with the former literal-array HOF folds; see
+    # _plane_dots) — the probe keys and |dot| rank comparisons then
+    # reference plain double columns
+    cdots = _plane_dots(emb.filter(~query_pred), planes)
     cbits = [
-        F.when(d >= 0, F.lit(1)).otherwise(F.lit(0)) for d in dot_exprs(F.col("e"))
+        F.when(F.col(f"d{j}") >= 0, F.lit(1)).otherwise(F.lit(0))
+        for j in range(n_planes)
     ]
     c = (
-        emb.filter(~query_pred)
-        .select(
+        cdots.select(
             "vec_id",
-            "e",
             F.explode(
                 F.array(
                     *[
@@ -1768,15 +1805,7 @@ def _lsh_search(
             F.col("bk.key").alias("key"),
         )
     )
-    # query side: materialize the 12 dots in their OWN projection
-    # first — the probe keys and |dot| rank comparisons reference each
-    # dot many times, and CollapseProject would otherwise re-evaluate
-    # the aggregate() per reference (the _tokens lesson)
-    qdots = emb.filter(query_pred).select(
-        "vec_id",
-        "e",
-        *[d.alias(f"d{j}") for j, d in enumerate(dot_exprs(F.col("e")))],
-    )
+    qdots = _plane_dots(emb.filter(query_pred), planes)
     qbits = [
         F.when(F.col(f"d{j}") >= 0, F.lit(1)).otherwise(F.lit(0))
         for j in range(n_planes)
