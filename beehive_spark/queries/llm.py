@@ -556,27 +556,44 @@ def _simhash_pairs(d):
     th = toks.filter(F.size("w") >= 3).select(
         "doc_id", _ngram_hashes(F.col("w")).alias("hs")
     )
-    bit_sums = [
-        F.aggregate(
-            F.col("hs"),
-            F.lit(0),
-            lambda acc, h: acc
-            + F.when(
-                h.bitwiseAND(F.lit(1 << bit) if bit < 63 else F.lit(-(1 << 63))) != 0, 1
-            ).otherwise(-1),
-        ).alias(f"b{bit}")
-        for bit in range(64)
-    ]
-    with_bits = th.select("doc_id", *bit_sums)
-    sim = None
-    for bit in range(64):
-        term = F.when(
-            F.col(f"b{bit}") > 0, F.shiftleft(F.lit(1).cast("long"), bit)
-        ).otherwise(F.lit(0).cast("long"))
-        sim = term if sim is None else sim.bitwiseOR(term)
-    sigs = with_bits.select("doc_id", sim.alias("simhash")).localCheckpoint(
-        eager=True
-    )
+
+    def simhash_fold(batches):
+        # the 64 per-bit +-1 sums and the sign fold as numpy integer
+        # ops (guide §4.2: the former 64 interpreted aggregate() folds
+        # walked every doc's shingle array once PER BIT).  All-integer
+        # arithmetic, so the signature is EXACTLY the JVM fold's value
+        # — order-independent, no float rounding anywhere.
+        import numpy as np
+        import pyarrow as pa
+
+        for b in batches:
+            n = b.num_rows
+            if n == 0:
+                continue
+            ids = b.column(0).to_numpy(zero_copy_only=False).astype(np.int64)
+            lst = b.column(1)
+            lengths = lst.value_lengths().to_numpy(zero_copy_only=False)
+            if not (lengths > 0).all():
+                raise ValueError("simhash_fold: empty shingle array")
+            vals = np.asarray(lst.flatten(), dtype=np.int64)
+            starts = np.zeros(n, dtype=np.int64)
+            np.cumsum(lengths[:-1], out=starts[1:])
+            sig = np.zeros(n, dtype=np.uint64)
+            for bit in range(64):
+                pm = (((vals >> bit) & 1) * 2 - 1).astype(np.int64)
+                sums = np.add.reduceat(pm, starts)
+                sig |= (sums > 0).astype(np.uint64) << np.uint64(bit)
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(ids, pa.int64()),
+                    pa.array(sig.view(np.int64), pa.int64()),
+                ],
+                names=["doc_id", "simhash"],
+            )
+
+    sigs = th.mapInArrow(
+        simhash_fold, "doc_id bigint, simhash bigint"
+    ).localCheckpoint(eager=True)
     blocks = sigs.select(
         "doc_id",
         "simhash",
