@@ -717,44 +717,78 @@ def kcore(edges: DataFrame, k: int, max_iter: int = 100) -> DataFrame:
     would otherwise double every degree).
     """
     sess = edges.sparkSession
-    live = _canonical_edges(edges).localCheckpoint(eager=True)
-    n_edges = live.count()
-    loop_parts = n_edges // 250_000 if n_edges <= 50_000_000 else None
-    deg = None
-    converged = n_edges == 0
+    # DEGREE-MAINTENANCE peeling (r11): the former shape re-filtered
+    # and eagerly checkpointed the full live EDGE frame every round —
+    # an O(|E|) write per round even when the round peeled 0.1% of
+    # nodes.  The peel is fully determined by degree bookkeeping: when
+    # a node drops, each of its edges decrements its OTHER endpoint
+    # exactly once (an edge whose both endpoints drop decrements only
+    # already-dropped ids, whose degree rows are gone — a no-op).  So
+    # the loop maintains only the |V|-row degree frame; the symmetric
+    # adjacency is persisted ONCE, laid out on the partner-lookup key
+    # so both the initial degree aggregate and every round's
+    # decrement join are exchange-free on the 2|E|-row side.  Rounds
+    # (simultaneous sub-k drops per round) and the fixed point are
+    # identical to the batch Montresor peel; arithmetic is all-integer.
+    u, v = F.col("u").cast("long"), F.col("v").cast("long")
+    half = edges.select(
+        F.least(u, v).alias("a"), F.greatest(u, v).alias("b")
+    ).filter(F.col("a") != F.col("b"))
+    # symmetrize BEFORE the dedup aggregate and repartition on the
+    # lookup key first: hash(a) clusters (a, b), so dropDuplicates
+    # reuses the layout exchange and ingest pays ONE shuffle (the
+    # canonicalize-then-distinct-then-repartition shape paid two);
+    # dedup of the symmetric frame equals symmetrized canonical dedup
+    # because (a, b) and its swap are distinct rows by construction
+    adj = (
+        half.union(half.select(F.col("b").alias("a"), F.col("a").alias("b")))
+        .repartition(
+            int(sess.conf.get("spark.sql.shuffle.partitions")), "a"
+        )
+        .dropDuplicates()
+        .persist()
+    )
+    deg = (
+        adj.groupBy(F.col("a").alias("id"))
+        .agg(F.count(F.lit(1)).alias("d"))
+        .localCheckpoint(eager=True)
+    )
+    n_nodes = deg.count()  # materializes adj en route; sizes the loop
+    loop_parts = n_nodes // 25_000 if n_nodes <= 5_000_000 else None
+    converged = n_nodes == 0
     with _iter_loop_confs(sess, loop_parts):
-        prev = n_edges
         for _ in range(max_iter):
             if converged:
                 break
-            deg = _degrees(live)
-            keep = deg.filter(F.col("d") >= k).select("id")
-            live = (
-                live.join(keep.withColumnRenamed("id", "u"), "u", "left_semi")
-                .join(keep.withColumnRenamed("id", "v"), "v", "left_semi")
-                .select("u", "v")
+            new_drop = deg.filter(F.col("d") < k).select(F.col("id").alias("a"))
+            if new_drop.isEmpty():
+                converged = True
+                break
+            dec = (
+                adj.join(new_drop, "a")
+                .groupBy(F.col("b").alias("id"))
+                .agg(F.count(F.lit(1)).alias("dec"))
+            )
+            deg = (
+                deg.filter(F.col("d") >= k)
+                .join(dec, "id", "left")
+                .select(
+                    "id",
+                    (F.col("d") - F.coalesce("dec", F.lit(0))).alias("d"),
+                )
                 .localCheckpoint(eager=True)
             )
-            cur = live.count()
-            # fixed point: nothing peeled this round (every remaining
-            # node already has d >= k — the deg just computed IS the
-            # answer), or the graph peeled to nothing
-            converged = cur == prev or cur == 0
-            prev = cur
+    adj.unpersist()
     if not converged:
         raise RuntimeError(
             f"kcore: peel did not converge within {max_iter} rounds "
             f"(k={k}; a truncated peel would report sub-k nodes as core "
             "members) — raise max_iter for this topology"
         )
-    if deg is None or prev == 0:
-        return live.sparkSession.createDataFrame([], "id long, core_degree long")
-    # deg was computed from the frame the converged round started with,
-    # which the fixed point proved identical to the final frame — reuse
-    # it instead of rebuilding the same aggregation as a fresh job
-    return deg.filter(F.col("d") >= k).select(
-        "id", F.col("d").cast("long").alias("core_degree")
-    )
+    # converged: every remaining degree row is a core member and `d`
+    # is its degree within the k-core (all sub-k nodes' contributions
+    # have been decremented away)
+    return deg.select("id", F.col("d").cast("long").alias("core_degree"))
 
 
 def tree_rollup(
