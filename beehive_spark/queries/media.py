@@ -315,43 +315,63 @@ def media_video_frames(spark, sf_dir):
         max_frames=_FRAME_MAX,
         use_real_decoder=True,
     )
-    # mean luma of the raw RGB bytes, all JVM: hex the frame ONCE into
-    # its own column (an inline F.hex inside the transform lambda is
-    # re-evaluated per element — the expression-inlining trap, O(n^2)
-    # per frame; a materialized column binds once per row) and read
-    # unsigned byte values positionally, weighted by the ITU-R 601
-    # coefficients; for a solid frame every pixel contributes
-    # luma(v,v,v) = v
-    hexed = frames.withColumn("__hex", F.hex("frame"))
-    return hexed.select(
+    # per-pixel ITU-R 601 luma summed in the SAME Arrow tier the frame
+    # was decoded in (guide §4.2: the former per-pixel
+    # conv(substring(hex)) HOF fold evaluated interpreted — ~3 s of
+    # the query at sf0.1 for 15k tiny frames).  Bit-exact with that
+    # fold: each pixel's term is x*0.299 + y*0.587 + z*0.114 with the
+    # same left association, and the per-frame sum accumulates
+    # SEQUENTIALLY (np.cumsum is a running left fold) — never
+    # np.sum's pairwise summation.  The mean's division and the
+    # HALF_UP round stay in JVM expressions, identical to before.
+    def luma_sums(batches):
+        import numpy as np
+        import pyarrow as pa
+
+        for b in batches:
+            n = b.num_rows
+            if n == 0:
+                continue
+            frames_col = b.column(3)
+            sums = np.empty(n, dtype=np.float64)
+            for i in range(n):
+                buf = frames_col[i].as_py()
+                px = np.frombuffer(buf, dtype=np.uint8).astype(np.float64)
+                px = px.reshape(-1, 3)
+                terms = px[:, 0] * 0.299 + px[:, 1] * 0.587 + px[:, 2] * 0.114
+                sums[i] = np.cumsum(terms)[-1] if len(terms) else 0.0
+            yield pa.RecordBatch.from_arrays(
+                [
+                    b.column(0),
+                    b.column(1),
+                    b.column(2),
+                    pa.array(
+                        [len(frames_col[i].as_py() or b"") for i in range(n)],
+                        pa.int64(),
+                    ),
+                    pa.array(sums, pa.float64()),
+                ],
+                names=[
+                    "media_id",
+                    "frame_idx",
+                    "ts_ms",
+                    "frame_bytes",
+                    "luma_sum",
+                ],
+            )
+
+    lumas = frames.mapInArrow(
+        luma_sums,
+        "media_id bigint, frame_idx int, ts_ms bigint, "
+        "frame_bytes bigint, luma_sum double",
+    )
+    return lumas.select(
         "media_id",
         "frame_idx",
         "ts_ms",
-        F.length("frame").cast("long").alias("frame_bytes"),
+        "frame_bytes",
         F.round(
-            F.aggregate(
-                F.transform(
-                    F.sequence(
-                        F.lit(0), (F.length("frame") / 3).cast("int") - 1
-                    ),
-                    lambda p: F.conv(
-                        F.substring(F.col("__hex"), (p * 3) * 2 + 1, 2), 16, 10
-                    ).cast("double")
-                    * 0.299
-                    + F.conv(
-                        F.substring(F.col("__hex"), (p * 3 + 1) * 2 + 1, 2), 16, 10
-                    ).cast("double")
-                    * 0.587
-                    + F.conv(
-                        F.substring(F.col("__hex"), (p * 3 + 2) * 2 + 1, 2), 16, 10
-                    ).cast("double")
-                    * 0.114,
-                ),
-                F.lit(0.0),
-                lambda acc, x: acc + x,
-            )
-            / (F.length("frame") / 3),
-            2,
+            F.col("luma_sum") / (F.col("frame_bytes") / 3), 2
         ).alias("mean_luma"),
     )
 
