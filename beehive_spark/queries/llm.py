@@ -3323,56 +3323,75 @@ def doc_winnowing_fingerprints(spark, sf_dir):
     d = load(spark, sf_dir, "documents").filter(
         F.length("text") >= k + w - 1
     )
-    # char codepoints as one materialized array — ascii() is
-    # IntegerType, so cast to long BEFORE the power multiply
-    # (31^5 * codepoint overflows int32 under ANSI)
-    cs = F.transform(F.split("text", ""), lambda c: F.ascii(c).cast("long"))
-    coded = d.select("doc_id", cs.alias("cs"))
-    # k-gram hashes: 8 O(1) element_at reads per position
-    h = F.transform(
-        F.sequence(F.lit(1), F.size("cs") - k + 1),
-        lambda i: sum(
-            F.element_at(F.col("cs"), i + j) * F.lit(B ** (k - 1 - j))
-            for j in range(k)
-        )
-        % F.lit(M),
+
+    def winnow(batches):
+        # the whole rolling-hash + winnow + distinct + checksum chain
+        # as numpy integer ops (guide §4.2: the former JVM formulation
+        # evaluated interpreted HOFs — a transform per position, a
+        # w-slice materialization per window, an array_distinct and a
+        # checksum fold per doc).  ALL-INTEGER arithmetic, so every
+        # output value is exactly the JVM expression's; the density
+        # round stays a JVM expression below.  Max k-gram accumulator:
+        # max codepoint (0x10FFFF) * sum(B^0..B^7) ~ 3.2e16 << 2^63.
+        import numpy as np
+        import pyarrow as pa
+        from numpy.lib.stride_tricks import sliding_window_view
+
+        pows = np.array([B ** (k - 1 - j) for j in range(k)], dtype=np.int64)
+        for b in batches:
+            n = b.num_rows
+            if n == 0:
+                continue
+            ids = b.column(0).to_numpy(zero_copy_only=False).astype(np.int64)
+            texts = b.column(1)
+            n_grams = np.empty(n, dtype=np.int64)
+            n_fp = np.empty(n, dtype=np.int64)
+            csum = np.empty(n, dtype=np.int64)
+            for i in range(n):
+                s = texts[i].as_py()
+                c = np.frombuffer(
+                    s.encode("utf-32-le"), dtype=np.uint32
+                ).astype(np.int64)
+                ng = len(c) - k + 1
+                h = np.zeros(ng, dtype=np.int64)
+                for j in range(k):
+                    h += c[j : j + ng] * pows[j]
+                h %= M
+                W = sliding_window_view(h, w)
+                mins = W.min(axis=1)
+                # rightmost min: first hit in the reversed window,
+                # exactly array_position(reverse(win), array_min(win))
+                r0 = (W[:, ::-1] == mins[:, None]).argmax(axis=1)
+                pos = np.arange(len(mins), dtype=np.int64) + w - (r0 + 1)
+                fpu = np.unique(pos * M + mins)
+                n_grams[i] = ng
+                n_fp[i] = len(fpu)
+                csum[i] = int((fpu % M).sum() % M)
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(ids, pa.int64()),
+                    pa.array(n_grams, pa.int64()),
+                    pa.array(n_fp, pa.int64()),
+                    pa.array(csum, pa.int64()),
+                ],
+                names=["doc_id", "n_grams", "n_fingerprints", "fp_checksum"],
+            )
+
+    fps = d.select(
+        F.col("doc_id").cast("long").alias("doc_id"), "text"
+    ).mapInArrow(
+        winnow,
+        "doc_id bigint, n_grams bigint, n_fingerprints bigint, "
+        "fp_checksum bigint",
     )
-    hashed = coded.select("doc_id", h.alias("h"))
-    # winnow: materialize each window once, then pick the rightmost
-    # minimum; (pos, v) packed as pos*M + v — one BIGINT per
-    # fingerprint, so distinct/dedup handles 8 bytes and the oracle
-    # can mirror it
-    wins = F.transform(
-        F.sequence(F.lit(1), F.size("h") - w + 1),
-        lambda p: F.slice(F.col("h"), p, w),
-    )
-    sliced = hashed.select("doc_id", F.size("h").alias("n_grams"),
-                           wins.alias("wins"))
-    fp = F.array_distinct(
-        F.transform(
-            F.col("wins"),
-            lambda win, i: (
-                i + F.lit(w)
-                - F.array_position(F.reverse(win), F.array_min(win))
-            ).cast("long") * F.lit(M) + F.array_min(win),
-        )
-    )
-    fps = sliced.select("doc_id", "n_grams", fp.alias("fp"))
     return fps.select(
         "doc_id",
-        F.col("n_grams").cast("long").alias("n_grams"),
-        F.size("fp").cast("long").alias("n_fingerprints"),
-        (
-            F.aggregate(
-                F.transform("fp", lambda x: x % M),
-                F.lit(0).cast("long"),
-                lambda acc, x: acc + x,
-            )
-            % M
-        ).cast("long").alias("fp_checksum"),
-        F.round(F.size("fp") / F.col("n_grams").cast("double"), 4).alias(
-            "density"
-        ),
+        "n_grams",
+        "n_fingerprints",
+        "fp_checksum",
+        F.round(
+            F.col("n_fingerprints") / F.col("n_grams").cast("double"), 4
+        ).alias("density"),
     )
 
 
