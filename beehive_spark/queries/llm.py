@@ -1782,6 +1782,13 @@ def _lsh_search(
     then single-bit flips in ascending |dot| (hyperplane-distance)
     order."""
     planes = _planes(n=n_planes)
+    # four lineage branches read `emb` (corpus dots, query dots, and
+    # the two exact-rerank payload joins); persist so the input frame
+    # materializes once — for the planted twin the frame is a
+    # 64-branch CASE-array construction per row, which otherwise
+    # re-evaluates per branch (measured ~1 s per extra evaluation at
+    # sf0.1)
+    emb = emb.persist()
 
     def band_key(bits, b, flip=None):
         parts = []
@@ -1871,24 +1878,34 @@ def _lsh_search(
         .select("query_id", "neighbor_id")
         .distinct()
     )
+    # norms computed ONCE per vector in the payload projections, not
+    # once per candidate side (the dedup_embedding_bucketed lesson:
+    # with b-bit band keys every bucket holds ~|corpus|/2^b vectors,
+    # so candidates can be a large multiple of the corpus and a
+    # per-pair norm fold multiplies the verification work ~3x);
+    # identical expression on identical input, so values are unchanged
+    norm = lambda col: F.sqrt(F.aggregate(col, F.lit(0.0), lambda a, x: a + x * x))  # noqa: E731
     cands = pairs.join(
         emb.filter(~query_pred).select(
-            F.col("vec_id").alias("neighbor_id"), F.col("e").alias("ce")
+            F.col("vec_id").alias("neighbor_id"),
+            F.col("e").alias("ce"),
+            norm(F.col("e")).alias("cn"),
         ),
         "neighbor_id",
     ).join(
         F.broadcast(
             emb.filter(query_pred).select(
-                F.col("vec_id").alias("query_id"), F.col("e").alias("qe")
+                F.col("vec_id").alias("query_id"),
+                F.col("e").alias("qe"),
+                norm(F.col("e")).alias("qn"),
             )
         ),
         "query_id",
     )
-    norm = lambda col: F.sqrt(F.aggregate(col, F.lit(0.0), lambda a, x: a + x * x))  # noqa: E731
     dot = F.aggregate(
         F.zip_with("qe", "ce", lambda x, y: x * y), F.lit(0.0), lambda a, x: a + x
     )
-    sim = dot / (norm(F.col("qe")) * norm(F.col("ce")))
+    sim = dot / (F.col("qn") * F.col("cn"))
     w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("neighbor_id"))
     return (
         cands.withColumn("sim", sim)
@@ -2020,6 +2037,10 @@ def _ivf_search(spark, vecs, train_vecs, query_pred, nprobe, k, replicas):
     separate so the real query feeds the trainer the exact column it
     always has); ``query_pred`` is a boolean expression over ``vec_id``
     marking query rows — its complement is the corpus."""
+    # two assignment branches read `vecs`; persist so the input frame
+    # materializes once (the planted twin's frame is a per-row CASE
+    # construction that would otherwise re-evaluate per branch)
+    vecs = vecs.persist()
     cents = _train_ivf_codebook(train_vecs, k=k)
     # corpus side: each vector joins its top-`replicas` lists (IVF
     # multi-assignment); query side: its top-`nprobe` probe lists.
