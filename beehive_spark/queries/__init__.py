@@ -81,23 +81,28 @@ _loaded = False
 # scripts/check_oracle.py sweep still verifies ALL registered queries
 # each round.
 _PRIORITY = [
-    # --- changed in round 11 (code or oracle touched; must re-verify)
-    "feature_quantile_normalize",   # r11: banded-selection rewrite
-    "graph_degree_assortativity",   # r11: degree-moment algebra rewrite
-    "similarity_ann_lsh_planted",   # r11: 5 bands / 3 probes / slim join
-    "bm25_retrieval",               # r11: oracle rendered from _BM25_K1/_B
-    "retrieval_ndcg",               # r11: same interpolated pricing oracle
-    "retrieval_rrf_fusion",         # r11: same interpolated pricing oracle
-    # --- new in round 11 (appended as they land)
-    "feature_winsorize_clip",       # r11 new: exact p1/p99 clip map
-    "text_readability",             # r11 new: Flesch reading ease
-    "orders_benford_audit",         # r11 new: first-digit conformance
-    "events_user_entropy",          # r11 new: behavioral diversity
-    "feature_hash_cross",           # r11 new: hashing-trick crosses
-    "supplier_gini",                # r11 new: revenue concentration
-    "l_diversity_audit",            # r11 new: sensitive-attr diversity
-    "poisson_bootstrap_ci",         # r11 new: single-pass bootstrap CI
-    "countmin_heavy_keys",          # r11 new: mergeable CM sketch audit
+    # --- round 11 (build half): oracle text or query rewritten; the
+    # interrupted build never saw a driver pass, so these re-verify now
+    "feature_quantile_normalize",   # r11 build rewrite + r11 opt 1-slice frames
+    "graph_degree_assortativity",   # r11 build: degree-moment algebra rewrite
+    "similarity_ann_lsh_planted",   # r11 build: 5 bands/3 probes + r11 opt
+    "bm25_retrieval",               # r11 build: oracle rendered from _BM25_K1/_B
+    "retrieval_ndcg",               # r11 build: same interpolated pricing oracle
+    "retrieval_rrf_fusion",         # r11 build: same interpolated pricing oracle
+    # --- round 11 (optimization half): internals changed this round
+    # (bit-exact Arrow re-expressions, CC/kcore loop rewrites) — the
+    # driver gate must re-prove the touched paths.  The 10 r11-NEW
+    # queries need no head slots: never-driver-verified entries sort
+    # FIRST in the computed backfill below.
+    "poisson_bootstrap_ci",         # r11 opt: pinned fan-out repartition
+    "dedup_clusters",               # r11 opt: CC broadcast-label loop
+    "entity_resolution_pipeline",   # r11 opt: CC consumer
+    "graph_kcore_planted",          # r11 opt: degree-maintenance peel
+    "similarity_ann_ivf_planted",   # r11 opt: Arrow top-r assignment
+    "similarity_ann_pq_planted",    # r11 opt: 1-slice codebook carrier
+    "dedup_simhash_planted",        # r11 opt: Arrow signature fold
+    "media_video_frames",           # r11 opt: Arrow luma fold
+    "doc_winnowing_fingerprints",   # r11 opt: Arrow winnow chain
 ]
 # The head stays SHORT (<= 15 names, pinned by
 # tests/test_window_policy.py): >= 35 of the driver's 50 window slots

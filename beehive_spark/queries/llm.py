@@ -1782,13 +1782,6 @@ def _lsh_search(
     then single-bit flips in ascending |dot| (hyperplane-distance)
     order."""
     planes = _planes(n=n_planes)
-    # four lineage branches read `emb` (corpus dots, query dots, and
-    # the two exact-rerank payload joins); persist so the input frame
-    # materializes once — for the planted twin the frame is a
-    # 64-branch CASE-array construction per row, which otherwise
-    # re-evaluates per branch (measured ~1 s per extra evaluation at
-    # sf0.1)
-    emb = emb.persist()
 
     def band_key(bits, b, flip=None):
         parts = []
@@ -1957,8 +1950,14 @@ def similarity_ann_lsh_planted(spark, sf_dir):
         F.col("vec_id").cast("long").alias("vec_id")
     )
     g = F.call_function("div", F.col("vec_id"), F.lit(20).cast("long"))
+    # persist the CONSTRUCTED frame: the pipeline reads its input from
+    # four lineage branches, and the 64-branch CASE-array construction
+    # would otherwise re-evaluate per branch (~1 s each at sf0.1).
+    # The persist lives HERE, not in _lsh_search — for a real corpus
+    # the branches re-scan pruned parquet, which at scale is cheaper
+    # than caching the whole embedding frame.
     return _lsh_search(
-        e.select("vec_id", _planted_sign_vec(g, 64).alias("e")),
+        e.select("vec_id", _planted_sign_vec(g, 64).alias("e")).persist(),
         query_pred=F.pmod("vec_id", F.lit(20)) == 0,
     )
 
@@ -2037,10 +2036,6 @@ def _ivf_search(spark, vecs, train_vecs, query_pred, nprobe, k, replicas):
     separate so the real query feeds the trainer the exact column it
     always has); ``query_pred`` is a boolean expression over ``vec_id``
     marking query rows — its complement is the corpus."""
-    # two assignment branches read `vecs`; persist so the input frame
-    # materializes once (the planted twin's frame is a per-row CASE
-    # construction that would otherwise re-evaluate per branch)
-    vecs = vecs.persist()
     cents = _train_ivf_codebook(train_vecs, k=k)
     # corpus side: each vector joins its top-`replicas` lists (IVF
     # multi-assignment); query side: its top-`nprobe` probe lists.
@@ -2133,7 +2128,10 @@ def similarity_ann_ivf_planted(spark, sf_dir):
     g = F.call_function(
         "div", F.col("vec_id"), F.lit(20).cast("long")
     )
-    planted = e.select("vec_id", _planted_sign_vec(g, 16).alias("ed"))
+    # persist the constructed frame — same rationale as the LSH twin
+    planted = e.select(
+        "vec_id", _planted_sign_vec(g, 16).alias("ed")
+    ).persist()
     query_pred = F.pmod("vec_id", F.lit(20)) == 0
     return _ivf_search(
         spark,
