@@ -476,6 +476,23 @@ def pagerank(
     # loop-scoped confs only (shared helper): every eager action below
     # runs under them; the returned frame is already checkpointed
     with _iter_loop_confs(sess, n // 2500 if use_bcast else None):
+        if use_bcast:
+            # re-lay the static edge list on the AGGREGATION key, once:
+            # the broadcast join preserves the stream side's
+            # partitioning, so the per-round sum-by-dst then needs NO
+            # exchange at all — rounds become zero-shuffle jobs (the
+            # src layout only served the one-time out-degree aggregate
+            # above and the SMJ path's per-round join).  One extra
+            # 2|E|-row shuffle at loop width buys R rounds x (exchange
+            # stage + its partial-agg rows); the loop conf count is
+            # already clamped, and the explicit count pins the layout
+            # against coalescing.
+            links_dst = links.repartition(
+                int(sess.conf.get("spark.sql.shuffle.partitions")), "dst"
+            ).persist()
+            links_dst.count()
+            links.unpersist()
+            links = links_dst
         for _ in range(iters):
             # deg=0 (dangling) rows contribute no edge mass and would
             # trip ANSI DIVIDE_BY_ZERO — their mass flows via dmass
