@@ -176,6 +176,23 @@ def connected_components(
     with _iter_loop_confs(
         edges.sparkSession, n // 2500 if use_bcast else None
     ):
+        if use_bcast:
+            # re-lay the static edge list on the AGGREGATION key once
+            # (the r11 pagerank move): the broadcast join preserves
+            # the stream side's partitioning, so the per-round min
+            # needs no exchange — rounds become zero-shuffle jobs.
+            # The b layout only served the SMJ path's per-round join
+            # (a broadcast join doesn't care) and the ingest dedup
+            # (already paid).
+            e_a = e.repartition(
+                int(
+                    edges.sparkSession.conf.get("spark.sql.shuffle.partitions")
+                ),
+                "a",
+            ).persist()
+            e_a.count()
+            e.unpersist()
+            e = e_a
         for _ in range(max_iter):
             lab_b = labels.withColumnRenamed("id", "b")
             if use_bcast:
@@ -869,22 +886,29 @@ def tree_rollup(
     n_edges = e.count()
     n_nodes = t.count()
     finalized = []
+    kids = F.lit(True).alias("_kids")
+
+    def flag(frame, edge_frame):
+        # annotate each node with whether it still has child edges:
+        # the leaf/survivor split then needs no anti/semi joins — both
+        # are FILTERS over the one checkpointed frame (r11: this folds
+        # the former parents_d + leaves checkpoints into t's, cutting
+        # the per-round actions from 5 to 3)
+        pd = edge_frame.select(F.col("p").alias("id")).distinct()
+        return frame.join(pd.select("id", kids), "id", "left").localCheckpoint(
+            eager=True
+        )
+
     with _iter_loop_confs(sess, n_nodes // 250_000 if n_nodes <= 50_000_000 else None):
         if n_edges == 0:
             return t
+        t = flag(t, e)
         for _ in range(max_iter):
-            # materialized once per round: BOTH the leaf anti join and
-            # the survivor semi join consume it, and a lazy distinct
-            # would re-run its shuffle for each (r7 review)
-            parents_d = (
-                e.select(F.col("p").alias("id"))
-                .distinct()
-                .localCheckpoint(eager=True)
-            )
             # no remaining child edges -> this node's total is FINAL
-            leaves = t.join(parents_d, "id", "left_anti").localCheckpoint(
-                eager=True
+            leaves = t.filter(F.col("_kids").isNull()).select(
+                "id", "total", "n_desc"
             )
+            finalized.append(leaves)
             contrib = (
                 e.join(leaves.select(F.col("id").alias("c"), "total", "n_desc"), "c")
                 .groupBy(F.col("p").alias("id"))
@@ -893,28 +917,31 @@ def tree_rollup(
                     F.sum("n_desc").alias("cn"),
                 )
             )
-            t = (
-                t.join(parents_d, "id", "left_semi")
+            e = e.join(
+                leaves.select(F.col("id").alias("c")), "c", "left_anti"
+            ).localCheckpoint(eager=True)
+            n_edges = e.count()
+            # contrib lazily reads the PRE-anti edge frame captured
+            # above; survivors accumulate their resolved children's
+            # mass in place and finalize when their last edge is gone
+            surv = (
+                t.filter(F.col("_kids").isNotNull())
+                .select("id", "total", "n_desc")
                 .join(contrib, "id", "left")
                 .select(
                     "id",
                     (F.col("total") + F.coalesce("ct", F.lit(0))).alias("total"),
                     (F.col("n_desc") + F.coalesce("cn", F.lit(0))).alias("n_desc"),
                 )
-                .localCheckpoint(eager=True)
             )
-            e = e.join(
-                leaves.select(F.col("id").alias("c")), "c", "left_anti"
-            ).localCheckpoint(eager=True)
-            finalized.append(leaves)
-            n_edges = e.count()
             # completion is checked HERE, not at the top of the next
             # iteration: a forest whose height equals max_iter drains
             # its last edges in the final round, and the error path
             # below must never fire with 0 edges remaining (r7 advisory)
             if n_edges == 0:
-                finalized.append(t)
+                finalized.append(surv)
                 break
+            t = flag(surv, e)
         else:
             raise RuntimeError(
                 f"tree_rollup did not resolve within {max_iter} rounds "
@@ -933,6 +960,7 @@ def sssp(
     weight: str = "w",
     id_col: str = "id",
     max_iter: int = 64,
+    broadcast_dist_rows: int = 100_000,
 ) -> DataFrame:
     """Single-source (or multi-source) WEIGHTED shortest paths by
     frontier Bellman-Ford relaxation — :func:`bfs_levels` upgraded
@@ -943,12 +971,24 @@ def sssp(
     reachable from ``sources`` (distance 0 there).  Per round, only
     the FRONTIER (nodes whose distance improved last round) re-relaxes
     its out-edges: one equi-join frontier><edges, one min-combine per
-    destination (map-side combinable), one left-outer merge into the
-    distance frame — node-keyed bounded shuffles over frames bounded
-    by |V|, lineage cut per round with eager ``localCheckpoint``.
-    Rounds are bounded by the longest shortest-path HOP count (tree
-    height / graph diameter), not |V|, because a settled node
-    re-enters the frontier only when a strictly shorter path arrives.
+    destination (map-side combinable), one left merge into the
+    distance frame — the distance frame is SEEDED with the full node
+    universe (unreached rows carry NULL until a path arrives), so the
+    merge is a left join, never a full-outer, and the improved flag
+    rides IN the checkpointed frame: one lineage cut per round, the
+    next frontier is a filter over it.  Rounds are bounded by the
+    longest shortest-path HOP count (tree height / graph diameter),
+    not |V|, because a settled node re-enters the frontier only when a
+    strictly shorter path arrives.
+
+    Two per-round join strategies, picked by |V| exactly as in
+    :func:`pagerank` (r11): |V| <= ``broadcast_dist_rows`` re-lays the
+    persisted edge list on the AGGREGATION key ``v`` once and
+    broadcasts the frontier and candidate frames — rounds are
+    ZERO-shuffle (two |V|-bounded broadcasts, partial->final min fused
+    with no exchange); larger graphs keep the edge list persisted
+    hash-partitioned and sorted on ``u`` (the per-round join key), so
+    only the |V|-row frames move each round.
 
     EXACT-operator contract: exhausting ``max_iter`` with a non-empty
     frontier RAISES (truncated distances lie); negative weights are
@@ -960,63 +1000,100 @@ def sssp(
     metric along those paths, as net-new §2.8 capability.
     """
     sess = edges.sparkSession
-    e = edges.select(
+    e0 = edges.select(
         F.col(src).cast("long").alias("u"),
         F.col(dst).cast("long").alias("v"),
         F.col(weight).cast("long").alias("w"),
-    ).localCheckpoint(eager=True)
-    neg = e.filter(F.col("w") < 0).count()
-    if neg:
-        raise ValueError(f"sssp requires non-negative weights ({neg} negative)")
-    dist = (
+    )
+    # distance frame seeded with the FULL node universe (sources
+    # included even when isolated): unreached rows carry NULL dist, so
+    # every per-round merge is a plain left join — broadcastable,
+    # unlike the former full-outer.  The improved flag rides in the
+    # frame; round 1's frontier is exactly the sources.
+    srcs = (
         sources.select(F.col(id_col).cast("long").alias("id"))
         .distinct()
-        .withColumn("dist", F.lit(0).cast("long"))
+        .withColumn("sdist", F.lit(0).cast("long"))
+    )
+    dist = (
+        e0.select(F.col("u").alias("id"))
+        .union(e0.select(F.col("v").alias("id")))
+        .union(srcs.select("id"))
+        .distinct()
+        .join(srcs, "id", "left")
+        .select(
+            "id",
+            F.col("sdist").alias("dist"),
+            F.col("sdist").isNotNull().alias("_improved"),
+        )
         .localCheckpoint(eager=True)
     )
-    frontier = dist
     # the small-graph clamp heuristic is keyed on NODE count (as in
-    # tree_rollup) — count the distinct endpoint frame, not |E|
-    # (r7 advisory: e.count() here silently fed edge count to a
-    # threshold tuned for |V|)
-    n_nodes = (
-        e.select(F.col("u").alias("id"))
-        .union(e.select(F.col("v").alias("id")))
-        .distinct()
-        .count()
-    )
+    # tree_rollup) — the seeded frame's count, not |E| (r7 advisory:
+    # e.count() here silently fed edge count to a threshold tuned for
+    # |V|); the count picks the loop strategy BEFORE the edge layout
+    # is chosen, so the list is laid out and materialized exactly once
+    n_nodes = dist.count()
+    use_bcast = n_nodes <= broadcast_dist_rows
     with _iter_loop_confs(
         sess, n_nodes // 250_000 if n_nodes <= 50_000_000 else None
     ):
+        if use_bcast:
+            # static edge list laid out on the AGGREGATION key (the
+            # r11 pagerank move): the broadcast join preserves the
+            # stream side's partitioning, so the per-round min-combine
+            # needs no exchange — rounds are zero-shuffle jobs
+            e = e0.repartition(
+                int(sess.conf.get("spark.sql.shuffle.partitions")), "v"
+            ).persist()
+        else:
+            # big-graph path: hash-partitioned AND sorted on the
+            # per-round JOIN key (the pagerank SMJ layout) so the
+            # 2|E|-row side never re-exchanges; only the |V|-row
+            # frames move each round
+            e = (
+                e0.repartition(
+                    int(sess.conf.get("spark.sql.shuffle.partitions")), "u"
+                )
+                .sortWithinPartitions("u")
+                .persist()
+            )
+        # the negative-weight guard doubles as the materializing action
+        neg = e.filter(F.col("w") < 0).count()
+        if neg:
+            raise ValueError(
+                f"sssp requires non-negative weights ({neg} negative)"
+            )
         for _ in range(max_iter):
+            frontier = dist.filter(F.col("_improved")).select(
+                F.col("id").alias("u"), "dist"
+            )
             cand = (
-                e.join(frontier.select(F.col("id").alias("u"), "dist"), "u")
+                e.join(F.broadcast(frontier) if use_bcast else frontier, "u")
                 .groupBy(F.col("v").alias("id"))
                 .agg(F.min(F.col("dist") + F.col("w")).alias("nd"))
             )
-            merged = dist.join(cand, "id", "full_outer").select(
-                "id",
-                F.least(F.col("dist"), F.col("nd")).alias("best"),
-                F.col("dist").alias("old"),
-                F.col("nd"),
-            ).select(
-                "id",
-                F.coalesce("best", "old", "nd").alias("dist"),
-                (
-                    F.col("old").isNull() | (F.col("nd") < F.col("old"))
-                ).alias("_improved"),
+            # least() skips NULLs, so one expression covers all four
+            # reached/unreached x candidate/no-candidate cases
+            merged = (
+                dist.select("id", "dist")
+                .join(F.broadcast(cand) if use_bcast else cand, "id", "left")
+                .select(
+                    "id",
+                    F.least(F.col("dist"), F.col("nd")).alias("dist"),
+                    (
+                        F.col("nd").isNotNull()
+                        & (F.col("dist").isNull() | (F.col("nd") < F.col("dist")))
+                    ).alias("_improved"),
+                )
             )
-            frontier = (
-                merged.filter(F.col("_improved"))
-                .select("id", "dist")
-                .localCheckpoint(eager=True)
-            )
-            dist = merged.select("id", "dist").localCheckpoint(eager=True)
-            if frontier.isEmpty():
+            dist = merged.localCheckpoint(eager=True)
+            if dist.filter(F.col("_improved")).isEmpty():
                 break
         else:
             raise RuntimeError(
                 f"sssp frontier still active after {max_iter} rounds — "
                 "raising rather than returning truncated distances"
             )
-    return dist
+    e.unpersist()
+    return dist.filter(F.col("dist").isNotNull()).select("id", "dist")

@@ -417,6 +417,15 @@ def test_sssp_matches_dijkstra_on_random_graph(spark):
     roots = spark.createDataFrame([(0,)], "id long")
     got = {r["id"]: r["dist"] for r in sssp(e_df, roots).collect()}
     assert got == dist and got
+    # the big-graph branch (no broadcast hints, u-sorted edge layout)
+    # must compute the identical distances — force it over the same
+    # graph by zeroing the threshold (r11: the loop grew two
+    # layout/strategy modes, mirroring pagerank's)
+    smj = {
+        r["id"]: r["dist"]
+        for r in sssp(e_df, roots, broadcast_dist_rows=0).collect()
+    }
+    assert smj == dist
 
 
 def test_sssp_rejects_negative_weights(spark):
