@@ -120,7 +120,12 @@ def incremental_agg(
             .cast("long")
             .alias(nn[out])
         )
-    delta = retractions.groupBy(*keys).agg(*delta_aggs)
+    # delta is touched-groups-sized by contract; persist it so the three
+    # consumers below (anti/semi split + merge stream side) share one
+    # computation instead of re-deriving the whole retraction feed per
+    # branch (r11: the un-persisted plan re-expanded the feed lineage
+    # combinatorially — 28 scans of the fact parquet for one maintainer)
+    delta = retractions.groupBy(*keys).agg(*delta_aggs).persist()
 
     def _merge(col: str):
         return F.coalesce(F.col(f"b.{col}"), F.lit(0)) + F.coalesce(
@@ -223,10 +228,15 @@ def incremental_distinct(
     mk = keys + [value_col]
     # NULL values never count toward DISTINCT (SQL semantics) — drop
     # their retractions before they can fabricate multiplicity rows
+    # delta / merged / crossings are all touched-keys-sized by contract;
+    # each is consumed by 2-3 downstream branches, so persist them —
+    # without this the lineage re-expands per consumer (r11: 86 fact
+    # scans in one maintained-distinct plan)
     delta = (
         retractions.filter(F.col(value_col).isNotNull())
         .groupBy(*mk)
         .agg(F.sum(SIGN).cast("long").alias("_dm"))
+        .persist()
     )
     bdelta = F.broadcast(delta)
     untouched_m = mult.join(bdelta.select(*mk), mk, "left_anti")
@@ -241,6 +251,7 @@ def incremental_distinct(
                 F.coalesce(F.col(f"b.{mult_col}"), F.lit(0)) + F.col("d._dm")
             ).alias(mult_col),
         )
+        .persist()
     )
     new_mult = untouched_m.unionByName(
         merged.filter(F.col(mult_col) > 0).select(*mk, mult_col)
@@ -254,7 +265,7 @@ def incremental_distinct(
         )
         .cast("long")
         .alias("_dd")
-    ).filter(F.col("_dd") != 0)
+    ).filter(F.col("_dd") != 0).persist()
     bcross = F.broadcast(crossings)
     untouched_c = counts.join(bcross.select(*keys), keys, "left_anti")
     touched_c = counts.join(bcross.select(*keys), keys, "left_semi")
@@ -311,11 +322,14 @@ def incremental_minmax(
     out = out_col or agg
     v, sgn = F.col(value), F.col(SIGN)
     best_in = F.max if agg == "max" else F.min
+    # delta and the merged frame `m` are touched-groups-sized by
+    # contract and each feeds 2-3 branches (split, merge, cheap/rescan
+    # routing) — persist both so the retraction feed computes once
     delta = retractions.groupBy(*keys).agg(
         F.sum(SIGN).cast("long").alias("_dn"),
         best_in(F.when((sgn > 0) & v.isNotNull(), v)).alias("_ins"),
         best_in(F.when((sgn < 0) & v.isNotNull(), v)).alias("_del"),
-    )
+    ).persist()
     bdelta = F.broadcast(delta)
     untouched = base.join(bdelta.select(*keys), keys, "left_anti")
     touched = base.join(bdelta.select(*keys), keys, "left_semi")
@@ -333,6 +347,7 @@ def incremental_minmax(
             F.col(f"b.{count_col}").isNull().alias("_new_grp"),
         )
         .filter(F.col(count_col) > 0)
+        .persist()
     )
     tie = (
         F.col("_del") >= F.col("_old") if agg == "max" else F.col("_del") <= F.col("_old")
@@ -399,6 +414,8 @@ def incremental_topk(
     """
     keys = list(keys)
     v, sgn = F.col(value), F.col(SIGN)
+    # same persist discipline as incremental_minmax: delta and `m` are
+    # touched-groups-sized and multiply-consumed
     delta = retractions.groupBy(*keys).agg(
         F.sum(SIGN).cast("long").alias("_dn"),
         F.slice(
@@ -407,7 +424,7 @@ def incremental_topk(
             k,
         ).alias("_ins"),
         F.max(F.when((sgn < 0) & v.isNotNull(), v)).alias("_del_mx"),
-    )
+    ).persist()
     bdelta = F.broadcast(delta)
     untouched = base.join(bdelta.select(*keys), keys, "left_anti")
     touched = base.join(bdelta.select(*keys), keys, "left_semi")
@@ -427,6 +444,7 @@ def incremental_topk(
             F.col("d._del_mx").alias("_del_mx"),
         )
         .filter(F.col(count_col) > 0)
+        .persist()
     )
     kth = F.element_at(F.col("_old"), F.size("_old"))  # smallest stored
     needs_rescan = F.col("_del_mx").isNotNull() & (
@@ -500,8 +518,10 @@ def delta_join(
     if clash:
         raise ValueError(f"delta_join column collision: {sorted(clash)}")
     out = on + a_cols + b_cols + [SIGN]
-    da_r = da.withColumnRenamed(SIGN, sa)
-    db_r = db.withColumnRenamed(SIGN, sb)
+    # each delta feeds two of the three identity terms; they are small
+    # by contract (broadcast below), so persist to compute each once
+    da_r = da.withColumnRenamed(SIGN, sa).persist()
+    db_r = db.withColumnRenamed(SIGN, sb).persist()
     t1 = b_old.join(F.broadcast(da_r), on).select(
         *on, *a_cols, *b_cols, F.col(sa).alias(SIGN)
     )
