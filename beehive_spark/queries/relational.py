@@ -980,11 +980,22 @@ def copurchase_edges(li):
     (both directions of :func:`copurchase_pairs`).  Shared by the
     pagerank query below and its early-exit pin in
     ``tests/test_queries_r4.py`` so the test always exercises the
-    graph the query actually builds."""
+    graph the query actually builds.
+
+    Directions double via ONE explode projection, not a fwd/rev
+    union — DataFrame unions get no common-subexpression sharing, so
+    the union shape re-ran the basket collapse's reduce-side
+    collect_set + pair explode once per branch (the association_rules
+    lesson; only the shuffle itself was ReusedExchange-shared)."""
     pairs = copurchase_pairs(li)
-    return pairs.select(F.col("pa").alias("src"), F.col("pb").alias("dst")).union(
-        pairs.select(F.col("pb").alias("src"), F.col("pa").alias("dst"))
-    )
+    return pairs.select(
+        F.explode(
+            F.array(
+                F.struct(F.col("pa").alias("src"), F.col("pb").alias("dst")),
+                F.struct(F.col("pb").alias("src"), F.col("pa").alias("dst")),
+            )
+        ).alias("e")
+    ).select("e.src", "e.dst")
 
 
 @query("pagerank_copurchase")  # iterative; rows-only driver check by design
