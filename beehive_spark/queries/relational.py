@@ -1219,9 +1219,19 @@ def copurchase_recommendations(spark, sf_dir):
     pc = pairs.groupBy(F.col("pa").alias("u"), F.col("pb").alias("v")).agg(
         F.count(F.lit(1)).alias("c")
     )
-    sym = pc.unionAll(
-        pc.select(F.col("v").alias("u"), F.col("u").alias("v"), "c")
-    )
+    # directions double via ONE explode projection (the
+    # copurchase_edges / association_rules lesson): the former
+    # fwd/rev unionAll re-ran the pair aggregate's reduce side and
+    # the basket explode once per branch
+    sym = pc.select(
+        "c",
+        F.explode(
+            F.array(
+                F.struct(F.col("u"), F.col("v")),
+                F.struct(F.col("v").alias("u"), F.col("u").alias("v")),
+            )
+        ).alias("e"),
+    ).select(F.col("e.u").alias("u"), F.col("e.v").alias("v"), "c")
     lp = li.select("l_orderkey", "l_partkey").distinct()
     po = lp.groupBy(F.col("l_partkey").alias("id")).agg(
         F.count(F.lit(1)).alias("cnt")
