@@ -2262,17 +2262,25 @@ def orders_backlog_timeline(spark, sf_dir):
     o = load(spark, sf_dir, "orders")
     closes = li.groupBy("l_orderkey").agg(F.max("l_shipdate").alias("close_ts"))
     oc = o.join(closes, o.o_orderkey == closes.l_orderkey)
+    # both sweep events emit from ONE pass over the joined frame (an
+    # exploded 2-struct array) — the former open/close unionAll re-ran
+    # the close aggregate and the join per branch
     ev = oc.select(
-        F.date_trunc("month", "o_orderdate").alias("month"),
-        F.lit(1).alias("op"),
-        F.lit(0).alias("cl"),
-    ).unionAll(
-        oc.select(
-            F.date_trunc("month", "close_ts").alias("month"),
-            F.lit(0).alias("op"),
-            F.lit(1).alias("cl"),
-        )
-    )
+        F.explode(
+            F.array(
+                F.struct(
+                    F.date_trunc("month", "o_orderdate").alias("month"),
+                    F.lit(1).alias("op"),
+                    F.lit(0).alias("cl"),
+                ),
+                F.struct(
+                    F.date_trunc("month", "close_ts").alias("month"),
+                    F.lit(0).alias("op"),
+                    F.lit(1).alias("cl"),
+                ),
+            )
+        ).alias("e")
+    ).select("e.month", "e.op", "e.cl")
     m = ev.groupBy("month").agg(
         F.sum("op").alias("n_opened"), F.sum("cl").alias("n_closed")
     )
