@@ -2817,16 +2817,19 @@ def events_resample(spark, sf_dir):
     ANY value sign, negative fixture vintages included — no doubles
     anywhere and no non-negativity assumption.
 
-    Scale shape: both neighbor lookups are
-    :func:`operators.temporal.asof_join` — the union-trick single
-    window per direction, one shuffle on user_id each, zero row
-    blow-up — against the per-(user, ts) pre-aggregated points frame;
-    the grid generation is one explode off a per-user 2-value
-    aggregate.  The oracle uses DuckDB's native ASOF JOIN — an
-    independent implementation of the same semantics, which is what
-    the union trick is tested against."""
-    from beehive_spark.operators.temporal import asof_join
-
+    Scale shape: BOTH neighbor lookups ride ONE union-trick pass —
+    grid points and observations union once, and the backward and
+    forward running ``last(obs_struct)`` windows share the same
+    user_id partitioning, so the whole resample is a single exchange
+    plus two in-partition sorts (r11; the former shape ran
+    :func:`operators.temporal.asof_join` twice and equi-joined the two
+    outputs — three shuffles and ~5 evaluations of the points frame;
+    isolated best 5.46 -> 1.44 s at sf0.1).  The per-direction
+    semantics are identical to ``asof_join``'s: the observation struct
+    is non-null exactly on observation rows, ties at equal timestamp
+    order observations first, so equal timestamps match in both
+    directions.  The oracle uses DuckDB's native ASOF JOIN — an
+    independent implementation of the same semantics."""
     e = load(spark, sf_dir, "events")
     HOUR = 3_600_000_000
     pts = e.groupBy(
@@ -2845,15 +2848,41 @@ def events_resample(spark, sf_dir):
         )
         .select("user_id", (F.col("h") * HOUR).cast("long").alias("g"))
     )
-    pv = asof_join(
-        grid, pts, on="user_id", left_ts="g", right_ts="t",
-        direction="backward", suffix="_p",
-    ).select("user_id", "g", F.col("t_p").alias("tp"), F.col("v_p").alias("vp"))
-    nx = asof_join(
-        grid, pts, on="user_id", left_ts="g", right_ts="t",
-        direction="forward", suffix="_n",
-    ).select("user_id", "g", F.col("t_n").alias("tn"), F.col("v_n").alias("vn"))
-    j = pv.join(nx, ["user_id", "g"])
+    obs = pts.select(
+        "user_id",
+        F.col("t").alias("tt"),
+        F.lit(0).alias("side"),
+        F.struct(F.col("t").alias("ot"), F.col("v").alias("ov")).alias("o"),
+    )
+    u = grid.select(
+        "user_id",
+        F.col("g").alias("tt"),
+        F.lit(1).alias("side"),
+        F.lit(None).cast("struct<ot:bigint,ov:bigint>").alias("o"),
+    ).unionByName(obs)
+    wb = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("tt").asc(), F.col("side").asc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wf = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("tt").desc(), F.col("side").asc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    j = (
+        u.withColumn("p", F.last("o", ignorenulls=True).over(wb))
+        .withColumn("n", F.last("o", ignorenulls=True).over(wf))
+        .filter(F.col("side") == 1)
+        .select(
+            "user_id",
+            F.col("tt").alias("g"),
+            F.col("p.ot").alias("tp"),
+            F.col("p.ov").alias("vp"),
+            F.col("n.ot").alias("tn"),
+            F.col("n.ov").alias("vn"),
+        )
+    )
     interp = F.call_function(
         "div",
         F.col("vp") * (F.col("tn") - F.col("g"))
