@@ -720,18 +720,27 @@ def dedup_containment(spark, sf_dir, threshold: float = 0.8, df_cap: int = 100):
             F.size("sj").cast("double").alias("szj"),
         )
     )
-    inner_dir = verified.select(
-        F.col("doc_i").alias("doc_inner"),
-        F.col("doc_j").alias("doc_outer"),
-        (F.col("c") / F.col("szi")).alias("cont"),
-    )
-    outer_dir = verified.select(
-        F.col("doc_j").alias("doc_inner"),
-        F.col("doc_i").alias("doc_outer"),
-        (F.col("c") / F.col("szj")).alias("cont"),
-    )
+    # both directed rows emit from ONE pass over the verified pairs
+    # (exploded 2-struct array) — the former inner/outer unionByName
+    # re-ran the exact array_intersect verification join per branch
     return (
-        inner_dir.unionByName(outer_dir)
+        verified.select(
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.col("doc_i").alias("doc_inner"),
+                        F.col("doc_j").alias("doc_outer"),
+                        (F.col("c") / F.col("szi")).alias("cont"),
+                    ),
+                    F.struct(
+                        F.col("doc_j").alias("doc_inner"),
+                        F.col("doc_i").alias("doc_outer"),
+                        (F.col("c") / F.col("szj")).alias("cont"),
+                    ),
+                )
+            ).alias("r")
+        )
+        .select("r.*")
         .filter(F.col("cont") >= threshold)
         .select(
             "doc_inner", "doc_outer", F.round("cont", 4).alias("containment")

@@ -1442,9 +1442,11 @@ def retrieval_ndcg(spark, sf_dir):
     Scale shape: inherits the posting-list discipline of the scorer
     (work ~ matching postings), then two TakeOrdered top-k pulls and
     single-partition windows over exactly k rows."""
+    # slim (id, grade, score) frame consumed by BOTH top-k branches —
+    # persist so the BM25 scorer runs once, not once per branch
     docs = _bm25_doc_scores(spark, sf_dir).select(
         "doc_id", F.col("n_terms").alias("rel"), "score_micro"
-    )
+    ).persist()
 
     def topk(order_cols, label):
         w = Window.orderBy(*order_cols)
