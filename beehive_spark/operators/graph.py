@@ -254,8 +254,17 @@ def connected_components_twophase(
     interleaved A/B at sf0.1: 6.54 -> 4.46 s).  The small-star
     "(u, m)" self-attachment row is emitted by the same pass — an
     exploded 2-element array on the one row per group where v == m —
-    so the phase is one window + one projection.  All bounded shuffles
-    on node keys, no driver-side graph state.  Convergence = the
+    so the phase is one window + one projection.  All shuffles are on
+    node keys, no driver-side graph state.  SKEW CAVEAT: unlike the
+    former groupBy (which partial-aggregated map-side), a window min
+    must sort ALL of a key's rows inside one task — in late rounds a
+    component's minimum becomes a hub whose partition holds
+    ~|component| rows, so one huge component serializes into a single
+    task.  That is acceptable for this operator's stated niche
+    (chain/mesh graphs, whose stars stay narrow until the final
+    rounds, when the edge set has already collapsed to ~|V| rows);
+    for clique-ish inputs with giant components keep the propagation
+    default, whose groupBy min partial-aggregates.  Convergence = the
     small-star output is edge-for-edge identical to the previous
     round's (detected with an order-insensitive xxhash64-sum + count
     over the edge frame: two scalar aggs, no exceptAll pass; collision

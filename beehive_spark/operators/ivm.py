@@ -45,6 +45,34 @@ from pyspark.sql import functions as F
 #: name of the signed-multiplicity column in a retraction feed
 SIGN = "_sign"
 
+# Maintainer-internal persisted frames (touched-groups-sized deltas and
+# merges) registered here so long-running callers can release them.  A
+# one-shot batch query never needs to: the bench/driver clear the cache
+# between runs and the session end drops entries anyway.  But the
+# streaming sinks in streaming/materialize.py re-invoke a maintainer
+# EVERY micro-batch, and Spark's CacheManager keeps each persist until
+# clearCache/session end — without an explicit release the cached
+# delta/merged frames accumulate without bound over a stream's lifetime.
+_INTERMEDIATE_PERSISTS: list[DataFrame] = []
+
+
+def _persist(df: DataFrame) -> DataFrame:
+    df = df.persist()
+    _INTERMEDIATE_PERSISTS.append(df)
+    return df
+
+
+def release_intermediates(blocking: bool = False) -> None:
+    """Unpersist every maintainer-internal frame persisted since the
+    last call.  Call AFTER the batch outputs are materialized
+    (committed/checkpointed) — unpersisting earlier merely loses the
+    sharing, never correctness (the plan recomputes).  Streams running
+    maintainers concurrently in one session would release each other's
+    in-flight entries — a perf, not correctness, hazard; serialize
+    batches per session if that matters."""
+    while _INTERMEDIATE_PERSISTS:
+        _INTERMEDIATE_PERSISTS.pop().unpersist(blocking=blocking)
+
 
 def cdc_to_retractions(
     feed: DataFrame,
@@ -125,7 +153,7 @@ def incremental_agg(
     # computation instead of re-deriving the whole retraction feed per
     # branch (r11: the un-persisted plan re-expanded the feed lineage
     # combinatorially — 28 scans of the fact parquet for one maintainer)
-    delta = retractions.groupBy(*keys).agg(*delta_aggs).persist()
+    delta = _persist(retractions.groupBy(*keys).agg(*delta_aggs))
 
     def _merge(col: str):
         return F.coalesce(F.col(f"b.{col}"), F.lit(0)) + F.coalesce(
@@ -236,8 +264,8 @@ def incremental_distinct(
         retractions.filter(F.col(value_col).isNotNull())
         .groupBy(*mk)
         .agg(F.sum(SIGN).cast("long").alias("_dm"))
-        .persist()
     )
+    delta = _persist(delta)
     bdelta = F.broadcast(delta)
     untouched_m = mult.join(bdelta.select(*mk), mk, "left_anti")
     touched_m = mult.join(bdelta.select(*mk), mk, "left_semi")
@@ -251,8 +279,8 @@ def incremental_distinct(
                 F.coalesce(F.col(f"b.{mult_col}"), F.lit(0)) + F.col("d._dm")
             ).alias(mult_col),
         )
-        .persist()
     )
+    merged = _persist(merged)
     new_mult = untouched_m.unionByName(
         merged.filter(F.col(mult_col) > 0).select(*mk, mult_col)
     )
@@ -265,7 +293,8 @@ def incremental_distinct(
         )
         .cast("long")
         .alias("_dd")
-    ).filter(F.col("_dd") != 0).persist()
+    ).filter(F.col("_dd") != 0)
+    crossings = _persist(crossings)
     bcross = F.broadcast(crossings)
     untouched_c = counts.join(bcross.select(*keys), keys, "left_anti")
     touched_c = counts.join(bcross.select(*keys), keys, "left_semi")
@@ -329,7 +358,8 @@ def incremental_minmax(
         F.sum(SIGN).cast("long").alias("_dn"),
         best_in(F.when((sgn > 0) & v.isNotNull(), v)).alias("_ins"),
         best_in(F.when((sgn < 0) & v.isNotNull(), v)).alias("_del"),
-    ).persist()
+    )
+    delta = _persist(delta)
     bdelta = F.broadcast(delta)
     untouched = base.join(bdelta.select(*keys), keys, "left_anti")
     touched = base.join(bdelta.select(*keys), keys, "left_semi")
@@ -347,8 +377,8 @@ def incremental_minmax(
             F.col(f"b.{count_col}").isNull().alias("_new_grp"),
         )
         .filter(F.col(count_col) > 0)
-        .persist()
     )
+    m = _persist(m)
     tie = (
         F.col("_del") >= F.col("_old") if agg == "max" else F.col("_del") <= F.col("_old")
     )
@@ -424,7 +454,8 @@ def incremental_topk(
             k,
         ).alias("_ins"),
         F.max(F.when((sgn < 0) & v.isNotNull(), v)).alias("_del_mx"),
-    ).persist()
+    )
+    delta = _persist(delta)
     bdelta = F.broadcast(delta)
     untouched = base.join(bdelta.select(*keys), keys, "left_anti")
     touched = base.join(bdelta.select(*keys), keys, "left_semi")
@@ -444,8 +475,8 @@ def incremental_topk(
             F.col("d._del_mx").alias("_del_mx"),
         )
         .filter(F.col(count_col) > 0)
-        .persist()
     )
+    m = _persist(m)
     kth = F.element_at(F.col("_old"), F.size("_old"))  # smallest stored
     needs_rescan = F.col("_del_mx").isNotNull() & (
         (F.size("_old") < k) | (F.col("_del_mx") >= kth)
@@ -520,8 +551,8 @@ def delta_join(
     out = on + a_cols + b_cols + [SIGN]
     # each delta feeds two of the three identity terms; they are small
     # by contract (broadcast below), so persist to compute each once
-    da_r = da.withColumnRenamed(SIGN, sa).persist()
-    db_r = db.withColumnRenamed(SIGN, sb).persist()
+    da_r = _persist(da.withColumnRenamed(SIGN, sa))
+    db_r = _persist(db.withColumnRenamed(SIGN, sb))
     t1 = b_old.join(F.broadcast(da_r), on).select(
         *on, *a_cols, *b_cols, F.col(sa).alias(SIGN)
     )

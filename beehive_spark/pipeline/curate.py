@@ -39,6 +39,30 @@ from beehive_spark.queries.llm import dedup_clusters
 from beehive_spark.sources.layout import export_training_shards
 
 
+# Slim decision frames persisted by curation_fate, registered so a
+# caller that materializes the fate frame can release them.  The
+# bench/driver convention (clear cache between runs) covers the
+# @query-decorated path; this registry covers SERVICE callers that
+# invoke the pipeline repeatedly in one long-lived session — without a
+# release each invocation would leak three cache entries.
+_FATE_PERSISTS: list[DataFrame] = []
+
+
+def _persist(df: DataFrame) -> DataFrame:
+    df = df.persist()
+    _FATE_PERSISTS.append(df)
+    return df
+
+
+def release_fate_persists(blocking: bool = False) -> None:
+    """Unpersist the slim decision frames cached by
+    :func:`curation_fate` since the last call.  Call after the fate
+    frame (and anything derived from it) is materialized; releasing
+    earlier loses sharing, never correctness."""
+    while _FATE_PERSISTS:
+        _FATE_PERSISTS.pop().unpersist(blocking=blocking)
+
+
 def _fingerprint(col):
     """Exact-dup fingerprint: md5 of whitespace-normalized lowercase
     text (same rule as the dedup_exact / dedup_incremental oracles)."""
@@ -89,9 +113,9 @@ def curation_fate(
     # (id, keep, reasons) decision frame, not the text (r11 interleaved
     # A/B with the two drop-list persists below: wins every adjacent
     # pair, warm best 6.70 -> 6.25 s, cold 20.8 -> 11.3 s)
-    q = quality_filter(spark, sf_dir).select(
+    q = _persist(quality_filter(spark, sf_dir).select(
         "doc_id", "keep", "fail_reasons"
-    ).persist()
+    ))
 
     # stage 2: exact dedup among quality survivors — keep min doc_id
     # per fingerprint
@@ -103,11 +127,10 @@ def curation_fate(
     # slim (doc_id, dup_of) drop list, consumed by the survivor
     # anti-join and the fate assembly — persist so the fingerprint
     # stage computes once
-    exact_dropped = (
+    exact_dropped = _persist(
         fp.join(canonical_exact, "fp")
         .filter(F.col("doc_id") != F.col("keep_id"))
         .select("doc_id", F.col("keep_id").alias("dup_of"))
-        .persist()
     )
 
     # stage 3: near-dup collapse — within each connected component of
@@ -119,7 +142,7 @@ def curation_fate(
     # cluster-members-only frame, consumed by the canonical election
     # AND the drop-list join — persist so the survivor anti-join
     # lineage computes once
-    alive_clusters = clusters.join(survivors2, "doc_id").persist()
+    alive_clusters = _persist(clusters.join(survivors2, "doc_id"))
     if survivorship == "longest":
         from pyspark.sql import Window
 
@@ -205,6 +228,9 @@ def curate_corpus(
     )
 
     fate.write.mode("overwrite").parquet(os.path.join(out_dir, "report"))
+    # the fate frame and the shard export are both on disk now — the
+    # slim per-invocation decision caches have served every consumer
+    release_fate_persists()
 
     report = spark.read.parquet(os.path.join(out_dir, "report"))
     counts = {r["fate"]: r["n"] for r in report.groupBy("fate").agg(

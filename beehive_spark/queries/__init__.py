@@ -81,28 +81,27 @@ _loaded = False
 # scripts/check_oracle.py sweep still verifies ALL registered queries
 # each round.
 _PRIORITY = [
-    # --- round 11 (build half): oracle text or query rewritten; the
-    # interrupted build never saw a driver pass, so these re-verify now
-    "feature_quantile_normalize",   # r11 build rewrite + r11 opt 1-slice frames
-    "graph_degree_assortativity",   # r11 build: degree-moment algebra rewrite
-    "similarity_ann_lsh_planted",   # r11 build: 5 bands/3 probes + r11 opt
-    "bm25_retrieval",               # r11 build: oracle rendered from _BM25_K1/_B
-    "retrieval_ndcg",               # r11 build: same interpolated pricing oracle
-    "retrieval_rrf_fusion",         # r11 build: same interpolated pricing oracle
-    # --- round 11 (optimization half): internals changed this round
-    # (bit-exact Arrow re-expressions, CC/kcore loop rewrites) — the
-    # driver gate must re-prove the touched paths.  The 10 r11-NEW
-    # queries need no head slots: never-driver-verified entries sort
-    # FIRST in the computed backfill below.
-    "poisson_bootstrap_ci",         # r11 opt: pinned fan-out repartition
-    "dedup_clusters",               # r11 opt: CC broadcast-label loop
-    "entity_resolution_pipeline",   # r11 opt: CC consumer
-    "graph_kcore_planted",          # r11 opt: degree-maintenance peel
-    "similarity_ann_ivf_planted",   # r11 opt: Arrow top-r assignment
-    "similarity_ann_pq_planted",    # r11 opt: 1-slice codebook carrier
-    "dedup_simhash_planted",        # r11 opt: Arrow signature fold
-    "media_video_frames",           # r11 opt: Arrow luma fold
-    "doc_winnowing_fingerprints",   # r11 opt: Arrow winnow chain
+    # --- round 12 (optimization): paths whose internals this round
+    # touches — the driver gate must re-prove them
+    "graph_triangles",              # r12 opt target (§2.3 intersect rewrite)
+    "dedup_embedding_bucketed",     # r12 opt target (candidate pre-filter)
+    "similarity_ann_lsh_planted",   # r12 opt target (Arrow planted constructor)
+    "media_phash_dedup",            # r12 opt target (Arrow hex fold)
+    "media_image_resize",           # r12 opt target (Arrow hex fold)
+    "graph_kcore_planted",          # r12 opt target (batched peel)
+    # --- r11-touched paths the r11 driver sample missed (r11 verdict
+    # #3): their only green evidence is builder-side sweeps; rotate
+    # them through the driver's differential gate now.  events_resample
+    # + incremental_max/topk/join ride the computed backfill (their
+    # evidence vintage already puts them inside the 50-slot window).
+    "incremental_distinct_orders",  # r11 opt: maintainer delta persists
+    "incremental_histogram_orders", # r11 opt: maintainer delta persists
+    "pagerank_planted",             # r11 opt: dst-layout zero-shuffle rounds
+    "tree_shortest_paths",          # r11 opt: seeded-universe sssp loop
+    "bom_cost_rollup",              # r11 opt: has-children flag rollup
+    "copurchase_recommendations",   # r11 opt: explode-doubled pair view
+    "orders_backlog_timeline",      # r11 opt: one-pass sweep events
+    "curation_pipeline",            # r11 opt: slim decision-frame persists
 ]
 # The head stays SHORT (<= 15 names, pinned by
 # tests/test_window_policy.py): >= 35 of the driver's 50 window slots

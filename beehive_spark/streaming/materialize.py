@@ -38,7 +38,11 @@ import shutil
 
 from pyspark.sql import DataFrame, SparkSession
 
-from beehive_spark.operators.ivm import cdc_to_retractions, incremental_agg
+from beehive_spark.operators.ivm import (
+    cdc_to_retractions,
+    incremental_agg,
+    release_intermediates,
+)
 from beehive_spark.sources.layout import dir_swap_lock, promote_staging
 
 
@@ -176,6 +180,7 @@ def run_ivm_agg_stream(
         base = spark.read.parquet(table_path)
         fresh = incremental_agg(base, retr, keys, sums, count_col=count_col)
         _commit_swap(fresh, table_path, batch_id)
+        release_intermediates()  # free the maintainer's per-batch persists
 
     q = (
         changes.writeStream.outputMode("append")
@@ -259,6 +264,7 @@ def run_ivm_distinct_stream(
         new_counts = new_counts.localCheckpoint(eager=True)
         _commit_swap(new_mult, mult_path, batch_id)
         _commit_swap(new_counts, counts_path, batch_id)
+        release_intermediates()  # free the maintainer's per-batch persists
 
     q = (
         changes.writeStream.outputMode("append")
@@ -374,6 +380,7 @@ def run_cdc_materialize_stream(
                     mm.select(*agg_keys, out), agg_keys, "left"
                 )
         _commit_swap(fresh, agg_path, batch_id)
+        release_intermediates()  # free the maintainer's per-batch persists
 
     q = (
         changes.writeStream.outputMode("append")
@@ -504,6 +511,7 @@ def run_ivm_join_agg_stream(
                 keys=[join_key],
             )
         _promote(staging, view_path)
+        release_intermediates()  # free the maintainer's per-batch persists
 
     q = (
         changes.writeStream.outputMode("append")
