@@ -468,7 +468,10 @@ def _planted_sign_vec(g, dim: int):
     planted twins: component i is +2 if bit (i mod 16) of the group id
     is set else -2 — norm^2 = 4*dim, so for dim a perfect-square
     multiple of 4 the norm is exact, unit components are dyadic, and
-    the within-group cosine is EXACTLY 1.0."""
+    the within-group cosine is EXACTLY 1.0.  (JVM expression form —
+    kept as the semantic reference and for tests; the query paths use
+    :func:`_planted_sign_frame`, the Arrow re-expression of the same
+    values.)"""
     return F.array(
         *[
             F.when(
@@ -477,6 +480,49 @@ def _planted_sign_vec(g, dim: int):
             ).otherwise(F.lit(-2.0))
             for i in range(dim)
         ]
+    )
+
+
+def _planted_sign_frame(e, width: int, dim: int, out_col: str):
+    """``(vec_id, out_col)`` frame carrying :func:`_planted_sign_vec`'s
+    plant (group id g = vec_id div ``width``), constructed in ONE
+    ``mapInArrow`` stage with numpy bit ops (guide §4.2) instead of a
+    ``dim``-branch CASE-array expression tree — the tree cost ~1 s per
+    evaluation at sf0.1 and the shared search pipelines read their
+    input from up to four lineage branches, which previously forced a
+    persist of the constructed frame.  With the Arrow constructor each
+    branch just recomputes the plant from the pruned vec_id scan (the
+    honest at-scale shape), so the persist is gone.  Values are
+    EXACTLY the CASE tree's: components are the literal doubles
+    +-2.0 (no arithmetic, nothing to round); group ids are
+    non-negative by the asserted 0-based-contiguous id contract, so
+    numpy's floor ``//`` equals SQL ``div``'s truncation."""
+    import numpy as np
+
+    def gen(batches):
+        import pyarrow as pa
+
+        shifts = np.arange(dim, dtype=np.int64) % 16
+        for b in batches:
+            m = b.num_rows
+            if m == 0:
+                continue
+            ids = b.column(0).to_numpy(zero_copy_only=False).astype(np.int64)
+            g = ids // width
+            vals = np.where(
+                ((g[:, None] >> shifts[None, :]) & 1) == 1, 2.0, -2.0
+            )
+            offsets = np.arange(m + 1, dtype=np.int32) * dim
+            arr = pa.ListArray.from_arrays(
+                pa.array(offsets, pa.int32()),
+                pa.array(vals.ravel(), pa.float64()),
+            )
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(ids, pa.int64()), arr], names=["vec_id", out_col]
+            )
+
+    return e.select(F.col("vec_id").cast("long").alias("vec_id")).mapInArrow(
+        gen, f"vec_id bigint, {out_col} array<double>"
     )
 
 
@@ -999,48 +1045,84 @@ def dedup_embedding_bucketed(
                 }
             )
 
-    # persist: the self-join's two sides would otherwise each run the
-    # numpy signature stage (320 projections/vector) over the corpus
-    buckets = emb.mapInPandas(
-        band_keys, "vec_id long, band int, key int"
-    ).persist()
-    a = buckets.alias("a")
-    b = buckets.alias("b")
-    cands = (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.key") == F.col("b.key"))
-            & (F.col("a.vec_id") < F.col("b.vec_id")),
+    # BUCKET-LOCAL verification (r12, guide §2.3/§4.2).  The former
+    # shape materialized the candidate PAIR set (bucket self-join ->
+    # 1.69M-pair distinct at sf0.1 — banding prunes only ~15% of this
+    # near-isotropic synthetic corpus) and then joined BOTH 64-dim
+    # payloads back per pair (~0.9 GB of vector bytes through the
+    # exchanges) to verify with an interpreted 3x64-element JVM fold
+    # per pair.  Instead, verify INSIDE each (band, key) bucket: group
+    # the members' vectors once (the only wide shuffle is corpus x
+    # bands rows — vectors never ship per PAIR) and compute every
+    # within-bucket sim with numpy in one Arrow stage; only the HIT
+    # pairs (sim >= threshold) leave Python, and the cross-bucket
+    # dedup distinct runs over hits, not candidates.  The result set
+    # is unchanged: a pair is emitted iff it shares >= 1 bucket and
+    # passes the SAME exact threshold test — and the sim doubles are
+    # BIT-EXACT with the former JVM folds (sequential per-dimension
+    # accumulation for dot and norms reproduces the left fold's IEEE
+    # rounding — never np.dot/BLAS, whose blocked summation rounds
+    # differently; a pair's sim is computed from its two vectors only,
+    # so every bucket occurrence yields the identical double and the
+    # distinct collapses them).  Rounding stays JVM-side.  Skew
+    # contract: one bucket = one task's group (same per-bucket m^2
+    # work the self-join shape fanned out as pair rows, minus the
+    # network); band keys are ``rows_per_band`` sign bits of
+    # near-orthogonal projections, so members spread ~uniformly over
+    # 2^rows_per_band keys per band.
+    buckets = emb.mapInPandas(band_keys, "vec_id long, band int, key int")
+    grouped = (
+        buckets.join(emb, "vec_id")
+        .groupBy("band", "key")
+        .agg(F.collect_list(F.struct("vec_id", "v")).alias("items"))
+        .select(
+            F.transform("items", lambda x: x["vec_id"]).alias("ids"),
+            F.flatten(F.transform("items", lambda x: x["v"])).alias("flat"),
         )
-        .select(F.col("a.vec_id").alias("id_i"), F.col("b.vec_id").alias("id_j"))
-        .distinct()
     )
-    # norms computed ONCE per vector (n folds), not once per candidate
-    # side (2 folds x |candidates|) — at background-heavy thresholds
-    # candidates ~ all pairs, so this cuts 2/3 of the verification
-    # fold work
-    norm = lambda c: F.sqrt(F.aggregate(c, F.lit(0.0), lambda acc, x: acc + x * x))  # noqa: E731
-    embn = emb.withColumn("nrm", norm(F.col("v")))
-    ci = embn.select(
-        F.col("vec_id").alias("id_i"), F.col("v").alias("vi"), F.col("nrm").alias("ni")
-    )
-    cj = embn.select(
-        F.col("vec_id").alias("id_j"), F.col("v").alias("vj"), F.col("nrm").alias("nj")
-    )
-    dot = F.aggregate(
-        F.zip_with("vi", "vj", lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
-    )
-    sim = dot / (F.col("ni") * F.col("nj"))
-    return (
-        cands.join(ci, "id_i")
-        .join(cj, "id_j")
-        # one withColumn so the 3x64-element fold evaluates ONCE per
-        # candidate (filter+project each re-deriving the expression
-        # tree measured ~2x the verification cost)
-        .withColumn("sim", sim)
-        .filter(F.col("sim") >= threshold)  # unrounded, exactly like the oracle
-        .select("id_i", "id_j", F.round("sim", 4).alias("cosine"))
+
+    def bucket_sims(batches):
+        import numpy as np
+
+        for pdf in batches:
+            out_i, out_j, out_s = [], [], []
+            for row in pdf.itertuples(index=False):
+                ids = np.asarray(row.ids, dtype=np.int64)
+                m = len(ids)
+                if m < 2:
+                    continue
+                X = np.asarray(row.flat, dtype=np.float64).reshape(m, -1)
+                dim = X.shape[1]
+                # sequential per-dimension accumulation == the JVM
+                # left folds' IEEE rounding (dot and norm alike)
+                nrm = np.zeros(m)
+                acc = np.zeros((m, m))
+                for d in range(dim):
+                    c = X[:, d]
+                    nrm = nrm + c * c
+                    acc = acc + c[:, None] * c[None, :]
+                nrm = np.sqrt(nrm)
+                sims = acc / (nrm[:, None] * nrm[None, :])
+                ii, jj = np.nonzero(np.triu(sims >= threshold, k=1))
+                if not len(ii):
+                    continue
+                ri, rj, rs = ids[ii], ids[jj], sims[ii, jj]
+                # canonicalize by id value (bucket order is arbitrary)
+                out_i.append(np.minimum(ri, rj))
+                out_j.append(np.maximum(ri, rj))
+                out_s.append(rs)
+            if out_i:
+                yield pd.DataFrame(
+                    {
+                        "id_i": np.concatenate(out_i),
+                        "id_j": np.concatenate(out_j),
+                        "sim": np.concatenate(out_s),
+                    }
+                )
+
+    hits = grouped.mapInPandas(bucket_sims, "id_i long, id_j long, sim double")
+    return hits.distinct().select(
+        "id_i", "id_j", F.round("sim", 4).alias("cosine")
     )
 
 
@@ -1948,18 +2030,14 @@ def similarity_ann_lsh_planted(spark, sf_dir):
     PROVES those collisions are harmless because the re-rank, not the
     bucket, decides the output.  Same load-bearing data assumptions
     as the IVF twin (asserted in tests/test_queries_r8b.py)."""
-    e = load(spark, sf_dir, "embeddings").select(
-        F.col("vec_id").cast("long").alias("vec_id")
-    )
-    g = F.call_function("div", F.col("vec_id"), F.lit(20).cast("long"))
-    # persist the CONSTRUCTED frame: the pipeline reads its input from
-    # four lineage branches, and the 64-branch CASE-array construction
-    # would otherwise re-evaluate per branch (~1 s each at sf0.1).
-    # The persist lives HERE, not in _lsh_search — for a real corpus
-    # the branches re-scan pruned parquet, which at scale is cheaper
-    # than caching the whole embedding frame.
+    e = load(spark, sf_dir, "embeddings")
+    # Arrow constructor (see _planted_sign_frame): the pipeline reads
+    # its input from four lineage branches, and the former 64-branch
+    # CASE-array construction cost ~1 s per branch, which forced a
+    # persist of the constructed frame; each branch now recomputes the
+    # cheap numpy plant from the pruned vec_id scan — no persist.
     return _lsh_search(
-        e.select("vec_id", _planted_sign_vec(g, 64).alias("e")).persist(),
+        _planted_sign_frame(e, 20, 64, "e"),
         query_pred=F.pmod("vec_id", F.lit(20)) == 0,
     )
 
@@ -2124,16 +2202,9 @@ def similarity_ann_ivf_planted(spark, sf_dir):
     mismatch (nprobe < replicas prefix break), a candidate-join key
     bug, a dropDuplicates regression, re-rank tie-break drift, or a
     normalization bug — each diverges from the closed form."""
-    e = load(spark, sf_dir, "embeddings").select(
-        F.col("vec_id").cast("long").alias("vec_id")
-    )
-    g = F.call_function(
-        "div", F.col("vec_id"), F.lit(20).cast("long")
-    )
-    # persist the constructed frame — same rationale as the LSH twin
-    planted = e.select(
-        "vec_id", _planted_sign_vec(g, 16).alias("ed")
-    ).persist()
+    e = load(spark, sf_dir, "embeddings")
+    # Arrow constructor, no persist — same rationale as the LSH twin
+    planted = _planted_sign_frame(e, 20, 16, "ed")
     query_pred = F.pmod("vec_id", F.lit(20)) == 0
     return _ivf_search(
         spark,
