@@ -138,30 +138,44 @@ def connected_components(
     row-at-a-time, person-users.js:568-601; this generalizes the same
     reachability semantics to arbitrary undirected graphs).
     """
+    # dedup FIRST on the canonical half, DOUBLE after (r12, guide §2.3
+    # shuffle-fewer-bytes): the former symmetrize-then-repartition-
+    # then-dedup shape evaluated the edge construction TWICE (the
+    # fwd/rev union gets no common-subexpression sharing) and pushed
+    # the RAW symmetric multiset through a repartition that does no
+    # map-side combining.  Canonical distinct exchanges the raw half
+    # once WITH partial aggregation, the explode emits both directions
+    # from that single deduped branch, and the layout exchange then
+    # carries exactly 2|E| deduped rows.  The explicit count pins the
+    # exchange against AQE byte-coalescing (poisson_bootstrap_ci
+    # lesson).  Persisted hash-partitioned AND sorted on the per-round
+    # join key, so each round's sort-merge join neither re-exchanges
+    # nor re-sorts the edge side — only the (id, label) frame moves
+    # (same edge-stationary shape as `pagerank`'s link table).
+    ca = F.col(src).cast("long")
+    cb = F.col(dst).cast("long")
+    half = (
+        edges.select(F.least(ca, cb).alias("a"), F.greatest(ca, cb).alias("b"))
+        .dropDuplicates()
+    )
+    fwd = F.struct(F.col("a").alias("a"), F.col("b").alias("b"))
+    rev = F.struct(F.col("b").alias("a"), F.col("a").alias("b"))
     e = (
-        edges.select(
-            F.col(src).cast("long").alias("a"), F.col(dst).cast("long").alias("b")
+        half.select(
+            # self-loops (kept: a node seen only in self-loops still
+            # labels itself) double to the same row — emit them once
+            # so the frame stays exactly deduped
+            F.explode(
+                F.when(F.col("a") == F.col("b"), F.array(fwd)).otherwise(
+                    F.array(fwd, rev)
+                )
+            ).alias("e")
         )
-        .union(
-            edges.select(
-                F.col(dst).cast("long").alias("a"), F.col(src).cast("long").alias("b")
-            )
-        )
-        # repartition BEFORE the dedup aggregate: hash(b) clusters
-        # (a, b), so distinct's HashAggregate reuses this exchange and
-        # edge ingest pays ONE shuffle of the 2|E| rows, not two
-        # (distinct-then-repartition re-exchanged the whole frame).
-        # The explicit count also pins the exchange against AQE's
-        # bytes-based coalescing (the poisson_bootstrap_ci lesson).
-        # Persisted hash-partitioned AND sorted on the per-round join
-        # key, so each round's sort-merge join neither re-exchanges nor
-        # re-sorts the edge side — only the (id, label) frame moves
-        # (same edge-stationary shape as `pagerank`'s link table).
+        .select("e.a", "e.b")
         .repartition(
             int(edges.sparkSession.conf.get("spark.sql.shuffle.partitions")),
             "b",
         )
-        .dropDuplicates()
         .sortWithinPartitions("b")
         .persist()
     )
@@ -771,78 +785,55 @@ def kcore(edges: DataFrame, k: int, max_iter: int = 100) -> DataFrame:
     would otherwise double every degree).
     """
     sess = edges.sparkSession
-    # DEGREE-MAINTENANCE peeling (r11): the former shape re-filtered
-    # and eagerly checkpointed the full live EDGE frame every round —
-    # an O(|E|) write per round even when the round peeled 0.1% of
-    # nodes.  The peel is fully determined by degree bookkeeping: when
-    # a node drops, each of its edges decrements its OTHER endpoint
-    # exactly once (an edge whose both endpoints drop decrements only
-    # already-dropped ids, whose degree rows are gone — a no-op).  So
-    # the loop maintains only the |V|-row degree frame; the symmetric
-    # adjacency is persisted ONCE, laid out on the partner-lookup key
-    # so both the initial degree aggregate and every round's
-    # decrement join are exchange-free on the 2|E|-row side.  Rounds
-    # (simultaneous sub-k drops per round) and the fixed point are
-    # identical to the batch Montresor peel; arithmetic is all-integer.
-    u, v = F.col("u").cast("long"), F.col("v").cast("long")
-    half = edges.select(
-        F.least(u, v).alias("a"), F.greatest(u, v).alias("b")
-    ).filter(F.col("a") != F.col("b"))
-    # symmetrize BEFORE the dedup aggregate and repartition on the
-    # lookup key first: hash(a) clusters (a, b), so dropDuplicates
-    # reuses the layout exchange and ingest pays ONE shuffle (the
-    # canonicalize-then-distinct-then-repartition shape paid two);
-    # dedup of the symmetric frame equals symmetrized canonical dedup
-    # because (a, b) and its swap are distinct rows by construction
-    adj = (
-        half.union(half.select(F.col("b").alias("a"), F.col("a").alias("b")))
-        .repartition(
-            int(sess.conf.get("spark.sql.shuffle.partitions")), "a"
-        )
-        .dropDuplicates()
-        .persist()
-    )
-    deg = (
-        adj.groupBy(F.col("a").alias("id"))
-        .agg(F.count(F.lit(1)).alias("d"))
-        .localCheckpoint(eager=True)
-    )
-    n_nodes = deg.count()  # materializes adj en route; sizes the loop
-    loop_parts = n_nodes // 25_000 if n_nodes <= 5_000_000 else None
-    converged = n_nodes == 0
+    live = _canonical_edges(edges).localCheckpoint(eager=True)
+    n_edges = live.count()
+    loop_parts = n_edges // 250_000 if n_edges <= 50_000_000 else None
+    deg = None
+    converged = n_edges == 0
     with _iter_loop_confs(sess, loop_parts):
+        prev = n_edges
         for _ in range(max_iter):
             if converged:
                 break
-            new_drop = deg.filter(F.col("d") < k).select(F.col("id").alias("a"))
-            if new_drop.isEmpty():
-                converged = True
-                break
-            dec = (
-                adj.join(new_drop, "a")
-                .groupBy(F.col("b").alias("id"))
-                .agg(F.count(F.lit(1)).alias("dec"))
-            )
-            deg = (
-                deg.filter(F.col("d") >= k)
-                .join(dec, "id", "left")
-                .select(
-                    "id",
-                    (F.col("d") - F.coalesce("dec", F.lit(0))).alias("d"),
-                )
+            deg = _degrees(live)
+            keep = deg.filter(F.col("d") >= k).select("id")
+            live = (
+                live.join(keep.withColumnRenamed("id", "u"), "u", "left_semi")
+                .join(keep.withColumnRenamed("id", "v"), "v", "left_semi")
+                .select("u", "v")
                 .localCheckpoint(eager=True)
             )
-    adj.unpersist()
+            cur = live.count()
+            # fixed point: nothing peeled this round (every remaining
+            # node already has d >= k — the deg just computed IS the
+            # answer), or the graph peeled to nothing
+            converged = cur == prev or cur == 0
+            prev = cur
     if not converged:
         raise RuntimeError(
             f"kcore: peel did not converge within {max_iter} rounds "
             f"(k={k}; a truncated peel would report sub-k nodes as core "
             "members) — raise max_iter for this topology"
         )
-    # converged: every remaining degree row is a core member and `d`
-    # is its degree within the k-core (all sub-k nodes' contributions
-    # have been decremented away)
-    return deg.select("id", F.col("d").cast("long").alias("core_degree"))
+    if deg is None or prev == 0:
+        return live.sparkSession.createDataFrame([], "id long, core_degree long")
+    # deg was computed from the frame the converged round started with,
+    # which the fixed point proved identical to the final frame — reuse
+    # it instead of rebuilding the same aggregation as a fresh job
+    return deg.filter(F.col("d") >= k).select(
+        "id", F.col("d").cast("long").alias("core_degree")
+    )
+
+# r12 note: an r11 degree-maintenance variant of this peel (maintain
+# only the |V|-row degree frame, decrement partners on drop) was
+# REVERTED here after the driver's ground truth and two same-day
+# interleaved A/Bs measured it 0.5-1.9 s slower at sf0.1 (best-of-N
+# 4.83/5.04 s for this batch shape vs 5.80/6.70 s) — the per-round
+# decrement join + full-adjacency scans cost more than this shape's
+# shrinking-frame rewrites on the shipped topologies (3-5 peel
+# rounds).  Its at-scale write argument (O(peeled-delta + |V|) vs
+# O(|E|) checkpoint bytes per round) remains valid for deep peels of
+# huge graphs; revisit only with a measured deep-peel workload.
 
 
 def tree_rollup(

@@ -986,8 +986,17 @@ def copurchase_edges(li):
     union — DataFrame unions get no common-subexpression sharing, so
     the union shape re-ran the basket collapse's reduce-side
     collect_set + pair explode once per branch (the association_rules
-    lesson; only the shuffle itself was ReusedExchange-shared)."""
-    pairs = copurchase_pairs(li)
+    lesson; only the shuffle itself was ReusedExchange-shared).
+
+    Deduped BEFORE the doubling (r12, guide §2.3): the raw
+    order-multiplicity stream is ~18M rows at sf0.1 where the distinct
+    edge set is 2.4M, and the downstream pagerank ingest dedups anyway
+    — deduping the canonical (pa < pb) half first exchanges the raw
+    pairs once WITH map-side partial aggregation, and everything after
+    (the doubling explode, pagerank's layout repartition) moves only
+    deduped rows.  Both consumers (pagerank and its early-exit pin)
+    are dedup-insensitive by contract."""
+    pairs = copurchase_pairs(li).dropDuplicates()
     return pairs.select(
         F.explode(
             F.array(
