@@ -6,6 +6,8 @@ import json
 import os
 
 import pytest
+
+pytestmark = pytest.mark.slow  # index lifecycle e2e (ANN math covered fast by test_ann_recall/test_semantic_pq)
 from pyspark.sql import functions as F
 
 from beehive_spark.operators.ann_index import (

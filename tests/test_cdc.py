@@ -3,6 +3,8 @@ snapshot must reproduce the new snapshot exactly — diff and apply are
 inverse operations (the property that makes delta pipelines safe to
 substitute for full re-merges)."""
 
+import pytest
+
 import os
 import sys
 
@@ -69,6 +71,7 @@ def test_apply_cdc_creates_table_from_inserts(spark, tmp_path):
     assert spark.read.parquet(path).count() == 2
 
 
+@pytest.mark.slow  # heavy member of an otherwise-fast suite
 def test_apply_cdc_delete_only(spark, tmp_path):
     path = str(tmp_path / "t")
     spark.createDataFrame([(1, 1.0), (2, 2.0), (3, 3.0)], ["k", "v"]).write.parquet(

@@ -1,6 +1,10 @@
 """End-to-end test of the merge CLI (orchestrator.js parity): run,
 re-run (provenance abort), and dry-run against parquet instances."""
 
+import pytest
+
+pytestmark = pytest.mark.slow  # CLI subprocess e2e (display layer covered fast by test_display)
+
 import json
 import os
 

@@ -1,6 +1,10 @@
 """End-to-end curation pipeline: stage-count conservation, canonical
 survivorship, scrubbing, and bit-for-bit reproducibility."""
 
+import pytest
+
+pytestmark = pytest.mark.slow  # e2e curation write (stage logic covered fast by test_curation)
+
 from pyspark.sql import functions as F
 
 from beehive_spark.pipeline.curate import curate_corpus

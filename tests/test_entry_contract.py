@@ -2,6 +2,8 @@
 entry must produce rows, every oracle must belong to a registered
 query, and registration must be collision-free."""
 
+import pytest
+
 import os
 import sys
 
@@ -50,6 +52,7 @@ def test_registry_consistency():
     }
 
 
+@pytest.mark.slow  # heavy member of an otherwise-fast suite
 def test_all_queries_run_at_smallest_sf(spark):
     """Every registered query must at least plan and execute at
     sf0.001 (the driver's smoke tier) — count() forces execution."""

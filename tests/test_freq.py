@@ -8,6 +8,8 @@ changes with partitioning; the exact recount must not), plus typed
 """
 
 import pytest
+
+pytestmark = pytest.mark.slow  # sketch property sweep (covered fast by test_sketches)
 from pyspark.sql import functions as F
 
 from beehive_spark.operators.freq import frequent_items

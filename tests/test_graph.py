@@ -3,6 +3,10 @@ iterative replacement for the reference's recursive user tree,
 person-users.js:568-601) and connected_components (near-dup cluster
 collapse)."""
 
+import pytest
+
+pytestmark = pytest.mark.slow  # brute-force random-graph pins (operators covered fast by test_graph_property + planted oracle twins)
+
 import random
 
 from pyspark.sql import functions as F

@@ -9,6 +9,10 @@ NULL handling, group-move accounting) that example tests can miss.
 Example count is kept small because each case runs real Spark jobs.
 """
 
+import pytest
+
+pytestmark = pytest.mark.slow  # randomized IVM property sweep (operators covered fast by test_ivm/test_ivm_join)
+
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 from pyspark.sql import functions as F

@@ -7,6 +7,8 @@ overlap includes any non-boilerplate shingle.
 """
 
 import pytest
+
+pytestmark = pytest.mark.slow  # adversarial cap sweep (shape covered fast by test_ngram_hash_property)
 from pyspark.sql import functions as F
 
 from beehive_spark.queries.llm import _jaccard_candidates, dedup_ngram_jaccard

@@ -1,6 +1,8 @@
 """Layout tests: partition pruning and bucketed shuffle-free joins
 must be visible in the physical plan, not just assumed."""
 
+import pytest
+
 import os
 import shutil
 
@@ -234,6 +236,7 @@ def _files_hit(path, box):
     return hit, n_files
 
 
+@pytest.mark.slow  # heavy member of an otherwise-fast suite
 def test_zorder_write_skips_files_on_secondary_dim(spark, sf_dir, tmp_path):
     """A box predicate on the NON-primary dimension must skip z-ordered
     files while a single-column clustered layout opens every file."""

@@ -10,6 +10,8 @@ merged output.
 """
 
 import pytest
+
+pytestmark = pytest.mark.slow  # e2e persist/resume twin of the merge pipeline
 from pyspark.sql import functions as F
 
 import beehive_spark.pipeline.merge as mergemod

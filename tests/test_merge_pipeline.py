@@ -10,6 +10,8 @@ plus the corrected behaviors listed in SURVEY.md §7.4.
 """
 
 import pytest
+
+pytestmark = pytest.mark.slow  # e2e merge pipeline (operators covered fast by test_operators)
 from pyspark.sql import functions as F
 
 from beehive_spark.operators import orphan_check

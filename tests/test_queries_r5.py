@@ -9,6 +9,8 @@ import time
 
 import pytest
 
+pytestmark = pytest.mark.slow  # query pins duplicated by the driver/local oracle gate
+
 from beehive_spark.sources.layout import (
     promote_staging,
     vacuum_artifacts,

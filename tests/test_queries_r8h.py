@@ -1,6 +1,10 @@
 """Round-8 additions, batch 8: correlation IVM and planted label
 propagation — python twins off the parquet, planted closed forms."""
 
+import pytest
+
+pytestmark = pytest.mark.slow  # query pins duplicated by the oracle gate
+
 import math
 
 import duckdb

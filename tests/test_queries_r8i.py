@@ -1,6 +1,10 @@
 """Round-8 additions, batch 9: RAKE keyphrases and Pareto ABC —
 python twins built from scratch off the parquet."""
 
+import pytest
+
+pytestmark = pytest.mark.slow  # query pins duplicated by the oracle gate
+
 import math
 import re
 

@@ -5,6 +5,8 @@ SEMANTICS are the ones the docstrings claim)."""
 import math
 
 import pytest
+
+pytestmark = pytest.mark.slow  # query pins duplicated by the oracle gate
 from pyspark.sql import functions as F
 
 SF = "/root/testdata/sf0.001"

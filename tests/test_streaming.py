@@ -3,6 +3,8 @@
 import os
 
 import pytest
+
+pytestmark = pytest.mark.slow  # file-stream e2e (maintainer math covered fast by the per-operator streaming suites)
 from pyspark.sql import functions as F
 
 from beehive_spark.queries import load

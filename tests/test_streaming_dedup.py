@@ -6,6 +6,10 @@ The synthetic documents corpus has NO exact duplicates (500 docs, 500
 fingerprints), so each test PLANTS duplicate texts under fresh doc_ids
 — otherwise the dup/correction branches would pass vacuously."""
 
+import pytest
+
+pytestmark = pytest.mark.slow  # long stream e2e (dedup math covered fast by test_ngram_hash_property)
+
 import os
 import time
 

@@ -4,6 +4,10 @@ kill-between-artifacts crash window, the incremental-touch property
 (a small batch rewrites only the buckets it hashes into), and
 out-of-order feeds reconciling through correction records."""
 
+import pytest
+
+pytestmark = pytest.mark.slow  # long stream property sweep
+
 import os
 import shutil
 import time
