@@ -86,8 +86,8 @@ _PRIORITY = [
     "graph_triangles",              # r12 opt target (§2.3 intersect rewrite)
     "dedup_embedding_bucketed",     # r12 opt target (candidate pre-filter)
     "similarity_ann_lsh_planted",   # r12 opt target (Arrow planted constructor)
-    "media_phash_dedup",            # r12 opt target (Arrow hex fold)
-    "media_image_resize",           # r12 opt target (Arrow hex fold)
+    "media_phash_dedup",            # r12 audited (no conv residual found)
+    "media_image_resize",           # r12 touched-and-reverted; re-verify
     "graph_kcore_planted",          # r12 opt target (batched peel)
     # --- r11-touched paths the r11 driver sample missed (r11 verdict
     # #3): their only green evidence is builder-side sweeps; rotate

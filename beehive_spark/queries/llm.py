@@ -4219,6 +4219,14 @@ def text_keyphrases(spark, sf_dir, max_len: int = 4, k: int = 30):
     )
     w_doc = Window.partitionBy("doc_id").orderBy("i")
     isl = flag.withColumn("g", F.sum("s").over(w_doc))
+    # NOTE (r12, measured and rejected): persisting `wip` and `kept`
+    # to kill the ~5x tokenize recompute (10 documents scans in the
+    # plan) LOST an interleaved best-of-3 A/B at sf0.1 (3.0-3.7 s
+    # un-persisted vs 3.8-8.6 s persisted) — materializing the
+    # token-sized frame costs more than the cheap single-partition
+    # re-tokenizes it saves, the same economics as the rejected
+    # post-scan document spread (r11).  Revisit only if the corpus
+    # scan stops being the cheap part.
     wip = isl.filter(F.col("s") == 0).select("doc_id", "g", "i", "w")
     phr = wip.groupBy("doc_id", "g").agg(
         F.count(F.lit(1)).cast("long").alias("plen"),

@@ -454,46 +454,29 @@ def media_image_resize(spark, sf_dir):
         media, 4, 4, use_real_decoder=True, total_bytes=n_docs * 400
     )
     # one row per output cell: value read positionally from the raw
-    # RGB bytes (channel 0 of pixel cy*4+cx).  The former JVM shape
-    # (hex(content) + explode + per-cell conv(substring)) evaluated an
-    # interpreted hex walk per cell (16 x docs convs); this Arrow
-    # stage slices the same bytes with numpy in one pass (guide §4.2)
-    # — pure integer reads, so values are exactly the conv() output.
-    def cells(batches):
-        import numpy as np
-        import pyarrow as pa
-
-        cell = np.arange(16, dtype=np.int64)
-        cy = (cell // 4).astype(np.int32)
-        cx = (cell % 4).astype(np.int32)
-        for b in batches:
-            m = b.num_rows
-            if m == 0:
-                continue
-            ids = b.column(0).to_numpy(zero_copy_only=False).astype(np.int64)
-            col = b.column(1)
-            if isinstance(col, pa.ChunkedArray):  # pragma: no cover
-                col = col.combine_chunks()
-            flat = np.frombuffer(col.buffers()[2], dtype=np.uint8)
-            offs = np.frombuffer(col.buffers()[1], dtype=np.int32)[
-                col.offset : col.offset + m + 1
-            ].astype(np.int64)
-            starts, lens = offs[:-1], np.diff(offs)
-            # channel 0 of pixel #cell lives at byte offset cell*3
-            px = flat[(starts[:, None] + cell[None, :] * 3)].astype(np.int32)
-            yield pa.RecordBatch.from_arrays(
-                [
-                    pa.array(np.repeat(ids, 16), pa.int64()),
-                    pa.array(np.tile(cy, m), pa.int32()),
-                    pa.array(np.tile(cx, m), pa.int32()),
-                    pa.array(px.ravel(), pa.int32()),
-                    pa.array(np.repeat(lens, 16), pa.int64()),
-                ],
-                names=["media_id", "cy", "cx", "px_val", "out_bytes"],
-            )
-
-    return small.select("media_id", "content").mapInArrow(
-        cells, "media_id long, cy int, cx int, px_val int, out_bytes long"
+    # RGB bytes (channel 0 of pixel cy*4+cx), all JVM.
+    # NOTE (r12, measured and rejected): an Arrow re-expression of
+    # this projection (one mapInArrow slicing the same bytes from the
+    # binary buffers — plans/r12/media_image_resize_{before,after}.txt,
+    # oracle green) LOST the quiet-host interleaved best-of-3 A/B:
+    # 1.50-1.88 s for this conv shape vs 1.96-4.98 s with the extra
+    # Python stage.  The 16 x docs interpreted convs are ~ms of JVM
+    # work; a third Python stage's round-trip overhead exceeds it at
+    # any corpus size where the 48-byte outputs stay this small.
+    cells = small.select(
+        "media_id",
+        F.length("content").cast("long").alias("out_bytes"),
+        F.hex("content").alias("hx"),
+        F.explode(F.sequence(F.lit(0), F.lit(15))).alias("cell"),
+    )
+    return cells.select(
+        "media_id",
+        (F.col("cell") / 4).cast("int").alias("cy"),
+        F.pmod("cell", F.lit(4)).cast("int").alias("cx"),
+        F.conv(F.substring("hx", F.col("cell") * 6 + 1, F.lit(2)), 16, 10)
+        .cast("int")
+        .alias("px_val"),
+        "out_bytes",
     )
 
 
